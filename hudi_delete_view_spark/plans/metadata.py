@@ -1,0 +1,141 @@
+"""Commit metadata model for the lake-table format.
+
+Mirrors the metadata surface the reference consumes — per-commit JSON with a
+``partitionToWriteStats`` map and a ``totalRecordsDeleted`` total (reference:
+``DeleteView.java:85-104,186``; each write stat carries ``fileId``, ``path``,
+``prevCommit`` and the write/update/delete counters). All of this is
+KB-scale driver-side metadata: it is parsed with plain ``json``, never
+shipped to executors, and never grows with data volume — the 100 TB design
+rule is that the driver touches only this layer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class WriteStat:
+    """Stats for one file slice written by one commit.
+
+    Reference shape: ``HoodieWriteStat`` fields read at
+    ``DeleteView.java:98-104`` (fileId, path, prevCommit, numDeletes).
+    """
+
+    file_id: str
+    path: str  # relative to the table base path
+    prev_commit: str | None = None
+    num_writes: int = 0
+    num_update_writes: int = 0
+    num_deletes: int = 0
+    num_inserts: int = 0
+    file_size_bytes: int = 0
+    log_file: bool = False  # MOR delta log slice (vs base file)
+
+    def to_dict(self) -> dict:
+        return {
+            "fileId": self.file_id,
+            "path": self.path,
+            "prevCommit": self.prev_commit,
+            "numWrites": self.num_writes,
+            "numUpdateWrites": self.num_update_writes,
+            "numDeletes": self.num_deletes,
+            "numInserts": self.num_inserts,
+            "fileSizeInBytes": self.file_size_bytes,
+            "logFile": self.log_file,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> WriteStat:
+        return cls(
+            file_id=d["fileId"],
+            path=d["path"],
+            prev_commit=d.get("prevCommit"),
+            num_writes=int(d.get("numWrites", 0)),
+            num_update_writes=int(d.get("numUpdateWrites", 0)),
+            num_deletes=int(d.get("numDeletes", 0)),
+            num_inserts=int(d.get("numInserts", 0)),
+            file_size_bytes=int(d.get("fileSizeInBytes", 0)),
+            log_file=bool(d.get("logFile", False)),
+        )
+
+
+@dataclass
+class CommitMetadata:
+    """One completed commit: partition -> write stats + totals.
+
+    Reference shape: ``HoodieCommitMetadata`` (``DeleteView.java:85-87``,
+    ``getPartitionToWriteStats`` at ``:98``, ``getTotalRecordsDeleted`` at
+    ``:186``). A schema snapshot rides along (the reference resolves schema
+    per commit via ``TableSchemaResolver``, ``DeleteSupport.java:69``).
+    """
+
+    commit_ts: str
+    operation: str = "upsert"  # bulk_insert | upsert | delete | delta_commit | compaction
+    partition_to_write_stats: dict[str, list[WriteStat]] = field(default_factory=dict)
+    total_records_deleted: int = 0
+    schema_json: str | None = None  # Spark StructType.json()
+    extra: dict = field(default_factory=dict)
+
+    def all_stats(self):
+        for partition, stats in self.partition_to_write_stats.items():
+            for stat in stats:
+                yield partition, stat
+
+    def find_write_stat(self, file_id: str) -> WriteStat | None:
+        """Look up the stat for ``file_id`` across all partitions.
+
+        Reference: ``findHoodieWriteStat`` (``DeleteView.java:132-142``).
+        """
+        for _, stat in self.all_stats():
+            if stat.file_id == file_id:
+                return stat
+        return None
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "commitTs": self.commit_ts,
+                "operation": self.operation,
+                "partitionToWriteStats": {
+                    p: [s.to_dict() for s in stats]
+                    for p, stats in self.partition_to_write_stats.items()
+                },
+                "totalRecordsDeleted": self.total_records_deleted,
+                "schema": self.schema_json,
+                "extra": self.extra,
+            },
+            indent=2,
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> CommitMetadata:
+        d = json.loads(text)
+        return cls(
+            commit_ts=d["commitTs"],
+            operation=d.get("operation", "upsert"),
+            partition_to_write_stats={
+                p: [WriteStat.from_dict(s) for s in stats]
+                for p, stats in d.get("partitionToWriteStats", {}).items()
+            },
+            total_records_deleted=int(d.get("totalRecordsDeleted", 0)),
+            schema_json=d.get("schema"),
+            extra=d.get("extra", {}),
+        )
+
+    def write(self, meta_dir: str) -> str:
+        """Atomically publish this commit: write tmp then rename.
+
+        The rename is the commit point (mirrors Hudi's
+        inflight->completed transition); readers only ever see completed
+        ``<ts>.commit`` files.
+        """
+        os.makedirs(meta_dir, exist_ok=True)
+        final = os.path.join(meta_dir, f"{self.commit_ts}.commit")
+        tmp = os.path.join(meta_dir, f".{self.commit_ts}.commit.inflight")
+        with open(tmp, "w") as f:
+            f.write(self.to_json())
+        os.replace(tmp, final)
+        return final

@@ -1,0 +1,79 @@
+"""File-slice resolution: which physical files form the table at time T.
+
+A *file group* is a logical row bucket keyed by ``file_id``; each commit that
+touches it writes a new *file slice* that replaces the previous one
+(reference model: ``DeleteView.java:112-142``). Snapshot/time-travel reads
+resolve, per file group, the slice with the largest commit timestamp <= T —
+pure driver-side metadata work over the commit timeline; the resulting path
+list feeds one ``spark.read.parquet(*paths)``.
+
+MOR: a file group additionally accumulates *log slices* after its base
+slice; the reader unions them and merges latest-per-key (see
+``sources/mor.py``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from .timeline import Timeline
+
+
+@dataclass
+class FileSlice:
+    partition: str
+    file_id: str
+    commit_ts: str  # commit that wrote the base file
+    base_path: str  # absolute path of the base parquet file
+    log_paths: list[str] = field(default_factory=list)  # MOR delta logs (commit order)
+    log_commits: list[str] = field(default_factory=list)
+
+
+def resolve_slices(timeline: Timeline, as_of: str | None = None) -> dict[tuple[str, str], FileSlice]:
+    """Latest slice per (partition, file_id) as of ``as_of`` (default: latest).
+
+    Replays completed commits in timestamp order, keeping the last base file
+    per file group and accumulating any newer log files on top of it.
+    Compaction commits write fresh base files, which naturally clear the
+    accumulated logs here.
+    """
+    slices: dict[tuple[str, str], FileSlice] = {}
+    for inst in timeline.instants():
+        if as_of is not None and inst.timestamp > as_of:
+            break
+        meta = timeline.commit_metadata(inst.timestamp)
+        for partition, stat in meta.all_stats():
+            key = (partition, stat.file_id)
+            abs_path = os.path.join(timeline.base_path, stat.path)
+            if stat.log_file:
+                sl = slices.get(key)
+                if sl is None:
+                    # log without a base file: first write to this group was
+                    # a delta commit — model it as a log-only slice
+                    sl = FileSlice(partition, stat.file_id, inst.timestamp, base_path="")
+                    slices[key] = sl
+                sl.log_paths.append(abs_path)
+                sl.log_commits.append(inst.timestamp)
+            else:
+                slices[key] = FileSlice(
+                    partition, stat.file_id, inst.timestamp, abs_path
+                )
+    return slices
+
+
+def base_files(timeline: Timeline, as_of: str | None = None) -> list[str]:
+    """Base-file paths of the resolved snapshot (COW read path)."""
+    return [s.base_path for s in resolve_slices(timeline, as_of).values() if s.base_path]
+
+
+def touched_file_groups(timeline: Timeline, begin_exclusive: str | None, end_inclusive: str | None) -> set[tuple[str, str]]:
+    """(partition, file_id) groups written to in (begin, end] — incremental
+    read prunes its scan to these groups before any data is read (the Spark
+    analogue of the reference's stats-based pruning, ``DeleteView.java:100``)."""
+    groups: set[tuple[str, str]] = set()
+    for inst in timeline.commits_in_range(begin_exclusive, end_inclusive):
+        meta = timeline.commit_metadata(inst.timestamp)
+        for partition, stat in meta.all_stats():
+            groups.add((partition, stat.file_id))
+    return groups

@@ -1,0 +1,165 @@
+"""Lake-table queries (SURVEY §2 B1-B6): delete view, snapshot, time travel,
+incremental — each built on the scripted ``lineitem_cow`` fixture whose
+commit predicates are deterministic, so every result is expressible as ANSI
+SQL over the raw ``lineitem`` parquet for the DuckDB oracle.
+
+Timestamps are rendered as strings on both sides (driver hashing must see
+identical values); doubles pass through without re-computation except the
+scripted ``+ 100.0`` update, which is the same IEEE-754 op in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.cow import (
+    COMMIT_TIME_FIELD,
+    PARTITION_PATH_FIELD,
+    RECORD_KEY_FIELD,
+)
+from ..sources.delete_view import delete_view
+from ..sources.fixtures import (
+    C1,
+    C2,
+    C3,
+    C4,
+    LINEITEM_DEDUP_CTE,
+    build_lineitem_cow,
+)
+from . import query
+
+_PAYLOAD = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+]
+
+# SQL fragments shared by the oracles --------------------------------------
+_KEY_SQL = (
+    "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) || ':' || "
+    "CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)"
+)
+_QTY_SQL = "CASE WHEN l_partkey % 10 = 0 THEN l_quantity + 100.0 ELSE l_quantity END"
+_PAYLOAD_SQL = (
+    "l_orderkey, l_partkey, l_suppkey, l_linenumber, {qty} AS l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+    "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate"
+)
+
+
+def _project(df: DataFrame, with_meta: bool = True) -> DataFrame:
+    """Canonical oracle-able projection: meta subset + payload, shipdate as
+    string (deterministic hash-comparable rendering on both engines)."""
+    cols = []
+    if with_meta:
+        cols += [F.col(COMMIT_TIME_FIELD), F.col(RECORD_KEY_FIELD), F.col(PARTITION_PATH_FIELD)]
+    cols += [F.col(c) for c in _PAYLOAD]
+    cols += [F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate")]
+    return df.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# B6 flagship: the rows deleted by commit C3 (reference's entire product)
+# --------------------------------------------------------------------------
+@query(
+    "lake_delete_view",
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT '{C3}' AS {COMMIT_TIME_FIELD},
+       {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       l_returnflag AS {PARTITION_PATH_FIELD},
+       {_PAYLOAD_SQL.format(qty=_QTY_SQL)}
+FROM li WHERE l_suppkey % 17 = 0
+""",
+)
+def lake_delete_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = build_lineitem_cow(spark, sf_dir)
+    return _project(delete_view(spark, table.base_path, C3))
+
+
+# --------------------------------------------------------------------------
+# B1: snapshot read after all four commits
+# --------------------------------------------------------------------------
+@query(
+    "lake_snapshot",
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       {_PAYLOAD_SQL.format(qty=_QTY_SQL)}
+FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+""",
+)
+def lake_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = build_lineitem_cow(spark, sf_dir)
+    snap = table.snapshot()
+    return snap.select(
+        snap[RECORD_KEY_FIELD], *[F.col(c) for c in _PAYLOAD],
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B2: time travel — the table as of C1 (before update/deletes)
+# --------------------------------------------------------------------------
+@query(
+    "lake_time_travel",
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       {_PAYLOAD_SQL.format(qty="l_quantity")}
+FROM li
+""",
+)
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = build_lineitem_cow(spark, sf_dir)
+    snap = table.snapshot(as_of=C1)
+    return snap.select(
+        snap[RECORD_KEY_FIELD], *[F.col(c) for c in _PAYLOAD],
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B3: incremental read — records changed in (C1, C2] (the C2 updates)
+# --------------------------------------------------------------------------
+@query(
+    "lake_incremental",
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT '{C2}' AS {COMMIT_TIME_FIELD},
+       {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       {_PAYLOAD_SQL.format(qty=_QTY_SQL)}
+FROM li WHERE l_partkey % 10 = 0
+""",
+)
+def lake_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = build_lineitem_cow(spark, sf_dir)
+    inc = table.incremental(C1, C2)
+    return inc.select(
+        inc[COMMIT_TIME_FIELD], inc[RECORD_KEY_FIELD], *[F.col(c) for c in _PAYLOAD],
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A14/A15: the materialized view's metadata-only count (footer-driven)
+# --------------------------------------------------------------------------
+@query(
+    "lake_delete_view_count",
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT COUNT(*) AS deleted_rows FROM li WHERE l_suppkey % 17 = 0
+""",
+)
+def lake_delete_view_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = build_lineitem_cow(spark, sf_dir)
+    dv = delete_view(spark, table.base_path, C3)
+    return dv.agg(F.count("*").cast("long").alias("deleted_rows"))

@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for the lake engine.
+
+Local testing runs ``local[N]`` (single JVM); the confs below are the ones
+that matter identically on a 1000-executor cluster:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  broadcast demotion/promotion) so plans survive 100x data-scale changes
+  without retuning.
+- ``spark.sql.shuffle.partitions`` sized for the local test boxes; on a real
+  cluster AQE's coalescing makes the initial number a ceiling, not a tuning
+  knob.
+- Arrow enabled for the (rare) Pandas-UDF paths (multimodal decode,
+  vectorized similarity fallback) — Arrow batch transfer instead of pickled
+  rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "hudi-delete-view-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,426 @@
+"""Copy-on-write lake table: bulk-insert / upsert / delete writers + readers.
+
+This is the Spark-first re-expression of the reference's table format
+(shangyuantech/hudi-delete-view). The reference *consumes* Hudi COW tables —
+Parquet file slices + a commit timeline whose write stats carry
+``fileId/path/prevCommit/numWrites/numDeletes`` (``DeleteView.java:98-104``).
+This module *produces* tables of exactly that shape so the whole pipeline is
+self-contained, and reads them back as DataFrames.
+
+Scale design (the part that must survive 100 TB / 1000 executors):
+
+- **One Spark job per commit write.** Rows are hash-assigned to file groups
+  JVM-side (``xxhash64(record_key) % n`` — no driver involvement, no key
+  index lookup), shuffled once by ``(partition, file_group)``, and written
+  with ``partitionBy`` so every file group lands as exactly one Parquet file.
+  The driver then only *renames* files and writes KB-scale commit JSON.
+- **Write stats come from metadata, not jobs**: per-group row counts are
+  read from Parquet footers (same trick as the reference's footer-only
+  count, ``DeleteUtils.java:27-48``); update/delete counters are derived
+  arithmetically from previous-commit stats, so an upsert/delete costs one
+  shuffle-write job plus one tiny count of the incoming batch.
+- **Upsert/delete only rewrite affected file groups** — the stats-based
+  pruning the reference applies at read time (``DeleteView.java:100``) is
+  applied symmetrically at write time.
+- **Reads are plain ``spark.read.parquet(*slice_paths)``** — vectorized scan,
+  predicate pushdown, column pruning and partition-level parallelism all come
+  from Catalyst for free; slice resolution is driver-side metadata only.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from urllib.parse import unquote
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.metadata import CommitMetadata, WriteStat
+from ..plans.slices import FileSlice, resolve_slices, touched_file_groups
+from ..plans.timeline import Timeline, TimelineError
+
+# Public Hudi five-column meta convention (SURVEY §1.2)
+COMMIT_TIME_FIELD = "_hoodie_commit_time"
+COMMIT_SEQNO_FIELD = "_hoodie_commit_seqno"
+RECORD_KEY_FIELD = "_hoodie_record_key"
+PARTITION_PATH_FIELD = "_hoodie_partition_path"
+FILE_NAME_FIELD = "_hoodie_file_name"
+META_FIELDS = [
+    COMMIT_TIME_FIELD,
+    COMMIT_SEQNO_FIELD,
+    RECORD_KEY_FIELD,
+    PARTITION_PATH_FIELD,
+    FILE_NAME_FIELD,
+]
+
+WRITE_TOKEN = "0-0-0"
+DEFAULT_PARTITION = "default"
+_PP = "__pp"  # staging-only partition column (partitionBy drops it from files)
+_FID = "__fid"
+
+# file name: <fileId>_<writeToken>_<commitTs>.parquet ; fileId never contains '_'
+FILE_ID_REGEX = r"^([^_]+)_"
+
+
+def file_id_expr(file_name_col):
+    """Extract the file-group id from a stored file name, JVM-side."""
+    return F.regexp_extract(file_name_col, FILE_ID_REGEX, 1)
+
+
+def _footer_row_count(path: str) -> int:
+    """Row count from Parquet footer only — no data scan (reference
+    ``DeleteUtils.java:27-48``)."""
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def footer_row_count_dir(path: str) -> int:
+    """Footer-driven COUNT(*) over a Parquet directory (reference A15)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith(".parquet"):
+                total += _footer_row_count(os.path.join(root, name))
+    return total
+
+
+class CowTable:
+    """A copy-on-write lake table rooted at ``base_path``.
+
+    ``key_fields`` define the record key (``_hoodie_record_key`` =
+    ``:``-joined string cast); ``partition_field`` (optional) defines the
+    partition path; ``num_file_groups`` buckets records per partition by
+    ``xxhash64(record_key)`` — the assignment is *stateless*, so upserts and
+    deletes locate a key's file group without any index lookup or data scan.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        key_fields: list[str],
+        partition_field: str | None = None,
+        num_file_groups: int = 4,
+    ):
+        self.spark = spark
+        self.base_path = base_path
+        self.key_fields = list(key_fields)
+        self.partition_field = partition_field
+        self.num_file_groups = num_file_groups
+        self.timeline = Timeline(base_path)
+
+    # ------------------------------------------------------------------
+    # meta-column derivation (all JVM-side expressions)
+    # ------------------------------------------------------------------
+    def _record_key_col(self):
+        return F.concat_ws(":", *[F.col(f).cast("string") for f in self.key_fields])
+
+    def _partition_col(self):
+        if self.partition_field is None:
+            return F.lit(DEFAULT_PARTITION)
+        return F.coalesce(F.col(self.partition_field).cast("string"), F.lit(DEFAULT_PARTITION))
+
+    def _fid_col(self, partition_col):
+        bucket = F.pmod(F.xxhash64(F.col(RECORD_KEY_FIELD)), F.lit(self.num_file_groups))
+        return F.concat(F.lit("fg-"), partition_col, F.lit("-"), bucket.cast("string"))
+
+    def _with_meta(self, df: DataFrame, commit_ts: str) -> DataFrame:
+        """Stamp the five Hudi-style meta columns + staging helper cols."""
+        pp = self._partition_col()
+        out = (
+            df.withColumn(RECORD_KEY_FIELD, self._record_key_col())
+            .withColumn(PARTITION_PATH_FIELD, pp)
+            .withColumn(_PP, F.col(PARTITION_PATH_FIELD))
+        )
+        out = out.withColumn(_FID, self._fid_col(F.col(PARTITION_PATH_FIELD)))
+        out = (
+            out.withColumn(COMMIT_TIME_FIELD, F.lit(commit_ts))
+            .withColumn(
+                COMMIT_SEQNO_FIELD,
+                F.concat_ws("_", F.lit(commit_ts), F.col(_FID), F.monotonically_increasing_id().cast("string")),
+            )
+            .withColumn(
+                FILE_NAME_FIELD,
+                F.concat(F.col(_FID), F.lit(f"_{WRITE_TOKEN}_{commit_ts}.parquet")),
+            )
+        )
+        # canonical column order: meta fields first, then payload
+        payload = [c for c in df.columns if c not in META_FIELDS]
+        return out.select(*META_FIELDS, *payload, _PP, _FID)
+
+    # ------------------------------------------------------------------
+    # physical write: one shuffle job, driver renames only
+    # ------------------------------------------------------------------
+    def _write_file_groups(
+        self,
+        df: DataFrame,
+        commit_ts: str,
+        expected_groups: list[tuple[str, str]] | None = None,
+    ) -> dict[tuple[str, str], tuple[str, int]]:
+        """Write one Parquet file per (partition, file_id) group.
+
+        ``repartition(__pp, __fid)`` puts each group wholly in one task, and
+        ``partitionBy`` routes it to its own leaf dir — so each group becomes
+        exactly one file regardless of how many groups share a task. Returns
+        {(partition, file_id): (relative_path, footer_row_count)}.
+
+        ``expected_groups`` forces empty slices to exist (a delete that
+        empties a whole file group must still publish a zero-row file —
+        FIXTURES.md edge case; the reference reads such slices fine).
+        """
+        staging = os.path.join(self.base_path, f".staging-{commit_ts}")
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            df.repartition(F.col(_PP), F.col(_FID))
+            .write.partitionBy(_PP, _FID)
+            .mode("overwrite")
+            .parquet(staging)
+        )
+
+        written: dict[tuple[str, str], tuple[str, int]] = {}
+        for pp_dir in os.listdir(staging):
+            if not pp_dir.startswith(f"{_PP}="):
+                continue
+            partition = unquote(pp_dir.split("=", 1)[1])
+            for fid_dir in os.listdir(os.path.join(staging, pp_dir)):
+                if not fid_dir.startswith(f"{_FID}="):
+                    continue
+                file_id = unquote(fid_dir.split("=", 1)[1])
+                leaf = os.path.join(staging, pp_dir, fid_dir)
+                parts = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+                assert len(parts) == 1, f"file group {file_id} split across {len(parts)} files"
+                target_dir = os.path.join(self.base_path, partition)
+                os.makedirs(target_dir, exist_ok=True)
+                fname = f"{file_id}_{WRITE_TOKEN}_{commit_ts}.parquet"
+                target = os.path.join(target_dir, fname)
+                os.replace(os.path.join(leaf, parts[0]), target)
+                written[(partition, file_id)] = (
+                    os.path.join(partition, fname),
+                    _footer_row_count(target),
+                )
+
+        # publish empty slices for groups the write produced no rows for
+        missing = [g for g in (expected_groups or []) if g not in written]
+        if missing:
+            empty = self.spark.createDataFrame([], df.drop(_PP, _FID).schema)
+            tmp = os.path.join(staging, "_empty")
+            empty.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            for partition, file_id in missing:
+                target_dir = os.path.join(self.base_path, partition)
+                os.makedirs(target_dir, exist_ok=True)
+                fname = f"{file_id}_{WRITE_TOKEN}_{commit_ts}.parquet"
+                shutil.copyfile(src, os.path.join(target_dir, fname))
+                written[(partition, file_id)] = (os.path.join(partition, fname), 0)
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return written
+
+    def _publish(
+        self,
+        commit_ts: str,
+        operation: str,
+        written: dict[tuple[str, str], tuple[str, int]],
+        prev_slices: dict[tuple[str, str], FileSlice],
+        incoming_counts: dict[tuple[str, str], int] | None = None,
+        schema_json: str | None = None,
+        is_delete: bool = False,
+    ) -> CommitMetadata:
+        """Derive write stats arithmetically and publish the commit JSON.
+
+        For each rewritten group: prev = previous slice rows (from the
+        previous commit's stats / footer), new = rows now, inc = incoming
+        batch rows.  Then updates = prev + inc - new, inserts = inc -
+        updates, deletes = prev - new (delete op). No extra Spark jobs.
+        """
+        p2ws: dict[str, list[WriteStat]] = {}
+        total_deleted = 0
+        for (partition, file_id), (rel_path, new_rows) in sorted(written.items()):
+            prev = prev_slices.get((partition, file_id))
+            prev_rows = _footer_row_count(os.path.join(self.base_path, prev.base_path)) if prev else 0
+            inc = (incoming_counts or {}).get((partition, file_id), 0)
+            if is_delete:
+                deletes = prev_rows - new_rows
+                updates = 0
+                inserts = 0
+            else:
+                updates = max(0, prev_rows + inc - new_rows)
+                inserts = inc - updates
+                deletes = 0
+            total_deleted += deletes
+            p2ws.setdefault(partition, []).append(
+                WriteStat(
+                    file_id=file_id,
+                    path=rel_path,
+                    prev_commit=prev.commit_ts if prev else None,
+                    num_writes=new_rows,
+                    num_update_writes=updates,
+                    num_deletes=deletes,
+                    num_inserts=inserts,
+                    file_size_bytes=os.path.getsize(os.path.join(self.base_path, rel_path)),
+                )
+            )
+        meta = CommitMetadata(
+            commit_ts=commit_ts,
+            operation=operation,
+            partition_to_write_stats=p2ws,
+            total_records_deleted=total_deleted,
+            schema_json=schema_json,
+        )
+        meta.write(os.path.join(self.base_path, ".hoodie"))
+        self.timeline.refresh()
+        return meta
+
+    # ------------------------------------------------------------------
+    # write operations
+    # ------------------------------------------------------------------
+    def bulk_insert(self, df: DataFrame, commit_ts: str) -> CommitMetadata:
+        """Initial load: hash-bucket all rows into file groups, one job."""
+        stamped = self._with_meta(df, commit_ts)
+        inc = {
+            (r[_PP], r[_FID]): r["cnt"]
+            for r in stamped.groupBy(_PP, _FID).agg(F.count("*").alias("cnt")).collect()
+        }
+        written = self._write_file_groups(stamped, commit_ts)
+        return self._publish(
+            commit_ts, "bulk_insert", written, prev_slices={},
+            incoming_counts=inc, schema_json=stamped.drop(_PP, _FID).schema.json(),
+        )
+
+    def upsert(self, df: DataFrame, commit_ts: str) -> CommitMetadata:
+        """Rewrite only the file groups the incoming keys hash into.
+
+        old-rows-minus-incoming-keys ∪ incoming — a per-group anti-join that
+        Catalyst executes as one shuffled join across all affected groups at
+        once (AQE picks broadcast when the incoming batch is small).
+        Unchanged rows keep their original meta columns (so incremental
+        reads by ``_hoodie_commit_time`` see only truly-changed records).
+        """
+        incoming = self._with_meta(df, commit_ts)
+        inc_counts = {
+            (r[_PP], r[_FID]): r["cnt"]
+            for r in incoming.groupBy(_PP, _FID).agg(F.count("*").alias("cnt")).collect()
+        }
+        prev_slices = resolve_slices(self.timeline)
+        affected = set(inc_counts)
+        old = self._read_groups(prev_slices, affected)
+        if old is not None:
+            survivors = old.join(
+                incoming.select(F.col(RECORD_KEY_FIELD)).distinct(),
+                on=RECORD_KEY_FIELD,
+                how="left_anti",
+            )
+            merged = survivors.unionByName(incoming.drop(_PP, _FID)).select(*incoming.drop(_PP, _FID).columns)
+        else:
+            merged = incoming.drop(_PP, _FID)
+        # re-derive staging cols for the union result (JVM-side, no shuffle yet)
+        merged = merged.withColumn(_PP, F.col(PARTITION_PATH_FIELD)).withColumn(
+            _FID, file_id_expr(F.col(FILE_NAME_FIELD))
+        )
+        written = self._write_file_groups(merged, commit_ts, expected_groups=sorted(affected))
+        return self._publish(
+            commit_ts, "upsert", written, prev_slices,
+            incoming_counts=inc_counts, schema_json=incoming.drop(_PP, _FID).schema.json(),
+        )
+
+    def delete(self, keys_df: DataFrame, commit_ts: str) -> CommitMetadata:
+        """Delete by key: rewrite affected groups without the given keys.
+
+        ``keys_df`` carries the key fields (payload columns ignored). This is
+        the write-side producer of everything ``delete_view`` consumes:
+        write stats with ``numDeletes > 0`` and ``prevCommit`` per group.
+        """
+        keys = keys_df.select(
+            self._record_key_col().alias(RECORD_KEY_FIELD),
+            self._partition_col().alias(_PP),
+        )
+        keys = keys.withColumn(_FID, self._fid_col(F.col(_PP))).distinct()
+        affected = {(r[_PP], r[_FID]) for r in keys.select(_PP, _FID).distinct().collect()}
+        prev_slices = resolve_slices(self.timeline)
+        affected = {g for g in affected if g in prev_slices}  # keys never written: no-op
+        old = self._read_groups(prev_slices, affected)
+        if old is None:
+            # nothing matched: publish an empty delete commit (numDeletes=0
+            # everywhere — the delete view of this commit is empty)
+            latest = self.timeline.latest_timestamp()
+            if latest is None:
+                raise TimelineError("delete on empty table")
+            return self._publish(
+                commit_ts, "delete", written={}, prev_slices=prev_slices,
+                is_delete=True,
+                schema_json=self.timeline.commit_metadata(latest).schema_json,
+            )
+        survivors = old.join(
+            keys.select(RECORD_KEY_FIELD), on=RECORD_KEY_FIELD, how="left_anti"
+        )
+        survivors = survivors.withColumn(_PP, F.col(PARTITION_PATH_FIELD)).withColumn(
+            _FID, file_id_expr(F.col(FILE_NAME_FIELD))
+        )
+        written = self._write_file_groups(survivors, commit_ts, expected_groups=sorted(affected))
+        return self._publish(
+            commit_ts, "delete", written, prev_slices, is_delete=True,
+            schema_json=self.timeline.commit_metadata(self.timeline.latest_timestamp()).schema_json
+            if self.timeline.latest_timestamp() else None,
+        )
+
+    def delete_where(self, condition, commit_ts: str) -> CommitMetadata:
+        """Predicate delete: snapshot → filter → key-delete."""
+        return self.delete(self.snapshot().filter(condition), commit_ts)
+
+    # ------------------------------------------------------------------
+    # read operations
+    # ------------------------------------------------------------------
+    def _read_groups(
+        self,
+        slices: dict[tuple[str, str], FileSlice],
+        groups: set[tuple[str, str]],
+    ) -> DataFrame | None:
+        paths = [slices[g].base_path for g in sorted(groups) if g in slices and slices[g].base_path]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def snapshot(self, as_of: str | None = None) -> DataFrame:
+        """Latest (or as-of T) file slice per file group — B1/B2.
+
+        Pure metadata resolution + one vectorized Parquet scan; filters and
+        projections on the result push down into the scan.
+        """
+        if as_of is not None:
+            self.timeline.instant_for(as_of)  # explicit error if T not in timeline
+        paths = [
+            s.base_path for s in resolve_slices(self.timeline, as_of).values() if s.base_path
+        ]
+        if not paths:
+            schema_json = None
+            latest = self.timeline.latest_timestamp()
+            if latest:
+                schema_json = self.timeline.commit_metadata(latest).schema_json
+            if schema_json:
+                from pyspark.sql.types import StructType
+
+                return self.spark.createDataFrame([], StructType.fromJson(__import__("json").loads(schema_json)))
+            raise TimelineError(f"table at {self.base_path} has no commits")
+        return self.spark.read.parquet(*paths)
+
+    def incremental(self, begin_exclusive: str, end_inclusive: str | None = None) -> DataFrame:
+        """Rows whose records changed in (begin, end] — B3.
+
+        Scan is pruned to file groups touched in the range (driver-side
+        stats pruning, the analogue of ``DeleteView.java:100``), then the
+        ``_hoodie_commit_time`` filter pushes down into the Parquet scan as
+        a string-range predicate.
+        """
+        end = end_inclusive or self.timeline.latest_timestamp()
+        groups = touched_file_groups(self.timeline, begin_exclusive, end)
+        slices = resolve_slices(self.timeline, end)
+        df = self._read_groups(slices, groups)
+        if df is None:
+            return self.snapshot(end).limit(0)
+        cond = F.col(COMMIT_TIME_FIELD) > F.lit(begin_exclusive)
+        if end is not None:
+            cond = cond & (F.col(COMMIT_TIME_FIELD) <= F.lit(end))
+        return df.filter(cond)

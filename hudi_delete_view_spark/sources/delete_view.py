@@ -1,0 +1,169 @@
+"""Delete view: reconstruct the rows deleted by commit T — the flagship.
+
+Reference pipeline (SURVEY §2 A1-A15, ``DeleteView.java`` /
+``DeleteSupport.java`` / ``HudiDeleteHandle.java``):
+
+1. select the completed instant T (``DeleteView.java:51-55``),
+2. keep write stats with ``numDeletes > 0 && prevCommit != null`` — file
+   groups untouched by deletes are pruned before any data is read
+   (``DeleteView.java:100``),
+3. pair each new slice with its predecessor slice (``:112-163``),
+4. per pair, anti-join old rows against new keys (``HudiDeleteHandle.java:
+   44-81`` builds a per-task HashSet; we run ONE keyed anti-join on
+   ``(file_id, _hoodie_record_key)`` instead — Catalyst picks broadcast-hash
+   vs shuffled join, AQE handles skew, hash tables spill),
+5. stamp ``_hoodie_commit_time`` = T (``:73-74``),
+6. materialize to ``<base>/.delete/<T>/`` overwrite-mode
+   (``DeleteSupport.java:83``, ``DeleteView.java:168-172``),
+7. serve via ``spark.read.parquet`` (``DeleteSupport.java:94-95``), with a
+   footer-count cache-validity check so repeat queries cost metadata only
+   (``DeleteView.java:178-190``, ``DeleteUtils.java:27-48``).
+
+Scale notes: the old/new sides are read in two vectorized scans covering all
+deleting file groups at once (column pruning reduces the new side to two
+string columns); joining on ``(file_id, record_key)`` preserves per-group
+locality, so skewed groups split cleanly under AQE. Nothing is collected to
+the driver; the driver handles only commit metadata and path lists.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.timeline import Timeline, TimelineError
+from .cow import (
+    COMMIT_TIME_FIELD,
+    RECORD_KEY_FIELD,
+    file_id_expr,
+    FILE_NAME_FIELD,
+    footer_row_count_dir,
+)
+
+DELETE_DIR = ".delete"
+_FID = "__fid"
+
+
+def _delete_view_path(base_path: str, timestamp: str) -> str:
+    # reference path builder: <base>/.delete/<timestamp>/ (DeleteView.java:168-172)
+    return os.path.join(base_path, DELETE_DIR, timestamp)
+
+
+class DeleteView:
+    """``DeleteView(spark, path, T).dataset()`` == the reference's
+    ``new DeleteSupport(path, T).getDeleteDataset()``."""
+
+    def __init__(self, spark: SparkSession, base_path: str, timestamp: str):
+        self.spark = spark
+        self.base_path = base_path
+        self.timestamp = timestamp
+        self.timeline = Timeline(base_path)
+        # instant selection up front — explicit error when T names nothing
+        self.timeline.instant_for(timestamp)
+
+    # -- A2-A4: metadata resolution -------------------------------------
+    def _file_pairs(self) -> list[tuple[str, str, str]]:
+        """[(file_id, old_path, new_path)] for stats with numDeletes>0.
+
+        Predecessor lookup mirrors ``findHoodieWriteStat``
+        (``DeleteView.java:132-142``); a missing predecessor is an explicit
+        error (reference behavior at ``:124-125``).
+        """
+        meta = self.timeline.commit_metadata(self.timestamp)
+        pairs: list[tuple[str, str, str]] = []
+        for _partition, stat in meta.all_stats():
+            if stat.num_deletes <= 0 or stat.prev_commit is None:
+                continue  # stats-based file pruning (DeleteView.java:100)
+            prev_meta = self.timeline.commit_metadata(stat.prev_commit)
+            prev_stat = prev_meta.find_write_stat(stat.file_id)
+            if prev_stat is None:
+                raise TimelineError(
+                    f"no predecessor slice for file group {stat.file_id!r} in "
+                    f"commit {stat.prev_commit!r} (required by delete commit "
+                    f"{self.timestamp!r})"
+                )
+            pairs.append(
+                (
+                    stat.file_id,
+                    os.path.join(self.base_path, prev_stat.path),
+                    os.path.join(self.base_path, stat.path),
+                )
+            )
+        return pairs
+
+    # -- A6-A9: the distributed pipeline --------------------------------
+    def _compute(self) -> DataFrame:
+        pairs = self._file_pairs()
+        if not pairs:
+            return None  # nothing deleted at T
+        old_paths = [p[1] for p in pairs]
+        new_paths = [p[2] for p in pairs]
+        # file-group tag from the stored file name (JVM regexp; no
+        # input_file_name needed because the writer stamps _hoodie_file_name)
+        old_df = self.spark.read.parquet(*old_paths).withColumn(
+            _FID, file_id_expr(F.col(FILE_NAME_FIELD))
+        )
+        # build side: column-pruned to (file_id, key) — the scan reads two
+        # string columns, the Catalyst analogue of the reference's key set
+        # (HudiDeleteHandle.java:48-52)
+        new_keys = (
+            self.spark.read.parquet(*new_paths)
+            .select(
+                file_id_expr(F.col(FILE_NAME_FIELD)).alias(_FID),
+                F.col(RECORD_KEY_FIELD),
+            )
+        )
+        deleted = old_df.join(new_keys, on=[_FID, RECORD_KEY_FIELD], how="left_anti")
+        # A9: stamp the delete commit as the row's processing time
+        return deleted.withColumn(COMMIT_TIME_FIELD, F.lit(self.timestamp)).drop(_FID)
+
+    # -- A12-A15: materialize / cache / serve ----------------------------
+    def view_path(self) -> str:
+        return _delete_view_path(self.base_path, self.timestamp)
+
+    def is_materialized(self) -> bool:
+        """Cache-validity: dir exists, non-empty, footer count matches
+        ``totalRecordsDeleted`` (``DeleteView.java:178-190``)."""
+        path = self.view_path()
+        if not os.path.isdir(path):
+            return False
+        if not any(f.endswith(".parquet") for f in os.listdir(path)):
+            return False
+        expected = self.timeline.commit_metadata(self.timestamp).total_records_deleted
+        return footer_row_count_dir(path) == expected
+
+    def materialize(self, force: bool = False) -> str:
+        path = self.view_path()
+        if not force and self.is_materialized():
+            return path
+        df = self._compute()
+        if df is None:
+            # empty view: publish an empty parquet dir with the table schema
+            shutil.rmtree(path, ignore_errors=True)
+            meta = self.timeline.commit_metadata(self.timestamp)
+            if meta.schema_json:
+                import json as _json
+
+                from pyspark.sql.types import StructType
+
+                empty = self.spark.createDataFrame(
+                    [], StructType.fromJson(_json.loads(meta.schema_json))
+                )
+                empty.write.mode("overwrite").parquet(path)
+            else:
+                os.makedirs(path, exist_ok=True)
+            return path
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def dataset(self) -> DataFrame:
+        """Materialize if stale/missing, then serve the Parquet-backed view."""
+        return self.spark.read.parquet(self.materialize())
+
+
+def delete_view(spark: SparkSession, base_path: str, timestamp: str) -> DataFrame:
+    """Functional entry point: the rows deleted by commit ``timestamp``."""
+    return DeleteView(spark, base_path, timestamp).dataset()

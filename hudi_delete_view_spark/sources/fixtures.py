@@ -1,0 +1,108 @@
+"""Deterministic lake-table fixtures derived from the driver's TPC-H-ish
+parquet (FIXTURES.md §2). Built once per (sf_dir, name) under a scratch
+root and reused — the commit timeline makes staleness detection trivial.
+
+The synthetic ``lineitem`` is dirty on purpose: ``(l_orderkey,
+l_linenumber)`` is not unique (and at sf0.001 even the 4-column key has one
+duplicate pair), so lake ingestion applies a deterministic exact dedup
+(operator B8) first — ``row_number() = 1`` per key ordered by the remaining
+payload columns. The same dedup is expressed as a DuckDB CTE so every lake
+query stays oracle-checkable.
+
+The scripted timeline (lineitem_cow), FIXTURES.md §2.1-shaped:
+
+- C1 bulk-insert dedup(lineitem)  (key = orderkey:linenumber:partkey:suppkey,
+  partition = l_returnflag → 3 partitions x 4 file groups)
+- C2 update rows where ``l_partkey % 10 = 0``  (quantity += 100)
+- C3 **delete** rows where ``l_suppkey % 17 = 0``  ← delete-view target
+- C4 delete rows where ``l_suppkey % 23 = 0``  (second delete commit)
+
+Every predicate is deterministic over the source table, which is what makes
+the lake operators DuckDB-oracle-checkable end to end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .cow import CowTable
+
+C1, C2, C3, C4 = "20260101000000", "20260102000000", "20260103000000", "20260104000000"
+SCRATCH_ROOT = os.environ.get(
+    "SPARK_GRAFT_SCRATCH",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch"),
+)
+
+LINEITEM_KEY = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+LINEITEM_REST = [
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+# oracle-side equivalents (DuckDB SQL) of the scripted commit predicates
+UPDATE_PRED_SQL = "l_partkey % 10 = 0"
+DELETE_C3_PRED_SQL = "l_suppkey % 17 = 0"
+DELETE_C4_PRED_SQL = "l_suppkey % 23 = 0"
+
+# deterministic exact dedup of the raw table, as a DuckDB CTE body
+LINEITEM_DEDUP_CTE = (
+    "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
+    "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber, "
+    "l_partkey, l_suppkey ORDER BY l_quantity, l_extendedprice, l_discount, "
+    "l_tax, l_returnflag, l_linestatus, l_shipdate) AS __rn FROM lineitem) "
+    "WHERE __rn = 1"
+)
+
+
+def dedup_lineitem(df: DataFrame) -> DataFrame:
+    """Exact dedup with a deterministic winner (B8's canonical form)."""
+    w = Window.partitionBy(*LINEITEM_KEY).orderBy(*LINEITEM_REST)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def lineitem_cow_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(SCRATCH_ROOT, "lake", tag, "lineitem_cow")
+
+
+def build_lineitem_cow(spark: SparkSession, sf_dir: str, base_path: str | None = None) -> CowTable:
+    """Build (or reuse) the scripted 4-commit COW table from lineitem."""
+    base_path = base_path or lineitem_cow_path(sf_dir)
+    table = CowTable(
+        spark,
+        base_path,
+        key_fields=LINEITEM_KEY,
+        partition_field="l_returnflag",
+        num_file_groups=4,
+    )
+    if table.timeline.timestamps() == [C1, C2, C3, C4]:
+        return table  # already built for this sf_dir
+    import shutil
+
+    shutil.rmtree(base_path, ignore_errors=True)
+    os.makedirs(base_path, exist_ok=True)
+
+    src = dedup_lineitem(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
+    table.bulk_insert(src, C1)
+
+    updates = src.filter(F.expr(UPDATE_PRED_SQL)).withColumn(
+        "l_quantity", F.col("l_quantity") + F.lit(100.0)
+    )
+    table.upsert(updates, C2)
+
+    # deletes are issued against the *current snapshot* keys matching the
+    # predicate (rows already carry updated values from C2)
+    table.delete_where(F.expr(DELETE_C3_PRED_SQL), C3)
+    table.delete_where(F.expr(DELETE_C4_PRED_SQL), C4)
+    return table

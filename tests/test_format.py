@@ -1,0 +1,127 @@
+"""Table-format core: bulk insert, upsert, delete, snapshot, time travel,
+incremental — golden lifecycle tests (SURVEY §5 item 2)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_delete_view_spark.sources.fixtures import LINEITEM_KEY
+from hudi_delete_view_spark.plans.timeline import Timeline, TimelineError
+from hudi_delete_view_spark.sources.cow import (
+    COMMIT_TIME_FIELD,
+    META_FIELDS,
+    RECORD_KEY_FIELD,
+    CowTable,
+)
+
+C1, C2, C3 = "20260101000000", "20260102000000", "20260103000000"
+
+
+@pytest.fixture()
+def table(spark, lineitem, scratch):
+    t = CowTable(
+        spark,
+        os.path.join(scratch, "tbl"),
+        key_fields=LINEITEM_KEY,
+        partition_field="l_returnflag",
+        num_file_groups=4,
+    )
+    t.bulk_insert(lineitem, C1)
+    return t
+
+
+def test_bulk_insert_snapshot_roundtrip(table, lineitem):
+    snap = table.snapshot()
+    assert snap.count() == lineitem.count()
+    assert [c for c in snap.columns[:5]] == META_FIELDS
+    # payload survives byte-for-byte
+    assert (
+        snap.select(*lineitem.columns).exceptAll(lineitem).count() == 0
+        and lineitem.exceptAll(snap.select(*lineitem.columns)).count() == 0
+    )
+    # record keys unique
+    assert snap.select(RECORD_KEY_FIELD).distinct().count() == lineitem.count()
+
+
+def test_commit_stats_bulk_insert(table, lineitem):
+    meta = table.timeline.commit_metadata(C1)
+    stats = [s for _, s in meta.all_stats()]
+    assert sum(s.num_writes for s in stats) == lineitem.count()
+    assert all(s.prev_commit is None for s in stats)
+    assert all(s.num_deletes == 0 for s in stats)
+    # 3 partitions (A/N/R) x up to 4 file groups
+    assert set(meta.partition_to_write_stats) == {"A", "N", "R"}
+
+
+def test_upsert_updates_and_inserts(table, lineitem, spark):
+    updates = lineitem.filter("l_partkey % 10 = 0").withColumn(
+        "l_quantity", F.col("l_quantity") + F.lit(100.0)
+    )
+    n_updates = updates.count()
+    meta = table.upsert(updates, C2)
+    stats = [s for _, s in meta.all_stats()]
+    assert sum(s.num_update_writes for s in stats) == n_updates
+    assert sum(s.num_inserts for s in stats) == 0
+    snap = table.snapshot()
+    assert snap.count() == lineitem.count()
+    got = snap.filter("l_partkey % 10 = 0").agg(F.sum("l_quantity")).first()[0]
+    want = lineitem.filter("l_partkey % 10 = 0").agg(F.sum("l_quantity") + 100.0 * F.count("*")).first()[0]
+    assert abs(got - want) < 1e-6
+    # unchanged rows keep their original commit time (incremental contract)
+    unchanged = snap.filter("l_partkey % 10 != 0")
+    assert unchanged.filter(F.col(COMMIT_TIME_FIELD) != C1).count() == 0
+
+
+def test_delete_and_stats(table, lineitem):
+    n_del = lineitem.filter("l_suppkey % 17 = 0").count()
+    meta = table.delete_where("l_suppkey % 17 = 0", C2)
+    assert meta.total_records_deleted == n_del
+    snap = table.snapshot()
+    assert snap.count() == lineitem.count() - n_del
+    assert snap.filter("l_suppkey % 17 = 0").count() == 0
+
+
+def test_time_travel_and_incremental(table, lineitem):
+    updates = lineitem.filter("l_partkey % 10 = 0").withColumn(
+        "l_quantity", F.col("l_quantity") + F.lit(100.0)
+    )
+    table.upsert(updates, C2)
+    table.delete_where("l_suppkey % 17 = 0", C3)
+
+    # as-of C1: the original table
+    asof1 = table.snapshot(as_of=C1)
+    assert asof1.count() == lineitem.count()
+    assert asof1.filter(F.col(COMMIT_TIME_FIELD) != C1).count() == 0
+    # as-of C2: updates applied, nothing deleted
+    asof2 = table.snapshot(as_of=C2)
+    assert asof2.count() == lineitem.count()
+    # incremental (C1, C2]: exactly the updated rows
+    inc = table.incremental(C1, C2)
+    assert inc.count() == updates.count()
+    assert inc.filter("l_partkey % 10 != 0").count() == 0
+
+    with pytest.raises(TimelineError):
+        table.snapshot(as_of="19990101000000")
+
+
+def test_new_partition_and_new_keys_upsert(table, lineitem, spark):
+    newrows = (
+        lineitem.limit(5)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.lit(10_000_000))
+        .withColumn("l_returnflag", F.lit("Z"))
+    )
+    meta = table.upsert(newrows, C2)
+    stats = [s for _, s in meta.all_stats()]
+    assert sum(s.num_inserts for s in stats) == 5
+    assert sum(s.num_update_writes for s in stats) == 0
+    snap = table.snapshot()
+    assert snap.count() == lineitem.count() + 5
+    assert snap.filter("l_returnflag = 'Z'").count() == 5
+
+
+def test_empty_table_errors(spark, scratch):
+    t = CowTable(spark, os.path.join(scratch, "none"), key_fields=["x"])
+    with pytest.raises(TimelineError):
+        t.snapshot()
+    assert Timeline(os.path.join(scratch, "none")).instants() == []
