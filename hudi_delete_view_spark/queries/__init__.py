@@ -29,7 +29,7 @@ def query(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every query module so registration side effects run."""
-    from . import lake  # noqa: F401
+    from . import lake, mor  # noqa: F401
 
     for mod in ("relational", "dedup", "text", "similarity", "streaming"):
         try:

@@ -1,0 +1,93 @@
+"""MOR reader queries (SURVEY §2 B4): merged snapshot, read-optimized view,
+log-resident delete view — over the scripted ``orders_mor`` fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.cow import COMMIT_TIME_FIELD, RECORD_KEY_FIELD
+from ..sources.fixtures import (
+    C2,
+    C3,
+    MOR_DELETE_PRED_SQL,
+    MOR_UPDATE_PRED_SQL,
+    build_orders_mor,
+)
+from . import query
+
+_PRICE_SQL = (
+    f"CASE WHEN {MOR_UPDATE_PRED_SQL} THEN o_totalprice * 2 ELSE o_totalprice END"
+)
+_ORDERS_SQL = (
+    "o_orderkey, o_custkey, o_orderstatus, {price} AS o_totalprice, "
+    "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority"
+)
+_ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+def _project(df: DataFrame) -> DataFrame:
+    return df.select(
+        *_ORDER_COLS,
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+
+
+@query(
+    "mor_snapshot",
+    oracle=f"""
+SELECT {_ORDERS_SQL.format(price=_PRICE_SQL)}
+FROM orders WHERE NOT ({MOR_DELETE_PRED_SQL})
+""",
+)
+def mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged view: base ∪ logs, latest-per-key, tombstones dropped."""
+    return _project(build_orders_mor(spark, sf_dir).snapshot())
+
+
+@query(
+    "mor_read_optimized",
+    oracle=f"""
+SELECT {_ORDERS_SQL.format(price="o_totalprice")}
+FROM orders
+""",
+)
+def mor_read_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-files-only view: updates/deletes still live in the logs."""
+    return _project(build_orders_mor(spark, sf_dir).read_optimized())
+
+
+@query(
+    "mor_delete_view",
+    oracle=f"""
+SELECT '{C3}' AS {COMMIT_TIME_FIELD},
+       CAST(o_orderkey AS VARCHAR) AS {RECORD_KEY_FIELD},
+       {_ORDERS_SQL.format(price=_PRICE_SQL)}
+FROM orders WHERE {MOR_DELETE_PRED_SQL}
+""",
+)
+def mor_delete_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows deleted by the tombstone commit, reconstructed from the merged
+    timeline while the deletes still live only in logs (pre-compaction)."""
+    table = build_orders_mor(spark, sf_dir)
+    dv = table.delete_view(C3)
+    return dv.select(
+        F.col(COMMIT_TIME_FIELD),
+        F.col(RECORD_KEY_FIELD),
+        *_ORDER_COLS,
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+
+
+@query(
+    "mor_time_travel",
+    oracle=f"""
+SELECT {_ORDERS_SQL.format(price=_PRICE_SQL)}
+FROM orders
+""",
+)
+def mor_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged view as of the update delta (deletes not yet applied)."""
+    return _project(build_orders_mor(spark, sf_dir).snapshot(as_of=C2))

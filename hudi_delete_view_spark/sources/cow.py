@@ -55,6 +55,9 @@ META_FIELDS = [
     FILE_NAME_FIELD,
 ]
 
+# public Hudi tombstone flag column (MOR delete markers)
+DELETED_FIELD = "_hoodie_is_deleted"
+
 WRITE_TOKEN = "0-0-0"
 DEFAULT_PARTITION = "default"
 _PP = "__pp"  # staging-only partition column (partitionBy drops it from files)
@@ -125,7 +128,7 @@ class CowTable:
         bucket = F.pmod(F.xxhash64(F.col(RECORD_KEY_FIELD)), F.lit(self.num_file_groups))
         return F.concat(F.lit("fg-"), partition_col, F.lit("-"), bucket.cast("string"))
 
-    def _with_meta(self, df: DataFrame, commit_ts: str) -> DataFrame:
+    def _with_meta(self, df: DataFrame, commit_ts: str, suffix: str = ".parquet") -> DataFrame:
         """Stamp the five Hudi-style meta columns + staging helper cols."""
         pp = self._partition_col()
         out = (
@@ -142,7 +145,7 @@ class CowTable:
             )
             .withColumn(
                 FILE_NAME_FIELD,
-                F.concat(F.col(_FID), F.lit(f"_{WRITE_TOKEN}_{commit_ts}.parquet")),
+                F.concat(F.col(_FID), F.lit(f"_{WRITE_TOKEN}_{commit_ts}{suffix}")),
             )
         )
         # canonical column order: meta fields first, then payload
@@ -157,6 +160,7 @@ class CowTable:
         df: DataFrame,
         commit_ts: str,
         expected_groups: list[tuple[str, str]] | None = None,
+        suffix: str = ".parquet",
     ) -> dict[tuple[str, str], tuple[str, int]]:
         """Write one Parquet file per (partition, file_id) group.
 
@@ -192,7 +196,7 @@ class CowTable:
                 assert len(parts) == 1, f"file group {file_id} split across {len(parts)} files"
                 target_dir = os.path.join(self.base_path, partition)
                 os.makedirs(target_dir, exist_ok=True)
-                fname = f"{file_id}_{WRITE_TOKEN}_{commit_ts}.parquet"
+                fname = f"{file_id}_{WRITE_TOKEN}_{commit_ts}{suffix}"
                 target = os.path.join(target_dir, fname)
                 os.replace(os.path.join(leaf, parts[0]), target)
                 written[(partition, file_id)] = (
@@ -212,7 +216,7 @@ class CowTable:
             for partition, file_id in missing:
                 target_dir = os.path.join(self.base_path, partition)
                 os.makedirs(target_dir, exist_ok=True)
-                fname = f"{file_id}_{WRITE_TOKEN}_{commit_ts}.parquet"
+                fname = f"{file_id}_{WRITE_TOKEN}_{commit_ts}{suffix}"
                 shutil.copyfile(src, os.path.join(target_dir, fname))
                 written[(partition, file_id)] = (os.path.join(partition, fname), 0)
 
@@ -240,7 +244,11 @@ class CowTable:
         total_deleted = 0
         for (partition, file_id), (rel_path, new_rows) in sorted(written.items()):
             prev = prev_slices.get((partition, file_id))
-            prev_rows = _footer_row_count(os.path.join(self.base_path, prev.base_path)) if prev else 0
+            prev_rows = (
+                _footer_row_count(os.path.join(self.base_path, prev.base_path))
+                if prev and prev.base_path
+                else 0
+            )
             inc = (incoming_counts or {}).get((partition, file_id), 0)
             if is_delete:
                 deletes = prev_rows - new_rows

@@ -106,3 +106,46 @@ def build_lineitem_cow(spark: SparkSession, sf_dir: str, base_path: str | None =
     table.delete_where(F.expr(DELETE_C3_PRED_SQL), C3)
     table.delete_where(F.expr(DELETE_C4_PRED_SQL), C4)
     return table
+
+
+# --------------------------------------------------------------------------
+# orders_mor — MOR fixture (FIXTURES.md §2.2): base + delta logs
+#   M1 bulk-insert orders; M2 delta-update (o_orderkey % 7 = 0 →
+#   o_totalprice * 2); M3 delta-delete (o_orderkey % 11 = 0)
+# --------------------------------------------------------------------------
+MOR_UPDATE_PRED_SQL = "o_orderkey % 7 = 0"
+MOR_DELETE_PRED_SQL = "o_orderkey % 11 = 0"
+
+
+def orders_mor_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(SCRATCH_ROOT, "lake", tag, "orders_mor")
+
+
+def build_orders_mor(spark: SparkSession, sf_dir: str, base_path: str | None = None):
+    from .mor import MorTable
+
+    base_path = base_path or orders_mor_path(sf_dir)
+    table = MorTable(
+        spark,
+        base_path,
+        key_fields=["o_orderkey"],
+        partition_field="o_orderstatus",
+        num_file_groups=4,
+    )
+    if table.timeline.timestamps() == [C1, C2, C3]:
+        return table
+    import shutil
+
+    shutil.rmtree(base_path, ignore_errors=True)
+    os.makedirs(base_path, exist_ok=True)
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    table.bulk_insert(src, C1)
+    updates = src.filter(F.expr(MOR_UPDATE_PRED_SQL)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    table.upsert_delta(updates, C2)
+    table.delete_delta(
+        src.filter(F.expr(MOR_DELETE_PRED_SQL)).select("o_orderkey", "o_orderstatus"), C3
+    )
+    return table

@@ -1,0 +1,232 @@
+"""Merge-on-read table: base slices + delta log slices, merged at read time.
+
+The driver's north star names "Spark + Hudi MergeOnRead reader"
+(BASELINE.json:6); the reference itself is COW-only (``README.md:5`` "COW is
+supported now"), so the MOR model here follows the public Hudi convention:
+
+- a *delta commit* appends a **log slice** per file group instead of
+  rewriting the base file; delete tombstones are log rows flagged with the
+  public ``_hoodie_is_deleted`` boolean column;
+- the **snapshot read** merges base + newer logs per file group:
+  latest-version-per-key wins (commit time, then seqno), tombstones drop
+  the key (SURVEY §2 B4);
+- **compaction** rewrites the merged view into fresh base slices, clearing
+  the logs (a normal commit, so time travel across compaction works);
+- the **read-optimized view** reads base files only (stale but log-free).
+
+Scale: the merge is ONE window over ``(file_id, _hoodie_record_key)``.
+Partitioning by the pair keeps every file group's merge co-located (the
+stateless hash key->group assignment guarantees base and log rows of a key
+share a file group), so skew splits by group under AQE and nothing is
+collected to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..plans.slices import resolve_slices
+from ..plans.timeline import TimelineError
+from .cow import (
+    COMMIT_SEQNO_FIELD,
+    COMMIT_TIME_FIELD,
+    DELETED_FIELD,
+    FILE_NAME_FIELD,
+    RECORD_KEY_FIELD,
+    CowTable,
+    file_id_expr,
+    _FID,
+    _PP,
+)
+
+
+class MorTable(CowTable):
+    """Merge-on-read variant: delta writes append logs; reads merge."""
+
+    # ------------------------------------------------------------------
+    # delta writes (log append — no base rewrite)
+    # ------------------------------------------------------------------
+    def upsert_delta(self, df: DataFrame, commit_ts: str) -> "CommitMetadata":
+        """Append new row versions as log slices (one job, no base read)."""
+        incoming = self._with_meta(df, commit_ts, suffix=".log.parquet").withColumn(
+            DELETED_FIELD, F.lit(False)
+        )
+        return self._write_delta(incoming, commit_ts, operation="delta_commit")
+
+    def delete_delta(self, keys_df: DataFrame, commit_ts: str) -> "CommitMetadata":
+        """Append delete tombstones (full schema, null payload,
+        ``_hoodie_is_deleted = true``)."""
+        latest = self.timeline.latest_timestamp()
+        if latest is None:
+            raise TimelineError("delete on empty table")
+        schema_json = self.timeline.commit_metadata(latest).schema_json
+        import json
+
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
+        stamped = self._with_meta(keys_df, commit_ts, suffix=".log.parquet")
+        cols = []
+        for f_ in schema.fields:
+            if f_.name in stamped.columns:
+                cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            else:
+                cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        tombstones = (
+            stamped.select(*cols, F.col(_PP), F.col(_FID))
+            .withColumn(DELETED_FIELD, F.lit(True))
+        )
+        return self._write_delta(
+            tombstones, commit_ts, operation="delta_commit", is_delete=True
+        )
+
+    def _write_delta(self, stamped: DataFrame, commit_ts: str, operation: str, is_delete: bool = False):
+        from ..plans.metadata import CommitMetadata, WriteStat
+        from .cow import _footer_row_count
+
+        inc_counts = {
+            (r[_PP], r[_FID]): r["cnt"]
+            for r in stamped.groupBy(_PP, _FID).agg(F.count("*").alias("cnt")).collect()
+        }
+        prev_slices = resolve_slices(self.timeline)
+        written = self._write_file_groups(
+            stamped, commit_ts, suffix=".log.parquet"
+        )
+        p2ws: dict[str, list[WriteStat]] = {}
+        total_deleted = 0
+        for (partition, file_id), (rel_path, rows) in sorted(written.items()):
+            prev = prev_slices.get((partition, file_id))
+            deletes = rows if is_delete else 0
+            total_deleted += deletes
+            p2ws.setdefault(partition, []).append(
+                WriteStat(
+                    file_id=file_id,
+                    path=rel_path,
+                    prev_commit=prev.commit_ts if prev else None,
+                    num_writes=rows,
+                    num_update_writes=0 if is_delete else 0,
+                    num_deletes=deletes,
+                    num_inserts=0,
+                    file_size_bytes=os.path.getsize(os.path.join(self.base_path, rel_path)),
+                    log_file=True,
+                )
+            )
+        meta = CommitMetadata(
+            commit_ts=commit_ts,
+            operation=operation,
+            partition_to_write_stats=p2ws,
+            total_records_deleted=total_deleted,
+            schema_json=stamped.drop(_PP, _FID).schema.json(),
+        )
+        meta.write(os.path.join(self.base_path, ".hoodie"))
+        self.timeline.refresh()
+        return meta
+
+    # ------------------------------------------------------------------
+    # merged reads
+    # ------------------------------------------------------------------
+    def read_optimized(self, as_of: str | None = None) -> DataFrame:
+        """Base files only — Hudi's read-optimized view (stale, log-free)."""
+        return super().snapshot(as_of)
+
+    def snapshot(self, as_of: str | None = None) -> DataFrame:
+        """Merged view: latest version per key wins; tombstones drop rows.
+
+        base ∪ logs → window rank on (file_id, key) by (commit_time, seqno)
+        desc → keep rank 1 → drop deleted. One shuffle, group-co-located.
+        """
+        if as_of is not None:
+            self.timeline.instant_for(as_of)
+        slices = resolve_slices(self.timeline, as_of)
+        base_paths = [s.base_path for s in slices.values() if s.base_path]
+        log_paths = [p for s in slices.values() for p in s.log_paths]
+        if not base_paths and not log_paths:
+            raise TimelineError(f"table at {self.base_path} has no data at {as_of}")
+        parts = []
+        if base_paths:
+            base = self.spark.read.parquet(*base_paths)
+            if DELETED_FIELD not in base.columns:
+                base = base.withColumn(DELETED_FIELD, F.lit(False))
+            parts.append(base)
+        if log_paths:
+            parts.append(self.spark.read.parquet(*log_paths))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        if DELETED_FIELD not in df.columns:
+            return df
+        w = Window.partitionBy(
+            file_id_expr(F.col(FILE_NAME_FIELD)), F.col(RECORD_KEY_FIELD)
+        ).orderBy(F.desc(COMMIT_TIME_FIELD), F.desc(COMMIT_SEQNO_FIELD))
+        return (
+            df.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") == 1)
+            .drop("__rank")
+            .filter(~F.coalesce(F.col(DELETED_FIELD), F.lit(False)))
+            .drop(DELETED_FIELD)
+        )
+
+    # ------------------------------------------------------------------
+    # compaction: merge logs into fresh base slices
+    # ------------------------------------------------------------------
+    def compact(self, commit_ts: str) -> "CommitMetadata":
+        """Rewrite the merged view as new base files (operation=compaction).
+
+        Only file groups that currently carry logs are rewritten; groups
+        without logs keep their existing base slice untouched (same
+        affected-groups-only discipline as the COW writer).
+        """
+        prev_slices = resolve_slices(self.timeline)
+        with_logs = {g for g, s in prev_slices.items() if s.log_paths}
+        if not with_logs:
+            raise TimelineError("nothing to compact: no file group has log slices")
+        merged = self.snapshot()
+        merged = merged.withColumn(_PP, F.col("_hoodie_partition_path")).withColumn(
+            _FID, file_id_expr(F.col(FILE_NAME_FIELD))
+        )
+        merged = merged.filter(
+            F.col(_FID).isin([fid for (_pp, fid) in with_logs])
+        )
+        written = self._write_file_groups(merged, commit_ts, expected_groups=sorted(with_logs))
+        return self._publish(
+            commit_ts, "compaction", written, prev_slices,
+            schema_json=self.timeline.commit_metadata(self.timeline.latest_timestamp()).schema_json,
+        )
+
+    # ------------------------------------------------------------------
+    # delete view over the merged timeline (SURVEY §7 M4 hard part #1)
+    # ------------------------------------------------------------------
+    def delete_view(self, timestamp: str) -> DataFrame:
+        """Rows deleted by commit T, defined over the *merged* view:
+        merged(T_prev) ⟕anti merged(T) keys, restricted to file groups
+        touched at T, stamped with T.
+
+        For a COW table this coincides with the reference pipeline (the
+        merged view of a COW table is its snapshot); for MOR it correctly
+        surfaces deletes that still live only in logs (pre-compaction).
+        """
+        self.timeline.instant_for(timestamp)
+        ts_list = self.timeline.timestamps()
+        idx = ts_list.index(timestamp)
+        if idx == 0:
+            return self.snapshot(timestamp).limit(0)
+        prev_ts = ts_list[idx - 1]
+        meta = self.timeline.commit_metadata(timestamp)
+        touched = [stat.file_id for _p, stat in meta.all_stats() if stat.num_deletes > 0]
+        if not touched:
+            return self.snapshot(prev_ts).limit(0)
+        old = self.snapshot(prev_ts).filter(
+            file_id_expr(F.col(FILE_NAME_FIELD)).isin(touched)
+        )
+        new_keys = (
+            self.snapshot(timestamp)
+            .filter(file_id_expr(F.col(FILE_NAME_FIELD)).isin(touched))
+            .select(RECORD_KEY_FIELD)
+        )
+        return (
+            old.join(new_keys, on=RECORD_KEY_FIELD, how="left_anti")
+            .withColumn(COMMIT_TIME_FIELD, F.lit(timestamp))
+        )

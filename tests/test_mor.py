@@ -1,0 +1,115 @@
+"""MOR table: delta writes, merged snapshot, tombstones, compaction,
+read-optimized view, delete view over logs (FIXTURES.md §2.2)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_delete_view_spark.plans.slices import resolve_slices
+from hudi_delete_view_spark.plans.timeline import TimelineError
+from hudi_delete_view_spark.sources.cow import RECORD_KEY_FIELD
+from hudi_delete_view_spark.sources.mor import MorTable
+
+C1, C2, C3, C4 = "20260101000000", "20260102000000", "20260103000000", "20260104000000"
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    df.cache().count()
+    return df
+
+
+@pytest.fixture()
+def table(spark, orders, scratch):
+    t = MorTable(
+        spark,
+        os.path.join(scratch, "orders_mor"),
+        key_fields=["o_orderkey"],
+        partition_field="o_orderstatus",
+        num_file_groups=4,
+    )
+    t.bulk_insert(orders, C1)
+    return t
+
+
+def test_delta_upsert_merged_snapshot(table, orders):
+    updates = orders.filter("o_orderkey % 7 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    table.upsert_delta(updates, C2)
+    # base untouched: read-optimized still shows old values
+    ro = table.read_optimized()
+    assert ro.count() == orders.count()
+    got_ro = ro.filter("o_orderkey % 7 = 0").agg(F.sum("o_totalprice")).first()[0]
+    want_old = orders.filter("o_orderkey % 7 = 0").agg(F.sum("o_totalprice")).first()[0]
+    assert got_ro == pytest.approx(want_old)
+    # merged snapshot shows new values, same cardinality
+    snap = table.snapshot()
+    assert snap.count() == orders.count()
+    got = snap.filter("o_orderkey % 7 = 0").agg(F.sum("o_totalprice")).first()[0]
+    assert got == pytest.approx(want_old * 2)
+
+
+def test_tombstones_drop_rows(table, orders):
+    victims = table.snapshot().filter("o_orderkey % 11 = 0")
+    n = victims.count()
+    meta = table.delete_delta(victims.select("o_orderkey", "o_orderstatus"), C2)
+    assert meta.total_records_deleted == n
+    snap = table.snapshot()
+    assert snap.count() == orders.count() - n
+    assert snap.filter("o_orderkey % 11 = 0").count() == 0
+    # read-optimized view still contains them (deletes live in logs)
+    assert table.read_optimized().filter("o_orderkey % 11 = 0").count() == n
+
+
+def test_multiple_log_versions_latest_wins(table, orders):
+    for i, ts in enumerate([C2, C3], start=1):
+        upd = orders.filter("o_orderkey % 5 = 0").withColumn(
+            "o_totalprice", F.lit(float(i))
+        )
+        table.upsert_delta(upd, ts)
+    snap = table.snapshot()
+    vals = snap.filter("o_orderkey % 5 = 0").select("o_totalprice").distinct().collect()
+    assert [r[0] for r in vals] == [2.0]
+    # time travel to C2 sees version 1
+    vals2 = table.snapshot(as_of=C2).filter("o_orderkey % 5 = 0").select("o_totalprice").distinct().collect()
+    assert [r[0] for r in vals2] == [1.0]
+
+
+def test_compaction_preserves_merged_view(table, orders):
+    updates = orders.filter("o_orderkey % 7 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    table.upsert_delta(updates, C2)
+    table.delete_delta(orders.filter("o_orderkey % 11 = 0").select("o_orderkey", "o_orderstatus"), C3)
+    before = table.snapshot()
+    before_cnt = before.count()
+    before_sum = before.agg(F.sum("o_totalprice")).first()[0]
+
+    table.compact(C4)
+    # logs cleared for all groups
+    slices = resolve_slices(table.timeline)
+    assert all(not s.log_paths for s in slices.values())
+    after = table.snapshot()
+    assert after.count() == before_cnt
+    assert after.agg(F.sum("o_totalprice")).first()[0] == pytest.approx(before_sum)
+    # read-optimized == merged after compaction
+    assert table.read_optimized().count() == before_cnt
+    # compacting again with no logs is an explicit error
+    with pytest.raises(TimelineError, match="nothing to compact"):
+        table.compact("20260105000000")
+
+
+def test_mor_delete_view(table, orders):
+    victims = orders.filter("o_orderkey % 11 = 0")
+    n = victims.count()
+    table.delete_delta(victims.select("o_orderkey", "o_orderstatus"), C2)
+    dv = table.delete_view(C2)
+    assert dv.count() == n
+    got = {r[0] for r in dv.select(RECORD_KEY_FIELD).collect()}
+    want = {str(r.o_orderkey) for r in victims.select("o_orderkey").collect()}
+    assert got == want
+    # deleted rows carry their last-known payload (from the base slice)
+    assert dv.filter(F.col("o_totalprice").isNull()).count() == 0
