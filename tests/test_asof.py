@@ -1,0 +1,49 @@
+"""As-of join operator: match semantics, ties, unmatched rows."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from hudi_delete_view_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_basic_and_tie(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-05T00:00:00"), "e1"),
+            (1, _ts("2024-01-10T00:00:00"), "e2"),
+            (1, _ts("2024-01-02T00:00:00"), "e0"),  # exact tie with r1
+            (2, _ts("2024-01-01T00:00:00"), "e3"),  # before any right row
+        ],
+        "k long, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-02T00:00:00"), 100),
+            (1, _ts("2024-01-07T00:00:00"), 200),
+            (2, _ts("2024-06-01T00:00:00"), 300),
+        ],
+        "k long, rt timestamp, val long",
+    )
+    out = asof_join(left, right, "k", "k", "t", "rt", ["val"], how="inner")
+    got = {r["tag"]: r["val"] for r in out.collect()}
+    # e0 matches the right row at the exact same instant (inclusive)
+    assert got == {"e0": 100, "e1": 100, "e2": 200}
+
+    out_left = asof_join(left, right, "k", "k", "t", "rt", ["val"], how="left")
+    got_left = {r["tag"]: r["val"] for r in out_left.collect()}
+    assert got_left == {"e0": 100, "e1": 100, "e2": 200, "e3": None}
+
+
+def test_asof_multiple_payload_cols(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 5, "a", 1.5), (1, 9, "b", 2.5), (1, 11, "c", 3.5)],
+        "k long, rt long, name string, score double",
+    )
+    out = asof_join(left, right, "k", "k", "t", "rt", ["name", "score"]).collect()
+    assert len(out) == 1 and out[0]["name"] == "b" and out[0]["score"] == 2.5
