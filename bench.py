@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end: plan build + execution to a count/collect
+sink (results never shipped to the driver beyond a count). Lake fixtures
+build once and are cached on disk, so the lake queries time the engine,
+not the fixture writer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hudi_delete_view_spark import queries as _registry  # noqa: E402
+from hudi_delete_view_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (SURVEY §2) — the scale-sensitive
+# paths, not the whole 52-query corpus.
+HEADLINE = [
+    "lake_delete_view",        # B6 flagship: stats-pruned anti-join pipeline
+    "lake_snapshot",           # B1 snapshot read
+    "mor_snapshot",            # B4 merge-on-read latest-per-key window
+    "rel_q1_pricing_summary",  # B7 wide aggregation
+    "rel_q3_top_orders",       # B7 3-way join + agg + top-k
+    "rel_q5_nation_revenue",   # B7 6-way join
+    "rel_window_topk_per_group",
+    "rel_asof_join",
+    "dedup_exact_count",       # B8 exact dedup
+    "dedup_minhash_survivors", # B9 MinHash-LSH near-dup
+    "text_stats",              # B11 text analysis
+    "sim_topk_bruteforce",     # B10 cosine top-k (exact)
+    "sim_topk_lsh",            # B10 cosine top-k (LSH scale path)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _registry.load_all()
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + build lake fixtures outside the timed region.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = _registry.QUERIES[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

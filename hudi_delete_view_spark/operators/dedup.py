@@ -1,0 +1,277 @@
+"""Deduplication operators for LLM-corpus hygiene (SURVEY §2 B8/B9).
+
+All hot-path computation is JVM-side via built-in + higher-order SQL
+functions (``transform`` / ``aggregate`` / ``array_*`` over shingle
+arrays) — no Python UDFs anywhere, so everything stays inside whole-stage
+codegen and scales linearly with executor count.
+
+Scale shape of the LSH pipeline: shingle+minhash is a narrow map; the only
+shuffles are the band-bucket groupBys and the candidate-pair self-join,
+both keyed by band hash — cardinality ~ (#docs x #bands), heavily pruned
+because singleton buckets are dropped before the join. The verify step
+re-computes exact Jaccard only on candidate pairs (a tiny fraction of the
+n^2 pair space).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .util import spread
+
+# deterministic mix constants for the minhash permutation family.
+# 31-bit domain: a*h + b <= 2^62, so the arithmetic never overflows signed
+# 64-bit — safe under Spark 4's default ANSI mode (no try_multiply needed)
+_MERSENNE_P = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """Keep one deterministic winner per key group (row_number == 1)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def char_shingles(text_col: str, k: int = 5):
+    """Distinct character k-grams of a string, as an array column (JVM-side:
+    sequence + transform + substring + array_distinct)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
+            f" i -> substring({text_col}, i, {k}))"
+        )
+    )
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """Distinct word n-grams (tokenize on whitespace, join windows)."""
+    toks = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)),"
+            f" i -> array_join(slice({toks}, i, {n}), ' '))"
+        )
+    )
+
+
+def shingle_hashes(shingle_col: str):
+    """One pass: xxhash64 of every shingle reduced to the 31-bit domain.
+    Materialize this as its own column BEFORE applying the permutation
+    family — referencing a big sub-expression from inside a lambda makes
+    Catalyst re-evaluate it per element (HOFs are interpreted, not
+    codegen'd), which is the difference between O(n) and O(64n) hashing."""
+    return F.expr(f"transform({shingle_col}, s -> pmod(xxhash64(s), {_MERSENNE_P}L))")
+
+
+def minhash_signature(hash_col: str, num_hashes: int = 64):
+    """MinHash signature over a precomputed 31-bit hash array (see
+    ``shingle_hashes``): per permutation i, ``min((a_i*h + b_i) mod p)`` —
+    the classic Broder scheme with a deterministic seeded (a_i, b_i)
+    family.
+
+    The permutation constants are bound as ONE array<struct> literal
+    iterated by the OUTER transform, so each (a_i, b_i) is resolved once
+    per permutation — never inside the per-shingle lambda (an
+    ``element_at(array_literal, i)`` there rebuilds the 64-element array
+    for every shingle x permutation pair and is ~100x slower).
+    ``a*h + b <= 2^62`` so the arithmetic never overflows signed 64-bit —
+    safe under Spark 4's default ANSI mode."""
+    import random
+
+    rnd = random.Random(42)
+    perms = ",".join(
+        f"named_struct('a', {rnd.randrange(1, _MERSENNE_P)}L,"
+        f" 'b', {rnd.randrange(0, _MERSENNE_P)}L)"
+        for _ in range(num_hashes)
+    )
+    return F.expr(
+        f"transform(array({perms}), ab -> "
+        f" array_min(transform({hash_col}, h -> pmod(ab.a * h + ab.b, {_MERSENNE_P}L))))"
+    )
+
+
+def band_hashes(sig_col: str, bands: int, rows_per_band: int):
+    """LSH banding: hash each band (contiguous signature slice) to a bucket."""
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), j -> "
+        f" xxhash64(cast(slice({sig_col}, j * {rows_per_band} + 1, {rows_per_band}) as string), j))"
+    )
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) that share >=1 LSH band
+    bucket. Pure DataFrame ops: shingle -> minhash -> band -> explode ->
+    bucket self-join (singleton buckets pruned first).
+
+    The compact (id, band-hashes) table is persisted and materialized
+    BEFORE the explode/self-join: the signature computation is the
+    expensive narrow map, and without the barrier Catalyst re-evaluates it
+    per exploded row and once per join side (observed ~30x slowdown).
+    Compute-once-then-join is also the right shape at 100 TB — the
+    signature table is ~200 bytes/row regardless of document size."""
+    rows_per_band = num_hashes // bands
+    sig = (
+        spread(df)
+        .select(F.col(id_col).alias("__id"), char_shingles(text_col, shingle_k).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .withColumn("__hs", shingle_hashes("__sh"))
+        .select("__id", minhash_signature("__hs", num_hashes).alias("__sig"))
+        .select("__id", band_hashes("__sig", bands, rows_per_band).alias("__bands"))
+        .persist()
+    )
+    sig.count()  # materialize the cache: one signature pass, ever
+    buckets = sig.select(
+        "__id", F.posexplode("__bands").alias("__band_idx", "__band_hash")
+    )
+    # prune singleton buckets before the join (the overwhelming majority)
+    nonsingleton = (
+        buckets.groupBy("__band_idx", "__band_hash")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)
+        .drop("__n")
+    )
+    b = buckets.join(nonsingleton, ["__band_idx", "__band_hash"], "left_semi")
+    left = b.select("__band_idx", "__band_hash", F.col("__id").alias("id_a"))
+    right = b.select("__band_idx", "__band_hash", F.col("__id").alias("id_b"))
+    return (
+        left.join(right, ["__band_idx", "__band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame | None = None,
+    shingle_k: int = 5,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard for given candidate pairs (or all
+    pairs if none given — only sane for small/filtered inputs). Returns
+    (id_a, id_b, jaccard)."""
+    sh = spread(df).select(
+        F.col(id_col).alias("__jid"), char_shingles(text_col, shingle_k).alias("__jsh")
+    )
+    a = sh.select(F.col("__jid").alias("id_a"), F.col("__jsh").alias("__sh_a"))
+    b = sh.select(F.col("__jid").alias("id_b"), F.col("__jsh").alias("__sh_b"))
+    base = pairs if pairs is not None else (
+        a.select("id_a").crossJoin(b.select("id_b")).filter(F.col("id_a") < F.col("id_b"))
+    )
+    joined = base.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dup removal: drop every doc that has a verified near-duplicate
+    with a smaller id (deterministic survivor = min id of each dup
+    cluster's pairwise edges). One anti-join; no iterative connected
+    components on the hot path."""
+    cand = minhash_lsh_candidate_pairs(df, id_col, text_col, **lsh_kwargs)
+    verified = ngram_jaccard_pairs(df, id_col, text_col, pairs=cand, threshold=threshold)
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def token_hashes(text_col: str):
+    """xxhash64 of each whitespace token — materialize as a column before
+    ``simhash`` so tokenization+hashing runs once, not once per bit."""
+    return F.expr(
+        f"transform(filter(split({text_col}, '\\\\s+'), x -> x != ''), t -> xxhash64(t))"
+    )
+
+
+def simhash(hash_col: str, bits: int = 64):
+    """SimHash over a precomputed token-hash array: per bit, sign-sum of
+    token-hash bits, packed into one long. The outer transform iterates
+    bits; the inner aggregate streams the (already computed) hash column —
+    referencing the tokenizer expression here instead would re-run it for
+    every bit (see ``shingle_hashes`` rationale)."""
+    # bit b is set iff sum over tokens of (+1 if hash bit b else -1) > 0
+    return F.expr(
+        "aggregate(transform(sequence(0, %d), b -> "
+        " IF(aggregate(%s, 0L, (acc, h) -> acc + IF(((h >> b) & 1) = 1, 1L, -1L)) > 0, "
+        "    shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)" % (bits - 1, hash_col)
+    )
+
+
+def hamming64(col_a, col_b):
+    """Hamming distance between two 64-bit signatures (popcount of xor)."""
+    return F.bit_count(col_a.bitwiseXOR(col_b))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, prefix_bits: int = 12
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
+    (cheap LSH for Hamming space), then exact Hamming within buckets."""
+    s = (
+        spread(df)
+        .select(F.col(id_col).alias("__id"), token_hashes(text_col).alias("__th"))
+        .select("__id", simhash("__th").alias("__sim"))
+    )
+    # JVM shift amounts are mod 64, so prefix_bits=0 must special-case to a
+    # single bucket (shiftrightunsigned(x, 64) would be a no-op)
+    bucket = (
+        F.shiftrightunsigned("__sim", 64 - prefix_bits) if prefix_bits > 0 else F.lit(0)
+    )
+    s = s.withColumn("__bucket", bucket)
+    a = s.select(F.col("__id").alias("id_a"), F.col("__sim").alias("__sim_a"), "__bucket")
+    b = s.select(F.col("__id").alias("id_b"), F.col("__sim").alias("__sim_b"), "__bucket")
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("__sim_a"), F.col("__sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup (cosine above threshold)
+# --------------------------------------------------------------------------
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, bucket_bits: int = 0
+) -> DataFrame:
+    """Pairs of vectors with cosine >= threshold. ``bucket_bits`` > 0
+    switches to sign-LSH bucketing (see similarity.py) — 0 means exact
+    all-pairs (small inputs / verification)."""
+    from .similarity import cosine_expr
+
+    v = df.select(
+        F.col(id_col).alias("__vid"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+    )
+    a = v.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va"))
+    b = v.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", F.round(cosine_expr("__va", "__vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,154 @@
+"""Text-analysis operators (SURVEY §2 B11): token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built-in-function composition (split/filter/size/regexp/md5)
+— JVM-side, codegen-friendly, linear scans with no shuffle except the
+final aggregations. Each operator has an exact DuckDB-SQL mirror so the
+whole module is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# languages scored by tiny stopword lists (deterministic heuristic)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+
+
+def tokens(text_col: str) -> Column:
+    """Whitespace tokens with empties dropped."""
+    return F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x != '')")
+
+
+def token_count(text_col: str) -> Column:
+    return F.size(tokens(text_col)).cast("long")
+
+
+def word_token_count(text_col: str) -> Column:
+    """BPE-ish token estimate: count of letter-runs, digit-runs, and
+    individual punctuation marks (a cheap stand-in for subword counts)."""
+    return F.regexp_count(
+        F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    ).cast("long")
+
+
+def char_count(text_col: str) -> Column:
+    return F.length(text_col).cast("long")
+
+
+def punct_ratio(text_col: str) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"))
+    return F.round(
+        F.when(F.length(text_col) > 0, n_punct.cast("double") / F.length(text_col)).otherwise(0.0),
+        6,
+    )
+
+
+def stopword_ratio(text_col: str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or EN_STOPWORDS
+    arr = "array(" + ",".join(f"'{w}'" for w in sw) + ")"
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    hits = F.expr(f"size(filter({toks}, t -> array_contains({arr}, t)))")
+    total = F.expr(f"size({toks})")
+    return F.round(
+        F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(0.0), 6
+    )
+
+
+def mean_token_len(text_col: str) -> Column:
+    t = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+    return F.round(
+        F.when(
+            F.expr(f"size({t})") > 0,
+            F.expr(f"aggregate({t}, 0L, (acc, x) -> acc + length(x))").cast("double")
+            / F.expr(f"size({t})"),
+        ).otherwise(0.0),
+        6,
+    )
+
+
+def quality_score(text_col: str) -> Column:
+    """Deterministic [0, 1] quality heuristic: rewards stopword presence and
+    moderate token length, penalizes punctuation soup and tiny docs.
+
+    score = 0.4 * min(tokens/50, 1) + 0.3 * stopword_ratio_capped
+          + 0.3 * (1 - punct_ratio_capped)
+    """
+    tok = token_count(text_col).cast("double")
+    len_term = F.least(tok / F.lit(50.0), F.lit(1.0))
+    sw_term = F.least(stopword_ratio(text_col) * 4, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text_col) * 5, F.lit(1.0))
+    return F.round(0.4 * len_term + 0.3 * sw_term + 0.3 * punct_term, 6)
+
+
+def lang_id(text_col: str) -> Column:
+    """n-gram/stopword language guess: the language whose stopword list
+    hits the most tokens; CJK characters short-circuit to 'zh'; ties and
+    zero hits fall back to 'und'."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    scores = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = "array(" + ",".join(f"'{w}'" for w in words) + ")"
+        scores[lang] = F.expr(f"size(filter({toks}, t -> array_contains({arr}, t)))")
+    best = None
+    # deterministic argmax: strictly-greater chain in fixed language order
+    result = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_STOPWORDS):  # de, en, es, fr
+        cond = scores[lang] > best_score
+        result = F.when(cond, F.lit(lang)).otherwise(result)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    has_cjk = F.regexp_count(F.col(text_col), F.lit(r"[一-鿿]")) > 0
+    return F.when(has_cjk, F.lit("zh")).otherwise(result)
+
+
+def fingerprint(text_col: str) -> Column:
+    """Canonical document fingerprint: md5 of lowercase,
+    whitespace-collapsed text — identical bytes => identical fingerprint,
+    robust to spacing/case differences."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def gram_hashes(text_col: str, k: int = 8) -> Column:
+    """Rolling k-gram hash array — materialize as its own column before
+    windowing (a lambda that references this expression would re-evaluate
+    the full gram scan per window position; HOFs are interpreted)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> xxhash64(substring({text_col}, i, {k})))"
+    )
+
+
+def winnowing_from_hashes(hash_col: str, window: int = 4) -> Column:
+    """Winnowing over a precomputed gram-hash column: min hash per sliding
+    window of ``window`` consecutive k-gram hashes, deduplicated. Standard
+    local document fingerprinting for near-dup detection."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({hash_col}) - {window - 1}, 1)),"
+        f" w -> array_min(slice({hash_col}, w, {window}))))"
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full per-document stat set."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_chars_computed", char_count(text_col))
+        .withColumn("n_bpeish", word_token_count(text_col))
+        .withColumn("punct_ratio", punct_ratio(text_col))
+        .withColumn("stopword_ratio", stopword_ratio(text_col))
+        .withColumn("mean_token_len", mean_token_len(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("lang_pred", lang_id(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )

@@ -31,7 +31,7 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from . import lake, mor  # noqa: F401
 
-    for mod in ("relational", "dedup", "text", "similarity", "streaming"):
+    for mod in ("relational", "dedup", "text", "similarity", "multimodal", "streaming"):
         try:
             __import__(f"{__name__}.{mod}")
         except ImportError:

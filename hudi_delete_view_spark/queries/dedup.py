@@ -1,0 +1,121 @@
+"""Dedup queries (B8/B9) over the ``documents`` / ``embeddings`` tables.
+
+Exact dedup and n-gram Jaccard are fully DuckDB-oracled (list
+comprehensions mirror the Spark higher-order expressions). MinHash-LSH and
+SimHash are not SQL-expressible — they get rows-only driver checks plus
+property tests in tests/test_dedup.py (recall vs. the exact-Jaccard
+ground truth)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from .relational import _t
+from . import query
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN (SELECT text, MIN(doc_id) AS keep FROM documents GROUP BY text) t
+  ON d.doc_id = t.keep
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup, deterministic winner = min doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, keys=["text"], order_by=["doc_id"]).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "dedup_exact_count",
+    oracle="SELECT COUNT(DISTINCT text) AS n_unique, COUNT(*) AS n_total FROM documents",
+)
+def dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.countDistinct("text").alias("n_unique"), F.count("*").alias("n_total")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 0)),
+                  i -> substr(text, i, 5))) AS grams
+  FROM documents WHERE doc_id < 40
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / len(list_distinct(a.grams || b.grams)), 6) >= 0.2
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-5-gram Jaccard on a bounded id range (the all-pairs form
+    is the verification baseline; LSH prunes the pair space at scale)."""
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 40")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", pairs=None, threshold=0.2)
+
+
+@query("dedup_minhash_survivors")  # not SQL-expressible: rows-only check
+def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup removal (64 hashes, 16 bands, Jaccard>=0.8
+    verify); survivors keep the smallest doc_id of each duplicate cluster."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        minhash_dedup(docs, "doc_id", "text", threshold=0.8)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@query("dedup_lsh_candidates")  # not SQL-expressible: rows-only check
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw LSH band-collision candidate pairs (pre-verification)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidate_pairs(docs, "doc_id", "text")
+
+
+@query("dedup_simhash_pairs")  # not SQL-expressible: rows-only check
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (12-bit prefix buckets, Hamming <= 10)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=10)
+
+
+@query(
+    "dedup_embedding_neardup",
+    # embeddings cast to DOUBLE[] so DuckDB matches Spark's double-precision
+    # arithmetic (list_cosine_similarity on FLOAT[] computes in float32).
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+""",
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs on a bounded id range (0.35 is
+    above the 99.99th pct of this corpus's cosine distribution — a
+    non-trivial result set without synthetic duplicates)."""
+    emb = _t(spark, sf_dir, "embeddings").filter("vec_id < 300")
+    pairs = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    return pairs

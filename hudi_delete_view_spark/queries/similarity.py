@@ -1,0 +1,112 @@
+"""Similarity-search queries (B10) over ``embeddings``: exact brute-force
+top-k (DuckDB-oracled) and the LSH-bucketed approximate path (recall-tested
+in pytest; rows-only for the driver)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from .relational import _t
+from . import query
+
+
+@query(
+    "sim_topk_bruteforce",
+    # DOUBLE[] cast: see dedup_embedding_neardup.
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id
+  ) AS INT) AS rank
+FROM e q JOIN e c ON q.vec_id != c.vec_id
+WHERE q.vec_id < 20
+QUALIFY rank <= 5
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 20 query vectors against the full corpus.
+
+    The query side is tiny -> Catalyst broadcasts it; the corpus scan
+    parallelizes across executors; ranking is one window per query id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 20")
+    out = cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+    return out
+
+
+@query("sim_topk_lsh")  # approximate: rows-only driver check + pytest recall
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-5 (6 bits x 8 tables): candidates are
+    bucket collisions only (~8/64 of the corpus per query), exact re-rank
+    on the candidate set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 20")
+    return cosine_topk_lsh(emb, queries, "vec_id", "embedding", k=5, bits=6, tables=8)
+
+
+@query(
+    "sim_pair_metrics",
+    # DOUBLE[] cast: see dedup_embedding_neardup.
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 30)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_sum(list_transform(generate_series(1, 64),
+        i -> a.v[i] * b.v[i])), 6) AS dot,
+  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+  ROUND(sqrt(list_sum(list_transform(generate_series(1, 64),
+        i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))), 6) AS l2
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+""",
+)
+def sim_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dot / cosine / L2 for all pairs in a bounded id range — the scalar
+    vector-math kernel every similarity operator composes."""
+    from ..operators.similarity import as_double_array, cosine_expr, dot_expr
+
+    emb = _t(spark, sf_dir, "embeddings").filter("vec_id < 30")
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double_array("embedding").alias("__a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double_array("embedding").alias("__b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    l2 = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(__a, __b, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(dot_expr("__a", "__b"), 6).alias("dot"),
+        F.round(cosine_expr("__a", "__b"), 6).alias("cosine"),
+        F.round(l2, 6).alias("l2"),
+    )
+
+
+@query(
+    "sim_label_centroid",
+    oracle="""
+SELECT label, COUNT(*) AS n,
+  ROUND(AVG(list_cosine_similarity(embedding,
+    list_transform(generate_series(1, 64), i -> 1.0))), 6) AS avg_cos_to_ones
+FROM embeddings GROUP BY label
+""",
+)
+def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label aggregate similarity to a fixed reference vector (an
+    embedding-column groupBy — exercises vector math under aggregation)."""
+    from ..operators.similarity import as_double_array, cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", as_double_array("embedding").alias("__v")
+    )
+    ones = "transform(sequence(1, 64), i -> 1.0D)"
+    emb = emb.withColumn("__ones", F.expr(ones))
+    return (
+        emb.select("label", cosine_expr("__v", "__ones").alias("__cos"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("__cos"), 6).alias("avg_cos_to_ones"))
+    )

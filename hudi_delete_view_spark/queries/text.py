@@ -1,0 +1,169 @@
+"""Text-analysis queries (B11) over ``documents`` — every operator mirrored
+in DuckDB SQL (same tokenization, same formulas, same rounding)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    char_count,
+    fingerprint,
+    lang_id,
+    mean_token_len,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_token_count,
+)
+from .relational import _t
+from . import query
+
+# SQL mirrors of the operator expressions (DuckDB dialect) ------------------
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+_TOKS_L = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+_SW = "['the','a','and','of','to','in','is','it','that','for']"
+_N_PUNCT = "length(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
+_PUNCT_RATIO = f"ROUND(CASE WHEN length(text) > 0 THEN CAST({_N_PUNCT} AS DOUBLE) / length(text) ELSE 0.0 END, 6)"
+_SW_RATIO = (
+    f"ROUND(CASE WHEN len({_TOKS_L}) > 0 THEN "
+    f"CAST(len(list_filter({_TOKS_L}, t -> list_contains({_SW}, t))) AS DOUBLE) / len({_TOKS_L}) "
+    f"ELSE 0.0 END, 6)"
+)
+_MEAN_TOK_LEN = (
+    f"ROUND(CASE WHEN len({_TOKS}) > 0 THEN "
+    f"CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE) / len({_TOKS}) "
+    f"ELSE 0.0 END, 6)"
+)
+_QUALITY = (
+    f"ROUND(0.4 * least(CAST(len({_TOKS}) AS DOUBLE) / 50.0, 1.0) "
+    f"+ 0.3 * least({_SW_RATIO} * 4, 1.0) "
+    f"+ 0.3 * (1.0 - least({_PUNCT_RATIO} * 5, 1.0)), 6)"
+)
+_FP = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+
+_LANG_SW = {
+    "de": "['der','die','und','das','ist']",
+    "en": "['the','and','of','to','is']",
+    "es": "['el','la','de','que','los']",
+    "fr": "['le','la','et','les','des']",
+}
+
+
+def _lang_sql() -> str:
+    """Chained strict-greater argmax in fixed language order (de,en,es,fr) —
+    the exact mirror of operators.text.lang_id."""
+    hits = {
+        lang: f"len(list_filter({_TOKS_L}, t -> list_contains({arr}, t)))"
+        for lang, arr in _LANG_SW.items()
+    }
+    result, best = "'und'", "0"
+    for lang in sorted(_LANG_SW):
+        cond = f"{hits[lang]} > {best}"
+        result = f"CASE WHEN {cond} THEN '{lang}' ELSE {result} END"
+        best = f"CASE WHEN {cond} THEN {hits[lang]} ELSE {best} END"
+    return (
+        f"CASE WHEN length(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 "
+        f"THEN 'zh' ELSE {result} END"
+    )
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+SELECT doc_id,
+  len({_TOKS}) AS n_tokens,
+  length(text) AS n_chars_computed,
+  length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+  {_PUNCT_RATIO} AS punct_ratio,
+  {_SW_RATIO} AS stopword_ratio,
+  {_MEAN_TOK_LEN} AS mean_token_len,
+  {_QUALITY} AS quality
+FROM documents
+""",
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        char_count("text").alias("n_chars_computed"),
+        word_token_count("text").alias("n_bpeish"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        mean_token_len("text").alias("mean_token_len"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+SELECT lang, {_lang_sql()} AS lang_pred, COUNT(*) AS n
+FROM documents GROUP BY lang, lang_pred
+""",
+)
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "text_fingerprint_groups",
+    oracle=f"""
+SELECT {_FP} AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+FROM documents GROUP BY fingerprint HAVING COUNT(*) >= 1
+""",
+)
+def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(fingerprint("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@query(
+    "text_source_profile",
+    oracle=f"""
+SELECT source,
+  COUNT(*) AS n_docs,
+  SUM(len({_TOKS})) AS total_tokens,
+  ROUND(AVG({_QUALITY}), 6) AS avg_quality,
+  MAX(length(text)) AS max_chars
+FROM documents GROUP BY source
+""",
+)
+def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile — the group-by rollup a data pipeline
+    uses to triage ingestion sources."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", token_count("text").alias("__tok"), quality_score("text").alias("__q"), F.length("text").alias("__len"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__tok").alias("total_tokens"),
+            F.round(F.avg("__q"), 6).alias("avg_quality"),
+            F.max("__len").cast("long").alias("max_chars"),
+        )
+    )
+
+
+@query("text_winnowing")  # rolling-hash fingerprints: rows-only check
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets (min rolling k-gram hash per window)."""
+    from ..operators.text import gram_hashes, winnowing_from_hashes
+    from ..operators.util import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", gram_hashes("text").alias("__gh")).select(
+        "doc_id",
+        F.size(winnowing_from_hashes("__gh")).cast("long").alias("n_fingerprints"),
+    )

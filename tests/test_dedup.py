@@ -1,0 +1,131 @@
+"""Dedup operator tests (SURVEY §2 B8/B9): exact dedup invariants, MinHash
+determinism + LSH recall against exact-Jaccard ground truth, SimHash
+bucketing, embedding near-dup."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_delete_view_spark.operators.dedup import (
+    char_shingles,
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingle_hashes,
+    simhash,
+    simhash_near_pairs,
+    token_hashes,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df.cache().count()
+    return df
+
+
+def test_exact_dedup_keeps_one_per_key(spark, docs):
+    out = exact_dedup(docs, keys=["text"], order_by=["doc_id"])
+    n_unique = docs.select("text").distinct().count()
+    assert out.count() == n_unique
+    # deterministic winner: the min doc_id of each text group
+    expected = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    assert out.select("doc_id").exceptAll(expected.select("doc_id")).count() == 0
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    base = (
+        docs.limit(20)
+        .select("doc_id", char_shingles("text", 5).alias("sh"))
+        .withColumn("hs", shingle_hashes("sh"))
+        .select("doc_id", minhash_signature("hs", 32).alias("sig"))
+    )
+    a = {r["doc_id"]: r["sig"] for r in base.collect()}
+    b = {r["doc_id"]: r["sig"] for r in base.collect()}
+    assert a == b
+    assert all(len(s) == 32 for s in a.values())
+
+
+def test_minhash_similarity_estimate(spark):
+    """Signature agreement rate approximates Jaccard for near-identical
+    and disjoint strings."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in the morning light"),
+        (2, "the quick brown fox jumps over the lazy dog in the morning lights"),
+        (3, "completely different content with no shared shingles whatsoever xyz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = (
+        df.select("doc_id", char_shingles("text", 5).alias("sh"))
+        .withColumn("hs", shingle_hashes("sh"))
+        .select("doc_id", minhash_signature("hs", 128).alias("sig"))
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    agree_12 = sum(x == y for x, y in zip(sigs[1], sigs[2])) / 128
+    agree_13 = sum(x == y for x, y in zip(sigs[1], sigs[3])) / 128
+    assert agree_12 > 0.7  # true jaccard ~0.9
+    assert agree_13 < 0.2  # true jaccard ~0
+
+
+def test_lsh_recall_vs_exact_jaccard(spark, docs):
+    """Every pair with exact Jaccard >= 0.8 must be an LSH candidate
+    (16 bands x 4 rows: P[candidate | j=0.8] ~ 1 - (1-0.8^4)^16 ~ 0.9997)."""
+    sample = docs.filter("doc_id < 200")
+    truth = set(
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(sample, "doc_id", "text", threshold=0.8).collect()
+    )
+    cand = set(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidate_pairs(sample, "doc_id", "text").collect()
+    )
+    if truth:
+        recall = len(truth & cand) / len(truth)
+        assert recall >= 0.95, f"LSH recall {recall} over {len(truth)} true pairs"
+
+
+def test_minhash_dedup_survivors(spark, docs):
+    """Survivors: no doc is dropped unless it has a verified >=0.8-Jaccard
+    partner with a smaller id; survivor set includes min id of each group."""
+    out = minhash_dedup(docs, "doc_id", "text", threshold=0.8)
+    survivors = {r["doc_id"] for r in out.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    dropped = all_ids - survivors
+    verified = ngram_jaccard_pairs(docs, "doc_id", "text",
+                                   pairs=minhash_lsh_candidate_pairs(docs, "doc_id", "text"),
+                                   threshold=0.8)
+    losers = {r["id_b"] for r in verified.collect()}
+    assert dropped == losers & all_ids
+    assert min(all_ids) in survivors
+
+
+def test_simhash_deterministic_and_near(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta thetaX"),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(df, "doc_id", "text", max_hamming=63, prefix_bits=0).collect()
+    }
+    # near-identical token sets -> small hamming; disjoint -> large
+    assert pairs[(1, 2)] <= 16
+    assert pairs.get((1, 3), 64) > pairs[(1, 2)]
+
+
+def test_embedding_neardup_self_similarity(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).filter("vec_id < 50")
+    dup = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    both = emb.unionByName(dup)
+    pairs = embedding_neardup_pairs(both, "vec_id", "embedding", threshold=0.999)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every vector pairs with its exact copy at cosine 1.0
+    expected = {(i, i + 100000) for i in range(50)}
+    assert expected <= found

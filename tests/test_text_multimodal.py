@@ -1,0 +1,130 @@
+"""Text-analysis (B11) and multimodal (B12) operator tests."""
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_delete_view_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_fake_media,
+    extract_features,
+    frame_sample_plan,
+)
+from hudi_delete_view_spark.operators.text import (
+    fingerprint,
+    gram_hashes,
+    lang_id,
+    quality_score,
+    text_stats,
+    token_count,
+    winnowing_from_hashes,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df.cache().count()
+    return df
+
+
+def test_token_count_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "  a  b   c "), (3, ""), (4, "one")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count("text").alias("n")).collect()}
+    assert got == {1: 2, 2: 3, 3: 0, 4: 1}
+
+
+def test_quality_score_bounds(spark, docs):
+    rows = docs.select(quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_lang_id_obvious_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is here"),
+            (2, "el perro de la casa que los gatos"),
+            (3, "le chat et les chiens des maisons"),
+            (4, "der hund und die katze das ist gut"),
+            (5, "zzz qqq www"),
+            (6, "你好 world"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["l"] for r in df.select("doc_id", lang_id("text").alias("l")).collect()}
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "und", 6: "zh"}
+
+
+def test_fingerprint_normalizes_space_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["f"] for r in df.select("doc_id", fingerprint("text").alias("f")).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_text_stats_attaches_all_columns(spark, docs):
+    out = text_stats(docs.limit(10))
+    for c in ("n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len",
+              "quality", "lang_pred", "fingerprint"):
+        assert c in out.columns
+    assert out.count() == 10
+
+
+def test_winnowing_shared_substring(spark):
+    """Docs sharing a long substring share winnowing fingerprints."""
+    shared = "this exact long shared passage appears verbatim in both documents"
+    df = spark.createDataFrame(
+        [(1, "prefix one " + shared), (2, "other start " + shared + " tail"), (3, "nothing alike here at all")],
+        ["doc_id", "text"],
+    )
+    fp = df.select("doc_id", gram_hashes("text").alias("gh")).select(
+        "doc_id", winnowing_from_hashes("gh").alias("fps")
+    )
+    sets = {r["doc_id"]: set(r["fps"]) for r in fp.collect()}
+    assert len(sets[1] & sets[2]) > 0
+    assert len(sets[1] & sets[3]) == 0
+
+
+def test_media_metadata_matches_python(spark, docs):
+    sample = docs.filter("doc_id < 20")
+    media = attach_fake_media(sample, "doc_id", "text")
+    rows = {r["media_id"]: r for r in media.collect()}
+    for r in sample.collect():
+        m = rows[r["doc_id"]]
+        raw = r["text"].encode("utf-8")
+        assert m["byte_len"] == len(raw)
+        assert m["sha256"] == hashlib.sha256(raw).hexdigest()
+        assert m["media_type"] == ["image", "audio", "video"][r["doc_id"] % 3]
+        assert bytes(m["payload"]) == raw
+
+
+def test_extract_features_shape_and_determinism(spark, docs):
+    media = attach_fake_media(docs.filter("doc_id < 30"), "doc_id", "text")
+    a = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    b = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert a == b
+    assert all(len(v) == FEATURE_DIM for v in a.values())
+    assert all(0.0 <= x <= 1.0 for v in a.values() for x in v)
+
+
+def test_extract_features_strict_raises(spark, docs):
+    media = attach_fake_media(docs.limit(2), "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_features(media, strict=True).collect()
+
+
+def test_frame_plan_video_only(spark, docs):
+    media = attach_fake_media(docs.filter("doc_id < 30"), "doc_id", "text")
+    plan = frame_sample_plan(media, every_n=10)
+    rows = plan.collect()
+    assert all(r["media_id"] % 3 == 2 for r in rows)  # video ids
+    for r in rows:
+        assert r["n_samples"] == len(r["sample_offsets"])
