@@ -91,31 +91,38 @@ def minhash_signature(hash_col: str, num_hashes: int = 64):
 
 
 def band_hashes(sig_col: str, bands: int, rows_per_band: int):
-    """LSH banding: hash each band (contiguous signature slice) to a bucket."""
+    """LSH banding: hash each band (contiguous signature slice) to a bucket.
+
+    Deliberately UNROLLED into an explicit ``array(...)`` of per-band
+    hashes rather than ``transform(sequence(...), j -> ...)``: a lambda
+    body referencing ``sig_col`` makes CollapseProject inline the entire
+    upstream minhash chain into the lambda and re-evaluate it once per
+    band (measured 8x slower); with ``bands`` explicit references the
+    projection is kept as-is and the signature is computed once."""
     return F.expr(
-        f"transform(sequence(0, {bands - 1}), j -> "
-        f" xxhash64(cast(slice({sig_col}, j * {rows_per_band} + 1, {rows_per_band}) as string), j))"
+        "array(" + ",".join(
+            f"xxhash64(cast(slice({sig_col}, {j * rows_per_band + 1}, {rows_per_band}) as string), {j})"
+            for j in range(bands)
+        ) + ")"
     )
 
 
-def minhash_lsh_candidate_pairs(
+def _signature_table(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_k: int = 5,
-    num_hashes: int = 64,
-    bands: int = 16,
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) that share >=1 LSH band
-    bucket. Pure DataFrame ops: shingle -> minhash -> band -> explode ->
-    bucket self-join (singleton buckets pruned first).
+    """Persisted (__id, __sig, __bands) table.
 
-    The compact (id, band-hashes) table is persisted and materialized
-    BEFORE the explode/self-join: the signature computation is the
-    expensive narrow map, and without the barrier Catalyst re-evaluates it
-    per exploded row and once per join side (observed ~30x slowdown).
-    Compute-once-then-join is also the right shape at 100 TB — the
-    signature table is ~200 bytes/row regardless of document size."""
+    Persisted and materialized BEFORE any explode/self-join: the signature
+    computation is the expensive narrow map, and without the barrier
+    Catalyst re-evaluates it per exploded row and once per join side
+    (observed ~30x slowdown). Compute-once-then-join is also the right
+    shape at 100 TB — the signature table is ~600 bytes/row regardless of
+    document size (spills to disk under memory pressure)."""
     rows_per_band = num_hashes // bands
     sig = (
         spread(df)
@@ -123,14 +130,19 @@ def minhash_lsh_candidate_pairs(
         .filter(F.size("__sh") > 0)
         .withColumn("__hs", shingle_hashes("__sh"))
         .select("__id", minhash_signature("__hs", num_hashes).alias("__sig"))
-        .select("__id", band_hashes("__sig", bands, rows_per_band).alias("__bands"))
+        .select("__id", "__sig", band_hashes("__sig", bands, rows_per_band).alias("__bands"))
         .persist()
     )
     sig.count()  # materialize the cache: one signature pass, ever
+    return sig
+
+
+def _bucket_pairs(sig: DataFrame) -> DataFrame:
+    """(id_a < id_b) pairs sharing >=1 LSH band bucket, singleton buckets
+    pruned before the self-join."""
     buckets = sig.select(
         "__id", F.posexplode("__bands").alias("__band_idx", "__band_hash")
     )
-    # prune singleton buckets before the join (the overwhelming majority)
     nonsingleton = (
         buckets.groupBy("__band_idx", "__band_hash")
         .agg(F.count("*").alias("__n"))
@@ -148,6 +160,44 @@ def minhash_lsh_candidate_pairs(
     )
 
 
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) that share >=1 LSH band
+    bucket. Pure DataFrame ops: shingle -> minhash -> band -> explode ->
+    bucket self-join."""
+    sig = _signature_table(df, id_col, text_col, shingle_k, num_hashes, bands)
+    return _bucket_pairs(sig)
+
+
+def signature_estimate_pairs(
+    pairs: DataFrame, sig: DataFrame, num_hashes: int
+) -> DataFrame:
+    """Attach the MinHash Jaccard estimate (signature agreement rate) to
+    candidate pairs — a 64-op comparison per pair against the cached
+    signature table, used to prune weak candidates before the exact
+    (array-intersection) verify."""
+    a = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a"))
+    b = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b"))
+    est = (
+        F.expr(
+            "aggregate(zip_with(__sig_a, __sig_b, (x, y) -> IF(x = y, 1L, 0L)),"
+            " 0L, (acc, v) -> acc + v)"
+        ).cast("double")
+        / num_hashes
+    )
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("est_jaccard", est)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -162,6 +212,9 @@ def ngram_jaccard_pairs(
     sh = spread(df).select(
         F.col(id_col).alias("__jid"), char_shingles(text_col, shingle_k).alias("__jsh")
     )
+    if pairs is not None:
+        # joined on both sides below — persist so shingling runs once
+        sh = sh.persist()
     a = sh.select(F.col("__jid").alias("id_a"), F.col("__jsh").alias("__sh_a"))
     b = sh.select(F.col("__jid").alias("id_b"), F.col("__jsh").alias("__sh_b"))
     base = pairs if pairs is not None else (
@@ -183,14 +236,31 @@ def minhash_dedup(
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
-    **lsh_kwargs,
+    est_margin: float = 0.15,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
 ) -> DataFrame:
     """Near-dup removal: drop every doc that has a verified near-duplicate
     with a smaller id (deterministic survivor = min id of each dup
     cluster's pairwise edges). One anti-join; no iterative connected
-    components on the hot path."""
-    cand = minhash_lsh_candidate_pairs(df, id_col, text_col, **lsh_kwargs)
-    verified = ngram_jaccard_pairs(df, id_col, text_col, pairs=cand, threshold=threshold)
+    components on the hot path.
+
+    Three-stage funnel (the scale design): LSH buckets propose pairs, the
+    cheap signature-agreement estimate prunes weak ones (anything below
+    ``threshold - est_margin``; estimator sigma = sqrt(j(1-j)/num_hashes)
+    ~ 0.05, so a 3-sigma margin loses essentially no true pairs), and the
+    exact n-gram Jaccard verifies only the strong remainder."""
+    sig = _signature_table(df, id_col, text_col, shingle_k, num_hashes, bands)
+    cand = _bucket_pairs(sig)
+    strong = (
+        signature_estimate_pairs(cand, sig, num_hashes)
+        .filter(F.col("est_jaccard") >= threshold - est_margin)
+        .select("id_a", "id_b")
+    )
+    verified = ngram_jaccard_pairs(
+        df, id_col, text_col, pairs=strong, threshold=threshold, shingle_k=shingle_k
+    )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

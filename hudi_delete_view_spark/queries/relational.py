@@ -33,12 +33,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; read nanos as long and convert to a
-    microsecond TimestampType column (all downstream comparisons are at
-    second granularity, so the truncation is semantics-free)."""
+    microsecond TimestampType column. Integer ``DIV`` (not ``/1000`` in
+    double — epoch nanos exceed 2^53, so float division drifts by ±1us
+    against DuckDB's truncation)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes)["ts"] in ("bigint", "long"):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

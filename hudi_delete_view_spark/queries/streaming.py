@@ -1,0 +1,92 @@
+"""Streaming queries (B13) over ``events``: each runs the Structured
+Streaming graph one-shot (availableNow -> memory sink) so results are
+deterministic and DuckDB-oracle-checkable — the windowed aggregates in
+complete mode equal their batch SQL counterparts by the streaming/batch
+unification contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.ops import (
+    dedup_first_per_user,
+    events_stream,
+    run_to_table,
+    session_stats,
+    sliding_avg,
+    tumbling_counts,
+)
+from . import query
+
+# midnight-aligned day windows; ts rendered identically on both engines
+_TUMBLING_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+# sliding windows: every 6h-aligned start w covers [w, w+1d); an event at t
+# belongs to starts in (t-1d, t] aligned to 6h — enumerate via a lateral
+# range join against the distinct aligned starts
+_SLIDING_SQL = """
+WITH starts AS (
+  SELECT DISTINCT to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 21600 - k) * 21600) AS w
+  FROM events, generate_series(0, 3) AS g(k)
+)
+SELECT strftime(s.w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(CAST(round(e.value * 100) AS BIGINT)) / 100.0 / COUNT(*), 6) AS avg_value
+FROM starts s JOIN events e
+  ON e.ts >= s.w AND e.ts < s.w + INTERVAL 1 DAY
+GROUP BY s.w
+"""
+
+# session windows: classic gaps-and-islands — a new session starts when the
+# gap from the previous event of the same user exceeds 30 minutes
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 6) AS sum_value
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+@query("stream_tumbling_counts", oracle=_TUMBLING_SQL)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-day tumbling windows per event type (complete mode ==
+    the batch GROUP BY over the full replay)."""
+    return run_to_table(tumbling_counts(events_stream(spark, sf_dir)))
+
+
+@query("stream_sliding_avg", oracle=_SLIDING_SQL)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day windows sliding every 6h (4 overlapping windows per event)."""
+    return run_to_table(sliding_avg(events_stream(spark, sf_dir)))
+
+
+@query("stream_session_windows", oracle=_SESSION_SQL)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    return run_to_table(session_stats(events_stream(spark, sf_dir)))
+
+
+@query("stream_dedup_users", oracle="SELECT DISTINCT user_id FROM events")
+def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: one row per user (append mode; the row
+    kept per key is arbitrary, so only the key column is exposed)."""
+    return run_to_table(dedup_first_per_user(events_stream(spark, sf_dir)), mode="append")

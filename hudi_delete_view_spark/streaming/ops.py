@@ -1,0 +1,155 @@
+"""Structured Streaming operators (SURVEY §2 B13): watermarked windowed
+aggregation (tumbling / sliding / session), stateful dedup, late-data
+handling, and ``foreachBatch`` lake ingest.
+
+Design: every operator is a plain function ``stream -> stream`` so the same
+transformation graph serves a real streaming source (Kafka/files at scale)
+and the deterministic test harness here (one-shot ``availableNow`` replay
+of the events parquet into a named memory sink). Watermarks bound state:
+at 100 TB/day the window state store only retains windows newer than
+(max event time - delay), and ``dropDuplicatesWithinWatermark`` keeps the
+dedup key set similarly bounded.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema pinned — streaming
+    sources cannot infer), nanos converted to a microsecond timestamp with
+    exact integer division."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+# -- windowed aggregations --------------------------------------------------
+def tumbling_counts(stream: DataFrame, width: str = "1 day", watermark: str = "1 hour") -> DataFrame:
+    """Tumbling-window count/sum per event type."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            # exact integer-cent sum: engine-portable (see sliding_avg)
+            F.round(F.sum(F.expr("cast(round(value * 100) as bigint)")) / F.lit(100.0), 6)
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    stream: DataFrame, width: str = "1 day", slide: str = "6 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Sliding-window event count + average value (each event lands in
+    width/slide overlapping windows)."""
+    # value is 2-decimal data: average over exact integer cents, so the
+    # result is independent of float summation order (engine-portable)
+    avg_exact = F.round(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")) / F.lit(100.0) / F.count("*"), 6
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), avg_exact.alias("avg_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_stats(stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity; emits per-session event count and value sum."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.expr("cast(round(value * 100) as bigint)")) / F.lit(100.0), 6)
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_first_per_user(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup: first event per user id within the
+    watermark horizon (state = one row per key, expired by watermark)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id")
+    )
+
+
+# -- harness ---------------------------------------------------------------
+def run_to_table(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Deterministic one-shot execution: replay everything available
+    (``availableNow``) into a uniquely-named in-memory sink, block until
+    drained, return the sink as a DataFrame.
+
+    This is the local test harness; production would swap the sink for
+    Kafka/Delta/parquet with the identical transformation graph."""
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def foreach_batch_upsert(stream_df: DataFrame, table, timestamp_fn) -> None:
+    """Lake ingest: each micro-batch upserts into a COW table (B5 + B13 —
+    streaming writes producing the same commit metadata the delete-view
+    pipeline consumes). ``timestamp_fn(batch_id) -> commit timestamp``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.upsert(batch_df, timestamp_fn(batch_id))
+
+    q = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
