@@ -15,6 +15,8 @@ n^2 pair space).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,6 +65,17 @@ def shingle_hashes(shingle_col: str):
     return F.expr(f"transform({shingle_col}, s -> pmod(xxhash64(s), {_MERSENNE_P}L))")
 
 
+def _perm_family(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic seeded (a_i, b_i) permutation constants shared by the
+    SQL and numpy signature implementations."""
+    import random
+
+    rnd = random.Random(42)
+    a = [rnd.randrange(1, _MERSENNE_P) for _ in range(num_hashes)]
+    b = [rnd.randrange(0, _MERSENNE_P) for _ in range(num_hashes)]
+    return a, b
+
+
 def minhash_signature(hash_col: str, num_hashes: int = 64):
     """MinHash signature over a precomputed 31-bit hash array (see
     ``shingle_hashes``): per permutation i, ``min((a_i*h + b_i) mod p)`` —
@@ -76,18 +89,42 @@ def minhash_signature(hash_col: str, num_hashes: int = 64):
     for every shingle x permutation pair and is ~100x slower).
     ``a*h + b <= 2^62`` so the arithmetic never overflows signed 64-bit —
     safe under Spark 4's default ANSI mode."""
-    import random
-
-    rnd = random.Random(42)
+    a, b = _perm_family(num_hashes)
     perms = ",".join(
-        f"named_struct('a', {rnd.randrange(1, _MERSENNE_P)}L,"
-        f" 'b', {rnd.randrange(0, _MERSENNE_P)}L)"
-        for _ in range(num_hashes)
+        f"named_struct('a', {ai}L, 'b', {bi}L)" for ai, bi in zip(a, b)
     )
     return F.expr(
         f"transform(array({perms}), ab -> "
         f" array_min(transform({hash_col}, h -> pmod(ab.a * h + ab.b, {_MERSENNE_P}L))))"
     )
+
+
+def minhash_signature_pandas(num_hashes: int = 64):
+    """Arrow-batched numpy implementation of ``minhash_signature`` —
+    bit-identical output, ~10x faster than the interpreted HOF expression
+    (higher-order functions never enter whole-stage codegen; numpy does the
+    (a*h + b) mod p min-reduction as two vectorized passes per row).
+
+    This is the deliberate use of the Pandas-UDF escape hatch: the
+    computation is a per-row dense integer kernel with no data exchange,
+    exactly the shape where Arrow batching beats interpreted expression
+    evaluation. Returns a column usable anywhere the SQL variant is."""
+    from pyspark.sql.functions import pandas_udf
+
+    a, b = _perm_family(num_hashes)
+    a_arr = np.asarray(a, dtype=np.int64)[:, None]
+    b_arr = np.asarray(b, dtype=np.int64)[:, None]
+
+    @pandas_udf("array<long>")
+    def _sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            hv = np.asarray(h, dtype=np.int64)[None, :]
+            # (num_hashes, n_shingles): a*h31 + b <= 2^62, no overflow
+            out.append(((a_arr * hv + b_arr) % _MERSENNE_P).min(axis=1))
+        return pd.Series(out)
+
+    return _sig
 
 
 def band_hashes(sig_col: str, bands: int, rows_per_band: int):
@@ -124,12 +161,13 @@ def _signature_table(
     shape at 100 TB — the signature table is ~600 bytes/row regardless of
     document size (spills to disk under memory pressure)."""
     rows_per_band = num_hashes // bands
+    sig_udf = minhash_signature_pandas(num_hashes)
     sig = (
         spread(df)
         .select(F.col(id_col).alias("__id"), char_shingles(text_col, shingle_k).alias("__sh"))
         .filter(F.size("__sh") > 0)
         .withColumn("__hs", shingle_hashes("__sh"))
-        .select("__id", minhash_signature("__hs", num_hashes).alias("__sig"))
+        .select("__id", sig_udf("__hs").alias("__sig"))
         .select("__id", "__sig", band_hashes("__sig", bands, rows_per_band).alias("__bands"))
         .persist()
     )

