@@ -673,3 +673,211 @@ def rel_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# correlated / scalar subqueries (Spark SQL surface over temp views —
+# exercised through the parser+analyzer path the delete-view product
+# serves, README.md:15-24)
+# --------------------------------------------------------------------------
+def _sql(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
+    for t in tables:
+        (_events(spark, sf_dir) if t == "events" else _t(spark, sf_dir, t)).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+@query(
+    "rel_exists_subquery",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+)
+def rel_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — planned as a left-semi join (dim side broadcast)."""
+    return _sql(
+        spark, sf_dir, ["customer", "orders"],
+        """SELECT c_custkey, c_name FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""",
+    )
+
+
+@query(
+    "rel_not_in_subquery",
+    oracle="""
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49 AND l_partkey % 7 = 0)
+""",
+)
+def rel_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (null-aware anti join)."""
+    return _sql(
+        spark, sf_dir, ["supplier", "lineitem"],
+        """SELECT s_suppkey, s_name FROM supplier
+           WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49 AND l_partkey % 7 = 0)""",
+    )
+
+
+@query(
+    "rel_scalar_subquery",
+    oracle="""
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(*) FROM orders)
+""",
+)
+def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (exact decimal mean, engine-portable);
+    planned as a one-row broadcast against the fact scan."""
+    return _sql(
+        spark, sf_dir, ["orders"],
+        """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+           FROM orders
+           WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                         / COUNT(*) FROM orders)""",
+    )
+
+
+# --------------------------------------------------------------------------
+# exact percentiles / medians per group
+# --------------------------------------------------------------------------
+@query(
+    "rel_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+  ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``). At scale the approx_percentile sketch replaces
+    this; the exact form is the correctness baseline."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95))").alias("__p")
+    )
+    return agg.select(
+        "o_orderstatus",
+        *[F.round(F.col("__p")[i], 4).alias(n) for i, n in enumerate(["p25", "p50", "p75", "p95"])],
+    )
+
+
+@query(
+    "rel_filtered_agg",
+    oracle="""
+SELECT o_orderpriority,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS sum_f
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def rel_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregation (conditional aggregation without pivots)."""
+    o = _t(spark, sf_dir, "orders")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.coalesce(F.sum(F.when(F.col("o_orderstatus") == "F", _dec("o_totalprice"))), zero)
+        .cast("double")
+        .alias("sum_f"),
+    )
+
+
+# --------------------------------------------------------------------------
+# value-based (RANGE) window frame + distribution rank functions
+# --------------------------------------------------------------------------
+@query(
+    "rel_window_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_within_1k
+FROM orders WHERE o_custkey < 50
+""",
+)
+def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: peers counted by value distance, not row position."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.count("*").over(w).alias("n_within_1k"),
+    )
+
+
+@query(
+    "rel_distribution_ranks",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+  NTILE(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile,
+  ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 6) AS cume
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def rel_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist (deterministic via orderkey tiebreak)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "rel_multi_distinct",
+    oracle="""
+SELECT l_returnflag,
+  COUNT(DISTINCT l_partkey) AS d_parts,
+  COUNT(DISTINCT l_suppkey) AS d_supps,
+  COUNT(DISTINCT (l_partkey, l_suppkey)) AS d_pairs
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def rel_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple distinct aggregates in one pass (expand-based plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("d_parts"),
+        F.countDistinct("l_suppkey").alias("d_supps"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("d_pairs"),
+    )
+
+
+@query(
+    "rel_date_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+  strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d %H:%M:%S') AS due_date,
+  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+FROM orders WHERE o_orderkey < 3000
+""",
+)
+def rel_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic, datediff, extraction, truncation."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd HH:mm:ss").alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_95"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+    )
