@@ -144,3 +144,102 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: centroid partitioning instead of hash buckets
+# --------------------------------------------------------------------------
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic mini k-means: init = the ``nlist`` lowest-id vectors,
+    then ``iters`` Lloyd rounds (assign via broadcast argmin, recompute by
+    element-wise mean). Returns (cid, cvec).
+
+    Scale shape: centroids are KB-sized and broadcast; assignment is a
+    narrow map over the corpus; the mean recompute explodes to
+    (rows x dim) only during the offline build."""
+    v = corpus.select(F.col(id_col).alias("__vid"), as_double_array(vec_col).alias("__v"))
+    cent = (
+        v.orderBy("__vid").limit(nlist)
+        .select(F.monotonically_increasing_id().alias("cid"), F.col("__v").alias("cvec"))
+    )
+    # stable small ids 0..nlist-1 (monotonic ids are partition-scoped)
+    cent = cent.select(
+        (F.row_number().over(Window.orderBy("cid")) - 1).alias("cid"), "cvec"
+    )
+    for _ in range(iters):
+        assigned = _assign(v, cent)
+        cent = (
+            assigned.select("cid", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__pm")
+            )
+            .select("cid", F.expr("transform(__pm, x -> x.m)").alias("cvec"))
+        )
+    return cent
+
+
+def _assign(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid per vector by cosine (ties -> lowest cid)."""
+    scored = v.crossJoin(F.broadcast(cent.select("cid", "cvec"))).withColumn(
+        "__cs", cosine_expr("__v", "cvec")
+    )
+    w = Window.partitionBy("__vid").orderBy(F.desc("__cs"), F.asc("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__vid", "__v", "cid")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus vectors are bucketed by nearest
+    centroid (the inverted lists); a query scans only its ``nprobe``
+    closest lists, then re-ranks candidates exactly.
+
+    Expected scanned fraction ~ nprobe/nlist of the corpus. At 100 TB the
+    inverted lists are the table's partition key, so probing prunes
+    partitions at the source; centroids and queries broadcast."""
+    cent = ivf_centroids(corpus, id_col, vec_col, nlist, iters).persist()
+    cent.count()  # materialize: centroid build runs once
+    v = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("__cv"))
+    lists = (
+        _assign(v.withColumnRenamed("neighbor_id", "__vid").withColumnRenamed("__cv", "__v"), cent)
+        .select(F.col("__vid").alias("neighbor_id"), F.col("__v").alias("__cv"), "cid")
+        .persist()
+    )
+    lists.count()
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv"))
+    qscore = q.crossJoin(F.broadcast(cent)).withColumn("__cs", cosine_expr("__qv", "cvec"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__cs"), F.asc("cid"))
+    probes = (
+        qscore.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", "cid")
+    )
+    cand = probes.join(lists, "cid").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.withColumn("cosine", F.round(cosine_expr("__qv", "__cv"), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

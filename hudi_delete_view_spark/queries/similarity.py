@@ -110,3 +110,15 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count("*").alias("n"), F.round(F.avg("__cos"), 6).alias("avg_cos_to_ones"))
     )
+
+
+@query("sim_topk_ivf")  # approximate: rows-only driver check + pytest recall
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (16 lists, probe 4): corpus bucketed by
+    nearest centroid; queries scan only their nprobe closest inverted
+    lists, then re-rank exactly."""
+    from ..operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 20")
+    return cosine_topk_ivf(emb, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=4)

@@ -1,0 +1,139 @@
+"""Property-based tests (SURVEY §5.3, hypothesis): random key universes and
+random commit scripts must satisfy the lake-format algebra:
+
+- delete_view(T) == snapshot(T-1) anti-joined on snapshot(T) keys,
+- snapshot(T) (+) all deletes(<=T) reconstructs every key ever live,
+- incremental(T1, T2) == keys touched by commits in (T1, T2].
+
+Each generated case scripts a fresh COW table with real commits — slow per
+example, so examples are few but each exercises the full write->meta->read
+pipeline end to end.
+"""
+
+import os
+import shutil
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hudi_delete_view_spark.sources.cow import CowTable, RECORD_KEY_FIELD
+from hudi_delete_view_spark.sources.delete_view import DeleteView
+
+TS = ["20270101000000", "20270102000000", "20270103000000", "20270104000000"]
+
+
+@st.composite
+def commit_script(draw):
+    """A key universe plus per-commit delete subsets."""
+    n = draw(st.integers(min_value=4, max_value=40))
+    keys = list(range(n))
+    # two delete commits over disjoint-ish random subsets (may overlap: the
+    # second delete only removes what is still live)
+    d1 = draw(st.sets(st.sampled_from(keys), max_size=n))
+    d2 = draw(st.sets(st.sampled_from(keys), max_size=n))
+    return keys, sorted(d1), sorted(d2)
+
+
+def _build(spark, base, keys, d1, d2):
+    shutil.rmtree(base, ignore_errors=True)
+    table = CowTable(
+        spark, base, key_fields=["k"], partition_field="p", num_file_groups=2
+    )
+    df = spark.createDataFrame(
+        [(k, f"p{k % 2}", k * 10) for k in keys], ["k", "p", "v"]
+    )
+    table.bulk_insert(df, TS[0])
+    live = set(keys)
+    if d1:
+        table.delete_where(F.col("k").isin(list(d1)), TS[1])
+        live -= set(d1)
+    d2_live = sorted(set(d2) & live)
+    if d2_live:
+        table.delete_where(F.col("k").isin(d2_live), TS[2])
+        live -= set(d2_live)
+    return table, live, sorted(set(d1)), d2_live
+
+
+@pytest.fixture(scope="module")
+def prop_root(spark):
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "prop"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(script=commit_script())
+def test_delete_view_equals_set_difference(spark, prop_root, script):
+    keys, d1, d2 = script
+    base = os.path.join(prop_root, "t1")
+    table, live, d1_eff, d2_eff = _build(spark, base, keys, set(d1), set(d2))
+
+    def view_keys(ts):
+        dv = DeleteView(spark, base, ts)
+        return sorted(int(r["k"]) for r in dv.dataset().select("k").collect())
+
+    if d1_eff:
+        assert view_keys(TS[1]) == d1_eff
+    if d2_eff:
+        assert view_keys(TS[2]) == d2_eff
+
+    # snapshot ⊎ deletes reconstructs the full key universe
+    snap_keys = {int(r["k"]) for r in table.snapshot().select("k").collect()}
+    assert snap_keys == live
+    assert sorted(snap_keys | set(d1_eff) | set(d2_eff)) == sorted(keys)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(script=commit_script())
+def test_incremental_and_time_travel(spark, prop_root, script):
+    keys, d1, d2 = script
+    base = os.path.join(prop_root, "t2")
+    table, live, d1_eff, d2_eff = _build(spark, base, keys, set(d1), set(d2))
+
+    # time travel to C1 sees the full universe
+    t0 = {int(r["k"]) for r in table.snapshot(as_of=TS[0]).select("k").collect()}
+    assert t0 == set(keys)
+    if d1_eff:
+        t1 = {int(r["k"]) for r in table.snapshot(as_of=TS[1]).select("k").collect()}
+        assert t1 == set(keys) - set(d1_eff)
+        # incremental (C1, C1]: the rewrite of surviving rows in deleted groups
+        inc = table.incremental(TS[0], TS[1])
+        inc_keys = {int(r["k"]) for r in inc.select("k").collect()}
+        assert inc_keys.isdisjoint(set(d1_eff))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 1000)), min_size=1, max_size=60
+    )
+)
+def test_upsert_latest_wins(spark, prop_root, rows):
+    """Random upsert batches: the snapshot must hold exactly the last
+    value written per key (row_number dedup inside the writer)."""
+    base = os.path.join(prop_root, "t3")
+    shutil.rmtree(base, ignore_errors=True)
+    table = CowTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2)
+    half = max(1, len(rows) // 2)
+    first, second = rows[:half], rows[half:]
+    expected = {}
+    df1 = spark.createDataFrame([(k, "p0", v) for k, v in first], ["k", "p", "v"])
+    table.bulk_insert(df1, TS[0])
+    # bulk_insert dedups keys deterministically by payload order: min v wins
+    for k, v in sorted(first, key=lambda t: (t[0], t[1]), reverse=True):
+        expected[k] = v
+    for k, v in sorted(first):
+        expected[k] = min(v2 for k2, v2 in first if k2 == k)
+    if second:
+        df2 = spark.createDataFrame([(k, "p0", v) for k, v in second], ["k", "p", "v"])
+        table.upsert(df2, TS[1])
+        for k in {k for k, _ in second}:
+            expected[k] = min(v2 for k2, v2 in second if k2 == k)
+    got = {int(r["k"]): int(r["v"]) for r in table.snapshot().select("k", "v").collect()}
+    assert got == expected

@@ -81,3 +81,26 @@ def test_lsh_candidates_are_exactly_reranked(spark, emb):
         key = (r["query_id"], r["neighbor_id"])
         assert key in exact
         assert abs(r["cosine"] - exact[key]) < 1e-9
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    """IVF with nprobe=4 of nlist=16 scans ~25% of the corpus; recall must
+    clearly beat that random-scan floor."""
+    from hudi_delete_view_spark.operators.similarity import cosine_topk_ivf
+
+    queries = emb.filter("vec_id < 20")
+    exact = cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+    approx = cosine_topk_ivf(emb, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"IVF recall@5 {recall}"
+
+
+def test_ivf_deterministic(spark, emb):
+    from hudi_delete_view_spark.operators.similarity import cosine_topk_ivf
+
+    queries = emb.filter("vec_id < 5")
+    a = sorted(map(tuple, cosine_topk_ivf(emb, queries, "vec_id", "embedding", k=3).collect()))
+    b = sorted(map(tuple, cosine_topk_ivf(emb, queries, "vec_id", "embedding", k=3).collect()))
+    assert a == b
