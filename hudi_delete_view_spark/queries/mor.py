@@ -91,3 +91,21 @@ FROM orders
 def mor_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged view as of the update delta (deletes not yet applied)."""
     return _project(build_orders_mor(spark, sf_dir).snapshot(as_of=C2))
+
+
+@query(
+    "mor_incremental",
+    # changes in (M1, M3]: the M2 updated versions minus keys tombstoned
+    # at M3 (the tombstones themselves are dropped from the result)
+    oracle=f"""
+SELECT {_ORDERS_SQL.format(price="o_totalprice * 2")}
+FROM orders WHERE ({MOR_UPDATE_PRED_SQL}) AND NOT ({MOR_DELETE_PRED_SQL})
+""",
+)
+def mor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read over delta logs: latest changed version per key in
+    (C1, C3], tombstoned keys dropped (B3 on MOR)."""
+    table = build_orders_mor(spark, sf_dir)
+    from ..sources.fixtures import C1
+
+    return _project(table.incremental(C1, C3))

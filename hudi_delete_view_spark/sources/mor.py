@@ -169,6 +169,60 @@ class MorTable(CowTable):
             .drop(DELETED_FIELD)
         )
 
+    def incremental(self, begin_exclusive: str, end_inclusive: str | None = None) -> DataFrame:
+        """Changed rows in (begin, end] — B3 on MOR.
+
+        The COW implementation reads base slices only; on MOR the changes
+        live in delta LOG slices, so the scan must union base + logs of the
+        touched groups before the commit-time range filter. Within the
+        range the latest version per key wins and tombstoned keys drop
+        (same merge as ``snapshot``, restricted to the window)."""
+        from ..plans.slices import touched_file_groups
+
+        end = end_inclusive or self.timeline.latest_timestamp()
+        groups = touched_file_groups(self.timeline, begin_exclusive, end)
+        slices = resolve_slices(self.timeline, end)
+        base_paths, log_paths = [], []
+        for g in sorted(groups):
+            s = slices.get(g)
+            if s is None:
+                continue
+            if s.base_path:
+                base_paths.append(s.base_path)
+            log_paths.extend(s.log_paths)
+        if not base_paths and not log_paths:
+            return self.snapshot(end).limit(0)
+        # base and log files have different schemas (logs carry the
+        # tombstone flag) — read separately and union, as in snapshot();
+        # one mixed read.parquet would silently drop the flag column
+        parts = []
+        if base_paths:
+            base = self.spark.read.parquet(*base_paths)
+            if DELETED_FIELD not in base.columns:
+                base = base.withColumn(DELETED_FIELD, F.lit(False))
+            parts.append(base)
+        if log_paths:
+            parts.append(self.spark.read.parquet(*log_paths))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        if DELETED_FIELD not in df.columns:
+            df = df.withColumn(DELETED_FIELD, F.lit(False))
+        cond = (F.col(COMMIT_TIME_FIELD) > F.lit(begin_exclusive)) & (
+            F.col(COMMIT_TIME_FIELD) <= F.lit(end)
+        )
+        w = Window.partitionBy(
+            file_id_expr(F.col(FILE_NAME_FIELD)), F.col(RECORD_KEY_FIELD)
+        ).orderBy(F.desc(COMMIT_TIME_FIELD), F.desc(COMMIT_SEQNO_FIELD))
+        return (
+            df.filter(cond)
+            .withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") == 1)
+            .drop("__rank")
+            .filter(~F.coalesce(F.col(DELETED_FIELD), F.lit(False)))
+            .drop(DELETED_FIELD)
+        )
+
     # ------------------------------------------------------------------
     # compaction: merge logs into fresh base slices
     # ------------------------------------------------------------------

@@ -113,3 +113,28 @@ def test_mor_delete_view(table, orders):
     assert got == want
     # deleted rows carry their last-known payload (from the base slice)
     assert dv.filter(F.col("o_totalprice").isNull()).count() == 0
+
+
+def test_mor_incremental_reads_log_changes(table, orders):
+    """incremental (M1, M2] = exactly the delta-updated versions;
+    (M1, M3] additionally drops keys tombstoned at M3."""
+    updates = orders.filter("o_orderkey % 7 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    table.upsert_delta(updates, C2)
+    table.delete_delta(
+        orders.filter("o_orderkey % 11 = 0").select("o_orderkey", "o_orderstatus"), C3
+    )
+
+    inc2 = table.incremental(C1, C2)
+    got2 = {r["o_orderkey"] for r in inc2.select("o_orderkey").collect()}
+    want2 = {r["o_orderkey"] for r in orders.filter("o_orderkey % 7 = 0").collect()}
+    assert got2 == want2
+    # updated values visible
+    prices = {r["o_orderkey"]: r["o_totalprice"] for r in inc2.collect()}
+    base = {r["o_orderkey"]: r["o_totalprice"] for r in orders.filter("o_orderkey % 7 = 0").collect()}
+    assert all(abs(prices[k] - 2 * base[k]) < 1e-9 for k in want2)
+
+    inc3 = table.incremental(C1, C3)
+    got3 = {r["o_orderkey"] for r in inc3.select("o_orderkey").collect()}
+    assert got3 == {k for k in want2 if k % 11 != 0}
