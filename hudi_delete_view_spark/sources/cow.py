@@ -321,7 +321,12 @@ class CowTable:
                 on=RECORD_KEY_FIELD,
                 how="left_anti",
             )
-            merged = survivors.unionByName(incoming.drop(_PP, _FID)).select(*incoming.drop(_PP, _FID).columns)
+            # allowMissingColumns = schema evolution: columns added by this
+            # commit appear with nulls on surviving old rows (and vice
+            # versa for columns the incoming batch omits)
+            merged = survivors.unionByName(
+                incoming.drop(_PP, _FID), allowMissingColumns=True
+            )
         else:
             merged = incoming.drop(_PP, _FID)
         # re-derive staging cols for the union result (JVM-side, no shuffle yet)
@@ -331,7 +336,8 @@ class CowTable:
         written = self._write_file_groups(merged, commit_ts, expected_groups=sorted(affected))
         return self._publish(
             commit_ts, "upsert", written, prev_slices,
-            incoming_counts=inc_counts, schema_json=incoming.drop(_PP, _FID).schema.json(),
+            incoming_counts=inc_counts,
+            schema_json=merged.drop(_PP, _FID).schema.json(),  # evolved schema
         )
 
     def delete(self, keys_df: DataFrame, commit_ts: str) -> CommitMetadata:
@@ -389,7 +395,9 @@ class CowTable:
         paths = [slices[g].base_path for g in sorted(groups) if g in slices and slices[g].base_path]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: slices written before a column was added must still
+        # surface it (as nulls) next to slices written after
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def snapshot(self, as_of: str | None = None) -> DataFrame:
         """Latest (or as-of T) file slice per file group — B1/B2.
@@ -412,7 +420,7 @@ class CowTable:
 
                 return self.spark.createDataFrame([], StructType.fromJson(__import__("json").loads(schema_json)))
             raise TimelineError(f"table at {self.base_path} has no commits")
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def incremental(self, begin_exclusive: str, end_inclusive: str | None = None) -> DataFrame:
         """Rows whose records changed in (begin, end] — B3.

@@ -125,3 +125,26 @@ def test_empty_table_errors(spark, scratch):
     with pytest.raises(TimelineError):
         t.snapshot()
     assert Timeline(os.path.join(scratch, "none")).instants() == []
+
+
+def test_schema_evolution_add_column(spark, scratch):
+    """A later commit may add columns (SURVEY §1.2: schema is fixed within
+    a commit, evolvable across commits): old rows surface the new column
+    as null; old slices and new slices merge in one snapshot."""
+    from hudi_delete_view_spark.sources.cow import CowTable
+
+    t = CowTable(spark, os.path.join(scratch, "evo"), key_fields=["k"],
+                 partition_field="p", num_file_groups=2)
+    t.bulk_insert(spark.createDataFrame([(i, "p0", i * 10) for i in range(10)],
+                                        ["k", "p", "v"]), "20280101000000")
+    t.upsert(spark.createDataFrame([(3, "p0", 999, "extra")],
+                                   ["k", "p", "v", "note"]), "20280102000000")
+    snap = t.snapshot()
+    assert "note" in snap.columns
+    rows = {r["k"]: (r["v"], r["note"]) for r in snap.select("k", "v", "note").collect()}
+    assert rows[3] == (999, "extra")
+    assert rows[2] == (20, None)
+    assert snap.count() == 10
+    # time travel before the evolution sees the old schema
+    old = t.snapshot(as_of="20280101000000")
+    assert "note" not in old.columns
