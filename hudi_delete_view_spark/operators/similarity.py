@@ -116,21 +116,17 @@ def cosine_topk_lsh(
     planes = _hyperplanes(dim, bits, tables, seed)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("__cv"))
     q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv"))
-    c_buckets = []
-    q_buckets = []
-    for t, tbl in enumerate(planes):
-        c_buckets.append(
-            c.select("neighbor_id", "__cv", F.lit(t).alias("__t"), _bucket_expr("__cv", tbl).alias("__b"))
+
+    def _explode_buckets(df, vec):
+        # one pass computes every table's bucket id, posexplode yields
+        # (table_idx, bucket) rows — no T-way union of the scan
+        all_buckets = F.array(*[_bucket_expr(vec, tbl) for tbl in planes])
+        return df.select(
+            "*", F.posexplode(all_buckets).alias("__t", "__b")
         )
-        q_buckets.append(
-            q.select("query_id", "__qv", F.lit(t).alias("__t"), _bucket_expr("__qv", tbl).alias("__b"))
-        )
-    cb = c_buckets[0]
-    for x in c_buckets[1:]:
-        cb = cb.unionByName(x)
-    qb = q_buckets[0]
-    for x in q_buckets[1:]:
-        qb = qb.unionByName(x)
+
+    cb = _explode_buckets(c, "__cv")
+    qb = _explode_buckets(q, "__qv")
     cand = (
         qb.join(cb, ["__t", "__b"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

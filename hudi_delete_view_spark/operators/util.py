@@ -20,3 +20,29 @@ def spread(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     if df.rdd.getNumPartitions() < max(1, int(target * min_factor)):
         return df.repartition(target)
     return df
+
+
+def salted_join(
+    left, right, key: str, how: str = "inner", salt: int = 8
+):
+    """Skew-resistant equi-join: replicate the (small-ish) right side
+    ``salt`` times and scatter left rows across salt buckets, so one hot
+    key spreads over ``salt`` shuffle partitions instead of one.
+
+    AQE's skew-join splitting covers most cases automatically; explicit
+    salting is for the pathological single-key hot spot (e.g. a null-ish
+    default key holding 30% of a 100 TB table) where even a split
+    partition's probe side is one task's worth of data.
+    """
+    from pyspark.sql import functions as F
+
+    salted_left = left.withColumn(
+        "__salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))).cast("int")
+    )
+    salted_right = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = salted_left.join(salted_right, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

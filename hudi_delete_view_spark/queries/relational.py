@@ -881,3 +881,18 @@ def rel_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").cast("long").alias("qtr"),
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
     )
+
+
+@query("rel_approx_sketches")  # sketch-based: rows-only driver check
+def rel_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB aggregation path: HLL distinct counts and KLL-style
+    percentile sketches — constant memory per group, one pass, mergeable
+    across partitions (vs. the exact forms in rel_group_stats /
+    rel_percentiles, which are their correctness baselines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias("price_pcts"),
+        F.count("*").alias("n_rows"),
+    )

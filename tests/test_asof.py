@@ -47,3 +47,17 @@ def test_asof_multiple_payload_cols(spark):
     )
     out = asof_join(left, right, "k", "k", "t", "rt", ["name", "score"]).collect()
     assert len(out) == 1 and out[0]["name"] == "b" and out[0]["score"] == 2.5
+
+
+def test_salted_join_matches_plain(spark):
+    """Salting must be semantically invisible (inner and left joins)."""
+    from pyspark.sql import functions as F
+
+    from hudi_delete_view_spark.operators.util import salted_join
+
+    left = spark.range(2000).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (7, "z")], ["k", "tag"])
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, left.join(right, "k", how).collect()))
+        salted = sorted(map(tuple, salted_join(left, right, "k", how).collect()))
+        assert salted == plain, how
