@@ -33,6 +33,10 @@ class WriteStat:
     num_inserts: int = 0
     file_size_bytes: int = 0
     log_file: bool = False  # MOR delta log slice (vs base file)
+    # file-level data skipping: {column: [min, max]} lifted from Parquet
+    # footers at publish time (KB-scale, driver-side; how Delta/Hudi prune
+    # files from metadata before any scan is planned)
+    column_stats: dict = field(default_factory=dict)
 
     def to_dict(self) -> dict:
         return {
@@ -45,6 +49,7 @@ class WriteStat:
             "numInserts": self.num_inserts,
             "fileSizeInBytes": self.file_size_bytes,
             "logFile": self.log_file,
+            "columnStats": self.column_stats,
         }
 
     @classmethod
@@ -59,6 +64,7 @@ class WriteStat:
             num_inserts=int(d.get("numInserts", 0)),
             file_size_bytes=int(d.get("fileSizeInBytes", 0)),
             log_file=bool(d.get("logFile", False)),
+            column_stats=d.get("columnStats", {}) or {},
         )
 
 

@@ -163,3 +163,29 @@ def lake_delete_view_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = build_lineitem_cow(spark, sf_dir)
     dv = delete_view(spark, table.base_path, C3)
     return dv.agg(F.count("*").cast("long").alias("deleted_rows"))
+
+
+# --------------------------------------------------------------------------
+# stats-based file skipping: scan with a partition-column bound — metadata
+# prunes the non-matching partitions' files before any scan is planned
+# --------------------------------------------------------------------------
+@query(
+    "lake_pruned_scan",
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       {_PAYLOAD_SQL.format(qty=_QTY_SQL)}
+FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+  AND l_returnflag = 'R' AND l_orderkey BETWEEN 1000 AND 30000
+""",
+)
+def lake_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping (Delta/Hudi column-stats style): per-file [min, max]
+    published in commit metadata prunes files driver-side; here the
+    l_returnflag bound keeps only the 'R' partition's file groups."""
+    table = build_lineitem_cow(spark, sf_dir)
+    df = table.scan({"l_returnflag": ("R", "R"), "l_orderkey": (1000, 30000)})
+    return df.select(
+        df[RECORD_KEY_FIELD], *[F.col(c) for c in _PAYLOAD],
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate"),
+    )

@@ -88,6 +88,52 @@ def footer_row_count_dir(path: str) -> int:
     return total
 
 
+def _json_safe_stat(v):
+    """Footer min/max -> JSON-storable scalar (None if not representable)."""
+    import datetime
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    return None
+
+
+def footer_column_stats(path: str, cols: list[str]) -> dict[str, list]:
+    """Per-file [min, max] for ``cols``, lifted from Parquet row-group
+    footers — no data scan. A column is omitted when any row group lacks
+    min/max (pruning then stays conservative for that file)."""
+    md = pq.ParquetFile(path).metadata
+    if md.num_rows == 0:
+        return {}
+    idx = {}
+    for i in range(md.num_columns):
+        idx[md.row_group(0).column(i).path_in_schema] = i
+    out: dict[str, list] = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        mn = mx = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx[c]).statistics
+            if s is None or not s.has_min_max:
+                ok = False
+                break
+            mn = s.min if mn is None else min(mn, s.min)
+            mx = s.max if mx is None else max(mx, s.max)
+        if ok:
+            lo, hi = _json_safe_stat(mn), _json_safe_stat(mx)
+            if lo is not None and hi is not None:
+                out[c] = [lo, hi]
+    return out
+
+
 class CowTable:
     """A copy-on-write lake table rooted at ``base_path``.
 
@@ -105,12 +151,20 @@ class CowTable:
         key_fields: list[str],
         partition_field: str | None = None,
         num_file_groups: int = 4,
+        stats_columns: list[str] | None = None,
     ):
         self.spark = spark
         self.base_path = base_path
         self.key_fields = list(key_fields)
         self.partition_field = partition_field
         self.num_file_groups = num_file_groups
+        # columns whose per-file [min, max] is published in commit metadata
+        # for file-level data skipping (default: key + partition columns)
+        self.stats_columns = list(
+            stats_columns
+            if stats_columns is not None
+            else [*key_fields, *( [partition_field] if partition_field else [] )]
+        )
         self.timeline = Timeline(base_path)
 
     # ------------------------------------------------------------------
@@ -259,6 +313,7 @@ class CowTable:
                 inserts = inc - updates
                 deletes = 0
             total_deleted += deletes
+            abs_path = os.path.join(self.base_path, rel_path)
             p2ws.setdefault(partition, []).append(
                 WriteStat(
                     file_id=file_id,
@@ -268,7 +323,8 @@ class CowTable:
                     num_update_writes=updates,
                     num_deletes=deletes,
                     num_inserts=inserts,
-                    file_size_bytes=os.path.getsize(os.path.join(self.base_path, rel_path)),
+                    file_size_bytes=os.path.getsize(abs_path),
+                    column_stats=footer_column_stats(abs_path, self.stats_columns),
                 )
             )
         meta = CommitMetadata(
@@ -421,6 +477,53 @@ class CowTable:
                 return self.spark.createDataFrame([], StructType.fromJson(__import__("json").loads(schema_json)))
             raise TimelineError(f"table at {self.base_path} has no commits")
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def pruned_files(
+        self, between: dict[str, tuple], as_of: str | None = None
+    ) -> tuple[list[str], int]:
+        """File-level data skipping: (kept base paths, total slice count).
+
+        A slice survives iff, for every ``col: (lo, hi)`` bound, its
+        published [min, max] overlaps [lo, hi]; slices without stats for a
+        column are kept (conservative). Driver-side metadata only — at
+        100 TB this is the difference between planning over the files a
+        predicate can touch and listing millions it cannot.
+        """
+        slices = resolve_slices(self.timeline, as_of)
+        kept: list[str] = []
+        total = 0
+        for (_pp, fid), s in sorted(slices.items()):
+            if not s.base_path:
+                continue
+            total += 1
+            meta = self.timeline.commit_metadata(s.commit_ts)
+            stat = meta.find_write_stat(fid)
+            keep = True
+            for col, (lo, hi) in between.items():
+                cs = (stat.column_stats or {}).get(col) if stat else None
+                if cs is None:
+                    continue  # no stats -> cannot prune on this column
+                mn, mx = cs
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    keep = False
+                    break
+            if keep:
+                kept.append(s.base_path)
+        return kept, total
+
+    def scan(self, between: dict[str, tuple], as_of: str | None = None) -> DataFrame:
+        """Snapshot read with stats-based file skipping + the row-level
+        range filter re-applied (skipping is a superset guarantee)."""
+        paths, _total = self.pruned_files(between, as_of)
+        if not paths:
+            return self.snapshot(as_of).limit(0)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        for col, (lo, hi) in between.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     def incremental(self, begin_exclusive: str, end_inclusive: str | None = None) -> DataFrame:
         """Rows whose records changed in (begin, end] — B3.

@@ -38,6 +38,7 @@ from .cow import (
     RECORD_KEY_FIELD,
     CowTable,
     file_id_expr,
+    footer_column_stats,
     _FID,
     _PP,
 )
@@ -112,6 +113,9 @@ class MorTable(CowTable):
                     num_inserts=0,
                     file_size_bytes=os.path.getsize(os.path.join(self.base_path, rel_path)),
                     log_file=True,
+                    column_stats=footer_column_stats(
+                        os.path.join(self.base_path, rel_path), self.stats_columns
+                    ),
                 )
             )
         meta = CommitMetadata(

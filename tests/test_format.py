@@ -148,3 +148,32 @@ def test_schema_evolution_add_column(spark, scratch):
     # time travel before the evolution sees the old schema
     old = t.snapshot(as_of="20280101000000")
     assert "note" not in old.columns
+
+
+def test_stats_pruned_scan(spark, scratch):
+    """File-level data skipping: a range predicate on a clustered column
+    must skip files whose [min, max] cannot match, and the scan result
+    must equal the full snapshot filter."""
+    from hudi_delete_view_spark.sources.cow import CowTable
+
+    t = CowTable(spark, os.path.join(scratch, "pruned"), key_fields=["k"],
+                 partition_field="band", num_file_groups=1, stats_columns=["k", "band"])
+    # 4 partitions x 1 group; k clustered by partition -> tight per-file stats
+    rows = [(k, f"b{k // 100}", k * 2) for k in range(400)]
+    t.bulk_insert(spark.createDataFrame(rows, ["k", "band", "v"]), "20290101000000")
+
+    kept, total = t.pruned_files({"k": (120, 180)})
+    assert total == 4
+    assert len(kept) == 1  # only the b1 file overlaps [120, 180]
+
+    got = sorted(r["k"] for r in t.scan({"k": (120, 180)}).select("k").collect())
+    want = sorted(r["k"] for r in t.snapshot().filter("k between 120 and 180").select("k").collect())
+    assert got == want == list(range(120, 181))
+
+    # string column pruning (partition value is min == max per file)
+    kept_b, _ = t.pruned_files({"band": ("b2", "b2")})
+    assert len(kept_b) == 1
+
+    # conservative: unknown column prunes nothing
+    kept_u, _ = t.pruned_files({"unknown_col": (0, 1)})
+    assert len(kept_u) == 4
