@@ -152,3 +152,38 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", top_k: int = 3
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (B11 'tf-idf-style aggregates').
+
+    tf = term count in doc; idf = ln(N / df). Two shuffles: term explode ->
+    (doc, term) counts, then a broadcast join of the tiny df table back.
+    At 100 TB the document-frequency table is vocabulary-sized (MB), so it
+    broadcasts; the per-doc ranking is one window partitioned by doc id.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__did"),
+        F.explode(
+            F.expr(f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("__did", "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col)).collect()[0][0]
+    dfreq = tf.groupBy("term").agg(F.countDistinct("__did").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    )
+    w = Window.partitionBy("__did").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .select(
+            F.col("__did").alias(id_col), "term", "tf", "df", "tfidf",
+            F.col("__rn").alias("rank"),
+        )
+    )
