@@ -26,6 +26,7 @@ from hudi_delete_view_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "lake_delete_view",        # B6 flagship: stats-pruned anti-join pipeline
     "lake_snapshot",           # B1 snapshot read
+    "lake_pruned_scan",        # column-stats file skipping
     "mor_snapshot",            # B4 merge-on-read latest-per-key window
     "rel_q1_pricing_summary",  # B7 wide aggregation
     "rel_q3_top_orders",       # B7 3-way join + agg + top-k
@@ -35,6 +36,7 @@ HEADLINE = [
     "dedup_exact_count",       # B8 exact dedup
     "dedup_minhash_survivors", # B9 MinHash-LSH near-dup
     "text_stats",              # B11 text analysis
+    "text_tfidf_top_terms",    # B11 corpus-level tf-idf
     "sim_topk_bruteforce",     # B10 cosine top-k (exact)
     "sim_topk_lsh",            # B10 cosine top-k (LSH scale path)
     "stream_session_windows",  # B13 stateful streaming session agg

@@ -90,3 +90,36 @@ def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: one row per user (append mode; the row
     kept per key is arbitrary, so only the key column is exposed)."""
     return run_to_table(dedup_first_per_user(events_stream(spark, sf_dir)), mode="append")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+SELECT e.event_type, c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       ROUND(SUM(CAST(round(e.value * 100) AS BIGINT)) / 100.0, 6) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events stream joined to the customer
+    dimension (broadcast, re-planned per micro-batch), then aggregated."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.ops import enrich_with_dim
+
+    dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_with_dim(events_stream(spark, sf_dir), dim, "user_id")
+    agg = enriched.groupBy(
+        "event_type", F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.expr("cast(round(value * 100) as bigint)")) / F.lit(100.0), 6)
+        .alias("sum_value"),
+    )
+    return run_to_table(agg)

@@ -478,6 +478,40 @@ class CowTable:
             raise TimelineError(f"table at {self.base_path} has no commits")
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def clean(self, retain_last_n: int = 2, dry_run: bool = False) -> list[str]:
+        """Retention cleaner (Hudi cleaner analogue): delete data files no
+        longer referenced by any snapshot within the last ``retain_last_n``
+        commits — i.e. files only older time-travel reads could see.
+
+        Driver-side metadata arithmetic: referenced = union of
+        resolve_slices(as_of=T) for each retained T (time travel within the
+        retention window keeps working); everything else under a partition
+        dir that came from an earlier slice version is removed. Commit
+        metadata itself is never deleted (the timeline stays auditable).
+        Returns the deleted paths (or the would-delete list when
+        ``dry_run``)."""
+        ts_list = self.timeline.timestamps()
+        if not ts_list:
+            return []
+        retained = ts_list[-retain_last_n:]
+        referenced: set[str] = set()
+        for t in retained:
+            for s in resolve_slices(self.timeline, t).values():
+                if s.base_path:
+                    referenced.add(os.path.abspath(s.base_path))
+                referenced.update(os.path.abspath(p) for p in s.log_paths)
+        # every data file any commit ever wrote
+        all_files: set[str] = set()
+        for t in ts_list:
+            for _p, stat in self.timeline.commit_metadata(t).all_stats():
+                all_files.add(os.path.abspath(os.path.join(self.base_path, stat.path)))
+        doomed = sorted(all_files - referenced)
+        if not dry_run:
+            for p in doomed:
+                if os.path.exists(p):
+                    os.remove(p)
+        return doomed
+
     def pruned_files(
         self, between: dict[str, tuple], as_of: str | None = None
     ) -> tuple[list[str], int]:

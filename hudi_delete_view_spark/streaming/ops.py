@@ -153,3 +153,14 @@ def foreach_batch_upsert(stream_df: DataFrame, table, timestamp_fn) -> None:
 
     q = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich each event with a dimension row.
+
+    The static side is planned per micro-batch (so a refreshed dim table
+    is picked up batch-to-batch) and broadcast when small — the standard
+    streaming enrichment shape; no state store involved."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on, "left")

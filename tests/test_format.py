@@ -177,3 +177,29 @@ def test_stats_pruned_scan(spark, scratch):
     # conservative: unknown column prunes nothing
     kept_u, _ = t.pruned_files({"unknown_col": (0, 1)})
     assert len(kept_u) == 4
+
+
+def test_cleaner_retention(spark, scratch, lineitem):
+    """clean(retain_last_n=2) removes only files that no retained snapshot
+    references; recent snapshots and time travel within retention work;
+    older time travel loses its files (by design)."""
+    from hudi_delete_view_spark.sources.cow import CowTable
+
+    t = CowTable(spark, os.path.join(scratch, "cleaned"), key_fields=["k"],
+                 partition_field="p", num_file_groups=2)
+    df = spark.createDataFrame([(i, "p0", i) for i in range(100)], ["k", "p", "v"])
+    t.bulk_insert(df, "20300101000000")
+    t.upsert(df.withColumn("v", F.col("v") + 1), "20300102000000")  # rewrites all groups
+    t.upsert(df.withColumn("v", F.col("v") + 2), "20300103000000")
+
+    doomed = t.clean(retain_last_n=2, dry_run=True)
+    assert len(doomed) == 2  # the two C1 slices, superseded twice
+    assert all("20300101000000" in p for p in doomed)
+
+    deleted = t.clean(retain_last_n=2)
+    assert deleted == doomed
+    assert all(not os.path.exists(p) for p in deleted)
+    # retained snapshots intact
+    assert t.snapshot().count() == 100
+    assert t.snapshot(as_of="20300102000000").count() == 100
+    assert {r["v"] for r in t.snapshot().filter("k = 5").collect()} == {7}
