@@ -122,3 +122,42 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 20")
     return cosine_topk_ivf(emb, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=4)
+
+
+@query(
+    "pipeline_dedup_topk",
+    # end-to-end LLM-pipeline composition: exact text dedup -> join to the
+    # embedding table -> exact top-3 neighbors among surviving docs only
+    oracle="""
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+),
+e AS (
+  SELECT em.vec_id, CAST(em.embedding AS DOUBLE[]) AS v
+  FROM embeddings em JOIN keep k ON em.vec_id = k.doc_id
+)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id
+  ) AS INT) AS rank
+FROM e q JOIN e c ON q.vec_id != c.vec_id
+WHERE q.vec_id < 10
+QUALIFY rank <= 3
+""",
+)
+def pipeline_dedup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline: dedup the corpus, keep surviving docs'
+    embeddings, search neighbors only among survivors — the shape of a
+    real training-data curation pass (dedup feeding retrieval)."""
+    from ..operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    keep = exact_dedup(docs, keys=["text"], order_by=["doc_id"]).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = emb.join(keep, "vec_id", "left_semi")
+    queries = corpus.filter("vec_id < 10")
+    return cosine_topk_bruteforce(corpus, queries, "vec_id", "embedding", k=3)

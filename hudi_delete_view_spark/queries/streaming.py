@@ -123,3 +123,22 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value"),
     )
     return run_to_table(agg)
+
+
+@query(
+    "stream_stateful_totals",
+    # single-file replay = one micro-batch, so running totals == batch agg
+    oracle="""
+SELECT user_id, COUNT(*) AS batch_events, COUNT(*) AS total_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+FROM events GROUP BY user_id
+""",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals maintained in the state store across micro-batches."""
+    from ..streaming.ops import stateful_running_totals
+
+    return run_to_table(
+        stateful_running_totals(events_stream(spark, sf_dir)), mode="append"
+    )

@@ -164,3 +164,56 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return stream.join(F.broadcast(dim), on, "left")
+
+
+def stateful_running_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals that survive across micro-batches (state = one
+    (count, cents) pair per user, Arrow-batched per group per batch).
+
+    This is the escape hatch for operators Spark's built-in stateful ops
+    can't express (custom accumulators, model state, CEP-ish logic); the
+    state store bounds memory to O(active keys)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("batch_events", LongType()),
+            StructField("total_events", LongType()),
+            StructField("total_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        batch_n = 0
+        for pdf in pdf_iter:
+            batch_n += len(pdf)
+            cents += int(round(pdf["value"].mul(100).round()).sum())
+        n += batch_n
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "batch_events": [batch_n],
+                "total_events": [n],
+                "total_cents": [cents],
+            }
+        )
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

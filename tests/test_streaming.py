@@ -105,3 +105,38 @@ def test_foreach_batch_upsert_ingests_stream(spark, sf_dir, scratch):
     got = {r["event_id"]: r["value"] for r in snap.select("event_id", "value").collect()}
     want = {r["event_id"]: r["value"] for r in src.select("event_id", "value").collect()}
     assert got == want
+
+
+def test_stateful_totals_accumulate_across_batches(spark, scratch):
+    """applyInPandasWithState: totals must carry state batch to batch
+    (two files, maxFilesPerTrigger=1 -> two micro-batches)."""
+    from hudi_delete_view_spark.streaming.ops import stateful_running_totals
+
+    src = os.path.join(scratch, "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], ["user_id", "value"]
+    ).coalesce(1).write.parquet(os.path.join(src, "f1"))
+    spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (2, 3.0)], ["user_id", "value"]
+    ).coalesce(1).write.parquet(os.path.join(src, "f2"))
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "f*"))
+    )
+    out = run_to_table(stateful_running_totals(stream), mode="append")
+    rows = [(r["user_id"], r["batch_events"], r["total_events"], r["total_cents"])
+            for r in out.collect()]
+    # per user, the max total_events must equal the sum of batch_events —
+    # i.e. the second batch's total includes the first batch's state
+    by_user = {}
+    for u, b, t, c in rows:
+        by_user.setdefault(u, []).append((b, t, c))
+    assert max(t for _b, t, _c in by_user[1]) == 3
+    assert max(t for _b, t, _c in by_user[2]) == 3
+    assert max(c for _b, _t, c in by_user[1]) == 3100  # 10+20+1 in cents
+    assert max(c for _b, _t, c in by_user[2]) == 1000  # 5+2+3 in cents
+    # two emission rows per user (one per batch in which the user appeared)
+    assert len(by_user[1]) == 2 and len(by_user[2]) == 2
