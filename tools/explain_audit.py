@@ -43,6 +43,10 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "sim_topk_bruteforce": (["BroadcastNestedLoopJoin"], ["SortMergeJoin"]),
     # exact dedup count: partial aggregation, no join
     "dedup_exact_count": (["partial_"], ["Join"]),
+    # correlated EXISTS decorrelates to a semi join (no per-row subquery)
+    "rel_exists_subquery": (["LeftSemi"], ["CartesianProduct"]),
+    # tf-idf: the vocabulary-sized document-frequency table broadcasts
+    "text_tfidf_top_terms": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
