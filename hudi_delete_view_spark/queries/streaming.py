@@ -142,3 +142,24 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(
         stateful_running_totals(events_stream(spark, sf_dir)), mode="append"
     )
+
+
+@query(
+    "stream_stream_funnel",
+    oracle="""
+SELECT a.user_id,
+       a.event_id AS first_id, b.event_id AS then_id,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS then_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+""",
+)
+def stream_stream_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream funnel join: click -> purchase by the same user
+    within 1 hour (watermarked state on both sides)."""
+    from ..streaming.ops import stream_stream_funnel
+
+    return run_to_table(stream_stream_funnel(events_stream(spark, sf_dir)), mode="append")

@@ -217,3 +217,53 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
             update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stream_stream_funnel(
+    stream: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join (funnel/CEP shape): for each user, pair a
+    ``first_type`` event with any ``then_type`` event that follows it
+    within ``within``.
+
+    Both sides carry watermarks and the join has a bounded time-range
+    condition, so the state store can expire buffered rows — the required
+    shape for an unbounded stream-stream join."""
+    from pyspark.sql import functions as F
+
+    a = (
+        stream.filter(F.col("event_type") == first_type)
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("first_id"),
+            F.col("ts").alias("first_ts"),
+        )
+        .withWatermark("first_ts", watermark)
+    )
+    b = (
+        stream.filter(F.col("event_type") == then_type)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("then_id"),
+            F.col("ts").alias("then_ts"),
+        )
+        .withWatermark("then_ts", watermark)
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("then_ts") > F.col("first_ts"))
+        & (F.col("then_ts") <= F.col("first_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    )
+    return joined.select(
+        F.col("a_user").alias("user_id"),
+        "first_id",
+        "then_id",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format("then_ts", "yyyy-MM-dd HH:mm:ss").alias("then_ts"),
+    )

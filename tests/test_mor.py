@@ -138,3 +138,27 @@ def test_mor_incremental_reads_log_changes(table, orders):
     inc3 = table.incremental(C1, C3)
     got3 = {r["o_orderkey"] for r in inc3.select("o_orderkey").collect()}
     assert got3 == {k for k in want2 if k % 11 != 0}
+
+
+def test_log_only_file_group(spark, orders, scratch):
+    """A delta upsert introducing keys in a NEW partition creates a
+    log-only slice (no base file); the merged snapshot must surface those
+    rows, and compaction must give them a base file."""
+    t = MorTable(
+        spark,
+        os.path.join(scratch, "logonly"),
+        key_fields=["o_orderkey"],
+        partition_field="o_orderstatus",
+        num_file_groups=2,
+    )
+    t.bulk_insert(orders.filter("o_orderstatus = 'F'"), C1)
+    # keys in partition 'O' never had a base file
+    newpart = orders.filter("o_orderstatus = 'O'").limit(50)
+    t.upsert_delta(newpart, C2)
+    snap = t.snapshot()
+    assert snap.filter("o_orderstatus = 'O'").count() == 50
+    # read-optimized view (base only) must NOT see them yet
+    assert t.read_optimized().filter("o_orderstatus = 'O'").count() == 0
+    t.compact(C3)
+    assert t.read_optimized().filter("o_orderstatus = 'O'").count() == 50
+    assert t.snapshot().count() == snap.count()
