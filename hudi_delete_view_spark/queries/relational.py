@@ -896,3 +896,58 @@ def rel_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias("price_pcts"),
         F.count("*").alias("n_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# bucketed co-located join: both sides pre-bucketed on the join key, so
+# the sort-merge join needs NO Exchange (the 100 TB answer to repeated
+# large-to-large joins on a stable key)
+# --------------------------------------------------------------------------
+def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str, n: int = 8) -> DataFrame:
+    """Register (once per session) a bucketed copy of a TESTDATA table;
+    data lives under the repo scratch dir, catalog entry is in-memory."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tbl = f"bkt_{name}_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".scratch", "bucketed", tag, name,
+        )
+        (
+            _t(spark, sf_dir, name)
+            .write.format("parquet")
+            .bucketBy(n, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    return spark.table(tbl)
+
+
+@query(
+    "rel_bucketed_join",
+    oracle="""
+SELECT o.o_custkey,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+  MAX(c.c_mktsegment) AS segment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey
+""",
+)
+def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer on the bucket key: both sides pre-hashed into 8
+    buckets on custkey, so the join plan contains no Exchange — bucket i
+    joins bucket i in place (audited in PLANS.md)."""
+    o = _bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    c = _bucketed_table(spark, sf_dir, "customer", "c_custkey")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+            F.max("c_mktsegment").alias("segment"),
+        )
+    )

@@ -47,6 +47,15 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "rel_exists_subquery": (["LeftSemi"], ["CartesianProduct"]),
     # tf-idf: the vocabulary-sized document-frequency table broadcasts
     "text_tfidf_top_terms": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # bucketed co-located join: with broadcast disabled (so the plan shows
+    # the large-to-large shape 100 TB would force), the sort-merge join
+    # consumes bucketed scans directly — NO hash-partitioning exchange
+    "rel_bucketed_join": (["SortMergeJoin", "Bucketed: true"], ["Exchange hashpartitioning"]),
+}
+
+# per-query session confs applied while building the audited plan
+AUDIT_CONFS: dict[str, dict[str, str]] = {
+    "rel_bucketed_join": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
 }
 
 
@@ -73,10 +82,21 @@ def main() -> None:
     sections = []
     results = []
     for name, (must, must_not) in AUDITS.items():
-        df = _audit_df(name, spark, reg)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
+        saved = {}
+        for k, v in AUDIT_CONFS.get(name, {}).items():
+            saved[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        try:
+            df = _audit_df(name, spark, reg)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
         plan = buf.getvalue()
         missing = [m for m in must if m not in plan]
         present = [m for m in must_not if m in plan]
