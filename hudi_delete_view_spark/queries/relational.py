@@ -951,3 +951,67 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_mktsegment").alias("segment"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional aggregation over a fact-dim join (promo
+# revenue share); the part side broadcasts, the CASE folds into the agg
+# --------------------------------------------------------------------------
+@query(
+    "rel_q14_promo_share",
+    oracle="""
+SELECT ROUND(
+  100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+      ELSE 0 END) AS DOUBLE)
+  / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+  6) AS promo_share
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""",
+)
+def rel_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-column predicates (brand x size x
+# quantity bands OR-ed together) — exercises predicate normalization and
+# partial pushdown of the common conjuncts
+# --------------------------------------------------------------------------
+@query(
+    "rel_q19_disjunctive",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#9'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 50)
+""",
+)
+def rel_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
+    )
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n"))
+    )

@@ -137,3 +137,63 @@ def test_upsert_latest_wins(spark, prop_root, rows):
             expected[k] = min(v2 for k2, v2 in second if k2 == k)
     got = {int(r["k"]): int(r["v"]) for r in table.snapshot().select("k", "v").collect()}
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["upsert", "delete"]),
+            st.sets(st.integers(0, 20), min_size=1, max_size=10),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_mor_random_delta_script(spark, prop_root, ops):
+    """Random delta upsert/tombstone sequences: the merged snapshot must
+    equal a driver-side replay of the same script (latest wins, tombstones
+    drop), and compaction must preserve it exactly."""
+    import shutil as _sh
+
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    base = os.path.join(prop_root, "mor")
+    _sh.rmtree(base, ignore_errors=True)
+    t = MorTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2)
+    keys = list(range(21))
+    t.bulk_insert(
+        spark.createDataFrame([(k, "p0", 0) for k in keys], ["k", "p", "v"]),
+        "20310101000000",
+    )
+    model = {k: 0 for k in keys}
+    for i, (op, subset) in enumerate(ops):
+        ts = f"203101020000{i:02d}"
+        sub = sorted(subset)
+        if op == "upsert":
+            t.upsert_delta(
+                spark.createDataFrame([(k, "p0", i + 1) for k in sub], ["k", "p", "v"]), ts
+            )
+            for k in sub:
+                model[k] = i + 1
+        else:
+            live = [k for k in sub if k in model]
+            if not live:
+                continue
+            t.delete_delta(
+                spark.createDataFrame([(k, "p0") for k in live], ["k", "p"]), ts
+            )
+            for k in live:
+                model.pop(k)
+    got = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+    assert got == model
+    # compaction must not change the merged view
+    from hudi_delete_view_spark.plans.slices import resolve_slices
+    from hudi_delete_view_spark.plans.timeline import TimelineError
+
+    try:
+        t.compact("20310103000000")
+        got2 = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+        assert got2 == model
+    except TimelineError:
+        pass  # no logs to compact (all ops were no-ops)
