@@ -35,7 +35,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized reader rejects; read nanos as long and convert to a
     microsecond TimestampType column. Integer ``DIV`` (not ``/1000`` in
     double — epoch nanos exceed 2^53, so float division drifts by ±1us
-    against DuckDB's truncation)."""
+    against DuckDB's truncation).
+
+    Session TZ is pinned to UTC here because the driver may hand us a
+    session with another zone — TimestampType rendering and window
+    boundaries are TZ-dependent, and the DuckDB oracle renders wall-clock."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes)["ts"] in ("bigint", "long"):

@@ -40,7 +40,9 @@ EVENTS_SCHEMA = StructType(
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema pinned — streaming
     sources cannot infer), nanos converted to a microsecond timestamp with
-    exact integer division."""
+    exact integer division. Session TZ pinned to UTC (window boundaries
+    and timestamp rendering are TZ-dependent; the oracle is wall-clock)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
