@@ -251,7 +251,10 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__jid"), char_shingles(text_col, shingle_k).alias("__jsh")
     )
     if pairs is not None:
-        # joined on both sides below — persist so shingling runs once
+        # joined on both sides below — persist so shingling runs once.
+        # (Shingling only pair-member docs via a semi join was measured
+        # SLOWER here: deriving the id set re-executes the candidate-pair
+        # subtree, which costs more than shingling every doc once.)
         sh = sh.persist()
     a = sh.select(F.col("__jid").alias("id_a"), F.col("__jsh").alias("__sh_a"))
     b = sh.select(F.col("__jid").alias("id_b"), F.col("__jsh").alias("__sh_b"))
