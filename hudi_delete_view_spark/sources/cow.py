@@ -34,7 +34,7 @@ import shutil
 from urllib.parse import unquote
 
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.metadata import CommitMetadata, WriteStat
@@ -206,6 +206,22 @@ class CowTable:
         payload = [c for c in df.columns if c not in META_FIELDS]
         return out.select(*META_FIELDS, *payload, _PP, _FID)
 
+    def _dedup_incoming(self, stamped: DataFrame) -> DataFrame:
+        """Enforce record-key uniqueness within an incoming batch (the
+        Hudi precombine analogue): deterministic winner = first row under
+        payload-column ordering. Without this, duplicate keys in one batch
+        would both land in the table and break the key invariant the
+        delete-view anti-join and MOR merge rely on."""
+        payload = [
+            c for c in stamped.columns if c not in META_FIELDS and c not in (_PP, _FID)
+        ]
+        w = Window.partitionBy(RECORD_KEY_FIELD).orderBy(*payload)
+        return (
+            stamped.withColumn("__dup_rn", F.row_number().over(w))
+            .filter(F.col("__dup_rn") == 1)
+            .drop("__dup_rn")
+        )
+
     # ------------------------------------------------------------------
     # physical write: one shuffle job, driver renames only
     # ------------------------------------------------------------------
@@ -343,7 +359,7 @@ class CowTable:
     # ------------------------------------------------------------------
     def bulk_insert(self, df: DataFrame, commit_ts: str) -> CommitMetadata:
         """Initial load: hash-bucket all rows into file groups, one job."""
-        stamped = self._with_meta(df, commit_ts)
+        stamped = self._dedup_incoming(self._with_meta(df, commit_ts))
         inc = {
             (r[_PP], r[_FID]): r["cnt"]
             for r in stamped.groupBy(_PP, _FID).agg(F.count("*").alias("cnt")).collect()
@@ -363,7 +379,7 @@ class CowTable:
         Unchanged rows keep their original meta columns (so incremental
         reads by ``_hoodie_commit_time`` see only truly-changed records).
         """
-        incoming = self._with_meta(df, commit_ts)
+        incoming = self._dedup_incoming(self._with_meta(df, commit_ts))
         inc_counts = {
             (r[_PP], r[_FID]): r["cnt"]
             for r in incoming.groupBy(_PP, _FID).agg(F.count("*").alias("cnt")).collect()

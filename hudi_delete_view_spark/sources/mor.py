@@ -51,10 +51,13 @@ class MorTable(CowTable):
     # delta writes (log append — no base rewrite)
     # ------------------------------------------------------------------
     def upsert_delta(self, df: DataFrame, commit_ts: str) -> "CommitMetadata":
-        """Append new row versions as log slices (one job, no base read)."""
-        incoming = self._with_meta(df, commit_ts, suffix=".log.parquet").withColumn(
-            DELETED_FIELD, F.lit(False)
-        )
+        """Append new row versions as log slices (one job, no base read).
+        Incoming dedup keeps one version per key per delta batch (the
+        merge's (commit_time, seqno) tiebreak is deterministic only across
+        batches, not within one)."""
+        incoming = self._dedup_incoming(
+            self._with_meta(df, commit_ts, suffix=".log.parquet")
+        ).withColumn(DELETED_FIELD, F.lit(False))
         return self._write_delta(incoming, commit_ts, operation="delta_commit")
 
     def delete_delta(self, keys_df: DataFrame, commit_ts: str) -> "CommitMetadata":
