@@ -117,22 +117,27 @@ def cosine_topk_lsh(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("__cv"))
     q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv"))
 
-    def _explode_buckets(df, vec):
+    def _explode_buckets(df, vec, id_name):
         # one pass computes every table's bucket id, posexplode yields
-        # (table_idx, bucket) rows — no T-way union of the scan
+        # (table_idx, bucket) rows — no T-way union of the scan. Vectors
+        # are dropped BEFORE the bucket join: the collision join and the
+        # pair dedup shuffle 16-byte id pairs, not 0.5 KB vectors (the
+        # difference between a light and a crushing shuffle at 100 TB)
         all_buckets = F.array(*[_bucket_expr(vec, tbl) for tbl in planes])
         return df.select(
-            "*", F.posexplode(all_buckets).alias("__t", "__b")
+            id_name, F.posexplode(all_buckets).alias("__t", "__b")
         )
 
-    cb = _explode_buckets(c, "__cv")
-    qb = _explode_buckets(q, "__qv")
-    cand = (
+    cb = _explode_buckets(c, "__cv", "neighbor_id")
+    qb = _explode_buckets(q, "__qv", "query_id")
+    cand_ids = (
         qb.join(cb, ["__t", "__b"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "__qv", "neighbor_id", "__cv")
+        .select("query_id", "neighbor_id")
         .distinct()  # a pair may collide in several tables
     )
+    # re-attach vectors only to surviving pairs (query side broadcasts)
+    cand = cand_ids.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
     scored = cand.withColumn("cosine", F.round(cosine_expr("__qv", "__cv"), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
