@@ -1020,3 +1020,36 @@ def rel_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n"))
     )
+
+
+@query(
+    "rel_window_value_functions",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
+  CAST(LAST_VALUE(o_totalprice) OVER w AS DOUBLE) AS last_price,
+  CAST(NTH_VALUE(o_totalprice, 2) OVER w AS DOUBLE) AS second_price,
+  CAST(FIRST_VALUE(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END IGNORE NULLS)
+       OVER w AS DOUBLE) AS first_f_price
+FROM orders WHERE o_custkey < 40
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def rel_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over an unbounded frame + IGNORE NULLS variant
+    (per-customer order history navigation)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 40)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    f_price = F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.first("o_totalprice").over(w).cast("double").alias("first_price"),
+        F.last("o_totalprice").over(w).cast("double").alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).cast("double").alias("second_price"),
+        F.first(f_price, ignorenulls=True).over(w).cast("double").alias("first_f_price"),
+    )

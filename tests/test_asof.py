@@ -61,3 +61,21 @@ def test_salted_join_matches_plain(spark):
         plain = sorted(map(tuple, left.join(right, "k", how).collect()))
         salted = sorted(map(tuple, salted_join(left, right, "k", how).collect()))
         assert salted == plain, how
+
+
+def test_functions_surface_imports(spark):
+    """The curated functions package must expose every name in __all__ and
+    each column factory must build a usable Column."""
+    from pyspark.sql import functions as F
+
+    from hudi_delete_view_spark import functions as Fx
+
+    for name in Fx.__all__:
+        assert hasattr(Fx, name), name
+    df = spark.createDataFrame([(1, "hello world", [1.0, 2.0])], ["id", "text", "vec"])
+    out = df.select(
+        Fx.token_count("text").alias("n"),
+        Fx.fingerprint("text").alias("fp"),
+        Fx.char_shingles("text", 3).alias("sh"),
+    ).collect()[0]
+    assert out["n"] == 2 and len(out["fp"]) == 32 and len(out["sh"]) > 0
