@@ -28,11 +28,21 @@ def query(name: str, oracle: str | None = None):
 
 
 def load_all() -> None:
-    """Import every query module so registration side effects run."""
-    from . import lake, mor  # noqa: F401
+    """Import every query module so registration side effects run.
 
-    for mod in ("relational", "dedup", "text", "similarity", "multimodal", "streaming"):
-        try:
-            __import__(f"{__name__}.{mod}")
-        except ImportError:
-            pass  # module not built yet (incremental rounds)
+    Order matters: the driver's correctness harness oracle-checks the first
+    50 registered queries, so the modules whose queries most need a driver
+    row go first (lake/mor table format, then the LLM-pipeline operators),
+    and the large relational corpus — fully driver-verified in round 1 —
+    fills the remaining slots and the tail. A broken module must raise, not
+    silently shrink the registry."""
+    from . import (  # noqa: F401
+        lake,
+        mor,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        streaming,
+        relational,
+    )

@@ -19,7 +19,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from .relational import _t
+from ._tables import _t
 from . import query
 
 

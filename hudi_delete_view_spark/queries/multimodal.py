@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import attach_fake_media, extract_features, frame_sample_plan
-from .relational import _t
+from ._tables import _t
 from . import query
 
 _MEDIA_TYPE_SQL = "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"

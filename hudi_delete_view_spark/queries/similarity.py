@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
-from .relational import _t
+from ._tables import _t
 from . import query
 
 

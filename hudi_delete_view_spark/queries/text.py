@@ -17,7 +17,7 @@ from ..operators.text import (
     token_count,
     word_token_count,
 )
-from .relational import _t
+from ._tables import _t
 from . import query
 
 # SQL mirrors of the operator expressions (DuckDB dialect) ------------------
