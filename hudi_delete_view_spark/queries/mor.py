@@ -10,9 +10,12 @@ from ..sources.cow import COMMIT_TIME_FIELD, RECORD_KEY_FIELD
 from ..sources.fixtures import (
     C2,
     C3,
+    C5,
+    MOR_DELETE2_PRED_SQL,
     MOR_DELETE_PRED_SQL,
     MOR_UPDATE_PRED_SQL,
     build_orders_mor,
+    build_orders_mor_compacted,
 )
 from . import query
 
@@ -71,7 +74,10 @@ def mor_delete_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows deleted by the tombstone commit, reconstructed from the merged
     timeline while the deletes still live only in logs (pre-compaction)."""
     table = build_orders_mor(spark, sf_dir)
-    dv = table.delete_view(C3)
+    return _delete_view_projection(table.delete_view(C3))
+
+
+def _delete_view_projection(dv: DataFrame) -> DataFrame:
     return dv.select(
         F.col(COMMIT_TIME_FIELD),
         F.col(RECORD_KEY_FIELD),
@@ -79,6 +85,42 @@ def mor_delete_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
         F.col("o_orderpriority"),
     )
+
+
+@query(
+    "mor_delete_view_log_only",
+    # M5 tombstones target o_orderkey % 13 = 0 but the % 11 keys were
+    # already deleted at M3, so only the remainder is actually deleted
+    oracle=f"""
+SELECT '{C5}' AS {COMMIT_TIME_FIELD},
+       CAST(o_orderkey AS VARCHAR) AS {RECORD_KEY_FIELD},
+       {_ORDERS_SQL.format(price=_PRICE_SQL)}
+FROM orders WHERE ({MOR_DELETE2_PRED_SQL}) AND NOT ({MOR_DELETE_PRED_SQL})
+""",
+)
+def mor_delete_view_log_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete view of a commit whose tombstones live ONLY in un-compacted
+    logs stacked on a compacted base (M4 compaction between the two delete
+    commits); phantom tombstones for already-deleted keys must not appear."""
+    table = build_orders_mor_compacted(spark, sf_dir)
+    return _delete_view_projection(table.delete_view(C5))
+
+
+@query(
+    "mor_delete_view_across_compaction",
+    oracle=f"""
+SELECT '{C3}' AS {COMMIT_TIME_FIELD},
+       CAST(o_orderkey AS VARCHAR) AS {RECORD_KEY_FIELD},
+       {_ORDERS_SQL.format(price=_PRICE_SQL)}
+FROM orders WHERE {MOR_DELETE_PRED_SQL}
+""",
+)
+def mor_delete_view_across_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete view of the pre-compaction M3 commit AFTER M4 compaction
+    rewrote every group: reconstruction must time-travel to the M2/M3
+    merged views, not the compacted base."""
+    table = build_orders_mor_compacted(spark, sf_dir)
+    return _delete_view_projection(table.delete_view(C3))
 
 
 @query(

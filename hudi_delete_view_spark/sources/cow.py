@@ -324,9 +324,15 @@ class CowTable:
                 deletes = prev_rows - new_rows
                 updates = 0
                 inserts = 0
+            elif operation == "compaction":
+                # compaction changes no records — with inc=0 the generic
+                # arithmetic would publish negative inserts and phantom
+                # updates whenever the merged output is smaller than the
+                # previous base (log tombstones applied)
+                updates = inserts = deletes = 0
             else:
                 updates = max(0, prev_rows + inc - new_rows)
-                inserts = inc - updates
+                inserts = max(0, inc - updates)
                 deletes = 0
             total_deleted += deletes
             abs_path = os.path.join(self.base_path, rel_path)

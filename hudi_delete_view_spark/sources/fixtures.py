@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from .cow import CowTable
 
 C1, C2, C3, C4 = "20260101000000", "20260102000000", "20260103000000", "20260104000000"
+C5 = "20260105000000"
 SCRATCH_ROOT = os.environ.get(
     "SPARK_GRAFT_SCRATCH",
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch"),
@@ -147,5 +148,58 @@ def build_orders_mor(spark: SparkSession, sf_dir: str, base_path: str | None = N
     table.upsert_delta(updates, C2)
     table.delete_delta(
         src.filter(F.expr(MOR_DELETE_PRED_SQL)).select("o_orderkey", "o_orderstatus"), C3
+    )
+    return table
+
+
+# --------------------------------------------------------------------------
+# orders_mor_compacted — MOR fixture with a compaction mid-timeline:
+#   M1 bulk-insert; M2 delta-update (o_orderkey % 7 = 0 → price * 2);
+#   M3 delta-delete (o_orderkey % 11 = 0); M4 COMPACTION (logs → new base);
+#   M5 delta-delete (o_orderkey % 13 = 0) — lives ONLY in fresh logs.
+# Exercises (a) delete-view reconstruction across a compaction boundary
+# (time travel to pre-compaction merged views) and (b) a log-resident
+# delete stacked on a compacted base.
+# --------------------------------------------------------------------------
+MOR_DELETE2_PRED_SQL = "o_orderkey % 13 = 0"
+
+
+def orders_mor_compacted_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(SCRATCH_ROOT, "lake", tag, "orders_mor_compacted")
+
+
+def build_orders_mor_compacted(spark: SparkSession, sf_dir: str, base_path: str | None = None):
+    from .mor import MorTable
+
+    base_path = base_path or orders_mor_compacted_path(sf_dir)
+    table = MorTable(
+        spark,
+        base_path,
+        key_fields=["o_orderkey"],
+        partition_field="o_orderstatus",
+        num_file_groups=4,
+    )
+    if table.timeline.timestamps() == [C1, C2, C3, C4, C5]:
+        return table
+    import shutil
+
+    shutil.rmtree(base_path, ignore_errors=True)
+    os.makedirs(base_path, exist_ok=True)
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    table.bulk_insert(src, C1)
+    updates = src.filter(F.expr(MOR_UPDATE_PRED_SQL)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    table.upsert_delta(updates, C2)
+    table.delete_delta(
+        src.filter(F.expr(MOR_DELETE_PRED_SQL)).select("o_orderkey", "o_orderstatus"), C3
+    )
+    table.compact(C4)
+    # deliberately includes keys already deleted at M3 (o_orderkey % 11 AND
+    # % 13): delete_delta must drop those phantom tombstones so numDeletes
+    # counts records actually deleted
+    table.delete_delta(
+        src.filter(F.expr(MOR_DELETE2_PRED_SQL)).select("o_orderkey", "o_orderstatus"), C5
     )
     return table

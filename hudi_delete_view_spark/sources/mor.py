@@ -83,18 +83,30 @@ class MorTable(CowTable):
             stamped.select(*cols, F.col(_PP), F.col(_FID))
             .withColumn(DELETED_FIELD, F.lit(True))
         )
+        # numDeletes must count records actually deleted, mirroring the
+        # reference where totalRecordsDeleted drives the A14 footer check
+        # (DeleteView.java:120-133 compares it to the materialized view):
+        # dedupe tombstone keys and keep only keys live in the merged view,
+        # so duplicate / phantom / already-deleted keys don't inflate stats.
+        order = tombstones.columns
+        affected = [r[_FID] for r in tombstones.select(_FID).distinct().collect()]
+        live = (
+            self.snapshot()
+            .filter(file_id_expr(F.col(FILE_NAME_FIELD)).isin(affected))
+            .select(RECORD_KEY_FIELD)
+        )
+        tombstones = (
+            tombstones.dropDuplicates([RECORD_KEY_FIELD])
+            .join(live, on=RECORD_KEY_FIELD, how="left_semi")
+            .select(*order)
+        )
         return self._write_delta(
             tombstones, commit_ts, operation="delta_commit", is_delete=True
         )
 
     def _write_delta(self, stamped: DataFrame, commit_ts: str, operation: str, is_delete: bool = False):
         from ..plans.metadata import CommitMetadata, WriteStat
-        from .cow import _footer_row_count
 
-        inc_counts = {
-            (r[_PP], r[_FID]): r["cnt"]
-            for r in stamped.groupBy(_PP, _FID).agg(F.count("*").alias("cnt")).collect()
-        }
         prev_slices = resolve_slices(self.timeline)
         written = self._write_file_groups(
             stamped, commit_ts, suffix=".log.parquet"
@@ -279,15 +291,20 @@ class MorTable(CowTable):
         touched = [stat.file_id for _p, stat in meta.all_stats() if stat.num_deletes > 0]
         if not touched:
             return self.snapshot(prev_ts).limit(0)
-        old = self.snapshot(prev_ts).filter(
-            file_id_expr(F.col(FILE_NAME_FIELD)).isin(touched)
-        )
+        fid = file_id_expr(F.col(FILE_NAME_FIELD))
+        old = self.snapshot(prev_ts).filter(fid.isin(touched))
         new_keys = (
             self.snapshot(timestamp)
-            .filter(file_id_expr(F.col(FILE_NAME_FIELD)).isin(touched))
-            .select(RECORD_KEY_FIELD)
+            .filter(fid.isin(touched))
+            .select(fid.alias(_FID), F.col(RECORD_KEY_FIELD))
         )
+        # anti-join on (file_id, key) — not key alone — for parity with the
+        # COW path: keys are unique table-wide so the extra key is redundant
+        # for correctness, but it keeps each file group's probe co-located
+        # (per-group partitioning is what AQE skew-splitting acts on at scale)
         return (
-            old.join(new_keys, on=RECORD_KEY_FIELD, how="left_anti")
+            old.withColumn(_FID, fid)
+            .join(new_keys, on=[_FID, RECORD_KEY_FIELD], how="left_anti")
+            .drop(_FID)
             .withColumn(COMMIT_TIME_FIELD, F.lit(timestamp))
         )

@@ -162,3 +162,57 @@ def test_log_only_file_group(spark, orders, scratch):
     t.compact(C3)
     assert t.read_optimized().filter("o_orderstatus = 'O'").count() == 50
     assert t.snapshot().count() == snap.count()
+
+
+def test_delete_view_across_compaction(spark, orders, sf_dir, scratch):
+    """Compaction mid-timeline: delete views on both sides of it stay
+    reconstructable; phantom tombstones (already-deleted keys) are dropped;
+    compaction publishes no-change stats."""
+    from hudi_delete_view_spark.sources.fixtures import build_orders_mor_compacted
+
+    C5 = "20260105000000"
+    t = build_orders_mor_compacted(spark, sf_dir, base_path=os.path.join(scratch, "mor_c"))
+
+    # compaction commit reports no data change
+    cmeta = t.timeline.commit_metadata(C4)
+    assert cmeta.operation == "compaction"
+    for _p, stat in cmeta.all_stats():
+        assert stat.num_deletes == 0 and stat.num_inserts == 0 and stat.num_update_writes == 0
+    assert cmeta.total_records_deleted == 0
+
+    # M5 delete view: %13 keys minus those already deleted at M3 (%11)
+    want_m5 = orders.filter("o_orderkey % 13 = 0 AND NOT o_orderkey % 11 = 0").count()
+    dv5 = t.delete_view(C5)
+    assert dv5.count() == want_m5
+    # A14-style consistency: stats match the view exactly (phantom
+    # tombstones for already-deleted keys must not be counted or written)
+    assert t.timeline.commit_metadata(C5).total_records_deleted == want_m5
+
+    # M3 delete view still reconstructs after M4 rewrote every group
+    want_m3 = orders.filter("o_orderkey % 11 = 0").count()
+    dv3 = t.delete_view(C3)
+    assert dv3.count() == want_m3
+    # deleted rows carry the M2-updated payload
+    doubled = dv3.filter("o_orderkey % 7 = 0").agg(F.sum("o_totalprice")).first()[0]
+    want_doubled = (
+        orders.filter("o_orderkey % 11 = 0 AND o_orderkey % 7 = 0")
+        .agg(F.sum("o_totalprice"))
+        .first()[0]
+    )
+    assert doubled == pytest.approx(want_doubled * 2)
+
+    # snapshot after everything: all deletes applied
+    assert t.snapshot().count() == orders.count() - want_m3 - want_m5
+
+
+def test_duplicate_and_phantom_tombstones_not_counted(table, orders):
+    """delete_delta dedupes tombstone keys and drops keys not live in the
+    merged view, so numDeletes reflects records actually deleted."""
+    victims = orders.filter("o_orderkey % 11 = 0").select("o_orderkey", "o_orderstatus")
+    n = victims.count()
+    # duplicate every tombstone and add phantom keys that don't exist
+    phantom = victims.withColumn("o_orderkey", F.col("o_orderkey") + 1000000000)
+    noisy = victims.union(victims).union(phantom)
+    meta = table.delete_delta(noisy, C2)
+    assert meta.total_records_deleted == n
+    assert table.snapshot().count() == orders.count() - n
