@@ -35,10 +35,15 @@ def asof_join(
     ``how='inner'`` drops left rows with no match (DuckDB ASOF JOIN
     semantics); ``how='left'`` keeps them with null payload.
     """
+    # the payload travels as ONE struct so a single last(ignorenulls) carries
+    # the whole matched right row atomically — per-column carries could
+    # stitch values from DIFFERENT right rows whenever the most recent row
+    # has a NULL in one column. The struct is also the match marker (a
+    # right row with all-null payload still yields a non-null struct).
     r = right.select(
         F.col(right_on).alias("__k"),
         F.col(right_time).alias("__t"),
-        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__r"),
     ).withColumn("__side", F.lit(0))
     l = (
         left.withColumn("__k", F.col(left_on))
@@ -51,12 +56,10 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in payload_cols:
-        u = u.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
-    out = u.filter(F.col("__side") == 1).drop("__side", "__k", "__t")
-    out = out.select(
-        *left.columns, *[F.col(f"__r_{c}").alias(c) for c in payload_cols]
-    )
+    u = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    out = u.filter(F.col("__side") == 1)
     if how == "inner":
-        out = out.filter(F.col(payload_cols[0]).isNotNull())
-    return out
+        out = out.filter(F.col("__r").isNotNull())
+    return out.select(
+        *left.columns, *[F.col(f"__r.{c}").alias(c) for c in payload_cols]
+    )

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .util import spread
+from .util import register_cache, spread
 
 # deterministic mix constants for the minhash permutation family.
 # 31-bit domain: a*h + b <= 2^62, so the arithmetic never overflows signed
@@ -169,10 +169,11 @@ def _signature_table(
         .withColumn("__hs", shingle_hashes("__sh"))
         .select("__id", sig_udf("__hs").alias("__sig"))
         .select("__id", "__sig", band_hashes("__sig", bands, rows_per_band).alias("__bands"))
-        .persist()
     )
-    sig.count()  # materialize the cache: one signature pass, ever
-    return sig
+    # register_cache persists + materializes (one signature pass, ever) and
+    # tracks the cache so long-lived sessions can release it via
+    # util.unpersist_operator_caches()
+    return register_cache(sig)
 
 
 def _bucket_pairs(sig: DataFrame) -> DataFrame:
@@ -255,7 +256,7 @@ def ngram_jaccard_pairs(
         # (Shingling only pair-member docs via a semi join was measured
         # SLOWER here: deriving the id set re-executes the candidate-pair
         # subtree, which costs more than shingling every doc once.)
-        sh = sh.persist()
+        sh = register_cache(sh, materialize=False)
     a = sh.select(F.col("__jid").alias("id_a"), F.col("__jsh").alias("__sh_a"))
     b = sh.select(F.col("__jid").alias("id_b"), F.col("__jsh").alias("__sh_b"))
     base = pairs if pairs is not None else (
@@ -367,22 +368,60 @@ def simhash_near_pairs(
 # Embedding near-dup (cosine above threshold)
 # --------------------------------------------------------------------------
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, bucket_bits: int = 0
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucket_bits: int = 0,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Pairs of vectors with cosine >= threshold. ``bucket_bits`` > 0
-    switches to sign-LSH bucketing (see similarity.py) — 0 means exact
-    all-pairs (small inputs / verification)."""
-    from .similarity import cosine_expr
+    """Pairs of vectors with cosine >= threshold.
 
-    v = df.select(
-        F.col(id_col).alias("__vid"),
-        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+    ``bucket_bits`` = 0: exact all-pairs crossJoin — the verification
+    baseline, only for small bounded inputs.
+
+    ``bucket_bits`` > 0 (the 100 TB path): random-hyperplane sign-LSH
+    self-join. Each vector lands in ``tables`` buckets of ``bucket_bits``
+    bits; candidates are same-bucket collisions only, deduped as id pairs
+    BEFORE vectors are re-attached (the collision shuffle moves 16-byte id
+    pairs, not 0.5 KB vectors), then the exact cosine filter verifies.
+    For cosine >= 0.95 (theta <= 18 deg) P(bit agree) ~ 1 - theta/pi ~ 0.9,
+    so recall = 1 - (1 - 0.9^bits)^tables ~ 0.99 at (8 bits, 8 tables);
+    the pytest suite measures recall against the exact form."""
+    from .similarity import _bucket_expr, _hyperplanes, as_double_array, cosine_expr
+
+    v = df.select(F.col(id_col).alias("__vid"), as_double_array(vec_col).alias("__v"))
+    if bucket_bits <= 0:
+        a = v.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va"))
+        b = v.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        return (
+            pairs.withColumn("cosine", F.round(cosine_expr("__va", "__vb"), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+
+    planes = _hyperplanes(dim, bucket_bits, tables, seed)
+    # one pass computes every table's bucket; posexplode fans out to
+    # (table, bucket) rows without a tables-way union of the scan
+    all_buckets = F.array(*[_bucket_expr("__v", tbl) for tbl in planes])
+    vb = v.select("__vid", F.posexplode(all_buckets).alias("__t", "__b"))
+    left = vb.select(F.col("__vid").alias("id_a"), "__t", "__b")
+    right = vb.select(F.col("__vid").alias("id_b"), "__t", "__b")
+    cand = (
+        left.join(right, ["__t", "__b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair may collide in several tables
     )
-    a = v.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va"))
-    b = v.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    va = v.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va"))
+    vb2 = v.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"))
     return (
-        pairs.withColumn("cosine", F.round(cosine_expr("__va", "__vb"), 6))
+        cand.join(va, "id_a")
+        .join(vb2, "id_b")
+        .withColumn("cosine", F.round(cosine_expr("__va", "__vb"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

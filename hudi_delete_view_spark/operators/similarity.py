@@ -218,15 +218,16 @@ def cosine_topk_ivf(
     Expected scanned fraction ~ nprobe/nlist of the corpus. At 100 TB the
     inverted lists are the table's partition key, so probing prunes
     partitions at the source; centroids and queries broadcast."""
-    cent = ivf_centroids(corpus, id_col, vec_col, nlist, iters).persist()
-    cent.count()  # materialize: centroid build runs once
+    from .util import register_cache
+
+    # register_cache: persist + materialize once, tracked for release via
+    # util.unpersist_operator_caches() (long-lived sessions)
+    cent = register_cache(ivf_centroids(corpus, id_col, vec_col, nlist, iters))
     v = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("__cv"))
-    lists = (
+    lists = register_cache(
         _assign(v.withColumnRenamed("neighbor_id", "__vid").withColumnRenamed("__cv", "__v"), cent)
         .select(F.col("__vid").alias("neighbor_id"), F.col("__v").alias("__cv"), "cid")
-        .persist()
     )
-    lists.count()
 
     q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv"))
     qscore = q.crossJoin(F.broadcast(cent)).withColumn("__cs", cosine_expr("__qv", "cvec"))

@@ -173,10 +173,15 @@ def tfidf_top_terms(
         ).alias("term"),
     )
     tf = toks.groupBy("__did", "term").agg(F.count("*").alias("tf"))
-    n_docs = df.select(F.countDistinct(id_col)).collect()[0][0]
+    # N rides along as a broadcast single-row crossJoin so the whole
+    # operator stays ONE lazy plan — a driver-side collect here would force
+    # an extra eager job per call
+    n_docs = df.agg(F.countDistinct(id_col).cast("double").alias("__n_docs"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("__did").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
-        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6))
     )
     w = Window.partitionBy("__did").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

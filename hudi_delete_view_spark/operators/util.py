@@ -46,3 +46,37 @@ def salted_join(
     )
     out = salted_left.join(salted_right, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+# --------------------------------------------------------------------------
+# operator cache registry: operators persist intermediates (signature
+# tables, IVF lists) that MUST outlive the call (the returned plan
+# references them), so they can't unpersist internally. Long-lived
+# sessions call unpersist_operator_caches() between operator invocations
+# to release executor storage memory.
+# --------------------------------------------------------------------------
+_OPERATOR_CACHES: list[DataFrame] = []
+
+
+def register_cache(df: DataFrame, materialize: bool = True) -> DataFrame:
+    """Persist ``df``, optionally materialize it now (one compute pass,
+    ever), and track it for later release."""
+    df = df.persist()
+    if materialize:
+        df.count()
+    _OPERATOR_CACHES.append(df)
+    return df
+
+
+def unpersist_operator_caches(blocking: bool = False) -> int:
+    """Release every operator-persisted DataFrame; returns how many.
+    Downstream plans that still reference one simply recompute."""
+    n = 0
+    for df in _OPERATOR_CACHES:
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    _OPERATOR_CACHES.clear()
+    return n

@@ -115,7 +115,49 @@ WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs on a bounded id range (0.35 is
     above the 99.99th pct of this corpus's cosine distribution — a
-    non-trivial result set without synthetic duplicates)."""
+    non-trivial result set without synthetic duplicates).
+
+    Exact all-pairs by design: this is the documented correctness baseline
+    for the sign-LSH scale path registered alongside (dedup_embedding_lsh),
+    bounded to 300 ids so the crossJoin stays trivially small."""
     emb = _t(spark, sf_dir, "embeddings").filter("vec_id < 300")
     pairs = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
     return pairs
+
+
+@query(
+    "dedup_embedding_lsh",
+    # The corpus has no natural near-dups (max pairwise cosine ~0.48), so
+    # plant one per vector: a x2-scaled copy — same direction, cosine
+    # exactly 1.0, and (positively scaled) identical sign-LSH buckets in
+    # every table, so the approximate path's recall on the planted set is
+    # exactly 1 and the result is deterministic -> full hash-match oracle.
+    oracle="""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     aug AS (
+       SELECT vec_id, v FROM base
+       UNION ALL
+       SELECT vec_id + 100000, list_transform(v, x -> x * 2.0) FROM base
+     )
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+""",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH embedding near-dup — the 100 TB path, unbounded input:
+    bucket self-join on (table, bucket), id-pair dedup before vectors are
+    re-attached, exact cosine verify on candidates only. Duplicates are
+    planted as x2-scaled copies of every vector (see oracle comment)."""
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    )
+    copies = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * 2.0D)").alias("embedding"),
+    )
+    aug = base.unionByName(copies)
+    return embedding_neardup_pairs(
+        aug, "vec_id", "embedding", threshold=0.95, bucket_bits=8, tables=8
+    )

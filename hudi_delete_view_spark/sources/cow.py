@@ -63,8 +63,13 @@ DEFAULT_PARTITION = "default"
 _PP = "__pp"  # staging-only partition column (partitionBy drops it from files)
 _FID = "__fid"
 
-# file name: <fileId>_<writeToken>_<commitTs>.parquet ; fileId never contains '_'
-FILE_ID_REGEX = r"^([^_]+)_"
+# file name: <fileId>_<writeToken>_<commitTs>[.log].parquet
+# The file id embeds the partition value verbatim (fg-<partition>-<n>), so
+# it MAY contain '_'; extraction anchors on the trailing
+# _<writeToken>_<commitTs> token instead. The greedy (.+) binds to the
+# LAST such token, so even a partition value that happens to contain the
+# token pattern parses correctly (the real token ends the name).
+FILE_ID_REGEX = r"^(.+)_\d+-\d+-\d+_\d+\.(?:log\.)?parquet$"
 
 
 def file_id_expr(file_name_col):

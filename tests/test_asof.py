@@ -79,3 +79,26 @@ def test_functions_surface_imports(spark):
         Fx.char_shingles("text", 3).alias("sh"),
     ).collect()[0]
     assert out["n"] == 2 and len(out["fp"]) == 32 and len(out["sh"]) > 0
+
+
+def test_asof_no_cross_row_stitching(spark):
+    """The matched right row's payload must come through ATOMICALLY: a NULL
+    column in the most recent match stays NULL (not backfilled from an
+    older right row), and inner-join keeps a left row whose genuine match
+    has NULL in the first payload column."""
+    left = spark.createDataFrame([(1, 100), (1, 200)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 50, "old_a", "old_b"), (1, 150, None, "new_b")],
+        "k int, t int, a string, b string",
+    )
+    got = {
+        r["t"]: (r["a"], r["b"])
+        for r in asof_join(
+            left, right, "k", "k", "t", "t", ["a", "b"], how="inner"
+        ).collect()
+    }
+    # t=100 matches the t=50 row wholly
+    assert got[100] == ("old_a", "old_b")
+    # t=200 matches the t=150 row: a stays NULL (no stitching with old_a),
+    # and the row is NOT dropped by the inner filter despite a IS NULL
+    assert got[200] == (None, "new_b")

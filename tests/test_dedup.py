@@ -129,3 +129,45 @@ def test_embedding_neardup_self_similarity(spark, sf_dir):
     # every vector pairs with its exact copy at cosine 1.0
     expected = {(i, i + 100000) for i in range(50)}
     assert expected <= found
+
+
+def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
+    """Sign-LSH bucketed near-dup vs the exact all-pairs baseline at a hard
+    threshold (0.40 ~ the top of this corpus's natural cosine range, wide
+    angles where sign-LSH recall is weakest). LSH must find >= 90% of the
+    exact pairs and report identical cosines, with zero false positives
+    (the exact verify filter guarantees precision = 1)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.40
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.40, bucket_bits=3, tables=16
+        ).collect()
+    }
+    assert exact, "baseline found no pairs — threshold too high for corpus"
+    assert set(lsh) <= set(exact)  # no false positives
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} below 0.9 ({len(lsh)}/{len(exact)})"
+    for p, c in lsh.items():
+        assert c == exact[p]
+
+
+def test_embedding_lsh_scaled_copies_full_recall(spark, sf_dir):
+    """Positively-scaled copies share every sign bucket with the original,
+    so the LSH path finds all planted duplicate pairs (recall exactly 1)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).filter("vec_id < 60")
+    dup = emb.withColumn("vec_id", F.col("vec_id") + 100000).withColumn(
+        "embedding", F.expr("transform(embedding, x -> x * float(3.0))")
+    )
+    both = emb.unionByName(dup)
+    pairs = embedding_neardup_pairs(
+        both, "vec_id", "embedding", threshold=0.99, bucket_bits=8, tables=8
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 100000) for i in range(60)} <= found

@@ -203,3 +203,36 @@ def test_cleaner_retention(spark, scratch, lineitem):
     assert t.snapshot().count() == 100
     assert t.snapshot(as_of="20300102000000").count() == 100
     assert {r["v"] for r in t.snapshot().filter("k = 5").collect()} == {7}
+
+
+def test_partition_values_with_underscores(spark, scratch):
+    """File ids embed the partition value verbatim (fg-<partition>-<n>),
+    so extraction must survive '_' in partition values: upsert must rewrite
+    the SAME file group (no duplicate rows), delete must prune the right
+    group, and the delete view must reconstruct."""
+    t = CowTable(
+        spark,
+        os.path.join(scratch, "uscore"),
+        key_fields=["k"],
+        partition_field="p",
+        num_file_groups=2,
+    )
+    rows = [(i, f"P_{i % 3}_X", i * 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "k int, p string, v int")
+    t.bulk_insert(df, "20260101000000")
+
+    # upsert: survivors must land back in their original file group
+    ups = spark.createDataFrame([(5, "P_2_X", 999)], "k int, p string, v int")
+    t.upsert(ups, "20260102000000")
+    snap = t.snapshot()
+    assert snap.count() == 60  # a truncated fid would duplicate rows
+    assert snap.filter("k = 5").first()["v"] == 999
+
+    # delete + delete view over an underscore partition
+    from hudi_delete_view_spark.sources.delete_view import delete_view
+
+    t.delete(df.filter("k % 10 = 0"), "20260103000000")
+    assert t.snapshot().count() == 54
+    dv = delete_view(spark, t.base_path, "20260103000000")
+    assert dv.count() == 6
+    assert {r["k"] for r in dv.select("k").collect()} == {0, 10, 20, 30, 40, 50}
