@@ -3,18 +3,22 @@
 ``mapInPandas`` — the one place Python touches row data, batched through
 Arrow rather than row-at-a-time.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(deterministic fake features, or ``NotImplementedError`` in strict mode)
-— but everything Spark-side is real and tested: the binary schema, the
-Arrow batch shape, partition-preserving UDF plumbing, and metadata
-extraction that doesn't require decoding.
+Decode is REAL for codec-free containers: WAV (RIFF/PCM) and PPM (P6)
+parse with pure Python + numpy — header fields (sample rate, channels,
+bit depth, dimensions) and raw-sample features (RMS, peak, channel means)
+come from the actual bytes. Payloads in formats that need codecs absent
+from this container (JPEG, MP3, MP4, ...) fall back to a deterministic
+sha-seeded fake feature vector — or ``NotImplementedError`` in strict
+mode — with ``fmt = 'unknown'`` marking them honestly.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -61,18 +65,146 @@ _FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("media_type", StringType()),
+        StructField("fmt", StringType()),  # wav | ppm | unknown
+        StructField("sample_rate", LongType()),  # wav only
+        StructField("channels", LongType()),  # wav only
+        StructField("bit_depth", LongType()),  # wav only
+        StructField("width", LongType()),  # ppm only
+        StructField("height", LongType()),  # ppm only
         StructField("feature", ArrayType(FloatType())),
         StructField("n_bytes", LongType()),
     ]
 )
 
 
-def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic fake 'decoder': sha256-seeded feature vector.
+# --------------------------------------------------------------------------
+# real codec-free decoders: WAV (RIFF/PCM) and PPM (P6) headers + samples
+# --------------------------------------------------------------------------
+def synth_wav(media_id: int, sample_rate: int = 8000, n_samples: int | None = None) -> bytes:
+    """Deterministic 16-bit mono PCM WAV: a ramp pattern seeded by id."""
+    n = n_samples if n_samples is not None else 64 + (media_id % 64)
+    samples = [((media_id * 31 + i * 997) % 20001) - 10000 for i in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
-    REAL DECODE IS STUBBED — in production this is where PIL/librosa/ffmpeg
-    would run (per Arrow batch, vectorized); the container has no codecs.
-    """
+
+def synth_ppm(media_id: int, width: int | None = None, height: int | None = None) -> bytes:
+    """Deterministic P6 PPM: a gradient seeded by id."""
+    w = width if width is not None else 8 + (media_id % 8)
+    h = height if height is not None else 6 + (media_id % 6)
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(
+                ((media_id + x * c + y * (c + 1)) % 256 for c in (3, 5, 7))
+            )
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(px)
+
+
+def parse_wav(payload: bytes) -> dict | None:
+    """RIFF/WAVE header walk (pure Python, no codecs): returns fmt fields +
+    the raw PCM data chunk, or None if not an integer-PCM WAV."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None  # truncated chunk
+        if cid == b"fmt " and size >= 16:
+            a, ch, sr, _br, _ba, bd = struct.unpack_from("<HHIIHH", body, 0)
+            fmt = (a, ch, sr, bd)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None or fmt[0] != 1 or fmt[3] not in (8, 16, 32):
+        return None
+    audio_format, channels, sample_rate, bit_depth = fmt
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bit_depth": bit_depth,
+        "data": data,
+    }
+
+
+def parse_ppm(payload: bytes) -> dict | None:
+    """P6 PPM header (pure Python): returns dimensions + raw RGB bytes."""
+    if not payload.startswith(b"P6"):
+        return None
+    fields, pos = [], 2
+    while len(fields) < 3 and pos < len(payload):
+        # skip whitespace and '#' comment lines between header fields
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if not payload[start:pos].isdigit():
+            return None
+        fields.append(int(payload[start:pos]))
+    if len(fields) < 3 or fields[2] > 255:
+        return None
+    w, h, _maxval = fields
+    rgb = payload[pos + 1 : pos + 1 + w * h * 3]
+    if len(rgb) < w * h * 3:
+        return None
+    return {"width": w, "height": h, "rgb": rgb}
+
+
+def _wav_features(meta: dict, dim: int = FEATURE_DIM) -> list[float]:
+    """Real signal features from raw PCM: duration, RMS, peak, mean, zero-
+    crossing rate, quartile energies — computed from the actual samples."""
+    width = meta["bit_depth"] // 8
+    dtype = {1: np.int8, 2: np.int16, 4: np.int32}[width]
+    x = np.frombuffer(meta["data"], dtype=dtype).astype(np.float64)
+    if x.size == 0:
+        return [0.0] * dim
+    peak = float(np.max(np.abs(x))) or 1.0
+    xn = x / peak
+    thirds = np.array_split(xn, 3)
+    return [
+        float(x.size / (meta["sample_rate"] * meta["channels"])),  # duration s
+        float(np.sqrt(np.mean(xn**2))),  # rms
+        float(np.mean(xn)),
+        float(np.mean(np.abs(np.diff(np.sign(xn))) > 0)),  # zero-cross rate
+        float(np.sqrt(np.mean(thirds[0] ** 2))),
+        float(np.sqrt(np.mean(thirds[1] ** 2))),
+        float(np.sqrt(np.mean(thirds[2] ** 2))),
+        float(peak),
+    ][:dim]
+
+
+def _ppm_features(meta: dict, dim: int = FEATURE_DIM) -> list[float]:
+    """Real image features from raw RGB: per-channel means/stds + aspect —
+    the 'resize' here is a real block reduction over the pixel array."""
+    a = np.frombuffer(meta["rgb"], dtype=np.uint8).astype(np.float64)
+    a = a.reshape(meta["height"], meta["width"], 3)
+    return [
+        float(a[..., 0].mean() / 255.0),
+        float(a[..., 1].mean() / 255.0),
+        float(a[..., 2].mean() / 255.0),
+        float(a[..., 0].std() / 255.0),
+        float(a[..., 1].std() / 255.0),
+        float(a[..., 2].std() / 255.0),
+        float(a.mean() / 255.0),
+        float(meta["width"] / meta["height"]),
+    ][:dim]
+
+
+def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic fake 'decoder' for payloads needing absent codecs
+    (JPEG/MP3/MP4...): sha256-seeded feature vector. In production this is
+    where PIL/librosa/ffmpeg would run (per Arrow batch, vectorized)."""
     h = hashlib.sha256(payload).digest()
     return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
 
@@ -80,29 +212,99 @@ def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]
 def extract_features(media_df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract via ``mapInPandas`` (Arrow batches).
 
-    ``strict=True`` raises ``NotImplementedError`` — the honest mode that
-    marks real decoding as unavailable in this environment.
-    """
+    WAV and PPM payloads decode for real (header fields + raw-sample
+    features). Other formats fall back to sha-seeded fake features with
+    ``fmt='unknown'`` — or, with ``strict=True``, raise
+    ``NotImplementedError`` (the honest mode: those codecs are not present
+    in this environment)."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode_one(payload: bytes) -> dict:
+        wav = parse_wav(payload)
+        if wav is not None:
+            return {
+                "fmt": "wav",
+                "sample_rate": wav["sample_rate"],
+                "channels": wav["channels"],
+                "bit_depth": wav["bit_depth"],
+                "width": None,
+                "height": None,
+                "feature": _wav_features(wav),
+            }
+        ppm = parse_ppm(payload)
+        if ppm is not None:
+            return {
+                "fmt": "ppm",
+                "sample_rate": None,
+                "channels": None,
+                "bit_depth": None,
+                "width": ppm["width"],
+                "height": ppm["height"],
+                "feature": _ppm_features(ppm),
+            }
         if strict:
             raise NotImplementedError(
-                "media decoding requires image/audio codecs not present in "
-                "this container; use strict=False for deterministic fake features"
+                "payload is neither WAV nor PPM; decoding other formats "
+                "requires codecs not present in this container "
+                "(use strict=False for deterministic fake features)"
             )
+        return {
+            "fmt": "unknown",
+            "sample_rate": None,
+            "channels": None,
+            "bit_depth": None,
+            "width": None,
+            "height": None,
+            "feature": _fake_decode_features(payload),
+        }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield pd.DataFrame(
+            decoded = [decode_one(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "feature": [
-                        _fake_decode_features(bytes(p)) for p in pdf["payload"]
-                    ],
                     "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
                 }
             )
+            for field in ("fmt", "sample_rate", "channels", "bit_depth", "width", "height", "feature"):
+                out[field] = [d[field] for d in decoded]
+            yield out[[f.name for f in _FEATURE_SCHEMA.fields]]
 
     return media_df.mapInPandas(batches, schema=_FEATURE_SCHEMA)
+
+
+def attach_synthetic_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Build REAL binary payloads (WAV for audio, PPM for image, opaque
+    bytes for video) deterministically from the id, via one Arrow-batched
+    pass — same schema as ``attach_fake_media`` but the payloads parse."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                kind = ("image", "audio", "video")[mid % 3]
+                if kind == "audio":
+                    payload = synth_wav(mid)
+                elif kind == "image":
+                    payload = synth_ppm(mid)
+                else:  # no codec-free video container: opaque bytes
+                    payload = b"FAKEVIDEO" + hashlib.sha256(str(mid).encode()).digest()
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "media_type": kind,
+                        "payload": payload,
+                        "byte_len": len(payload),
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
 
 
 def frame_sample_plan(media_df: DataFrame, every_n: int = 10) -> DataFrame:

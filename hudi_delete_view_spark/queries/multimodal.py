@@ -1,13 +1,20 @@
-"""Multimodal-column queries (B12): binary payload metadata (oracled) and
-the Arrow-batched feature-extraction plumbing (rows-only; decode stubbed —
-no codecs in this container)."""
+"""Multimodal-column queries (B12): binary payload metadata (oracled),
+REAL codec-free decode of WAV/PPM payloads (header fields oracled — they
+are deterministic functions of the id), and the Arrow-batched
+feature-extraction plumbing. Only formats that need absent codecs
+(JPEG/MP3/MP4) take the documented fake-feature fallback."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_fake_media, extract_features, frame_sample_plan
+from ..operators.multimodal import (
+    attach_fake_media,
+    attach_synthetic_media,
+    extract_features,
+    frame_sample_plan,
+)
 from ._tables import _t
 from . import query
 
@@ -33,16 +40,57 @@ def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("mm_extract_features")  # mapInPandas path: rows-only driver check
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode/feature-extract via mapInPandas (decode itself
-    is a deterministic stub — see operators/multimodal.py)."""
+    """Arrow-batched decode/feature-extract via mapInPandas: WAV and PPM
+    payloads decode for REAL (raw PCM / RGB features); the video payloads
+    take the documented fake-feature fallback (fmt='unknown')."""
     docs = _t(spark, sf_dir, "documents").filter("doc_id < 100")
-    media = attach_fake_media(docs, "doc_id", "text")
+    media = attach_synthetic_media(docs, "doc_id")
     feats = extract_features(media, strict=False)
     return feats.select(
         "media_id",
         "media_type",
+        "fmt",
         "n_bytes",
         F.round(F.expr("aggregate(transform(feature, x -> cast(x as double)), 0.0D, (acc, v) -> acc + v)"), 6).alias("feature_sum"),
+    )
+
+
+@query(
+    "mm_decode_headers",
+    # WAV/PPM header fields parsed from the real payload bytes; the
+    # synthesizer derives them deterministically from the id, so the parse
+    # result is SQL-predictable: audio (id%3=1) -> 8 kHz 16-bit mono WAV;
+    # image (id%3=0) -> PPM with width 8+(id%8), height 6+(id%6); video ->
+    # opaque bytes, fmt='unknown'. Duration = n_samples/rate, n = 64+id%64.
+    oracle="""
+SELECT doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 'wav' WHEN 0 THEN 'ppm' ELSE 'unknown' END AS fmt,
+  CASE WHEN doc_id % 3 = 1 THEN 8000 END AS sample_rate,
+  CASE WHEN doc_id % 3 = 1 THEN 1 END AS channels,
+  CASE WHEN doc_id % 3 = 1 THEN 16 END AS bit_depth,
+  CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 8 END AS width,
+  CASE WHEN doc_id % 3 = 0 THEN 6 + doc_id % 6 END AS height,
+  CASE WHEN doc_id % 3 = 1 THEN ROUND((64 + doc_id % 64) / 8000.0, 6) END AS duration_s
+FROM documents WHERE doc_id < 200
+""",
+)
+def mm_decode_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header metadata decoded from real WAV/PPM bytes, checked field-by-
+    field against the closed-form oracle."""
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 200")
+    feats = extract_features(attach_synthetic_media(docs, "doc_id"))
+    return feats.select(
+        "media_id",
+        "fmt",
+        "sample_rate",
+        "channels",
+        "bit_depth",
+        "width",
+        "height",
+        F.when(
+            F.col("fmt") == "wav",
+            F.round(F.element_at("feature", 1).cast("double"), 6),
+        ).alias("duration_s"),
     )
 
 

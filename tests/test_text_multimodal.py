@@ -128,3 +128,81 @@ def test_frame_plan_video_only(spark, docs):
     assert all(r["media_id"] % 3 == 2 for r in rows)  # video ids
     for r in rows:
         assert r["n_samples"] == len(r["sample_offsets"])
+
+
+def test_wav_parser_hand_built(spark):
+    """A hand-built 16-bit mono WAV parses to exact header fields and real
+    signal features (duration, peak) computed from the actual samples."""
+    import struct
+
+    import numpy as np
+
+    from hudi_delete_view_spark.operators.multimodal import parse_wav, _wav_features
+
+    samples = [0, 1000, -1000, 500, -500, 250, -250, 0] * 100  # 800 samples
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 2, 16000, 16000 * 4, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    meta = parse_wav(wav)
+    assert meta["sample_rate"] == 16000
+    assert meta["channels"] == 2
+    assert meta["bit_depth"] == 16
+    feats = _wav_features(meta)
+    assert feats[0] == pytest.approx(800 / (16000 * 2))  # duration seconds
+    assert feats[7] == 1000.0  # peak
+    x = np.array(samples) / 1000.0
+    assert feats[1] == pytest.approx(float(np.sqrt(np.mean(x**2))))
+
+    # corrupt / truncated payloads parse to None, never raise
+    assert parse_wav(b"RIFF") is None
+    assert parse_wav(b"not a wav at all") is None
+    assert parse_wav(wav[:30]) is None
+
+
+def test_ppm_parser_hand_built(spark):
+    from hudi_delete_view_spark.operators.multimodal import parse_ppm, _ppm_features
+
+    # 2x2 image with a comment line; all-red top row, all-blue bottom row
+    px = bytes([255, 0, 0, 255, 0, 0, 0, 0, 255, 0, 0, 255])
+    ppm = b"P6\n# comment\n2 2\n255\n" + px
+    meta = parse_ppm(ppm)
+    assert (meta["width"], meta["height"]) == (2, 2)
+    feats = _ppm_features(meta)
+    assert feats[0] == pytest.approx(0.5)  # mean red: 2 of 4 pixels full
+    assert feats[2] == pytest.approx(0.5)  # mean blue
+    assert feats[7] == pytest.approx(1.0)  # aspect
+    assert parse_ppm(b"P3\n2 2\n255\n") is None  # ASCII PPM not supported
+    assert parse_ppm(ppm[:10]) is None  # truncated pixel data
+
+
+def test_synthetic_media_decodes_for_real(spark, docs):
+    """End-to-end Spark plumbing: synthesized WAV/PPM payloads round-trip
+    through the Arrow-batched decoder with real parsed fields; video
+    payloads fall back to fmt='unknown'."""
+    from hudi_delete_view_spark.operators.multimodal import attach_synthetic_media
+
+    media = attach_synthetic_media(docs.filter("doc_id < 30"), "doc_id")
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    for mid, r in rows.items():
+        if mid % 3 == 1:  # audio -> wav
+            assert r["fmt"] == "wav"
+            assert r["sample_rate"] == 8000
+            assert r["channels"] == 1
+            assert r["bit_depth"] == 16
+            n = 64 + mid % 64
+            assert r["feature"][0] == pytest.approx(n / 8000, rel=1e-5)
+        elif mid % 3 == 0:  # image -> ppm
+            assert r["fmt"] == "ppm"
+            assert r["width"] == 8 + mid % 8
+            assert r["height"] == 6 + mid % 6
+        else:  # video -> no codec-free container
+            assert r["fmt"] == "unknown"
+            assert r["sample_rate"] is None
+    # strict mode still raises, but only for undecodable payloads
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_features(media, strict=True).collect()
+    wav_ppm_only = media.filter("media_type != 'video'")
+    assert extract_features(wav_ppm_only, strict=True).count() == 20
