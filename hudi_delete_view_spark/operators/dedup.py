@@ -390,7 +390,13 @@ def embedding_neardup_pairs(
     For cosine >= 0.95 (theta <= 18 deg) P(bit agree) ~ 1 - theta/pi ~ 0.9,
     so recall = 1 - (1 - 0.9^bits)^tables ~ 0.99 at (8 bits, 8 tables);
     the pytest suite measures recall against the exact form."""
-    from .similarity import _bucket_expr, _hyperplanes, as_double_array, cosine_expr
+    from .similarity import (
+        _hyperplanes,
+        as_double_array,
+        cosine_expr,
+        cosine_pandas,
+        sign_buckets_pandas,
+    )
 
     v = df.select(F.col(id_col).alias("__vid"), as_double_array(vec_col).alias("__v"))
     if bucket_bits <= 0:
@@ -404,10 +410,10 @@ def embedding_neardup_pairs(
         )
 
     planes = _hyperplanes(dim, bucket_bits, tables, seed)
-    # one pass computes every table's bucket; posexplode fans out to
-    # (table, bucket) rows without a tables-way union of the scan
-    all_buckets = F.array(*[_bucket_expr("__v", tbl) for tbl in planes])
-    vb = v.select("__vid", F.posexplode(all_buckets).alias("__t", "__b"))
+    # one Arrow-batched matmul computes every table's bucket; posexplode
+    # fans out to (table, bucket) rows without a tables-way union of the scan
+    bucket_udf = sign_buckets_pandas(planes)
+    vb = v.select("__vid", F.posexplode(bucket_udf(F.col("__v"))).alias("__t", "__b"))
     left = vb.select(F.col("__vid").alias("id_a"), "__t", "__b")
     right = vb.select(F.col("__vid").alias("id_b"), "__t", "__b")
     cand = (
@@ -418,10 +424,11 @@ def embedding_neardup_pairs(
     )
     va = v.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va"))
     vb2 = v.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"))
+    cos_udf = cosine_pandas()
     return (
         cand.join(va, "id_a")
         .join(vb2, "id_b")
-        .withColumn("cosine", F.round(cosine_expr("__va", "__vb"), 6))
+        .withColumn("cosine", F.round(cos_udf(F.col("__va"), F.col("__vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

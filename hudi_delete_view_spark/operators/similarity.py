@@ -20,6 +20,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,6 +40,25 @@ def norm_expr(a: str):
 
 def cosine_expr(a: str, b: str):
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_pandas():
+    """Arrow-batched cosine for the candidate-verify hot path: one numpy
+    pass per batch instead of an interpreted zip_with/aggregate fold per
+    row (~4k interpreted ops per 64-dim pair). Used where candidate
+    volume makes the HOF form the bottleneck; the HOF ``cosine_expr``
+    stays the dependency-free form for small/oracle baselines."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.vstack(a.to_numpy())
+        B = np.vstack(b.to_numpy())
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        return pd.Series(num / den)
+
+    return _cos
 
 
 def cosine_topk_bruteforce(
@@ -82,7 +103,9 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> list[list[
 
 
 def _bucket_expr(vec: str, planes: list[list[float]]):
-    """Sign-bucket id: bit b set iff dot(vec, plane_b) >= 0."""
+    """Sign-bucket id: bit b set iff dot(vec, plane_b) >= 0. (Interpreted
+    HOF form — kept as the dependency-free reference; the hot paths use
+    ``sign_buckets_pandas``, one Arrow-batched matmul for ALL tables.)"""
     terms = []
     for b, plane in enumerate(planes):
         arr = "array(" + ",".join(f"{x!r}D" for x in plane) + ")"
@@ -91,6 +114,31 @@ def _bucket_expr(vec: str, planes: list[list[float]]):
             f" shiftleft(1L, {b}), 0L)"
         )
     return F.expr(" + ".join(terms))
+
+
+def sign_buckets_pandas(planes: list[list[list[float]]]):
+    """All tables' sign-bucket ids in ONE Arrow-batched numpy matmul:
+    (batch x dim) @ (dim x tables*bits) -> signs -> per-table bucket ids.
+    Higher-order SQL expressions never enter whole-stage codegen, so the
+    tables x bits x dim dot products are ~50x slower interpreted than this
+    single vectorized pass (same trade as minhash_signature_pandas).
+    Returns a UDF: array<double> vector -> array<long> of len(tables),
+    index-aligned with the plane tables (posexplode pos == table idx)."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # (tables, bits, dim)
+    tables, bits, dim = P.shape
+    M = P.reshape(tables * bits, dim).T.copy()  # (dim, tables*bits)
+    weights = (1 << np.arange(bits, dtype=np.int64))  # bit b of the bucket
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        X = np.vstack(vecs.to_numpy())  # (n, dim)
+        signs = (X @ M) >= 0.0
+        B = (signs.reshape(len(X), tables, bits) * weights).sum(axis=2)
+        return pd.Series(list(B))
+
+    return _buckets
 
 
 def cosine_topk_lsh(
@@ -114,18 +162,19 @@ def cosine_topk_lsh(
     random vectors (weak neighbors, the hard case); clustered real-world
     embeddings support higher ``bits`` for more pruning."""
     planes = _hyperplanes(dim, bits, tables, seed)
+    bucket_udf = sign_buckets_pandas(planes)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("__cv"))
     q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv"))
 
     def _explode_buckets(df, vec, id_name):
-        # one pass computes every table's bucket id, posexplode yields
-        # (table_idx, bucket) rows — no T-way union of the scan. Vectors
-        # are dropped BEFORE the bucket join: the collision join and the
-        # pair dedup shuffle 16-byte id pairs, not 0.5 KB vectors (the
-        # difference between a light and a crushing shuffle at 100 TB)
-        all_buckets = F.array(*[_bucket_expr(vec, tbl) for tbl in planes])
+        # one Arrow-batched matmul computes every table's bucket id,
+        # posexplode yields (table_idx, bucket) rows — no T-way union of
+        # the scan. Vectors are dropped BEFORE the bucket join: the
+        # collision join and the pair dedup shuffle 16-byte id pairs, not
+        # 0.5 KB vectors (the difference between a light and a crushing
+        # shuffle at 100 TB)
         return df.select(
-            id_name, F.posexplode(all_buckets).alias("__t", "__b")
+            id_name, F.posexplode(bucket_udf(F.col(vec))).alias("__t", "__b")
         )
 
     cb = _explode_buckets(c, "__cv", "neighbor_id")

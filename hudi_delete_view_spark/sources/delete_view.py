@@ -103,8 +103,12 @@ class DeleteView:
         new_paths = [p[2] for p in pairs]
         # file-group tag from the stored file name (JVM regexp; no
         # input_file_name needed because the writer stamps _hoodie_file_name)
-        old_df = self.spark.read.parquet(*old_paths).withColumn(
-            _FID, file_id_expr(F.col(FILE_NAME_FIELD))
+        # mergeSchema: old slices of different groups may straddle a schema
+        # evolution (one group rewritten with a new column, another not)
+        old_df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*old_paths)
+            .withColumn(_FID, file_id_expr(F.col(FILE_NAME_FIELD)))
         )
         # build side: column-pruned to (file_id, key) — the scan reads two
         # string columns, the Catalyst analogue of the reference's key set
@@ -117,6 +121,18 @@ class DeleteView:
             )
         )
         deleted = old_df.join(new_keys, on=[_FID, RECORD_KEY_FIELD], how="left_anti")
+        # schema evolution: columns added to the table AFTER the deleted
+        # rows' slices were written must still appear (as NULLs) — align to
+        # the delete commit's published schema, same contract as a snapshot
+        meta = self.timeline.commit_metadata(self.timestamp)
+        if meta.schema_json:
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            for f_ in StructType.fromJson(_json.loads(meta.schema_json)).fields:
+                if f_.name not in deleted.columns:
+                    deleted = deleted.withColumn(f_.name, F.lit(None).cast(f_.dataType))
         # A9: stamp the delete commit as the row's processing time
         return deleted.withColumn(COMMIT_TIME_FIELD, F.lit(self.timestamp)).drop(_FID)
 

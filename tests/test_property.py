@@ -197,3 +197,51 @@ def test_mor_random_delta_script(spark, prop_root, ops):
         assert got2 == model
     except TimelineError:
         pass  # no logs to compact (all ops were no-ops)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=6, max_value=30),
+    evolved=st.sets(st.integers(min_value=0, max_value=29), min_size=1, max_size=10),
+    deleted=st.sets(st.integers(min_value=0, max_value=29), min_size=1, max_size=10),
+)
+def test_schema_evolution_then_delete_view(spark, prop_root, n, evolved, deleted):
+    """Schema evolution x delete view: a commit ADDS a column, then a
+    delete commit's view must reconstruct rows across the schema boundary
+    (the old slice lacks the new column; unionByName(allowMissingColumns)
+    must surface NULLs, not drop rows or misalign columns)."""
+    evolved = sorted(k for k in evolved if k < n)
+    deleted = sorted(k for k in deleted if k < n)
+    if not deleted:
+        return
+    base = os.path.join(prop_root, "evo")
+    shutil.rmtree(base, ignore_errors=True)
+    t = CowTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2)
+    df = spark.createDataFrame([(k, f"p{k % 2}", k * 10) for k in range(n)], ["k", "p", "v"])
+    t.bulk_insert(df, TS[0])
+    # evolution commit: upsert a subset WITH an extra column
+    if evolved:
+        ups = spark.createDataFrame(
+            [(k, f"p{k % 2}", k * 10 + 1, f"tag{k}") for k in evolved],
+            ["k", "p", "v", "extra"],
+        )
+        t.upsert(ups, TS[1])
+    t.delete_where(F.col("k").isin(deleted), TS[2])
+
+    snap = t.snapshot()
+    live = {k for k in range(n)} - set(deleted)
+    assert {r["k"] for r in snap.select("k").collect()} == live
+    if evolved:
+        got = {r["k"]: r["extra"] for r in snap.select("k", "extra").collect()}
+        for k in live:
+            assert got[k] == (f"tag{k}" if k in evolved else None)
+
+    dv = DeleteView(spark, base, TS[2]).dataset()
+    rows = {r["k"]: r for r in dv.collect()}
+    assert set(rows) == set(deleted)
+    for k, r in rows.items():
+        # evolved deleted rows carry their updated payload + extra column;
+        # un-evolved ones carry NULL extra (if the column exists at all)
+        if evolved:
+            assert r["extra"] == (f"tag{k}" if k in evolved else None)
+        assert r["v"] == (k * 10 + 1 if k in evolved else k * 10)
