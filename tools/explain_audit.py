@@ -51,6 +51,11 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # the large-to-large shape 100 TB would force), the sort-merge join
     # consumes bucketed scans directly — NO hash-partitioning exchange
     "rel_bucketed_join": (["SortMergeJoin", "Bucketed: true"], ["Exchange hashpartitioning"]),
+    # sign-LSH near-dup: equi-join on bucket collisions — NEVER a cross
+    # join; bucket ids come from one Arrow-batched matmul (ArrowEvalPython)
+    "dedup_embedding_lsh": (["ArrowEvalPython"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # MOR log-resident delete view: anti-join on (file_id, key)
+    "mor_delete_view_log_only": (["LeftAnti"], ["CartesianProduct"]),
 }
 
 # per-query session confs applied while building the audited plan
