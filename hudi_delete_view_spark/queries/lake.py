@@ -150,6 +150,31 @@ def lake_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# range delete view: deletes from every commit in (C2, C4] — C3's rows
+# stamped C3, C4's stamped C4 (C4 only deletes what C3 left alive)
+# --------------------------------------------------------------------------
+@query(
+    "lake_delete_view_range",
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT CASE WHEN l_suppkey % 17 = 0 THEN '{C3}' ELSE '{C4}' END AS {COMMIT_TIME_FIELD},
+       {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       l_returnflag AS {PARTITION_PATH_FIELD},
+       {_PAYLOAD_SQL.format(qty=_QTY_SQL)}
+FROM li WHERE l_suppkey % 17 = 0 OR l_suppkey % 23 = 0
+""",
+)
+def lake_delete_view_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style delete feed: per-commit delete views over a commit range,
+    unioned, each row stamped with its own delete commit (stats-pruned
+    commit selection; cached per-commit materializations reused)."""
+    from ..sources.delete_view import delete_views_between
+
+    table = build_lineitem_cow(spark, sf_dir)
+    return _project(delete_views_between(spark, table.base_path, C2, C4))
+
+
+# --------------------------------------------------------------------------
 # A14/A15: the materialized view's metadata-only count (footer-driven)
 # --------------------------------------------------------------------------
 @query(

@@ -195,3 +195,60 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, "doc_id", "text", top_k=3)
+
+
+@query(
+    "pipeline_corpus_curation",
+    # The end-to-end training-data curation pass: score -> filter (quality
+    # + language) -> fingerprint dedup (keep lowest doc_id) -> per-source
+    # token budget. Quality averages go through exact integer micro-units
+    # (sum of round(q*1e6) as BIGINT) so both engines aggregate identically
+    # regardless of float summation order.
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source, {_QUALITY} AS q, ({_lang_sql()}) AS lang, {_FP} AS fp,
+         len({_TOKS}) AS n_toks
+  FROM documents
+),
+kept AS (
+  SELECT * FROM scored WHERE q >= 0.5 AND lang = 'en'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+  ROUND(CAST(SUM(CAST(ROUND(q * 1000000, 0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_quality
+FROM kept GROUP BY source
+""",
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed LLM-corpus curation pipeline: quality + language gates,
+    near-dup normalization via whitespace/case fingerprint dedup, then the
+    per-source token budget a sampling stage would consume. One shuffle
+    per stage boundary (dedup window on fingerprint, final groupBy);
+    everything JVM-side."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import fingerprint, lang_id, quality_score, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality_score("text").alias("q"),
+        lang_id("text").alias("lang"),
+        fingerprint("text").alias("fp"),
+        token_count("text").alias("n_toks"),
+    )
+    kept = exact_dedup(
+        scored.filter((F.col("q") >= 0.5) & (F.col("lang") == "en")),
+        keys=["fp"],
+        order_by=["doc_id"],
+    )
+    q_micro = F.round(F.col("q") * 1000000, 0).cast("long")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum(q_micro).cast("double") / F.count("*") / 1000000.0, 6
+        ).alias("avg_quality"),
+    )

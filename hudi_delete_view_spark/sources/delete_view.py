@@ -183,3 +183,46 @@ class DeleteView:
 def delete_view(spark: SparkSession, base_path: str, timestamp: str) -> DataFrame:
     """Functional entry point: the rows deleted by commit ``timestamp``."""
     return DeleteView(spark, base_path, timestamp).dataset()
+
+
+def delete_views_between(
+    spark: SparkSession,
+    base_path: str,
+    begin_exclusive: str,
+    end_inclusive: str | None = None,
+) -> DataFrame:
+    """Rows deleted by ANY commit in (begin, end], each stamped with its
+    own delete commit time — the incremental/audit feed built from the
+    reference's per-commit views (a CDC-style delete stream for
+    downstream sync jobs).
+
+    COW tables only (per-commit reconstruction is the DeleteView file-pair
+    pipeline; for MOR use ``MorTable.delete_view`` per commit over the
+    merged timeline). Driver work is metadata-only: commits whose stats
+    show no deletes are pruned without touching data (A2 generalized to a
+    range), and each per-commit view reuses its materialized cache
+    (A12-A15), so a repeated range query reads parquet only."""
+    timeline = Timeline(base_path)
+    end = end_inclusive or timeline.latest_timestamp()
+    if end is None:
+        raise TimelineError(f"table at {base_path} has no commits")
+    parts = []
+    for ts in timeline.timestamps():
+        if not (begin_exclusive < ts <= end):
+            continue
+        if timeline.commit_metadata(ts).total_records_deleted <= 0:
+            continue  # stats pruning: commit deleted nothing
+        parts.append(DeleteView(spark, base_path, ts).dataset())
+    if not parts:
+        # empty range: empty frame with the table's published schema + stamp
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        meta = timeline.commit_metadata(end)
+        schema = StructType.fromJson(_json.loads(meta.schema_json))
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
