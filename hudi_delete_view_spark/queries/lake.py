@@ -175,6 +175,40 @@ def lake_delete_view_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CDC read: net-effect change feed over (C1, C4] — updates surviving both
+# deletes (after-image, stamped C2) and deletes (before-image, stamped
+# with the deleting commit); inserts none in this script
+# --------------------------------------------------------------------------
+@query(
+    "lake_cdc",
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT 'update' AS op, {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       '{C2}' AS change_commit,
+       {_PAYLOAD_SQL.format(qty=_QTY_SQL)}
+FROM li WHERE l_partkey % 10 = 0 AND l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+UNION ALL
+SELECT 'delete' AS op, {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       CASE WHEN l_suppkey % 17 = 0 THEN '{C3}' ELSE '{C4}' END AS change_commit,
+       {_PAYLOAD_SQL.format(qty="l_quantity")}
+FROM li WHERE l_suppkey % 17 = 0 OR l_suppkey % 23 = 0
+""",
+)
+def lake_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-effect CDC feed (Delta CDF / Hudi CDC analogue): one pruned
+    full-outer diff of the boundary snapshots on (file_id, key)."""
+    table = build_lineitem_cow(spark, sf_dir)
+    cdc = table.cdc(C1, C4)
+    return cdc.select(
+        "op",
+        RECORD_KEY_FIELD,
+        "change_commit",
+        *[F.col(c) for c in _PAYLOAD],
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate"),
+    )
+
+
+# --------------------------------------------------------------------------
 # A14/A15: the materialized view's metadata-only count (footer-driven)
 # --------------------------------------------------------------------------
 @query(

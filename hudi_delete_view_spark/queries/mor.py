@@ -124,6 +124,38 @@ def mor_delete_view_across_compaction(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "mor_cdc",
+    # net-effect CDC over (M1, M3]: updates = %7 keys still alive
+    # (after-image, price doubled, stamped M2); deletes = %11 keys
+    # (before-image at M1 = original price, stamped by the tombstone M3)
+    oracle=f"""
+SELECT 'update' AS op, CAST(o_orderkey AS VARCHAR) AS {RECORD_KEY_FIELD},
+       '{C2}' AS change_commit, {_ORDERS_SQL.format(price="o_totalprice * 2")}
+FROM orders WHERE ({MOR_UPDATE_PRED_SQL}) AND NOT ({MOR_DELETE_PRED_SQL})
+UNION ALL
+SELECT 'delete' AS op, CAST(o_orderkey AS VARCHAR) AS {RECORD_KEY_FIELD},
+       '{C3}' AS change_commit, {_ORDERS_SQL.format(price="o_totalprice")}
+FROM orders WHERE {MOR_DELETE_PRED_SQL}
+""",
+)
+def mor_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-effect CDC on merge-on-read: boundary-snapshot diff over the
+    MERGED views; delete stamps scanned from the tombstone logs."""
+    from ..sources.fixtures import C1
+
+    table = build_orders_mor(spark, sf_dir)
+    cdc = table.cdc(C1, C3)
+    return cdc.select(
+        "op",
+        RECORD_KEY_FIELD,
+        "change_commit",
+        *_ORDER_COLS,
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+
+
+@query(
     "mor_time_travel",
     oracle=f"""
 SELECT {_ORDERS_SQL.format(price=_PRICE_SQL)}

@@ -604,3 +604,83 @@ class CowTable:
         if end is not None:
             cond = cond & (F.col(COMMIT_TIME_FIELD) <= F.lit(end))
         return df.filter(cond)
+
+    def cdc(self, begin_exclusive: str, end_inclusive: str | None = None) -> DataFrame:
+        """Net-effect change-data feed over (begin, end] — the Hudi
+        CDC / Delta Change Data Feed analogue, collapsed per key:
+
+        - ``op='insert'``: key absent at begin, present at end (after-image)
+        - ``op='update'``: present at both, rewritten in range (after-image)
+        - ``op='delete'``: present at begin, absent at end (BEFORE-image,
+          stamped with the deleting commit via the range delete feed)
+
+        Scale shape: both snapshots are pruned to file groups touched in
+        the range (untouched groups can't contribute changes), the diff is
+        ONE full-outer join on (file_id, key) — group-co-located, the same
+        key AQE skew-splits on — and payloads travel as single structs so
+        the join never widens.
+        """
+        from .delete_view import delete_views_between
+
+        end = end_inclusive or self.timeline.latest_timestamp()
+        if end is not None:
+            self.timeline.instant_for(end)
+        groups = touched_file_groups(self.timeline, begin_exclusive, end)
+        fids = sorted({f for (_p, f) in groups})
+        fid = file_id_expr(F.col(FILE_NAME_FIELD))
+
+        end_snap = self.snapshot(end).filter(fid.isin(fids))
+        # payload schema is the END snapshot's (authoritative): a before
+        # slice predating a schema-evolution commit aligns with NULLs so
+        # the two image structs are the same type
+        payload_fields = [f for f in end_snap.schema.fields if f.name not in META_FIELDS]
+
+        def _side(snap, img):
+            for f_ in payload_fields:
+                if f_.name not in snap.columns:
+                    snap = snap.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+            return snap.select(
+                fid.alias(_FID),
+                F.col(RECORD_KEY_FIELD),
+                F.col(COMMIT_TIME_FIELD).alias(f"__ct_{img}"),
+                F.struct(*[F.col(f_.name) for f_ in payload_fields]).alias(f"__{img}"),
+            )
+
+        o = _side(self.snapshot(begin_exclusive).filter(fid.isin(fids)), "before")
+        n = _side(end_snap, "after")
+        j = o.join(n, on=[_FID, RECORD_KEY_FIELD], how="full_outer")
+        # untouched keys: identical slice on both sides, not rewritten in range
+        j = j.filter(
+            F.col("__before").isNull()
+            | F.col("__after").isNull()
+            | (F.col("__ct_after") > F.lit(begin_exclusive))
+        )
+        op = (
+            F.when(F.col("__before").isNull(), F.lit("insert"))
+            .when(F.col("__after").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+        # delete rows: exact deleting-commit stamp (net-effect keeps the
+        # LAST delete of a key in the range)
+        j = j.withColumn("op", op).join(
+            self._delete_stamps(begin_exclusive, end), on=RECORD_KEY_FIELD, how="left"
+        )
+        img = F.when(F.col("op") == "delete", F.col("__before")).otherwise(F.col("__after"))
+        change = F.when(F.col("op") == "delete", F.col("__ct_del")).otherwise(F.col("__ct_after"))
+        return (
+            j.withColumn("__img", img)
+            .withColumn("change_commit", change)
+            .select("op", RECORD_KEY_FIELD, "change_commit", "__img.*")
+        )
+
+    def _delete_stamps(self, begin_exclusive: str, end: str | None) -> DataFrame:
+        """(record_key, __ct_del): the LAST commit in (begin, end] that
+        deleted each key — COW derives it from the per-commit delete-view
+        feed (MOR overrides with a tombstone-log scan)."""
+        from .delete_view import delete_views_between
+
+        return (
+            delete_views_between(self.spark, self.base_path, begin_exclusive, end)
+            .groupBy(RECORD_KEY_FIELD)
+            .agg(F.max(COMMIT_TIME_FIELD).alias("__ct_del"))
+        )

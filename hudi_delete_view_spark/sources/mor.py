@@ -242,6 +242,34 @@ class MorTable(CowTable):
             .drop(DELETED_FIELD)
         )
 
+    def _delete_stamps(self, begin_exclusive: str, end: str | None):
+        """MOR override of the CDC delete-stamp source: deletes live as
+        tombstone rows in delta logs, so scan exactly the log files that
+        commits in (begin, end] published with numDeletes > 0 (metadata-
+        pruned — untouched logs are never read), take the last tombstone
+        per key."""
+        paths = []
+        for ts in self.timeline.timestamps():
+            if not (begin_exclusive < ts <= (end or ts)):
+                continue
+            for _p, stat in self.timeline.commit_metadata(ts).all_stats():
+                if stat.log_file and stat.num_deletes > 0:
+                    paths.append(os.path.join(self.base_path, stat.path))
+        if not paths:
+            return self.spark.createDataFrame(
+                [], f"{RECORD_KEY_FIELD} string, __ct_del string"
+            )
+        df = self.spark.read.parquet(*paths)
+        cond = F.col(COMMIT_TIME_FIELD) > F.lit(begin_exclusive)
+        if end is not None:
+            cond = cond & (F.col(COMMIT_TIME_FIELD) <= F.lit(end))
+        return (
+            df.filter(F.coalesce(F.col(DELETED_FIELD), F.lit(False)))
+            .filter(cond)
+            .groupBy(RECORD_KEY_FIELD)
+            .agg(F.max(COMMIT_TIME_FIELD).alias("__ct_del"))
+        )
+
     # ------------------------------------------------------------------
     # compaction: merge logs into fresh base slices
     # ------------------------------------------------------------------

@@ -236,3 +236,41 @@ def test_partition_values_with_underscores(spark, scratch):
     dv = delete_view(spark, t.base_path, "20260103000000")
     assert dv.count() == 6
     assert {r["k"] for r in dv.select("k").collect()} == {0, 10, 20, 30, 40, 50}
+
+
+def test_cdc_net_effect(spark, scratch):
+    """cdc(begin, end): inserts carry after-images, updates after-images,
+    deletes before-images at the range start, each stamped with its
+    change commit; schema evolution mid-range aligns with NULLs."""
+    t = CowTable(
+        spark, os.path.join(scratch, "cdc"), key_fields=["k"],
+        partition_field="p", num_file_groups=2,
+    )
+    T1, T2, T3 = "20270101000000", "20270102000000", "20270103000000"
+    df = spark.createDataFrame(
+        [(k, f"p{k % 2}", k * 10) for k in range(10)], "k int, p string, v int"
+    )
+    t.bulk_insert(df, T1)
+    # T2: update k=1 (v -> 999), insert k=100/101, add column 'extra'
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "p1", 999, "x1"), (100, "p0", 1000, "x100"), (101, "p1", 1010, None)],
+            "k int, p string, v int, extra string",
+        ),
+        T2,
+    )
+    # T3: delete k=2 (never updated) and k=100 (inserted in range)
+    t.delete(spark.createDataFrame([(2, "p0"), (100, "p0")], "k int, p string"), T3)
+
+    rows = {r["k"]: r for r in t.cdc(T1, T3).collect()}
+    # k=1 updated; k=101 inserted; k=2 deleted; k=100 inserted-then-deleted
+    # nets to NOTHING (absent at both boundaries); untouched keys absent
+    assert rows[1]["op"] == "update" and rows[1]["v"] == 999 and rows[1]["extra"] == "x1"
+    assert rows[1]["change_commit"] == T2
+    assert rows[101]["op"] == "insert" and rows[101]["v"] == 1010
+    assert rows[101]["change_commit"] == T2
+    assert rows[2]["op"] == "delete" and rows[2]["v"] == 20
+    assert rows[2]["extra"] is None  # before-image predates the column
+    assert rows[2]["change_commit"] == T3
+    assert 100 not in rows
+    assert set(rows) == {1, 2, 101}
