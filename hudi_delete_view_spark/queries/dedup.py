@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.components import assign_components
 from ..operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
@@ -73,6 +74,89 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the verification baseline; LSH prunes the pair space at scale)."""
     docs = _t(spark, sf_dir, "documents").filter("doc_id < 40")
     return ngram_jaccard_pairs(docs, "doc_id", "text", pairs=None, threshold=0.2)
+
+
+@query(
+    "dedup_clusters",
+    # oracle: recursive-CTE transitive closure (min reachable id = the
+    # component root the large-star/small-star contraction converges to)
+    oracle="""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 0)),
+                  i -> substr(text, i, 5))) AS grams
+  FROM documents WHERE doc_id < 40
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(list_distinct(a.grams || b.grams)), 6) >= 0.2
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS cluster_id
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 40) d
+  LEFT JOIN reach r ON r.u = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (doc_id = cluster_id) AS is_canonical
+FROM comp
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-to-cluster resolution: near-dup pairs are only half the dedup
+    story — transitively-linked docs must collapse to ONE canonical copy.
+    Edges = exact 5-gram Jaccard pairs (the oracle-able baseline); clusters
+    via distributed large-star/small-star connected components."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 40")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", pairs=None, threshold=0.2
+    ).select("id_a", "id_b")
+    out = assign_components(docs.select("doc_id"), "doc_id", pairs)
+    w = Window.partitionBy("cluster_id")
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+@query("dedup_minhash_clusters")  # LSH funnel feeds CC: rows-only check
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-scale funnel: MinHash-LSH candidates -> exact-Jaccard
+    verify (>=0.8) -> connected components -> per-cluster stats. One row per
+    duplicate cluster with >1 member (singletons are the survivors)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        pairs=minhash_lsh_candidate_pairs(docs, "doc_id", "text"),
+        threshold=0.8,
+    ).select("id_a", "id_b")
+    clustered = assign_components(docs.select("doc_id", "n_chars"), "doc_id", pairs)
+    return (
+        clustered.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .filter("cluster_size > 1")
+    )
 
 
 @query("dedup_minhash_survivors")  # not SQL-expressible: rows-only check
