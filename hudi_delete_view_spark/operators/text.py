@@ -139,6 +139,71 @@ def winnowing_from_hashes(hash_col: str, window: int = 4) -> Column:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-embedding step of a RAG/training pipeline. One row per chunk with
+    ``chunk_idx`` (0-based window index), ``chunk_text``, ``n_chunk_tokens``.
+
+    Pure built-ins: tokenize once, explode a stride sequence, slice the
+    materialized token array per start offset. The token array is a real
+    column before the explode (not re-split per chunk — see the HOF
+    re-inlining pitfall), so cost is O(doc_len + n_chunks), embarrassingly
+    parallel, no shuffle at all.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = df.withColumn("__toks", tokens(text_col)).withColumn(
+        "__n", F.size("__toks")
+    )
+    starts = F.expr(f"sequence(0, greatest(__n - 1, 0), {step})")
+    exploded = toks.withColumn("__start", F.explode(starts))
+    return exploded.select(
+        F.col(id_col),
+        (F.col("__start") / step).cast("long").alias("chunk_idx"),
+        F.expr(f"array_join(slice(__toks, __start + 1, {chunk_tokens}), ' ')").alias(
+            "chunk_text"
+        ),
+        F.least(
+            F.greatest(F.col("__n") - F.col("__start"), F.lit(0)),
+            F.lit(chunk_tokens),
+        ).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+# PII patterns chosen to be portable between Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround, ASCII word boundaries only.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def pii_counts(text_col: str) -> dict[str, Column]:
+    """Per-category PII match counts (vectorized regexp_count)."""
+    return {
+        name: F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text_col: str) -> Column:
+    """Replace every PII match with a typed placeholder. Applied in a fixed
+    category order (email before phone, so an email's digits can't be
+    re-matched) — a single linear chain of JVM regexp_replace calls."""
+    out = F.col(text_col)
+    for name in ("email", "url", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
+    return out
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full per-document stat set."""
     return (

@@ -198,6 +198,108 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_chunks",
+    # mirror: same tokenization, same stride arithmetic; DuckDB's
+    # list_slice is 1-based-inclusive like Spark's slice(start, length)
+    # shifted to an end offset
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 200
+),
+starts AS (
+  SELECT doc_id, t, unnest(generate_series(0, greatest(len(t) - 1, 0), 24)) AS s
+  FROM toks
+)
+SELECT doc_id,
+  CAST(s // 24 AS BIGINT) AS chunk_idx,
+  array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text,
+  CAST(least(greatest(len(t) - s, 0), 32) AS BIGINT) AS n_chunk_tokens
+FROM starts
+""",
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows, 8-token
+    overlap) — the pre-embedding split of a RAG/training pipeline."""
+    from ..operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 200")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+# deterministic synthetic PII, appended so the redactor provably fires on
+# every row (the synthetic corpus contains no natural emails/URLs/phones)
+_PII_AUG_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), "
+    "'@example.com via https://site.example/', CAST(doc_id AS STRING), "
+    "' or 555-123-4567')"
+)
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com via https://site.example/' || CAST(doc_id AS VARCHAR) || "
+    "' or 555-123-4567'"
+)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+_PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+  length(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+  length(regexp_extract_all(t, '{_PII_URL}')) AS n_url,
+  length(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_URL}', '<URL>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM aug
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training corpora: count + replace emails/URLs/phone
+    numbers with typed placeholders. Patterns restricted to the Java-regex
+    intersection with RE2 (no lookaround/backrefs) so the DuckDB oracle
+    runs the same expressions; fixed replace order so redactions can't
+    re-match each other's output."""
+    from ..operators.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents").withColumn("__t", F.expr(_PII_AUG_SPARK))
+    counts = pii_counts("__t")
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["url"].alias("n_url"),
+        counts["phone"].alias("n_phone"),
+        redact_pii("__t").alias("redacted"),
+    )
+
+
+@query(
+    "docs_stratified_sample",
+    # language-balanced downsampling: keep every non-English doc, keep a
+    # deterministic ~25% of English ones. The sampling key is a pure
+    # function of the row (md5 hex prefix compare) — identical on both
+    # engines, reshuffle-stable, and resumable at any scale (no RNG state).
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE lang != 'en' OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+""",
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling (downsample the
+    over-represented language) — scan-only, no shuffle, no RNG."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = (F.col("lang") != "en") | (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "4000"
+    )
+    return docs.filter(keep).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
     "pipeline_corpus_curation",
     # The end-to-end training-data curation pass: score -> filter (quality
     # + language) -> fingerprint dedup (keep lowest doc_id) -> per-source

@@ -206,3 +206,48 @@ def test_synthetic_media_decodes_for_real(spark, docs):
         extract_features(media, strict=True).collect()
     wav_ppm_only = media.filter("media_type != 'video'")
     assert extract_features(wav_ppm_only, strict=True).count() == 20
+
+
+def test_chunk_documents_stride_and_tail(spark):
+    from hudi_delete_view_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, ""), (3, "solo")], "id long, text string")
+    rows = chunk_documents(df, "id", "text", chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # stride 2 over 10 tokens -> starts 0,2,4,6,8
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2, 3, 4]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w2 w3 w4 w5"  # 2-token overlap
+    assert c1[-1]["chunk_text"] == "w8 w9"  # short tail kept
+    assert c1[-1]["n_chunk_tokens"] == 2
+    # empty doc -> one empty chunk; single-token doc -> itself
+    assert by_doc[2][0]["chunk_text"] == "" and by_doc[2][0]["n_chunk_tokens"] == 0
+    assert by_doc[3][0]["chunk_text"] == "solo" and by_doc[3][0]["n_chunk_tokens"] == 1
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from hudi_delete_view_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_pii_redaction_order_and_counts(spark):
+    from hudi_delete_view_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.org or call 555-123-4567, see https://x.io/p?q=1 end")],
+        "id long, text string",
+    )
+    counts = pii_counts("text")
+    row = df.select(
+        redact_pii("text").alias("red"),
+        counts["email"].alias("e"), counts["url"].alias("u"), counts["phone"].alias("p"),
+    ).collect()[0]
+    assert row["e"] == 1 and row["u"] == 1 and row["p"] == 1
+    assert row["red"] == "mail <EMAIL> or call <PHONE>, see <URL> end"
