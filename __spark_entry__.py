@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_registry.QUERIES)
+    return _registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -134,7 +134,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_clusters")  # LSH funnel feeds CC: rows-only check
+@query("dedup_minhash_clusters", late=True)  # rows-only; CC oracle-checked via dedup_clusters
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-scale funnel: MinHash-LSH candidates -> exact-Jaccard
     verify (>=0.8) -> connected components -> per-cluster stats. One row per
@@ -170,14 +170,14 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_lsh_candidates")  # not SQL-expressible: rows-only check
+@query("dedup_lsh_candidates", late=True)  # rows-only; funnel covered by dedup_minhash_survivors
 def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw LSH band-collision candidate pairs (pre-verification)."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_candidate_pairs(docs, "doc_id", "text")
 
 
-@query("dedup_simhash_pairs")  # not SQL-expressible: rows-only check
+@query("dedup_simhash_pairs", late=True)  # rows-only; recall pytest covers it
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (12-bit prefix buckets, Hamming <= 10)."""
     docs = _t(spark, sf_dir, "documents")
