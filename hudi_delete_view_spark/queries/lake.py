@@ -209,6 +209,57 @@ def lake_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental view maintenance: a per-flag aggregate kept in sync by the
+# CDC retraction feed (postimages add, preimages/deletes subtract) — never
+# recomputed from the full table. The oracle aggregates the FINAL state
+# directly, so a hash match proves base + delta == recompute.
+# --------------------------------------------------------------------------
+@query(
+    "lake_ivm_aggregate",
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(CAST(round(({_QTY_SQL}) * 100) AS BIGINT)) / 100.0, 6) AS sum_qty
+FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+GROUP BY l_returnflag
+""",
+)
+def lake_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate: seed the view at C1, then apply
+    only the CDC delta over (C1, C4]. Sums ride exact integer cents so the
+    retraction algebra is associative regardless of partial order. At scale
+    the delta is proportional to the CHANGES, not the table — the whole
+    point of maintaining a 100 TB rollup from a GB-sized change feed."""
+    table = build_lineitem_cow(spark, sf_dir)
+    cents = F.expr("cast(round(l_quantity * 100) as bigint)")
+
+    base = (
+        table.snapshot(C1)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("c"))
+    )
+    feed = table.cdc(C1, C4, include_update_preimages=True)
+    sign = F.when(F.col("op").isin("insert", "update"), F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        feed.select("l_returnflag", sign.alias("w"), cents.alias("__c"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("w").alias("n"), F.sum(F.col("w") * F.col("__c")).alias("c"))
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(F.sum("n").alias("n_rows"), F.sum("c").alias("__cents"))
+        .filter(F.col("n_rows") > 0)
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.round(F.col("__cents") / F.lit(100.0), 6).alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # A14/A15: the materialized view's metadata-only count (footer-driven)
 # --------------------------------------------------------------------------
 @query(

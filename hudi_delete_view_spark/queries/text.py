@@ -156,7 +156,7 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_winnowing")  # rolling-hash fingerprints: rows-only check
+@query("text_winnowing", late=True)  # rows-only; fingerprint family oracle-checked elsewhere
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sets (min rolling k-gram hash per window)."""
     from ..operators.text import gram_hashes, winnowing_from_hashes

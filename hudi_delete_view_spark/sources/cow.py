@@ -605,7 +605,12 @@ class CowTable:
             cond = cond & (F.col(COMMIT_TIME_FIELD) <= F.lit(end))
         return df.filter(cond)
 
-    def cdc(self, begin_exclusive: str, end_inclusive: str | None = None) -> DataFrame:
+    def cdc(
+        self,
+        begin_exclusive: str,
+        end_inclusive: str | None = None,
+        include_update_preimages: bool = False,
+    ) -> DataFrame:
         """Net-effect change-data feed over (begin, end] — the Hudi
         CDC / Delta Change Data Feed analogue, collapsed per key:
 
@@ -613,6 +618,12 @@ class CowTable:
         - ``op='update'``: present at both, rewritten in range (after-image)
         - ``op='delete'``: present at begin, absent at end (BEFORE-image,
           stamped with the deleting commit via the range delete feed)
+
+        With ``include_update_preimages`` each update additionally emits an
+        ``op='update_preimage'`` row carrying the begin-boundary image
+        (Delta CDF's preimage/postimage pair) — the retraction feed that
+        lets a downstream consumer incrementally maintain aggregates:
+        new_view = old_view + postimages - (preimages ∪ delete images).
 
         Scale shape: both snapshots are pruned to file groups touched in
         the range (untouched groups can't contribute changes), the diff is
@@ -667,11 +678,26 @@ class CowTable:
         )
         img = F.when(F.col("op") == "delete", F.col("__before")).otherwise(F.col("__after"))
         change = F.when(F.col("op") == "delete", F.col("__ct_del")).otherwise(F.col("__ct_after"))
-        return (
+        out = (
             j.withColumn("__img", img)
             .withColumn("change_commit", change)
             .select("op", RECORD_KEY_FIELD, "change_commit", "__img.*")
         )
+        if include_update_preimages:
+            pre = (
+                j.filter(F.col("op") == "update")
+                .select(
+                    F.lit("update_preimage").alias("op"),
+                    F.col(RECORD_KEY_FIELD),
+                    # stamped with the commit that replaced the image, like
+                    # the postimage row it retracts against
+                    F.col("__ct_after").alias("change_commit"),
+                    F.col("__before").alias("__img"),
+                )
+                .select("op", RECORD_KEY_FIELD, "change_commit", "__img.*")
+            )
+            out = out.unionByName(pre)
+        return out
 
     def _delete_stamps(self, begin_exclusive: str, end: str | None) -> DataFrame:
         """(record_key, __ct_del): the LAST commit in (begin, end] that

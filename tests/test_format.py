@@ -274,3 +274,28 @@ def test_cdc_net_effect(spark, scratch):
     assert rows[2]["change_commit"] == T3
     assert 100 not in rows
     assert set(rows) == {1, 2, 101}
+
+
+def test_cdc_update_preimages(spark, scratch):
+    """include_update_preimages adds a retraction row per update carrying
+    the begin-boundary image, stamped like its postimage."""
+    t = CowTable(
+        spark, os.path.join(scratch, "cdc_pre"), key_fields=["k"],
+        partition_field="p", num_file_groups=2,
+    )
+    T1, T2 = "20270201000000", "20270202000000"
+    t.bulk_insert(
+        spark.createDataFrame([(k, "p0", k * 10) for k in range(4)], "k int, p string, v int"),
+        T1,
+    )
+    t.upsert(spark.createDataFrame([(1, "p0", 999)], "k int, p string, v int"), T2)
+
+    rows = t.cdc(T1, T2, include_update_preimages=True).collect()
+    by_op = {}
+    for r in rows:
+        by_op.setdefault(r["op"], []).append(r)
+    assert len(by_op["update"]) == 1 and by_op["update"][0]["v"] == 999
+    pre = by_op["update_preimage"][0]
+    assert pre["v"] == 10 and pre["k"] == 1
+    assert pre["change_commit"] == T2
+    assert set(by_op) == {"update", "update_preimage"}
