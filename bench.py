@@ -27,6 +27,8 @@ HEADLINE = [
     "lake_delete_view",        # B6 flagship: stats-pruned anti-join pipeline
     "lake_snapshot",           # B1 snapshot read
     "lake_pruned_scan",        # column-stats file skipping
+    "lake_cdc",                # net-effect change feed (boundary-snapshot diff)
+    "lake_ivm_aggregate",      # incremental view maintenance from CDC delta
     "mor_snapshot",            # B4 merge-on-read latest-per-key window
     "rel_q1_pricing_summary",  # B7 wide aggregation
     "rel_q3_top_orders",       # B7 3-way join + agg + top-k
@@ -35,6 +37,8 @@ HEADLINE = [
     "rel_asof_join",
     "dedup_exact_count",       # B8 exact dedup
     "dedup_minhash_survivors", # B9 MinHash-LSH near-dup
+    "dedup_minhash_clusters",  # B9 funnel + connected-components resolution
+    "text_chunks",             # B11 token-window chunking
     "text_stats",              # B11 text analysis
     "text_tfidf_top_terms",    # B11 corpus-level tf-idf
     "sim_topk_bruteforce",     # B10 cosine top-k (exact)

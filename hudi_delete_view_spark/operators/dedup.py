@@ -284,7 +284,7 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_dedup(
+def minhash_verified_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -294,16 +294,14 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """Near-dup removal: drop every doc that has a verified near-duplicate
-    with a smaller id (deterministic survivor = min id of each dup
-    cluster's pairwise edges). One anti-join; no iterative connected
-    components on the hot path.
-
-    Three-stage funnel (the scale design): LSH buckets propose pairs, the
-    cheap signature-agreement estimate prunes weak ones (anything below
-    ``threshold - est_margin``; estimator sigma = sqrt(j(1-j)/num_hashes)
-    ~ 0.05, so a 3-sigma margin loses essentially no true pairs), and the
-    exact n-gram Jaccard verifies only the strong remainder."""
+    """Verified near-duplicate pairs (id_a < id_b, exact Jaccard >=
+    threshold) via the three-stage funnel (the scale design): LSH buckets
+    propose pairs, the cheap signature-agreement estimate prunes weak ones
+    (anything below ``threshold - est_margin``; estimator sigma =
+    sqrt(j(1-j)/num_hashes) ~ 0.05, so a 3-sigma margin loses essentially
+    no true pairs), and the exact n-gram Jaccard verifies only the strong
+    remainder. The shared front-end of both survivor selection
+    (``minhash_dedup``) and cluster resolution (connected components)."""
     sig = _signature_table(df, id_col, text_col, shingle_k, num_hashes, bands)
     # >=2 band collisions: ~0.3% recall loss at the verify threshold,
     # ~2.5x fewer candidate pairs shipped into the signature-estimate join
@@ -325,9 +323,28 @@ def minhash_dedup(
         .union(strong.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(
+    return ngram_jaccard_pairs(
         df.join(F.broadcast(members), id_col, "left_semi"),
         id_col, text_col, pairs=strong, threshold=threshold, shingle_k=shingle_k,
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    est_margin: float = 0.15,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup removal: drop every doc that has a verified near-duplicate
+    with a smaller id (deterministic survivor = min id of each dup
+    cluster's pairwise edges). One anti-join over the verified-pair
+    funnel; no iterative connected components on the hot path."""
+    verified = minhash_verified_pairs(
+        df, id_col, text_col, threshold, est_margin, shingle_k, num_hashes, bands
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

@@ -136,17 +136,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_minhash_clusters", late=True)  # rows-only; CC oracle-checked via dedup_clusters
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full corpus-scale funnel: MinHash-LSH candidates -> exact-Jaccard
-    verify (>=0.8) -> connected components -> per-cluster stats. One row per
-    duplicate cluster with >1 member (singletons are the survivors)."""
+    """The full corpus-scale funnel: MinHash-LSH candidates ->
+    estimate-pruned exact-Jaccard verify (>=0.8) -> connected components ->
+    per-cluster stats. One row per duplicate cluster with >1 member
+    (singletons are the survivors)."""
+    from ..operators.dedup import minhash_verified_pairs
+
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs,
-        "doc_id",
-        "text",
-        pairs=minhash_lsh_candidate_pairs(docs, "doc_id", "text"),
-        threshold=0.8,
-    ).select("id_a", "id_b")
+    pairs = minhash_verified_pairs(docs, "doc_id", "text", threshold=0.8).select(
+        "id_a", "id_b"
+    )
     clustered = assign_components(docs.select("doc_id", "n_chars"), "doc_id", pairs)
     return (
         clustered.groupBy("cluster_id")
