@@ -209,6 +209,35 @@ def lake_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Clustering (replacecommit): scan through the layout-rewritten table —
+# identical rows, sorted files, range predicate pushed to the scan where
+# tightened row-group stats make it cheap
+# --------------------------------------------------------------------------
+@query(
+    "lake_clustered_scan",
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       {_PAYLOAD_SQL.format(qty="l_quantity")}
+FROM li WHERE l_orderkey BETWEEN 5000 AND 20000
+""",
+)
+def lake_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan over the clustered table: the clustering commit rewrote
+    every file group sorted by l_orderkey (rows unchanged — the oracle is
+    the plain C1 data), so the pushed-down range touches one contiguous
+    run of row groups per file instead of all of them."""
+    from ..sources.fixtures import build_lineitem_clustered
+
+    table = build_lineitem_clustered(spark, sf_dir)
+    df = table.scan({"l_orderkey": (5000, 20000)})
+    return df.select(
+        df[RECORD_KEY_FIELD], *[F.col(c) for c in _PAYLOAD],
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Incremental view maintenance: a per-flag aggregate kept in sync by the
 # CDC retraction feed (postimages add, preimages/deletes subtract) — never
 # recomputed from the full table. The oracle aggregates the FINAL state

@@ -112,7 +112,7 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_topk_ivf")  # approximate: rows-only driver check + pytest recall
+@query("sim_topk_ivf", late=True)  # rows-only; pytest checks recall vs bruteforce
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 (16 lists, probe 4): corpus bucketed by
     nearest centroid; queries scan only their nprobe closest inverted

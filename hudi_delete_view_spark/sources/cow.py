@@ -236,6 +236,8 @@ class CowTable:
         commit_ts: str,
         expected_groups: list[tuple[str, str]] | None = None,
         suffix: str = ".parquet",
+        sort_cols: list[str] | None = None,
+        parquet_block_bytes: int | None = None,
     ) -> dict[tuple[str, str], tuple[str, int]]:
         """Write one Parquet file per (partition, file_id) group.
 
@@ -250,12 +252,17 @@ class CowTable:
         """
         staging = os.path.join(self.base_path, f".staging-{commit_ts}")
         shutil.rmtree(staging, ignore_errors=True)
-        (
-            df.repartition(F.col(_PP), F.col(_FID))
-            .write.partitionBy(_PP, _FID)
-            .mode("overwrite")
-            .parquet(staging)
-        )
+        shuffled = df.repartition(F.col(_PP), F.col(_FID))
+        if sort_cols:
+            # group cols lead the sort so each leaf file comes out ordered
+            # by sort_cols even when several groups share a task
+            shuffled = shuffled.sortWithinPartitions(
+                F.col(_PP), F.col(_FID), *[F.col(c) for c in sort_cols]
+            )
+        writer = shuffled.write.partitionBy(_PP, _FID).mode("overwrite")
+        if parquet_block_bytes:
+            writer = writer.option("parquet.block.size", str(parquet_block_bytes))
+        writer.parquet(staging)
 
         written: dict[tuple[str, str], tuple[str, int]] = {}
         for pp_dir in os.listdir(staging):
@@ -329,11 +336,11 @@ class CowTable:
                 deletes = prev_rows - new_rows
                 updates = 0
                 inserts = 0
-            elif operation == "compaction":
-                # compaction changes no records — with inc=0 the generic
-                # arithmetic would publish negative inserts and phantom
-                # updates whenever the merged output is smaller than the
-                # previous base (log tombstones applied)
+            elif operation in ("compaction", "clustering"):
+                # compaction/clustering change no records — with inc=0 the
+                # generic arithmetic would publish negative inserts and
+                # phantom updates whenever the rewritten output is smaller
+                # than the previous base (log tombstones applied)
                 updates = inserts = deletes = 0
             else:
                 updates = max(0, prev_rows + inc - new_rows)
@@ -466,6 +473,46 @@ class CowTable:
     def delete_where(self, condition, commit_ts: str) -> CommitMetadata:
         """Predicate delete: snapshot → filter → key-delete."""
         return self.delete(self.snapshot().filter(condition), commit_ts)
+
+    def cluster(
+        self,
+        commit_ts: str,
+        sort_cols: list[str],
+        parquet_block_bytes: int | None = None,
+    ) -> CommitMetadata:
+        """Layout-optimizing rewrite — the Hudi clustering / replacecommit
+        analogue, scoped to sort-within-file-group so the stateless
+        hash(key) -> file-group routing upserts rely on stays valid.
+
+        Rows are byte-identical to the previous snapshot (meta columns
+        included: ``_hoodie_commit_time`` keeps its original stamp, so
+        incremental/CDC reads see NO changes from a clustering commit);
+        only the physical order inside each file changes. Sorting by a
+        scan predicate's column tightens per-row-group min/max, which the
+        Parquet reader uses to skip row groups once the pushed-down filter
+        reaches the scan — at 100 TB that's the difference between reading
+        a file group's one matching row group and all of them.
+        ``parquet_block_bytes`` bounds row-group size so a sorted file has
+        skippable granularity; ``sort_cols`` join the published
+        column-stats set for this and later commits."""
+        prev_slices = resolve_slices(self.timeline)
+        snap = self.snapshot()
+        stamped = snap.withColumn(_PP, F.col(PARTITION_PATH_FIELD)).withColumn(
+            _FID, file_id_expr(F.col(FILE_NAME_FIELD))
+        )
+        self.stats_columns = list(dict.fromkeys([*self.stats_columns, *sort_cols]))
+        written = self._write_file_groups(
+            stamped,
+            commit_ts,
+            expected_groups=sorted(prev_slices),
+            sort_cols=sort_cols,
+            parquet_block_bytes=parquet_block_bytes,
+        )
+        latest = self.timeline.latest_timestamp()
+        return self._publish(
+            commit_ts, "clustering", written, prev_slices,
+            schema_json=self.timeline.commit_metadata(latest).schema_json if latest else None,
+        )
 
     # ------------------------------------------------------------------
     # read operations

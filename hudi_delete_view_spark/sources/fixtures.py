@@ -109,6 +109,37 @@ def build_lineitem_cow(spark: SparkSession, sf_dir: str, base_path: str | None =
     return table
 
 
+def lineitem_clustered_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(SCRATCH_ROOT, "lake", tag, "lineitem_clustered")
+
+
+def build_lineitem_clustered(spark: SparkSession, sf_dir: str, base_path: str | None = None) -> CowTable:
+    """Two-commit fixture for the clustering service: C1 bulk-insert
+    dedup(lineitem), C2 clustering rewrite sorted by ``l_orderkey`` with
+    small row groups (so sorted files have skippable granularity even at
+    test scale). Data identical across both commits by construction."""
+    base_path = base_path or lineitem_clustered_path(sf_dir)
+    table = CowTable(
+        spark,
+        base_path,
+        key_fields=LINEITEM_KEY,
+        partition_field="l_returnflag",
+        num_file_groups=4,
+    )
+    if table.timeline.timestamps() == [C1, C2]:
+        table.stats_columns = list(dict.fromkeys([*table.stats_columns, "l_orderkey"]))
+        return table
+    import shutil
+
+    shutil.rmtree(base_path, ignore_errors=True)
+    os.makedirs(base_path, exist_ok=True)
+    src = dedup_lineitem(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
+    table.bulk_insert(src, C1)
+    table.cluster(C2, sort_cols=["l_orderkey"], parquet_block_bytes=256 * 1024)
+    return table
+
+
 # --------------------------------------------------------------------------
 # orders_mor — MOR fixture (FIXTURES.md §2.2): base + delta logs
 #   M1 bulk-insert orders; M2 delta-update (o_orderkey % 7 = 0 →

@@ -299,3 +299,46 @@ def test_cdc_update_preimages(spark, scratch):
     assert pre["v"] == 10 and pre["k"] == 1
     assert pre["change_commit"] == T2
     assert set(by_op) == {"update", "update_preimage"}
+
+
+def test_clustering_rewrite(spark, scratch):
+    """cluster(): rows identical (meta stamps included), files sorted by
+    the cluster key, per-row-group min/max spans disjoint after the
+    rewrite, and incremental reads see no changes from the commit."""
+    import pyarrow.parquet as pq
+    from hudi_delete_view_spark.sources.cow import resolve_slices
+
+    t = CowTable(
+        spark, os.path.join(scratch, "clus"), key_fields=["k"],
+        partition_field=None, num_file_groups=1,
+    )
+    T1, T2 = "20270301000000", "20270302000000"
+    import random
+    rnd = random.Random(7)
+    rows = [(k, rnd.randint(0, 10**6)) for k in range(20000)]
+    t.bulk_insert(spark.createDataFrame(rows, "k int, v int"), T1)
+    before = sorted(r["k"] for r in t.snapshot().select("k").collect())
+
+    t.cluster(T2, sort_cols=["v"], parquet_block_bytes=64 * 1024)
+    after = t.snapshot()
+    assert sorted(r["k"] for r in after.select("k").collect()) == before
+    # commit stamps preserved -> incremental over (T1, T2] is empty
+    assert t.incremental(T1, T2).count() == 0
+    # the clustered file is sorted by v with non-overlapping row groups
+    slices = resolve_slices(t.timeline)
+    path = os.path.join(t.base_path, next(iter(slices.values())).base_path)
+    md = pq.ParquetFile(path).metadata
+    assert md.num_row_groups > 1, "block size should force multiple row groups"
+    col = next(i for i in range(md.num_columns)
+               if md.row_group(0).column(i).path_in_schema == "v")
+    spans = [
+        (md.row_group(g).column(col).statistics.min,
+         md.row_group(g).column(col).statistics.max)
+        for g in range(md.num_row_groups)
+    ]
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"row groups overlap: {(lo1, hi1)} then {(lo2, hi2)}"
+    # stats-based scan on the cluster key returns exact rows
+    got = sorted(r["k"] for r in t.scan({"v": (0, 1000)}).select("k").collect())
+    want = sorted(k for k, v in rows if v <= 1000)
+    assert got == want
