@@ -474,6 +474,54 @@ class CowTable:
         """Predicate delete: snapshot → filter → key-delete."""
         return self.delete(self.snapshot().filter(condition), commit_ts)
 
+    def rollback(self, commit_ts: str) -> list[str]:
+        """Undo the LATEST commit (Hudi rollback analogue): delete the data
+        files it wrote and retire its timeline entry.
+
+        Only the newest commit is rollback-able — commits chain via
+        ``prevCommit`` (A3), so removing a mid-timeline instant would break
+        every later slice's predecessor resolution. Each commit's files are
+        named with its own timestamp (never shared), so deleting them can't
+        corrupt earlier slices. The commit JSON is renamed, not deleted
+        (``<ts>.commit.rolledback``), keeping the timeline auditable the
+        way Hudi's rollback instants do. Returns the removed data paths."""
+        latest = self.timeline.latest_timestamp()
+        if latest is None or commit_ts != latest:
+            raise TimelineError(
+                f"only the latest commit can be rolled back "
+                f"(requested {commit_ts}, latest {latest})"
+            )
+        meta = self.timeline.commit_metadata(commit_ts)
+        removed = []
+        for _p, stat in meta.all_stats():
+            p = os.path.join(self.base_path, stat.path)
+            if os.path.exists(p):
+                os.remove(p)
+                removed.append(p)
+        meta_dir = os.path.join(self.base_path, ".hoodie")
+        os.replace(
+            os.path.join(meta_dir, f"{commit_ts}.commit"),
+            os.path.join(meta_dir, f"{commit_ts}.commit.rolledback"),
+        )
+        # drop any materialized delete view of the retired commit
+        shutil.rmtree(
+            os.path.join(self.base_path, ".delete", commit_ts), ignore_errors=True
+        )
+        self.timeline.refresh()
+        return removed
+
+    def restore(self, to_commit_ts: str) -> list[str]:
+        """Restore the table to ``to_commit_ts`` by rolling back every later
+        commit, newest first (the Hudi savepoint-restore shape). Returns all
+        removed data paths."""
+        self.timeline.instant_for(to_commit_ts)  # raises if unknown
+        removed: list[str] = []
+        while True:
+            latest = self.timeline.latest_timestamp()
+            if latest is None or latest <= to_commit_ts:
+                return removed
+            removed += self.rollback(latest)
+
     def cluster(
         self,
         commit_ts: str,

@@ -342,3 +342,57 @@ def test_clustering_rewrite(spark, scratch):
     got = sorted(r["k"] for r in t.scan({"v": (0, 1000)}).select("k").collect())
     want = sorted(k for k, v in rows if v <= 1000)
     assert got == want
+
+
+def test_rollback_and_restore(spark, scratch):
+    """rollback() retires the latest commit (files + timeline, audit
+    record kept); restore() unwinds to an older instant; mid-timeline
+    rollback is refused."""
+    from hudi_delete_view_spark.plans.timeline import TimelineError
+
+    t = CowTable(
+        spark, os.path.join(scratch, "rb"), key_fields=["k"],
+        partition_field=None, num_file_groups=2,
+    )
+    T1, T2, T3 = "20270401000000", "20270402000000", "20270403000000"
+    t.bulk_insert(
+        spark.createDataFrame([(k, k * 10) for k in range(10)], "k int, v int"), T1
+    )
+    t.upsert(spark.createDataFrame([(1, 999), (100, 1000)], "k int, v int"), T2)
+    t.delete(spark.createDataFrame([(2,)], "k int"), T3)
+    assert t.snapshot().count() == 10  # 10 + 1 insert - 1 delete
+
+    with pytest.raises(TimelineError):
+        t.rollback(T2)  # not the latest
+
+    removed = t.rollback(T3)
+    assert removed and t.timeline.timestamps() == [T1, T2]
+    vals = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert vals[2] == 20 and vals[1] == 999 and vals[100] == 1000
+    # audit record survives
+    assert os.path.exists(os.path.join(t.base_path, ".hoodie", f"{T3}.commit.rolledback"))
+
+    t.restore(T1)
+    assert t.timeline.timestamps() == [T1]
+    vals = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert vals == {k: k * 10 for k in range(10)}
+
+
+def test_rollback_mor_delta(spark, scratch):
+    """MOR: rolling back a delta commit removes only its log file; the
+    merged view reverts."""
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    t = MorTable(
+        spark, os.path.join(scratch, "rbm"), key_fields=["k"],
+        partition_field=None, num_file_groups=1,
+    )
+    T1, T2 = "20270405000000", "20270406000000"
+    t.bulk_insert(
+        spark.createDataFrame([(k, k) for k in range(6)], "k int, v int"), T1
+    )
+    t.upsert_delta(spark.createDataFrame([(0, 99)], "k int, v int"), T2)
+    assert {r["v"] for r in t.snapshot().filter("k = 0").collect()} == {99}
+    t.rollback(T2)
+    assert {r["v"] for r in t.snapshot().filter("k = 0").collect()} == {0}
+    assert t.timeline.timestamps() == [T1]
