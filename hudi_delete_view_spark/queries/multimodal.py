@@ -38,7 +38,7 @@ def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_fake_media(docs, "doc_id", "text").drop("payload")
 
 
-@query("mm_extract_features")  # mapInPandas path: rows-only driver check
+@query("mm_extract_features", late=True)  # rows-only; decode pytest-verified on hand-built payloads
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extract via mapInPandas: WAV and PPM
     payloads decode for REAL (raw PCM / RGB features); the video payloads

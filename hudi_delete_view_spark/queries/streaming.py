@@ -93,6 +93,54 @@ def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_lake_ingest",
+    # the ingested lake table must equal the source: per-type counts,
+    # distinct keys, exact integer-cent sums
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_id) AS n_keys,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+FROM events GROUP BY event_type
+""",
+)
+def stream_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming ingest (B13 -> B5): the events stream lands in
+    a COW lake table via foreachBatch upserts (event_id-keyed, so replays
+    are idempotent — the exactly-once story), each micro-batch publishing a
+    real commit with write stats the delete-view pipeline could consume.
+    The query aggregates the TABLE's snapshot; the oracle aggregates the
+    SOURCE — a hash match proves lossless, duplicate-free ingestion."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources.cow import CowTable
+    from ..sources.fixtures import SCRATCH_ROOT
+    from ..streaming.ops import foreach_batch_upsert
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(SCRATCH_ROOT, "lake", tag, "events_ingested")
+    table = CowTable(
+        spark, base, key_fields=["event_id"],
+        partition_field="event_type", num_file_groups=4,
+    )
+    if not table.timeline.timestamps():
+        stream = events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        foreach_batch_upsert(
+            stream, table, lambda bid: f"{20260301000000 + bid:014d}"
+        )
+    snap = table.snapshot()
+    return snap.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_id").alias("n_keys"),
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("total_cents"),
+    )
+
+
+@query(
     "stream_static_join",
     oracle="""
 SELECT e.event_type, c.c_mktsegment AS segment,
