@@ -56,6 +56,22 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "dedup_embedding_lsh": (["ArrowEvalPython"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # MOR log-resident delete view: anti-join on (file_id, key)
     "mor_delete_view_log_only": (["LeftAnti"], ["CartesianProduct"]),
+    # CDC: ONE full-outer diff join on (file_id, key) between the pruned
+    # boundary snapshots; payloads travel as structs
+    "lake_cdc": (["FullOuter"], ["CartesianProduct"]),
+    # IVM: base + retraction delta is pure aggregation — partial agg
+    # before every exchange, no join wider than the tiny delete-stamp side
+    "lake_ivm_aggregate": (["partial_", "HashAggregate"], ["CartesianProduct"]),
+    # clustered range scan: the l_orderkey bounds push into the Parquet
+    # scan (row-group skipping does the work inside the sorted files)
+    "lake_clustered_scan": (["GreaterThanOrEqual(l_orderkey", "LessThanOrEqual(l_orderkey"], ["CartesianProduct", "Join"]),
+    # chunking: tokenize -> explode, embarrassingly parallel; the only
+    # exchange is spread()'s parallelism repartition of the tiny doc scan
+    "text_chunks": (["Generate"], ["CartesianProduct", "Join"]),
+    # PII scrub: pure JVM regexp chain over one scan — no shuffle at all
+    "text_pii_redact": ([], ["Exchange", "Join"]),
+    # hash-stratified sample: scan + filter + project, no shuffle
+    "docs_stratified_sample": ([], ["Exchange", "Join"]),
 }
 
 # per-query session confs applied while building the audited plan
