@@ -109,6 +109,39 @@ def _json_safe_stat(v):
     return None
 
 
+_MORTON_BITS = 16
+
+
+def _morton_code(bounds: dict[str, tuple]) -> "F.Column":
+    """Morton (Z-curve) sort key: each numeric column is min/max-normalized
+    to 16 bits, then the columns' bits are interleaved — one pure-JVM
+    bitwise expression (no UDF), so the clustering sort stays codegen'd.
+
+    ``bounds`` maps column -> (min, max) from a pre-computed scalar agg;
+    degenerate columns (min == max) contribute constant zeros."""
+    scaled = []
+    for c, (mn, mx) in bounds.items():
+        span = (mx - mn) if mx is not None and mn is not None else 0
+        if not span:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        norm = (F.col(c).cast("double") - F.lit(float(mn))) / F.lit(float(span))
+        scaled.append(
+            F.least(
+                F.floor(norm * F.lit(float(1 << _MORTON_BITS))).cast("long"),
+                F.lit((1 << _MORTON_BITS) - 1),
+            )
+        )
+    n = len(scaled)
+    code = F.lit(0).cast("long")
+    for bit in range(_MORTON_BITS):
+        for j, s in enumerate(scaled):
+            code = code.bitwiseOR(
+                F.shiftleft(s.bitwiseAND(F.lit(1 << bit)).cast("long"), bit * (n - 1) + j)
+            )
+    return code
+
+
 def footer_column_stats(path: str, cols: list[str]) -> dict[str, list]:
     """Per-file [min, max] for ``cols``, lifted from Parquet row-group
     footers — no data scan. A column is omitted when any row group lacks
@@ -255,10 +288,10 @@ class CowTable:
         shuffled = df.repartition(F.col(_PP), F.col(_FID))
         if sort_cols:
             # group cols lead the sort so each leaf file comes out ordered
-            # by sort_cols even when several groups share a task
-            shuffled = shuffled.sortWithinPartitions(
-                F.col(_PP), F.col(_FID), *[F.col(c) for c in sort_cols]
-            )
+            # by sort_cols even when several groups share a task; entries
+            # may be column names or arbitrary sort expressions (Z-order)
+            exprs = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
+            shuffled = shuffled.sortWithinPartitions(F.col(_PP), F.col(_FID), *exprs)
         writer = shuffled.write.partitionBy(_PP, _FID).mode("overwrite")
         if parquet_block_bytes:
             writer = writer.option("parquet.block.size", str(parquet_block_bytes))
@@ -527,6 +560,7 @@ class CowTable:
         commit_ts: str,
         sort_cols: list[str],
         parquet_block_bytes: int | None = None,
+        zorder: bool = False,
     ) -> CommitMetadata:
         """Layout-optimizing rewrite — the Hudi clustering / replacecommit
         analogue, scoped to sort-within-file-group so the stateless
@@ -542,18 +576,42 @@ class CowTable:
         a file group's one matching row group and all of them.
         ``parquet_block_bytes`` bounds row-group size so a sorted file has
         skippable granularity; ``sort_cols`` join the published
-        column-stats set for this and later commits."""
+        column-stats set for this and later commits.
+
+        ``zorder=True`` sorts by the Morton interleaving of the (min/max-
+        normalized) sort columns instead of lexicographically — a linear
+        sort gives the FIRST column disjoint row-group spans but leaves
+        every other column's span full-range; Z-order trades a little
+        per-column tightness for moderate tightness on ALL of them, the
+        standard layout for multi-dimensional predicates (Delta/Hudi
+        Z-ORDER BY)."""
         prev_slices = resolve_slices(self.timeline)
         snap = self.snapshot()
         stamped = snap.withColumn(_PP, F.col(PARTITION_PATH_FIELD)).withColumn(
             _FID, file_id_expr(F.col(FILE_NAME_FIELD))
         )
+        sort_exprs: list = list(sort_cols)
+        if zorder:
+            if len(sort_cols) < 2:
+                raise ValueError("zorder needs at least two sort columns")
+            # per-column [min, max] for rank normalization: one scalar agg
+            # row — commit-planning metadata (same class as the write-stat
+            # counts every commit already derives), not a data collect
+            bounds = snap.agg(
+                *[F.min(c).alias(f"__mn_{c}") for c in sort_cols],
+                *[F.max(c).alias(f"__mx_{c}") for c in sort_cols],
+            ).collect()[0]
+            sort_exprs = [
+                _morton_code(
+                    {c: (bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]) for c in sort_cols}
+                )
+            ]
         self.stats_columns = list(dict.fromkeys([*self.stats_columns, *sort_cols]))
         written = self._write_file_groups(
             stamped,
             commit_ts,
             expected_groups=sorted(prev_slices),
-            sort_cols=sort_cols,
+            sort_cols=sort_exprs,
             parquet_block_bytes=parquet_block_bytes,
         )
         latest = self.timeline.latest_timestamp()

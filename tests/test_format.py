@@ -396,3 +396,63 @@ def test_rollback_mor_delta(spark, scratch):
     t.rollback(T2)
     assert {r["v"] for r in t.snapshot().filter("k = 0").collect()} == {0}
     assert t.timeline.timestamps() == [T1]
+
+
+def test_zorder_clustering_prunes_both_dims(spark, scratch):
+    """Z-order vs linear sort: for a 2-D range predicate, count the row
+    groups whose [min, max] stats overlap BOTH bounds. A linear x-sort
+    leaves y full-range in every row group; the Morton layout must skip
+    strictly more row groups, with rows identical."""
+    import pyarrow.parquet as pq
+    from hudi_delete_view_spark.sources.cow import resolve_slices
+
+    import random
+    rnd = random.Random(11)
+    rows = [(k, rnd.randint(0, 999), rnd.randint(0, 999)) for k in range(30000)]
+
+    def build(name, **cluster_kw):
+        t = CowTable(
+            spark, os.path.join(scratch, name), key_fields=["k"],
+            partition_field=None, num_file_groups=1,
+        )
+        t.bulk_insert(spark.createDataFrame(rows, "k int, x int, y int"), "20270501000000")
+        t.cluster("20270502000000", parquet_block_bytes=48 * 1024, **cluster_kw)
+        return t
+
+    def overlapping_row_groups(t, x_rng, y_rng):
+        s = next(iter(resolve_slices(t.timeline).values()))
+        md = pq.ParquetFile(os.path.join(t.base_path, s.base_path)).metadata
+        idx = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}
+        n = 0
+        for g in range(md.num_row_groups):
+            sx = md.row_group(g).column(idx["x"]).statistics
+            sy = md.row_group(g).column(idx["y"]).statistics
+            if sx.min <= x_rng[1] and sx.max >= x_rng[0] and sy.min <= y_rng[1] and sy.max >= y_rng[0]:
+                n += 1
+        return n, md.num_row_groups
+
+    linear = build("zl", sort_cols=["x", "y"])
+    zord = build("zz", sort_cols=["x", "y"], zorder=True)
+    # same rows either way
+    assert sorted(r["k"] for r in zord.snapshot().select("k").collect()) == sorted(
+        r["k"] for r in linear.snapshot().select("k").collect()
+    )
+    x_rng, y_rng = (100, 200), (100, 200)
+    n_lin, total_lin = overlapping_row_groups(linear, x_rng, y_rng)
+    n_z, total_z = overlapping_row_groups(zord, x_rng, y_rng)
+    assert total_lin > 4 and total_z > 4
+    # linear: x prunes (~10% of groups) but y never does; zorder prunes on
+    # both dims, so it must touch strictly fewer row groups
+    assert n_z < n_lin, f"zorder {n_z}/{total_z} vs linear {n_lin}/{total_lin}"
+    # the decisive case — a predicate on the SECOND dimension only: the
+    # linear layout cannot prune at all (every row group spans full y),
+    # while the Z-curve keeps y moderately tight everywhere
+    full = (0, 999)
+    n_lin_y, _ = overlapping_row_groups(linear, full, y_rng)
+    n_z_y, _ = overlapping_row_groups(zord, full, y_rng)
+    assert n_lin_y == total_lin, "x-sorted layout should be unable to prune on y"
+    assert n_z_y < total_z / 2, f"zorder y-only pruning too weak: {n_z_y}/{total_z}"
+    # and the scan itself returns the exact predicate rows
+    got = zord.scan({"x": x_rng, "y": y_rng}).count()
+    want = sum(1 for _k, x, y in rows if 100 <= x <= 200 and 100 <= y <= 200)
+    assert got == want
