@@ -507,6 +507,53 @@ class CowTable:
         """Predicate delete: snapshot → filter → key-delete."""
         return self.delete(self.snapshot().filter(condition), commit_ts)
 
+    def lookup(self, keys: list[tuple], as_of: str | None = None) -> DataFrame:
+        """Point lookup by full record key — the record-index analogue.
+
+        The stateless ``hash(record_key) -> file group`` routing that
+        writes rely on is equally a READ index: a key can only live in ONE
+        file group of its partition, so the lookup plans a scan over
+        exactly those files — O(keys) metadata work, no stats consultation,
+        no full listing. At 100 TB that's the difference between touching
+        a handful of files and a table scan that data skipping can only
+        partially save. ``keys`` are tuples in ``key_fields`` order with a
+        leading-or-trailing partition value when the table is partitioned:
+        pass ``(key..., partition)``.
+        """
+        if not keys:
+            raise ValueError("lookup needs at least one key")
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        latest = self.timeline.latest_timestamp()
+        if latest is None:
+            raise TimelineError(f"table at {self.base_path} has no commits")
+        schema = StructType.fromJson(
+            _json.loads(self.timeline.commit_metadata(latest).schema_json)
+        )
+        n_key = len(self.key_fields)
+        rows = []
+        for k in keys:
+            key_part, partition = (
+                (k[:n_key], str(k[n_key])) if self.partition_field else (k, DEFAULT_PARTITION)
+            )
+            rows.append(
+                (":".join(str(v) for v in key_part), partition)
+            )
+        # derive each key's one possible (partition, file_id) on the driver
+        # with the same xxhash64 the writer used (tiny local Spark job over
+        # len(keys) rows — metadata scale)
+        probe = self.spark.createDataFrame(rows, f"{RECORD_KEY_FIELD} string, {_PP} string")
+        probe = probe.withColumn(_FID, self._fid_col(F.col(_PP)))
+        targets = [(r[_PP], r[_FID]) for r in probe.select(_PP, _FID).distinct().collect()]
+        slices = resolve_slices(self.timeline, as_of)
+        df = self._read_groups(slices, {g for g in targets if g in slices})
+        if df is None:
+            return self.snapshot(as_of).limit(0)
+        wanted = {r[0] for r in rows}
+        return df.filter(F.col(RECORD_KEY_FIELD).isin(sorted(wanted)))
+
     def rollback(self, commit_ts: str) -> list[str]:
         """Undo the LATEST commit (Hudi rollback analogue): delete the data
         files it wrote and retire its timeline entry.

@@ -456,3 +456,46 @@ def test_zorder_clustering_prunes_both_dims(spark, scratch):
     got = zord.scan({"x": x_rng, "y": y_rng}).count()
     want = sum(1 for _k, x, y in rows if 100 <= x <= 200 and 100 <= y <= 200)
     assert got == want
+
+
+def test_point_lookup_reads_one_group(spark, scratch):
+    """lookup() routes each key to its single hash-assigned file group and
+    scans only those files."""
+    t = CowTable(
+        spark, os.path.join(scratch, "pl"), key_fields=["a", "b"],
+        partition_field="p", num_file_groups=8,
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(k, k * 2, f"p{k % 3}", k * 10) for k in range(300)],
+            "a int, b int, p string, v int",
+        ),
+        "20270601000000",
+    )
+    got = {(r["a"], r["b"]): r["v"] for r in t.lookup([(5, 10, "p2"), (7, 14, "p1")]).collect()}
+    assert got == {(5, 10): 50, (7, 14): 70}
+    # a key that was never written returns nothing (its group exists)
+    assert t.lookup([(999, 999, "p0")]).count() == 0
+    # the planned scan touches at most one file group per key
+    plan = t.lookup([(5, 10, "p2")])._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    n_files = len(set(_re.findall(r"fg-[^,\]\s]+_\d+-\d+-\d+_\d+\.parquet", plan)))
+    assert n_files <= 1 or "fg-p2" in plan
+
+
+def test_mor_cdc_preimages(spark, scratch):
+    """MOR inherits CDC preimages: the before-image of a delta update is
+    the merged view at the range start."""
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    t = MorTable(
+        spark, os.path.join(scratch, "morpre"), key_fields=["k"],
+        partition_field=None, num_file_groups=1,
+    )
+    T1, T2 = "20270701000000", "20270702000000"
+    t.bulk_insert(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"), T1)
+    t.upsert_delta(spark.createDataFrame([(1, 99)], "k int, v int"), T2)
+    rows = {(r["op"]): r for r in t.cdc(T1, T2, include_update_preimages=True).collect()}
+    assert rows["update"]["v"] == 99
+    assert rows["update_preimage"]["v"] == 10
+    assert rows["update_preimage"]["change_commit"] == T2
