@@ -177,6 +177,29 @@ def chunk_documents(
     )
 
 
+def repetition_ratio_from_tokens(tok_col: str, n: int = 3) -> Column:
+    """Fraction of duplicated word n-grams within a document (a
+    Gopher-style quality gate: boilerplate and generated spam repeat
+    themselves). 0 = all n-grams unique, -> 1 as the doc degenerates.
+
+    ``tok_col`` must be a MATERIALIZED token-array column (select
+    ``tokens(text)`` into a column first) — referencing the tokenizer
+    expression from inside the transform lambda would re-evaluate the full
+    split per gram per position (the HOF re-inlining pitfall, O(T^2))."""
+    grams = (
+        f"transform(sequence(1, size({tok_col}) - {n - 1}), "
+        + "i -> concat_ws(' ', "
+        + ", ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
+        + "))"
+    )
+    return F.expr(
+        f"CASE WHEN size({tok_col}) >= {n} THEN "
+        f"round(1.0 - cast(size(array_distinct({grams})) as double) "
+        f"/ (size({tok_col}) - {n - 1}), 6) "
+        f"ELSE 0.0 END"
+    )
+
+
 # PII patterns chosen to be portable between Java regex (Spark) and RE2
 # (DuckDB): no backreferences, no lookaround, ASCII word boundaries only.
 PII_PATTERNS = {

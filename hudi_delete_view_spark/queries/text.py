@@ -300,6 +300,36 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    late=True,  # oracle-checked locally; driver window is budgeted to 50
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, t,
+    list_transform(generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN len(t) >= 3
+       THEN ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / (len(t) - 2), 6)
+       ELSE 0.0 END AS rep3_ratio
+FROM grams
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document duplicate-3-gram fraction (Gopher-style repetition
+    gate). Token array materializes before the gram lambda (HOF
+    re-inlining discipline)."""
+    from ..operators.text import repetition_ratio_from_tokens, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tokens("text").alias("__t")).select(
+        "doc_id", repetition_ratio_from_tokens("__t").alias("rep3_ratio")
+    )
+
+
+@query(
     "pipeline_corpus_curation",
     # The end-to-end training-data curation pass: score -> filter (quality
     # + language) -> fingerprint dedup (keep lowest doc_id) -> per-source
