@@ -86,6 +86,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_cnt = e.count()
+    converged = False
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # fixed-point test, cheap-first: a changed edge COUNT (one job,
@@ -103,7 +104,15 @@ def connected_components(
         prev_cnt = cnt
         e = e2
         if not changed:
+            converged = True
             break
+    if not converged:
+        # a silent partial contraction would stamp WRONG cluster ids —
+        # refuse instead (star-contraction needs O(log^2 n) rounds, so
+        # hitting this bound means max_iter is far too low for the graph)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds"
+        )
     # at the fixed point every edge is (node -> component root); roots
     # themselves appear only on the right side, so add their self-rows
     roots = e.select(F.col(_V).alias(_U)).distinct().withColumn(_V, F.col(_U))

@@ -125,6 +125,12 @@ def parse_wav(payload: bytes) -> dict | None:
     if fmt is None or data is None or fmt[0] != 1 or fmt[3] not in (8, 16, 32):
         return None
     audio_format, channels, sample_rate, bit_depth = fmt
+    # malformed-but-RIFF guards: zero channels/rate would divide-by-zero in
+    # the feature stage, and a data chunk that isn't a whole number of
+    # samples would crash np.frombuffer — such payloads take the
+    # fake-feature fallback instead of killing the executor task
+    if channels == 0 or sample_rate == 0 or len(data) % (bit_depth // 8) != 0:
+        return None
     return {
         "channels": channels,
         "sample_rate": sample_rate,
@@ -155,6 +161,8 @@ def parse_ppm(payload: bytes) -> dict | None:
     if len(fields) < 3 or fields[2] > 255:
         return None
     w, h, _maxval = fields
+    if w == 0 or h == 0:
+        return None  # degenerate image: aspect/mean would divide by zero
     rgb = payload[pos + 1 : pos + 1 + w * h * 3]
     if len(rgb) < w * h * 3:
         return None
@@ -165,8 +173,10 @@ def _wav_features(meta: dict, dim: int = FEATURE_DIM) -> list[float]:
     """Real signal features from raw PCM: duration, RMS, peak, mean, zero-
     crossing rate, quartile energies — computed from the actual samples."""
     width = meta["bit_depth"] // 8
-    dtype = {1: np.int8, 2: np.int16, 4: np.int32}[width]
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
     x = np.frombuffer(meta["data"], dtype=dtype).astype(np.float64)
+    if width == 1:
+        x -= 128.0  # 8-bit PCM is UNSIGNED with midpoint 128 (WAV spec)
     if x.size == 0:
         return [0.0] * dim
     peak = float(np.max(np.abs(x))) or 1.0

@@ -121,6 +121,15 @@ def stream_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     base = os.path.join(SCRATCH_ROOT, "lake", tag, "events_ingested")
+    # reuse only a COMPLETE ingest: an interrupted prior run leaves a
+    # partial timeline that would otherwise be served forever (the sibling
+    # fixtures guard with exact-timeline checks; here batch count varies,
+    # so completeness = a marker written after the stream drains)
+    marker = os.path.join(base, "_INGEST_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
     table = CowTable(
         spark, base, key_fields=["event_id"],
         partition_field="event_type", num_file_groups=4,
@@ -132,6 +141,8 @@ def stream_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreach_batch_upsert(
             stream, table, lambda bid: f"{20260301000000 + bid:014d}"
         )
+        with open(marker, "w") as f:
+            f.write("ok")
     snap = table.snapshot()
     return snap.groupBy("event_type").agg(
         F.count("*").alias("n_events"),

@@ -507,6 +507,33 @@ class CowTable:
         """Predicate delete: snapshot → filter → key-delete."""
         return self.delete(self.snapshot().filter(condition), commit_ts)
 
+    def _lookup_probe(self, keys: list[tuple]) -> tuple[set, set]:
+        """(wanted record keys, {(partition, file_id)}) for key tuples in
+        ``key_fields`` order, with the partition value appended (trailing)
+        when the table is partitioned.
+
+        Key rendering and group routing run through the SAME Spark
+        expressions the writer used (``_record_key_col`` / ``_fid_col``),
+        so Python-vs-Spark stringification can never diverge. One tiny
+        local job over len(keys) rows — metadata scale."""
+        if not keys:
+            raise ValueError("lookup needs at least one key")
+        if self.timeline.latest_timestamp() is None:
+            raise TimelineError(f"table at {self.base_path} has no commits")
+        cols = [*self.key_fields, *([self.partition_field] if self.partition_field else [])]
+        for k in keys:
+            if len(k) != len(cols):
+                raise ValueError(
+                    f"lookup key {k!r} must have {len(cols)} values ({cols})"
+                )
+        probe = self.spark.createDataFrame([tuple(k) for k in keys], cols)
+        probe = probe.select(
+            self._record_key_col().alias(RECORD_KEY_FIELD),
+            self._partition_col().alias(_PP),
+        ).withColumn(_FID, self._fid_col(F.col(_PP)))
+        rows = probe.collect()
+        return {r[RECORD_KEY_FIELD] for r in rows}, {(r[_PP], r[_FID]) for r in rows}
+
     def lookup(self, keys: list[tuple], as_of: str | None = None) -> DataFrame:
         """Point lookup by full record key — the record-index analogue.
 
@@ -516,42 +543,17 @@ class CowTable:
         exactly those files — O(keys) metadata work, no stats consultation,
         no full listing. At 100 TB that's the difference between touching
         a handful of files and a table scan that data skipping can only
-        partially save. ``keys`` are tuples in ``key_fields`` order with a
-        leading-or-trailing partition value when the table is partitioned:
-        pass ``(key..., partition)``.
+        partially save. ``keys`` are tuples in ``key_fields`` order, with
+        the partition value appended when the table is partitioned:
+        ``(key..., partition)``.
         """
-        if not keys:
-            raise ValueError("lookup needs at least one key")
-        import json as _json
-
-        from pyspark.sql.types import StructType
-
-        latest = self.timeline.latest_timestamp()
-        if latest is None:
-            raise TimelineError(f"table at {self.base_path} has no commits")
-        schema = StructType.fromJson(
-            _json.loads(self.timeline.commit_metadata(latest).schema_json)
-        )
-        n_key = len(self.key_fields)
-        rows = []
-        for k in keys:
-            key_part, partition = (
-                (k[:n_key], str(k[n_key])) if self.partition_field else (k, DEFAULT_PARTITION)
-            )
-            rows.append(
-                (":".join(str(v) for v in key_part), partition)
-            )
-        # derive each key's one possible (partition, file_id) on the driver
-        # with the same xxhash64 the writer used (tiny local Spark job over
-        # len(keys) rows — metadata scale)
-        probe = self.spark.createDataFrame(rows, f"{RECORD_KEY_FIELD} string, {_PP} string")
-        probe = probe.withColumn(_FID, self._fid_col(F.col(_PP)))
-        targets = [(r[_PP], r[_FID]) for r in probe.select(_PP, _FID).distinct().collect()]
+        wanted, targets = self._lookup_probe(keys)
+        if as_of is not None:
+            self.timeline.instant_for(as_of)
         slices = resolve_slices(self.timeline, as_of)
         df = self._read_groups(slices, {g for g in targets if g in slices})
         if df is None:
             return self.snapshot(as_of).limit(0)
-        wanted = {r[0] for r in rows}
         return df.filter(F.col(RECORD_KEY_FIELD).isin(sorted(wanted)))
 
     def rollback(self, commit_ts: str) -> list[str]:
@@ -831,8 +833,6 @@ class CowTable:
         key AQE skew-splits on — and payloads travel as single structs so
         the join never widens.
         """
-        from .delete_view import delete_views_between
-
         end = end_inclusive or self.timeline.latest_timestamp()
         if end is not None:
             self.timeline.instant_for(end)

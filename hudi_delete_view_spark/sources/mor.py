@@ -151,19 +151,15 @@ class MorTable(CowTable):
         """Base files only — Hudi's read-optimized view (stale, log-free)."""
         return super().snapshot(as_of)
 
-    def snapshot(self, as_of: str | None = None) -> DataFrame:
-        """Merged view: latest version per key wins; tombstones drop rows.
-
-        base ∪ logs → window rank on (file_id, key) by (commit_time, seqno)
-        desc → keep rank 1 → drop deleted. One shuffle, group-co-located.
-        """
-        if as_of is not None:
-            self.timeline.instant_for(as_of)
-        slices = resolve_slices(self.timeline, as_of)
+    def _merged_over(self, slices: dict) -> DataFrame | None:
+        """Merged view over a slice subset: latest version per key wins;
+        tombstones drop rows. base ∪ logs → window rank on (file_id, key)
+        by (commit_time, seqno) desc → keep rank 1 → drop deleted. One
+        shuffle, group-co-located. None when the subset has no files."""
         base_paths = [s.base_path for s in slices.values() if s.base_path]
         log_paths = [p for s in slices.values() for p in s.log_paths]
         if not base_paths and not log_paths:
-            raise TimelineError(f"table at {self.base_path} has no data at {as_of}")
+            return None
         parts = []
         if base_paths:
             base = self.spark.read.parquet(*base_paths)
@@ -187,6 +183,29 @@ class MorTable(CowTable):
             .filter(~F.coalesce(F.col(DELETED_FIELD), F.lit(False)))
             .drop(DELETED_FIELD)
         )
+
+    def snapshot(self, as_of: str | None = None) -> DataFrame:
+        """Merged view of the whole table (see ``_merged_over``)."""
+        if as_of is not None:
+            self.timeline.instant_for(as_of)
+        merged = self._merged_over(resolve_slices(self.timeline, as_of))
+        if merged is None:
+            raise TimelineError(f"table at {self.base_path} has no data at {as_of}")
+        return merged
+
+    def lookup(self, keys: list[tuple], as_of: str | None = None) -> DataFrame:
+        """MOR point lookup: the key's newest version may live in a delta
+        LOG slice (or be tombstoned there), so the hash-routed group subset
+        must go through the merge — the base-only COW read would serve
+        stale or deleted rows."""
+        wanted, targets = self._lookup_probe(keys)
+        if as_of is not None:
+            self.timeline.instant_for(as_of)
+        slices = resolve_slices(self.timeline, as_of)
+        merged = self._merged_over({g: s for g, s in slices.items() if g in targets})
+        if merged is None:
+            return self.snapshot(as_of).limit(0)
+        return merged.filter(F.col(RECORD_KEY_FIELD).isin(sorted(wanted)))
 
     def incremental(self, begin_exclusive: str, end_inclusive: str | None = None) -> DataFrame:
         """Changed rows in (begin, end] — B3 on MOR.

@@ -499,3 +499,24 @@ def test_mor_cdc_preimages(spark, scratch):
     assert rows["update"]["v"] == 99
     assert rows["update_preimage"]["v"] == 10
     assert rows["update_preimage"]["change_commit"] == T2
+
+
+def test_mor_point_lookup_sees_log_updates_and_tombstones(spark, scratch):
+    """MOR lookup must merge delta logs: a base-only read would serve
+    stale values and resurrect deleted keys."""
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    t = MorTable(
+        spark, os.path.join(scratch, "plm"), key_fields=["k"],
+        partition_field=None, num_file_groups=4,
+    )
+    T1, T2, T3 = "20270801000000", "20270802000000", "20270803000000"
+    t.bulk_insert(spark.createDataFrame([(k, k) for k in range(20)], "k int, v int"), T1)
+    t.upsert_delta(spark.createDataFrame([(3, 999)], "k int, v int"), T2)
+    t.delete_delta(spark.createDataFrame([(4,)], "k int"), T3)
+
+    assert {r["v"] for r in t.lookup([(3,)]).collect()} == {999}
+    assert t.lookup([(4,)]).count() == 0
+    # log-only group: first write of a fresh key via delta commit
+    t.upsert_delta(spark.createDataFrame([(1000, 7)], "k int, v int"), "20270804000000")
+    assert {r["v"] for r in t.lookup([(1000,)]).collect()} == {7}
