@@ -44,7 +44,8 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .join(mins, on=_U)
         .select(F.col(_V).alias(_U), F.col("__m").alias(_V))
         .filter(F.col(_U) != F.col(_V))
-        .distinct()
+        # no distinct here: duplicate edges don't change small-star's mins,
+        # and its terminal distinct canonicalizes — saves a shuffle per round
     )
 
 
@@ -88,7 +89,15 @@ def connected_components(
     prev_cnt = e.count()
     converged = False
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # batch TWO alternating rounds per materialization when the edge
+        # set is large: checkpoint + count are fixed per-cycle job costs
+        # and convergence needs O(log^2 n) rounds, so batching halves the
+        # bookkeeping. For small graphs (local tests, tail iterations) the
+        # deeper plan costs more in planning than it saves — stay single.
+        step = _small_star(_large_star(e))
+        if prev_cnt > 10_000:
+            step = _small_star(_large_star(step))
+        e2 = step.localCheckpoint(eager=True)
         # fixed-point test, cheap-first: a changed edge COUNT (one job,
         # piggybacking on the checkpoint's materialized blocks) proves
         # non-convergence without a set comparison; only an unchanged count
