@@ -330,6 +330,56 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_chunk_dedup",
+    late=True,  # oracle-checked locally; driver window is budgeted to 50
+    # chunk -> fingerprint -> cross-document chunk dedup (min (doc_id,
+    # chunk_idx) wins) -> per-doc retention stats. The shape every RAG /
+    # training-prep pipeline runs to strip shared boilerplate chunks.
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 200
+),
+chunks AS (
+  SELECT doc_id,
+    CAST(s // 24 AS BIGINT) AS chunk_idx,
+    array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text,
+    CAST(least(greatest(len(t) - s, 0), 32) AS BIGINT) AS n_chunk_tokens
+  FROM (SELECT doc_id, t, unnest(generate_series(0, greatest(len(t) - 1, 0), 24)) AS s FROM toks)
+),
+ranked AS (
+  SELECT *, md5(chunk_text) AS fp,
+    ROW_NUMBER() OVER (PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+  COUNT(*) AS n_chunks,
+  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN rn = 1 THEN n_chunk_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM ranked GROUP BY doc_id
+""",
+)
+def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup across documents: identical 32-token windows keep
+    one canonical copy corpus-wide (deterministic winner = smallest
+    (doc_id, chunk_idx)); per-doc retention stats out. One window shuffle
+    on the fingerprint — the md5 is 16 bytes however long the chunk is."""
+    from pyspark.sql import Window
+
+    from ..operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 200")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    keep = (F.col("rn") == 1).cast("long")
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(keep).alias("n_kept"),
+        F.sum(keep * F.col("n_chunk_tokens")).alias("kept_tokens"),
+    )
+
+
+@query(
     "pipeline_corpus_curation",
     # The end-to-end training-data curation pass: score -> filter (quality
     # + language) -> fingerprint dedup (keep lowest doc_id) -> per-source
