@@ -245,3 +245,122 @@ def test_schema_evolution_then_delete_view(spark, prop_root, n, evolved, deleted
         if evolved:
             assert r["extra"] == (f"tag{k}" if k in evolved else None)
         assert r["v"] == (k * 10 + 1 if k in evolved else k * 10)
+
+
+@st.composite
+def cdc_script(draw):
+    """Random 3-commit mutation script over a small key universe:
+    (initial keys, upsert map, delete set)."""
+    n = draw(st.integers(min_value=4, max_value=25))
+    keys = list(range(n))
+    ups = draw(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=n + 10),  # may insert new keys
+            st.integers(min_value=100, max_value=999),
+            max_size=10,
+        )
+    )
+    dels = draw(st.sets(st.integers(min_value=0, max_value=n + 10), max_size=8))
+    return keys, ups, sorted(dels)
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(script=cdc_script())
+def test_cdc_matches_reference_model(spark, prop_root, script):
+    """cdc(T1, T3) net effect must equal the diff of a pure-Python state
+    model: inserts = appeared, updates = value changed, deletes = vanished
+    (before-image), inserted-then-deleted keys absent entirely."""
+    keys, ups, dels = script
+    base = os.path.join(prop_root, "cdcprop")
+    shutil.rmtree(base, ignore_errors=True)
+    t = CowTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2)
+
+    state1 = {k: k * 10 for k in keys}
+    t.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", v) for k, v in state1.items()], ["k", "p", "v"]),
+        TS[0],
+    )
+    state2 = dict(state1)
+    if ups:
+        t.upsert(
+            spark.createDataFrame([(k, f"p{k % 2}", v) for k, v in ups.items()], ["k", "p", "v"]),
+            TS[1],
+        )
+        state2.update(ups)
+    state3 = dict(state2)
+    dels_live = sorted(set(dels) & set(state2))
+    if dels_live:
+        t.delete(
+            spark.createDataFrame([(k, f"p{k % 2}") for k in dels_live], ["k", "p"]),
+            TS[2],
+        )
+        for k in dels_live:
+            state3.pop(k)
+
+    got = {r["k"]: (r["op"], r["v"]) for r in t.cdc(TS[0]).collect()}
+    want = {}
+    for k in set(state1) | set(state3):
+        if k not in state1 and k in state3:
+            want[k] = ("insert", state3[k])
+        elif k in state1 and k not in state3:
+            want[k] = ("delete", state1[k])  # before-image at range start
+        elif state1[k] != state3[k]:
+            want[k] = ("update", state3[k])
+    assert got == want
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(script=cdc_script())
+def test_ivm_equals_recompute(spark, prop_root, script):
+    """Base aggregate at T1 plus the CDC retraction delta must equal the
+    aggregate recomputed from the final snapshot — the IVM invariant, per
+    partition, for count and sum."""
+    keys, ups, dels = script
+    base = os.path.join(prop_root, "ivmprop")
+    shutil.rmtree(base, ignore_errors=True)
+    t = CowTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2)
+    t.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", k * 10) for k in keys], ["k", "p", "v"]),
+        TS[0],
+    )
+    if ups:
+        t.upsert(
+            spark.createDataFrame([(k, f"p{k % 2}", v) for k, v in ups.items()], ["k", "p", "v"]),
+            TS[1],
+        )
+    live = set(keys) | set(ups)
+    dels_live = sorted(set(dels) & live)
+    if dels_live:
+        t.delete(
+            spark.createDataFrame([(k, f"p{k % 2}") for k in dels_live], ["k", "p"]),
+            TS[2],
+        )
+
+    base_agg = t.snapshot(TS[0]).groupBy("p").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    feed = t.cdc(TS[0], include_update_preimages=True)
+    sign = F.when(F.col("op").isin("insert", "update"), F.lit(1)).otherwise(F.lit(-1))
+    delta = feed.select("p", sign.alias("w"), "v").groupBy("p").agg(
+        F.sum("w").alias("n"), F.sum(F.col("w") * F.col("v")).alias("s")
+    )
+    maintained = {
+        r["p"]: (r["n"], r["s"])
+        for r in base_agg.unionByName(delta).groupBy("p")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    recomputed = {
+        r["p"]: (r["n"], r["s"])
+        for r in t.snapshot().groupBy("p")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert maintained == recomputed
