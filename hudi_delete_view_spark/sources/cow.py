@@ -109,6 +109,12 @@ def _json_safe_stat(v):
     return None
 
 
+class ConcurrentCommitError(TimelineError):
+    """Another writer committed an overlapping file group after this
+    writer read its snapshot (optimistic-concurrency conflict). Retry the
+    operation from fresh table state."""
+
+
 _MORTON_BITS = 16
 
 
@@ -338,6 +344,40 @@ class CowTable:
         shutil.rmtree(staging, ignore_errors=True)
         return written
 
+    def _occ_check(
+        self, commit_ts: str, groups: set, read_ts: str | None
+    ) -> None:
+        """Optimistic-concurrency gate, run against a fresh timeline
+        listing immediately before metadata publish: the new commit must be
+        strictly newer than every existing instant, and no commit that
+        landed after ``read_ts`` (the instant this writer's view was based
+        on) may touch any of the file groups being written — such a rewrite
+        would silently drop the other writer's changes. Group-disjoint
+        concurrent commits pass (the Hudi OCC granularity).
+        ``read_ts="__unchecked__"`` skips the overlap check."""
+        self.timeline.refresh()
+        newer = [t for t in self.timeline.timestamps() if t >= commit_ts]
+        if newer:
+            raise ConcurrentCommitError(
+                f"commit {commit_ts} is not newer than existing instants {newer}"
+            )
+        if read_ts == "__unchecked__":
+            return
+        landed = [
+            t for t in self.timeline.timestamps() if (read_ts is None or t > read_ts)
+        ]
+        for t in landed:
+            theirs = {
+                (p, s.file_id)
+                for p, s in self.timeline.commit_metadata(t).all_stats()
+            }
+            clash = sorted(groups & theirs)
+            if clash:
+                raise ConcurrentCommitError(
+                    f"commit {commit_ts} conflicts with {t} on file "
+                    f"groups {clash[:5]}{'...' if len(clash) > 5 else ''}"
+                )
+
     def _publish(
         self,
         commit_ts: str,
@@ -347,6 +387,7 @@ class CowTable:
         incoming_counts: dict[tuple[str, str], int] | None = None,
         schema_json: str | None = None,
         is_delete: bool = False,
+        read_ts: str | None = "__unchecked__",
     ) -> CommitMetadata:
         """Derive write stats arithmetically and publish the commit JSON.
 
@@ -354,7 +395,18 @@ class CowTable:
         previous commit's stats / footer), new = rows now, inc = incoming
         batch rows.  Then updates = prev + inc - new, inserts = inc -
         updates, deletes = prev - new (delete op). No extra Spark jobs.
+
+        ``read_ts`` enables optimistic concurrency control: the latest
+        instant the writer's view was based on when it resolved slices.
+        Before publishing, the timeline is re-listed; a commit that landed
+        after ``read_ts`` and touched any of this write's file groups is a
+        conflict (the rewrite would silently drop its changes) → raise,
+        caller retries from fresh state. Group-disjoint concurrent commits
+        publish fine — the Hudi OCC granularity.
         """
+        self._occ_check(
+            commit_ts, set(written) | set(prev_slices if not written else []), read_ts
+        )
         p2ws: dict[str, list[WriteStat]] = {}
         total_deleted = 0
         for (partition, file_id), (rel_path, new_rows) in sorted(written.items()):
@@ -415,10 +467,12 @@ class CowTable:
             (r[_PP], r[_FID]): r["cnt"]
             for r in stamped.groupBy(_PP, _FID).agg(F.count("*").alias("cnt")).collect()
         }
+        read_ts = self.timeline.latest_timestamp()
         written = self._write_file_groups(stamped, commit_ts)
         return self._publish(
             commit_ts, "bulk_insert", written, prev_slices={},
             incoming_counts=inc, schema_json=stamped.drop(_PP, _FID).schema.json(),
+            read_ts=read_ts,
         )
 
     def upsert(self, df: DataFrame, commit_ts: str) -> CommitMetadata:
@@ -435,6 +489,7 @@ class CowTable:
             (r[_PP], r[_FID]): r["cnt"]
             for r in incoming.groupBy(_PP, _FID).agg(F.count("*").alias("cnt")).collect()
         }
+        read_ts = self.timeline.latest_timestamp()
         prev_slices = resolve_slices(self.timeline)
         affected = set(inc_counts)
         old = self._read_groups(prev_slices, affected)
@@ -461,6 +516,7 @@ class CowTable:
             commit_ts, "upsert", written, prev_slices,
             incoming_counts=inc_counts,
             schema_json=merged.drop(_PP, _FID).schema.json(),  # evolved schema
+            read_ts=read_ts,
         )
 
     def delete(self, keys_df: DataFrame, commit_ts: str) -> CommitMetadata:
@@ -476,6 +532,7 @@ class CowTable:
         )
         keys = keys.withColumn(_FID, self._fid_col(F.col(_PP))).distinct()
         affected = {(r[_PP], r[_FID]) for r in keys.select(_PP, _FID).distinct().collect()}
+        read_ts = self.timeline.latest_timestamp()
         prev_slices = resolve_slices(self.timeline)
         affected = {g for g in affected if g in prev_slices}  # keys never written: no-op
         old = self._read_groups(prev_slices, affected)
@@ -489,6 +546,7 @@ class CowTable:
                 commit_ts, "delete", written={}, prev_slices=prev_slices,
                 is_delete=True,
                 schema_json=self.timeline.commit_metadata(latest).schema_json,
+                read_ts=read_ts,
             )
         survivors = old.join(
             keys.select(RECORD_KEY_FIELD), on=RECORD_KEY_FIELD, how="left_anti"
@@ -501,6 +559,7 @@ class CowTable:
             commit_ts, "delete", written, prev_slices, is_delete=True,
             schema_json=self.timeline.commit_metadata(self.timeline.latest_timestamp()).schema_json
             if self.timeline.latest_timestamp() else None,
+            read_ts=read_ts,
         )
 
     def delete_where(self, condition, commit_ts: str) -> CommitMetadata:
@@ -634,6 +693,7 @@ class CowTable:
         per-column tightness for moderate tightness on ALL of them, the
         standard layout for multi-dimensional predicates (Delta/Hudi
         Z-ORDER BY)."""
+        read_ts = self.timeline.latest_timestamp()
         prev_slices = resolve_slices(self.timeline)
         snap = self.snapshot()
         stamped = snap.withColumn(_PP, F.col(PARTITION_PATH_FIELD)).withColumn(
@@ -663,10 +723,10 @@ class CowTable:
             sort_cols=sort_exprs,
             parquet_block_bytes=parquet_block_bytes,
         )
-        latest = self.timeline.latest_timestamp()
         return self._publish(
             commit_ts, "clustering", written, prev_slices,
-            schema_json=self.timeline.commit_metadata(latest).schema_json if latest else None,
+            schema_json=self.timeline.commit_metadata(read_ts).schema_json if read_ts else None,
+            read_ts=read_ts,
         )
 
     # ------------------------------------------------------------------

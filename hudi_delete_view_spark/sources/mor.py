@@ -107,6 +107,7 @@ class MorTable(CowTable):
     def _write_delta(self, stamped: DataFrame, commit_ts: str, operation: str, is_delete: bool = False):
         from ..plans.metadata import CommitMetadata, WriteStat
 
+        read_ts = self.timeline.latest_timestamp()
         prev_slices = resolve_slices(self.timeline)
         written = self._write_file_groups(
             stamped, commit_ts, suffix=".log.parquet"
@@ -133,6 +134,11 @@ class MorTable(CowTable):
                     ),
                 )
             )
+        # delta appends never REWRITE another writer's slice, but a commit
+        # that landed meanwhile on the same group (e.g. a compaction that
+        # absorbed the logs this delta stacks on) still invalidates the
+        # writer's view — same OCC gate as the COW publish path
+        self._occ_check(commit_ts, set(written), read_ts)
         meta = CommitMetadata(
             commit_ts=commit_ts,
             operation=operation,
@@ -299,6 +305,7 @@ class MorTable(CowTable):
         without logs keep their existing base slice untouched (same
         affected-groups-only discipline as the COW writer).
         """
+        read_ts = self.timeline.latest_timestamp()
         prev_slices = resolve_slices(self.timeline)
         with_logs = {g for g, s in prev_slices.items() if s.log_paths}
         if not with_logs:
@@ -313,7 +320,8 @@ class MorTable(CowTable):
         written = self._write_file_groups(merged, commit_ts, expected_groups=sorted(with_logs))
         return self._publish(
             commit_ts, "compaction", written, prev_slices,
-            schema_json=self.timeline.commit_metadata(self.timeline.latest_timestamp()).schema_json,
+            schema_json=self.timeline.commit_metadata(read_ts).schema_json,
+            read_ts=read_ts,
         )
 
     # ------------------------------------------------------------------

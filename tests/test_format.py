@@ -520,3 +520,66 @@ def test_mor_point_lookup_sees_log_updates_and_tombstones(spark, scratch):
     # log-only group: first write of a fresh key via delta commit
     t.upsert_delta(spark.createDataFrame([(1000, 7)], "k int, v int"), "20270804000000")
     assert {r["v"] for r in t.lookup([(1000,)]).collect()} == {7}
+
+
+def test_occ_conflicting_writers(spark, scratch):
+    """Two writers from the same snapshot: the second to publish loses iff
+    it touches a file group the first rewrote; group-disjoint commits both
+    land. Simulated by interleaving operations on two table handles."""
+    from hudi_delete_view_spark.sources.cow import ConcurrentCommitError
+
+    base = os.path.join(scratch, "occ")
+    a = CowTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2)
+    a.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", k) for k in range(20)], "k int, p string, v int"),
+        "20270901000000",
+    )
+    b = CowTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2)
+
+    # writer A commits first; writer B (same read snapshot, overlapping
+    # key -> same group) must be rejected at publish
+    a.upsert(spark.createDataFrame([(0, "p0", 100)], "k int, p string, v int"), "20270902000000")
+    # b's handle still holds the old timeline view; its upsert re-reads the
+    # timeline at operation start, so emulate a stale read by racing the
+    # same logical operation through the OCC gate directly
+    with pytest.raises(ConcurrentCommitError):
+        b._publish(
+            "20270901500000", "upsert", written={}, prev_slices={},
+        )  # not newer than A's commit -> monotonicity conflict
+
+    # stale-view overlap conflict: B resolved before A's commit
+    with pytest.raises(ConcurrentCommitError):
+        b._occ_check(
+            "20270903000000",
+            groups={("p0", "fg-p0-0"), ("p0", "fg-p0-1")},
+            read_ts="20270901000000",
+        )
+    # disjoint groups from the same stale view pass
+    b._occ_check(
+        "20270903000000", groups={("p1", "fg-p1-0")}, read_ts="20270901000000"
+    )
+
+
+def test_occ_mor_delta_vs_compaction(spark, scratch):
+    """A delta writer whose view predates a compaction of the same group
+    conflicts; a delta on an untouched group does not."""
+    from hudi_delete_view_spark.sources.cow import ConcurrentCommitError
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    t = MorTable(
+        spark, os.path.join(scratch, "occm"), key_fields=["k"],
+        partition_field="p", num_file_groups=1,
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", k) for k in range(10)], "k int, p string, v int"),
+        "20271001000000",
+    )
+    t.upsert_delta(
+        spark.createDataFrame([(0, "p0", 99)], "k int, p string, v int"), "20271002000000"
+    )
+    t.compact("20271003000000")
+    with pytest.raises(ConcurrentCommitError):
+        t._occ_check(
+            "20271004000000", groups={("p0", "fg-p0-0")}, read_ts="20271002000000"
+        )
+    t._occ_check("20271004000000", groups={("p9", "fg-p9-0")}, read_ts="20271002000000")
