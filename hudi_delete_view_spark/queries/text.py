@@ -197,25 +197,26 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text", top_k=3)
 
 
+_CHUNKS_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 200
+),
+chunks AS (
+  SELECT doc_id,
+    CAST(s // 24 AS BIGINT) AS chunk_idx,
+    array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text,
+    CAST(least(greatest(len(t) - s, 0), 32) AS BIGINT) AS n_chunk_tokens
+  FROM (SELECT doc_id, t, unnest(generate_series(0, greatest(len(t) - 1, 0), 24)) AS s FROM toks)
+)
+"""
+
+
 @query(
     "text_chunks",
     # mirror: same tokenization, same stride arithmetic; DuckDB's
     # list_slice is 1-based-inclusive like Spark's slice(start, length)
     # shifted to an end offset
-    oracle=f"""
-WITH toks AS (
-  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 200
-),
-starts AS (
-  SELECT doc_id, t, unnest(generate_series(0, greatest(len(t) - 1, 0), 24)) AS s
-  FROM toks
-)
-SELECT doc_id,
-  CAST(s // 24 AS BIGINT) AS chunk_idx,
-  array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text,
-  CAST(least(greatest(len(t) - s, 0), 32) AS BIGINT) AS n_chunk_tokens
-FROM starts
-""",
+    oracle=_CHUNKS_CTE + "SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM chunks",
 )
 def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (32-token windows, 8-token
@@ -335,18 +336,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunk -> fingerprint -> cross-document chunk dedup (min (doc_id,
     # chunk_idx) wins) -> per-doc retention stats. The shape every RAG /
     # training-prep pipeline runs to strip shared boilerplate chunks.
-    oracle=f"""
-WITH toks AS (
-  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 200
-),
-chunks AS (
-  SELECT doc_id,
-    CAST(s // 24 AS BIGINT) AS chunk_idx,
-    array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text,
-    CAST(least(greatest(len(t) - s, 0), 32) AS BIGINT) AS n_chunk_tokens
-  FROM (SELECT doc_id, t, unnest(generate_series(0, greatest(len(t) - 1, 0), 24)) AS s FROM toks)
-),
-ranked AS (
+    # Shares _CHUNKS_CTE with text_chunks so the chunk arithmetic can
+    # never diverge between the two oracles.
+    oracle=_CHUNKS_CTE + """
+, ranked AS (
   SELECT *, md5(chunk_text) AS fp,
     ROW_NUMBER() OVER (PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_idx) AS rn
   FROM chunks

@@ -404,9 +404,18 @@ class CowTable:
         caller retries from fresh state. Group-disjoint concurrent commits
         publish fine — the Hudi OCC granularity.
         """
-        self._occ_check(
-            commit_ts, set(written) | set(prev_slices if not written else []), read_ts
-        )
+        try:
+            self._occ_check(commit_ts, set(written), read_ts)
+        except Exception:
+            # conflict loser: remove the files this write already moved in,
+            # or every conflict would orphan a full rewritten group set
+            # (clean() only sees files referenced by commit metadata)
+            for (_g, (rel_path, _rows)) in written.items():
+                try:
+                    os.remove(os.path.join(self.base_path, rel_path))
+                except OSError:
+                    pass
+            raise
         p2ws: dict[str, list[WriteStat]] = {}
         total_deleted = 0
         for (partition, file_id), (rel_path, new_rows) in sorted(written.items()):
@@ -557,8 +566,8 @@ class CowTable:
         written = self._write_file_groups(survivors, commit_ts, expected_groups=sorted(affected))
         return self._publish(
             commit_ts, "delete", written, prev_slices, is_delete=True,
-            schema_json=self.timeline.commit_metadata(self.timeline.latest_timestamp()).schema_json
-            if self.timeline.latest_timestamp() else None,
+            schema_json=self.timeline.commit_metadata(read_ts).schema_json
+            if read_ts else None,
             read_ts=read_ts,
         )
 

@@ -55,18 +55,24 @@ class MorTable(CowTable):
         Incoming dedup keeps one version per key per delta batch (the
         merge's (commit_time, seqno) tiebreak is deterministic only across
         batches, not within one)."""
+        read_ts = self.timeline.latest_timestamp()
         incoming = self._dedup_incoming(
             self._with_meta(df, commit_ts, suffix=".log.parquet")
         ).withColumn(DELETED_FIELD, F.lit(False))
-        return self._write_delta(incoming, commit_ts, operation="delta_commit")
+        return self._write_delta(
+            incoming, commit_ts, operation="delta_commit", read_ts=read_ts
+        )
 
     def delete_delta(self, keys_df: DataFrame, commit_ts: str) -> "CommitMetadata":
         """Append delete tombstones (full schema, null payload,
         ``_hoodie_is_deleted = true``)."""
-        latest = self.timeline.latest_timestamp()
-        if latest is None:
+        # read_ts BEFORE any table-state read: the live-key semi-join below
+        # consults the merged snapshot, and a commit landing after that
+        # read must trip the OCC gate, not slide inside it
+        read_ts = self.timeline.latest_timestamp()
+        if read_ts is None:
             raise TimelineError("delete on empty table")
-        schema_json = self.timeline.commit_metadata(latest).schema_json
+        schema_json = self.timeline.commit_metadata(read_ts).schema_json
         import json
 
         from pyspark.sql.types import StructType
@@ -101,13 +107,22 @@ class MorTable(CowTable):
             .select(*order)
         )
         return self._write_delta(
-            tombstones, commit_ts, operation="delta_commit", is_delete=True
+            tombstones, commit_ts, operation="delta_commit", is_delete=True,
+            read_ts=read_ts,
         )
 
-    def _write_delta(self, stamped: DataFrame, commit_ts: str, operation: str, is_delete: bool = False):
+    def _write_delta(
+        self,
+        stamped: DataFrame,
+        commit_ts: str,
+        operation: str,
+        is_delete: bool = False,
+        read_ts: str | None = None,
+    ):
         from ..plans.metadata import CommitMetadata, WriteStat
 
-        read_ts = self.timeline.latest_timestamp()
+        if read_ts is None:
+            read_ts = self.timeline.latest_timestamp()
         prev_slices = resolve_slices(self.timeline)
         written = self._write_file_groups(
             stamped, commit_ts, suffix=".log.parquet"
@@ -137,8 +152,18 @@ class MorTable(CowTable):
         # delta appends never REWRITE another writer's slice, but a commit
         # that landed meanwhile on the same group (e.g. a compaction that
         # absorbed the logs this delta stacks on) still invalidates the
-        # writer's view — same OCC gate as the COW publish path
-        self._occ_check(commit_ts, set(written), read_ts)
+        # writer's view — same OCC gate as the COW publish path; the
+        # conflict-loser's just-written log files are removed so conflicts
+        # can't leak orphans
+        try:
+            self._occ_check(commit_ts, set(written), read_ts)
+        except Exception:
+            for (_g, (rel_path, _rows)) in written.items():
+                try:
+                    os.remove(os.path.join(self.base_path, rel_path))
+                except OSError:
+                    pass
+            raise
         meta = CommitMetadata(
             commit_ts=commit_ts,
             operation=operation,

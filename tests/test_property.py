@@ -307,7 +307,9 @@ def test_cdc_matches_reference_model(spark, prop_root, script):
             want[k] = ("insert", state3[k])
         elif k in state1 and k not in state3:
             want[k] = ("delete", state1[k])  # before-image at range start
-        elif state1[k] != state3[k]:
+        elif k in ups:
+            # CDC update = the record was REWRITTEN in range (Delta CDF
+            # semantics) — a same-value upsert is still an update
             want[k] = ("update", state3[k])
     assert got == want
 
