@@ -156,6 +156,48 @@ def mor_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mor_ivm_aggregate",
+    late=True,  # oracle-checked locally; driver window is budgeted to 50
+    # final state per status: %7 keys at doubled price, %11 keys gone —
+    # the maintained view must land exactly there from base + delta alone
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(({_PRICE_SQL}) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders WHERE NOT ({MOR_DELETE_PRED_SQL})
+GROUP BY o_orderstatus
+""",
+)
+def mor_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM over merge-on-read: the same base-plus-retraction algebra as
+    lake_ivm_aggregate, fed by the MOR CDC (update postimages from merged
+    log slices, delete before-images stamped from tombstone logs) — the
+    maintenance path is table-format-generic."""
+    from ..sources.fixtures import C1
+
+    table = build_orders_mor(spark, sf_dir)
+    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
+    base = (
+        table.snapshot(C1)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("c"))
+    )
+    feed = table.cdc(C1, C3, include_update_preimages=True)
+    sign = F.when(F.col("op").isin("insert", "update"), F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        feed.select("o_orderstatus", sign.alias("w"), cents.alias("__c"))
+        .groupBy("o_orderstatus")
+        .agg(F.sum("w").alias("n"), F.sum(F.col("w") * F.col("__c")).alias("c"))
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").alias("n_rows"), F.sum("c").alias("total_cents"))
+        .filter(F.col("n_rows") > 0)
+    )
+
+
+@query(
     "mor_time_travel",
     oracle=f"""
 SELECT {_ORDERS_SQL.format(price=_PRICE_SQL)}
