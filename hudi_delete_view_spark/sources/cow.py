@@ -344,6 +344,38 @@ class CowTable:
         shutil.rmtree(staging, ignore_errors=True)
         return written
 
+    def _ensure_new_commit_ts(self, commit_ts: str) -> None:
+        """Monotonicity pre-flight, called BEFORE any file write: a commit
+        timestamp that isn't strictly newer than every existing instant
+        must fail here — ``_write_file_groups`` names files with the commit
+        timestamp, so letting a same-ts retry proceed would ``os.replace``
+        a PUBLISHED commit's data files before the OCC gate ever runs."""
+        self.timeline.refresh()
+        newer = [t for t in self.timeline.timestamps() if t >= commit_ts]
+        if newer:
+            raise ConcurrentCommitError(
+                f"commit {commit_ts} is not newer than existing instants {newer}"
+            )
+
+    def _remove_written(self, written: dict) -> None:
+        """Conflict-loser cleanup: remove the files this write moved in —
+        EXCEPT any file some published commit references (a same-ts
+        collision that slipped past the pre-flight must never delete a
+        committed file; readers' metadata still points at it)."""
+        referenced = {
+            os.path.abspath(os.path.join(self.base_path, s.path))
+            for t in self.timeline.timestamps()
+            for _p, s in self.timeline.commit_metadata(t).all_stats()
+        }
+        for (_g, (rel_path, _rows)) in written.items():
+            p = os.path.abspath(os.path.join(self.base_path, rel_path))
+            if p in referenced:
+                continue
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
     def _occ_check(
         self, commit_ts: str, groups: set, read_ts: str | None
     ) -> None:
@@ -410,11 +442,7 @@ class CowTable:
             # conflict loser: remove the files this write already moved in,
             # or every conflict would orphan a full rewritten group set
             # (clean() only sees files referenced by commit metadata)
-            for (_g, (rel_path, _rows)) in written.items():
-                try:
-                    os.remove(os.path.join(self.base_path, rel_path))
-                except OSError:
-                    pass
+            self._remove_written(written)
             raise
         p2ws: dict[str, list[WriteStat]] = {}
         total_deleted = 0
@@ -476,6 +504,7 @@ class CowTable:
             (r[_PP], r[_FID]): r["cnt"]
             for r in stamped.groupBy(_PP, _FID).agg(F.count("*").alias("cnt")).collect()
         }
+        self._ensure_new_commit_ts(commit_ts)
         read_ts = self.timeline.latest_timestamp()
         written = self._write_file_groups(stamped, commit_ts)
         return self._publish(
@@ -498,6 +527,7 @@ class CowTable:
             (r[_PP], r[_FID]): r["cnt"]
             for r in incoming.groupBy(_PP, _FID).agg(F.count("*").alias("cnt")).collect()
         }
+        self._ensure_new_commit_ts(commit_ts)
         read_ts = self.timeline.latest_timestamp()
         prev_slices = resolve_slices(self.timeline)
         affected = set(inc_counts)
@@ -541,20 +571,22 @@ class CowTable:
         )
         keys = keys.withColumn(_FID, self._fid_col(F.col(_PP))).distinct()
         affected = {(r[_PP], r[_FID]) for r in keys.select(_PP, _FID).distinct().collect()}
+        self._ensure_new_commit_ts(commit_ts)
         read_ts = self.timeline.latest_timestamp()
         prev_slices = resolve_slices(self.timeline)
         affected = {g for g in affected if g in prev_slices}  # keys never written: no-op
         old = self._read_groups(prev_slices, affected)
         if old is None:
             # nothing matched: publish an empty delete commit (numDeletes=0
-            # everywhere — the delete view of this commit is empty)
-            latest = self.timeline.latest_timestamp()
-            if latest is None:
+            # everywhere — the delete view of this commit is empty). Schema
+            # comes from read_ts — the instant this writer actually read —
+            # not a re-listed latest that may include a concurrent commit.
+            if read_ts is None:
                 raise TimelineError("delete on empty table")
             return self._publish(
                 commit_ts, "delete", written={}, prev_slices=prev_slices,
                 is_delete=True,
-                schema_json=self.timeline.commit_metadata(latest).schema_json,
+                schema_json=self.timeline.commit_metadata(read_ts).schema_json,
                 read_ts=read_ts,
             )
         survivors = old.join(
@@ -702,6 +734,7 @@ class CowTable:
         per-column tightness for moderate tightness on ALL of them, the
         standard layout for multi-dimensional predicates (Delta/Hudi
         Z-ORDER BY)."""
+        self._ensure_new_commit_ts(commit_ts)
         read_ts = self.timeline.latest_timestamp()
         prev_slices = resolve_slices(self.timeline)
         snap = self.snapshot()

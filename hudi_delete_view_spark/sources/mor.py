@@ -123,10 +123,22 @@ class MorTable(CowTable):
 
         if read_ts is None:
             read_ts = self.timeline.latest_timestamp()
+        self._ensure_new_commit_ts(commit_ts)
         prev_slices = resolve_slices(self.timeline)
         written = self._write_file_groups(
             stamped, commit_ts, suffix=".log.parquet"
         )
+        # OCC gate BEFORE deriving stats: a conflict loser shouldn't pay
+        # footer parsing for files the cleanup removes right after. Delta
+        # appends never REWRITE another writer's slice, but a commit that
+        # landed meanwhile on the same group (e.g. a compaction that
+        # absorbed the logs this delta stacks on) still invalidates the
+        # writer's view — same gate + cleanup as the COW publish path.
+        try:
+            self._occ_check(commit_ts, set(written), read_ts)
+        except Exception:
+            self._remove_written(written)
+            raise
         p2ws: dict[str, list[WriteStat]] = {}
         total_deleted = 0
         for (partition, file_id), (rel_path, rows) in sorted(written.items()):
@@ -139,7 +151,7 @@ class MorTable(CowTable):
                     path=rel_path,
                     prev_commit=prev.commit_ts if prev else None,
                     num_writes=rows,
-                    num_update_writes=0 if is_delete else 0,
+                    num_update_writes=0,  # delta appends can't know update counts without a read
                     num_deletes=deletes,
                     num_inserts=0,
                     file_size_bytes=os.path.getsize(os.path.join(self.base_path, rel_path)),
@@ -149,21 +161,6 @@ class MorTable(CowTable):
                     ),
                 )
             )
-        # delta appends never REWRITE another writer's slice, but a commit
-        # that landed meanwhile on the same group (e.g. a compaction that
-        # absorbed the logs this delta stacks on) still invalidates the
-        # writer's view — same OCC gate as the COW publish path; the
-        # conflict-loser's just-written log files are removed so conflicts
-        # can't leak orphans
-        try:
-            self._occ_check(commit_ts, set(written), read_ts)
-        except Exception:
-            for (_g, (rel_path, _rows)) in written.items():
-                try:
-                    os.remove(os.path.join(self.base_path, rel_path))
-                except OSError:
-                    pass
-            raise
         meta = CommitMetadata(
             commit_ts=commit_ts,
             operation=operation,
@@ -330,6 +327,7 @@ class MorTable(CowTable):
         without logs keep their existing base slice untouched (same
         affected-groups-only discipline as the COW writer).
         """
+        self._ensure_new_commit_ts(commit_ts)
         read_ts = self.timeline.latest_timestamp()
         prev_slices = resolve_slices(self.timeline)
         with_logs = {g for g, s in prev_slices.items() if s.log_paths}

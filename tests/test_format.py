@@ -583,3 +583,30 @@ def test_occ_mor_delta_vs_compaction(spark, scratch):
             "20271004000000", groups={("p0", "fg-p0-0")}, read_ts="20271002000000"
         )
     t._occ_check("20271004000000", groups={("p9", "fg-p9-0")}, read_ts="20271002000000")
+
+
+def test_same_timestamp_retry_cannot_clobber_published_commit(spark, scratch):
+    """A retry reusing an already-published commit timestamp must fail at
+    the pre-flight, BEFORE any file write — and the published commit's
+    data must remain fully readable afterwards."""
+    from hudi_delete_view_spark.sources.cow import ConcurrentCommitError
+
+    t = CowTable(
+        spark, os.path.join(scratch, "samets"), key_fields=["k"],
+        partition_field=None, num_file_groups=2,
+    )
+    T1, T2 = "20271101000000", "20271102000000"
+    t.bulk_insert(
+        spark.createDataFrame([(k, k) for k in range(10)], "k int, v int"), T1
+    )
+    t.upsert(spark.createDataFrame([(1, 99)], "k int, v int"), T2)
+
+    # same-ts retry with DIFFERENT data: rejected up front
+    with pytest.raises(ConcurrentCommitError):
+        t.upsert(spark.createDataFrame([(1, -1)], "k int, v int"), T2)
+    with pytest.raises(ConcurrentCommitError):
+        t.delete(spark.createDataFrame([(1,)], "k int"), T1)
+
+    # published state untouched and fully readable
+    vals = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert vals[1] == 99 and len(vals) == 10
