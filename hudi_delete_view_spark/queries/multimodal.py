@@ -96,9 +96,11 @@ def mm_decode_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_frame_plan",
+    # CAST to BIGINT: DuckDB FLOOR yields DOUBLE while the Spark side emits
+    # long — dtype-level divergence the driver's hash is sensitive to
     oracle=f"""
 SELECT doc_id AS media_id,
-  FLOOR(GREATEST(octet_length(encode(text)) - 1, 0) / 10) + 1 AS n_samples
+  CAST(FLOOR(GREATEST(octet_length(encode(text)) - 1, 0) / 10) + 1 AS BIGINT) AS n_samples
 FROM documents WHERE {_MEDIA_TYPE_SQL} = 'video'
 """,
 )

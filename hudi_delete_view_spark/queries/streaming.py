@@ -23,7 +23,7 @@ _TUMBLING_SQL = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 6) AS sum_value
+       ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0, 6) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -37,7 +37,7 @@ WITH starts AS (
 )
 SELECT strftime(s.w, '%Y-%m-%d %H:%M:%S') AS window_start,
        COUNT(*) AS n_events,
-       ROUND(SUM(CAST(round(e.value * 100) AS BIGINT)) / 100.0 / COUNT(*), 6) AS avg_value
+       ROUND(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*), 6) AS avg_value
 FROM starts s JOIN events e
   ON e.ts >= s.w AND e.ts < s.w + INTERVAL 1 DAY
 GROUP BY s.w
@@ -61,7 +61,7 @@ sessions AS (
 SELECT user_id,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        COUNT(*) AS n_events,
-       ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 6) AS sum_value
+       ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0, 6) AS sum_value
 FROM sessions GROUP BY user_id, sid
 """
 
@@ -100,7 +100,7 @@ def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT event_id) AS n_keys,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events GROUP BY event_type
 """,
 )
@@ -147,7 +147,7 @@ def stream_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("event_id").alias("n_keys"),
-        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("total_cents"),
+        F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("total_cents"),
     )
 
 
@@ -156,7 +156,7 @@ def stream_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT e.event_type, c.c_mktsegment AS segment,
        COUNT(*) AS n_events,
-       ROUND(SUM(CAST(round(e.value * 100) AS BIGINT)) / 100.0, 6) AS sum_value
+       ROUND(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) / 100.0, 6) AS sum_value
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 """,
@@ -178,7 +178,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("c_mktsegment").alias("segment")
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum(F.expr("cast(round(value * 100) as bigint)")) / F.lit(100.0), 6)
+        F.round(F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")) / F.lit(100.0), 6)
         .alias("sum_value"),
     )
     return run_to_table(agg)
@@ -189,7 +189,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file replay = one micro-batch, so running totals == batch agg
     oracle="""
 SELECT user_id, COUNT(*) AS batch_events, COUNT(*) AS total_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events GROUP BY user_id
 """,
 )

@@ -131,11 +131,15 @@ def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_source_profile",
+    # avg via an exact integer-micro sum: a plain AVG of doubles depends on
+    # summation order (Spark partial aggs vs DuckDB), which round-2 showed
+    # can flip the driver's bit-level hash at unlucky seeds
     oracle=f"""
 SELECT source,
   COUNT(*) AS n_docs,
-  SUM(len({_TOKS})) AS total_tokens,
-  ROUND(AVG({_QUALITY}), 6) AS avg_quality,
+  CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+  ROUND(CAST(SUM(CAST(ROUND({_QUALITY} * 1000000, 0) AS BIGINT)) AS DOUBLE)
+        / COUNT(*) / 1000000.0, 6) AS avg_quality,
   MAX(length(text)) AS max_chars
 FROM documents GROUP BY source
 """,
@@ -144,13 +148,14 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile — the group-by rollup a data pipeline
     uses to triage ingestion sources."""
     docs = _t(spark, sf_dir, "documents")
+    q_micro = F.round(quality_score("text") * 1000000, 0).cast("long")
     return (
-        docs.select("source", token_count("text").alias("__tok"), quality_score("text").alias("__q"), F.length("text").alias("__len"))
+        docs.select("source", token_count("text").alias("__tok"), q_micro.alias("__q6"), F.length("text").alias("__len"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("__tok").alias("total_tokens"),
-            F.round(F.avg("__q"), 6).alias("avg_quality"),
+            F.round(F.sum("__q6").cast("double") / F.count("*") / 1000000.0, 6).alias("avg_quality"),
             F.max("__len").cast("long").alias("max_chars"),
         )
     )

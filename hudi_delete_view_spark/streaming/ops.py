@@ -23,6 +23,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 EVENTS_SCHEMA = StructType(
@@ -39,17 +40,38 @@ EVENTS_SCHEMA = StructType(
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema pinned — streaming
-    sources cannot infer), nanos converted to a microsecond timestamp with
-    exact integer division. Session TZ pinned to UTC (window boundaries
-    and timestamp rendering are TZ-dependent; the oracle is wall-clock)."""
+    sources cannot infer). Session TZ pinned to UTC (window boundaries
+    and timestamp rendering are TZ-dependent; the oracle is wall-clock).
+
+    The driver regenerates the testdata parquet between rounds and the
+    physical type of ``ts`` has varied (TIMESTAMP(NANOS) vs micros), so the
+    unit is sniffed from the parquet footer: nanos are read as long and
+    converted with exact integer division; micros read natively."""
+    import os
+
+    import pyarrow.parquet as pq
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    ts_type = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    if getattr(ts_type, "unit", None) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    schema = StructType(
+        [
+            f if f.name != "ts" else StructField("ts", TimestampType())
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 # -- windowed aggregations --------------------------------------------------
@@ -61,7 +83,7 @@ def tumbling_counts(stream: DataFrame, width: str = "1 day", watermark: str = "1
         .agg(
             F.count("*").alias("n_events"),
             # exact integer-cent sum: engine-portable (see sliding_avg)
-            F.round(F.sum(F.expr("cast(round(value * 100) as bigint)")) / F.lit(100.0), 6)
+            F.round(F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")) / F.lit(100.0), 6)
             .alias("sum_value"),
         )
         .select(
@@ -81,7 +103,7 @@ def sliding_avg(
     # value is 2-decimal data: average over exact integer cents, so the
     # result is independent of float summation order (engine-portable)
     avg_exact = F.round(
-        F.sum(F.expr("cast(round(value * 100) as bigint)")) / F.lit(100.0) / F.count("*"), 6
+        F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")) / F.lit(100.0) / F.count("*"), 6
     )
     return (
         stream.withWatermark("ts", watermark)
@@ -103,7 +125,7 @@ def session_stats(stream: DataFrame, gap: str = "30 minutes", watermark: str = "
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(F.expr("cast(round(value * 100) as bigint)")) / F.lit(100.0), 6)
+            F.round(F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")) / F.lit(100.0), 6)
             .alias("sum_value"),
         )
         .select(
@@ -176,6 +198,7 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
     This is the escape hatch for operators Spark's built-in stateful ops
     can't express (custom accumulators, model state, CEP-ish logic); the
     state store bounds memory to O(active keys)."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
@@ -201,7 +224,10 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
         batch_n = 0
         for pdf in pdf_iter:
             batch_n += len(pdf)
-            cents += int(round(pdf["value"].mul(100).round()).sum())
+            # floor(x*100 + 0.5): exact double arithmetic, bit-identical to
+            # the Spark/DuckDB quantization (pandas .round() is half-even and
+            # diverges from SQL round at exact .5 cents)
+            cents += int(np.floor(pdf["value"].mul(100).add(0.5)).astype("int64").sum())
         n += batch_n
         state.update((n, cents))
         yield pd.DataFrame(
