@@ -57,12 +57,23 @@ def word_shingles(text_col: str, n: int = 3):
 
 
 def shingle_hashes(shingle_col: str):
-    """One pass: xxhash64 of every shingle reduced to the 31-bit domain.
+    """One pass: a 60-bit md5 prefix of every shingle reduced to the 31-bit
+    Mersenne domain.
+
+    md5 (not xxhash64) is deliberate: DuckDB computes the IDENTICAL value
+    via ``CAST(CONCAT('0x', substring(md5(s),1,15)) AS BIGINT)``, which is
+    what lets the whole MinHash funnel carry a bit-exact SQL oracle —
+    xxhash64 exists only in Spark. The hash quality is equivalent for
+    MinHash purposes and the cost difference is a narrow per-shingle map.
+
     Materialize this as its own column BEFORE applying the permutation
     family — referencing a big sub-expression from inside a lambda makes
     Catalyst re-evaluate it per element (HOFs are interpreted, not
     codegen'd), which is the difference between O(n) and O(64n) hashing."""
-    return F.expr(f"transform({shingle_col}, s -> pmod(xxhash64(s), {_MERSENNE_P}L))")
+    return F.expr(
+        f"transform({shingle_col}, s -> "
+        f"pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), {_MERSENNE_P}L))"
+    )
 
 
 def _perm_family(num_hashes: int) -> tuple[list[int], list[int]]:

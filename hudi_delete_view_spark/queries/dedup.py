@@ -134,7 +134,92 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_clusters", late=True)  # rows-only; CC oracle-checked via dedup_clusters
+def _minhash_funnel_ctes(min_collisions: int = 2) -> str:
+    """Shared DuckDB CTE chain mirroring the MinHash-LSH funnel
+    (shingles -> md5 hashes -> seeded permutation minima -> band slices ->
+    collision candidates -> signature-estimate prune -> exact verify).
+
+    Expressible because every stage is deterministic integer arithmetic
+    shared with the Spark side: the shingle hash is a 60-bit md5 prefix
+    (identical in both engines), the permutation family (a_i, b_i) comes
+    from the same seeded generator, bands compare raw signature slices
+    (the Spark side hashes slices, but equal slices <=> equal hashes up
+    to a 2^-64 collision), and the estimate/verify thresholds sit between
+    representable k/64 grid points so float comparison order is moot."""
+    from ..operators.dedup import _MERSENNE_P, _perm_family
+
+    a, b = _perm_family(64)
+    perm_rows = ", ".join(f"({i}, {ai}, {bi})" for i, (ai, bi) in enumerate(zip(a, b)))
+    p = _MERSENNE_P
+    return f"""sh AS (
+  SELECT doc_id, source, n_chars,
+    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 0)),
+                  i -> substr(text, i, 5))) AS grams
+  FROM documents
+),
+hs AS (
+  SELECT doc_id,
+    list_transform(grams, s ->
+      CAST(CONCAT('0x', substring(md5(s), 1, 15)) AS BIGINT) % {p}) AS h
+  FROM sh WHERE len(grams) > 0
+),
+perms AS (SELECT * FROM (VALUES {perm_rows}) AS t(i, a, b)),
+sigrow AS (
+  SELECT doc_id, i, list_min(list_transform(h, x -> (a * x + b) % {p})) AS m
+  FROM hs CROSS JOIN perms
+),
+sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM sigrow GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, j, list_slice(s, j * 4 + 1, j * 4 + 4) AS band
+  FROM sig CROSS JOIN generate_series(0, 15) AS g(j)
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_collisions}
+),
+est AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sig sa ON sa.doc_id = cand.id_a
+  JOIN sig sb ON sb.doc_id = cand.id_b
+  WHERE CAST(list_sum(list_transform(generate_series(1, 64),
+        k -> CASE WHEN sa.s[k] = sb.s[k] THEN 1 ELSE 0 END)) AS DOUBLE) / 64 >= 0.65
+),
+verified AS (
+  SELECT id_a, id_b FROM est
+  JOIN sh ga ON ga.doc_id = est.id_a
+  JOIN sh gb ON gb.doc_id = est.id_b
+  WHERE ROUND(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        / len(list_distinct(ga.grams || gb.grams)), 6) >= 0.8
+)"""
+
+
+def _minhash_clusters_sql() -> str:
+    """Funnel CTEs + recursive transitive closure: every doc in a verified
+    pair reaches the component minimum, mirroring what the large-star/
+    small-star contraction converges to."""
+    return f"""
+WITH RECURSIVE {_minhash_funnel_ctes(min_collisions=2)},
+edges AS (SELECT id_a AS u, id_b AS v FROM verified
+          UNION SELECT id_b, id_a FROM verified),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT comp.cluster_id,
+  COUNT(*) AS cluster_size,
+  MIN(comp.doc_id) AS canonical_doc,
+  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+GROUP BY comp.cluster_id HAVING COUNT(*) > 1
+"""
+
+
+@query("dedup_minhash_clusters", late=True, oracle=_minhash_clusters_sql())
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-scale funnel: MinHash-LSH candidates ->
     estimate-pruned exact-Jaccard verify (>=0.8) -> connected components ->
@@ -158,7 +243,14 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_survivors")  # not SQL-expressible: rows-only check
+@query(
+    "dedup_minhash_survivors",
+    oracle=f"""
+WITH {_minhash_funnel_ctes(min_collisions=2)}
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM verified)
+""",
+)
 def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup removal (64 hashes, 16 bands, Jaccard>=0.8
     verify); survivors keep the smallest doc_id of each duplicate cluster."""
@@ -169,7 +261,14 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_lsh_candidates", late=True)  # rows-only; funnel covered by dedup_minhash_survivors
+@query(
+    "dedup_lsh_candidates",
+    late=True,  # oracled, but stays out of the driver's 50-slot window
+    oracle=f"""
+WITH {_minhash_funnel_ctes(min_collisions=1)}
+SELECT id_a, id_b FROM cand
+""",
+)
 def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw LSH band-collision candidate pairs (pre-verification)."""
     docs = _t(spark, sf_dir, "documents")

@@ -39,7 +39,51 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("sim_topk_lsh")  # approximate: rows-only driver check + pytest recall
+def _lsh_topk_sql(k: int = 5, dim: int = 64, bits: int = 6, tables: int = 8) -> str:
+    """DuckDB mirror of the sign-LSH path: the SAME seeded hyperplanes are
+    embedded as SQL literals (full-precision repr), buckets recomputed
+    from raw dot-product signs, then the identical candidate join + exact
+    re-rank as the brute-force oracle. Approximate != unverifiable: the
+    approximation is deterministic given the planes, so the oracle
+    replicates it bit-for-bit (sign flips would need |dot| ~ 1e-13, far
+    below the O(1) dots real embeddings produce against gaussian planes)."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, tables, seed=42)
+    rows = ", ".join(
+        f"({t}, {b}, [{', '.join(repr(x) for x in planes[t][b])}])"
+        for t in range(tables)
+        for b in range(bits)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (SELECT * FROM (VALUES {rows}) AS p(t, bit, pl)),
+cb AS (
+  SELECT e.vec_id, p.t,
+    SUM(CASE WHEN list_sum(list_transform(generate_series(1, {dim}),
+          i -> e.v[i] * p.pl[i])) >= 0
+        THEN CAST(1 AS BIGINT) << p.bit ELSE 0 END) AS b
+  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM cb q JOIN cb c ON q.t = c.t AND q.b = c.b AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 20
+)
+SELECT cand.query_id, cand.neighbor_id,
+  ROUND(list_cosine_similarity(qe.v, ce.v), 6) AS cosine,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY cand.query_id
+    ORDER BY ROUND(list_cosine_similarity(qe.v, ce.v), 6) DESC, cand.neighbor_id
+  ) AS INT) AS rank
+FROM cand
+JOIN e qe ON qe.vec_id = cand.query_id
+JOIN e ce ON ce.vec_id = cand.neighbor_id
+QUALIFY rank <= {k}
+"""
+
+
+@query("sim_topk_lsh", oracle=_lsh_topk_sql())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate top-5 (6 bits x 8 tables): candidates are
     bucket collisions only (~8/64 of the corpus per query), exact re-rank
