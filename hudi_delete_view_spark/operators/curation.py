@@ -1,0 +1,191 @@
+"""Training-corpus curation operators: benchmark decontamination,
+sequence packing, and mixture (source-weighted) sampling.
+
+These are the stages a pretraining data pipeline runs AFTER dedup/quality
+filtering (operators.dedup / operators.text) and before tokenized shards
+are written.  Everything is built-in-function composition — JVM-side,
+codegen-friendly — and every hash is the engine-portable 60-bit md5
+prefix (see operators.dedup.shingle_hashes) so each operator carries an
+exact DuckDB-SQL oracle.
+
+Scale notes (the 100 TB shapes):
+- decontamination joins the full corpus against the n-gram set of a
+  BENCHMARK suite — megabytes against terabytes — so the gram set is
+  broadcast and the corpus side never shuffles (scan -> generate ->
+  broadcast-semi-join -> anti-join on the tiny hit list).
+- sequence packing is a per-shard running sum: one shuffle to co-locate a
+  shard (here: ``source``), then a single window pass.  Real pipelines
+  pack per output shard precisely because a global order would serialize;
+  the group column IS the parallelism unit.
+- mixture sampling is scan-only: per-source keep-rates derive from a
+  20-row aggregate (broadcast back), and the keep decision is a pure
+  deterministic function of the row key — reshuffle-stable, resumable,
+  no RNG state to coordinate across 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60-bit md5 prefix — identical in DuckDB via
+#   CAST(CONCAT('0x', substring(md5(s), 1, 15)) AS BIGINT)
+_H = "cast(conv(substring(md5({0}), 1, 15), 16, 10) as bigint)"
+
+
+def token_ngram_hashes(tokens_col: str, n: int = 8) -> Column:
+    """Hashes of the space-joined token ``n``-grams of a MATERIALIZED
+    token-array column.  Docs shorter than ``n`` tokens yield an empty
+    array (they cannot be contaminated / cannot contaminate).
+
+    The token array must be a real column, not an inline sub-expression:
+    HOF lambdas are interpreted, so referencing the tokenizer here would
+    re-split the text once per gram (the O(n)->O(n^2) re-inlining pitfall
+    documented at operators/dedup.py shingle_hashes)."""
+    gram = f"concat_ws(' ', slice({tokens_col}, i, {n}))"
+    # explicit empty-guard: Spark's sequence(1, 0) is the DESCENDING [1, 0],
+    # not empty, so the greatest(.., 0) idiom would feed slice() a 0 start
+    return F.expr(
+        f"IF(size({tokens_col}) < {n}, cast(array() as array<bigint>), "
+        f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
+        f"i -> {_H.format(gram)}))"
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination: drop every training doc sharing at least
+    one ``n``-token n-gram with any test/benchmark doc (the GPT-3/PaLM
+    recipe: exact sub-sequence collision at n=8..13 word grams).
+
+    Returns ``(clean, contaminated_ids)`` where ``clean`` preserves the
+    training schema and ``contaminated_ids`` is one ``id_col`` row per
+    dropped doc.
+
+    Plan shape: the test-side gram set is distinct-ed and BROADCAST (a
+    benchmark suite is megabytes; 100 TB lives on the train side), the
+    train side streams scan->generate->broadcast-hash-join with no
+    shuffle, and only the (tiny) contaminated id list is distinct-ed
+    before the final broadcast anti-join back onto the full rows."""
+    from ..operators.text import tokens
+
+    test_grams = (
+        test.select(tokens(text_col).alias("__t"))
+        .select(F.explode(token_ngram_hashes("__t", n)).alias("__g"))
+        .distinct()
+    )
+    hit_ids = (
+        train.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(F.col(id_col), F.explode(token_ngram_hashes("__t", n)).alias("__g"))
+        .join(F.broadcast(test_grams), "__g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    clean = train.join(F.broadcast(hit_ids), id_col, "left_anti")
+    return clean, hit_ids
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_len: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    tokens_col: Column | None = None,
+) -> DataFrame:
+    """Concatenation-style sequence packing plan: within each ``group_col``
+    shard, documents are laid end-to-end in ``order_col`` order and cut
+    into fixed ``context_len``-token windows (the standard pretraining
+    pack: no padding, docs may span window boundaries).
+
+    Emits one row per doc with its byte-exact placement:
+    ``n_tokens``, ``start_offset`` (tokens before it in the shard),
+    ``first_chunk`` / ``last_chunk`` (0-based window indices the doc
+    touches), ``n_chunks``.  Empty docs get n_chunks=0 and
+    last_chunk=first_chunk.
+
+    One shuffle (partition by shard), one window pass; shards are the
+    parallelism unit exactly as a real tokenizer-shard writer would run.
+    """
+    from ..operators.text import token_count
+
+    n_tok = tokens_col if tokens_col is not None else token_count("text")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("n_tokens", n_tok).withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    first = F.floor(F.col("start_offset") / context_len)
+    last = F.when(
+        F.col("n_tokens") > 0,
+        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / context_len),
+    ).otherwise(first)
+    return (
+        out.withColumn("first_chunk", first)
+        .withColumn("last_chunk", last)
+        .withColumn(
+            "n_chunks",
+            F.when(F.col("n_tokens") > 0, F.col("last_chunk") - F.col("first_chunk") + 1)
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture sampling: downsample each source so the kept
+    corpus matches the target ``weights`` proportions exactly (up to the
+    largest total the data admits — the binding source keeps 100%).
+
+    T = min_s(n_s / w_s) is the largest total size whose mixture is
+    feasible without upsampling; each source keeps rate_s = w_s * T / n_s
+    of its rows.  The keep decision hashes the row key (md5 prefix -> a
+    uniform fraction in [0,1)) against the rate — a pure row function, so
+    the sample is identical under any partitioning/retry and is exactly
+    reproducible by the SQL oracle.
+
+    Rates are quantized with floor(x * 1e6) / 1e6: floor is
+    rounding-mode-agnostic across engines, unlike round() (half-up in SQL
+    engines vs half-even in numpy/pandas).
+
+    The per-source stats are a ``len(weights)``-row aggregate, broadcast
+    back onto the scan — the 100 TB side is touched exactly once."""
+    spark = df.sparkSession
+    weights_df = spark.createDataFrame(
+        sorted(weights.items()), schema=f"{group_col} string, __w double"
+    )
+    stats = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(F.broadcast(weights_df), group_col)
+    )
+    t_df = stats.agg(F.min(F.col("__n") / F.col("__w")).alias("__T"))
+    rates = (
+        stats.crossJoin(F.broadcast(t_df))
+        .withColumn(
+            "__rate",
+            F.floor(F.col("__w") * F.col("__T") / F.col("__n") * 1000000.0) / 1000000.0,
+        )
+        .select(group_col, "__rate")
+    )
+    frac = (
+        F.expr(f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), 16, 10) as bigint)")
+        / F.lit(4294967296.0)
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(frac < F.col("__rate"))
+        .drop("__rate")
+    )

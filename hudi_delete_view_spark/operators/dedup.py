@@ -36,22 +36,33 @@ def exact_dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFram
 
 def char_shingles(text_col: str, k: int = 5):
     """Distinct character k-grams of a string, as an array column (JVM-side:
-    sequence + transform + substring + array_distinct)."""
+    sequence + transform + substring + array_distinct).
+
+    Strings shorter than ``k`` yield an EMPTY array: Spark's
+    ``sequence(1, 0)`` is the descending ``[1, 0]``, not empty, which would
+    otherwise emit a partial shingle (substring clamps) that the DuckDB
+    oracles — where ``generate_series(1, 0)`` IS empty — never see."""
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
-            f" i -> substring({text_col}, i, {k}))"
+            f"IF(length({text_col}) < {k}, cast(array() as array<string>),"
+            f" transform(sequence(1, length({text_col}) - {k - 1}),"
+            f" i -> substring({text_col}, i, {k})))"
         )
     )
 
 
 def word_shingles(text_col: str, n: int = 3):
-    """Distinct word n-grams (tokenize on whitespace, join windows)."""
+    """Distinct word n-grams (tokenize on whitespace, join windows).
+
+    Same empty-guard as char_shingles: without it, a doc with fewer than
+    ``n`` tokens feeds ``slice`` a 0 start (sequence(1,0) = [1,0]) and the
+    whole query throws INVALID_PARAMETER_VALUE at runtime."""
     toks = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)),"
-            f" i -> array_join(slice({toks}, i, {n}), ' '))"
+            f"IF(size({toks}) < {n}, cast(array() as array<string>),"
+            f" transform(sequence(1, size({toks}) - {n - 1}),"
+            f" i -> array_join(slice({toks}, i, {n}), ' ')))"
         )
     )
 

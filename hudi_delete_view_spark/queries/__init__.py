@@ -62,5 +62,6 @@ def load_all() -> None:
         text,
         multimodal,
         streaming,
+        curation,
         relational,
     )

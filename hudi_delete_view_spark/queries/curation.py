@@ -1,0 +1,161 @@
+"""Corpus-curation queries (decontamination / packing / mixture sampling)
+over ``documents`` — the post-dedup stages of a pretraining data pipeline,
+each mirrored exactly in DuckDB SQL.
+
+The benchmark/test split is synthetic but deterministic: every 17th doc
+(``doc_id % 17 = 0``) plays the held-out benchmark suite, the rest are the
+training corpus.  That keeps the oracle self-contained on the one
+``documents`` table while exercising the real plan shapes (broadcast gram
+join, per-shard packing window, rate-quantized sampling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._tables import _t
+from . import query
+
+# DuckDB mirrors of the Spark-side expressions --------------------------------
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+# 60-bit md5 prefix — identical to Spark's conv(substring(md5(..),1,15),16,10)
+_H = "CAST(CONCAT('0x', substring(md5({0}), 1, 15)) AS BIGINT)"
+
+_GRAM8 = _H.format("array_to_string(list_slice(t, i, i + 7), ' ')")
+
+_DECON_CTES = f"""toks AS (
+  SELECT doc_id, source, n_chars, {_TOKS} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, source, n_chars,
+    list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+                   i -> {_GRAM8}) AS g
+  FROM toks
+),
+test_grams AS (
+  SELECT DISTINCT unnest(g) AS gh FROM grams WHERE doc_id % 17 = 0
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % 17 != 0
+    AND EXISTS (SELECT 1 FROM test_grams tg
+                WHERE list_contains(grams.g, tg.gh))
+)"""
+
+
+@query(
+    "curate_decontaminate",
+    oracle=f"""
+WITH {_DECON_CTES}
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id % 17 != 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+""",
+)
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 recipe): drop training docs that
+    share any 8-token n-gram with the held-out set (doc_id % 17 = 0).
+    Test-side grams broadcast; the corpus side never shuffles."""
+    from ..operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    test = docs.filter(F.col("doc_id") % 17 == 0)
+    clean, _ = decontaminate(train, test, n=8)
+    return clean.select("doc_id", "source", "n_chars")
+
+
+@query(
+    "curate_contamination_report",
+    late=True,  # diagnostic inverse of curate_decontaminate (windowed)
+    oracle=f"""
+WITH {_DECON_CTES}
+SELECT c.doc_id, d.source, d.n_chars
+FROM contaminated c JOIN documents d USING (doc_id)
+""",
+)
+def curate_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dropped side of the decontamination pass: which training docs
+    collided with the benchmark suite (audit trail a real pipeline keeps)."""
+    from ..operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    test = docs.filter(F.col("doc_id") % 17 == 0)
+    _, hit_ids = decontaminate(train, test, n=8)
+    return hit_ids.join(docs, "doc_id").select("doc_id", "source", "n_chars")
+
+
+@query(
+    "curate_pack_sequences",
+    oracle=f"""
+WITH n AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+),
+packed AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+    CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset
+  FROM n
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, source, n_tokens, start_offset,
+  CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS first_chunk,
+  CAST(CASE WHEN n_tokens > 0
+       THEN FLOOR((start_offset + n_tokens - 1) / 512.0)
+       ELSE FLOOR(start_offset / 512.0) END AS BIGINT) AS last_chunk,
+  CAST(CASE WHEN n_tokens > 0
+       THEN FLOOR((start_offset + n_tokens - 1) / 512.0)
+            - FLOOR(start_offset / 512.0) + 1
+       ELSE 0 END AS BIGINT) AS n_chunks
+FROM packed
+""",
+)
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation-packing plan at context_len=512: per-source shards,
+    docs laid end-to-end in doc_id order, window indices each doc spans.
+    One shuffle (shard partition), one window pass."""
+    from ..operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, context_len=512).select(
+        "doc_id", "source", "n_tokens", "start_offset",
+        "first_chunk", "last_chunk", "n_chunks",
+    )
+
+
+# target mixture: sources get weight (i % 4 + 1), normalized — a skewed but
+# deterministic target that exercises both clamped and fractional rates
+_MIX_WEIGHTS = {f"src{i}": float(i % 4 + 1) for i in range(20)}
+_MIX_ROWS = ", ".join(f"('{s}', CAST({w} AS DOUBLE))" for s, w in sorted(_MIX_WEIGHTS.items()))
+
+
+@query(
+    "curate_mixture_sample",
+    oracle=f"""
+WITH w AS (SELECT * FROM (VALUES {_MIX_ROWS}) AS t(source, wt)),
+stats AS (
+  SELECT d.source, COUNT(*) AS n, ANY_VALUE(w.wt) AS wt
+  FROM documents d JOIN w USING (source) GROUP BY d.source
+),
+rates AS (
+  SELECT source,
+    FLOOR(wt * (SELECT MIN(n / wt) FROM stats) / n * 1000000.0) / 1000000.0 AS rate
+  FROM stats
+)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d JOIN rates r USING (source)
+WHERE CAST(CONCAT('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 < r.rate
+""",
+)
+def curate_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture sampling toward skewed target weights
+    (w_i ∝ i%4+1): per-source keep-rates from a 20-row broadcast aggregate,
+    keep decision a pure hash of doc_id — reshuffle-stable, no RNG."""
+    from ..operators.curation import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(docs, _MIX_WEIGHTS).select(
+        "doc_id", "source", "lang", "n_chars"
+    )

@@ -43,6 +43,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_exact_count",
+    late=True,  # COUNT variant of the windowed dedup_exact_docs (green r02)
     oracle="SELECT COUNT(DISTINCT text) AS n_unique, COUNT(*) AS n_total FROM documents",
 )
 def dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,6 +285,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_neardup",
+    late=True,  # exact all-pairs baseline; the scale path (dedup_embedding_lsh)
+    # holds the driver-window slot (both green r02)
     # embeddings cast to DOUBLE[] so DuckDB matches Spark's double-precision
     # arithmetic (list_cosine_similarity on FLOAT[] computes in float32).
     oracle="""

@@ -23,6 +23,8 @@ _MEDIA_TYPE_SQL = "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
 
 @query(
     "mm_media_metadata",
+    late=True,  # typed-metadata sibling of the windowed mm_decode_headers
+    # (both green r02); slot rebudgeted to the curation stage
     oracle=f"""
 SELECT doc_id AS media_id,
   {_MEDIA_TYPE_SQL} AS media_type,

@@ -1,0 +1,102 @@
+"""Curation operators: decontamination, sequence packing, mixture sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_delete_view_spark.operators.curation import (
+    decontaminate,
+    mixture_sample,
+    pack_sequences,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+class TestDecontaminate:
+    def test_shared_ngram_is_dropped(self, spark):
+        shared = "one two three four five six seven eight"
+        train = _docs(
+            spark,
+            [
+                (1, "a", f"prefix {shared} suffix"),       # contains the test 8-gram
+                (2, "a", "totally different words entirely here and now ok"),
+            ],
+        )
+        test = _docs(spark, [(100, "t", shared)])
+        clean, hits = decontaminate(train, test, n=8)
+        assert [r.doc_id for r in hits.collect()] == [1]
+        assert [r.doc_id for r in clean.collect()] == [2]
+
+    def test_short_docs_never_contaminate(self, spark):
+        train = _docs(spark, [(1, "a", "one two three")])
+        test = _docs(spark, [(100, "t", "one two three")])  # < 8 tokens: no grams
+        clean, hits = decontaminate(train, test, n=8)
+        assert hits.count() == 0
+        assert clean.count() == 1
+
+    def test_plan_broadcasts_test_grams(self, spark):
+        train = _docs(spark, [(1, "a", "x " * 20)])
+        test = _docs(spark, [(100, "t", "y " * 20)])
+        clean, _ = decontaminate(train, test, n=8)
+        plan = clean._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestPackSequences:
+    def test_offsets_and_chunks(self, spark):
+        # tokens: 3, 4, 2 in one shard; context_len=4
+        df = _docs(
+            spark,
+            [(1, "s", "a b c"), (2, "s", "d e f g"), (3, "s", "h i")],
+        )
+        out = {r.doc_id: r for r in pack_sequences(df, context_len=4).collect()}
+        assert (out[1].start_offset, out[1].first_chunk, out[1].last_chunk) == (0, 0, 0)
+        # doc 2 spans offset 3..6 -> chunks 0..1
+        assert (out[2].start_offset, out[2].first_chunk, out[2].last_chunk) == (3, 0, 1)
+        assert out[2].n_chunks == 2
+        # doc 3 spans offset 7..8 -> chunks 1..2
+        assert (out[3].start_offset, out[3].first_chunk, out[3].last_chunk) == (7, 1, 2)
+
+    def test_shards_are_independent(self, spark):
+        df = _docs(
+            spark,
+            [(1, "s1", "a b"), (2, "s2", "c d"), (3, "s1", "e f")],
+        )
+        out = {r.doc_id: r.start_offset for r in pack_sequences(df, 4).collect()}
+        assert out == {1: 0, 2: 0, 3: 2}
+
+    def test_empty_doc_spans_no_chunk(self, spark):
+        df = _docs(spark, [(1, "s", "a b c"), (2, "s", "")])
+        out = {r.doc_id: r for r in pack_sequences(df, 4).collect()}
+        assert out[2].n_tokens == 0
+        assert out[2].n_chunks == 0
+
+
+class TestMixtureSample:
+    def test_rates_match_target_mixture(self, spark):
+        rows = [(i, "heavy" if i % 3 else "light", "w") for i in range(3000)]
+        df = _docs(spark, rows)
+        kept = mixture_sample(df, {"heavy": 3.0, "light": 1.0})
+        counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        # T = min(2000/3, 1000/1) = 666.67 -> heavy rate = 3*T/2000 = 1.0
+        # (binding: keeps all), light rate = 1*T/1000 = 0.667
+        assert counts["heavy"] == 2000
+        assert 0.60 <= counts["light"] / 1000 <= 0.74
+
+    def test_deterministic_under_repartition(self, spark):
+        rows = [(i, f"src{i % 4}", "w") for i in range(400)]
+        df = _docs(spark, rows)
+        w = {f"src{i}": float(i + 1) for i in range(4)}
+        a = sorted(r.doc_id for r in mixture_sample(df, w).collect())
+        b = sorted(r.doc_id for r in mixture_sample(df.repartition(13), w).collect())
+        assert a == b
+
+    def test_binding_source_keeps_everything(self, spark):
+        rows = [(i, "big" if i < 900 else "small", "w") for i in range(1000)]
+        df = _docs(spark, rows)
+        kept = mixture_sample(df, {"big": 1.0, "small": 9.0})
+        counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        # small is binding: T = min(900/1, 100/9) = 11.1; small keeps 100%
+        assert counts["small"] == 100
