@@ -375,15 +375,24 @@ def minhash_dedup(
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
+# effective SimHash width: token hashes carry 60 bits (md5 prefix), so the
+# signature uses exactly those — bits above 59 would be all-zero dead weight
+# that dilutes prefix bucketing
+SIMHASH_BITS = 60
+
+
 def token_hashes(text_col: str):
-    """xxhash64 of each whitespace token — materialize as a column before
-    ``simhash`` so tokenization+hashing runs once, not once per bit."""
+    """60-bit md5-prefix hash of each whitespace token — materialize as a
+    column before ``simhash`` so tokenization+hashing runs once, not once
+    per bit. md5 (not xxhash64) keeps the whole SimHash pipeline
+    bit-reproducible in DuckDB (see ``shingle_hashes``)."""
     return F.expr(
-        f"transform(filter(split({text_col}, '\\\\s+'), x -> x != ''), t -> xxhash64(t))"
+        f"transform(filter(split({text_col}, '\\\\s+'), x -> x != ''), "
+        f"t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
     )
 
 
-def simhash(hash_col: str, bits: int = 64):
+def simhash(hash_col: str, bits: int = SIMHASH_BITS):
     """SimHash over a precomputed token-hash array: per bit, sign-sum of
     token-hash bits, packed into one long. The outer transform iterates
     bits; the inner aggregate streams the (already computed) hash column —
@@ -412,10 +421,11 @@ def simhash_near_pairs(
         .select(F.col(id_col).alias("__id"), token_hashes(text_col).alias("__th"))
         .select("__id", simhash("__th").alias("__sim"))
     )
-    # JVM shift amounts are mod 64, so prefix_bits=0 must special-case to a
-    # single bucket (shiftrightunsigned(x, 64) would be a no-op)
+    # top prefix_bits of the 60-bit signature; prefix_bits=0 = single bucket
     bucket = (
-        F.shiftrightunsigned("__sim", 64 - prefix_bits) if prefix_bits > 0 else F.lit(0)
+        F.shiftrightunsigned("__sim", SIMHASH_BITS - prefix_bits)
+        if prefix_bits > 0
+        else F.lit(0)
     )
     s = s.withColumn("__bucket", bucket)
     a = s.select(F.col("__id").alias("id_a"), F.col("__sim").alias("__sim_a"), "__bucket")

@@ -120,12 +120,14 @@ def fingerprint(text_col: str) -> Column:
 
 
 def gram_hashes(text_col: str, k: int = 8) -> Column:
-    """Rolling k-gram hash array — materialize as its own column before
-    windowing (a lambda that references this expression would re-evaluate
-    the full gram scan per window position; HOFs are interpreted)."""
+    """Rolling k-gram hash array (60-bit md5 prefix — reproducible in
+    DuckDB, see operators/dedup.py shingle_hashes) — materialize as its own
+    column before windowing (a lambda that references this expression would
+    re-evaluate the full gram scan per window position; HOFs are
+    interpreted)."""
     return F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-        f" i -> xxhash64(substring({text_col}, i, {k})))"
+        f" i -> cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 15), 16, 10) as bigint))"
     )
 
 

@@ -276,7 +276,33 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidate_pairs(docs, "doc_id", "text")
 
 
-@query("dedup_simhash_pairs", late=True)  # rows-only; recall pytest covers it
+@query(
+    "dedup_simhash_pairs",
+    late=True,  # oracled; window budget holds the newer curation stage
+    # full bit-exact SimHash mirror: same 60-bit md5 token hashes, same
+    # sign-sum bit packing, same 12-bit prefix buckets, same Hamming gate
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+    list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x != ''),
+                   t -> CAST(CONCAT('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS h
+  FROM documents
+),
+sims AS (
+  SELECT doc_id,
+    COALESCE(list_sum(list_transform(generate_series(0, 59), b ->
+      CASE WHEN COALESCE(list_sum(list_transform(h, x ->
+                CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)), 0) AS sim
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM sims a JOIN sims b
+  ON (a.sim >> 48) = (b.sim >> 48) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 10
+""",
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (12-bit prefix buckets, Hamming <= 10)."""
     docs = _t(spark, sf_dir, "documents")

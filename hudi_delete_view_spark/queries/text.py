@@ -161,7 +161,26 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_winnowing", late=True)  # rows-only; fingerprint family oracle-checked elsewhere
+@query(
+    "text_winnowing",
+    late=True,  # oracled; window budget holds the newer curation stage
+    # exact mirror: same 60-bit md5 rolling 8-gram hashes, same width-4
+    # min-window, same distinct count. greatest(.., 1) (not 0) on both
+    # sides: sub-length docs keep one clamped partial gram in each engine.
+    oracle="""
+WITH gh AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+      i -> CAST(CONCAT('0x', substring(md5(substring(text, i, 8)), 1, 15)) AS BIGINT)) AS h
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(list_distinct(
+    list_transform(generate_series(1, greatest(len(h) - 3, 1)),
+                   w -> list_min(list_slice(h, w, w + 3))))) AS BIGINT) AS n_fingerprints
+FROM gh
+""",
+)
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sets (min rolling k-gram hash per window)."""
     from ..operators.text import gram_hashes, winnowing_from_hashes
