@@ -45,6 +45,9 @@ HEADLINE = [
     "sim_topk_lsh",            # B10 cosine top-k (LSH scale path)
     "dedup_embedding_lsh",     # B9 sign-LSH embedding near-dup (scale path)
     "stream_session_windows",  # B13 stateful streaming session agg
+    "curate_decontaminate",    # B14 benchmark decontamination (broadcast grams)
+    "curate_pack_sequences",   # B14 per-shard sequence packing window
+    "curate_mixture_sample",   # B14 deterministic mixture sampling
 ]
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")

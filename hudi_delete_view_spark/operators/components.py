@@ -67,11 +67,54 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+# below this edge count the deduped edge list is at most a few MB — one
+# task runs union-find in microseconds, vs O(log^2 n) distributed rounds
+# each paying a checkpoint + count + shuffle of fixed job overhead
+SMALL_GRAPH_EDGES = 200_000
+
+
+def _union_find_single_task(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: ship the (already deduped) edge list to ONE
+    executor task and run path-compressed union-find there, emitting
+    (node, min-id component).  Executor-side — the driver never touches
+    edge data; same (node, component) contract as the distributed path."""
+
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for u, v in zip(pdf[_U].tolist(), pdf[_V].tolist()):
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by min: smaller id becomes the root, so the
+                    # final label IS the component minimum
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+        nodes = list(parent.keys()) + [x for x in set(parent.values())]
+        seen = {}
+        for n in set(nodes):
+            seen[n] = find(n)
+        yield pd.DataFrame({"node": list(seen.keys()), "component": list(seen.values())})
+
+    return edges.coalesce(1).mapInPandas(uf, schema="node long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str,
     dst: str,
     max_iter: int = 25,
+    small_graph_threshold: int | None = None,
 ) -> DataFrame:
     """Resolve an undirected edge list into components.
 
@@ -79,7 +122,12 @@ def connected_components(
     where ``component`` is the smallest node id in its connected component.
     Isolated nodes (no edges) don't appear — callers left-join and coalesce
     to self (see ``assign_components``).
-    """
+
+    Hybrid strategy: a dedup graph's edge set (verified near-dup pairs) is
+    tiny relative to the corpus — usually thousands of edges even when the
+    corpus is 100 TB — so when the deduped count fits comfortably in one
+    task (<= SMALL_GRAPH_EDGES) a single-task union-find replaces the
+    iterative contraction; above it, alternating star rounds scale out."""
     e = (
         edges.select(F.col(src).alias(_U), F.col(dst).alias(_V))
         .filter(F.col(_U) != F.col(_V))
@@ -87,6 +135,11 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_cnt = e.count()
+    threshold = (
+        SMALL_GRAPH_EDGES if small_graph_threshold is None else small_graph_threshold
+    )
+    if prev_cnt <= threshold:
+        return _union_find_single_task(e)
     converged = False
     for _ in range(max_iter):
         # batch TWO alternating rounds per materialization when the edge

@@ -12,9 +12,9 @@ from hudi_delete_view_spark.operators.components import (
 )
 
 
-def _cc(spark, edge_list):
+def _cc(spark, edge_list, threshold=None):
     edges = spark.createDataFrame(edge_list, "a long, b long")
-    rows = connected_components(edges, "a", "b").collect()
+    rows = connected_components(edges, "a", "b", small_graph_threshold=threshold).collect()
     return {r["node"]: r["component"] for r in rows}
 
 
@@ -83,4 +83,8 @@ def test_random_graphs_match_union_find(spark, edges):
     # drop nodes only present via self-loops (operator ignores them)
     real = {k for a, b in edges if a != b for k in (a, b)}
     expected = {k: v for k, v in expected.items() if k in real}
+    # both execution paths must agree with the reference: the single-task
+    # union-find (default for small graphs) and the distributed star
+    # contraction (threshold=0 forces it)
     assert _cc(spark, edges) == expected
+    assert _cc(spark, edges, threshold=0) == expected
