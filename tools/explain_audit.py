@@ -72,6 +72,16 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "text_pii_redact": ([], ["Exchange", "Join"]),
     # hash-stratified sample: scan + filter + project, no shuffle
     "docs_stratified_sample": ([], ["Exchange", "Join"]),
+    # decontamination: test-side gram set broadcasts (benchmark MBs vs TB
+    # corpus); the corpus side is scan -> generate -> broadcast joins with
+    # no corpus-sized shuffle
+    "curate_decontaminate": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # packing: exactly one exchange (the per-shard partition) feeding one
+    # running-sum window
+    "curate_pack_sequences": (["Window"], ["CartesianProduct", "Join"]),
+    # mixture sampling: 20-row rate table broadcasts back onto the scan;
+    # the corpus is never exchanged
+    "curate_mixture_sample": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 # per-query session confs applied while building the audited plan
