@@ -139,6 +139,38 @@ def pack_sequences(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global corpus shuffle into ``n_shards`` training
+    shards: a pseudorandom permutation realized as (hash -> shard,
+    hash-order within shard) — the standard pre-tokenization shuffle that
+    breaks source/time locality so every shard is an unbiased sample.
+
+    Emits ``shard`` (0-based) and ``pos`` (0-based dense position within
+    the shard).  Both are pure functions of the row key: re-running on any
+    partitioning, or resuming after failure, yields the identical
+    permutation — no RNG state, no driver coordination.
+
+    Scale shape: exactly one shuffle (the window's hash partition on
+    ``shard``); within-shard ordering sorts each shard independently.
+    Shard count is the write parallelism — 1000 executors want >= 1000
+    shards, and the hash balances them to within sampling noise."""
+    h = F.expr(
+        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 15), 16, 10) as bigint)"
+    )
+    out = df.withColumn("__h", h).withColumn(
+        "shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(key_col))
+    return (
+        out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__h")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, float],

@@ -124,6 +124,29 @@ def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "curate_shuffle_shards",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source,
+    CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id, source,
+  CAST(hv % 8 AS INT) AS shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+""",
+)
+def curate_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards (hash -> shard,
+    hash-order within shard): one window shuffle, reshuffle-stable."""
+    from ..operators.curation import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_shards(docs, n_shards=8).select("doc_id", "source", "shard", "pos")
+
+
 # target mixture: sources get weight (i % 4 + 1), normalized — a skewed but
 # deterministic target that exercises both clamped and fractional rates
 _MIX_WEIGHTS = {f"src{i}": float(i % 4 + 1) for i in range(20)}

@@ -73,7 +73,12 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(tumbling_counts(events_stream(spark, sf_dir)))
 
 
-@query("stream_sliding_avg", oracle=_SLIDING_SQL)
+@query(
+    "stream_sliding_avg",
+    late=True,  # window-family sibling of stream_tumbling_counts (green
+    # r02); slot rebudgeted to curate_shuffle_shards
+    oracle=_SLIDING_SQL,
+)
 def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-day windows sliding every 6h (4 overlapping windows per event)."""
     return run_to_table(sliding_avg(events_stream(spark, sf_dir)))

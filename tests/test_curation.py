@@ -100,3 +100,49 @@ class TestMixtureSample:
         counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
         # small is binding: T = min(900/1, 100/9) = 11.1; small keeps 100%
         assert counts["small"] == 100
+
+
+class TestShuffleShards:
+    def test_positions_dense_and_deterministic(self, spark):
+        from hudi_delete_view_spark.operators.curation import shuffle_shards
+
+        df = _docs(spark, [(i, "s", "w") for i in range(200)])
+        out = shuffle_shards(df, 4).collect()
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        # dense 0..k-1 positions per shard
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(len(ps)))
+        # deterministic under repartition
+        again = shuffle_shards(df.repartition(7), 4).collect()
+        assert {(r.doc_id, r.shard, r.pos) for r in again} == {
+            (r.doc_id, r.shard, r.pos) for r in out
+        }
+
+    def test_shards_balanced(self, spark):
+        from hudi_delete_view_spark.operators.curation import shuffle_shards
+        from pyspark.sql import functions as F2
+
+        df = _docs(spark, [(i, "s", "w") for i in range(4000)])
+        counts = [
+            r.n
+            for r in shuffle_shards(df, 8)
+            .groupBy("shard")
+            .agg(F2.count("*").alias("n"))
+            .collect()
+        ]
+        assert len(counts) == 8
+        assert max(counts) < 1.3 * min(counts)
+
+    def test_breaks_source_locality(self, spark):
+        from hudi_delete_view_spark.operators.curation import shuffle_shards
+
+        # docs arrive grouped by source; after sharding each shard should
+        # mix sources rather than inherit input order
+        df = _docs(spark, [(i, f"src{i // 100}", "w") for i in range(400)])
+        out = shuffle_shards(df, 4)
+        per_shard_sources = (
+            out.groupBy("shard").agg(F.countDistinct("source").alias("ns")).collect()
+        )
+        assert all(r.ns == 4 for r in per_shard_sources)
