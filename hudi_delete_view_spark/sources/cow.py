@@ -980,26 +980,34 @@ class CowTable:
         )
         img = F.when(F.col("op") == "delete", F.col("__before")).otherwise(F.col("__after"))
         change = F.when(F.col("op") == "delete", F.col("__ct_del")).otherwise(F.col("__ct_after"))
-        out = (
-            j.withColumn("__img", img)
-            .withColumn("change_commit", change)
-            .select("op", RECORD_KEY_FIELD, "change_commit", "__img.*")
+        main_rec = F.struct(
+            F.col("op").alias("op"),
+            F.col(RECORD_KEY_FIELD).alias(RECORD_KEY_FIELD),
+            change.alias("change_commit"),
+            img.alias("__img"),
         )
         if include_update_preimages:
-            pre = (
-                j.filter(F.col("op") == "update")
-                .select(
-                    F.lit("update_preimage").alias("op"),
-                    F.col(RECORD_KEY_FIELD),
-                    # stamped with the commit that replaced the image, like
-                    # the postimage row it retracts against
-                    F.col("__ct_after").alias("change_commit"),
-                    F.col("__before").alias("__img"),
-                )
-                .select("op", RECORD_KEY_FIELD, "change_commit", "__img.*")
+            # preimage rows ride the SAME pass as their postimages (explode
+            # of a 1-or-2 element record array) — a unionByName of a second
+            # selection would re-execute both boundary snapshots and the
+            # diff join end-to-end
+            pre_rec = F.struct(
+                F.lit("update_preimage").alias("op"),
+                F.col(RECORD_KEY_FIELD).alias(RECORD_KEY_FIELD),
+                # stamped with the commit that replaced the image, like
+                # the postimage row it retracts against
+                F.col("__ct_after").alias("change_commit"),
+                F.col("__before").alias("__img"),
             )
-            out = out.unionByName(pre)
-        return out
+            recs = F.when(
+                F.col("op") == "update", F.array(main_rec, pre_rec)
+            ).otherwise(F.array(main_rec))
+        else:
+            recs = F.array(main_rec)
+        return (
+            j.select(F.explode(recs).alias("__r"))
+            .select("__r.op", f"__r.{RECORD_KEY_FIELD}", "__r.change_commit", "__r.__img.*")
+        )
 
     def _delete_stamps(self, begin_exclusive: str, end: str | None) -> DataFrame:
         """(record_key, __ct_del): the LAST commit in (begin, end] that
