@@ -109,10 +109,13 @@ def main() -> None:
 
     prep = {"lake_delete_view": _invalidate_delete_view}
 
+    from hudi_delete_view_spark.operators.util import unpersist_operator_caches
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = _registry.QUERIES[name]
+        unpersist_operator_caches()
         # best-of-2: the first run pays one-time costs (codegen compile,
         # Python worker pool spawn, page-cache fill) that a long-running
         # cluster amortizes away; the second run is the engine's rate

@@ -63,10 +63,16 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from hudi_delete_view_spark.operators.util import unpersist_operator_caches
+
     failures = []
     for name, fn in sorted(reg.QUERIES.items()):
         if only and name not in only:
             continue
+        # operator caches (minhash signatures, LSH buckets, IVF lists) are
+        # per-invocation working sets — release between queries so a
+        # 100-query gate doesn't accumulate executor storage
+        unpersist_operator_caches()
         t0 = time.time()
         try:
             got = fn(spark, sf_dir).toPandas()
