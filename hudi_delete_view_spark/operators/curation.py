@@ -139,6 +139,45 @@ def pack_sequences(
     )
 
 
+def chunk_manifest(
+    df: DataFrame,
+    context_len: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """The trainer-facing inverse of ``pack_sequences``: one row per
+    (chunk, doc-segment), telling a data loader exactly which token span
+    of which document fills each fixed-size training window.
+
+    Columns: ``chunk`` (0-based window index within the shard),
+    ``doc_tok_from`` / ``doc_tok_to`` (within-doc token span, end
+    exclusive), ``n_span_tokens``.  Concatenating spans of a chunk in
+    ``order_col`` order reconstructs exactly ``context_len`` tokens
+    (except the shard's final partial chunk).
+
+    Pure plan composition: the packing window then one ``explode`` over
+    each doc's chunk range — no extra shuffle beyond packing's."""
+    packed = pack_sequences(df, context_len, group_col, order_col)
+    L = context_len
+    out = packed.filter(F.col("n_tokens") > 0).select(
+        group_col,
+        order_col,
+        "start_offset",
+        "n_tokens",
+        F.explode(F.expr("sequence(first_chunk, last_chunk)")).alias("chunk"),
+    )
+    g_from = F.greatest(F.col("start_offset"), F.col("chunk") * L)
+    g_to = F.least(F.col("start_offset") + F.col("n_tokens"), (F.col("chunk") + 1) * L)
+    return out.select(
+        group_col,
+        F.col("chunk").cast("long"),
+        order_col,
+        (g_from - F.col("start_offset")).cast("long").alias("doc_tok_from"),
+        (g_to - F.col("start_offset")).cast("long").alias("doc_tok_to"),
+        (g_to - g_from).cast("long").alias("n_span_tokens"),
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     n_shards: int,

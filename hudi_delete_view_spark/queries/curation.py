@@ -125,6 +125,45 @@ def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curate_chunk_manifest",
+    late=True,  # packing family already windowed via curate_pack_sequences
+    oracle="""
+WITH n AS (
+  SELECT doc_id, source,
+    len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER w - n_tokens AS start_offset
+  FROM n
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+seg AS (
+  SELECT source, doc_id, start_offset, n_tokens,
+    unnest(generate_series(CAST(FLOOR(start_offset / 512.0) AS BIGINT),
+                           CAST(FLOOR((start_offset + n_tokens - 1) / 512.0) AS BIGINT))) AS chunk
+  FROM packed WHERE n_tokens > 0
+)
+SELECT source, CAST(chunk AS BIGINT) AS chunk, doc_id,
+  CAST(GREATEST(start_offset, chunk * 512) - start_offset AS BIGINT) AS doc_tok_from,
+  CAST(LEAST(start_offset + n_tokens, (chunk + 1) * 512) - start_offset AS BIGINT) AS doc_tok_to,
+  CAST(LEAST(start_offset + n_tokens, (chunk + 1) * 512)
+       - GREATEST(start_offset, chunk * 512) AS BIGINT) AS n_span_tokens
+FROM seg
+""",
+)
+def curate_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(chunk, doc-segment) manifest at context_len=512 — what a data
+    loader consumes to fill each training window."""
+    from ..operators.curation import chunk_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_manifest(docs, context_len=512)
+
+
+@query(
     "curate_shuffle_shards",
     oracle="""
 WITH h AS (

@@ -146,3 +146,31 @@ class TestShuffleShards:
             out.groupBy("shard").agg(F.countDistinct("source").alias("ns")).collect()
         )
         assert all(r.ns == 4 for r in per_shard_sources)
+
+
+class TestChunkManifest:
+    def test_chunks_reconstruct_exactly(self, spark):
+        from hudi_delete_view_spark.operators.curation import chunk_manifest
+
+        df = _docs(
+            spark,
+            [(i, f"s{i % 2}", " ".join(f"t{j}" for j in range(1 + (i * 7) % 13)))
+             for i in range(40)],
+        )
+        man = chunk_manifest(df, context_len=8).collect()
+        # per (source, chunk): spans sum to exactly 8 tokens, except the
+        # final chunk of each shard
+        totals = {}
+        for r in man:
+            totals[(r.source, r.chunk)] = totals.get((r.source, r.chunk), 0) + r.n_span_tokens
+            assert 0 < r.n_span_tokens <= 8
+            assert 0 <= r.doc_tok_from < r.doc_tok_to
+        for src in {s for s, _ in totals}:
+            chunks = sorted(c for s, c in totals if s == src)
+            assert chunks == list(range(len(chunks)))  # dense chunk ids
+            for c in chunks[:-1]:
+                assert totals[(src, c)] == 8
+        # every token of every doc appears exactly once
+        tok_total = sum(r.n_span_tokens for r in man)
+        expected = sum(1 + (i * 7) % 13 for i in range(40))
+        assert tok_total == expected
