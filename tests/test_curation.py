@@ -174,3 +174,103 @@ class TestChunkManifest:
         tok_total = sum(r.n_span_tokens for r in man)
         expected = sum(1 + (i * 7) % 13 for i in range(40))
         assert tok_total == expected
+
+
+import hashlib
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+
+class TestCurationProperties:
+    @settings(max_examples=6, deadline=None)
+    @given(
+        ntoks=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+        ctx=st.integers(min_value=1, max_value=16),
+    )
+    def test_pack_sequences_matches_model(self, spark, ntoks, ctx):
+        df = _docs(
+            spark,
+            [(i, "s", " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(ntoks)],
+        )
+        got = {r.doc_id: r for r in pack_sequences(df, context_len=ctx).collect()}
+        off = 0
+        for i, n in enumerate(ntoks):
+            r = got[i]
+            assert r.n_tokens == n
+            assert r.start_offset == off
+            assert r.first_chunk == off // ctx
+            if n > 0:
+                assert r.last_chunk == (off + n - 1) // ctx
+                assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+            else:
+                assert r.n_chunks == 0
+            off += n
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        counts=st.dictionaries(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=1, max_value=120),
+            min_size=2,
+            max_size=3,
+        ),
+        weights=st.dictionaries(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(min_value=0.5, max_value=5.0, allow_nan=False),
+            min_size=3,
+            max_size=3,
+        ),
+    )
+    def test_mixture_sample_matches_model(self, spark, counts, weights):
+        rows, i = [], 0
+        for s, c in sorted(counts.items()):
+            for _ in range(c):
+                rows.append((i, s, "w"))
+                i += 1
+        df = _docs(spark, rows)
+        w = {s: weights[s] for s in counts}
+        got = sorted(r.doc_id for r in mixture_sample(df, w).collect())
+        # exact Python replica of the operator's arithmetic
+        t = min(counts[s] / w[s] for s in counts)
+        import math
+        rate = {s: math.floor(w[s] * t / counts[s] * 1000000.0) / 1000000.0 for s in counts}
+        exp = [
+            doc_id
+            for doc_id, s, _ in rows
+            if int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) / 4294967296.0
+            < rate[s]
+        ]
+        assert got == exp
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12).map(
+                lambda xs: " ".join(xs)
+            ),
+            min_size=2,
+            max_size=10,
+        ),
+        n=st.integers(min_value=2, max_value=4),
+    )
+    def test_decontaminate_matches_model(self, spark, docs, n):
+        rows = [(i, "s", t) for i, t in enumerate(docs)]
+        train = [r for r in rows if r[0] % 2 == 0]
+        test = [r for r in rows if r[0] % 2 == 1]
+        if not train or not test:
+            return
+        clean, hits = decontaminate(
+            _docs(spark, train), _docs(spark, test), n=n
+        )
+
+        def grams(t):
+            toks = [x for x in t.split() if x]
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+        test_grams = set().union(*(grams(t) for _, _, t in test))
+        exp_hits = sorted(i for i, _, t in train if grams(t) & test_grams)
+        assert sorted(r.doc_id for r in hits.collect()) == exp_hits
+        assert sorted(r.doc_id for r in clean.collect()) == sorted(
+            i for i, _, _ in train if i not in exp_hits
+        )
