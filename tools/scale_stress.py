@@ -1,0 +1,123 @@
+"""Empirical scale check: replicate the documents/embeddings tables Nx
+in-memory (mutated ids; ~10% exact text copies to keep dup structure) and
+time the scale-sensitive operators at 1x vs Nx.  A super-linear blowup
+(candidate explosion, all-pairs regression, driver materialization) shows
+up as time ratio >> N.
+
+Usage: python tools/scale_stress.py [N] [sf_dir]   (default N=20, sf0.01)
+Writes SCALE.md with the measured ratios.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def replicate_docs(docs, n: int):
+    """n copies; replica r != 0 gets a distinct doc_id and (for 90% of
+    rows) a mutated text so MinHash/LSH see near-dups, not exact dups."""
+    base = docs.count()
+    r = docs.crossJoin(F.broadcast((docs.sparkSession.range(n)).select(F.col("id").alias("__rep"))))
+    mutated = F.when(
+        (F.col("__rep") > 0) & (F.col("doc_id") % 10 != 0),
+        F.concat(F.col("text"), F.lit(" rep"), F.col("__rep").cast("string")),
+    ).otherwise(F.col("text"))
+    return (
+        r.withColumn("doc_id", F.col("doc_id") + F.col("__rep") * base)
+        .withColumn("text", mutated)
+        .withColumn("n_chars", F.length("text"))
+        .drop("__rep")
+    )
+
+
+def replicate_vecs(vecs, n: int):
+    base = vecs.count()
+    r = vecs.crossJoin(F.broadcast((vecs.sparkSession.range(n)).select(F.col("id").alias("__rep"))))
+    return r.withColumn("vec_id", F.col("vec_id") + F.col("__rep") * base).drop("__rep")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    from hudi_delete_view_spark.operators.curation import (
+        decontaminate,
+        mixture_sample,
+        pack_sequences,
+        shuffle_shards,
+    )
+    from hudi_delete_view_spark.operators.dedup import (
+        minhash_dedup,
+        simhash_near_pairs,
+    )
+    from hudi_delete_view_spark.operators.similarity import cosine_topk_lsh
+    from hudi_delete_view_spark.operators.util import unpersist_operator_caches
+    from hudi_delete_view_spark.session import get_spark
+
+    spark = get_spark("scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs1 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    vecs1 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    docsN = replicate_docs(docs1, n).localCheckpoint(eager=True)
+    vecsN = replicate_vecs(vecs1, n).localCheckpoint(eager=True)
+    queries1 = vecs1.filter(F.col("vec_id") < 20)
+
+    ops = {
+        "minhash_dedup": lambda d, v: minhash_dedup(d, "doc_id", "text").count(),
+        "simhash_pairs": lambda d, v: simhash_near_pairs(d, "doc_id", "text", max_hamming=10).count(),
+        "decontaminate": lambda d, v: decontaminate(
+            d.filter(F.col("doc_id") % 17 != 0), d.filter(F.col("doc_id") % 17 == 0)
+        )[0].count(),
+        "pack_sequences": lambda d, v: pack_sequences(d, 512).count(),
+        "mixture_sample": lambda d, v: mixture_sample(
+            d, {f"src{i}": float(i % 4 + 1) for i in range(20)}
+        ).count(),
+        "shuffle_shards": lambda d, v: shuffle_shards(d, 8).count(),
+        "sim_topk_lsh": lambda d, v: cosine_topk_lsh(v, queries1, k=5).count(),
+    }
+
+    lines = [
+        "# Scale stress (measured)",
+        "",
+        f"Same operators at 1x ({docs1.count()} docs / {vecs1.count()} vecs, {sf_dir})",
+        f"and {n}x replicated input, wall-clock best-of-2 on local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}].",
+        f"Linear scaling = ratio ~{n}; a candidate-explosion/all-pairs bug = ratio >> {n}.",
+        "",
+        "| operator | 1x sec | {}x sec | ratio |".format(n),
+        "|---|---|---|---|",
+    ]
+    for name, fn in ops.items():
+        ts = {}
+        for label, (d, v) in {"1x": (docs1, vecs1), "Nx": (docsN, vecsN)}.items():
+            best = None
+            for _ in range(2):
+                unpersist_operator_caches()
+                t0 = time.monotonic()
+                fn(d, v)
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            ts[label] = best
+        ratio = ts["Nx"] / ts["1x"] if ts["1x"] > 0 else float("inf")
+        lines.append(f"| {name} | {ts['1x']:.2f} | {ts['Nx']:.2f} | {ratio:.1f}x |")
+        print(lines[-1], flush=True)
+
+    lines.append("")
+    lines.append(
+        "Ratios well under Nx are fixed-cost amortization (job scheduling, "
+        "Python worker spawn); anything approaching N^2 would flag a "
+        "scale bug. Regenerate: `python tools/scale_stress.py`."
+    )
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
