@@ -106,7 +106,13 @@ def _union_find_single_task(edges: DataFrame) -> DataFrame:
             seen[n] = find(n)
         yield pd.DataFrame({"node": list(seen.keys()), "component": list(seen.values())})
 
-    return edges.coalesce(1).mapInPandas(uf, schema="node long, component long")
+    # id type follows the edges (string record keys work exactly like the
+    # distributed path's least/greatest ordering — pandas compares them
+    # the same way)
+    id_type = edges.schema[_U].dataType.simpleString()
+    return edges.coalesce(1).mapInPandas(
+        uf, schema=f"node {id_type}, component {id_type}"
+    )
 
 
 def connected_components(

@@ -28,9 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# 60-bit md5 prefix — identical in DuckDB via
-#   CAST(CONCAT('0x', substring(md5(s), 1, 15)) AS BIGINT)
-_H = "cast(conv(substring(md5({0}), 1, 15), 16, 10) as bigint)"
+from .util import md5_frac32_sql, md5_prefix60_sql
 
 
 def token_ngram_hashes(tokens_col: str, n: int = 8) -> Column:
@@ -48,7 +46,7 @@ def token_ngram_hashes(tokens_col: str, n: int = 8) -> Column:
     return F.expr(
         f"IF(size({tokens_col}) < {n}, cast(array() as array<bigint>), "
         f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
-        f"i -> {_H.format(gram)}))"
+        f"i -> {md5_prefix60_sql(gram)}))"
     )
 
 
@@ -95,7 +93,7 @@ def pack_sequences(
     context_len: int,
     group_col: str = "source",
     order_col: str = "doc_id",
-    tokens_col: Column | None = None,
+    n_tokens_col: Column | None = None,
 ) -> DataFrame:
     """Concatenation-style sequence packing plan: within each ``group_col``
     shard, documents are laid end-to-end in ``order_col`` order and cut
@@ -110,10 +108,13 @@ def pack_sequences(
 
     One shuffle (partition by shard), one window pass; shards are the
     parallelism unit exactly as a real tokenizer-shard writer would run.
+
+    ``n_tokens_col`` is a token-COUNT column (long), not a token array —
+    defaults to whitespace ``token_count("text")``.
     """
     from ..operators.text import token_count
 
-    n_tok = tokens_col if tokens_col is not None else token_count("text")
+    n_tok = n_tokens_col if n_tokens_col is not None else token_count("text")
     w = (
         Window.partitionBy(group_col)
         .orderBy(order_col)
@@ -197,9 +198,7 @@ def shuffle_shards(
     ``shard``); within-shard ordering sorts each shard independently.
     Shard count is the write parallelism — 1000 executors want >= 1000
     shards, and the hash balances them to within sampling noise."""
-    h = F.expr(
-        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 15), 16, 10) as bigint)"
-    )
+    h = F.expr(md5_prefix60_sql(f"cast({key_col} as string)"))
     out = df.withColumn("__h", h).withColumn(
         "shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")
     )
@@ -233,11 +232,16 @@ def mixture_sample(
 
     The per-source stats are a ``len(weights)``-row aggregate, broadcast
     back onto the scan — the 100 TB side is touched exactly once."""
+    from .util import register_cache
+
     spark = df.sparkSession
     weights_df = spark.createDataFrame(
         sorted(weights.items()), schema=f"{group_col} string, __w double"
     )
-    stats = (
+    # pin the per-source counts: the aggregate's subtree is referenced
+    # twice below (T and the rates), and without the cache the one-touch
+    # contract would depend on ReuseExchange deduping the corpus scan
+    stats = register_cache(
         df.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("__n"))
         .join(F.broadcast(weights_df), group_col)
@@ -251,10 +255,7 @@ def mixture_sample(
         )
         .select(group_col, "__rate")
     )
-    frac = (
-        F.expr(f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), 16, 10) as bigint)")
-        / F.lit(4294967296.0)
-    )
+    frac = F.expr(md5_frac32_sql(f"cast({key_col} as string)"))
     return (
         df.join(F.broadcast(rates), group_col)
         .filter(frac < F.col("__rate"))

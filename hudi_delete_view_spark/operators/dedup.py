@@ -81,9 +81,10 @@ def shingle_hashes(shingle_col: str):
     family — referencing a big sub-expression from inside a lambda makes
     Catalyst re-evaluate it per element (HOFs are interpreted, not
     codegen'd), which is the difference between O(n) and O(64n) hashing."""
+    from .util import md5_prefix60_sql
+
     return F.expr(
-        f"transform({shingle_col}, s -> "
-        f"pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), {_MERSENNE_P}L))"
+        f"transform({shingle_col}, s -> pmod({md5_prefix60_sql('s')}, {_MERSENNE_P}L))"
     )
 
 
@@ -386,9 +387,11 @@ def token_hashes(text_col: str):
     column before ``simhash`` so tokenization+hashing runs once, not once
     per bit. md5 (not xxhash64) keeps the whole SimHash pipeline
     bit-reproducible in DuckDB (see ``shingle_hashes``)."""
+    from .util import md5_prefix60_sql
+
     return F.expr(
         f"transform(filter(split({text_col}, '\\\\s+'), x -> x != ''), "
-        f"t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+        f"t -> {md5_prefix60_sql('t')})"
     )
 
 

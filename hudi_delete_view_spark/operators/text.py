@@ -125,9 +125,11 @@ def gram_hashes(text_col: str, k: int = 8) -> Column:
     column before windowing (a lambda that references this expression would
     re-evaluate the full gram scan per window position; HOFs are
     interpreted)."""
+    from .util import md5_prefix60_sql
+
     return F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-        f" i -> cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 15), 16, 10) as bigint))"
+        f" i -> {md5_prefix60_sql(f'substring({text_col}, i, {k})')})"
     )
 
 

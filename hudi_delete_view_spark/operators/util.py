@@ -5,6 +5,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def md5_prefix60_sql(inner: str) -> str:
+    """Spark-SQL snippet for the ENGINE-PORTABLE 60-bit hash: the first 15
+    hex chars of md5, as a positive bigint.
+
+    This is the one hash contract the whole oracle strategy rests on:
+    DuckDB computes the IDENTICAL value via
+    ``CAST(CONCAT('0x', substring(md5(s), 1, 15)) AS BIGINT)``, which is
+    what lets MinHash/SimHash/winnowing/n-gram/sampling pipelines carry
+    bit-exact SQL oracles (xxhash64 exists only in Spark). Every operator
+    must use THIS helper — a divergent copy silently breaks oracle
+    agreement. 60 bits (not 64) keeps the value positive in both engines'
+    signed BIGINT."""
+    return f"cast(conv(substring(md5({inner}), 1, 15), 16, 10) as bigint)"
+
+
+def md5_frac32_sql(inner: str) -> str:
+    """Portable uniform fraction in [0, 1): first 8 md5 hex chars / 2^32.
+    DuckDB mirror: ``CAST(CONCAT('0x', substring(md5(s),1,8)) AS BIGINT)
+    / 4294967296.0``. Used for deterministic sampling keep-decisions."""
+    return (
+        f"cast(conv(substring(md5({inner}), 1, 8), 16, 10) as bigint) / 4294967296.0"
+    )
+
+
 def spread(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     """Ensure a CPU-heavy narrow map downstream has enough partitions to
     use the cluster.

@@ -53,7 +53,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ts_type = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    if getattr(ts_type, "unit", None) == "ns":
+    unit = getattr(ts_type, "unit", None)
+    if unit == "ns" or str(ts_type) == "int64":
+        # TIMESTAMP(NANOS), or a raw INT64 epoch-nanos column with no
+        # logical annotation — both read as long + exact integer division
+        # (float division would drift: epoch nanos exceed 2^53)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = (
             spark.readStream.schema(EVENTS_SCHEMA)

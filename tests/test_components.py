@@ -88,3 +88,16 @@ def test_random_graphs_match_union_find(spark, edges):
     # contraction (threshold=0 forces it)
     assert _cc(spark, edges) == expected
     assert _cc(spark, edges, threshold=0) == expected
+
+
+def test_string_node_ids_small_graph(spark):
+    edges = spark.createDataFrame(
+        [("key:b", "key:a"), ("key:c", "key:b"), ("key:x", "key:y")],
+        "a string, b string",
+    )
+    rows = connected_components(edges, "a", "b").collect()
+    got = {r["node"]: r["component"] for r in rows}
+    assert got == {
+        "key:a": "key:a", "key:b": "key:a", "key:c": "key:a",
+        "key:x": "key:x", "key:y": "key:x",
+    }

@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 
 def replicate_docs(docs, n: int):
     """n copies; replica r != 0 gets a distinct doc_id and (for 90% of
-    rows) a mutated text so MinHash/LSH see near-dups, not exact dups."""
-    base = docs.count()
+    rows) a mutated text so MinHash/LSH see near-dups, not exact dups.
+    Offset by the id RANGE (not the count) so sparse id spaces can't
+    collide across replicas."""
+    base = docs.agg(F.max("doc_id") + 1).collect()[0][0]
     r = docs.crossJoin(F.broadcast((docs.sparkSession.range(n)).select(F.col("id").alias("__rep"))))
     mutated = F.when(
         (F.col("__rep") > 0) & (F.col("doc_id") % 10 != 0),
@@ -37,7 +39,7 @@ def replicate_docs(docs, n: int):
 
 
 def replicate_vecs(vecs, n: int):
-    base = vecs.count()
+    base = vecs.agg(F.max("vec_id") + 1).collect()[0][0]
     r = vecs.crossJoin(F.broadcast((vecs.sparkSession.range(n)).select(F.col("id").alias("__rep"))))
     return r.withColumn("vec_id", F.col("vec_id") + F.col("__rep") * base).drop("__rep")
 
