@@ -301,6 +301,14 @@ class CowTable:
         writer = shuffled.write.partitionBy(_PP, _FID).mode("overwrite")
         if parquet_block_bytes:
             writer = writer.option("parquet.block.size", str(parquet_block_bytes))
+        # record-key bloom filter per row group (Hudi bloom-index analogue
+        # at the file level): the hash routing already prunes a point
+        # lookup to ONE file group; the bloom filter lets the reader skip
+        # row groups inside that file too. A few KB per file; readers that
+        # don't filter on the key ignore it entirely.
+        writer = writer.option(
+            f"parquet.bloom.filter.enabled#{RECORD_KEY_FIELD}", "true"
+        )
         writer.parquet(staging)
 
         written: dict[tuple[str, str], tuple[str, int]] = {}

@@ -610,3 +610,37 @@ def test_same_timestamp_retry_cannot_clobber_published_commit(spark, scratch):
     # published state untouched and fully readable
     vals = {r["k"]: r["v"] for r in t.snapshot().collect()}
     assert vals[1] == 99 and len(vals) == 10
+
+
+def test_record_key_bloom_filter_written(spark, scratch):
+    """Every data file carries a bloom filter on _hoodie_record_key (the
+    within-file complement of the hash-routed file-group pruning).
+    Checked via the JVM parquet footer (pyarrow 16 doesn't expose bloom
+    offsets); absent filters read back as -1."""
+    import os
+
+    from hudi_delete_view_spark.sources.cow import CowTable
+
+    t = CowTable(spark, os.path.join(scratch, "bloom_t"), key_fields=["k"])
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
+    t.bulk_insert(df, "20240101000000")
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(t.base_path)
+        for f in fs
+        if f.endswith(".parquet") and ".hoodie" not in dp and ".staging" not in dp
+    ]
+    assert files
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for fp in files:
+        footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+            conf, jvm.org.apache.hadoop.fs.Path(fp)
+        )
+        offsets = {
+            col.getPath().toDotString(): col.getBloomFilterOffset()
+            for block in footer.getBlocks()
+            for col in block.getColumns()
+        }
+        assert offsets["_hoodie_record_key"] > 0, f"no bloom filter in {fp}"
+        assert offsets["v"] == -1  # only the key column pays the footprint
