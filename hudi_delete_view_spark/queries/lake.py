@@ -328,3 +328,31 @@ def lake_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         df[RECORD_KEY_FIELD], *[F.col(c) for c in _PAYLOAD],
         F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate"),
     )
+
+
+# --------------------------------------------------------------------------
+# explicit partition-path pruning (the stats-free complement of
+# lake_pruned_scan): unselected partitions are never listed or planned
+# --------------------------------------------------------------------------
+@query(
+    "lake_partition_scan",
+    late=True,  # partition-path sibling of the windowed lake_pruned_scan
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT l_returnflag, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(round(({_QTY_SQL}) * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+  AND l_returnflag IN ('A', 'R')
+GROUP BY l_returnflag
+""",
+)
+def lake_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side partition pruning: snapshot(partitions=['A','R']) never
+    lists or plans the 'N' partition's files — exact leaf pruning with no
+    stats consultation."""
+    table = build_lineitem_cow(spark, sf_dir)
+    df = table.snapshot(partitions=["A", "R"])
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.expr("cast(round(l_quantity * 100) as bigint)")).alias("qty_cents"),
+    )

@@ -794,17 +794,27 @@ class CowTable:
         # surface it (as nulls) next to slices written after
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
-    def snapshot(self, as_of: str | None = None) -> DataFrame:
+    def snapshot(
+        self, as_of: str | None = None, partitions: list[str] | None = None
+    ) -> DataFrame:
         """Latest (or as-of T) file slice per file group — B1/B2.
 
         Pure metadata resolution + one vectorized Parquet scan; filters and
         projections on the result push down into the scan.
-        """
+
+        ``partitions`` prunes the slice list DRIVER-SIDE before the scan
+        plan is built: unlike a post-hoc ``.filter()`` on the partition
+        column (which still opens every file's footer), unselected
+        partitions are never listed, planned, or touched — at 100 TB
+        that's the difference between planning thousands of splits and a
+        handful."""
         if as_of is not None:
             self.timeline.instant_for(as_of)  # explicit error if T not in timeline
-        paths = [
-            s.base_path for s in resolve_slices(self.timeline, as_of).values() if s.base_path
-        ]
+        slices = resolve_slices(self.timeline, as_of)
+        if partitions is not None:
+            wanted = set(partitions)
+            slices = {k: s for k, s in slices.items() if k[0] in wanted}
+        paths = [s.base_path for s in slices.values() if s.base_path]
         if not paths:
             schema_json = None
             latest = self.timeline.latest_timestamp()

@@ -644,3 +644,27 @@ def test_record_key_bloom_filter_written(spark, scratch):
         }
         assert offsets["_hoodie_record_key"] > 0, f"no bloom filter in {fp}"
         assert offsets["v"] == -1  # only the key column pays the footprint
+
+
+def test_snapshot_partition_pruning(spark, scratch):
+    """snapshot(partitions=...) plans only the selected partitions' files
+    and matches a post-hoc filter of the full snapshot."""
+    import os
+
+    from hudi_delete_view_spark.sources.cow import CowTable
+
+    t = CowTable(
+        spark, os.path.join(scratch, "ppt"), key_fields=["k"], partition_field="p"
+    )
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}", i * 10) for i in range(60)], "k long, p string, x long"
+    )
+    t.bulk_insert(df, "20240101000000")
+    pruned = t.snapshot(partitions=["p0", "p2"])
+    # planned files come only from the selected leaf dirs
+    files = pruned.inputFiles()
+    assert files and all("/p0/" in f or "/p2/" in f for f in files)
+    full = t.snapshot().filter(F.col("p").isin("p0", "p2"))
+    assert sorted(r.k for r in pruned.collect()) == sorted(r.k for r in full.collect())
+    # unknown partition: empty result (schema preserved), nothing planned
+    assert t.snapshot(partitions=["nope"]).count() == 0
