@@ -175,9 +175,11 @@ class MorTable(CowTable):
     # ------------------------------------------------------------------
     # merged reads
     # ------------------------------------------------------------------
-    def read_optimized(self, as_of: str | None = None) -> DataFrame:
+    def read_optimized(
+        self, as_of: str | None = None, partitions: list[str] | None = None
+    ) -> DataFrame:
         """Base files only — Hudi's read-optimized view (stale, log-free)."""
-        return super().snapshot(as_of)
+        return super().snapshot(as_of, partitions=partitions)
 
     def _merged_over(self, slices: dict) -> DataFrame | None:
         """Merged view over a slice subset: latest version per key wins;
@@ -212,12 +214,22 @@ class MorTable(CowTable):
             .drop(DELETED_FIELD)
         )
 
-    def snapshot(self, as_of: str | None = None) -> DataFrame:
-        """Merged view of the whole table (see ``_merged_over``)."""
+    def snapshot(
+        self, as_of: str | None = None, partitions: list[str] | None = None
+    ) -> DataFrame:
+        """Merged view of the whole table (see ``_merged_over``); same
+        driver-side partition pruning contract as the COW snapshot."""
         if as_of is not None:
             self.timeline.instant_for(as_of)
-        merged = self._merged_over(resolve_slices(self.timeline, as_of))
+        slices = resolve_slices(self.timeline, as_of)
+        if partitions is not None:
+            wanted = set(partitions)
+            slices = {k: s for k, s in slices.items() if k[0] in wanted}
+        merged = self._merged_over(slices)
         if merged is None:
+            if partitions is not None:
+                # pruned-to-nothing mirrors COW: empty frame, schema kept
+                return self.snapshot(as_of).limit(0)
             raise TimelineError(f"table at {self.base_path} has no data at {as_of}")
         return merged
 

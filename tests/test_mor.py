@@ -216,3 +216,30 @@ def test_duplicate_and_phantom_tombstones_not_counted(table, orders):
     meta = table.delete_delta(noisy, C2)
     assert meta.total_records_deleted == n
     assert table.snapshot().count() == orders.count() - n
+
+
+def test_mor_snapshot_partition_pruning(spark, scratch):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    t = MorTable(
+        spark, os.path.join(scratch, "morpp"), key_fields=["k"], partition_field="p"
+    )
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", i) for i in range(40)], "k long, p string, x long"
+    )
+    t.bulk_insert(df, "20250101000000")
+    # delta upsert into p1 so the merged view includes log rows
+    t.upsert_delta(
+        spark.createDataFrame([(1, "p1", 999)], "k long, p string, x long"),
+        "20250102000000",
+    )
+    pruned = t.snapshot(partitions=["p1"])
+    rows = {r.k: r.x for r in pruned.collect()}
+    assert set(rows) == {i for i in range(40) if i % 2 == 1}
+    assert rows[1] == 999  # merged log row visible through the pruned read
+    assert t.snapshot(partitions=["nope"]).count() == 0
+    assert t.read_optimized(partitions=["p0"]).filter(F.col("p") != "p0").count() == 0
