@@ -73,7 +73,7 @@ def _project(df: DataFrame, with_meta: bool = True) -> DataFrame:
     "lake_delete_view",
     oracle=f"""
 WITH li AS ({LINEITEM_DEDUP_CTE})
-SELECT '{C3}' AS {COMMIT_TIME_FIELD},
+SELECT '20260103000000' AS {COMMIT_TIME_FIELD},
        {_KEY_SQL} AS {RECORD_KEY_FIELD},
        l_returnflag AS {PARTITION_PATH_FIELD},
        {_PAYLOAD_SQL.format(qty=_QTY_SQL)}
@@ -134,7 +134,7 @@ def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lake_incremental",
     oracle=f"""
 WITH li AS ({LINEITEM_DEDUP_CTE})
-SELECT '{C2}' AS {COMMIT_TIME_FIELD},
+SELECT '20260102000000' AS {COMMIT_TIME_FIELD},
        {_KEY_SQL} AS {RECORD_KEY_FIELD},
        {_PAYLOAD_SQL.format(qty=_QTY_SQL)}
 FROM li WHERE l_partkey % 10 = 0
@@ -157,7 +157,7 @@ def lake_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lake_delete_view_range",
     oracle=f"""
 WITH li AS ({LINEITEM_DEDUP_CTE})
-SELECT CASE WHEN l_suppkey % 17 = 0 THEN '{C3}' ELSE '{C4}' END AS {COMMIT_TIME_FIELD},
+SELECT CASE WHEN l_suppkey % 17 = 0 THEN '20260103000000' ELSE '20260104000000' END AS {COMMIT_TIME_FIELD},
        {_KEY_SQL} AS {RECORD_KEY_FIELD},
        l_returnflag AS {PARTITION_PATH_FIELD},
        {_PAYLOAD_SQL.format(qty=_QTY_SQL)}
@@ -184,12 +184,12 @@ def lake_delete_view_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH li AS ({LINEITEM_DEDUP_CTE})
 SELECT 'update' AS op, {_KEY_SQL} AS {RECORD_KEY_FIELD},
-       '{C2}' AS change_commit,
+       '20260102000000' AS change_commit,
        {_PAYLOAD_SQL.format(qty=_QTY_SQL)}
 FROM li WHERE l_partkey % 10 = 0 AND l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
 UNION ALL
 SELECT 'delete' AS op, {_KEY_SQL} AS {RECORD_KEY_FIELD},
-       CASE WHEN l_suppkey % 17 = 0 THEN '{C3}' ELSE '{C4}' END AS change_commit,
+       CASE WHEN l_suppkey % 17 = 0 THEN '20260103000000' ELSE '20260104000000' END AS change_commit,
        {_PAYLOAD_SQL.format(qty="l_quantity")}
 FROM li WHERE l_suppkey % 17 = 0 OR l_suppkey % 23 = 0
 """,
@@ -355,4 +355,46 @@ def lake_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
         F.sum(F.expr("cast(round(l_quantity * 100) as bigint)")).alias("qty_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# `show commits`: per-commit write-stat summary (the metadata the
+# reference's delete pruning consumes, A2) — cross-checked against
+# DATA-DERIVED truth: the fixture's scripted predicates recompute each
+# commit's insert/update/delete counts from the source table alone, so a
+# hash match proves the writer's published stats describe what the data
+# says happened
+# --------------------------------------------------------------------------
+@query(
+    "lake_commit_history",
+    late=True,  # metadata-plane; every consumer of these stats is windowed
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT '20260101000000' AS commit_ts, 'bulk_insert' AS operation,
+  (SELECT COUNT(*) FROM li) AS num_inserts,
+  CAST(0 AS BIGINT) AS num_update_writes, CAST(0 AS BIGINT) AS num_deletes,
+  CAST(0 AS BIGINT) AS total_records_deleted
+UNION ALL
+SELECT '20260102000000', 'upsert',
+  0, (SELECT COUNT(*) FROM li WHERE l_partkey % 10 = 0), 0, 0
+UNION ALL
+SELECT '20260103000000', 'delete',
+  0, 0,
+  (SELECT COUNT(*) FROM li WHERE l_suppkey % 17 = 0),
+  (SELECT COUNT(*) FROM li WHERE l_suppkey % 17 = 0)
+UNION ALL
+SELECT '20260104000000', 'delete',
+  0, 0,
+  (SELECT COUNT(*) FROM li WHERE l_suppkey % 23 = 0 AND l_suppkey % 17 != 0),
+  (SELECT COUNT(*) FROM li WHERE l_suppkey % 23 = 0 AND l_suppkey % 17 != 0)
+""",
+)
+def lake_commit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queryable commit log: writer-published stats per commit, verified
+    against counts recomputed from the source data + fixture predicates."""
+    table = build_lineitem_cow(spark, sf_dir)
+    return table.commit_history().select(
+        "commit_ts", "operation", "num_inserts", "num_update_writes",
+        "num_deletes", "total_records_deleted",
     )

@@ -827,6 +827,36 @@ class CowTable:
             raise TimelineError(f"table at {self.base_path} has no commits")
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def commit_history(self) -> DataFrame:
+        """Per-commit write-stat summary as a queryable DataFrame — the
+        `show commits` surface (reference A2's input, aggregated): one row
+        per commit with operation, insert/update/delete counts, files
+        written, and bytes. Driver work is KB-scale commit JSON (the
+        sanctioned metadata plane); the frame is tiny by construction
+        (one row per commit, not per record)."""
+        rows = []
+        for ts in self.timeline.timestamps():
+            meta = self.timeline.commit_metadata(ts)
+            stats = [s for _, s in meta.all_stats()]
+            rows.append(
+                (
+                    ts,
+                    meta.operation,
+                    sum(s.num_inserts for s in stats),
+                    sum(s.num_update_writes for s in stats),
+                    sum(s.num_deletes for s in stats),
+                    int(meta.total_records_deleted),
+                    len(stats),
+                    sum(s.file_size_bytes for s in stats),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "commit_ts string, operation string, num_inserts long, "
+            "num_update_writes long, num_deletes long, total_records_deleted long, "
+            "n_files long, bytes_written long",
+        )
+
     def clean(self, retain_last_n: int = 2, dry_run: bool = False) -> list[str]:
         """Retention cleaner (Hudi cleaner analogue): delete data files no
         longer referenced by any snapshot within the last ``retain_last_n``
