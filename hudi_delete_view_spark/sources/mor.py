@@ -332,6 +332,35 @@ class MorTable(CowTable):
     # ------------------------------------------------------------------
     # compaction: merge logs into fresh base slices
     # ------------------------------------------------------------------
+    def schedule_compaction(
+        self,
+        min_log_files: int = 2,
+        min_log_bytes: int = 0,
+    ) -> list[tuple[str, str]]:
+        """Compaction planner (Hudi's schedule-compaction analogue): the
+        file groups whose accumulated delta logs cross either threshold —
+        ``min_log_files`` stacked log slices, or ``min_log_bytes`` of log
+        data (from the published write stats; no file system stat calls).
+
+        Pure driver-side metadata arithmetic over the resolved slices, so
+        a table service can poll it cheaply and hand the result to
+        ``compact_groups``. Empty list = nothing worth compacting."""
+        slices = resolve_slices(self.timeline)
+        log_bytes: dict[tuple[str, str], int] = {}
+        for ts in self.timeline.timestamps():
+            for partition, stat in self.timeline.commit_metadata(ts).all_stats():
+                if stat.log_file:
+                    g = (partition, stat.file_id)
+                    log_bytes[g] = log_bytes.get(g, 0) + stat.file_size_bytes
+        due = []
+        for g, s in sorted(slices.items()):
+            if len(s.log_paths) >= min_log_files or (
+                min_log_bytes > 0 and log_bytes.get(g, 0) >= min_log_bytes
+            ):
+                if s.log_paths:
+                    due.append(g)
+        return due
+
     def compact(self, commit_ts: str) -> "CommitMetadata":
         """Rewrite the merged view as new base files (operation=compaction).
 

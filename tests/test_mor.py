@@ -243,3 +243,32 @@ def test_mor_snapshot_partition_pruning(spark, scratch):
     assert rows[1] == 999  # merged log row visible through the pruned read
     assert t.snapshot(partitions=["nope"]).count() == 0
     assert t.read_optimized(partitions=["p0"]).filter(F.col("p") != "p0").count() == 0
+
+
+def test_schedule_compaction_thresholds(spark, scratch):
+    import os
+
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    t = MorTable(
+        spark, os.path.join(scratch, "sched"), key_fields=["k"], num_file_groups=2
+    )
+    df = spark.createDataFrame([(i, i) for i in range(40)], "k long, x long")
+    t.bulk_insert(df, "20250101000000")
+    assert t.schedule_compaction() == []  # no logs yet
+
+    # one delta: below the 2-log-file default threshold
+    t.upsert_delta(spark.createDataFrame([(1, 100)], "k long, x long"), "20250102000000")
+    assert t.schedule_compaction(min_log_files=2) == []
+    # but a 1-byte size threshold catches it
+    due_small = t.schedule_compaction(min_log_files=99, min_log_bytes=1)
+    assert len(due_small) >= 1
+
+    # second delta on the same key's group: crosses the file-count threshold
+    t.upsert_delta(spark.createDataFrame([(1, 200)], "k long, x long"), "20250103000000")
+    due = t.schedule_compaction(min_log_files=2)
+    assert len(due) == 1
+    # compacting clears the schedule
+    t.compact("20250104000000")
+    assert t.schedule_compaction(min_log_files=1) == []
+    assert t.snapshot().filter("k = 1").first().x == 200
