@@ -398,3 +398,58 @@ def lake_commit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "commit_ts", "operation", "num_inserts", "num_update_writes",
         "num_deletes", "total_records_deleted",
     )
+
+
+# --------------------------------------------------------------------------
+# incremental-pull replay (the Hudi incremental-source / streaming-consume
+# contract): a consumer that checkpoints its last-seen commit and pulls
+# each (prev, next] CDC batch in turn must converge to the same state as
+# one full recompute — same oracle as lake_ivm_aggregate, reached through
+# three sequential per-commit batches instead of one range batch
+# --------------------------------------------------------------------------
+@query(
+    "lake_cdc_replay",
+    late=True,  # convergence sibling of the windowed lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(CAST(round(({_QTY_SQL}) * 100) AS BIGINT)) / 100.0, 6) AS sum_qty
+FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+GROUP BY l_returnflag
+""",
+)
+def lake_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-by-commit incremental consumption: seed at C1, then fold the
+    per-commit CDC batches (C1,C2], (C2,C3], (C3,C4] through the
+    retraction algebra. The driver loop iterates COMMIT TIMESTAMPS
+    (metadata); every batch stays a lazy DataFrame unioned into one plan."""
+    table = build_lineitem_cow(spark, sf_dir)
+    cents = F.expr("cast(round(l_quantity * 100) as bigint)")
+    parts = [
+        table.snapshot(as_of=C1)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("c"))
+    ]
+    commits = [C1, C2, C3, C4]
+    for prev, ts in zip(commits, commits[1:]):
+        feed = table.cdc(prev, ts, include_update_preimages=True)
+        sign = F.when(F.col("op").isin("insert", "update"), F.lit(1)).otherwise(F.lit(-1))
+        parts.append(
+            feed.select("l_returnflag", sign.alias("w"), cents.alias("__c"))
+            .groupBy("l_returnflag")
+            .agg(F.sum("w").alias("n"), F.sum(F.col("w") * F.col("__c")).alias("c"))
+        )
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    return (
+        acc.groupBy("l_returnflag")
+        .agg(F.sum("n").alias("n_rows"), F.sum("c").alias("__cents"))
+        .filter(F.col("n_rows") > 0)
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.round(F.col("__cents") / F.lit(100.0), 6).alias("sum_qty"),
+        )
+    )
