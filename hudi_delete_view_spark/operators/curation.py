@@ -88,6 +88,40 @@ def decontaminate(
     return clean, hit_ids
 
 
+def contamination_provenance(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """The audit companion to ``decontaminate``: WHICH benchmark doc each
+    contaminated training doc collided with — (train_id, test_id, n_shared
+    grams) pairs. A release review needs the provenance, not just the drop
+    list.
+
+    Same broadcast shape: the test side (id, gram) pairs are still
+    benchmark-suite-sized; the corpus side streams through one broadcast
+    hash join and aggregates the collision counts."""
+    from ..operators.text import tokens
+
+    t_grams = (
+        test.select(F.col(id_col).alias("test_id"), tokens(text_col).alias("__t"))
+        .select("test_id", F.explode(token_ngram_hashes("__t", n)).alias("__g"))
+        .distinct()
+    )
+    tr_grams = (
+        train.select(F.col(id_col).alias("train_id"), tokens(text_col).alias("__t"))
+        .select("train_id", F.explode(token_ngram_hashes("__t", n)).alias("__g"))
+        .distinct()
+    )
+    return (
+        tr_grams.join(F.broadcast(t_grams), "__g")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     context_len: int,

@@ -125,6 +125,35 @@ def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curate_contamination_provenance",
+    late=True,  # audit companion of the windowed curate_decontaminate
+    oracle=f"""
+WITH {_DECON_CTES},
+tg AS (
+  SELECT DISTINCT doc_id AS test_id, unnest(g) AS gh
+  FROM grams WHERE doc_id % 17 = 0
+),
+trg AS (
+  SELECT DISTINCT doc_id AS train_id, unnest(g) AS gh
+  FROM grams WHERE doc_id % 17 != 0
+)
+SELECT trg.train_id, tg.test_id, COUNT(*) AS n_shared_grams
+FROM trg JOIN tg USING (gh)
+GROUP BY trg.train_id, tg.test_id
+""",
+)
+def curate_contamination_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination audit trail: (train doc, benchmark doc, shared-gram
+    count) pairs — which held-out doc each dropped training doc leaks."""
+    from ..operators.curation import contamination_provenance
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    test = docs.filter(F.col("doc_id") % 17 == 0)
+    return contamination_provenance(train, test, n=8)
+
+
+@query(
     "curate_chunk_manifest",
     late=True,  # packing family already windowed via curate_pack_sequences
     oracle="""

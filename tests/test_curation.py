@@ -274,3 +274,21 @@ class TestCurationProperties:
         assert sorted(r.doc_id for r in clean.collect()) == sorted(
             i for i, _, _ in train if i not in exp_hits
         )
+
+
+def test_contamination_provenance_pairs(spark):
+    from hudi_delete_view_spark.operators.curation import contamination_provenance
+
+    shared = "one two three four five six seven eight"
+    train = _docs(
+        spark,
+        [(1, "a", f"x {shared} y"), (2, "a", f"z {shared} w"), (3, "a", "clean " * 10)],
+    )
+    test = _docs(spark, [(100, "t", shared), (101, "t", "other words " * 6)])
+    got = {
+        (r.train_id, r.test_id): r.n_shared_grams
+        for r in contamination_provenance(train, test, n=8).collect()
+    }
+    # both contaminated docs point at test doc 100, never 101
+    assert set(got) == {(1, 100), (2, 100)}
+    assert all(n >= 1 for n in got.values())
