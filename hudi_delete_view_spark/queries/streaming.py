@@ -227,3 +227,85 @@ def stream_stream_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ops import stream_stream_funnel
 
     return run_to_table(stream_stream_funnel(events_stream(spark, sf_dir)), mode="append")
+
+
+@query(
+    "stream_decontaminate",
+    late=True,  # streaming form of the windowed curate_decontaminate
+    # identical oracle shape: the stream replays the same documents table,
+    # so the surviving set must equal the batch decontamination's
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, n_chars,
+    list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+      i -> CAST(CONCAT('0x', substring(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15)) AS BIGINT)) AS g
+  FROM toks
+),
+test_grams AS (
+  SELECT DISTINCT unnest(g) AS gh FROM grams WHERE doc_id % 17 = 0
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % 17 != 0
+    AND EXISTS (SELECT 1 FROM test_grams tg WHERE list_contains(grams.g, tg.gh))
+)
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id % 17 != 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+""",
+)
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation: documents arrive as a file-source stream
+    and each micro-batch is decontaminated against the static benchmark
+    gram set via foreachBatch — the production shape for continuous
+    ingestion pipelines (the benchmark side is static/broadcast; stream
+    state is zero because the gate is per-row given the gram set)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.curation import decontaminate
+    from ..sources.fixtures import SCRATCH_ROOT
+
+    docs_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    static_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    test = static_docs.filter(F.col("doc_id") % 17 == 0)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = os.path.join(SCRATCH_ROOT, "stream", tag, "decontaminated")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 17 != 0)
+    )
+
+    def sink(batch_df, batch_id):
+        clean, _ = decontaminate(batch_df, test, n=8)
+        clean.select("doc_id", "source", "n_chars").write.mode("append").parquet(out_dir)
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
