@@ -97,6 +97,14 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     cow = build_lineitem_cow(spark, sf_dir)
     build_orders_mor(spark, sf_dir)
+    # spawn the Python worker pool outside the timed region: a long-running
+    # cluster amortizes worker startup, but in a fresh bench process the
+    # first Arrow-UDF query would otherwise absorb several seconds of it
+    from pyspark.sql import functions as _F
+
+    _identity = _F.pandas_udf(lambda s: s, "long")
+    n_workers = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(1024).repartition(n_workers).select(_identity("id").alias("x")).count()
     # invalidate the materialized delete view so the timed flagship run
     # measures the full anti-join pipeline, not the A14 cache hit
     shutil.rmtree(DeleteView(spark, cow.base_path, C3).view_path(), ignore_errors=True)
