@@ -82,6 +82,16 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # mixture sampling: 20-row rate table broadcasts back onto the scan;
     # the corpus is never exchanged
     "curate_mixture_sample": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # chunk manifest: packing window then explode — no join at all
+    "curate_chunk_manifest": (["Window", "Generate"], ["CartesianProduct", "Join"]),
+    # contamination provenance: benchmark gram side broadcasts; corpus side
+    # streams one broadcast hash join into a partial-agg group-by
+    "curate_contamination_provenance": (
+        ["BroadcastHashJoin", "partial_"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # global shard shuffle: one window exchange, nothing else
+    "curate_shuffle_shards": (["Window"], ["CartesianProduct", "Join"]),
 }
 
 # per-query session confs applied while building the audited plan
