@@ -105,15 +105,21 @@ def contamination_provenance(
     hash join and aggregates the collision counts."""
     from ..operators.text import tokens
 
-    t_grams = (
-        test.select(F.col(id_col).alias("test_id"), tokens(text_col).alias("__t"))
-        .select("test_id", F.explode(token_ngram_hashes("__t", n)).alias("__g"))
-        .distinct()
+    # (id, gram) duplicates can only arise WITHIN one doc's gram array, so
+    # array_distinct before the explode dedups them locally — a global
+    # .distinct() here would be a corpus-sized shuffle on the train side,
+    # exactly the cost this plan shape exists to avoid
+    t_grams = test.select(
+        F.col(id_col).alias("test_id"), tokens(text_col).alias("__t")
+    ).select(
+        "test_id",
+        F.explode(F.array_distinct(token_ngram_hashes("__t", n))).alias("__g"),
     )
-    tr_grams = (
-        train.select(F.col(id_col).alias("train_id"), tokens(text_col).alias("__t"))
-        .select("train_id", F.explode(token_ngram_hashes("__t", n)).alias("__g"))
-        .distinct()
+    tr_grams = train.select(
+        F.col(id_col).alias("train_id"), tokens(text_col).alias("__t")
+    ).select(
+        "train_id",
+        F.explode(F.array_distinct(token_ngram_hashes("__t", n))).alias("__g"),
     )
     return (
         tr_grams.join(F.broadcast(t_grams), "__g")

@@ -121,10 +121,10 @@ def stream_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..sources.cow import CowTable
-    from ..sources.fixtures import SCRATCH_ROOT
+    from ..sources.fixtures import SCRATCH_ROOT, scratch_tag
     from ..streaming.ops import foreach_batch_upsert
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = scratch_tag(sf_dir)
     base = os.path.join(SCRATCH_ROOT, "lake", tag, "events_ingested")
     # reuse only a COMPLETE ingest: an interrupted prior run leaves a
     # partial timeline that would otherwise be served forever (the sibling
@@ -276,7 +276,7 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     from ..operators.curation import decontaminate
-    from ..sources.fixtures import SCRATCH_ROOT
+    from ..sources.fixtures import SCRATCH_ROOT, scratch_tag
 
     docs_schema = StructType(
         [
@@ -290,7 +290,7 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     static_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     test = static_docs.filter(F.col("doc_id") % 17 == 0)
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = scratch_tag(sf_dir)
     out_dir = os.path.join(SCRATCH_ROOT, "stream", tag, "decontaminated")
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
@@ -308,4 +308,7 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    # explicit schema: if every streamed doc was contaminated the dir has
+    # no files, and schema inference would raise instead of returning the
+    # empty frame the batch sibling produces
+    return spark.read.schema("doc_id long, source string, n_chars long").parquet(out_dir)

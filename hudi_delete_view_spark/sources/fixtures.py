@@ -72,8 +72,14 @@ def dedup_lineitem(df: DataFrame) -> DataFrame:
     )
 
 
+def scratch_tag(sf_dir: str) -> str:
+    """Scratch-dir tag for an sf_dir (single definition — every scratch
+    path helper and query derives its layout from this)."""
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf"
+
+
 def lineitem_cow_path(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = scratch_tag(sf_dir)
     return os.path.join(SCRATCH_ROOT, "lake", tag, "lineitem_cow")
 
 
@@ -110,7 +116,7 @@ def build_lineitem_cow(spark: SparkSession, sf_dir: str, base_path: str | None =
 
 
 def lineitem_clustered_path(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = scratch_tag(sf_dir)
     return os.path.join(SCRATCH_ROOT, "lake", tag, "lineitem_clustered")
 
 
@@ -150,7 +156,7 @@ MOR_DELETE_PRED_SQL = "o_orderkey % 11 = 0"
 
 
 def orders_mor_path(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = scratch_tag(sf_dir)
     return os.path.join(SCRATCH_ROOT, "lake", tag, "orders_mor")
 
 
@@ -196,7 +202,7 @@ MOR_DELETE2_PRED_SQL = "o_orderkey % 13 = 0"
 
 
 def orders_mor_compacted_path(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = scratch_tag(sf_dir)
     return os.path.join(SCRATCH_ROOT, "lake", tag, "orders_mor_compacted")
 
 

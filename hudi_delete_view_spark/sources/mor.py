@@ -178,8 +178,15 @@ class MorTable(CowTable):
     def read_optimized(
         self, as_of: str | None = None, partitions: list[str] | None = None
     ) -> DataFrame:
-        """Base files only — Hudi's read-optimized view (stale, log-free)."""
-        return super().snapshot(as_of, partitions=partitions)
+        """Base files only — Hudi's read-optimized view (stale, log-free).
+
+        The internal tombstone flag never surfaces: base files don't carry
+        it, but the pruned-to-nothing fallback rebuilds an empty frame
+        from the latest commit's schema_json, which a delta commit records
+        WITH the flag — drop it so the schema doesn't depend on whether
+        pruning matched anything."""
+        out = super().snapshot(as_of, partitions=partitions)
+        return out.drop(DELETED_FIELD) if DELETED_FIELD in out.columns else out
 
     def _merged_over(self, slices: dict) -> DataFrame | None:
         """Merged view over a slice subset: latest version per key wins;
@@ -343,35 +350,48 @@ class MorTable(CowTable):
         data (from the published write stats; no file system stat calls).
 
         Pure driver-side metadata arithmetic over the resolved slices, so
-        a table service can poll it cheaply and hand the result to
-        ``compact_groups``. Empty list = nothing worth compacting."""
+        a table service can poll it cheaply and pass the result to
+        ``compact(commit_ts, groups=...)``. Empty list = nothing worth
+        compacting.
+
+        Bytes are summed over each slice's LIVE log paths only — a log
+        already absorbed by a compaction (resolve_slices clears it) must
+        not keep counting toward the threshold forever."""
         slices = resolve_slices(self.timeline)
-        log_bytes: dict[tuple[str, str], int] = {}
+        path_bytes: dict[str, int] = {}
         for ts in self.timeline.timestamps():
-            for partition, stat in self.timeline.commit_metadata(ts).all_stats():
+            for _partition, stat in self.timeline.commit_metadata(ts).all_stats():
                 if stat.log_file:
-                    g = (partition, stat.file_id)
-                    log_bytes[g] = log_bytes.get(g, 0) + stat.file_size_bytes
+                    path_bytes[os.path.join(self.base_path, stat.path)] = (
+                        stat.file_size_bytes
+                    )
         due = []
         for g, s in sorted(slices.items()):
+            if not s.log_paths:
+                continue
+            live_bytes = sum(path_bytes.get(p, 0) for p in s.log_paths)
             if len(s.log_paths) >= min_log_files or (
-                min_log_bytes > 0 and log_bytes.get(g, 0) >= min_log_bytes
+                0 < min_log_bytes <= live_bytes
             ):
-                if s.log_paths:
-                    due.append(g)
+                due.append(g)
         return due
 
-    def compact(self, commit_ts: str) -> "CommitMetadata":
+    def compact(
+        self, commit_ts: str, groups: list[tuple[str, str]] | None = None
+    ) -> "CommitMetadata":
         """Rewrite the merged view as new base files (operation=compaction).
 
         Only file groups that currently carry logs are rewritten; groups
         without logs keep their existing base slice untouched (same
-        affected-groups-only discipline as the COW writer).
-        """
+        affected-groups-only discipline as the COW writer). ``groups``
+        restricts the rewrite further — pass ``schedule_compaction()``'s
+        result to compact only the groups that crossed a threshold."""
         self._ensure_new_commit_ts(commit_ts)
         read_ts = self.timeline.latest_timestamp()
         prev_slices = resolve_slices(self.timeline)
         with_logs = {g for g, s in prev_slices.items() if s.log_paths}
+        if groups is not None:
+            with_logs &= set(groups)
         if not with_logs:
             raise TimelineError("nothing to compact: no file group has log slices")
         merged = self.snapshot()

@@ -272,3 +272,34 @@ def test_schedule_compaction_thresholds(spark, scratch):
     t.compact("20250104000000")
     assert t.schedule_compaction(min_log_files=1) == []
     assert t.snapshot().filter("k = 1").first().x == 200
+
+
+def test_compact_only_scheduled_groups(spark, scratch):
+    import os
+
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    t = MorTable(
+        spark, os.path.join(scratch, "schedsub"), key_fields=["k"], num_file_groups=4
+    )
+    rows = [(i, i) for i in range(80)]
+    t.bulk_insert(spark.createDataFrame(rows, "k long, x long"), "20250101000000")
+    # stack 2 logs on one key's group, 1 log on another group
+    t.upsert_delta(spark.createDataFrame([(1, 100)], "k long, x long"), "20250102000000")
+    t.upsert_delta(spark.createDataFrame([(1, 101)], "k long, x long"), "20250103000000")
+    t.upsert_delta(spark.createDataFrame([(2, 200)], "k long, x long"), "20250104000000")
+    due = t.schedule_compaction(min_log_files=2)
+    assert len(due) == 1
+    t.compact("20250105000000", groups=due)
+    # the scheduled group's logs are absorbed; the other group keeps its log
+    from hudi_delete_view_spark.plans.slices import resolve_slices
+
+    slices = resolve_slices(t.timeline)
+    remaining_logs = {g: len(s.log_paths) for g, s in slices.items() if s.log_paths}
+    assert due[0] not in remaining_logs
+    assert sum(remaining_logs.values()) == 1
+    # stale absorbed log bytes no longer count toward the size threshold
+    assert due[0] not in t.schedule_compaction(min_log_files=99, min_log_bytes=1)
+    # data is intact either way
+    vals = {r.k: r.x for r in t.snapshot().filter("k in (1, 2)").collect()}
+    assert vals == {1: 101, 2: 200}
