@@ -205,3 +205,110 @@ def pipeline_dedup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.join(keep, "vec_id", "left_semi")
     queries = corpus.filter("vec_id < 10")
     return cosine_topk_bruteforce(corpus, queries, "vec_id", "embedding", k=3)
+
+
+@query(
+    "sim_topk_ivf_label",
+    late=True,  # IVF family; the k-means variant keeps its rows-only slot
+    # Fully-oracled IVF: the coarse quantizer is the LABEL centroids,
+    # computed with engine-exact integer-micro sums (floor(x*1e6+0.5)
+    # summed as BIGINT, divided in a fixed order), so the entire
+    # assign -> probe -> re-rank funnel is reproducible bit-for-bit.
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+  SELECT label, i AS pos, CAST(FLOOR(v[i] * 1000000 + 0.5) AS BIGINT) AS m
+  FROM e, generate_series(1, 64) AS g(i)
+),
+cnt AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
+cent AS (
+  SELECT ex.label, list(CAST(s AS DOUBLE) / 1000000.0 / n ORDER BY pos) AS c
+  FROM (SELECT label, pos, CAST(SUM(m) AS BIGINT) AS s FROM ex GROUP BY label, pos) ex
+  JOIN cnt USING (label) GROUP BY ex.label, cnt.n
+),
+assigned AS (
+  SELECT vec_id, label AS true_label, cl, v FROM (
+    SELECT e.vec_id, e.label, cent.label AS cl, e.v,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY ROUND(list_cosine_similarity(e.v, cent.c), 6) DESC, cent.label) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cl FROM (
+    SELECT e.vec_id, cent.label AS cl,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY ROUND(list_cosine_similarity(e.v, cent.c), 6) DESC, cent.label) AS rn
+    FROM e CROSS JOIN cent WHERE e.vec_id < 20
+  ) WHERE rn <= 2
+)
+SELECT query_id, neighbor_id, cosine,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    ROUND(list_cosine_similarity(q.v, a.v), 6) AS cosine
+  FROM probes p
+  JOIN assigned a ON a.cl = p.cl AND a.vec_id != p.query_id
+  JOIN e q ON q.vec_id = p.query_id
+)
+QUALIFY rank <= 5
+""",
+)
+def sim_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with a label-centroid coarse quantizer (nlist = #labels,
+    nprobe 2): corpus vectors assign to their nearest centroid's inverted
+    list; each query scans only its 2 closest lists, then exact re-rank.
+
+    Unlike the k-means variant (iterative, rows-only checked), the
+    quantizer here is a one-pass aggregation with engine-exact integer
+    arithmetic — the whole funnel carries a DuckDB oracle. Scale shape:
+    centroids are a 10-row broadcast; assignment is a narrow map; the only
+    data shuffle is the inverted-list join keyed by centroid id."""
+    from ..operators.similarity import as_double_array, cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("__v")
+    )
+    micros = F.expr("transform(__v, x -> cast(floor(x * 1000000 + 0.5) as bigint))")
+    ex = emb.select("label", F.posexplode(micros).alias("pos", "m"))
+    cnt = emb.groupBy("label").agg(F.count("*").alias("n"))
+    cent_rows = (
+        ex.groupBy("label", "pos")
+        .agg(F.sum("m").alias("s"))
+        .join(cnt, "label")
+        .withColumn("comp", F.col("s").cast("double") / F.lit(1000000.0) / F.col("n"))
+    )
+    cent = cent_rows.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, comp))), r -> r.comp)").alias("c")
+    ).select(F.col("label").alias("cl"), "c")
+
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "__cos", F.round(cosine_expr("__v", "c"), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("__cos"), F.asc("cl"))
+    ranked = scored.withColumn("__rn", F.row_number().over(w))
+    assigned = ranked.filter("__rn = 1").select(
+        F.col("vec_id").alias("nid"), F.col("cl").alias("acl"), F.col("__v").alias("nv")
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < 20) & (F.col("__rn") <= 2))
+        .select(F.col("vec_id").alias("query_id"), F.col("cl").alias("pcl"))
+    )
+    qv = emb.filter("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("__v").alias("qv")
+    )
+    cand = (
+        probes.join(assigned, probes.pcl == assigned.acl)
+        .filter(F.col("nid") != F.col("query_id"))
+        .join(qv, "query_id")
+        .withColumn("cosine", F.round(cosine_expr("qv", "nv"), 6))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter("rank <= 5")
+        .select("query_id", F.col("nid").alias("neighbor_id"), "cosine", "rank")
+    )
