@@ -872,9 +872,9 @@ class CowTable:
         ts_list = self.timeline.timestamps()
         if not ts_list:
             return []
-        retained = ts_list[-retain_last_n:]
+        retained = set(ts_list[-retain_last_n:]) | self.savepoints()
         referenced: set[str] = set()
-        for t in retained:
+        for t in sorted(retained):
             for s in resolve_slices(self.timeline, t).values():
                 if s.base_path:
                     referenced.add(os.path.abspath(s.base_path))
@@ -890,6 +890,34 @@ class CowTable:
                 if os.path.exists(p):
                     os.remove(p)
         return doomed
+
+    # -- savepoints (Hudi savepoint analogue) ------------------------------
+    def _savepoint_dir(self) -> str:
+        return os.path.join(self.base_path, ".hoodie", "savepoints")
+
+    def savepoints(self) -> set[str]:
+        """Commit timestamps pinned against the cleaner."""
+        d = self._savepoint_dir()
+        if not os.path.isdir(d):
+            return set()
+        return {f for f in os.listdir(d) if not f.startswith(".")}
+
+    def savepoint(self, commit_ts: str) -> None:
+        """Pin ``commit_ts``: its snapshot's files survive any ``clean``
+        retention window until the savepoint is released — the recovery /
+        audit anchor Hudi's savepoint provides. Metadata-only (one marker
+        file); raises if the commit isn't in the timeline."""
+        self.timeline.instant_for(commit_ts)
+        os.makedirs(self._savepoint_dir(), exist_ok=True)
+        with open(os.path.join(self._savepoint_dir(), commit_ts), "w") as f:
+            f.write("savepoint")
+
+    def release_savepoint(self, commit_ts: str) -> None:
+        """Unpin; the next ``clean`` may reclaim the commit's files."""
+        try:
+            os.remove(os.path.join(self._savepoint_dir(), commit_ts))
+        except FileNotFoundError:
+            raise TimelineError(f"no savepoint at {commit_ts}") from None
 
     def pruned_files(
         self, between: dict[str, tuple], as_of: str | None = None

@@ -668,3 +668,72 @@ def test_snapshot_partition_pruning(spark, scratch):
     assert sorted(r.k for r in pruned.collect()) == sorted(r.k for r in full.collect())
     # unknown partition: empty result (schema preserved), nothing planned
     assert t.snapshot(partitions=["nope"]).count() == 0
+
+
+def test_savepoint_pins_commit_against_cleaner(spark, scratch):
+    from hudi_delete_view_spark.sources.cow import CowTable
+
+    t = CowTable(spark, os.path.join(scratch, "sp"), key_fields=["k"],
+                 partition_field="p", num_file_groups=2)
+    df = spark.createDataFrame([(i, "p0", i) for i in range(50)], ["k", "p", "v"])
+    t.bulk_insert(df, "20300101000000")
+    t.upsert(df.withColumn("v", F.col("v") + 1), "20300102000000")
+    t.upsert(df.withColumn("v", F.col("v") + 2), "20300103000000")
+
+    t.savepoint("20300101000000")
+    assert t.clean(retain_last_n=2) == []  # pinned: nothing reclaimable
+    # pinned time travel still works after cleaning
+    assert t.snapshot(as_of="20300101000000").count() == 50
+
+    t.release_savepoint("20300101000000")
+    deleted = t.clean(retain_last_n=2)
+    assert len(deleted) == 2 and all("20300101000000" in p for p in deleted)
+
+    with pytest.raises(TimelineError):
+        t.release_savepoint("20300101000000")  # already released
+    with pytest.raises(TimelineError):
+        t.savepoint("19990101000000")  # not a commit
+
+
+def test_occ_truly_concurrent_writers(spark, scratch):
+    """Two threads race REAL upserts to the same key (same file group)
+    with distinct timestamps. Any interleaving is acceptable iff the
+    table stays consistent: monotonic timeline, no lost/duplicated rows,
+    the key holds one writer's value, and no staging debris survives."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hudi_delete_view_spark.sources.cow import ConcurrentCommitError
+
+    base = os.path.join(scratch, "occ_race")
+    t0 = CowTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2)
+    t0.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", k) for k in range(20)], "k int, p string, v int"),
+        "20270901000000",
+    )
+
+    def writer(ts, val):
+        t = CowTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2)
+        try:
+            t.upsert(spark.createDataFrame([(0, "p0", val)], "k int, p string, v int"), ts)
+            return ("ok", val)
+        except ConcurrentCommitError:
+            return ("conflict", val)
+
+    outcomes = []
+    for rnd in range(3):
+        ts_a = f"2027091{rnd}100000"
+        ts_b = f"2027091{rnd}200000"
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fa = ex.submit(writer, ts_a, 1000 + rnd)
+            fb = ex.submit(writer, ts_b, 2000 + rnd)
+            outcomes += [fa.result(), fb.result()]
+        # invariants after every round
+        tl = t0.timeline.timestamps()
+        assert tl == sorted(tl) and len(tl) == len(set(tl))
+        snap = t0.snapshot()
+        assert snap.count() == 20
+        winners = {val for st, val in outcomes if st == "ok"}
+        assert snap.filter("k = 0").first().v in winners
+        assert not [d for d in os.listdir(base) if d.startswith(".staging")]
+    # at least one writer succeeded per round
+    assert sum(1 for st, _ in outcomes if st == "ok") >= 3
