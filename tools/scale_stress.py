@@ -115,7 +115,10 @@ def main() -> None:
         "Python worker spawn); anything approaching N^2 would flag a "
         "scale bug. Regenerate: `python tools/scale_stress.py`."
     )
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
+    out = os.environ.get(
+        "SCALE_OUT",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"),
+    )
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}")
