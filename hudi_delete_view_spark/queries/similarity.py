@@ -212,8 +212,14 @@ def pipeline_dedup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     late=True,  # IVF family; the k-means variant keeps its rows-only slot
     # Fully-oracled IVF: the coarse quantizer is the LABEL centroids,
     # computed with engine-exact integer-micro sums (floor(x*1e6+0.5)
-    # summed as BIGINT, divided in a fixed order), so the entire
-    # assign -> probe -> re-rank funnel is reproducible bit-for-bit.
+    # summed as BIGINT, divided in a fixed order). Selection stages
+    # (assignment + probes) compare cosines quantized to 4 decimals with a
+    # deterministic label tie-break: equal quantized scores resolve
+    # identically in both engines, so a cross-engine flip would need the
+    # two engines' cosines to straddle a 0.25e-4 grid edge within ~1e-12
+    # (last-ulp) — the same robustness class as the other sim oracles'
+    # ROUND-6 re-rank, with an extra 100x margin at the amplified
+    # (list-membership) stage.
     oracle="""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 ex AS (
@@ -227,10 +233,10 @@ cent AS (
   JOIN cnt USING (label) GROUP BY ex.label, cnt.n
 ),
 assigned AS (
-  SELECT vec_id, label AS true_label, cl, v FROM (
-    SELECT e.vec_id, e.label, cent.label AS cl, e.v,
+  SELECT vec_id, cl, v FROM (
+    SELECT e.vec_id, cent.label AS cl, e.v,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        ORDER BY ROUND(list_cosine_similarity(e.v, cent.c), 6) DESC, cent.label) AS rn
+        ORDER BY ROUND(list_cosine_similarity(e.v, cent.c), 4) DESC, cent.label) AS rn
     FROM e CROSS JOIN cent
   ) WHERE rn = 1
 ),
@@ -238,7 +244,7 @@ probes AS (
   SELECT vec_id AS query_id, cl FROM (
     SELECT e.vec_id, cent.label AS cl,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        ORDER BY ROUND(list_cosine_similarity(e.v, cent.c), 6) DESC, cent.label) AS rn
+        ORDER BY ROUND(list_cosine_similarity(e.v, cent.c), 4) DESC, cent.label) AS rn
     FROM e CROSS JOIN cent WHERE e.vec_id < 20
   ) WHERE rn <= 2
 )
@@ -261,11 +267,16 @@ def sim_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     list; each query scans only its 2 closest lists, then exact re-rank.
 
     Unlike the k-means variant (iterative, rows-only checked), the
-    quantizer here is a one-pass aggregation with engine-exact integer
-    arithmetic — the whole funnel carries a DuckDB oracle. Scale shape:
-    centroids are a 10-row broadcast; assignment is a narrow map; the only
-    data shuffle is the inverted-list join keyed by centroid id."""
+    quantizer is a one-pass aggregation with engine-exact integer
+    arithmetic, and the selection stages quantize scores so the whole
+    funnel carries a DuckDB oracle. Scale shape: the centroid table is 10
+    rows, cached and broadcast; corpus assignment is ONE pass (max-struct
+    argmax, no window over corpus x nlist); the only data shuffle is the
+    inverted-list join keyed by centroid id."""
+    from pyspark.sql import Window
+
     from ..operators.similarity import as_double_array, cosine_expr
+    from ..operators.util import register_cache
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_array("embedding").alias("__v")
@@ -279,22 +290,46 @@ def sim_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cnt, "label")
         .withColumn("comp", F.col("s").cast("double") / F.lit(1000000.0) / F.col("n"))
     )
-    cent = cent_rows.groupBy("label").agg(
-        F.expr("transform(array_sort(collect_list(struct(pos, comp))), r -> r.comp)").alias("c")
-    ).select(F.col("label").alias("cl"), "c")
+    cent = register_cache(
+        cent_rows.groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, comp))), r -> r.comp)"
+            ).alias("c")
+        )
+        .select(F.col("label").alias("cl"), "c")
+    )
 
-    from pyspark.sql import Window
-
+    # corpus assignment: ONE pass, no window — argmax as a max over
+    # (quantized cos, -label, payload) structs; the tie-break mirrors the
+    # oracle's (score DESC, label ASC)
     scored = emb.crossJoin(F.broadcast(cent)).withColumn(
-        "__cos", F.round(cosine_expr("__v", "c"), 6)
+        "__q", F.round(cosine_expr("__v", "c"), 4)
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("__cos"), F.asc("cl"))
-    ranked = scored.withColumn("__rn", F.row_number().over(w))
-    assigned = ranked.filter("__rn = 1").select(
-        F.col("vec_id").alias("nid"), F.col("cl").alias("acl"), F.col("__v").alias("nv")
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("__q").alias("q"),
+                (-F.col("cl")).alias("nl"),
+                F.col("__v").alias("v"),
+            )
+        ).alias("b")
     )
+    assigned = best.select(
+        F.col("vec_id").alias("nid"),
+        (-F.col("b.nl")).alias("acl"),
+        F.col("b.v").alias("nv"),
+    )
+    # probes: queries-only (20 x 10 rows) — the window here is trivial
+    scored_q = (
+        emb.filter("vec_id < 20")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__q", F.round(cosine_expr("__v", "c"), 4))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("__q"), F.asc("cl"))
     probes = (
-        ranked.filter((F.col("vec_id") < 20) & (F.col("__rn") <= 2))
+        scored_q.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn <= 2")
         .select(F.col("vec_id").alias("query_id"), F.col("cl").alias("pcl"))
     )
     qv = emb.filter("vec_id < 20").select(

@@ -681,6 +681,12 @@ class CowTable:
                 f"only the latest commit can be rolled back "
                 f"(requested {commit_ts}, latest {latest})"
             )
+        if commit_ts in self.savepoints():
+            # Hudi blocks rollback past a savepoint; a dangling marker
+            # would silently re-pin a nonexistent commit forever
+            raise TimelineError(
+                f"commit {commit_ts} is savepointed; release_savepoint first"
+            )
         meta = self.timeline.commit_metadata(commit_ts)
         removed = []
         for _p, stat in meta.all_stats():
@@ -869,6 +875,10 @@ class CowTable:
         metadata itself is never deleted (the timeline stays auditable).
         Returns the deleted paths (or the would-delete list when
         ``dry_run``)."""
+        if retain_last_n < 1:
+            # ts_list[-0:] would silently retain EVERYTHING — the opposite
+            # of what "retain zero" reads as; require an explicit window
+            raise ValueError("retain_last_n must be >= 1")
         ts_list = self.timeline.timestamps()
         if not ts_list:
             return []
@@ -906,8 +916,20 @@ class CowTable:
         """Pin ``commit_ts``: its snapshot's files survive any ``clean``
         retention window until the savepoint is released — the recovery /
         audit anchor Hudi's savepoint provides. Metadata-only (one marker
-        file); raises if the commit isn't in the timeline."""
+        file); raises if the commit isn't in the timeline or its files
+        were already reclaimed (a pin that guarantees nothing is worse
+        than an error)."""
         self.timeline.instant_for(commit_ts)
+        missing = [
+            s.base_path
+            for s in resolve_slices(self.timeline, commit_ts).values()
+            if s.base_path and not os.path.exists(s.base_path)
+        ]
+        if missing:
+            raise TimelineError(
+                f"cannot savepoint {commit_ts}: {len(missing)} slice file(s) "
+                f"already cleaned (first: {missing[0]})"
+            )
         os.makedirs(self._savepoint_dir(), exist_ok=True)
         with open(os.path.join(self._savepoint_dir(), commit_ts), "w") as f:
             f.write("savepoint")

@@ -719,21 +719,44 @@ def test_occ_truly_concurrent_writers(spark, scratch):
         except ConcurrentCommitError:
             return ("conflict", val)
 
-    outcomes = []
     for rnd in range(3):
         ts_a = f"2027091{rnd}100000"
         ts_b = f"2027091{rnd}200000"
         with ThreadPoolExecutor(max_workers=2) as ex:
             fa = ex.submit(writer, ts_a, 1000 + rnd)
             fb = ex.submit(writer, ts_b, 2000 + rnd)
-            outcomes += [fa.result(), fb.result()]
+            round_outcomes = [fa.result(), fb.result()]
         # invariants after every round
         tl = t0.timeline.timestamps()
         assert tl == sorted(tl) and len(tl) == len(set(tl))
         snap = t0.snapshot()
         assert snap.count() == 20
-        winners = {val for st, val in outcomes if st == "ok"}
+        # liveness PER ROUND: at least one writer must land each round,
+        # and the key must hold one of THIS round's winning values
+        winners = {val for st, val in round_outcomes if st == "ok"}
+        assert winners, f"both writers failed in round {rnd}"
         assert snap.filter("k = 0").first().v in winners
         assert not [d for d in os.listdir(base) if d.startswith(".staging")]
-    # at least one writer succeeded per round
-    assert sum(1 for st, _ in outcomes if st == "ok") >= 3
+
+
+def test_savepoint_guards(spark, scratch):
+    """Rollback refuses a savepointed commit; savepointing an
+    already-cleaned commit refuses; clean(0) is an explicit error."""
+    from hudi_delete_view_spark.sources.cow import CowTable
+
+    t = CowTable(spark, os.path.join(scratch, "spg"), key_fields=["k"],
+                 partition_field="p", num_file_groups=1)
+    df = spark.createDataFrame([(i, "p0", i) for i in range(10)], ["k", "p", "v"])
+    t.bulk_insert(df, "20300101000000")
+    t.upsert(df.withColumn("v", F.col("v") + 1), "20300102000000")
+    t.upsert(df.withColumn("v", F.col("v") + 2), "20300103000000")
+
+    t.savepoint("20300103000000")
+    with pytest.raises(TimelineError, match="savepointed"):
+        t.rollback("20300103000000")
+    t.release_savepoint("20300103000000")
+    with pytest.raises(ValueError):
+        t.clean(retain_last_n=0)
+    t.clean(retain_last_n=2)  # reclaims C1's slice
+    with pytest.raises(TimelineError, match="already cleaned"):
+        t.savepoint("20300101000000")

@@ -119,8 +119,18 @@ def main() -> None:
         "SCALE_OUT",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"),
     )
+    generated = "\n".join(lines) + "\n"
+    # preserve hand-written sections: only the text BEFORE the first "## "
+    # section marker is regenerated; appended analyses (e.g. the heavy-soak
+    # table) survive a default re-run
+    tail = ""
+    if os.path.exists(out):
+        prev = open(out).read()
+        idx = prev.find("\n## ")
+        if idx != -1:
+            tail = prev[idx:]
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write(generated + tail)
     print(f"wrote {out}")
 
 
