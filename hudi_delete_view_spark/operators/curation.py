@@ -287,11 +287,20 @@ def mixture_sample(
         .join(F.broadcast(weights_df), group_col)
     )
     t_df = stats.agg(F.min(F.col("__n") / F.col("__w")).alias("__T"))
+    # the binding (argmin) source's true rate is exactly 1.0, but the
+    # round trip w * (n/w) / n can land at 0.999999... and the 1e-6 floor
+    # quantization would then silently drop ~1e-6 of its rows — identify
+    # binding sources by n/w == T (the min is one of the operands, so the
+    # double compares equal) and pin their rate to exactly 1.0; mirrored
+    # verbatim in the SQL oracle
     rates = (
         stats.crossJoin(F.broadcast(t_df))
         .withColumn(
             "__rate",
-            F.floor(F.col("__w") * F.col("__T") / F.col("__n") * 1000000.0) / 1000000.0,
+            F.when(F.col("__n") / F.col("__w") == F.col("__T"), F.lit(1.0)).otherwise(
+                F.floor(F.col("__w") * F.col("__T") / F.col("__n") * 1000000.0)
+                / 1000000.0
+            ),
         )
         .select(group_col, "__rate")
     )

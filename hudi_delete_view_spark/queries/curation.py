@@ -231,7 +231,9 @@ stats AS (
 ),
 rates AS (
   SELECT source,
-    FLOOR(wt * (SELECT MIN(n / wt) FROM stats) / n * 1000000.0) / 1000000.0 AS rate
+    CASE WHEN n / wt = (SELECT MIN(n / wt) FROM stats) THEN 1.0
+         ELSE FLOOR(wt * (SELECT MIN(n / wt) FROM stats) / n * 1000000.0) / 1000000.0
+    END AS rate
   FROM stats
 )
 SELECT d.doc_id, d.source, d.lang, d.n_chars

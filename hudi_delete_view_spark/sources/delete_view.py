@@ -201,19 +201,25 @@ def delete_views_between(
     merged timeline). Driver work is metadata-only: commits whose stats
     show no deletes are pruned without touching data (A2 generalized to a
     range), and each per-commit view reuses its materialized cache
-    (A12-A15), so a repeated range query reads parquet only."""
+    (A12-A15), so a repeated range query reads parquet only.
+
+    Served as ONE multi-path parquet scan over the materialized view dirs
+    (mergeSchema covers ranges straddling a schema evolution) — a
+    per-commit ``unionByName`` loop would grow the driver-side plan
+    linearly in the number of delete commits; the flat scan stays one
+    node no matter how many commits the audit range spans."""
     timeline = Timeline(base_path)
     end = end_inclusive or timeline.latest_timestamp()
     if end is None:
         raise TimelineError(f"table at {base_path} has no commits")
-    parts = []
+    view_dirs = []
     for ts in timeline.timestamps():
         if not (begin_exclusive < ts <= end):
             continue
         if timeline.commit_metadata(ts).total_records_deleted <= 0:
             continue  # stats pruning: commit deleted nothing
-        parts.append(DeleteView(spark, base_path, ts).dataset())
-    if not parts:
+        view_dirs.append(DeleteView(spark, base_path, ts).materialize())
+    if not view_dirs:
         # empty range: empty frame with the table's published schema + stamp
         import json as _json
 
@@ -222,7 +228,4 @@ def delete_views_between(
         meta = timeline.commit_metadata(end)
         schema = StructType.fromJson(_json.loads(meta.schema_json))
         return spark.createDataFrame([], schema)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p, allowMissingColumns=True)
-    return out
+    return spark.read.option("mergeSchema", "true").parquet(*view_dirs)

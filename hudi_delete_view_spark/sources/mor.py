@@ -341,13 +341,17 @@ class MorTable(CowTable):
     # ------------------------------------------------------------------
     def schedule_compaction(
         self,
-        min_log_files: int = 2,
+        min_log_files: int | None = 2,
         min_log_bytes: int = 0,
     ) -> list[tuple[str, str]]:
         """Compaction planner (Hudi's schedule-compaction analogue): the
         file groups whose accumulated delta logs cross either threshold —
         ``min_log_files`` stacked log slices, or ``min_log_bytes`` of log
         data (from the published write stats; no file system stat calls).
+        ``min_log_files=None`` disables the file-count trigger entirely, so
+        a bytes-only policy is ``schedule_compaction(min_log_files=None,
+        min_log_bytes=...)`` — no sentinel-huge count needed. Disabling
+        both triggers is a planner that never fires; raise instead.
 
         Pure driver-side metadata arithmetic over the resolved slices, so
         a table service can poll it cheaply and pass the result to
@@ -357,6 +361,10 @@ class MorTable(CowTable):
         Bytes are summed over each slice's LIVE log paths only — a log
         already absorbed by a compaction (resolve_slices clears it) must
         not keep counting toward the threshold forever."""
+        if min_log_files is None and min_log_bytes <= 0:
+            raise ValueError(
+                "schedule_compaction with min_log_files=None needs min_log_bytes > 0"
+            )
         slices = resolve_slices(self.timeline)
         path_bytes: dict[str, int] = {}
         for ts in self.timeline.timestamps():
@@ -370,9 +378,9 @@ class MorTable(CowTable):
             if not s.log_paths:
                 continue
             live_bytes = sum(path_bytes.get(p, 0) for p in s.log_paths)
-            if len(s.log_paths) >= min_log_files or (
-                0 < min_log_bytes <= live_bytes
-            ):
+            if (
+                min_log_files is not None and len(s.log_paths) >= min_log_files
+            ) or (0 < min_log_bytes <= live_bytes):
                 due.append(g)
         return due
 
