@@ -37,12 +37,21 @@ def resolve_slices(timeline: Timeline, as_of: str | None = None) -> dict[tuple[s
     per file group and accumulating any newer log files on top of it.
     Compaction commits write fresh base files, which naturally clear the
     accumulated logs here.
+
+    A commit published with ``extra.replacesAllFileGroups`` (partition
+    evolution's repartition commit — the Hudi replacecommit analogue)
+    resets the accumulated state before its own stats apply: every older
+    file group is superseded by the new layout. Replays that stop BEFORE
+    such a commit (time travel) never see the reset, so old commits stay
+    readable under the old layout as long as their files survive clean().
     """
     slices: dict[tuple[str, str], FileSlice] = {}
     for inst in timeline.instants():
         if as_of is not None and inst.timestamp > as_of:
             break
         meta = timeline.commit_metadata(inst.timestamp)
+        if (meta.extra or {}).get("replacesAllFileGroups"):
+            slices = {}
         for partition, stat in meta.all_stats():
             key = (partition, stat.file_id)
             abs_path = os.path.join(timeline.base_path, stat.path)

@@ -209,6 +209,61 @@ def lake_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Partition evolution: the repartition commit mid-timeline. One query
+# hash-verifies all three contracts at once — the post-evolution snapshot
+# serves the NEW layout (partition path = l_linestatus, original commit
+# stamps preserved), time travel to a pre-evolution instant serves the OLD
+# layout untouched, and the post-evolution delete commit's delete view
+# reconstructs across the boundary (prevCommit = the repartition commit).
+# --------------------------------------------------------------------------
+_CT_SQL = (
+    "CASE WHEN l_partkey % 10 = 0 THEN '20260102000000' "
+    "ELSE '20260101000000' END"
+)
+
+
+@query(
+    "lake_partition_evolution",
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT 'post_snapshot' AS section,
+       {_CT_SQL} AS {COMMIT_TIME_FIELD},
+       {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       l_linestatus AS {PARTITION_PATH_FIELD},
+       {_PAYLOAD_SQL.format(qty=_QTY_SQL)}
+FROM li WHERE l_suppkey % 17 != 0
+UNION ALL
+SELECT 'pre_travel' AS section,
+       {_CT_SQL} AS {COMMIT_TIME_FIELD},
+       {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       l_returnflag AS {PARTITION_PATH_FIELD},
+       {_PAYLOAD_SQL.format(qty=_QTY_SQL)}
+FROM li
+UNION ALL
+SELECT 'delete_view' AS section,
+       '20260104000000' AS {COMMIT_TIME_FIELD},
+       {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       l_linestatus AS {PARTITION_PATH_FIELD},
+       {_PAYLOAD_SQL.format(qty=_QTY_SQL)}
+FROM li WHERE l_suppkey % 17 = 0
+""",
+)
+def lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution (the repartition commit): snapshot under the new
+    layout, time travel under the old, and a cross-boundary delete view,
+    unioned with a section tag so one hash match proves all three."""
+    from ..sources.fixtures import build_lineitem_evolved
+
+    table = build_lineitem_evolved(spark, sf_dir)
+    post = _project(table.snapshot()).withColumn("section", F.lit("post_snapshot"))
+    pre = _project(table.snapshot(as_of=C2)).withColumn("section", F.lit("pre_travel"))
+    dv = _project(delete_view(spark, table.base_path, C4)).withColumn(
+        "section", F.lit("delete_view")
+    )
+    return post.unionByName(pre).unionByName(dv)
+
+
+# --------------------------------------------------------------------------
 # Clustering (replacecommit): scan through the layout-rewritten table —
 # identical rows, sorted files, range predicate pushed to the scan where
 # tightened row-group stats make it cheap

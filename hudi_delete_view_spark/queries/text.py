@@ -131,6 +131,9 @@ def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_source_profile",
+    late=True,  # per-source profile agg; the text family keeps six windowed
+    # rows (stats/lang/fingerprint/tfidf/chunks/pii) — this one funds the
+    # round-4 partition-evolution slot and stays in the full local gate
     # avg via an exact integer-micro sum: a plain AVG of doubles depends on
     # summation order (Spark partial aggs vs DuckDB), which round-2 showed
     # can flip the driver's bit-level hash at unlucky seeds

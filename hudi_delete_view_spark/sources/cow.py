@@ -17,8 +17,10 @@ Scale design (the part that must survive 100 TB / 1000 executors):
 - **Write stats come from metadata, not jobs**: per-group row counts are
   read from Parquet footers (same trick as the reference's footer-only
   count, ``DeleteUtils.java:27-48``); update/delete counters are derived
-  arithmetically from previous-commit stats, so an upsert/delete costs one
-  shuffle-write job plus one tiny count of the incoming batch.
+  arithmetically from previous-commit stats. A bulk insert is exactly ONE
+  Spark job (incoming counts == written footer counts); an upsert/delete
+  adds only the irreducible affected-group discovery job, pruned to the
+  key + partition columns.
 - **Upsert/delete only rewrite affected file groups** — the stats-based
   pruning the reference applies at read time (``DeleteView.java:100``) is
   applied symmetrically at write time.
@@ -217,13 +219,27 @@ class CowTable:
     def _record_key_col(self):
         return F.concat_ws(":", *[F.col(f).cast("string") for f in self.key_fields])
 
+    def _active_layout(self) -> tuple[str | None, int]:
+        """Current routing layout ``(partition_field, num_file_groups)``:
+        the most recent repartition commit's published layout wins over the
+        constructor values, so a reader-constructed handle keeps routing
+        upserts/deletes/lookups correctly after the table evolved.
+        Driver-side metadata only (commit JSON is memo-cached)."""
+        for ts in reversed(self.timeline.timestamps()):
+            lay = (self.timeline.commit_metadata(ts).extra or {}).get("layout")
+            if lay:
+                return lay.get("partitionField"), int(lay["numFileGroups"])
+        return self.partition_field, self.num_file_groups
+
     def _partition_col(self):
-        if self.partition_field is None:
+        pf, _n = self._active_layout()
+        if pf is None:
             return F.lit(DEFAULT_PARTITION)
-        return F.coalesce(F.col(self.partition_field).cast("string"), F.lit(DEFAULT_PARTITION))
+        return F.coalesce(F.col(pf).cast("string"), F.lit(DEFAULT_PARTITION))
 
     def _fid_col(self, partition_col):
-        bucket = F.pmod(F.xxhash64(F.col(RECORD_KEY_FIELD)), F.lit(self.num_file_groups))
+        _pf, n = self._active_layout()
+        bucket = F.pmod(F.xxhash64(F.col(RECORD_KEY_FIELD)), F.lit(n))
         return F.concat(F.lit("fg-"), partition_col, F.lit("-"), bucket.cast("string"))
 
     def _with_meta(self, df: DataFrame, commit_ts: str, suffix: str = ".parquet") -> DataFrame:
@@ -385,7 +401,11 @@ class CowTable:
                 pass
 
     def _occ_check(
-        self, commit_ts: str, groups: set, read_ts: str | None
+        self,
+        commit_ts: str,
+        groups: set,
+        read_ts: str | None,
+        conflict_any: bool = False,
     ) -> None:
         """Optimistic-concurrency gate, run against a fresh timeline
         listing immediately before metadata publish: the new commit must be
@@ -394,6 +414,14 @@ class CowTable:
         on) may touch any of the file groups being written — such a rewrite
         would silently drop the other writer's changes. Group-disjoint
         concurrent commits pass (the Hudi OCC granularity).
+
+        Two whole-table cases escalate past group granularity: a writer
+        publishing a layout-evolution commit conflicts with ANY commit that
+        landed meanwhile (``conflict_any=True`` — the rewrite covered every
+        group its snapshot had), and symmetrically any writer conflicts
+        with a layout-evolution commit that landed meanwhile (the file
+        groups it planned against no longer exist — group names differ
+        across layouts, so the set intersection alone would miss it).
         ``read_ts="__unchecked__"`` skips the overlap check."""
         self.timeline.refresh()
         newer = [t for t in self.timeline.timestamps() if t >= commit_ts]
@@ -406,11 +434,19 @@ class CowTable:
         landed = [
             t for t in self.timeline.timestamps() if (read_ts is None or t > read_ts)
         ]
+        if conflict_any and landed:
+            raise ConcurrentCommitError(
+                f"whole-table commit {commit_ts} conflicts with commits that "
+                f"landed after its read point {read_ts}: {landed}"
+            )
         for t in landed:
-            theirs = {
-                (p, s.file_id)
-                for p, s in self.timeline.commit_metadata(t).all_stats()
-            }
+            meta_t = self.timeline.commit_metadata(t)
+            if (meta_t.extra or {}).get("replacesAllFileGroups"):
+                raise ConcurrentCommitError(
+                    f"commit {commit_ts} conflicts with layout-evolution "
+                    f"commit {t}: its file groups no longer exist"
+                )
+            theirs = {(p, s.file_id) for p, s in meta_t.all_stats()}
             clash = sorted(groups & theirs)
             if clash:
                 raise ConcurrentCommitError(
@@ -428,6 +464,8 @@ class CowTable:
         schema_json: str | None = None,
         is_delete: bool = False,
         read_ts: str | None = "__unchecked__",
+        conflict_any: bool = False,
+        extra: dict | None = None,
     ) -> CommitMetadata:
         """Derive write stats arithmetically and publish the commit JSON.
 
@@ -445,7 +483,7 @@ class CowTable:
         publish fine — the Hudi OCC granularity.
         """
         try:
-            self._occ_check(commit_ts, set(written), read_ts)
+            self._occ_check(commit_ts, set(written), read_ts, conflict_any)
         except Exception:
             # conflict loser: remove the files this write already moved in,
             # or every conflict would orphan a full rewritten group set
@@ -466,11 +504,11 @@ class CowTable:
                 deletes = prev_rows - new_rows
                 updates = 0
                 inserts = 0
-            elif operation in ("compaction", "clustering"):
-                # compaction/clustering change no records — with inc=0 the
-                # generic arithmetic would publish negative inserts and
-                # phantom updates whenever the rewritten output is smaller
-                # than the previous base (log tombstones applied)
+            elif operation in ("compaction", "clustering", "repartition"):
+                # compaction/clustering/repartition change no records —
+                # with inc=0 the generic arithmetic would publish negative
+                # inserts and phantom updates whenever the rewritten output
+                # is smaller than the previous base (log tombstones applied)
                 updates = inserts = deletes = 0
             else:
                 updates = max(0, prev_rows + inc - new_rows)
@@ -497,6 +535,7 @@ class CowTable:
             partition_to_write_stats=p2ws,
             total_records_deleted=total_deleted,
             schema_json=schema_json,
+            extra=extra or {},
         )
         meta.write(os.path.join(self.base_path, ".hoodie"))
         self.timeline.refresh()
@@ -506,15 +545,16 @@ class CowTable:
     # write operations
     # ------------------------------------------------------------------
     def bulk_insert(self, df: DataFrame, commit_ts: str) -> CommitMetadata:
-        """Initial load: hash-bucket all rows into file groups, one job."""
+        """Initial load: hash-bucket all rows into file groups — exactly
+        ONE Spark job. Per-group incoming counts equal the written footer
+        row counts (every incoming row lands; there are no survivors to
+        subtract), so the stats derive from ``written`` and the old
+        pre-write ``groupBy().count().collect()`` scan is gone."""
         stamped = self._dedup_incoming(self._with_meta(df, commit_ts))
-        inc = {
-            (r[_PP], r[_FID]): r["cnt"]
-            for r in stamped.groupBy(_PP, _FID).agg(F.count("*").alias("cnt")).collect()
-        }
         self._ensure_new_commit_ts(commit_ts)
         read_ts = self.timeline.latest_timestamp()
         written = self._write_file_groups(stamped, commit_ts)
+        inc = {g: rows for g, (_p, rows) in written.items()}
         return self._publish(
             commit_ts, "bulk_insert", written, prev_slices={},
             incoming_counts=inc, schema_json=stamped.drop(_PP, _FID).schema.json(),
@@ -530,11 +570,21 @@ class CowTable:
         Unchanged rows keep their original meta columns (so incremental
         reads by ``_hoodie_commit_time`` see only truly-changed records).
         """
-        incoming = self._dedup_incoming(self._with_meta(df, commit_ts))
+        # The pre-write job here is irreducible — the affected-group set
+        # must be known BEFORE the survivors read is planned — but it is
+        # cheap by construction: counting DISTINCT keys on the pre-dedup
+        # frame equals the post-dedup row count (dedup keeps one row per
+        # key) while letting Catalyst prune the scan to the key+partition
+        # columns and run a partial-aggregated shuffle of (group, key)
+        # pairs instead of the full-payload window the dedup needs.
+        stamped = self._with_meta(df, commit_ts)
         inc_counts = {
             (r[_PP], r[_FID]): r["cnt"]
-            for r in incoming.groupBy(_PP, _FID).agg(F.count("*").alias("cnt")).collect()
+            for r in stamped.groupBy(_PP, _FID)
+            .agg(F.countDistinct(RECORD_KEY_FIELD).alias("cnt"))
+            .collect()
         }
+        incoming = self._dedup_incoming(stamped)
         self._ensure_new_commit_ts(commit_ts)
         read_ts = self.timeline.latest_timestamp()
         prev_slices = resolve_slices(self.timeline)
@@ -785,6 +835,93 @@ class CowTable:
             read_ts=read_ts,
         )
 
+    def evolve_partitioning(
+        self,
+        commit_ts: str,
+        partition_field: str | None | object = "__keep__",
+        num_file_groups: int | None = None,
+    ) -> CommitMetadata:
+        """Partition evolution: rewrite the table's file-group routing
+        across a commit boundary (the repartition commit — the
+        Iceberg-style partition-spec change, done eagerly because the
+        stateless ``hash(key) -> group`` contract every upsert/delete/
+        lookup relies on must hold for the WHOLE live layout at once).
+
+        Semantics:
+
+        - the snapshot is restamped under the new layout — new
+          ``_hoodie_partition_path``, new ``fg-<partition>-<bucket>`` file
+          ids, new file names — while ``_hoodie_commit_time`` / record key
+          / seqno stay untouched (no records change, so incremental and
+          CDC reads see NOTHING from this commit, same contract as
+          clustering);
+        - the commit publishes ``replacesAllFileGroups`` (the Hudi
+          replacecommit analogue): slice resolution drops every older
+          file group when it replays past this instant, so post-evolution
+          snapshots see only the new layout while time travel to any
+          earlier instant still resolves the old files untouched on disk;
+        - the published ``layout`` makes every later write route with the
+          new partition field / bucket count (``_active_layout``), even
+          from a handle constructed with the old constructor args;
+        - OCC is whole-table in both directions (``_occ_check``): the
+          evolution conflicts with anything that landed after its read
+          point, and later writers conflict with it.
+
+        At 100 TB this is one full shuffle-write job (the unavoidable
+        cost of moving every row to its new bucket) planned exactly like
+        a bulk insert; everything else is KB-scale commit metadata.
+        Reference parity: the fileId/prevCommit slice model this preserves
+        is ``DeleteView.java:116-126``; the delete view keeps working
+        across the boundary because post-evolution delete commits chain
+        ``prevCommit`` to the repartition commit's slices."""
+        self._ensure_new_commit_ts(commit_ts)
+        read_ts = self.timeline.latest_timestamp()
+        if read_ts is None:
+            raise TimelineError("evolve_partitioning on an empty table")
+        old_pf, old_n = self._active_layout()
+        new_pf = old_pf if partition_field == "__keep__" else partition_field
+        new_n = old_n if num_file_groups is None else int(num_file_groups)
+        if (new_pf, new_n) == (old_pf, old_n):
+            raise ValueError(
+                f"evolve_partitioning: new layout ({new_pf!r}, {new_n}) "
+                "equals the current layout"
+            )
+        if new_n < 1:
+            raise ValueError("num_file_groups must be >= 1")
+        snap = self.snapshot()
+        pp = (
+            F.coalesce(F.col(new_pf).cast("string"), F.lit(DEFAULT_PARTITION))
+            if new_pf
+            else F.lit(DEFAULT_PARTITION)
+        )
+        bucket = F.pmod(F.xxhash64(F.col(RECORD_KEY_FIELD)), F.lit(new_n))
+        stamped = (
+            snap.withColumn(PARTITION_PATH_FIELD, pp)
+            .withColumn(_PP, F.col(PARTITION_PATH_FIELD))
+            .withColumn(
+                _FID,
+                F.concat(F.lit("fg-"), F.col(_PP), F.lit("-"), bucket.cast("string")),
+            )
+            .withColumn(
+                FILE_NAME_FIELD,
+                F.concat(F.col(_FID), F.lit(f"_{WRITE_TOKEN}_{commit_ts}.parquet")),
+            )
+        )
+        written = self._write_file_groups(stamped, commit_ts)
+        return self._publish(
+            commit_ts,
+            "repartition",
+            written,
+            prev_slices={},
+            schema_json=self.timeline.commit_metadata(read_ts).schema_json,
+            read_ts=read_ts,
+            conflict_any=True,
+            extra={
+                "replacesAllFileGroups": True,
+                "layout": {"partitionField": new_pf, "numFileGroups": new_n},
+            },
+        )
+
     # ------------------------------------------------------------------
     # read operations
     # ------------------------------------------------------------------
@@ -920,10 +1057,15 @@ class CowTable:
         were already reclaimed (a pin that guarantees nothing is worse
         than an error)."""
         self.timeline.instant_for(commit_ts)
+        # check base AND log files: for a MOR slice the clean() reclaimer
+        # deletes delta logs too, and a savepoint whose merged snapshot
+        # needs a missing log pins an unreadable view just as surely as a
+        # missing base file would
         missing = [
-            s.base_path
+            p
             for s in resolve_slices(self.timeline, commit_ts).values()
-            if s.base_path and not os.path.exists(s.base_path)
+            for p in ([s.base_path] if s.base_path else []) + list(s.log_paths)
+            if not os.path.exists(p)
         ]
         if missing:
             raise TimelineError(
@@ -1036,11 +1178,31 @@ class CowTable:
         end = end_inclusive or self.timeline.latest_timestamp()
         if end is not None:
             self.timeline.instant_for(end)
+        # a partition-evolution (repartition) commit inside the range
+        # renames every file group, so (a) fid pruning would wrongly drop
+        # all old-layout rows from the begin side (its fids aren't in the
+        # touched set) and (b) the (file_id, key) join would pair nothing
+        # across the boundary, turning every unchanged key into a phantom
+        # delete+insert. The evolution rewrote every group anyway, so
+        # pruning saves nothing: fall back to full boundary snapshots and
+        # join on the (table-unique) record key alone.
+        crosses_evolution = any(
+            (self.timeline.commit_metadata(i.timestamp).extra or {}).get(
+                "replacesAllFileGroups"
+            )
+            for i in self.timeline.commits_in_range(begin_exclusive, end)
+        )
         groups = touched_file_groups(self.timeline, begin_exclusive, end)
         fids = sorted({f for (_p, f) in groups})
         fid = file_id_expr(F.col(FILE_NAME_FIELD))
+        prune = (lambda df: df) if crosses_evolution else (
+            lambda df: df.filter(fid.isin(fids))
+        )
+        join_keys = (
+            [RECORD_KEY_FIELD] if crosses_evolution else [_FID, RECORD_KEY_FIELD]
+        )
 
-        end_snap = self.snapshot(end).filter(fid.isin(fids))
+        end_snap = prune(self.snapshot(end))
         # payload schema is the END snapshot's (authoritative): a before
         # slice predating a schema-evolution commit aligns with NULLs so
         # the two image structs are the same type
@@ -1057,9 +1219,13 @@ class CowTable:
                 F.struct(*[F.col(f_.name) for f_ in payload_fields]).alias(f"__{img}"),
             )
 
-        o = _side(self.snapshot(begin_exclusive).filter(fid.isin(fids)), "before")
+        o = _side(prune(self.snapshot(begin_exclusive)), "before")
         n = _side(end_snap, "after")
-        j = o.join(n, on=[_FID, RECORD_KEY_FIELD], how="full_outer")
+        if crosses_evolution:
+            # the fid columns differ across the boundary by construction;
+            # drop them so the key-only join doesn't collide on the name
+            o, n = o.drop(_FID), n.drop(_FID)
+        j = o.join(n, on=join_keys, how="full_outer")
         # untouched keys: identical slice on both sides, not rewritten in range
         j = j.filter(
             F.col("__before").isNull()

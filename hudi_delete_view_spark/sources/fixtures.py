@@ -147,6 +147,49 @@ def build_lineitem_clustered(spark: SparkSession, sf_dir: str, base_path: str | 
 
 
 # --------------------------------------------------------------------------
+# lineitem_evolved — partition-evolution fixture: the scripted repartition
+# commit mid-timeline.
+#   E1 bulk-insert dedup(lineitem)   (partition l_returnflag, 4 groups)
+#   E2 update l_partkey % 10 = 0 → quantity += 100
+#   E3 REPARTITION → partition l_linestatus, 3 file groups (rows unchanged,
+#      commit stamps preserved; old layout stays time-travelable)
+#   E4 delete l_suppkey % 17 = 0     (under the NEW layout — its delete
+#      view must reconstruct against the repartition commit's slices)
+# --------------------------------------------------------------------------
+def lineitem_evolved_path(sf_dir: str) -> str:
+    tag = scratch_tag(sf_dir)
+    return os.path.join(SCRATCH_ROOT, "lake", tag, "lineitem_evolved")
+
+
+def build_lineitem_evolved(spark: SparkSession, sf_dir: str, base_path: str | None = None) -> CowTable:
+    """Build (or reuse) the scripted evolution timeline from lineitem."""
+    base_path = base_path or lineitem_evolved_path(sf_dir)
+    table = CowTable(
+        spark,
+        base_path,
+        key_fields=LINEITEM_KEY,
+        partition_field="l_returnflag",
+        num_file_groups=4,
+    )
+    if table.timeline.timestamps() == [C1, C2, C3, C4]:
+        return table
+    import shutil
+
+    shutil.rmtree(base_path, ignore_errors=True)
+    os.makedirs(base_path, exist_ok=True)
+
+    src = dedup_lineitem(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
+    table.bulk_insert(src, C1)
+    updates = src.filter(F.expr(UPDATE_PRED_SQL)).withColumn(
+        "l_quantity", F.col("l_quantity") + F.lit(100.0)
+    )
+    table.upsert(updates, C2)
+    table.evolve_partitioning(C3, partition_field="l_linestatus", num_file_groups=3)
+    table.delete_where(F.expr(DELETE_C3_PRED_SQL), C4)
+    return table
+
+
+# --------------------------------------------------------------------------
 # orders_mor — MOR fixture (FIXTURES.md §2.2): base + delta logs
 #   M1 bulk-insert orders; M2 delta-update (o_orderkey % 7 = 0 →
 #   o_totalprice * 2); M3 delta-delete (o_orderkey % 11 = 0)
