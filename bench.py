@@ -29,7 +29,9 @@ HEADLINE = [
     "lake_pruned_scan",        # column-stats file skipping
     "lake_cdc",                # net-effect change feed (boundary-snapshot diff)
     "lake_ivm_aggregate",      # incremental view maintenance from CDC delta
+    "lake_partition_evolution",  # repartition commit: snapshot + travel + delete view
     "mor_snapshot",            # B4 merge-on-read latest-per-key window
+    "stream_mor_ingest",       # B13->B4 delta-commit streaming ingest (merged read)
     "rel_q1_pricing_summary",  # B7 wide aggregation
     "rel_q3_top_orders",       # B7 3-way join + agg + top-k
     "rel_q5_nation_revenue",   # B7 6-way join
@@ -92,11 +94,17 @@ def main() -> None:
     import shutil
 
     from hudi_delete_view_spark.sources.delete_view import DeleteView
-    from hudi_delete_view_spark.sources.fixtures import C3, build_lineitem_cow, build_orders_mor
+    from hudi_delete_view_spark.sources.fixtures import (
+        C3,
+        build_lineitem_cow,
+        build_lineitem_evolved,
+        build_orders_mor,
+    )
 
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     cow = build_lineitem_cow(spark, sf_dir)
     build_orders_mor(spark, sf_dir)
+    build_lineitem_evolved(spark, sf_dir)
     # spawn the Python worker pool outside the timed region: a long-running
     # cluster amortizes worker startup, but in a fresh bench process the
     # first Arrow-UDF query would otherwise absorb several seconds of it

@@ -157,7 +157,74 @@ def stream_lake_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_mor_ingest",
+    # same lossless-ingest contract as stream_lake_ingest, but through the
+    # MOR write path: per-type counts, distinct keys, exact integer-cent
+    # sums of the MERGED snapshot must equal the source
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_id) AS n_keys,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY event_type
+""",
+)
+def stream_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into a MERGE-ON-READ table (B13 -> B4/B5): each
+    micro-batch lands as a delta commit (log slices, no base rewrite — the
+    write shape MOR exists for at ingest scale), then the compaction
+    planner folds any file group that crossed its threshold into base
+    files. The query aggregates the final merged snapshot; the oracle
+    aggregates the SOURCE — a hash match proves the delta-ingest (+
+    compaction when it fires) + merge pipeline is lossless and
+    duplicate-free end to end."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources.fixtures import SCRATCH_ROOT, scratch_tag
+    from ..sources.mor import MorTable
+    from ..streaming.ops import foreach_batch_upsert_delta
+
+    tag = scratch_tag(sf_dir)
+    base = os.path.join(SCRATCH_ROOT, "lake", tag, "events_mor_ingested")
+    marker = os.path.join(base, "_INGEST_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+    table = MorTable(
+        spark, base, key_fields=["event_id"],
+        partition_field="event_type", num_file_groups=4,
+    )
+    if not table.timeline.timestamps():
+        stream = events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        foreach_batch_upsert_delta(
+            stream, table, lambda bid: f"{20260302000000 + bid:014d}"
+        )
+        # compact whatever crossed the (bytes-disabled, 2-log) threshold —
+        # exercises the planner + compaction inside the ingest story; with
+        # availableNow one-batch replays this is a no-op, which the merged
+        # read must serve identically (log-only slices)
+        due = table.schedule_compaction(min_log_files=2)
+        if due:
+            table.compact(f"{20260302990000:014d}", groups=due)
+        with open(marker, "w") as f:
+            f.write("ok")
+    snap = table.snapshot()
+    return snap.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_id").alias("n_keys"),
+        F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("total_cents"),
+    )
+
+
+@query(
     "stream_static_join",
+    late=True,  # simplest streaming op (broadcast enrichment); funds the
+    # round-4 stream_mor_ingest slot, stays in the full local gate
     oracle="""
 SELECT e.event_type, c.c_mktsegment AS segment,
        COUNT(*) AS n_events,
