@@ -414,11 +414,68 @@ def hamming64(col_a, col_b):
     return F.bit_count(col_a.bitwiseXOR(col_b))
 
 
+def refine_simhash_buckets(
+    s: DataFrame, prefix_bits: int, bucket_cap: int | None
+) -> DataFrame:
+    """Split oversized SimHash prefix buckets on additional signature bits.
+
+    Input: (…, ``__sim``) rows already bucketed by the top ``prefix_bits``
+    bits in ``__bucket``. With ``bucket_cap`` set, any bucket holding
+    ``n > bucket_cap`` members is subdivided on the next
+    ``ceil(log2(n / cap))`` signature bits (one level, no recursion): the
+    within-bucket self-join is quadratic in occupancy, so a
+    boilerplate-heavy corpus that piles up in one prefix bucket would
+    otherwise hot-spot a single task with n^2/2 comparisons. After the
+    split each sub-bucket holds ~cap members in expectation whenever the
+    extra bits vary; a mass of BIT-IDENTICAL signatures cannot be split —
+    but its pairs are all genuine output (Hamming 0), i.e. the quadratic
+    there is in the answer, not the algorithm.
+
+    Recall cost is bounded and local: a pair is lost only if its Hamming
+    difference intersects the extra split bits — for pairs at distance
+    d <= max_hamming over the 60-bit signature with e extra bits, that's
+    ~ d*e/60 (measured in the skew pytest). Emits ``__eb`` (extra-bit
+    count) alongside the refined ``__bucket``; join on BOTH so buckets
+    split to different depths never alias."""
+    if not bucket_cap or bucket_cap <= 0:
+        return s.withColumn("__eb", F.lit(0))
+    occ = s.groupBy("__bucket").agg(F.count("*").alias("__n"))
+    eb = F.least(
+        F.lit(SIMHASH_BITS - prefix_bits),
+        F.greatest(
+            F.lit(0),
+            F.ceil(F.log2(F.col("__n") / F.lit(float(bucket_cap)))).cast("int"),
+        ),
+    )
+    return (
+        s.join(occ, "__bucket")
+        .withColumn("__eb", eb)
+        .withColumn(
+            "__bucket",
+            F.expr(
+                f"shiftrightunsigned(__sim, {SIMHASH_BITS - prefix_bits} - __eb)"
+            ),
+        )
+        .drop("__n")
+    )
+
+
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, prefix_bits: int = 12
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
-    (cheap LSH for Hamming space), then exact Hamming within buckets."""
+    (cheap LSH for Hamming space), then exact Hamming within buckets.
+
+    ``bucket_cap`` (None = off, keeping the bit-exact SQL-oracle
+    semantics) is the skew guard for the 100 TB path: buckets above the
+    cap split on extra signature bits (``refine_simhash_buckets``) so a
+    pathologically clustered corpus can't hot-spot one prefix bucket with
+    a quadratic self-join."""
     s = (
         spread(df)
         .select(F.col(id_col).alias("__id"), token_hashes(text_col).alias("__th"))
@@ -430,11 +487,12 @@ def simhash_near_pairs(
         if prefix_bits > 0
         else F.lit(0)
     )
-    s = s.withColumn("__bucket", bucket)
-    a = s.select(F.col("__id").alias("id_a"), F.col("__sim").alias("__sim_a"), "__bucket")
-    b = s.select(F.col("__id").alias("id_b"), F.col("__sim").alias("__sim_b"), "__bucket")
+    s = refine_simhash_buckets(s.withColumn("__bucket", bucket), prefix_bits, bucket_cap)
+    keys = ["__bucket", "__eb"]
+    a = s.select(F.col("__id").alias("id_a"), F.col("__sim").alias("__sim_a"), *keys)
+    b = s.select(F.col("__id").alias("id_b"), F.col("__sim").alias("__sim_b"), *keys)
     return (
-        a.join(b, "__bucket")
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", hamming64(F.col("__sim_a"), F.col("__sim_b")))
         .filter(F.col("hamming") <= max_hamming)

@@ -206,28 +206,42 @@ def ivf_centroids(
     nlist: int = 16,
     iters: int = 2,
 ) -> DataFrame:
-    """Deterministic mini k-means: init = the ``nlist`` lowest-id vectors,
-    then ``iters`` Lloyd rounds (assign via broadcast argmin, recompute by
-    element-wise mean). Returns (cid, cvec).
+    """Deterministic mini k-means (Lloyd): init = the ``nlist`` lowest-id
+    vectors, then ``iters`` rounds of assign + recompute. Returns
+    (cid, cvec).
+
+    Engine-exact by construction, which is what lets the ITERATIVE
+    training carry a bit-level DuckDB oracle (SURVEY §10.2): assignment
+    compares cosines quantized to 4 decimals with a lowest-cid tie-break
+    (a cross-engine flip would need two engines' cosines to straddle a
+    0.5e-4 grid edge within ~1e-12 — same robustness class as the other
+    sim oracles), and the centroid recompute is an integer-micro mean —
+    ``floor(x*1e6 + 0.5)`` summed as BIGINT, divided in a fixed order —
+    so every Lloyd round produces bit-identical doubles in any engine
+    regardless of float summation order. The oracle unrolls the same
+    rounds as nested CTEs (``queries/similarity.py``).
 
     Scale shape: centroids are KB-sized and broadcast; assignment is a
     narrow map over the corpus; the mean recompute explodes to
     (rows x dim) only during the offline build."""
     v = corpus.select(F.col(id_col).alias("__vid"), as_double_array(vec_col).alias("__v"))
-    cent = (
-        v.orderBy("__vid").limit(nlist)
-        .select(F.monotonically_increasing_id().alias("cid"), F.col("__v").alias("cvec"))
-    )
-    # stable small ids 0..nlist-1 (monotonic ids are partition-scoped)
-    cent = cent.select(
-        (F.row_number().over(Window.orderBy("cid")) - 1).alias("cid"), "cvec"
+    head = v.orderBy("__vid").limit(nlist)
+    cent = head.select(
+        (F.row_number().over(Window.orderBy("__vid")) - 1).cast("long").alias("cid"),
+        F.col("__v").alias("cvec"),
     )
     for _ in range(iters):
         assigned = _assign(v, cent)
         cent = (
             assigned.select("cid", F.posexplode("__v").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                F.sum(F.expr("cast(floor(val * 1000000 + 0.5) as bigint)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .withColumn(
+                "m", F.col("s").cast("double") / F.lit(1000000.0) / F.col("n")
+            )
             .groupBy("cid")
             .agg(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__pm")
@@ -238,9 +252,11 @@ def ivf_centroids(
 
 
 def _assign(v: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest centroid per vector by cosine (ties -> lowest cid)."""
+    """Nearest centroid per vector by cosine quantized to 4 decimals
+    (ties -> lowest cid) — the engine-portable argmax (see
+    ``ivf_centroids``)."""
     scored = v.crossJoin(F.broadcast(cent.select("cid", "cvec"))).withColumn(
-        "__cs", cosine_expr("__v", "cvec")
+        "__cs", F.round(cosine_expr("__v", "cvec"), 4)
     )
     w = Window.partitionBy("__vid").orderBy(F.desc("__cs"), F.asc("cid"))
     return (
@@ -279,7 +295,10 @@ def cosine_topk_ivf(
     )
 
     q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv"))
-    qscore = q.crossJoin(F.broadcast(cent)).withColumn("__cs", cosine_expr("__qv", "cvec"))
+    # probe selection quantized like the assignment (engine-portable order)
+    qscore = q.crossJoin(F.broadcast(cent)).withColumn(
+        "__cs", F.round(cosine_expr("__qv", "cvec"), 4)
+    )
     wq = Window.partitionBy("query_id").orderBy(F.desc("__cs"), F.asc("cid"))
     probes = (
         qscore.withColumn("__rn", F.row_number().over(wq))

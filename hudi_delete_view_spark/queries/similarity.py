@@ -156,11 +156,86 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_topk_ivf", late=True)  # rows-only; pytest checks recall vs bruteforce
+def _ivf_kmeans_sql(
+    k: int = 5, dim: int = 64, nlist: int = 16, nprobe: int = 4, iters: int = 2
+) -> str:
+    """DuckDB mirror of the FULL iterative k-means IVF funnel: the Lloyd
+    rounds are unrolled as nested CTEs. Each round's assignment uses the
+    same quantized-cosine argmax as Spark (ROUND 4, ties -> lowest cid)
+    and each centroid recompute uses the same integer-micro mean
+    (floor(x*1e6+0.5) summed as BIGINT, divided in a fixed order), so the
+    trained centroids are bit-identical doubles in both engines and the
+    whole pipeline — train, assign, probe, exact re-rank — hash-matches.
+    This is SURVEY §10.2's 'frozen centroids' taken one step further: the
+    centroids aren't frozen constants, they're re-derived in-oracle."""
+
+    def assign(cents: str, out: str, where: str = "", rn: str = "rn = 1") -> str:
+        return f"""
+{out} AS (
+  SELECT vec_id, cid, v FROM (
+    SELECT e.vec_id, {cents}.cid, e.v,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY ROUND(list_cosine_similarity(e.v, {cents}.cvec), 4) DESC, {cents}.cid) AS rn
+    FROM e CROSS JOIN {cents} {where}) WHERE {rn}
+)"""
+
+    def recompute(asg: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT cid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT {asg}.cid, g.i AS pos,
+      CAST(CAST(SUM(CAST(FLOOR({asg}.v[g.i] * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        / 1000000.0 / COUNT(*) AS m
+    FROM {asg}, generate_series(1, {dim}) AS g(i)
+    GROUP BY {asg}.cid, g.i)
+  GROUP BY cid
+)"""
+
+    ctes = [
+        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cvec
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {nlist})
+)""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(assign(prev, f"a{i}").strip())
+        ctes.append(recompute(f"a{i}", f"c{i}").strip())
+        prev = f"c{i}"
+    ctes.append(assign(prev, "lists").strip())
+    ctes.append(
+        f"""probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT e.vec_id, {prev}.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY ROUND(list_cosine_similarity(e.v, {prev}.cvec), 4) DESC, {prev}.cid) AS rn
+    FROM e CROSS JOIN {prev} WHERE e.vec_id < 20) WHERE rn <= {nprobe}
+)"""
+    )
+    return f"""
+WITH {', '.join(ctes)}
+SELECT query_id, neighbor_id, cosine,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM (
+  SELECT p.query_id, l.vec_id AS neighbor_id,
+    ROUND(list_cosine_similarity(q.v, l.v), 6) AS cosine
+  FROM probes p
+  JOIN lists l ON l.cid = p.cid AND l.vec_id != p.query_id
+  JOIN e q ON q.vec_id = p.query_id)
+QUALIFY rank <= {k}
+"""
+
+
+@query("sim_topk_ivf", late=True, oracle=_ivf_kmeans_sql())  # IVF family;
+# sim_topk_bruteforce/lsh hold the windowed slots
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (16 lists, probe 4): corpus bucketed by
-    nearest centroid; queries scan only their nprobe closest inverted
-    lists, then re-rank exactly."""
+    """IVF approximate top-5 (16 lists, 2 Lloyd rounds, probe 4): corpus
+    bucketed by nearest k-means centroid; queries scan only their nprobe
+    closest inverted lists, then re-rank exactly. Fully oracled since
+    round 4 — the deterministic Lloyd arithmetic (see ``ivf_centroids``)
+    lets DuckDB re-train the identical centroids in-query."""
     from ..operators.similarity import cosine_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings")

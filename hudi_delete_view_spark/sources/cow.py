@@ -490,6 +490,14 @@ class CowTable:
             # (clean() only sees files referenced by commit metadata)
             self._remove_written(written)
             raise
+        # published stats always cover the ACTIVE layout's partition field
+        # too (it may differ from the constructor's after a partition
+        # evolution — file skipping on the new partition column must work
+        # from any handle, old or new)
+        active_pf, _n = self._active_layout()
+        stats_cols = list(
+            dict.fromkeys([*self.stats_columns, *([active_pf] if active_pf else [])])
+        )
         p2ws: dict[str, list[WriteStat]] = {}
         total_deleted = 0
         for (partition, file_id), (rel_path, new_rows) in sorted(written.items()):
@@ -526,7 +534,7 @@ class CowTable:
                     num_deletes=deletes,
                     num_inserts=inserts,
                     file_size_bytes=os.path.getsize(abs_path),
-                    column_stats=footer_column_stats(abs_path, self.stats_columns),
+                    column_stats=footer_column_stats(abs_path, stats_cols),
                 )
             )
         meta = CommitMetadata(
@@ -908,6 +916,11 @@ class CowTable:
             )
         )
         written = self._write_file_groups(stamped, commit_ts)
+        # the evolution commit itself publishes stats for the NEW partition
+        # column (at publish time _active_layout still reads the old
+        # layout — the commit JSON lands inside _publish)
+        if new_pf:
+            self.stats_columns = list(dict.fromkeys([*self.stats_columns, new_pf]))
         return self._publish(
             commit_ts,
             "repartition",

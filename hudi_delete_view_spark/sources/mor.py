@@ -139,6 +139,11 @@ class MorTable(CowTable):
         except Exception:
             self._remove_written(written)
             raise
+        # same active-layout stats contract as CowTable._publish
+        active_pf, _n = self._active_layout()
+        stats_cols = list(
+            dict.fromkeys([*self.stats_columns, *([active_pf] if active_pf else [])])
+        )
         p2ws: dict[str, list[WriteStat]] = {}
         total_deleted = 0
         for (partition, file_id), (rel_path, rows) in sorted(written.items()):
@@ -157,7 +162,7 @@ class MorTable(CowTable):
                     file_size_bytes=os.path.getsize(os.path.join(self.base_path, rel_path)),
                     log_file=True,
                     column_stats=footer_column_stats(
-                        os.path.join(self.base_path, rel_path), self.stats_columns
+                        os.path.join(self.base_path, rel_path), stats_cols
                     ),
                 )
             )

@@ -268,3 +268,20 @@ def test_upsert_job_budget(spark, tmp_path, no_aqe):
     upd.count()
     ids = _jobs_for(spark, "upsert-job-count", lambda: t.upsert(upd, T2))
     assert len(ids) <= 4, f"upsert ran {len(ids)} jobs, expected <= 4"
+
+
+def test_stats_cover_new_partition_column(spark, tmp_path):
+    """After evolution, published column stats must include the NEW
+    partition field even from a handle constructed with the old args —
+    otherwise file skipping on the evolved layout goes conservative."""
+    base = str(tmp_path / "s")
+    t = CowTable(spark, base, key_fields=["k"], partition_field="grp", num_file_groups=2)
+    t.bulk_insert(_mk_df(spark, 60), T1)
+    t.evolve_partitioning(T2, partition_field="par")
+    t2 = CowTable(spark, base, key_fields=["k"], partition_field="grp", num_file_groups=2)
+    t2.upsert(_mk_df(spark, 80).filter("k >= 60"), T3)
+    kept, total = t2.pruned_files({"par": ("even", "even")})
+    assert total > len(kept) > 0, f"no pruning on evolved column ({len(kept)}/{total})"
+    got = t2.scan({"par": ("even", "even")})
+    assert {r[0] for r in got.select("par").distinct().collect()} == {"even"}
+    assert got.count() == 40  # evens among k < 80

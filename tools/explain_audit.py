@@ -92,6 +92,17 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # global shard shuffle: one window exchange, nothing else
     "curate_shuffle_shards": (["Window"], ["CartesianProduct", "Join"]),
+    # partition evolution: three parquet-backed reads (new-layout snapshot,
+    # old-layout travel, materialized delete view) unioned — pure scans,
+    # no join anywhere; the one-off rewrite cost lives in the commit, not
+    # in any read plan
+    "lake_partition_evolution": (["Union"], ["CartesianProduct", "Join"]),
+    # MOR streaming-ingest readback: merged snapshot (one latest-per-key
+    # window over base+logs) into a partial-agged group-by
+    "stream_mor_ingest": (["Window", "partial_"], ["CartesianProduct"]),
+    # k-means IVF: centroid side is nlist rows -> deliberate broadcast
+    # NLJ for assignment; the inverted-list probe join is an equi-join
+    "sim_topk_ivf": (["BroadcastNestedLoopJoin"], ["CartesianProduct"]),
 }
 
 # per-query session confs applied while building the audited plan
