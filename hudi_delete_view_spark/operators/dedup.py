@@ -431,10 +431,15 @@ def refine_simhash_buckets(
     but its pairs are all genuine output (Hamming 0), i.e. the quadratic
     there is in the answer, not the algorithm.
 
-    Recall cost is bounded and local: a pair is lost only if its Hamming
-    difference intersects the extra split bits — for pairs at distance
-    d <= max_hamming over the 60-bit signature with e extra bits, that's
-    ~ d*e/60 (measured in the skew pytest). Emits ``__eb`` (extra-bit
+    Recall trade (same class as the operator's existing prefix-LSH
+    character — pairs differing in the TOP prefix bits are already
+    missed): a pair survives the split iff none of its d differing bits
+    land in the e split positions, P = C(48-e, d)/C(48, d) for
+    uniformly-spread differences (~0.15 at d=8, e=9; ~0.66 at d=2) and
+    exactly 1.0 when differences sit below the split region (low-bit
+    twins — the common near-dup shape, verified in the skew pytest).
+    Production recall recovery, if needed, is the standard Manku-style
+    multi-table rotation, not a bigger bucket. Emits ``__eb`` (extra-bit
     count) alongside the refined ``__bucket``; join on BOTH so buckets
     split to different depths never alias."""
     if not bucket_cap or bucket_cap <= 0:

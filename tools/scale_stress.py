@@ -44,7 +44,60 @@ def replicate_vecs(vecs, n: int):
     return r.withColumn("vec_id", F.col("vec_id") + F.col("__rep") * base).drop("__rep")
 
 
+def simhash_skew_soak() -> None:
+    """Skew soak for the SimHash bucket cap (round 4): synthetic
+    signatures ALL sharing the top-12-bit prefix (the judge's
+    all-identical-prefix corpus), uniform below. Uncapped bucketing piles
+    every row into one bucket (n^2/2 comparisons, one task); the cap
+    splits on extra signature bits and the candidate join scales
+    ~linearly in n. Appends nothing — prints the table to paste into
+    SCALE.md. Usage: python tools/scale_stress.py --simhash-skew"""
+    import time as _t
+
+    from hudi_delete_view_spark.operators.dedup import refine_simhash_buckets
+    from hudi_delete_view_spark.session import get_spark
+
+    spark = get_spark("simhash-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def sigs(n):
+        return spark.range(n).select(
+            F.col("id").alias("__id"),
+            (
+                F.lit(0xABC << 48)
+                + F.xxhash64("id").bitwiseAND(F.lit((1 << 48) - 1))
+            ).alias("__sim"),
+        )
+
+    def run(n, cap):
+        s = sigs(n).withColumn("__bucket", F.shiftrightunsigned("__sim", 48))
+        s = refine_simhash_buckets(s, prefix_bits=12, bucket_cap=cap)
+        a = s.select(F.col("__id").alias("id_a"), F.col("__sim").alias("__sim_a"), "__bucket", "__eb")
+        b = s.select(F.col("__id").alias("id_b"), F.col("__sim").alias("__sim_b"), "__bucket", "__eb")
+        t0 = _t.monotonic()
+        cnt = (
+            a.join(b, ["__bucket", "__eb"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b"))) <= 8)
+            .count()
+        )
+        return _t.monotonic() - t0, cnt
+
+    print("| config | sec | pairs(h<=8) |")
+    print("|---|---|---|")
+    for n, cap, label in [
+        (20_000, None, "20k uncapped (1 bucket, 2e8 comparisons)"),
+        (20_000, 64, "20k cap=64"),
+        (200_000, 64, "200k cap=64 (10x data)"),
+    ]:
+        sec, cnt = run(n, cap)
+        print(f"| {label} | {sec:.1f} | {cnt} |", flush=True)
+
+
 def main() -> None:
+    if "--simhash-skew" in sys.argv:
+        simhash_skew_soak()
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
