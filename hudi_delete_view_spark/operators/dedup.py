@@ -573,3 +573,89 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental MinHash dedup (increment vs an already-deduped corpus)
+# --------------------------------------------------------------------------
+def minhash_dedup_incremental(
+    base: DataFrame,
+    inc: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    est_margin: float = 0.15,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Dedup an incoming increment against an existing corpus WITHOUT
+    re-pairing the corpus against itself — the ingest-time shape at 100 TB
+    (a daily crawl drop is deduped against petabytes of history; history
+    vs history was settled by earlier runs).
+
+    Scale design: base-vs-base candidate pairs are never generated. The
+    base side's band table is semi-joined down to buckets that contain at
+    least one increment member BEFORE the pair join, so corpus-side work
+    is proportional to bucket collisions with the increment, not corpus
+    size (in production the base signature/band table is a persisted
+    asset maintained by previous runs — recomputing it here stands in for
+    one read of that table). Pair orientation is fixed as (id_a = any
+    side, id_b = increment), so the drop rule is a single distinct on
+    id_b: an increment doc is dropped iff it verifies >= ``threshold``
+    against ANY base doc or against a smaller-id increment doc (the
+    deterministic survivor rule of ``minhash_dedup`` restricted to pairs
+    that touch the increment).
+
+    Returns the surviving increment rows (schema of ``inc``).
+    """
+    sig_base = _signature_table(base, id_col, text_col, shingle_k, num_hashes, bands)
+    sig_inc = _signature_table(inc, id_col, text_col, shingle_k, num_hashes, bands)
+
+    def _buckets(sig: DataFrame) -> DataFrame:
+        return sig.select("__id", F.posexplode("__bands").alias("__band_idx", "__band_hash"))
+
+    b_inc = _buckets(sig_inc)
+    # corpus-side pruning: only buckets an increment member lands in
+    b_base = _buckets(sig_base).join(
+        b_inc.select("__band_idx", "__band_hash").distinct(),
+        ["__band_idx", "__band_hash"],
+        "left_semi",
+    )
+    # (base, inc) collisions plus (inc, inc) collisions with id_a < id_b —
+    # the id_b side is ALWAYS an increment doc (base/inc ids are disjoint)
+    right = b_inc.select("__band_idx", "__band_hash", F.col("__id").alias("id_b"))
+    base_inc = b_base.select(
+        "__band_idx", "__band_hash", F.col("__id").alias("id_a")
+    ).join(right, ["__band_idx", "__band_hash"])
+    inc_inc = (
+        b_inc.select("__band_idx", "__band_hash", F.col("__id").alias("id_a"))
+        .join(right, ["__band_idx", "__band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    pairs = (
+        base_inc.unionByName(inc_inc)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__nc"))
+        .filter(F.col("__nc") >= 2)
+        .select("id_a", "id_b")
+    )
+    sig_all = sig_base.unionByName(sig_inc)
+    strong = (
+        signature_estimate_pairs(pairs, sig_all, num_hashes)
+        .filter(F.col("est_jaccard") >= threshold - est_margin)
+        .select("id_a", "id_b")
+    )
+    strong = register_cache(strong)
+    members = (
+        strong.select(F.col("id_a").alias(id_col))
+        .union(strong.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    corpus = base.unionByName(inc)
+    verified = ngram_jaccard_pairs(
+        corpus.join(F.broadcast(members), id_col, "left_semi"),
+        id_col, text_col, pairs=strong, threshold=threshold, shingle_k=shingle_k,
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return inc.join(losers, id_col, "left_anti")

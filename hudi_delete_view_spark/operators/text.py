@@ -284,3 +284,72 @@ def tfidf_top_terms(
             F.col("__rn").alias("rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-filter cascade (Gopher / C4-style heuristic document filters)
+# --------------------------------------------------------------------------
+# Thresholds are constructor-level knobs of the cascade; the defaults are
+# tuned so each rule is non-trivial on the synthetic documents corpus while
+# keeping the published Gopher/C4 shape (word-count band, mean-word-length
+# band, symbol ratio, stopword evidence, blacklist phrase).
+QF_MIN_WORDS = 20
+QF_MAX_WORDS = 90
+QF_MIN_MEAN_WORD_LEN = 3.0
+QF_MAX_MEAN_WORD_LEN = 4.75
+QF_MAX_SYMBOL_RATIO = 0.1
+QF_MIN_STOPWORD_HITS = 1
+QF_BLACKLIST = ["lorem ipsum"]
+
+
+def quality_filter_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach one boolean column per heuristic quality rule plus the
+    cascade verdict ``qf_pass`` (AND of all rules).
+
+    The rule set is the published Gopher/C4 heuristic-filter shape
+    (word-count band, mean-word-length band, symbol-to-char ratio,
+    stopword evidence, blacklisted phrases) re-expressed as pure JVM
+    expressions — every rule is a regexp/HOF over the text column, so the
+    whole cascade is one narrow projection inside WholeStageCodegen: no
+    shuffle, no Python, trivially linear at 100 TB and prunable to the
+    text column at the scan. Rules are kept as separate columns (not
+    pre-ANDed) so downstream curation can report per-rule rejection rates
+    with one aggregation over the same pass.
+    """
+    toks_arr = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+    n_words = F.expr(f"size({toks_arr})").cast("long")
+    sw_hits = F.expr(
+        "size(filter("
+        + f"filter(split(lower({text_col}), '\\\\s+'), x -> x != ''), "
+        + "t -> array_contains(array("
+        + ",".join(f"'{w}'" for w in EN_STOPWORDS)
+        + "), t)))"
+    )
+    lower_txt = F.lower(F.col(text_col))
+    blacklist_hit = None
+    for phrase in QF_BLACKLIST:
+        hit = lower_txt.contains(phrase)
+        blacklist_hit = hit if blacklist_hit is None else (blacklist_hit | hit)
+    out = (
+        df.withColumn("qf_n_words", n_words)
+        .withColumn("qf_mean_word_len", mean_token_len(text_col))
+        .withColumn("qf_symbol_ratio", punct_ratio(text_col))
+        .withColumn(
+            "r_word_count",
+            (F.col("qf_n_words") >= QF_MIN_WORDS)
+            & (F.col("qf_n_words") <= QF_MAX_WORDS),
+        )
+        .withColumn(
+            "r_mean_word_len",
+            (F.col("qf_mean_word_len") >= QF_MIN_MEAN_WORD_LEN)
+            & (F.col("qf_mean_word_len") <= QF_MAX_MEAN_WORD_LEN),
+        )
+        .withColumn("r_symbol_ratio", F.col("qf_symbol_ratio") <= QF_MAX_SYMBOL_RATIO)
+        .withColumn("r_stopwords", sw_hits >= QF_MIN_STOPWORD_HITS)
+        .withColumn("r_blacklist", ~blacklist_hit)
+    )
+    rules = ["r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_stopwords", "r_blacklist"]
+    verdict = None
+    for r in rules:
+        verdict = F.col(r) if verdict is None else (verdict & F.col(r))
+    return out.withColumn("qf_pass", verdict)

@@ -372,3 +372,35 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         aug, "vec_id", "embedding", threshold=0.95, bucket_bits=8, tables=8
     )
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+WITH {_minhash_funnel_ctes(min_collisions=2)}
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id % 5 = 0 AND doc_id NOT IN (
+  SELECT id_b FROM verified WHERE id_b % 5 = 0
+  UNION
+  SELECT id_a FROM verified WHERE id_a % 5 = 0 AND id_b % 5 != 0
+)
+""",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: the increment (doc_id % 5 = 0, a stand-in for a
+    new crawl drop) deduped against the already-settled corpus remainder.
+    Base-vs-base pairs are never generated and the corpus band table is
+    pruned to buckets an increment member touches — the work scales with
+    the increment, not the corpus (operators/dedup.py
+    ``minhash_dedup_incremental``). The oracle replays the global funnel
+    and keeps an increment doc iff it has no verified partner in the base
+    and no smaller-id verified partner in the increment — provably the
+    same rule the restricted pair generation enforces."""
+    from ..operators.dedup import minhash_dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    return minhash_dedup_incremental(base, inc, "doc_id", "text", threshold=0.8).select(
+        "doc_id", "source", "n_chars"
+    )

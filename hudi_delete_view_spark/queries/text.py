@@ -454,3 +454,41 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(q_micro).cast("double") / F.count("*") / 1000000.0, 6
         ).alias("avg_quality"),
     )
+
+
+# Quality-filter cascade (Gopher/C4-style) — per-rule flags + verdict.
+_QF_SW_HITS = f"len(list_filter({_TOKS_L}, t -> list_contains({_SW}, t)))"
+
+
+@query(
+    "text_quality_filter",
+    oracle=f"""
+SELECT doc_id, source,
+  len({_TOKS}) AS qf_n_words,
+  {_MEAN_TOK_LEN} AS qf_mean_word_len,
+  {_PUNCT_RATIO} AS qf_symbol_ratio,
+  (len({_TOKS}) >= 20 AND len({_TOKS}) <= 90) AS r_word_count,
+  ({_MEAN_TOK_LEN} >= 3.0 AND {_MEAN_TOK_LEN} <= 4.75) AS r_mean_word_len,
+  ({_PUNCT_RATIO} <= 0.1) AS r_symbol_ratio,
+  ({_QF_SW_HITS} >= 1) AS r_stopwords,
+  (NOT contains(lower(text), 'lorem ipsum')) AS r_blacklist,
+  ((len({_TOKS}) >= 20 AND len({_TOKS}) <= 90)
+   AND ({_MEAN_TOK_LEN} >= 3.0 AND {_MEAN_TOK_LEN} <= 4.75)
+   AND ({_PUNCT_RATIO} <= 0.1)
+   AND ({_QF_SW_HITS} >= 1)
+   AND (NOT contains(lower(text), 'lorem ipsum'))) AS qf_pass
+FROM documents
+""",
+)
+def text_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality-filter cascade (Gopher/C4 shape): per-rule boolean
+    flags plus the AND verdict, one narrow JVM projection per document —
+    the pre-training corpus gate that runs before dedup/curation."""
+    from ..operators.text import quality_filter_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_filter_flags(docs, "text").select(
+        "doc_id", "source", "qf_n_words", "qf_mean_word_len", "qf_symbol_ratio",
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_stopwords",
+        "r_blacklist", "qf_pass",
+    )

@@ -261,3 +261,43 @@ def test_simhash_cap_neutral_on_real_corpus(spark, sf_dir):
     assert base, "no pairs at hamming<=12 — corpus drifted?"
     recall = len(capped) / len(base)
     assert recall >= 0.9, f"cap recall {recall:.2f} ({len(capped)}/{len(base)})"
+
+
+def test_incremental_dedup_matches_global_rule(spark, docs):
+    """Incremental survivors == inc docs with no verified base partner and
+    no smaller-id verified inc partner (the restricted-funnel contract,
+    cross-checked against the GLOBAL verified-pair funnel)."""
+    from hudi_delete_view_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_verified_pairs,
+    )
+
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    survivors = {
+        r["doc_id"]
+        for r in minhash_dedup_incremental(base, inc, "doc_id", "text", threshold=0.8)
+        .select("doc_id").collect()
+    }
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in minhash_verified_pairs(docs, "doc_id", "text", threshold=0.8)
+        .select("id_a", "id_b").collect()
+    ]
+    inc_ids = {r["doc_id"] for r in inc.select("doc_id").collect()}
+    dropped = {b for a, b in pairs if b in inc_ids} | {
+        a for a, b in pairs if a in inc_ids and b not in inc_ids
+    }
+    assert survivors == inc_ids - dropped
+    assert survivors  # non-degenerate: something survives
+
+
+def test_incremental_dedup_no_base_pairs(spark, docs):
+    """Base rows pass through untouched and never appear in the output."""
+    from hudi_delete_view_spark.operators.dedup import minhash_dedup_incremental
+
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    out = minhash_dedup_incremental(base, inc, "doc_id", "text")
+    assert out.filter(F.col("doc_id") % 5 != 0).count() == 0
+    assert out.columns == inc.columns

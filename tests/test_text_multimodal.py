@@ -251,3 +251,34 @@ def test_pii_redaction_order_and_counts(spark):
     ).collect()[0]
     assert row["e"] == 1 and row["u"] == 1 and row["p"] == 1
     assert row["red"] == "mail <EMAIL> or call <PHONE>, see <URL> end"
+
+
+def test_quality_filter_verdict_is_and_of_rules(spark, sf_dir):
+    import os
+    from hudi_delete_view_spark.operators.text import quality_filter_flags
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = quality_filter_flags(docs, "text")
+    rules = ["r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_stopwords", "r_blacklist"]
+    bad = out.filter(
+        F.col("qf_pass")
+        != (F.col(rules[0]) & F.col(rules[1]) & F.col(rules[2]) & F.col(rules[3]) & F.col(rules[4]))
+    )
+    assert bad.count() == 0
+    # each band rule actually fires somewhere on the corpus (non-trivial
+    # thresholds) and the cascade keeps a non-trivial fraction
+    n = docs.count()
+    n_pass = out.filter("qf_pass").count()
+    assert 0 < n_pass < n
+    assert out.filter(~F.col("r_word_count")).count() > 0
+
+
+def test_quality_filter_blacklist_and_shape(spark):
+    from hudi_delete_view_spark.operators.text import quality_filter_flags
+
+    df = spark.createDataFrame(
+        [(1, "lorem ipsum " + "the quick brown fox jumps over the lazy dog " * 4)],
+        ["doc_id", "text"],
+    )
+    row = quality_filter_flags(df, "text").collect()[0]
+    assert row["r_blacklist"] is False and row["qf_pass"] is False
