@@ -111,6 +111,7 @@ def lake_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "lake_time_travel",
+    late=True,  # B2 keeps mor_time_travel + lake_partition_evolution pre_travel in-window
     oracle=f"""
 WITH li AS ({LINEITEM_DEDUP_CTE})
 SELECT {_KEY_SQL} AS {RECORD_KEY_FIELD},
@@ -508,3 +509,94 @@ def lake_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__cents") / F.lit(100.0), 6).alias("sum_qty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MERGE INTO: one mixed-action commit (matched update + matched delete +
+# not-matched insert). The section union proves the post-merge snapshot AND
+# the merge commit's delete view in a single hash match.
+# --------------------------------------------------------------------------
+_MERGE_QTY_SQL = "CASE WHEN l_partkey % 7 = 0 THEN l_quantity + 50.0 ELSE l_quantity END"
+_MERGE_CT_SQL = (
+    "CASE WHEN l_partkey % 7 = 0 THEN '20260102000000' ELSE '20260101000000' END"
+)
+
+
+@query(
+    "lake_merge_into",
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT 'post_snapshot' AS section,
+       {_MERGE_CT_SQL} AS {COMMIT_TIME_FIELD},
+       {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       l_returnflag AS {PARTITION_PATH_FIELD},
+       {_PAYLOAD_SQL.format(qty=_MERGE_QTY_SQL)}
+FROM li WHERE l_orderkey % 13 != 0
+UNION ALL
+SELECT 'post_snapshot' AS section,
+       '20260102000000' AS {COMMIT_TIME_FIELD},
+       {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       l_returnflag AS {PARTITION_PATH_FIELD},
+       {_PAYLOAD_SQL.format(qty="l_quantity")}
+FROM (SELECT * REPLACE (l_linenumber + 100 AS l_linenumber) FROM li
+      WHERE l_partkey % 19 = 0 AND l_orderkey % 13 != 0) li2
+UNION ALL
+SELECT 'delete_view' AS section,
+       '20260102000000' AS {COMMIT_TIME_FIELD},
+       {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       l_returnflag AS {PARTITION_PATH_FIELD},
+       {_PAYLOAD_SQL.format(qty="l_quantity")}
+FROM li WHERE l_orderkey % 13 = 0
+""",
+)
+def lake_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MERGE INTO as ONE commit (sources/cow.py ``merge_into``): the
+    post-merge snapshot carries updates (qty+50, restamped), untouched
+    survivors (original stamps), matched deletes removed, and new keys
+    inserted — and the SAME commit's delete view reconstructs exactly the
+    matched-delete rows (numDeletes > 0 stats prune + prevCommit anti-join,
+    the flagship pipeline fed by a mixed-action writer)."""
+    from ..sources.fixtures import build_lineitem_merged
+
+    table = build_lineitem_merged(spark, sf_dir)
+    post = _project(table.snapshot()).withColumn("section", F.lit("post_snapshot"))
+    dv = _project(delete_view(spark, table.base_path, C2)).withColumn(
+        "section", F.lit("delete_view")
+    )
+    return post.unionByName(dv)
+
+
+# --------------------------------------------------------------------------
+# Record-index point lookup: hash routing plans a scan over ONLY the file
+# groups the requested keys can live in (one group per key), then the
+# key-column bloom filters skip row groups inside those files.
+# --------------------------------------------------------------------------
+@query(
+    "lake_point_lookup",
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT {_CT_SQL} AS {COMMIT_TIME_FIELD},
+       {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       l_returnflag AS {PARTITION_PATH_FIELD},
+       {_PAYLOAD_SQL.format(qty=_QTY_SQL)}
+FROM li WHERE l_partkey % 251 = 0 AND l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+""",
+)
+def lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch point lookup through the record index (sources/cow.py
+    ``lookup``): the key set (every li key with l_partkey % 251 = 0 —
+    including keys the C3/C4 deletes removed, which must come back empty)
+    routes driver-side to its hash-assigned file groups; only those files
+    are planned. The oracle is the snapshot restricted to the same keys."""
+    from ..sources.fixtures import LINEITEM_KEY, dedup_lineitem
+    import os as _os
+
+    table = build_lineitem_cow(spark, sf_dir)
+    src = dedup_lineitem(spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet")))
+    keys = [
+        (r["l_orderkey"], r["l_linenumber"], r["l_partkey"], r["l_suppkey"], r["l_returnflag"])
+        for r in src.filter("l_partkey % 251 = 0")
+        .select(*LINEITEM_KEY, "l_returnflag")
+        .collect()
+    ]
+    return _project(table.lookup(keys))

@@ -89,6 +89,7 @@ def _delete_view_projection(dv: DataFrame) -> DataFrame:
 
 @query(
     "mor_delete_view_log_only",
+    late=True,  # variant; mor_delete_view + across_compaction stay windowed
     # M5 tombstones target o_orderkey % 13 = 0 but the % 11 keys were
     # already deleted at M3, so only the remainder is actually deleted
     oracle=f"""

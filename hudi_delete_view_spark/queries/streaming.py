@@ -90,7 +90,11 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(session_stats(events_stream(spark, sf_dir)))
 
 
-@query("stream_dedup_users", oracle="SELECT DISTINCT user_id FROM events")
+@query(
+    "stream_dedup_users",
+    late=True,  # watermark-dedup covered by pytest; stream family keeps 6 windowed rows
+    oracle="SELECT DISTINCT user_id FROM events",
+)
 def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: one row per user (append mode; the row
     kept per key is arbitrary, so only the key column is exposed)."""

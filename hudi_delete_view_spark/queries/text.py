@@ -115,6 +115,7 @@ def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_fingerprint_groups",
+    late=True,  # exact-dup grouping redundant with dedup_exact_docs + text_stats fingerprint
     oracle=f"""
 SELECT {_FP} AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
 FROM documents GROUP BY fingerprint HAVING COUNT(*) >= 1

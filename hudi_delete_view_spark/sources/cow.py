@@ -466,6 +466,7 @@ class CowTable:
         read_ts: str | None = "__unchecked__",
         conflict_any: bool = False,
         extra: dict | None = None,
+        explicit_stats: dict[tuple[str, str], tuple[int, int, int]] | None = None,
     ) -> CommitMetadata:
         """Derive write stats arithmetically and publish the commit JSON.
 
@@ -508,7 +509,15 @@ class CowTable:
                 else 0
             )
             inc = (incoming_counts or {}).get((partition, file_id), 0)
-            if is_delete:
+            if explicit_stats is not None:
+                # mixed-action commits (MERGE): updates/inserts/deletes were
+                # classified by the writer (matched vs not, delete-flagged vs
+                # not) — the prev/inc arithmetic below can't separate a
+                # delete from an update that landed in the same group
+                updates, inserts, deletes = explicit_stats.get(
+                    (partition, file_id), (0, 0, 0)
+                )
+            elif is_delete:
                 deletes = prev_rows - new_rows
                 updates = 0
                 inserts = 0
@@ -672,6 +681,106 @@ class CowTable:
     def delete_where(self, condition, commit_ts: str) -> CommitMetadata:
         """Predicate delete: snapshot → filter → key-delete."""
         return self.delete(self.snapshot().filter(condition), commit_ts)
+
+    def merge_into(
+        self, source: DataFrame, commit_ts: str, delete_condition=None
+    ) -> CommitMetadata:
+        """SQL ``MERGE INTO`` as ONE commit (the Delta/Hudi mixed-action
+        write): source rows satisfying ``delete_condition`` delete their
+        target keys WHEN MATCHED; every other source row updates WHEN
+        MATCHED and inserts WHEN NOT MATCHED. Unmatched delete-flagged rows
+        are no-ops (standard MERGE semantics).
+
+        Single-commit is the point — upsert-then-delete would cost two
+        group rewrites and leave an intermediate timeline state readers can
+        observe. Here the affected file groups are rewritten once:
+        survivors (old rows whose key the source doesn't touch, original
+        meta preserved) ∪ upserted source rows. Per-group
+        updates/inserts/deletes are classified against the old keys and
+        published explicitly, so a merge with matched deletes feeds the
+        delete view exactly like a delete commit (``numDeletes > 0`` +
+        ``prevCommit`` pairing; the view's anti-join reconstructs the
+        deleted rows — SURVEY §2 A2/B6, DeleteView.java:100).
+
+        Scale shape: one classification aggregation over (source keys ⋈
+        old keys, both pruned to key+group columns), then the same
+        single-shuffle group rewrite every writer uses. Only affected
+        groups are read or written; AQE broadcasts the source side when
+        the batch is small.
+        """
+        if delete_condition is None:
+            delete_condition = F.lit(False)
+        elif isinstance(delete_condition, str):
+            delete_condition = F.expr(delete_condition)
+        stamped = self._with_meta(source, commit_ts)
+        deduped = self._dedup_incoming(stamped).withColumn(
+            "__is_del", F.coalesce(delete_condition, F.lit(False))
+        )
+        self._ensure_new_commit_ts(commit_ts)
+        read_ts = self.timeline.latest_timestamp()
+        prev_slices = resolve_slices(self.timeline)
+
+        # classification: matched (key exists in its routed group) x
+        # delete-flagged → per-group (updates, inserts, deletes). One
+        # aggregation job over key+group columns only (old side pruned to
+        # the key column by Catalyst).
+        src_keys = deduped.select(_PP, _FID, RECORD_KEY_FIELD, "__is_del")
+        groups_all = {
+            (r[_PP], r[_FID]) for r in src_keys.select(_PP, _FID).distinct().collect()
+        }
+        old = self._read_groups(prev_slices, groups_all & set(prev_slices))
+        if old is not None:
+            old_keys = old.select(RECORD_KEY_FIELD).withColumn("__m", F.lit(True))
+            cls = src_keys.join(old_keys, RECORD_KEY_FIELD, "left")
+        else:
+            cls = src_keys.withColumn("__m", F.lit(None).cast("boolean"))
+        m = F.col("__m").isNotNull()
+        d = F.col("__is_del")
+        counts = {
+            (r[_PP], r[_FID]): (r["u"], r["i"], r["d"])
+            for r in cls.groupBy(_PP, _FID)
+            .agg(
+                F.count(F.when(m & ~d, 1)).alias("u"),
+                F.count(F.when(~m & ~d, 1)).alias("i"),
+                F.count(F.when(m & d, 1)).alias("d"),
+            )
+            .collect()
+        }
+        # groups with only unmatched delete-flagged rows are full no-ops
+        affected = {
+            g for g, (u, i, dd) in counts.items()
+            if u or i or dd  # something to write or remove
+        }
+        counts = {g: c for g, c in counts.items() if g in affected}
+
+        # survivors come ONLY from affected groups — a group whose source
+        # rows were all unmatched deletes is a full no-op and must not be
+        # rewritten (its slice stays owned by its previous commit)
+        old_w = self._read_groups(prev_slices, affected & set(prev_slices))
+        survivors = None
+        if old_w is not None:
+            survivors = old_w.join(
+                deduped.select(F.col(RECORD_KEY_FIELD)).distinct(),
+                on=RECORD_KEY_FIELD,
+                how="left_anti",
+            )
+        upserts = deduped.filter(~F.col("__is_del")).drop(_PP, _FID, "__is_del")
+        if survivors is not None:
+            merged = survivors.unionByName(upserts, allowMissingColumns=True)
+        else:
+            merged = upserts
+        merged = merged.withColumn(_PP, F.col(PARTITION_PATH_FIELD)).withColumn(
+            _FID, file_id_expr(F.col(FILE_NAME_FIELD))
+        )
+        written = self._write_file_groups(
+            merged, commit_ts, expected_groups=sorted(affected)
+        )
+        return self._publish(
+            commit_ts, "merge", written, prev_slices,
+            schema_json=merged.drop(_PP, _FID).schema.json(),
+            read_ts=read_ts,
+            explicit_stats=counts,
+        )
 
     def _lookup_probe(self, keys: list[tuple]) -> tuple[set, set]:
         """(wanted record keys, {(partition, file_id)}) for key tuples in

@@ -283,3 +283,55 @@ def build_orders_mor_compacted(spark: SparkSession, sf_dir: str, base_path: str 
         src.filter(F.expr(MOR_DELETE2_PRED_SQL)).select("o_orderkey", "o_orderstatus"), C5
     )
     return table
+
+
+# --------------------------------------------------------------------------
+# lineitem_merged — MERGE INTO fixture: one mixed-action commit.
+#   G1 bulk-insert dedup(lineitem)
+#   G2 MERGE: matched update  (l_partkey % 7 = 0 AND l_orderkey % 13 != 0,
+#                              quantity += 50),
+#             matched delete  (l_orderkey % 13 = 0),
+#             not-matched insert (l_partkey % 19 = 0 AND l_orderkey % 13 != 0,
+#                                 l_linenumber += 100 → guaranteed-new key)
+# The three source parts are key-disjoint by construction, so the commit's
+# per-row action is a pure function of the source predicates — the whole
+# post-merge state (and the merge commit's delete view) is DuckDB-SQL.
+# --------------------------------------------------------------------------
+MERGE_UPDATE_PRED_SQL = "l_partkey % 7 = 0 AND l_orderkey % 13 != 0"
+MERGE_DELETE_PRED_SQL = "l_orderkey % 13 = 0"
+MERGE_INSERT_PRED_SQL = "l_partkey % 19 = 0 AND l_orderkey % 13 != 0"
+
+
+def lineitem_merged_path(sf_dir: str) -> str:
+    tag = scratch_tag(sf_dir)
+    return os.path.join(SCRATCH_ROOT, "lake", tag, "lineitem_merged")
+
+
+def build_lineitem_merged(spark: SparkSession, sf_dir: str, base_path: str | None = None) -> CowTable:
+    base_path = base_path or lineitem_merged_path(sf_dir)
+    table = CowTable(
+        spark,
+        base_path,
+        key_fields=LINEITEM_KEY,
+        partition_field="l_returnflag",
+        num_file_groups=4,
+    )
+    if table.timeline.timestamps() == [C1, C2]:
+        return table
+    import shutil
+
+    shutil.rmtree(base_path, ignore_errors=True)
+    os.makedirs(base_path, exist_ok=True)
+    src = dedup_lineitem(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
+    table.bulk_insert(src, C1)
+
+    updates = src.filter(F.expr(MERGE_UPDATE_PRED_SQL)).withColumn(
+        "l_quantity", F.col("l_quantity") + F.lit(50.0)
+    )
+    deletes = src.filter(F.expr(MERGE_DELETE_PRED_SQL))
+    inserts = src.filter(F.expr(MERGE_INSERT_PRED_SQL)).withColumn(
+        "l_linenumber", F.col("l_linenumber") + F.lit(100)
+    )
+    source = updates.unionByName(deletes).unionByName(inserts)
+    table.merge_into(source, C2, delete_condition=MERGE_DELETE_PRED_SQL)
+    return table

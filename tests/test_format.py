@@ -760,3 +760,77 @@ def test_savepoint_guards(spark, scratch):
     t.clean(retain_last_n=2)  # reclaims C1's slice
     with pytest.raises(TimelineError, match="already cleaned"):
         t.savepoint("20300101000000")
+
+
+def test_merge_into_mixed_actions_one_commit(spark, scratch):
+    """MERGE: matched update + matched delete + not-matched insert land in
+    ONE commit with per-action stats, the delete view reconstructs the
+    matched deletes, and unmatched deletes are no-ops."""
+    from hudi_delete_view_spark.sources.delete_view import delete_view
+
+    t = CowTable(
+        spark, os.path.join(scratch, "mrg"), key_fields=["k"],
+        partition_field="p", num_file_groups=2,
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(k, f"p{k % 2}", k * 10) for k in range(1, 11)], "k int, p string, v int"
+        ),
+        "20270601000000",
+    )
+    src = spark.createDataFrame(
+        [(1, "p1", 999, False), (4, "p0", 999, False),   # matched updates
+         (3, "p1", 0, True), (6, "p0", 0, True),         # matched deletes
+         (21, "p1", 210, False),                         # not-matched insert
+         (99, "p1", 0, True)],                           # unmatched delete: no-op
+        "k int, p string, v int, is_del boolean",
+    )
+    meta = t.merge_into(src, "20270602000000", delete_condition="is_del")
+    assert meta.operation == "merge"
+    assert t.timeline.timestamps() == ["20270601000000", "20270602000000"]
+    got = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+    assert got == {1: 999, 2: 20, 4: 999, 5: 50, 7: 70, 8: 80, 9: 90, 10: 100, 21: 210}
+    u = sum(s.num_update_writes for _p, s in meta.all_stats())
+    i = sum(s.num_inserts for _p, s in meta.all_stats())
+    d = sum(s.num_deletes for _p, s in meta.all_stats())
+    assert (u, i, d) == (2, 1, 2)
+    assert meta.total_records_deleted == 2
+    dv = {r["k"] for r in delete_view(spark, t.base_path, "20270602000000").collect()}
+    assert dv == {3, 6}
+    # untouched rows keep their original commit stamp; updated rows restamp
+    ct = {r["k"]: r[COMMIT_TIME_FIELD] for r in t.snapshot().collect()}
+    assert ct[2] == "20270601000000" and ct[1] == "20270602000000"
+
+
+def test_merge_into_unmatched_delete_only_group_not_rewritten(spark, scratch):
+    """A file group whose only source rows are unmatched deletes must not
+    be rewritten (no orphan file, slice ownership unchanged)."""
+    t = CowTable(
+        spark, os.path.join(scratch, "mrg2"), key_fields=["k"],
+        partition_field=None, num_file_groups=1,
+    )
+    t.bulk_insert(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"), "20270601000000")
+    src = spark.createDataFrame([(77, 0, True)], "k int, v int, is_del boolean")
+    meta = t.merge_into(src, "20270602000000", delete_condition="is_del")
+    # nothing written, nothing deleted; snapshot unchanged and still owned
+    # by the first commit
+    assert not meta.partition_to_write_stats or all(
+        not stats for stats in meta.partition_to_write_stats.values()
+    )
+    snap = t.snapshot()
+    assert {r["k"] for r in snap.collect()} == {1, 2}
+    assert {r[COMMIT_TIME_FIELD] for r in snap.collect()} == {"20270601000000"}
+
+
+def test_merge_into_schema_evolution(spark, scratch):
+    """A merge whose source adds a column evolves the schema: survivors
+    surface the new column as NULL."""
+    t = CowTable(
+        spark, os.path.join(scratch, "mrg3"), key_fields=["k"],
+        partition_field=None, num_file_groups=1,
+    )
+    t.bulk_insert(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"), "20270601000000")
+    src = spark.createDataFrame([(1, 11, "x", False)], "k int, v int, tag string, is_del boolean")
+    t.merge_into(src, "20270602000000", delete_condition="is_del")
+    rows = {r["k"]: (r["v"], r["tag"]) for r in t.snapshot().select("k", "v", "tag").collect()}
+    assert rows == {1: (11, "x"), 2: (20, None)}

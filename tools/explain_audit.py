@@ -103,6 +103,22 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # k-means IVF: centroid side is nlist rows -> deliberate broadcast
     # NLJ for assignment; the inverted-list probe join is an equi-join
     "sim_topk_ivf": (["BroadcastNestedLoopJoin"], ["CartesianProduct"]),
+    # MERGE INTO readback: post-merge snapshot + the merge commit's
+    # materialized delete view — pure parquet scans unioned, the
+    # mixed-action rewrite cost lives in the commit
+    "lake_merge_into": (["Union"], ["CartesianProduct", "Join"]),
+    # record-index point lookup: the key set is pushed into the pruned
+    # scan (In filter on the record key; bloom filters skip row groups) —
+    # no join, no shuffle
+    "lake_point_lookup": (["In(_hoodie_record_key"], ["Join", "Exchange"]),
+    # incremental dedup: bucket equi-joins only (never all-pairs), Arrow
+    # signature UDF, final survivors anti-join
+    "dedup_incremental_minhash": (
+        ["ArrowEvalPython", "LeftAnti"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # quality-filter cascade: one narrow JVM projection — no shuffle/join
+    "text_quality_filter": ([], ["Join", "CartesianProduct"]),
 }
 
 # per-query session confs applied while building the audited plan
