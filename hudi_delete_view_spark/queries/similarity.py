@@ -245,6 +245,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_dedup_topk",
+    late=True,  # composite of two windowed families; slot goes to stream_incremental_dedup
     # end-to-end LLM-pipeline composition: exact text dedup -> join to the
     # embedding table -> exact top-3 neighbors among surviving docs only
     oracle="""

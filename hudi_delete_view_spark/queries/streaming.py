@@ -383,3 +383,111 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no files, and schema inference would raise instead of returning the
     # empty frame the batch sibling produces
     return spark.read.schema("doc_id long, source string, n_chars long").parquet(out_dir)
+
+
+def _stream_incr_dedup_oracle() -> str:
+    """Funnel CTEs + the arrival-order drop rule: batch(doc) = doc_id % 4
+    (the scripted file split), a doc is dropped iff some verified partner
+    arrived strictly earlier (smaller batch, or same batch with smaller
+    id). Pure SQL because the scripted batch order is a total preorder on
+    doc_id."""
+    from .dedup import _minhash_funnel_ctes
+
+    return f"""
+WITH {_minhash_funnel_ctes(min_collisions=2)},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION ALL SELECT id_b, id_a FROM verified
+)
+SELECT d.doc_id, CAST(d.doc_id % 4 AS BIGINT) AS batch, d.source, d.n_chars
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM edges e
+  WHERE e.v = d.doc_id
+    AND (e.u % 4 < d.doc_id % 4
+         OR (e.u % 4 = d.doc_id % 4 AND e.u < d.doc_id))
+)
+"""
+
+
+@query("stream_incremental_dedup", oracle=_stream_incr_dedup_oracle())
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dup removal: documents arrive as a 4-file
+    stream (one micro-batch per file, scripted order = doc_id % 4) and
+    each batch is deduped against EVERYTHING seen so far via
+    ``minhash_dedup_incremental`` inside ``foreachBatch`` — corpus-vs-
+    corpus pairs are never regenerated, so per-batch work scales with the
+    batch (SURVEY B9+B13). The seen-corpus state is an append-only parquet
+    dir; at 100 TB that state is the persisted signature/band asset the
+    incremental operator is designed around (recomputing signatures from
+    seen text here stands in for one read of it). Drop rule per batch:
+    verified match against any earlier-arrived doc, or a smaller-id doc of
+    the same batch — the oracle replays it as a DuckDB funnel + an
+    arrival-order EXISTS."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..operators.dedup import minhash_dedup_incremental
+    from ..sources.fixtures import SCRATCH_ROOT, scratch_tag
+
+    docs_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    tag = scratch_tag(sf_dir)
+    root = os.path.join(SCRATCH_ROOT, "stream", tag, "incr_dedup")
+    in_dir, seen_dir, out_dir = (os.path.join(root, d) for d in ("in", "seen", "out"))
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(in_dir, exist_ok=True)
+    os.makedirs(seen_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # scripted arrival order: file batch-k holds doc_id % 4 = k; mtimes
+    # increase with k so the file source's (modTime, path) order is the
+    # batch order on any filesystem
+    for k in range(4):
+        path = os.path.join(in_dir, f"batch-{k}.parquet")
+        pdf = docs.filter(F.col("doc_id") % 4 == k).toPandas()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        os.utime(path, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+
+    def sink(batch_df, batch_id):
+        batch = batch_df.persist()
+        try:
+            seen_files = [f for f in os.listdir(seen_dir) if f.endswith(".parquet")]
+            if seen_files:
+                base = spark.read.schema(docs_schema).parquet(seen_dir)
+            else:
+                base = spark.createDataFrame([], docs_schema)
+            survivors = minhash_dedup_incremental(base, batch, "doc_id", "text", threshold=0.8)
+            survivors.select(
+                "doc_id", (F.col("doc_id") % 4).cast("long").alias("batch"),
+                "source", "n_chars",
+            ).write.mode("append").parquet(out_dir)
+            batch.write.mode("append").parquet(seen_dir)
+        finally:
+            batch.unpersist()
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.schema(
+        "doc_id long, batch long, source string, n_chars long"
+    ).parquet(out_dir)

@@ -140,3 +140,30 @@ def test_stateful_totals_accumulate_across_batches(spark, scratch):
     assert max(c for _b, _t, c in by_user[2]) == 1000  # 5+2+3 in cents
     # two emission rows per user (one per batch in which the user appeared)
     assert len(by_user[1]) == 2 and len(by_user[2]) == 2
+
+
+def test_stream_incremental_dedup_invariants(spark, sf_dir):
+    """The streaming incremental dedup: batch-0 survivors equal the batch
+    dedup of the same slice (empty base == plain minhash_dedup), the batch
+    tag is doc_id % 4, and later-batch survivors never collide with any
+    earlier-arrived doc."""
+    from pyspark.sql import functions as F
+
+    from hudi_delete_view_spark.operators.dedup import minhash_dedup
+    from hudi_delete_view_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["stream_incremental_dedup"](spark, sf_dir)
+    rows = [(r["doc_id"], r["batch"]) for r in out.collect()]
+    assert all(b == d % 4 for d, b in rows)
+    import os
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    b0 = docs.filter(F.col("doc_id") % 4 == 0)
+    expect0 = {r["doc_id"] for r in minhash_dedup(b0, "doc_id", "text", threshold=0.8)
+               .select("doc_id").collect()}
+    got0 = {d for d, b in rows if b == 0}
+    assert got0 == expect0
+    # survivors are a subset of the corpus and non-degenerate
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    got = {d for d, _b in rows}
+    assert got <= all_ids and len(got) > len(all_ids) // 2
