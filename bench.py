@@ -37,9 +37,11 @@ HEADLINE = [
     "rel_q5_nation_revenue",   # B7 6-way join
     "rel_window_topk_per_group",
     "rel_asof_join",
+    "lake_merge_into",         # B5 MERGE INTO readback (snapshot + delete view)
     "dedup_exact_count",       # B8 exact dedup
     "dedup_minhash_survivors", # B9 MinHash-LSH near-dup
     "dedup_minhash_clusters",  # B9 funnel + connected-components resolution
+    "dedup_incremental_minhash",  # B9 increment-vs-corpus funnel
     "text_chunks",             # B11 token-window chunking
     "text_stats",              # B11 text analysis
     "text_tfidf_top_terms",    # B11 corpus-level tf-idf

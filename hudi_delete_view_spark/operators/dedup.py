@@ -588,11 +588,18 @@ def minhash_dedup_incremental(
     shingle_k: int = 5,
     num_hashes: int = 64,
     bands: int = 16,
+    base_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup an incoming increment against an existing corpus WITHOUT
     re-pairing the corpus against itself — the ingest-time shape at 100 TB
     (a daily crawl drop is deduped against petabytes of history; history
     vs history was settled by earlier runs).
+
+    ``base_sig`` is the corpus's precomputed signature/band table (the
+    persisted asset previous runs maintain — columns ``__id/__sig/
+    __bands`` as produced by the signature stage). When given, the corpus
+    text is touched ONLY to shingle verified-pair members; without it the
+    signatures are recomputed from ``base`` (one extra linear pass).
 
     Scale design: base-vs-base candidate pairs are never generated. The
     base side's band table is semi-joined down to buckets that contain at
@@ -609,7 +616,11 @@ def minhash_dedup_incremental(
 
     Returns the surviving increment rows (schema of ``inc``).
     """
-    sig_base = _signature_table(base, id_col, text_col, shingle_k, num_hashes, bands)
+    sig_base = (
+        base_sig
+        if base_sig is not None
+        else _signature_table(base, id_col, text_col, shingle_k, num_hashes, bands)
+    )
     sig_inc = _signature_table(inc, id_col, text_col, shingle_k, num_hashes, bands)
 
     def _buckets(sig: DataFrame) -> DataFrame:

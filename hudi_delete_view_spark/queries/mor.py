@@ -212,6 +212,7 @@ def mor_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mor_incremental",
+    late=True,  # B3 keeps lake_incremental windowed; slot goes to mor_merge_delta
     # changes in (M1, M3]: the M2 updated versions minus keys tombstoned
     # at M3 (the tombstones themselves are dropped from the result)
     oracle=f"""
@@ -226,3 +227,68 @@ def mor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.fixtures import C1
 
     return _project(table.incremental(C1, C3))
+
+
+# --------------------------------------------------------------------------
+# MOR MERGE: one mixed-action delta commit (row versions + tombstones in
+# the SAME log slice). Section union proves merged snapshot AND the merge
+# commit's delete view in one hash match.
+# --------------------------------------------------------------------------
+_MM_PRICE_SQL = (
+    "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END"
+)
+_MM_CT_SQL = (
+    "CASE WHEN o_orderkey % 7 = 0 THEN '20260102000000' ELSE '20260101000000' END"
+)
+
+
+@query(
+    "mor_merge_delta",
+    oracle=f"""
+SELECT 'post_snapshot' AS section,
+       {_MM_CT_SQL} AS {COMMIT_TIME_FIELD},
+       CAST(o_orderkey AS VARCHAR) AS {RECORD_KEY_FIELD},
+       {_ORDERS_SQL.format(price=_MM_PRICE_SQL)}
+FROM orders WHERE o_orderkey % 11 != 0
+UNION ALL
+SELECT 'post_snapshot' AS section,
+       '20260102000000' AS {COMMIT_TIME_FIELD},
+       CAST(o_orderkey + 11000000 AS VARCHAR) AS {RECORD_KEY_FIELD},
+       o_orderkey + 11000000 AS o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 19 = 0 AND o_orderkey % 11 != 0
+UNION ALL
+SELECT 'delete_view' AS section,
+       '20260102000000' AS {COMMIT_TIME_FIELD},
+       CAST(o_orderkey AS VARCHAR) AS {RECORD_KEY_FIELD},
+       {_ORDERS_SQL.format(price="o_totalprice")}
+FROM orders WHERE o_orderkey % 11 = 0
+""",
+)
+def mor_merge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on merge-on-read (sources/mor.py ``merge_delta``): one
+    delta commit appends log slices carrying updates, inserts AND delete
+    tombstones; the merged read resolves all three and the same commit's
+    delete view reconstructs exactly the tombstoned rows from the log —
+    no base file was rewritten."""
+    from ..sources.fixtures import build_orders_mor_merged
+
+    table = build_orders_mor_merged(spark, sf_dir)
+    snap = table.snapshot()
+    post = snap.select(
+        F.lit("post_snapshot").alias("section"),
+        F.col(COMMIT_TIME_FIELD), F.col(RECORD_KEY_FIELD),
+        *_ORDER_COLS,
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+    dv = table.delete_view(C2)
+    dv = dv.select(
+        F.lit("delete_view").alias("section"),
+        F.col(COMMIT_TIME_FIELD), F.col(RECORD_KEY_FIELD),
+        *_ORDER_COLS,
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+    return post.unionByName(dv)

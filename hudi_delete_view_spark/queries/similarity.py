@@ -423,3 +423,56 @@ def sim_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rank <= 5")
         .select("query_id", F.col("nid").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+_BF_TOPK_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id
+  ) AS INT) AS rank
+FROM e q JOIN e c ON q.vec_id != c.vec_id
+WHERE q.vec_id < 20
+QUALIFY rank <= 5
+"""
+
+
+@query(
+    "sim_recall_report",
+    late=True,  # diagnostic composite of two windowed oracled paths
+    oracle=f"""
+WITH bf AS ({_BF_TOPK_SQL}),
+lshk AS ({_lsh_topk_sql()})
+SELECT bf.query_id,
+  CAST(COUNT(lshk.neighbor_id) AS BIGINT) AS n_hits,
+  ROUND(COUNT(lshk.neighbor_id) / 5.0, 6) AS recall_at_5
+FROM bf LEFT JOIN lshk
+  ON lshk.query_id = bf.query_id AND lshk.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+""",
+)
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN quality as a first-class query: per-query recall@5 of
+    the sign-LSH path against exact brute force. Both sides are
+    deterministic (seeded hyperplanes, id-tiebroken ranks), so the recall
+    numbers themselves hash-match a DuckDB replay — the continuous-
+    monitoring shape for a production ANN index (run on a sampled query
+    set; a recall drop flags drifted data or a stale index)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 20")
+    bf = cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = cosine_topk_lsh(
+        emb, queries, "vec_id", "embedding", k=5, bits=6, tables=8
+    ).select("query_id", F.col("neighbor_id").alias("__ln"))
+    hits = bf.join(
+        lsh,
+        (bf.query_id == lsh.query_id) & (bf.neighbor_id == lsh.__ln),
+        "left",
+    ).select(bf.query_id, lsh.__ln)
+    return hits.groupBy("query_id").agg(
+        F.count("__ln").alias("n_hits"),
+        F.round(F.count("__ln") / 5.0, 6).alias("recall_at_5"),
+    )

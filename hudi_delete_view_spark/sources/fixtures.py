@@ -335,3 +335,57 @@ def build_lineitem_merged(spark: SparkSession, sf_dir: str, base_path: str | Non
     source = updates.unionByName(deletes).unionByName(inserts)
     table.merge_into(source, C2, delete_condition=MERGE_DELETE_PRED_SQL)
     return table
+
+
+# --------------------------------------------------------------------------
+# orders_mor_merged — MOR MERGE fixture: one mixed-action delta commit.
+#   N1 bulk-insert orders
+#   N2 merge_delta: update (o_orderkey % 7 = 0 AND % 11 != 0, price * 2),
+#                   delete (o_orderkey % 11 = 0),
+#                   insert (o_orderkey % 19 = 0 AND % 11 != 0,
+#                           key + 11_000_000 — offset divisible by 11 so
+#                           insert rows can never match the delete flag)
+# --------------------------------------------------------------------------
+MOR_MERGE_UPDATE_PRED_SQL = "o_orderkey % 7 = 0 AND o_orderkey % 11 != 0"
+MOR_MERGE_DELETE_PRED_SQL = "o_orderkey % 11 = 0"
+MOR_MERGE_INSERT_PRED_SQL = "o_orderkey % 19 = 0 AND o_orderkey % 11 != 0"
+MOR_MERGE_INSERT_OFFSET = 11_000_000
+
+
+def orders_mor_merged_path(sf_dir: str) -> str:
+    tag = scratch_tag(sf_dir)
+    return os.path.join(SCRATCH_ROOT, "lake", tag, "orders_mor_merged")
+
+
+def build_orders_mor_merged(spark: SparkSession, sf_dir: str, base_path: str | None = None):
+    from .mor import MorTable
+
+    base_path = base_path or orders_mor_merged_path(sf_dir)
+    table = MorTable(
+        spark,
+        base_path,
+        key_fields=["o_orderkey"],
+        partition_field="o_orderstatus",
+        num_file_groups=4,
+    )
+    if table.timeline.timestamps() == [C1, C2]:
+        return table
+    import shutil
+
+    shutil.rmtree(base_path, ignore_errors=True)
+    os.makedirs(base_path, exist_ok=True)
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    table.bulk_insert(src, C1)
+    updates = src.filter(F.expr(MOR_MERGE_UPDATE_PRED_SQL)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    deletes = src.filter(F.expr(MOR_MERGE_DELETE_PRED_SQL))
+    inserts = src.filter(F.expr(MOR_MERGE_INSERT_PRED_SQL)).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(MOR_MERGE_INSERT_OFFSET)
+    )
+    table.merge_delta(
+        updates.unionByName(deletes).unionByName(inserts),
+        C2,
+        delete_condition=MOR_MERGE_DELETE_PRED_SQL,
+    )
+    return table

@@ -111,6 +111,64 @@ class MorTable(CowTable):
             read_ts=read_ts,
         )
 
+    def merge_delta(
+        self, source: DataFrame, commit_ts: str, delete_condition=None
+    ) -> "CommitMetadata":
+        """MERGE INTO, MOR-style: ONE delta commit whose log slices carry
+        BOTH new row versions and delete tombstones — no base rewrite (the
+        write shape that makes MOR the ingest-side table), one log append
+        per affected group instead of the two commits an upsert_delta +
+        delete_delta split would cost.
+
+        Source rows satisfying ``delete_condition`` become tombstones for
+        their target keys when matched (unmatched ones are dropped — MERGE
+        no-ops — so ``numDeletes`` counts records actually deleted, the
+        A14 contract); everything else appends as a new row version (the
+        merged read resolves matched-update vs not-matched-insert by
+        construction). The merge window and ``delete_view`` consume the
+        mixed slice unchanged: tombstones drop keys, row versions win by
+        (commit_time, seqno), per-group ``numDeletes > 0`` stats feed the
+        delete-view pruning exactly like a pure delete delta.
+        """
+        read_ts = self.timeline.latest_timestamp()
+        if read_ts is None:
+            raise TimelineError("merge into empty table (bulk_insert first)")
+        if delete_condition is None:
+            delete_condition = F.lit(False)
+        elif isinstance(delete_condition, str):
+            delete_condition = F.expr(delete_condition)
+        stamped = self._with_meta(source, commit_ts, suffix=".log.parquet")
+        deduped = self._dedup_incoming(stamped).withColumn(
+            "__is_del", F.coalesce(delete_condition, F.lit(False))
+        )
+        upserts = deduped.filter(~F.col("__is_del")).drop("__is_del").withColumn(
+            DELETED_FIELD, F.lit(False)
+        )
+        del_rows = deduped.filter(F.col("__is_del")).drop("__is_del")
+        # matched-only tombstones: restrict to keys live in the merged
+        # snapshot of the affected groups (same stats contract as
+        # delete_delta — phantom keys must not inflate numDeletes)
+        affected = [r[_FID] for r in del_rows.select(_FID).distinct().collect()]
+        if affected:
+            live = (
+                self.snapshot()
+                .filter(file_id_expr(F.col(FILE_NAME_FIELD)).isin(affected))
+                .select(RECORD_KEY_FIELD)
+            )
+            tombstones = del_rows.join(live, on=RECORD_KEY_FIELD, how="left_semi")
+        else:
+            tombstones = del_rows
+        tombstones = tombstones.withColumn(DELETED_FIELD, F.lit(True))
+        delete_counts = {
+            (r[_PP], r[_FID]): r["cnt"]
+            for r in tombstones.groupBy(_PP, _FID).agg(F.count("*").alias("cnt")).collect()
+        }
+        combined = upserts.unionByName(tombstones)
+        return self._write_delta(
+            combined, commit_ts, operation="delta_commit", read_ts=read_ts,
+            delete_counts=delete_counts,
+        )
+
     def _write_delta(
         self,
         stamped: DataFrame,
@@ -118,6 +176,7 @@ class MorTable(CowTable):
         operation: str,
         is_delete: bool = False,
         read_ts: str | None = None,
+        delete_counts: dict[tuple[str, str], int] | None = None,
     ):
         from ..plans.metadata import CommitMetadata, WriteStat
 
@@ -148,7 +207,13 @@ class MorTable(CowTable):
         total_deleted = 0
         for (partition, file_id), (rel_path, rows) in sorted(written.items()):
             prev = prev_slices.get((partition, file_id))
-            deletes = rows if is_delete else 0
+            if delete_counts is not None:
+                # mixed-action delta (merge): tombstones counted per group
+                deletes = delete_counts.get((partition, file_id), 0)
+            elif is_delete:
+                deletes = rows
+            else:
+                deletes = 0
             total_deleted += deletes
             p2ws.setdefault(partition, []).append(
                 WriteStat(

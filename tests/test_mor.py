@@ -303,3 +303,40 @@ def test_compact_only_scheduled_groups(spark, scratch):
     # data is intact either way
     vals = {r.k: r.x for r in t.snapshot().filter("k in (1, 2)").collect()}
     assert vals == {1: 101, 2: 200}
+
+
+def test_merge_delta_mixed_actions(spark, scratch):
+    """One mixed-action delta commit: updates + tombstones + inserts in
+    the same log slices; merged read resolves all three; stats count only
+    matched deletes; delete view reconstructs the tombstoned rows."""
+    t = MorTable(
+        spark, os.path.join(scratch, "mor_mrg"), key_fields=["k"],
+        partition_field="p", num_file_groups=2,
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(k, f"p{k % 2}", k * 10) for k in range(1, 11)], "k int, p string, v int"
+        ),
+        "20270601000000",
+    )
+    src = spark.createDataFrame(
+        [(1, "p1", 999, False), (4, "p0", 999, False),   # updates
+         (3, "p1", 0, True), (6, "p0", 0, True),         # matched deletes
+         (21, "p1", 210, False),                         # insert
+         (99, "p1", 0, True)],                           # unmatched delete: no-op
+        "k int, p string, v int, is_del boolean",
+    )
+    meta = t.merge_delta(src, "20270602000000", delete_condition="is_del")
+    assert meta.operation == "delta_commit"
+    assert meta.total_records_deleted == 2
+    got = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+    assert got == {1: 999, 2: 20, 4: 999, 5: 50, 7: 70, 8: 80, 9: 90, 10: 100, 21: 210}
+    dv = {r["k"] for r in t.delete_view("20270602000000").collect()}
+    assert dv == {3, 6}
+    # base files untouched: read-optimized still serves the original rows
+    ro = {r["k"]: r["v"] for r in t.read_optimized().select("k", "v").collect()}
+    assert ro == {k: k * 10 for k in range(1, 11)}
+    # compaction after the mixed commit converges to the merged view
+    t.compact("20270603000000")
+    got2 = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+    assert got2 == got

@@ -94,9 +94,61 @@ def simhash_skew_soak() -> None:
         print(f"| {label} | {sec:.1f} | {cnt} |", flush=True)
 
 
+def incremental_dedup_soak() -> None:
+    """Round-4 soak for ``minhash_dedup_incremental``: FIXED increment,
+    GROWING corpus, base signature table precomputed (the persisted-asset
+    deployment shape). The claim under test: per-ingest work scales with
+    the increment, not the corpus — time should stay near-flat as the
+    base grows, because corpus-side band rows are semi-joined down to
+    increment-touched buckets before any pair is formed. Prints a table
+    to paste into SCALE.md. Usage: python tools/scale_stress.py --incremental [sf_dir]"""
+    from hudi_delete_view_spark.operators.dedup import (
+        _signature_table,
+        minhash_dedup_incremental,
+    )
+    from hudi_delete_view_spark.operators.util import unpersist_operator_caches
+    from hudi_delete_view_spark.session import get_spark
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    spark = get_spark("incr-dedup-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # increment: mostly-novel texts (reversed; disjoint shingles) with 5%
+    # exact copies so true matches exist; ids shifted past any replica
+    id_base = docs.agg(F.max("doc_id") + 1).collect()[0][0]
+    inc = (
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000 * id_base))
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 20 == 0, F.col("text")).otherwise(F.reverse("text")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    print("| corpus size | sec (fixed increment) | survivors |")
+    print("|---|---|---|")
+    for n in (1, 4, 16):
+        base = replicate_docs(docs, n).localCheckpoint(eager=True)
+        n_rows = base.count()
+        unpersist_operator_caches()
+        base_sig = _signature_table(base, "doc_id", "text", 5, 64, 16)  # persisted asset
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            surv = minhash_dedup_incremental(
+                base, inc, "doc_id", "text", base_sig=base_sig
+            ).count()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"| {n_rows} | {best:.2f} | {surv} |", flush=True)
+
+
 def main() -> None:
     if "--simhash-skew" in sys.argv:
         simhash_skew_soak()
+        return
+    if "--incremental" in sys.argv:
+        incremental_dedup_soak()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
