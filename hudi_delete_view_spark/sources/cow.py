@@ -755,11 +755,16 @@ class CowTable:
 
         # survivors come ONLY from affected groups — a group whose source
         # rows were all unmatched deletes is a full no-op and must not be
-        # rewritten (its slice stays owned by its previous commit)
-        old_w = self._read_groups(prev_slices, affected & set(prev_slices))
+        # rewritten (its slice stays owned by its previous commit). Reuse
+        # the classification read with a file-id filter instead of a second
+        # mergeSchema read (fid strings embed the partition, so the fid set
+        # identifies the group set exactly)
         survivors = None
-        if old_w is not None:
-            survivors = old_w.join(
+        if old is not None:
+            affected_fids = sorted({f for (_p, f) in affected})
+            survivors = old.filter(
+                file_id_expr(F.col(FILE_NAME_FIELD)).isin(affected_fids)
+            ).join(
                 deduped.select(F.col(RECORD_KEY_FIELD)).distinct(),
                 on=RECORD_KEY_FIELD,
                 how="left_anti",

@@ -285,3 +285,28 @@ def test_stats_cover_new_partition_column(spark, tmp_path):
     got = t2.scan({"par": ("even", "even")})
     assert {r[0] for r in got.select("par").distinct().collect()} == {"even"}
     assert got.count() == 40  # evens among k < 80
+
+
+def test_merge_into_job_budget(spark, tmp_path, no_aqe):
+    """MERGE's fixed job budget: (1) affected-group discovery, (2) the
+    matched/delete classification aggregation over key+group columns,
+    (3) the mergeSchema footer read of old slices, (4+5) the broadcast
+    builds of the matched-flag and source-key join sides, (6) the
+    shuffle-write. A regression re-introducing the second survivors
+    read pushes this above 6."""
+    t = CowTable(
+        spark, str(tmp_path / "jm"), key_fields=["k"],
+        partition_field="grp", num_file_groups=4,
+    )
+    df = _mk_df(spark, 100)
+    t.bulk_insert(df, T1)
+    src = (
+        df.filter("k % 3 = 0").withColumn("v", F.lit(9.0))
+        .withColumn("is_del", F.col("k") % 2 == 0)
+    )
+    src.count()
+    ids = _jobs_for(
+        spark, "merge-job-count",
+        lambda: t.merge_into(src, T2, delete_condition="is_del"),
+    )
+    assert len(ids) <= 6, f"merge_into ran {len(ids)} jobs, expected <= 6"
