@@ -670,3 +670,72 @@ def minhash_dedup_incremental(
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return inc.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Exact shared-span detection (substring-level duplication)
+# --------------------------------------------------------------------------
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 16,
+    max_span_df: int | None = None,
+) -> DataFrame:
+    """Cross-document EXACT repeated token spans — the substring-level
+    granularity (Lee et al.'s exact-substring dedup shape) that document-
+    level MinHash misses: two long documents sharing one plagiarized /
+    boilerplate paragraph have low global Jaccard but a dead-exact span.
+
+    Every ``window``-token sliding window (stride 1) is hashed (md5 of the
+    space-joined slice); documents sharing >= 1 window hash pair up with
+    the count of distinct shared spans and the coverage fraction of the
+    larger-id doc. Pure JVM HOFs: tokenize -> transform(sequence) windows
+    -> explode -> hash-bucketed self-join — linear in total tokens, never
+    all-pairs (only same-hash buckets join, singleton hashes pruned
+    first). ``max_span_df`` drops spans occurring in more than that many
+    documents BEFORE the join — the boilerplate guard (a site-wide footer
+    shared by millions of pages would otherwise hot-spot one bucket; such
+    spans say nothing about pairwise duplication anyway).
+
+    Returns (id_a, id_b, n_spans, coverage_b) with id_a < id_b.
+    """
+    from .text import tokens
+
+    toks = spread(df).select(
+        F.col(id_col).alias("__sid"), tokens(text_col).alias("__t")
+    )
+    # empty-guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark (it
+    # yields slice(start=0) errors for short docs); DuckDB's
+    # generate_series(1, 0) is empty — same contract as word_shingles
+    grams = (
+        f"IF(size(__t) < {window}, cast(array() as array<string>), "
+        f"transform(sequence(1, size(__t) - {window - 1}), "
+        f"i -> md5(concat_ws(' ', slice(__t, i, {window})))))"
+    )
+    wins = toks.select(
+        "__sid", F.explode(F.expr(f"array_distinct({grams})")).alias("__h")
+    )
+    wins = register_cache(wins, materialize=False)
+    # per-doc distinct-window counts for the coverage denominator
+    nwin = wins.groupBy("__sid").agg(F.count("*").alias("__nw"))
+    # prune: singleton hashes can't pair; boilerplate hashes (df > cap) out
+    hash_df = wins.groupBy("__h").agg(F.count("*").alias("__df")).filter(F.col("__df") > 1)
+    if max_span_df is not None:
+        hash_df = hash_df.filter(F.col("__df") <= max_span_df)
+    w2 = wins.join(hash_df.select("__h"), "__h", "left_semi")
+    a = w2.select(F.col("__h"), F.col("__sid").alias("id_a"))
+    b = w2.select(F.col("__h"), F.col("__sid").alias("id_b"))
+    pairs = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_spans"))
+    )
+    return (
+        pairs.join(nwin.select(F.col("__sid").alias("id_b"), "__nw"), "id_b")
+        .select(
+            "id_a", "id_b", "n_spans",
+            F.round(F.col("n_spans").cast("double") / F.col("__nw"), 6).alias("coverage_b"),
+        )
+    )

@@ -313,3 +313,51 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar quantization (int8) — the storage-side ANN component
+# --------------------------------------------------------------------------
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5) (explicit half-up — identical in DuckDB,
+    unlike engine-native round()), clamped to [-127, 127]. Returns
+    (id, scale, qvec, recon_cosine): the quantized codes plus the cosine
+    between the original vector and its dequantized reconstruction — the
+    quality number a storage tier reports.
+
+    At 100 TB this is the 4x storage/bandwidth lever for the ANN corpus
+    (float32 -> int8): pure JVM HOFs, one narrow map, no shuffle; the
+    reconstruction check rides the same pass so quality monitoring costs
+    no extra scan.
+    """
+    from .util import spread
+
+    v = "__qv"
+    out = spread(df).select(
+        F.col(id_col), as_double_array(vec_col).alias(v)
+    ).withColumn(
+        "__scale",
+        F.expr(
+            # zero-vector guard: scale 1.0 keeps the codes (all zero) and
+            # the arithmetic finite instead of dividing by zero
+            f"IF(aggregate({v}, 0.0D, (acc, x) -> greatest(acc, abs(x))) = 0.0D, 1.0D,"
+            f" aggregate({v}, 0.0D, (acc, x) -> greatest(acc, abs(x))) / 127.0D)"
+        ),
+    )
+    q = (
+        f"transform({v}, x -> cast(greatest(-127.0D, least(127.0D, "
+        f"floor(x / __scale + 0.5D))) as int))"
+    )
+    out = out.withColumn("qvec", F.expr(q)).withColumn(
+        "__dq", F.expr("transform(qvec, q -> q * __scale)")
+    )
+    recon = F.when(
+        (norm_expr(v) == 0.0) | (norm_expr("__dq") == 0.0), F.lit(1.0)
+    ).otherwise(cosine_expr(v, "__dq"))
+    return out.select(
+        F.col(id_col),
+        F.round("__scale", 6).alias("scale"),
+        "qvec",
+        F.round(recon, 6).alias("recon_cosine"),
+    )

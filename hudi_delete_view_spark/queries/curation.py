@@ -252,3 +252,35 @@ def curate_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, _MIX_WEIGHTS).select(
         "doc_id", "source", "lang", "n_chars"
     )
+
+
+@query(
+    "curate_length_histogram",
+    late=True,  # planning diagnostic; the packing path itself is windowed
+    oracle="""
+WITH t AS (
+  SELECT source,
+    len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n
+  FROM documents
+)
+SELECT source,
+  CAST(CASE WHEN n >= 128 THEN 128 ELSE (n // 16) * 16 END AS BIGINT) AS bucket_lo,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n) AS BIGINT) AS total_tokens
+FROM t GROUP BY source, bucket_lo
+""",
+)
+def curate_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram per source (16-token buckets, clamped at
+    128+): the planning input for packing/truncation budgets — one
+    partial-agged groupBy over a narrow projection, no Python, no joins."""
+    from ..operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n = token_count("text")
+    bucket = F.when(n >= 128, F.lit(128)).otherwise((n / 16).cast("long") * 16)
+    return (
+        docs.select("source", n.alias("__n"), bucket.cast("long").alias("bucket_lo"))
+        .groupBy("source", "bucket_lo")
+        .agg(F.count("*").alias("n_docs"), F.sum("__n").cast("long").alias("total_tokens"))
+    )

@@ -404,3 +404,39 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_incremental(base, inc, "doc_id", "text", threshold=0.8).select(
         "doc_id", "source", "n_chars"
     )
+
+
+@query(
+    "dedup_shared_spans",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(t) - 15, 0)),
+      i -> md5(array_to_string(list_slice(t, i, i + 15), ' '))))) AS h
+  FROM toks
+),
+nwin AS (SELECT doc_id, COUNT(*) AS nw FROM w GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_spans
+  FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, p.n_spans,
+       ROUND(CAST(p.n_spans AS DOUBLE) / nwin.nw, 6) AS coverage_b
+FROM p JOIN nwin ON nwin.doc_id = p.id_b
+""",
+)
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication: document pairs sharing >= 1
+    identical 16-token span (stride-1 window hashes, hash-bucketed join,
+    singleton spans pruned — operators/dedup.py ``shared_span_pairs``).
+    Catches the plagiarized-paragraph / boilerplate case document-level
+    Jaccard misses."""
+    from ..operators.dedup import shared_span_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return shared_span_pairs(docs, "doc_id", "text", window=16)

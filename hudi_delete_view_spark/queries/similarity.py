@@ -476,3 +476,38 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("__ln").alias("n_hits"),
         F.round(F.count("__ln") / 5.0, 6).alias("recall_at_5"),
     )
+
+
+@query(
+    "sim_quantize_int8",
+    late=True,  # storage-side diagnostic; the search paths hold the window slots
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0 THEN 1.0
+         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, scale,
+    list_transform(v, x -> CAST(greatest(-127.0, least(127.0,
+        floor(x / scale + 0.5))) AS INT)) AS qvec
+  FROM s
+)
+SELECT vec_id, ROUND(scale, 6) AS scale, qvec,
+  ROUND(CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0 THEN 1.0
+        ELSE list_cosine_similarity(v, list_transform(qvec, qq -> qq * scale))
+        END, 6) AS recon_cosine
+FROM q
+""",
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding corpus with
+    per-vector reconstruction cosine — the 4x storage/bandwidth lever for
+    an ANN tier, quality-monitored in the same narrow pass (no shuffle,
+    no Python)."""
+    from ..operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "vec_id", "embedding")

@@ -301,3 +301,33 @@ def test_incremental_dedup_no_base_pairs(spark, docs):
     out = minhash_dedup_incremental(base, inc, "doc_id", "text")
     assert out.filter(F.col("doc_id") % 5 != 0).count() == 0
     assert out.columns == inc.columns
+
+
+def test_shared_span_pairs_and_boilerplate_cap(spark):
+    from hudi_delete_view_spark.operators.dedup import shared_span_pairs
+
+    span = " ".join(f"w{i}" for i in range(16))
+    boiler = " ".join(f"b{i}" for i in range(16))
+    rows = [
+        (1, span + " alpha beta gamma"),
+        (2, "delta " + span),
+        (3, "completely different words " + " ".join(f"x{i}" for i in range(16))),
+    ] + [(10 + k, boiler + f" tail{k}") for k in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_spans"]
+        for r in shared_span_pairs(df, "doc_id", "text", window=16).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1
+    assert all(a == 1 and b == 2 for (a, b) in pairs if a < 10)
+    # the boilerplate span pairs all 5 docs (C(5,2) = 10 pairs)...
+    assert sum(1 for (a, b) in pairs if a >= 10) == 10
+    # ...until the document-frequency cap drops it before the join
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in shared_span_pairs(df, "doc_id", "text", window=16, max_span_df=3).collect()
+    }
+    assert capped == {(1, 2)}
+    # short docs (< window tokens) are silently span-free, not an error
+    short = spark.createDataFrame([(1, "a b c"), (2, "a b c")], ["doc_id", "text"])
+    assert shared_span_pairs(short, "doc_id", "text", window=16).count() == 0

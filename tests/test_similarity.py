@@ -104,3 +104,22 @@ def test_ivf_deterministic(spark, emb):
     a = sorted(map(tuple, cosine_topk_ivf(emb, queries, "vec_id", "embedding", k=3).collect()))
     b = sorted(map(tuple, cosine_topk_ivf(emb, queries, "vec_id", "embedding", k=3).collect()))
     assert a == b
+
+
+def test_quantize_int8_quality_and_zero_guard(spark, sf_dir):
+    import os
+    from pyspark.sql import functions as F
+
+    from hudi_delete_view_spark.operators.similarity import quantize_int8
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = quantize_int8(emb, "vec_id", "embedding")
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    # int8 range respected, reconstruction good for real vectors
+    assert all(-127 <= q <= 127 for r in rows for q in r["qvec"])
+    assert min(r["recon_cosine"] for r in rows) > 0.995
+    # zero vector: finite output, zero codes
+    z = spark.createDataFrame([(1, [0.0] * 8)], "vec_id long, embedding array<double>")
+    rz = quantize_int8(z, "vec_id", "embedding").collect()[0]
+    assert rz["scale"] == 1.0 and set(rz["qvec"]) == {0}
