@@ -446,3 +446,63 @@ def test_mor_history_matches_reference_model(spark, prop_root, script):
 
     got = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
     assert got == state
+
+
+@st.composite
+def merge_script(draw):
+    """A key universe plus two MERGE batches: per batch, random disjoint
+    update/delete/insert key sets (inserts from a disjoint id range)."""
+    n = draw(st.integers(min_value=4, max_value=30))
+    keys = list(range(n))
+    batches = []
+    next_insert = 1000
+    for _ in range(2):
+        upd = draw(st.sets(st.sampled_from(keys), max_size=n))
+        dele = draw(st.sets(st.sampled_from(keys), max_size=n)) - upd
+        n_ins = draw(st.integers(min_value=0, max_value=5))
+        ins = list(range(next_insert, next_insert + n_ins))
+        next_insert += 10
+        batches.append((sorted(upd), sorted(dele), ins))
+    return keys, batches
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(script=merge_script())
+def test_merge_into_matches_reference_model(spark, prop_root, script):
+    """Random MERGE sequences vs a Python dict reference: the snapshot
+    equals the model after every commit; each merge's delete view equals
+    the keys the model actually removed (matched deletes only)."""
+    keys, batches = script
+    base = os.path.join(prop_root, "merge_prop")
+    shutil.rmtree(base, ignore_errors=True)
+    t = CowTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2)
+    model = {k: k * 10 for k in keys}
+    t.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", v) for k, v in model.items()],
+                              ["k", "p", "v"]),
+        TS[0],
+    )
+    for i, (upd, dele, ins) in enumerate(batches):
+        rows = (
+            [(k, f"p{k % 2}", 7000 + k, False) for k in upd]
+            + [(k, f"p{k % 2}", 0, True) for k in dele]
+            + [(k, f"p{k % 2}", 9000 + k, False) for k in ins]
+        )
+        if not rows:
+            continue
+        src = spark.createDataFrame(rows, "k int, p string, v int, is_del boolean")
+        t.merge_into(src, TS[i + 1], delete_condition="is_del")
+        removed = {k for k in dele if k in model}
+        for k in removed:
+            del model[k]
+        for k in upd:
+            if k in model:
+                model[k] = 7000 + k
+            else:
+                model[k] = 7000 + k  # unmatched update = insert (MERGE not-matched)
+        for k in ins:
+            model[k] = 9000 + k
+        got = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+        assert got == model, f"snapshot diverged at batch {i}"
+        dv = {r["k"] for r in DeleteView(spark, base, TS[i + 1]).dataset().collect()} if removed else set()
+        assert dv == removed, f"delete view diverged at batch {i}"

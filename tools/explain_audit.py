@@ -119,6 +119,17 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # quality-filter cascade: one narrow JVM projection — no shuffle/join
     "text_quality_filter": ([], ["Join", "CartesianProduct"]),
+    # MOR MERGE readback: merged snapshot window + materialized delete
+    # view union — no cartesian anywhere
+    "mor_merge_delta": (["Window", "Union"], ["CartesianProduct"]),
+    # shared spans: hash-bucketed equi-join (never all-pairs), span-df
+    # prune before the pair join
+    "dedup_shared_spans": (["Generate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # int8 quantization: one narrow projection, no shuffle, no join
+    "sim_quantize_int8": ([], ["Join", "CartesianProduct"]),
+    # recall report: two candidate pipelines joined on (query, neighbor) —
+    # equi-joins only
+    "sim_recall_report": (["HashAggregate"], ["CartesianProduct"]),
 }
 
 # per-query session confs applied while building the audited plan
