@@ -600,3 +600,48 @@ def lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return _project(table.lookup(keys))
+
+
+# --------------------------------------------------------------------------
+# SQL surface: the same engine through spark.sql over registered views —
+# live vs deleted row counts per partition in one SQL join.
+# --------------------------------------------------------------------------
+@query(
+    "lake_sql_surface",
+    late=True,  # API-surface proof; the underlying reads hold window slots
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+live AS (
+  SELECT l_returnflag AS pp, COUNT(*) AS live_rows
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0 GROUP BY 1
+),
+dels AS (
+  SELECT l_returnflag AS pp, COUNT(*) AS deleted_rows
+  FROM li WHERE l_suppkey % 17 = 0 GROUP BY 1
+)
+SELECT live.pp, live.live_rows,
+       COALESCE(dels.deleted_rows, 0) AS deleted_rows
+FROM live LEFT JOIN dels USING (pp)
+""",
+)
+def lake_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine through ``spark.sql``: register the table's snapshot and
+    per-commit delete views as temp views (hudi_delete_view_spark/sql.py),
+    then answer live-vs-deleted per partition with one SQL join — proving
+    a SQL-first consumer can switch without touching the Python API."""
+    from ..sql import register_views
+
+    table = build_lineitem_cow(spark, sf_dir)
+    name = "li_" + table.base_path.replace("/", "_").replace(".", "_").replace("-", "_")
+    register_views(table, name)
+    return spark.sql(f"""
+        SELECT s.{PARTITION_PATH_FIELD} AS pp,
+               COUNT(*) AS live_rows,
+               COALESCE(MAX(d.deleted_rows), 0) AS deleted_rows
+        FROM {name} s
+        LEFT JOIN (
+            SELECT {PARTITION_PATH_FIELD} AS dpp, COUNT(*) AS deleted_rows
+            FROM {name}_deletes_{C3} GROUP BY 1
+        ) d ON d.dpp = s.{PARTITION_PATH_FIELD}
+        GROUP BY s.{PARTITION_PATH_FIELD}
+    """)

@@ -834,3 +834,23 @@ def test_merge_into_schema_evolution(spark, scratch):
     t.merge_into(src, "20270602000000", delete_condition="is_del")
     rows = {r["k"]: (r["v"], r["tag"]) for r in t.snapshot().select("k", "v", "tag").collect()}
     assert rows == {1: (11, "x"), 2: (20, None)}
+
+
+def test_register_views_sql_surface(spark, scratch):
+    from hudi_delete_view_spark.sql import register_views
+
+    t = CowTable(
+        spark, os.path.join(scratch, "sqlv"), key_fields=["k"],
+        partition_field="p", num_file_groups=2,
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", k) for k in range(20)], "k int, p string, v int"),
+        "20270601000000",
+    )
+    t.delete_where(F.col("k") < 5, "20270602000000")
+    names = register_views(t, "tv")
+    assert "tv" in names and "tv_history" in names and "tv_deletes_20270602000000" in names
+    assert spark.sql("SELECT COUNT(*) c FROM tv").collect()[0]["c"] == 15
+    assert spark.sql("SELECT COUNT(*) c FROM tv_deletes_20270602000000").collect()[0]["c"] == 5
+    ops = {r["operation"] for r in spark.sql("SELECT operation FROM tv_history").collect()}
+    assert ops == {"bulk_insert", "delete"}
