@@ -854,3 +854,28 @@ def test_register_views_sql_surface(spark, scratch):
     assert spark.sql("SELECT COUNT(*) c FROM tv_deletes_20270602000000").collect()[0]["c"] == 5
     ops = {r["operation"] for r in spark.sql("SELECT operation FROM tv_history").collect()}
     assert ops == {"bulk_insert", "delete"}
+
+
+def test_rollback_merge_commit(spark, scratch):
+    """Rolling back a MERGE restores the pre-merge snapshot exactly
+    (updates reverted, deletes restored, inserts gone)."""
+    t = CowTable(
+        spark, os.path.join(scratch, "mrg_rb"), key_fields=["k"],
+        partition_field="p", num_file_groups=2,
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", k * 10) for k in range(1, 8)],
+                              "k int, p string, v int"),
+        "20270601000000",
+    )
+    before = {(r["k"], r["v"]) for r in t.snapshot().select("k", "v").collect()}
+    src = spark.createDataFrame(
+        [(1, "p1", 999, False), (2, "p0", 0, True), (31, "p1", 310, False)],
+        "k int, p string, v int, is_del boolean",
+    )
+    t.merge_into(src, "20270602000000", delete_condition="is_del")
+    assert {r["k"] for r in t.snapshot().select("k").collect()} == {1, 3, 4, 5, 6, 7, 31}
+    t.rollback("20270602000000")
+    after = {(r["k"], r["v"]) for r in t.snapshot().select("k", "v").collect()}
+    assert after == before
+    assert t.timeline.timestamps() == ["20270601000000"]

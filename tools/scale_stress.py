@@ -187,7 +187,16 @@ def main() -> None:
         ).count(),
         "shuffle_shards": lambda d, v: shuffle_shards(d, 8).count(),
         "sim_topk_lsh": lambda d, v: cosine_topk_lsh(v, queries1, k=5).count(),
+        "shared_spans": lambda d, v: _shared_spans(d),
     }
+
+    def _shared_spans(d):
+        from hudi_delete_view_spark.operators.dedup import shared_span_pairs
+
+        # df cap: the replicated corpus repeats every span Nx by
+        # construction — the boilerplate guard is exactly what a real
+        # corpus would run with
+        return shared_span_pairs(d, "doc_id", "text", max_span_df=64).count()
 
     lines = [
         "# Scale stress (measured)",
