@@ -37,6 +37,13 @@ class WriteStat:
     # footers at publish time (KB-scale, driver-side; how Delta/Hudi prune
     # files from metadata before any scan is planned)
     column_stats: dict = field(default_factory=dict)
+    # secondary value-bucket index: {column: base64 bitmap} — md5-bucket
+    # membership (default 16384 bits) of the file's values, published only
+    # for a table's ``index_columns``. Lets EQUALITY predicates prune
+    # files whose [min, max] ranges all overlap (the secondary-index
+    # analogue of Hudi's metadata-table bloom index); a saturated bitmap
+    # degrades to no-op pruning, never a wrong answer
+    value_index: dict = field(default_factory=dict)
 
     def to_dict(self) -> dict:
         return {
@@ -50,6 +57,7 @@ class WriteStat:
             "fileSizeInBytes": self.file_size_bytes,
             "logFile": self.log_file,
             "columnStats": self.column_stats,
+            "valueIndex": self.value_index,
         }
 
     @classmethod
@@ -65,6 +73,7 @@ class WriteStat:
             file_size_bytes=int(d.get("fileSizeInBytes", 0)),
             log_file=bool(d.get("logFile", False)),
             column_stats=d.get("columnStats", {}) or {},
+            value_index=d.get("valueIndex", {}) or {},
         )
 
 

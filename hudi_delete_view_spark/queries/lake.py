@@ -645,3 +645,38 @@ def lake_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) d ON d.dpp = s.{PARTITION_PATH_FIELD}
         GROUP BY s.{PARTITION_PATH_FIELD}
     """)
+
+
+# --------------------------------------------------------------------------
+# Secondary value-bucket index: equality probe on a non-key column prunes
+# files whose [min, max] all overlap (bitmap membership, no false
+# negatives).
+# --------------------------------------------------------------------------
+@query(
+    "lake_indexed_lookup",
+    late=True,  # index family already windowed via pruned/point/clustered scans
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       {_PAYLOAD_SQL.format(qty="l_quantity")}
+FROM li WHERE l_partkey = (SELECT MIN(l_partkey) + 41 FROM li)
+""",
+)
+def lake_indexed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality scan through the secondary value-bucket index
+    (sources/cow.py `_value_index_bitmaps` / `pruned_files`): the probe's
+    md5 bucket is checked against each file's published bitmap
+    driver-side, so files that cannot contain the value are never
+    planned — the Hudi metadata-table bloom-index analogue for non-key
+    columns whose [min, max] ranges all overlap."""
+    from ..sources.fixtures import build_lineitem_indexed
+    import os as _os
+
+    table = build_lineitem_indexed(spark, sf_dir)
+    src = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    probe = src.agg((F.min("l_partkey") + 41).alias("v")).collect()[0]["v"]
+    df = table.scan({"l_partkey": (probe, probe)})
+    return df.select(
+        df[RECORD_KEY_FIELD], *[F.col(c) for c in _PAYLOAD],
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate"),
+    )

@@ -111,6 +111,24 @@ def _json_safe_stat(v):
     return None
 
 
+def _value_bucket(v, n_bits: int) -> int:
+    """Driver-side twin of the engine's value-bucket expression:
+    ``pmod(md5_prefix60(cast(v as string)), n_bits)`` — hashlib computes
+    the identical 60-bit md5 prefix, so probing costs no Spark job.
+    ``str`` matches Spark's cast-to-string for ints and strings (the
+    supported index column types)."""
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % n_bits
+
+
+def _bitmap_has(b64: str, bucket: int) -> bool:
+    import base64
+
+    raw = base64.b64decode(b64)
+    return bool((raw[bucket // 8] >> (bucket % 8)) & 1)
+
+
 class ConcurrentCommitError(TimelineError):
     """Another writer committed an overlapping file group after this
     writer read its snapshot (optimistic-concurrency conflict). Retry the
@@ -198,6 +216,7 @@ class CowTable:
         partition_field: str | None = None,
         num_file_groups: int = 4,
         stats_columns: list[str] | None = None,
+        index_columns: list[str] | None = None,
     ):
         self.spark = spark
         self.base_path = base_path
@@ -211,6 +230,18 @@ class CowTable:
             if stats_columns is not None
             else [*key_fields, *( [partition_field] if partition_field else [] )]
         )
+        # secondary value-bucket index columns: for each, every published
+        # file carries a 256-bit md5-bucket bitmap of its values so
+        # EQUALITY predicates prune files whose [min, max] overlap.
+        # Handle-level config like stats_columns; costs one column-pruned
+        # scan of the newly-written files per commit.
+        self.index_columns = list(index_columns or [])
+        # bitmap width per (file, column); 16384 bits = 256 longs ~ 2 KB of
+        # commit JSON per file per column. Sized so a file with a few
+        # thousand distinct values stays unsaturated (fill ~ 1-exp(-d/bits));
+        # a saturated bitmap silently degrades to no-op pruning, never to a
+        # wrong answer
+        self.index_bits = 16384
         self.timeline = Timeline(base_path)
 
     # ------------------------------------------------------------------
@@ -368,6 +399,53 @@ class CowTable:
         shutil.rmtree(staging, ignore_errors=True)
         return written
 
+    def _value_index_bitmaps(
+        self, written: dict[tuple[str, str], tuple[str, int]]
+    ) -> dict[str, dict[str, list[int]]]:
+        """{rel_path: {col: [w0..w3]}} — 256-bit md5-bucket membership
+        bitmaps for ``index_columns`` over the newly-written files.
+
+        ONE column-pruned Spark job per commit: the files just written are
+        re-read selecting only ``_hoodie_file_name`` + indexed columns,
+        bucket = portable 60-bit md5 of the value string mod 256 (the
+        engine-portable hash contract, so the driver can compute a probe's
+        bucket with hashlib — no Spark round-trip at prune time), one
+        collect_set per column, rows == files (metadata scale)."""
+        from ..operators.util import md5_prefix60_sql
+
+        if not self.index_columns or not written:
+            return {}
+        paths = [os.path.join(self.base_path, rel) for rel, _n in written.values()]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        cols = [c for c in self.index_columns if c in df.columns]
+        if not cols:
+            return {}
+        nb = self.index_bits
+        aggs = [
+            F.collect_set(
+                F.expr(f"pmod({md5_prefix60_sql(f'cast(`{c}` as string)')}, {nb})")
+            ).alias(f"__b_{i}")
+            for i, c in enumerate(cols)
+        ]
+        out: dict[str, dict[str, list[int]]] = {}
+        by_name = {os.path.basename(rel): rel for rel, _n in written.values()}
+        for r in df.groupBy(FILE_NAME_FIELD).agg(*aggs).collect():
+            rel = by_name.get(r[FILE_NAME_FIELD])
+            if rel is None:
+                continue
+            per_col = {}
+            import base64 as _b64
+
+            for i, c in enumerate(cols):
+                raw = bytearray(nb // 8)
+                for b in r[f"__b_{i}"]:
+                    raw[b // 8] |= 1 << (b % 8)
+                # base64 (not a JSON int array): 16384 bits -> ~2.7 KB of
+                # commit JSON per (file, column) instead of ~20 KB
+                per_col[c] = _b64.b64encode(bytes(raw)).decode("ascii")
+            out[rel] = per_col
+        return out
+
     def _ensure_new_commit_ts(self, commit_ts: str) -> None:
         """Monotonicity pre-flight, called BEFORE any file write: a commit
         timestamp that isn't strictly newer than every existing instant
@@ -499,6 +577,7 @@ class CowTable:
         stats_cols = list(
             dict.fromkeys([*self.stats_columns, *([active_pf] if active_pf else [])])
         )
+        vix = self._value_index_bitmaps(written)
         p2ws: dict[str, list[WriteStat]] = {}
         total_deleted = 0
         for (partition, file_id), (rel_path, new_rows) in sorted(written.items()):
@@ -544,6 +623,7 @@ class CowTable:
                     num_inserts=inserts,
                     file_size_bytes=os.path.getsize(abs_path),
                     column_stats=footer_column_stats(abs_path, stats_cols),
+                    value_index=vix.get(rel_path, {}),
                 )
             )
         meta = CommitMetadata(
@@ -1233,12 +1313,27 @@ class CowTable:
             keep = True
             for col, (lo, hi) in between.items():
                 cs = (stat.column_stats or {}).get(col) if stat else None
-                if cs is None:
-                    continue  # no stats -> cannot prune on this column
-                mn, mx = cs
-                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
-                    keep = False
-                    break
+                if cs is not None:
+                    mn, mx = cs
+                    if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                        keep = False
+                        break
+                # EQUALITY probes additionally consult the secondary
+                # value-bucket index: a file whose bitmap lacks the
+                # probe's bucket cannot contain the value even when its
+                # [min, max] range overlaps (no false negatives — absence
+                # of a bucket bit proves absence of every value hashing
+                # to it)
+                vx = (stat.value_index or {}).get(col) if stat else None
+                if vx and lo is not None and lo == hi:
+                    # bitmap width rides in the payload (bits = 6 * b64 len
+                    # before padding — recovered exactly from the decode)
+                    import base64 as _b64
+
+                    n_bits = 8 * len(_b64.b64decode(vx))
+                    if not _bitmap_has(vx, _value_bucket(lo, n_bits)):
+                        keep = False
+                        break
             if keep:
                 kept.append(s.base_path)
         return kept, total

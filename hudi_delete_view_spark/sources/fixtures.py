@@ -389,3 +389,34 @@ def build_orders_mor_merged(spark: SparkSession, sf_dir: str, base_path: str | N
         delete_condition=MOR_MERGE_DELETE_PRED_SQL,
     )
     return table
+
+
+# --------------------------------------------------------------------------
+# lineitem_indexed — secondary value-bucket index fixture: one commit with
+# index_columns=["l_partkey"] so equality probes prune files whose
+# [min, max] ranges all overlap.
+# --------------------------------------------------------------------------
+def lineitem_indexed_path(sf_dir: str) -> str:
+    tag = scratch_tag(sf_dir)
+    return os.path.join(SCRATCH_ROOT, "lake", tag, "lineitem_indexed")
+
+
+def build_lineitem_indexed(spark: SparkSession, sf_dir: str, base_path: str | None = None) -> CowTable:
+    base_path = base_path or lineitem_indexed_path(sf_dir)
+    table = CowTable(
+        spark,
+        base_path,
+        key_fields=LINEITEM_KEY,
+        partition_field="l_returnflag",
+        num_file_groups=4,
+        index_columns=["l_partkey"],
+    )
+    if table.timeline.timestamps() == [C1]:
+        return table
+    import shutil
+
+    shutil.rmtree(base_path, ignore_errors=True)
+    os.makedirs(base_path, exist_ok=True)
+    src = dedup_lineitem(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
+    table.bulk_insert(src, C1)
+    return table

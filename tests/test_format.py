@@ -879,3 +879,60 @@ def test_rollback_merge_commit(spark, scratch):
     after = {(r["k"], r["v"]) for r in t.snapshot().select("k", "v").collect()}
     assert after == before
     assert t.timeline.timestamps() == ["20270601000000"]
+
+
+def test_value_bucket_index_prunes_equality(spark, scratch):
+    """Secondary value-bucket index: equality probes prune files whose
+    [min, max] all overlap; no false negatives; absent values prune
+    everything; reader handles without the config still prune (the index
+    rides in published metadata); a saturated bitmap degrades to keeping
+    the file, never dropping it."""
+    t = CowTable(
+        spark, os.path.join(scratch, "vix"), key_fields=["k"],
+        partition_field="p", num_file_groups=8, index_columns=["cat"],
+    )
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", f"cat{i % 5000}") for i in range(20000)],
+        "k int, p string, cat string",
+    )
+    t.bulk_insert(df, "20270601000000")
+    kept, total = t.pruned_files({"cat": ("cat3777", "cat3777")})
+    assert total == 16 and 0 < len(kept) < total / 2, (len(kept), total)
+    assert t.scan({"cat": ("cat3777", "cat3777")}).count() == 4
+    # absent values: bloom-style false positives possible (~10% fill), but
+    # the scan over whatever survives must return nothing
+    assert len(t.pruned_files({"cat": ("no-such", "no-such")})[0]) <= 4
+    assert t.scan({"cat": ("no-such", "no-such")}).count() == 0
+    # exhaustive no-false-negative check over a value sample
+    for v in ["cat0", "cat1234", "cat4999"]:
+        got = t.scan({"cat": (v, v)}).count()
+        want = df.filter(F.col("cat") == v).count()
+        assert got == want, v
+    # reader handle without index_columns prunes identically
+    t2 = CowTable(spark, os.path.join(scratch, "vix"), key_fields=["k"],
+                  partition_field="p", num_file_groups=8)
+    assert len(t2.pruned_files({"cat": ("cat3777", "cat3777")})[0]) == len(kept)
+    # range probes ignore the bitmap (stats only — still correct)
+    assert t.scan({"cat": ("cat3777", "cat3778")}).count() == 8
+
+
+def test_value_bucket_index_survives_upsert(spark, scratch):
+    """Rewritten file groups republish their bitmaps; probes for values
+    added by the upsert find them."""
+    t = CowTable(
+        spark, os.path.join(scratch, "vix2"), key_fields=["k"],
+        partition_field=None, num_file_groups=4, index_columns=["cat"],
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(i, f"cat{i}") for i in range(1000)], "k int, cat string"),
+        "20270601000000",
+    )
+    t.upsert(
+        spark.createDataFrame([(5, "brandnew")], "k int, cat string"), "20270602000000"
+    )
+    kept, total = t.pruned_files({"cat": ("brandnew", "brandnew")})
+    assert len(kept) == 1 and total == 4
+    assert t.scan({"cat": ("brandnew", "brandnew")}).count() == 1
+    # the old value of the rewritten key is gone from data; the bitmap may
+    # conservatively keep its file but the scan must return nothing
+    assert t.scan({"cat": ("cat5", "cat5")}).count() == 0
