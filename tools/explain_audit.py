@@ -130,6 +130,9 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # recall report: two candidate pipelines joined on (query, neighbor) —
     # equi-joins only
     "sim_recall_report": (["HashAggregate"], ["CartesianProduct"]),
+    # secondary-index equality probe: bitmap pruning happens driver-side
+    # (fewer files planned); the residual filter still pushes into the scan
+    "lake_indexed_lookup": (["GreaterThanOrEqual(l_partkey", "LessThanOrEqual(l_partkey"], ["Join", "CartesianProduct"]),
 }
 
 # per-query session confs applied while building the audited plan
