@@ -310,3 +310,40 @@ def mixture_sample(
         .filter(frac < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 fraction of the id
+    buckets each row into exactly one split (disjoint and exhaustive by
+    construction — cumulative half-open intervals over [0, 1)). Pure
+    function of the row: reshuffle-stable, resumable, identical on any
+    cluster size, no RNG state — the only split semantics that survive a
+    100 TB re-run. Fractions must sum to 1 (the last split absorbs the
+    remainder exactly)."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions sum to {total}, expected 1.0")
+    # 32-bit md5-prefix fraction in [0, 1) — same contract as mixture_sample
+    frac = (
+        F.expr(
+            f"cast(conv(substring(md5(cast({id_col} as string)), 1, 8), 16, 10) as bigint)"
+        )
+        / F.lit(4294967296.0)
+    )
+    names = list(fractions)
+    cum = 0.0
+    conds = []
+    for n in names[:-1]:
+        cum += fractions[n]
+        conds.append((n, cum))
+    # first matching cumulative bound wins; the LAST split is the
+    # unconditional fallback so float residue can never drop a row
+    expr = F.lit(names[-1])
+    for n, bound in reversed(conds):
+        expr = F.when(frac < F.lit(bound), F.lit(n)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -71,11 +71,6 @@ def resolve_slices(timeline: Timeline, as_of: str | None = None) -> dict[tuple[s
     return slices
 
 
-def base_files(timeline: Timeline, as_of: str | None = None) -> list[str]:
-    """Base-file paths of the resolved snapshot (COW read path)."""
-    return [s.base_path for s in resolve_slices(timeline, as_of).values() if s.base_path]
-
-
 def touched_file_groups(timeline: Timeline, begin_exclusive: str | None, end_inclusive: str | None) -> set[tuple[str, str]]:
     """(partition, file_id) groups written to in (begin, end] — incremental
     read prunes its scan to these groups before any data is read (the Spark

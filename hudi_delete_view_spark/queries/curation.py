@@ -284,3 +284,30 @@ def curate_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bucket_lo")
         .agg(F.count("*").alias("n_docs"), F.sum("__n").cast("long").alias("total_tokens"))
     )
+
+
+@query(
+    "curate_split_assignment",
+    late=True,  # split semantics verified per-row; family windowed via 4 slots
+    oracle="""
+WITH f AS (
+  SELECT doc_id, source,
+    CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 AS fr
+  FROM documents
+)
+SELECT doc_id, source,
+  CASE WHEN fr < 0.9 THEN 'train' WHEN fr < 0.95 THEN 'val' ELSE 'test' END AS split
+FROM f
+""",
+)
+def curate_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5): cumulative
+    half-open md5-fraction intervals — disjoint, exhaustive,
+    reshuffle-stable, no RNG (operators/curation.py ``assign_split``)."""
+    from ..operators.curation import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "source", "split")

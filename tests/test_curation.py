@@ -292,3 +292,25 @@ def test_contamination_provenance_pairs(spark):
     # both contaminated docs point at test doc 100, never 101
     assert set(got) == {(1, 100), (2, 100)}
     assert all(n >= 1 for n in got.values())
+
+
+def test_assign_split_disjoint_exhaustive(spark, sf_dir):
+    import os
+    from pyspark.sql import functions as F
+
+    from hudi_delete_view_spark.operators.curation import assign_split
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = assign_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    by = {r["split"]: r["c"] for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert sum(by.values()) == n  # exhaustive (one split per row)
+    assert set(by) <= {"train", "val", "test"} and by["train"] > by.get("val", 0)
+    # deterministic across recomputation
+    again = {r["doc_id"]: r["split"] for r in assign_split(docs, "doc_id",
+             {"train": 0.8, "val": 0.1, "test": 0.1}).select("doc_id", "split").collect()}
+    first = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    assert first == again
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        assign_split(docs, "doc_id", {"train": 0.5, "val": 0.1})
