@@ -100,6 +100,7 @@ def main() -> None:
         C3,
         build_lineitem_cow,
         build_lineitem_evolved,
+        build_lineitem_merged,
         build_orders_mor,
     )
 
@@ -107,6 +108,7 @@ def main() -> None:
     cow = build_lineitem_cow(spark, sf_dir)
     build_orders_mor(spark, sf_dir)
     build_lineitem_evolved(spark, sf_dir)
+    build_lineitem_merged(spark, sf_dir)
     # spawn the Python worker pool outside the timed region: a long-running
     # cluster amortizes worker startup, but in a fresh bench process the
     # first Arrow-UDF query would otherwise absorb several seconds of it

@@ -3,6 +3,8 @@ query on Spark AND its DuckDB oracle on the same parquet, compare row count,
 schema (column names), and order-insensitive values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py [sf_dir] --window   # first 50 only
+                                                        # (the driver's gate)
 """
 
 from __future__ import annotations
@@ -48,7 +50,8 @@ def canonical(df_pandas):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[2:])
+    only = {a for a in sys.argv[2:] if not a.startswith("--")}
+    window_only = "--window" in sys.argv
 
     import duckdb
 
@@ -67,8 +70,11 @@ def main():
 
     failures = []
     results: list[tuple[str, str, int]] = []
+    window = set(list(reg.ordered_queries())[:50]) if window_only else None
     for name, fn in sorted(reg.QUERIES.items()):
         if only and name not in only:
+            continue
+        if window is not None and name not in window:
             continue
         # operator caches (minhash signatures, LSH buckets, IVF lists) are
         # per-invocation working sets — release between queries so a
