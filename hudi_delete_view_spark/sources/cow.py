@@ -1245,6 +1245,38 @@ class CowTable:
                     os.remove(p)
         return doomed
 
+    def find_orphans(self, remove: bool = False) -> list[str]:
+        """Data files on disk that NO commit references — debris from
+        crashed writers (a process killed between staging-rename and
+        publish leaves renamed files the OCC-loser cleanup never saw).
+        ``clean()`` cannot reclaim these: it walks commit metadata, and an
+        orphan by definition isn't in any. This walks the PARTITION dirs
+        (driver-side listing, same scale class as a snapshot plan) and
+        diffs against every path any commit ever wrote. ``remove=True``
+        deletes them. Service dirs (``.hoodie``, ``.delete``, staging) and
+        non-parquet files are never touched."""
+        known: set[str] = set()
+        for t in self.timeline.timestamps():
+            for _p, stat in self.timeline.commit_metadata(t).all_stats():
+                known.add(os.path.abspath(os.path.join(self.base_path, stat.path)))
+        orphans: list[str] = []
+        for entry in sorted(os.listdir(self.base_path)):
+            if entry.startswith("."):
+                continue  # .hoodie / .delete / .staging-*
+            pdir = os.path.join(self.base_path, entry)
+            if not os.path.isdir(pdir):
+                continue
+            for fname in sorted(os.listdir(pdir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                ap = os.path.abspath(os.path.join(pdir, fname))
+                if ap not in known:
+                    orphans.append(ap)
+        if remove:
+            for p in orphans:
+                os.remove(p)
+        return orphans
+
     # -- savepoints (Hudi savepoint analogue) ------------------------------
     def _savepoint_dir(self) -> str:
         return os.path.join(self.base_path, ".hoodie", "savepoints")

@@ -936,3 +936,77 @@ def test_value_bucket_index_survives_upsert(spark, scratch):
     # the old value of the rewritten key is gone from data; the bitmap may
     # conservatively keep its file but the scan must return nothing
     assert t.scan({"cat": ("cat5", "cat5")}).count() == 0
+
+
+def test_occ_concurrent_merge_writers(spark, scratch):
+    """Two threads race REAL MERGEs touching the same file group; any
+    interleaving must leave a consistent table: monotonic timeline, no
+    lost rows outside the merge actions, deletes/inserts from winners
+    only, no staging debris."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hudi_delete_view_spark.sources.cow import ConcurrentCommitError
+
+    base = os.path.join(scratch, "occ_mrg")
+    t0 = CowTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2)
+    t0.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", k) for k in range(20)], "k int, p string, v int"),
+        "20270901000000",
+    )
+
+    def writer(ts, val, del_key):
+        t = CowTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2)
+        src = spark.createDataFrame(
+            [(0, "p0", val, False), (del_key, f"p{del_key % 2}", 0, True)],
+            "k int, p string, v int, is_del boolean",
+        )
+        try:
+            t.merge_into(src, ts, delete_condition="is_del")
+            return ("ok", val, del_key)
+        except ConcurrentCommitError:
+            return ("conflict", val, del_key)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fa = ex.submit(writer, "20270902100000", 111, 2)
+        fb = ex.submit(writer, "20270902200000", 222, 4)
+        outcomes = [fa.result(), fb.result()]
+    tl = t0.timeline.timestamps()
+    assert tl == sorted(tl) and len(tl) == len(set(tl))
+    winners = [(v, d) for st, v, d in outcomes if st == "ok"]
+    assert winners, "both merges failed"
+    snap = {r["k"]: r["v"] for r in t0.snapshot().select("k", "v").collect()}
+    # key 0 holds a winner's value; each winner's delete landed
+    assert snap[0] in {v for v, _d in winners}
+    for _v, d in winners:
+        assert d not in snap
+    # losers' deletes must NOT have landed
+    for st, _v, d in outcomes:
+        if st == "conflict":
+            assert d in snap
+    assert len(snap) == 20 - len(winners)
+    assert not [d for d in os.listdir(base) if d.startswith(".staging")]
+
+
+def test_find_orphans_detects_crashed_writer_debris(spark, scratch):
+    """A data file dropped into a partition dir outside any commit (the
+    crashed-writer shape) is reported and removable; referenced files and
+    service dirs are never touched; reads are unaffected throughout."""
+    import shutil as _sh
+
+    t = CowTable(spark, os.path.join(scratch, "orph"), key_fields=["k"],
+                 partition_field="p", num_file_groups=2)
+    t.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", k) for k in range(10)], "k int, p string, v int"),
+        "20270601000000",
+    )
+    assert t.find_orphans() == []
+    # simulate a writer killed after staging-rename, before publish
+    src = t.pruned_files({}, None)[0][0]
+    debris = os.path.join(os.path.dirname(src), "fg-p0-9_0-0-0_20270699000000.parquet")
+    _sh.copyfile(src, debris)
+    found = t.find_orphans()
+    assert found == [os.path.abspath(debris)]
+    assert t.snapshot().count() == 10  # snapshot plans only referenced files
+    t.find_orphans(remove=True)
+    assert not os.path.exists(debris) and t.find_orphans() == []
+    assert t.snapshot().count() == 10
