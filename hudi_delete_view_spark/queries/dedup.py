@@ -440,3 +440,43 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return shared_span_pairs(docs, "doc_id", "text", window=16)
+
+
+@query(
+    "dedup_signature_store",
+    oracle=f"""
+WITH {_minhash_funnel_ctes(min_collisions=2)},
+survivors AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 5 = 0 AND doc_id NOT IN (
+    SELECT id_b FROM verified WHERE id_b % 5 = 0
+    UNION
+    SELECT id_a FROM verified WHERE id_a % 5 = 0 AND id_b % 5 != 0
+  )
+)
+SELECT 'base' AS section, doc_id FROM documents WHERE doc_id % 5 != 0
+UNION ALL
+SELECT 'added' AS section, doc_id FROM survivors
+""",
+)
+def dedup_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted signature asset as a REAL lake table
+    (sources/fixtures.py ``build_signature_store``): S1 bulk-inserts the
+    corpus signatures, the increment dedups against the STORE's snapshot
+    (no corpus re-shingle on the base side), and S2 upserts the
+    survivors' signatures — so ``incremental(S1)`` reads exactly the
+    surviving ids and the snapshot is the current asset. One query proves
+    the lake format and the incremental funnel compose: section 'base' =
+    ids at S1, 'added' = the incremental read after S2."""
+    from ..sources.fixtures import C1, build_signature_store
+
+    store = build_signature_store(spark, sf_dir)
+    base_ids = (
+        store.snapshot(as_of=C1)
+        .select(F.lit("base").alias("section"), F.col("__id").cast("long").alias("doc_id"))
+    )
+    added = (
+        store.incremental(C1)
+        .select(F.lit("added").alias("section"), F.col("__id").cast("long").alias("doc_id"))
+    )
+    return base_ids.unionByName(added)

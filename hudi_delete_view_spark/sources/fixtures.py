@@ -420,3 +420,41 @@ def build_lineitem_indexed(spark: SparkSession, sf_dir: str, base_path: str | No
     src = dedup_lineitem(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
     table.bulk_insert(src, C1)
     return table
+
+
+# --------------------------------------------------------------------------
+# signature_store — the incremental-dedup "persisted asset" as a REAL lake
+# table: MinHash signatures/bands keyed by doc_id.
+#   S1 bulk-insert signatures(base docs: doc_id % 5 != 0)
+#   S2 upsert signatures of the increment's SURVIVORS (doc_id % 5 = 0 docs
+#      that dedup against the store via minhash_dedup_incremental)
+# The asset stays current commit-over-commit, and `incremental(S1)` reads
+# exactly the survivor ids — the lake format and the dedup funnel closing
+# the loop.
+# --------------------------------------------------------------------------
+def signature_store_path(sf_dir: str) -> str:
+    tag = scratch_tag(sf_dir)
+    return os.path.join(SCRATCH_ROOT, "lake", tag, "signature_store")
+
+
+def build_signature_store(spark: SparkSession, sf_dir: str, base_path: str | None = None) -> CowTable:
+    from ..operators.dedup import _signature_table, minhash_dedup_incremental
+
+    base_path = base_path or signature_store_path(sf_dir)
+    store = CowTable(
+        spark, base_path, key_fields=["__id"], partition_field=None, num_file_groups=4
+    )
+    if store.timeline.timestamps() == [C1, C2]:
+        return store
+    import shutil
+
+    shutil.rmtree(base_path, ignore_errors=True)
+    os.makedirs(base_path, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    store.bulk_insert(_signature_table(base, "doc_id", "text", 5, 64, 16), C1)
+    base_sig = store.snapshot().select("__id", "__sig", "__bands")
+    survivors = minhash_dedup_incremental(base, inc, "doc_id", "text", base_sig=base_sig)
+    store.upsert(_signature_table(survivors, "doc_id", "text", 5, 64, 16), C2)
+    return store

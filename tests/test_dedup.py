@@ -331,3 +331,27 @@ def test_shared_span_pairs_and_boilerplate_cap(spark):
     # short docs (< window tokens) are silently span-free, not an error
     short = spark.createDataFrame([(1, "a b c"), (2, "a b c")], ["doc_id", "text"])
     assert shared_span_pairs(short, "doc_id", "text", window=16).count() == 0
+
+
+def test_signature_store_roundtrip_and_incremental(spark, sf_dir):
+    """Signatures survive the lake round-trip bit-exactly (the store's
+    snapshot equals recomputation) and incremental(S1) returns exactly
+    the increment survivors."""
+    from hudi_delete_view_spark.operators.dedup import (
+        _signature_table,
+        minhash_dedup_incremental,
+    )
+    from hudi_delete_view_spark.sources.fixtures import C1, build_signature_store
+
+    store = build_signature_store(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    stored = {r["__id"]: r["__sig"] for r in store.snapshot(as_of=C1).collect()}
+    fresh = {r["__id"]: list(r["__sig"]) for r in
+             _signature_table(base, "doc_id", "text", 5, 64, 16).collect()}
+    assert {k: list(v) for k, v in stored.items()} == fresh
+    surv = {r["doc_id"] for r in
+            minhash_dedup_incremental(base, inc, "doc_id", "text").select("doc_id").collect()}
+    added = {r["__id"] for r in store.incremental(C1).select("__id").collect()}
+    assert added == surv
