@@ -506,3 +506,45 @@ def test_merge_into_matches_reference_model(spark, prop_root, script):
         assert got == model, f"snapshot diverged at batch {i}"
         dv = {r["k"] for r in DeleteView(spark, base, TS[i + 1]).dataset().collect()} if removed else set()
         assert dv == removed, f"delete view diverged at batch {i}"
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(script=merge_script())
+def test_mor_merge_delta_matches_reference_model(spark, prop_root, script):
+    """Random MOR MERGE sequences (mixed-action delta commits) vs the
+    same dict reference: merged snapshot equals the model after every
+    delta; compaction at the end converges to the same state."""
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    keys, batches = script
+    base = os.path.join(prop_root, "mor_merge_prop")
+    shutil.rmtree(base, ignore_errors=True)
+    t = MorTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2)
+    model = {k: k * 10 for k in keys}
+    t.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", v) for k, v in model.items()],
+                              ["k", "p", "v"]),
+        TS[0],
+    )
+    for i, (upd, dele, ins) in enumerate(batches):
+        rows = (
+            [(k, f"p{k % 2}", 7000 + k, False) for k in upd]
+            + [(k, f"p{k % 2}", 0, True) for k in dele]
+            + [(k, f"p{k % 2}", 9000 + k, False) for k in ins]
+        )
+        if not rows:
+            continue
+        src = spark.createDataFrame(rows, "k int, p string, v int, is_del boolean")
+        t.merge_delta(src, TS[i + 1], delete_condition="is_del")
+        for k in dele:
+            model.pop(k, None)
+        for k in upd:
+            model[k] = 7000 + k
+        for k in ins:
+            model[k] = 9000 + k
+        got = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+        assert got == model, f"merged snapshot diverged at delta {i}"
+    if len(t.timeline.timestamps()) > 1:  # at least one delta landed
+        t.compact("20270109000000")
+        got = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+        assert got == model
