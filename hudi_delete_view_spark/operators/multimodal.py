@@ -327,3 +327,32 @@ def frame_sample_plan(media_df: DataFrame, every_n: int = 10) -> DataFrame:
         offsets.alias("sample_offsets"),
         F.size(offsets).cast("long").alias("n_samples"),
     )
+
+
+def audio_window_plan(
+    decoded: DataFrame, window: int = 32, hop: int = 16
+) -> DataFrame:
+    """Metadata-only audio windowing plan over DECODED WAV headers: which
+    fixed-length sample windows a feature extractor would cut, computed
+    from (sample_rate, duration) without touching payload bytes again —
+    the audio sibling of ``frame_sample_plan``. Pure JVM arithmetic: at
+    100 TB the planning pass reads KB-scale header columns, and the
+    expensive decode runs only on the planned windows."""
+    n = F.round(F.col("duration_s") * F.col("sample_rate")).cast("long")
+    n_win = F.when(
+        n >= window, (F.floor((n - window) / hop) + 1).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        decoded.filter(F.col("fmt") == "wav")
+        .withColumn("n_samples", n)
+        .withColumn("n_windows", n_win)
+        .select(
+            "media_id",
+            "n_samples",
+            "n_windows",
+            F.expr(
+                f"IF(n_windows > 0, transform(sequence(0, n_windows - 1),"
+                f" i -> cast(i * {hop} as bigint)), cast(array() as array<bigint>))"
+            ).alias("window_offsets"),
+        )
+    )

@@ -111,3 +111,34 @@ def mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = attach_fake_media(docs, "doc_id", "text")
     return frame_sample_plan(media, every_n=10).select("media_id", "n_samples")
+
+
+@query(
+    "mm_audio_windows",
+    late=True,  # planning sibling of the windowed mm_frame_plan
+    # closed-form oracle: audio ids (doc_id % 3 = 1) synthesize to 8 kHz
+    # WAVs with n = 64 + doc_id % 64 samples; window 32, hop 16 ->
+    # n_windows = floor((n - 32) / 16) + 1 (n >= 64 >= window always here)
+    oracle="""
+WITH a AS (
+  SELECT doc_id AS media_id, 64 + doc_id % 64 AS n
+  FROM documents WHERE doc_id < 200 AND doc_id % 3 = 1
+)
+SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+  CAST((n - 32) // 16 + 1 AS BIGINT) AS n_windows,
+  list_transform(generate_series(0, (n - 32) // 16), i -> CAST(i * 16 AS BIGINT))
+    AS window_offsets
+FROM a
+""",
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing plan from decoded WAV headers (window 32 samples,
+    hop 16): the planning pass that lets the expensive decode run only on
+    the windows a downstream extractor needs."""
+    from ..operators.multimodal import audio_window_plan
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 200")
+    decoded = extract_features(attach_synthetic_media(docs, "doc_id")).withColumn(
+        "duration_s", F.element_at("feature", 1).cast("double")
+    )
+    return audio_window_plan(decoded, window=32, hop=16)
