@@ -311,3 +311,82 @@ def curate_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(
         docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
     ).select("doc_id", "source", "split")
+
+
+def _training_corpus_sql() -> str:
+    """The full training-corpus pipeline as ONE DuckDB query: quality
+    cascade -> MinHash near-dup removal (funnel over the quality-passed
+    pool) -> benchmark decontamination -> deterministic split -> per
+    (split, source) counts. Every stage reuses the exact CTE mirror its
+    standalone query is verified by."""
+    from .dedup import _minhash_funnel_ctes
+    from .text import _MEAN_TOK_LEN, _PUNCT_RATIO, _QF_SW_HITS, _TOKS
+
+    quality = (
+        f"(len({_TOKS}) >= 20 AND len({_TOKS}) <= 90)"
+        f" AND ({_MEAN_TOK_LEN} >= 3.0 AND {_MEAN_TOK_LEN} <= 4.75)"
+        f" AND ({_PUNCT_RATIO} <= 0.1)"
+        f" AND ({_QF_SW_HITS} >= 1)"
+        f" AND (NOT contains(lower(text), 'lorem ipsum'))"
+    )
+    return f"""
+WITH dq AS (
+  SELECT * FROM documents WHERE doc_id % 17 != 0 AND {quality}
+),
+{_minhash_funnel_ctes(min_collisions=2, source_sql="dq")},
+dd AS (
+  SELECT * FROM dq WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM verified)
+),
+dtoks AS (SELECT doc_id, source, {_TOKS} AS t FROM dd),
+dgrams AS (
+  SELECT doc_id, source, len(t) AS n_toks,
+    list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+      i -> {_GRAM8}) AS g
+  FROM dtoks
+),
+tg AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+      i -> {_GRAM8})) AS gh
+  FROM (SELECT {_TOKS} AS t FROM documents WHERE doc_id % 17 = 0)
+),
+clean AS (
+  SELECT doc_id, source, n_toks FROM dgrams
+  WHERE NOT EXISTS (SELECT 1 FROM tg WHERE list_contains(dgrams.g, tg.gh))
+),
+assigned AS (
+  SELECT source, n_toks,
+    CASE WHEN fr < 0.9 THEN 'train' WHEN fr < 0.95 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT *, CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        / 4294967296.0 AS fr FROM clean)
+)
+SELECT split, source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+FROM assigned GROUP BY split, source
+"""
+
+
+@query("pipeline_training_corpus", oracle=_training_corpus_sql())
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline, hash-verified end to end in ONE
+    query: Gopher/C4 quality cascade -> MinHash-LSH near-dup removal over
+    the quality-passed pool -> benchmark decontamination (8-token grams
+    vs the held-out set) -> deterministic train/val/test split -> per
+    (split, source) doc/token budgets. Four operator families composed;
+    each stage is the same code path its standalone windowed query
+    verifies, so a hash match here proves the COMPOSITION, not just the
+    parts."""
+    from ..operators.curation import assign_split, decontaminate
+    from ..operators.dedup import minhash_dedup
+    from ..operators.text import quality_filter_flags, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % 17 == 0)
+    pool = docs.filter(F.col("doc_id") % 17 != 0)
+    qpool = quality_filter_flags(pool, "text").filter("qf_pass").select(*docs.columns)
+    dd = minhash_dedup(qpool, "doc_id", "text", threshold=0.8)
+    clean, _ = decontaminate(dd, test, n=8)
+    out = assign_split(clean, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (
+        out.withColumn("__nt", token_count("text"))
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("__nt").cast("long").alias("total_tokens"))
+    )

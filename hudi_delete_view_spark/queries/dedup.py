@@ -55,6 +55,7 @@ def dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
+    late=True,  # exact-verify kernel already in-window inside the funnel queries
     oracle="""
 WITH sh AS (
   SELECT doc_id,
@@ -135,7 +136,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_funnel_ctes(min_collisions: int = 2) -> str:
+def _minhash_funnel_ctes(min_collisions: int = 2, source_sql: str = "documents") -> str:
     """Shared DuckDB CTE chain mirroring the MinHash-LSH funnel
     (shingles -> md5 hashes -> seeded permutation minima -> band slices ->
     collision candidates -> signature-estimate prune -> exact verify).
@@ -156,7 +157,7 @@ def _minhash_funnel_ctes(min_collisions: int = 2) -> str:
   SELECT doc_id, source, n_chars,
     list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 0)),
                   i -> substr(text, i, 5))) AS grams
-  FROM documents
+  FROM {source_sql}
 ),
 hs AS (
   SELECT doc_id,

@@ -308,6 +308,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_stratified_sample",
+    late=True,  # md5-fraction sampling family also windowed via curate_mixture_sample
     # language-balanced downsampling: keep every non-English doc, keep a
     # deterministic ~25% of English ones. The sampling key is a pure
     # function of the row (md5 hex prefix compare) — identical on both
@@ -402,6 +403,7 @@ def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_corpus_curation",
+    late=True,  # superseded in-window by the four-family pipeline_training_corpus
     # The end-to-end training-data curation pass: score -> filter (quality
     # + language) -> fingerprint dedup (keep lowest doc_id) -> per-source
     # token budget. Quality averages go through exact integer micro-units
