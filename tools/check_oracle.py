@@ -124,7 +124,7 @@ def main():
     # Written even when some queries FAIL (clearly marked): de-windowed
     # (late=True) queries' only continuous audit trail is this report, so
     # a failure must leave evidence rather than suppress the artifact.
-    if not only:
+    if not only and not window_only:
         report = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ORACLE_LOCAL.md"
         )
