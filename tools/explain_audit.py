@@ -133,6 +133,10 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # secondary-index equality probe: bitmap pruning happens driver-side
     # (fewer files planned); the residual filter still pushes into the scan
     "lake_indexed_lookup": (["GreaterThanOrEqual(l_partkey", "LessThanOrEqual(l_partkey"], ["Join", "CartesianProduct"]),
+    # composed training pipeline: quality gate is a scan-side filter, the
+    # funnel's joins are bucketed equi-joins, decontamination broadcasts
+    # the benchmark gram side — nothing cartesian anywhere in 4 stages
+    "pipeline_training_corpus": (["BroadcastHashJoin"], ["CartesianProduct"]),
 }
 
 # per-query session confs applied while building the audited plan
