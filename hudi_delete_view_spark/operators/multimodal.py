@@ -24,8 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     BinaryType,
-    FloatType,
     LongType,
     StringType,
     StructField,
@@ -71,7 +71,9 @@ _FEATURE_SCHEMA = StructType(
         StructField("bit_depth", LongType()),  # wav only
         StructField("width", LongType()),  # ppm only
         StructField("height", LongType()),  # ppm only
-        StructField("feature", ArrayType(FloatType())),
+        # double (not float32): the features carry the full IEEE chains
+        # the hash oracle reproduces — truncation would break bit-equality
+        StructField("feature", ArrayType(DoubleType())),
         StructField("n_bytes", LongType()),
     ]
 )
@@ -171,42 +173,75 @@ def parse_ppm(payload: bytes) -> dict | None:
 
 def _wav_features(meta: dict, dim: int = FEATURE_DIM) -> list[float]:
     """Real signal features from raw PCM: duration, RMS, peak, mean, zero-
-    crossing rate, quartile energies — computed from the actual samples."""
+    crossing rate, third-energies — computed from the actual samples.
+
+    ORACLE CONTRACT: every accumulation runs EXACTLY in the integer
+    domain (sums / sums-of-squares of integer PCM are exact in int64) and
+    each float feature is then a fixed short chain of IEEE-754 double
+    ops. That makes the values bit-reproducible by any engine applying
+    the same formula (the DuckDB mirror in queries/multimodal.py) — no
+    dependence on numpy's pairwise-summation order."""
     width = meta["bit_depth"] // 8
     dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
-    x = np.frombuffer(meta["data"], dtype=dtype).astype(np.float64)
+    xi = np.frombuffer(meta["data"], dtype=dtype).astype(np.int64)
     if width == 1:
-        x -= 128.0  # 8-bit PCM is UNSIGNED with midpoint 128 (WAV spec)
-    if x.size == 0:
+        xi = xi - 128  # 8-bit PCM is UNSIGNED with midpoint 128 (WAV spec)
+    n = int(xi.size)
+    if n == 0:
         return [0.0] * dim
-    peak = float(np.max(np.abs(x))) or 1.0
-    xn = x / peak
-    thirds = np.array_split(xn, 3)
+    peak = int(np.max(np.abs(xi))) or 1
+    pk2 = float(peak * peak)
+
+    def _rms(seg: np.ndarray) -> float:
+        if seg.size == 0:
+            return 0.0
+        ssq = int(np.dot(seg, seg))  # exact: |x| <= 2^31, n bounded
+        return float(np.sqrt((ssq / pk2) / seg.size))
+
+    sgn = np.sign(xi)
+    zc = int(np.count_nonzero(np.diff(sgn))) if n > 1 else 0
+    thirds = np.array_split(xi, 3)
     return [
-        float(x.size / (meta["sample_rate"] * meta["channels"])),  # duration s
-        float(np.sqrt(np.mean(xn**2))),  # rms
-        float(np.mean(xn)),
-        float(np.mean(np.abs(np.diff(np.sign(xn))) > 0)),  # zero-cross rate
-        float(np.sqrt(np.mean(thirds[0] ** 2))),
-        float(np.sqrt(np.mean(thirds[1] ** 2))),
-        float(np.sqrt(np.mean(thirds[2] ** 2))),
+        float(n / (meta["sample_rate"] * meta["channels"])),  # duration s
+        _rms(xi),
+        float((int(xi.sum()) / peak) / n),
+        float(zc / (n - 1)) if n > 1 else 0.0,  # zero-cross rate
+        _rms(thirds[0]),
+        _rms(thirds[1]),
+        _rms(thirds[2]),
         float(peak),
     ][:dim]
 
 
 def _ppm_features(meta: dict, dim: int = FEATURE_DIM) -> list[float]:
     """Real image features from raw RGB: per-channel means/stds + aspect —
-    the 'resize' here is a real block reduction over the pixel array."""
-    a = np.frombuffer(meta["rgb"], dtype=np.uint8).astype(np.float64)
+    the 'resize' here is a real block reduction over the pixel array.
+
+    Same ORACLE CONTRACT as ``_wav_features``: integer-exact channel sums
+    / sums-of-squares, then fixed short IEEE chains (std via the
+    E[x^2] - E[x]^2 identity over exact integers, not numpy's two-pass
+    deviation form) — bit-reproducible in SQL."""
+    a = np.frombuffer(meta["rgb"], dtype=np.uint8).astype(np.int64)
     a = a.reshape(meta["height"], meta["width"], 3)
+    n = int(meta["height"] * meta["width"])
+
+    def _mean(c: np.ndarray) -> float:
+        return float((int(c.sum()) / c.size) / 255.0)
+
+    def _std(c: np.ndarray) -> float:
+        flat = c.ravel()
+        ssq = int(np.dot(flat, flat))
+        m = int(flat.sum()) / flat.size
+        return float(np.sqrt(ssq / flat.size - m * m) / 255.0)
+
     return [
-        float(a[..., 0].mean() / 255.0),
-        float(a[..., 1].mean() / 255.0),
-        float(a[..., 2].mean() / 255.0),
-        float(a[..., 0].std() / 255.0),
-        float(a[..., 1].std() / 255.0),
-        float(a[..., 2].std() / 255.0),
-        float(a.mean() / 255.0),
+        _mean(a[..., 0]),
+        _mean(a[..., 1]),
+        _mean(a[..., 2]),
+        _std(a[..., 0]),
+        _std(a[..., 1]),
+        _std(a[..., 2]),
+        _mean(a),
         float(meta["width"] / meta["height"]),
     ][:dim]
 
@@ -215,7 +250,9 @@ def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]
     """Deterministic fake 'decoder' for payloads needing absent codecs
     (JPEG/MP3/MP4...): sha256-seeded feature vector. In production this is
     where PIL/librosa/ffmpeg would run (per Arrow batch, vectorized)."""
-    h = hashlib.sha256(payload).digest()
+    # seeded on the payload's lowercase HEX (not raw bytes): SQL engines'
+    # sha256 takes strings, so the oracle can replay the seed exactly
+    h = hashlib.sha256(payload.hex().encode()).digest()
     return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
 
 
