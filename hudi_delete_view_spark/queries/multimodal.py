@@ -95,10 +95,10 @@ iagg AS (
 ),
 ich AS (
   SELECT m, w, h,
-    SUM(CASE WHEN c = {c0} THEN (CAST(s AS DOUBLE)/n)/255.0 END) AS m0,
+    SUM(CASE WHEN c = 0 THEN (CAST(s AS DOUBLE)/n)/255.0 END) AS m0,
     SUM(CASE WHEN c = 1 THEN (CAST(s AS DOUBLE)/n)/255.0 END) AS m1,
     SUM(CASE WHEN c = 2 THEN (CAST(s AS DOUBLE)/n)/255.0 END) AS m2,
-    SUM(CASE WHEN c = {c0} THEN sqrt(CAST(ssq AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))/255.0 END) AS d0,
+    SUM(CASE WHEN c = 0 THEN sqrt(CAST(ssq AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))/255.0 END) AS d0,
     SUM(CASE WHEN c = 1 THEN sqrt(CAST(ssq AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))/255.0 END) AS d1,
     SUM(CASE WHEN c = 2 THEN sqrt(CAST(ssq AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))/255.0 END) AS d2,
     (CAST(SUM(s) AS DOUBLE)/SUM(n))/255.0 AS mall
@@ -121,7 +121,7 @@ video AS (
 )
 SELECT media_id, media_type, fmt, n_bytes, ROUND(fsum, 6) AS feature_sum
 FROM (SELECT * FROM audio UNION ALL SELECT * FROM image UNION ALL SELECT * FROM video)
-""".replace("{c0}", "0")
+"""
 
 
 @query("mm_extract_features", late=True, oracle=_EXTRACT_FEATURES_SQL)
