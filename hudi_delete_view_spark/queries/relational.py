@@ -67,24 +67,58 @@ def rel_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registered early (right after Q1): the driver's oracle harness checks the
 # first 50 registered queries and this one was red in round 1 — the
 # list-typed approx_percentile column broke the canonicalizer's hash.
-@query("rel_approx_sketches")  # sketch-based: rows-only driver check
+@query(
+    "rel_approx_sketches",
+    # the sketch VALUES are engine-specific (Spark HLL++/KLL vs anything
+    # DuckDB has), so the hash contract is: exact baselines + in-engine
+    # error-bound verdicts. A sketch drifting outside its published bound
+    # flips a boolean and the hash mismatches — the sketches are now GATED,
+    # not merely rows-counted.
+    oracle="""
+SELECT l_returnflag,
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT l_partkey) AS exact_parts,
+  COUNT(DISTINCT l_suppkey) AS exact_supps,
+  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95,
+  TRUE AS sketch_parts_ok, TRUE AS sketch_supps_ok,
+  TRUE AS sketch_p50_ok, TRUE AS sketch_p95_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def rel_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB aggregation path: HLL distinct counts and KLL-style
     percentile sketches — constant memory per group, one pass, mergeable
-    across partitions (vs. the exact forms in rel_group_stats /
-    rel_percentiles, which are their correctness baselines).
-
-    The percentile sketch is projected into scalar columns (price_p50 /
-    price_p95) — a list-typed column is unhashable for the driver's
-    pandas-based canonicalizer."""
+    across partitions. Sketch values are engine-specific, so the query
+    verifies each sketch against its exact baseline IN-ENGINE (HLL within
+    5x its 1% rsd; approx_percentile inside the exact p49-p51 / p94-p96
+    band) and outputs the exact values + the verdicts: the oracle asserts
+    all-TRUE, so a sketch violating its error contract fails the hash."""
     li = _t(spark, sf_dir, "lineitem")
-    pcts = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
-        pcts.getItem(0).alias("price_p50"),
-        pcts.getItem(1).alias("price_p95"),
+    apx = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+    exact = F.expr(
+        "percentile(l_extendedprice, array(0.49, 0.5, 0.51, 0.94, 0.95, 0.96))"
+    )
+    agg = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("__ap"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("__as"),
+        apx.alias("__apx"),
+        exact.alias("__ex"),
+    )
+    def within(a, e, tol):
+        return F.abs(a - e) <= tol * e
+
+    return agg.select(
+        "l_returnflag", "n_rows", "exact_parts", "exact_supps",
+        F.round(F.col("__ex")[1], 4).alias("price_p50"),
+        F.round(F.col("__ex")[4], 4).alias("price_p95"),
+        within(F.col("__ap"), F.col("exact_parts"), 0.05).alias("sketch_parts_ok"),
+        within(F.col("__as"), F.col("exact_supps"), 0.05).alias("sketch_supps_ok"),
+        F.col("__apx")[0].between(F.col("__ex")[0], F.col("__ex")[2]).alias("sketch_p50_ok"),
+        F.col("__apx")[1].between(F.col("__ex")[3], F.col("__ex")[5]).alias("sketch_p95_ok"),
     )
 
 
