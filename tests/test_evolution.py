@@ -310,3 +310,38 @@ def test_merge_into_job_budget(spark, tmp_path, no_aqe):
         lambda: t.merge_into(src, T2, delete_condition="is_del"),
     )
     assert len(ids) <= 6, f"merge_into ran {len(ids)} jobs, expected <= 6"
+
+
+def test_merge_into_after_partition_evolution(spark, tmp_path):
+    """A MERGE issued after a repartition commit routes through the NEW
+    layout (published metadata, not the constructor args): updates,
+    matched deletes, and inserts all land correctly, the merge's delete
+    view works across the boundary, and pre-evolution travel still serves
+    the old layout."""
+    from hudi_delete_view_spark.sources.delete_view import delete_view
+
+    t = CowTable(
+        spark, str(tmp_path / "me"), key_fields=["k"],
+        partition_field="grp", num_file_groups=4,
+    )
+    df = _mk_df(spark, 60)
+    t.bulk_insert(df, T1)
+    t.evolve_partitioning(T2, partition_field="par", num_file_groups=2)
+    src = (
+        df.filter("k < 6")
+        .withColumn("v", F.lit(999.0))
+        .withColumn("is_del", F.col("k") % 2 == 1)   # delete odd, update even
+    )
+    ins = _mk_df(spark, 70).filter("k >= 60").withColumn("is_del", F.lit(False))
+    meta = t.merge_into(src.unionByName(ins), T3, delete_condition="is_del")
+    # routed under the evolved layout: every touched partition is par-valued
+    assert set(meta.partition_to_write_stats) <= {"even", "odd"}
+    got = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+    assert got[0] == 999.0 and got[2] == 999.0 and got[4] == 999.0
+    assert all(k not in got for k in (1, 3, 5))
+    assert all(got[k] == k * 10 for k in range(60, 70))
+    assert len(got) == 60 - 3 + 10
+    dv = {r["k"] for r in delete_view(spark, t.base_path, T3).collect()}
+    assert dv == {1, 3, 5}
+    # old layout still time-travels
+    assert t.snapshot(as_of=T1).count() == 60
