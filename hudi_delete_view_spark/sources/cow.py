@@ -429,8 +429,16 @@ class CowTable:
         ]
         out: dict[str, dict[str, list[int]]] = {}
         by_name = {os.path.basename(rel): rel for rel, _n in written.values()}
-        for r in df.groupBy(FILE_NAME_FIELD).agg(*aggs).collect():
-            rel = by_name.get(r[FILE_NAME_FIELD])
+        # group by the PHYSICAL file (input_file_name), NOT the stored
+        # _hoodie_file_name meta column: rewrites that preserve row stamps
+        # (upsert survivors, clustering, repartition, merge) carry OLD
+        # file names in that column — grouping on it would assign survivor
+        # rows to files outside this commit and silently DROP their values
+        # from the new file's bitmap (a false negative, the one failure
+        # mode a membership index must never have)
+        phys = F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__file")
+        for r in df.select(phys, *cols).groupBy("__file").agg(*aggs).collect():
+            rel = by_name.get(r["__file"])
             if rel is None:
                 continue
             per_col = {}

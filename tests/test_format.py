@@ -936,6 +936,23 @@ def test_value_bucket_index_survives_upsert(spark, scratch):
     # the old value of the rewritten key is gone from data; the bitmap may
     # conservatively keep its file but the scan must return nothing
     assert t.scan({"cat": ("cat5", "cat5")}).count() == 0
+    # REGRESSION PIN: survivors in the rewritten file keep their OLD
+    # _hoodie_file_name, but the fresh bitmap must still carry their
+    # values (grouping by physical file, not the stored meta column) —
+    # probe survivor values co-resident with the upserted key's group
+    from hudi_delete_view_spark.sources.cow import file_id_expr, FILE_NAME_FIELD
+    fid5 = t.lookup([(5,)]).select(file_id_expr(F.col(FILE_NAME_FIELD))).first()[0]
+    neighbors = [
+        r["cat"] for r in t.snapshot()
+        .filter(file_id_expr(F.col(FILE_NAME_FIELD)) != "__none__")
+        .withColumn("__f", file_id_expr(F.col(FILE_NAME_FIELD)))
+        .filter(F.col("__f") == fid5).filter("k != 5").limit(3).collect()
+    ]
+    assert neighbors, "no survivor rows share key 5's group?"
+    for v in neighbors:
+        got = t.scan({"cat": (v, v)}).count()
+        assert got >= 1, f"survivor value {v} lost from the rewritten file's bitmap"
+
 
 
 def test_occ_concurrent_merge_writers(spark, scratch):
@@ -1010,3 +1027,27 @@ def test_find_orphans_detects_crashed_writer_debris(spark, scratch):
     t.find_orphans(remove=True)
     assert not os.path.exists(debris) and t.find_orphans() == []
     assert t.snapshot().count() == 10
+
+
+def test_value_bucket_index_survives_clustering(spark, scratch):
+    """A clustering rewrite republished from an indexed handle refreshes
+    every file's bitmap; equality probes stay false-negative-free and the
+    SORTED layout makes them sharper (values now cluster per file)."""
+    t = CowTable(
+        spark, os.path.join(scratch, "vixc"), key_fields=["k"],
+        partition_field=None, num_file_groups=8, index_columns=["cat"],
+    )
+    df = spark.createDataFrame(
+        [(i, f"cat{i % 4000:04d}") for i in range(16000)], "k int, cat string"
+    )
+    t.bulk_insert(df, "20270601000000")
+    pre_kept, total = t.pruned_files({"cat": ("cat0777", "cat0777")})
+    t.cluster("20270602000000", sort_cols=["cat"])
+    post_kept, post_total = t.pruned_files({"cat": ("cat0777", "cat0777")})
+    assert post_total == total == 8
+    # sorted-by-cat files have tight [min, max] ranges: stats alone prune
+    # to ~1 file, and the refreshed bitmaps never drop a true match
+    assert len(post_kept) <= len(pre_kept)
+    assert t.scan({"cat": ("cat0777", "cat0777")}).count() == 4
+    for v in ("cat0000", "cat3999"):
+        assert t.scan({"cat": (v, v)}).count() == df.filter(F.col("cat") == v).count()
