@@ -475,7 +475,8 @@ def test_merge_into_matches_reference_model(spark, prop_root, script):
     keys, batches = script
     base = os.path.join(prop_root, "merge_prop")
     shutil.rmtree(base, ignore_errors=True)
-    t = CowTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2)
+    t = CowTable(spark, base, key_fields=["k"], partition_field="p", num_file_groups=2,
+                 index_columns=["v"])
     model = {k: k * 10 for k in keys}
     t.bulk_insert(
         spark.createDataFrame([(k, f"p{k % 2}", v) for k, v in model.items()],
@@ -506,6 +507,13 @@ def test_merge_into_matches_reference_model(spark, prop_root, script):
         assert got == model, f"snapshot diverged at batch {i}"
         dv = {r["k"] for r in DeleteView(spark, base, TS[i + 1]).dataset().collect()} if removed else set()
         assert dv == removed, f"delete view diverged at batch {i}"
+    # value-index sweep: EVERY live value must survive equality pruning
+    # (no false negatives through any sequence of mixed-action rewrites)
+    from collections import Counter
+    live_vals = Counter(model.values())
+    for v, cnt in live_vals.items():
+        got_n = t.scan({"v": (v, v)}).count()
+        assert got_n == cnt, f"index false negative for v={v}: {got_n} != {cnt}"
 
 
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
