@@ -1350,33 +1350,34 @@ class CowTable:
             total += 1
             meta = self.timeline.commit_metadata(s.commit_ts)
             stat = meta.find_write_stat(fid)
-            keep = True
-            for col, (lo, hi) in between.items():
-                cs = (stat.column_stats or {}).get(col) if stat else None
-                if cs is not None:
-                    mn, mx = cs
-                    if (hi is not None and mn > hi) or (lo is not None and mx < lo):
-                        keep = False
-                        break
-                # EQUALITY probes additionally consult the secondary
-                # value-bucket index: a file whose bitmap lacks the
-                # probe's bucket cannot contain the value even when its
-                # [min, max] range overlaps (no false negatives — absence
-                # of a bucket bit proves absence of every value hashing
-                # to it)
-                vx = (stat.value_index or {}).get(col) if stat else None
-                if vx and lo is not None and lo == hi:
-                    # bitmap width rides in the payload (bits = 6 * b64 len
-                    # before padding — recovered exactly from the decode)
-                    import base64 as _b64
-
-                    n_bits = 8 * len(_b64.b64decode(vx))
-                    if not _bitmap_has(vx, _value_bucket(lo, n_bits)):
-                        keep = False
-                        break
-            if keep:
+            if self._stat_passes(stat, between):
                 kept.append(s.base_path)
         return kept, total
+
+    @staticmethod
+    def _stat_passes(stat, between: dict[str, tuple]) -> bool:
+        """Can a slice with these published stats contain rows in the
+        bounds? [min, max] overlap per column; EQUALITY probes additionally
+        consult the secondary value-bucket index — a file whose bitmap
+        lacks the probe's bucket cannot contain the value even when its
+        range overlaps (no false negatives: absence of a bucket bit proves
+        absence of every value hashing to it). Missing stats keep the
+        slice (conservative)."""
+        for col, (lo, hi) in between.items():
+            cs = (stat.column_stats or {}).get(col) if stat else None
+            if cs is not None:
+                mn, mx = cs
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    return False
+            vx = (stat.value_index or {}).get(col) if stat else None
+            if vx and lo is not None and lo == hi:
+                # bitmap width rides in the payload (recovered from decode)
+                import base64 as _b64
+
+                n_bits = 8 * len(_b64.b64decode(vx))
+                if not _bitmap_has(vx, _value_bucket(lo, n_bits)):
+                    return False
+        return True
 
     def scan(self, between: dict[str, tuple], as_of: str | None = None) -> DataFrame:
         """Snapshot read with stats-based file skipping + the row-level

@@ -324,6 +324,37 @@ class MorTable(CowTable):
             return self.snapshot(as_of).limit(0)
         return merged.filter(F.col(RECORD_KEY_FIELD).isin(sorted(wanted)))
 
+    def scan(self, between: dict[str, tuple], as_of: str | None = None) -> DataFrame:
+        """Stats-pruned range scan with MERGE-correct semantics: a file
+        group is skipped only when its BASE stats exclude the bounds AND
+        it carries no log slices (a delta log may add or update any value,
+        so logged groups always read through the merge). The inherited COW
+        scan reads pruned base files directly and would serve stale or
+        tombstoned rows — same trap ``lookup`` documents. Row-level
+        filters re-apply after the merge (pruning is a superset
+        guarantee)."""
+        if as_of is not None:
+            self.timeline.instant_for(as_of)
+        slices = resolve_slices(self.timeline, as_of)
+        kept = {}
+        for g, sl in slices.items():
+            if sl.log_paths:
+                kept[g] = sl  # logs can hold anything — never prune
+                continue
+            meta = self.timeline.commit_metadata(sl.commit_ts)
+            if self._stat_passes(meta.find_write_stat(g[1]), between):
+                kept[g] = sl
+        merged = self._merged_over(kept)
+        if merged is None:
+            return self.snapshot(as_of).limit(0)
+        df = merged
+        for col, (lo, hi) in between.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
     def incremental(self, begin_exclusive: str, end_inclusive: str | None = None) -> DataFrame:
         """Changed rows in (begin, end] — B3 on MOR.
 

@@ -340,3 +340,25 @@ def test_merge_delta_mixed_actions(spark, scratch):
     t.compact("20270603000000")
     got2 = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
     assert got2 == got
+
+
+def test_mor_scan_merges_logs(spark, scratch):
+    """MOR scan must read THROUGH the merge: log updates move rows into
+    the scanned range (and tombstones remove them) even when the base
+    file's stats would exclude or include the group."""
+    t = MorTable(
+        spark, os.path.join(scratch, "mscan"), key_fields=["k"],
+        partition_field=None, num_file_groups=2,
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(k, k * 10) for k in range(1, 9)], "k int, v int"),
+        "20270601000000",
+    )
+    # log: k=1 jumps to v=500 (into range); k=4 (v=40, in range) tombstoned
+    t.upsert_delta(spark.createDataFrame([(1, 500)], "k int, v int"), "20270602000000")
+    t.delete_delta(spark.createDataFrame([(4,)], "k int"), "20270603000000")
+    got = {r["k"]: r["v"] for r in t.scan({"v": (40, 600)}).select("k", "v").collect()}
+    assert got == {1: 500, 5: 50, 6: 60, 7: 70, 8: 80}
+    # stats still prune when a group is log-free: as-of the initial commit
+    got0 = {r["k"] for r in t.scan({"v": (10, 30)}, as_of="20270601000000").collect()}
+    assert got0 == {1, 2, 3}
