@@ -291,6 +291,19 @@ class MorTable(CowTable):
             .drop(DELETED_FIELD)
         )
 
+    def _read_groups(self, slices: dict, groups: set) -> DataFrame | None:
+        """Live rows of a group subset — read THROUGH the merge.
+
+        The COW implementation reads base files raw; the inherited
+        writers (upsert / delete / merge_into) use it as the survivors
+        source, so on a MOR table with live delta logs they would rewrite
+        groups from STALE base rows and silently drop every log-resident
+        update and tombstone (a new base slice resets the group's log
+        list, plans/slices.py). Reading the merged view makes a COW-style
+        write on MOR an ABSORBING commit: correct data, logs folded in —
+        targeted compaction semantics."""
+        return self._merged_over({g: slices[g] for g in groups if g in slices})
+
     def snapshot(
         self, as_of: str | None = None, partitions: list[str] | None = None
     ) -> DataFrame:

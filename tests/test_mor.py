@@ -362,3 +362,29 @@ def test_mor_scan_merges_logs(spark, scratch):
     # stats still prune when a group is log-free: as-of the initial commit
     got0 = {r["k"] for r in t.scan({"v": (10, 30)}, as_of="20270601000000").collect()}
     assert got0 == {1, 2, 3}
+
+
+def test_cow_writers_on_mor_absorb_logs(spark, scratch):
+    """Inherited COW-style writers on a MOR table must read the MERGED
+    view as their survivors source: a key-delete after log updates keeps
+    the log values of untouched keys and honors prior tombstones (a base
+    rewrite from stale base rows would silently drop both)."""
+    t = MorTable(
+        spark, os.path.join(scratch, "mabs"), key_fields=["k"],
+        partition_field=None, num_file_groups=1,
+    )
+    t.bulk_insert(spark.createDataFrame([(k, k * 10) for k in range(1, 6)], "k int, v int"),
+                  "20270601000000")
+    t.upsert_delta(spark.createDataFrame([(2, 222)], "k int, v int"), "20270602000000")
+    t.delete_delta(spark.createDataFrame([(3,)], "k int"), "20270603000000")
+    # COW-style delete of k=1: the group rewrite must absorb the logs
+    t.delete(spark.createDataFrame([(1,)], "k int"), "20270604000000")
+    got = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+    assert got == {2: 222, 4: 40, 5: 50}
+    # and the same through a COW-style merge
+    t.merge_into(
+        spark.createDataFrame([(4, 444, False), (5, 0, True)], "k int, v int, is_del boolean"),
+        "20270605000000", delete_condition="is_del",
+    )
+    got = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+    assert got == {2: 222, 4: 444}
