@@ -110,3 +110,37 @@ def test_second_delete_commit_views_are_independent(table, spark, lineitem):
         dv3.select(RECORD_KEY_FIELD).intersect(dv4.select(RECORD_KEY_FIELD)).count()
     )
     assert overlap == 0
+
+
+def test_delete_view_range_includes_merge_commits(spark, scratch):
+    """delete_views_between must surface rows removed by MERGE commits
+    alongside plain delete commits, each stamped with its own instant."""
+    import os
+
+    from hudi_delete_view_spark.sources.cow import CowTable
+    from hudi_delete_view_spark.sources.delete_view import delete_views_between
+
+    t = CowTable(spark, os.path.join(scratch, "dvr_m"), key_fields=["k"],
+                 partition_field="p", num_file_groups=2)
+    t.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", k * 10) for k in range(1, 11)],
+                              "k int, p string, v int"),
+        "20280101000000",
+    )
+    t.delete(
+        spark.createDataFrame([(2, "p0"), (3, "p1")], "k int, p string"),
+        "20280102000000",
+    )
+    src = spark.createDataFrame(
+        [(5, "p1", 999, False), (6, "p0", 0, True), (21, "p1", 210, False)],
+        "k int, p string, v int, is_del boolean",
+    )
+    t.merge_into(src, "20280103000000", delete_condition="is_del")
+    got = {
+        (r["k"], r["_hoodie_commit_time"])
+        for r in delete_views_between(spark, t.base_path, "20280101000000")
+        .select("k", "_hoodie_commit_time").collect()
+    }
+    assert got == {
+        (2, "20280102000000"), (3, "20280102000000"), (6, "20280103000000")
+    }
