@@ -724,10 +724,23 @@ class CowTable:
     def delete(self, keys_df: DataFrame, commit_ts: str) -> CommitMetadata:
         """Delete by key: rewrite affected groups without the given keys.
 
-        ``keys_df`` carries the key fields (payload columns ignored). This is
+        ``keys_df`` carries the key fields PLUS the partition column when
+        the table is partitioned (routing needs it — same contract as
+        ``lookup``'s trailing partition value); payload columns are
+        ignored. A missing routing column raises a named error up front
+        instead of an opaque resolution failure mid-plan. This is
         the write-side producer of everything ``delete_view`` consumes:
         write stats with ``numDeletes > 0`` and ``prevCommit`` per group.
         """
+        pf, _n = self._active_layout()
+        missing = [c for c in [*self.key_fields, *([pf] if pf else [])]
+                   if c not in keys_df.columns]
+        if missing:
+            raise ValueError(
+                f"delete keys_df is missing routing column(s) {missing}: a "
+                f"partitioned table needs the partition value alongside the "
+                f"key fields (table keys={self.key_fields}, partition={pf!r})"
+            )
         keys = keys_df.select(
             self._record_key_col().alias(RECORD_KEY_FIELD),
             self._partition_col().alias(_PP),

@@ -1051,3 +1051,13 @@ def test_value_bucket_index_survives_clustering(spark, scratch):
     assert t.scan({"cat": ("cat0777", "cat0777")}).count() == 4
     for v in ("cat0000", "cat3999"):
         assert t.scan({"cat": (v, v)}).count() == df.filter(F.col("cat") == v).count()
+
+
+def test_delete_missing_partition_column_named_error(spark, scratch):
+    t = CowTable(spark, os.path.join(scratch, "delerr"), key_fields=["k"],
+                 partition_field="p", num_file_groups=2)
+    t.bulk_insert(
+        spark.createDataFrame([(1, "p0", 1)], "k int, p string, v int"), "20280101000000"
+    )
+    with pytest.raises(ValueError, match="routing column"):
+        t.delete(spark.createDataFrame([(1,)], "k int"), "20280102000000")
