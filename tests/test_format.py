@@ -1061,3 +1061,24 @@ def test_delete_missing_partition_column_named_error(spark, scratch):
     )
     with pytest.raises(ValueError, match="routing column"):
         t.delete(spark.createDataFrame([(1,)], "k int"), "20280102000000")
+
+
+def test_commit_history_reports_merge_counters(spark, scratch):
+    """The queryable history row for a MERGE commit carries all three
+    action counters (the audit surface downstream jobs reconcile)."""
+    t = CowTable(spark, os.path.join(scratch, "hist_m"), key_fields=["k"],
+                 partition_field="p", num_file_groups=2)
+    t.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", k) for k in range(1, 9)],
+                              "k int, p string, v int"),
+        "20280101000000",
+    )
+    src = spark.createDataFrame(
+        [(1, "p1", 99, False), (2, "p0", 0, True), (31, "p1", 310, False)],
+        "k int, p string, v int, is_del boolean",
+    )
+    t.merge_into(src, "20280102000000", delete_condition="is_del")
+    row = {r["commit_ts"]: r for r in t.commit_history().collect()}["20280102000000"]
+    assert row["operation"] == "merge"
+    assert (row["num_update_writes"], row["num_inserts"], row["num_deletes"]) == (1, 1, 1)
+    assert row["total_records_deleted"] == 1
