@@ -195,7 +195,15 @@ def _wav_features(meta: dict, dim: int = FEATURE_DIM) -> list[float]:
     def _rms(seg: np.ndarray) -> float:
         if seg.size == 0:
             return 0.0
-        ssq = int(np.dot(seg, seg))  # exact: |x| <= 2^31, n bounded
+        if width <= 2:
+            # exact: |x| <= 2^15 so sum(x^2) <= n * 2^30 — n would need
+            # to exceed 2^33 samples (~32 GiB of PCM in one cell) to wrap
+            ssq = int(np.dot(seg, seg))
+        else:
+            # 32-bit PCM: x^2 <= 2^62 fits int64 PER ELEMENT, but the
+            # SUM wraps after ~2 full-scale samples — accumulate the
+            # element squares in arbitrary-precision Python ints
+            ssq = sum((seg * seg).tolist())
         return float(np.sqrt((ssq / pk2) / seg.size))
 
     sgn = np.sign(xi)

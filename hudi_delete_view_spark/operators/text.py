@@ -326,10 +326,11 @@ def quality_filter_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         + "), t)))"
     )
     lower_txt = F.lower(F.col(text_col))
-    blacklist_hit = None
+    # start from lit(False) so an emptied QF_BLACKLIST (a documented
+    # tunable) yields r_blacklist = true instead of a TypeError on ~None
+    blacklist_hit = F.lit(False)
     for phrase in QF_BLACKLIST:
-        hit = lower_txt.contains(phrase)
-        blacklist_hit = hit if blacklist_hit is None else (blacklist_hit | hit)
+        blacklist_hit = blacklist_hit | lower_txt.contains(phrase)
     out = (
         df.withColumn("qf_n_words", n_words)
         .withColumn("qf_mean_word_len", mean_token_len(text_col))

@@ -410,7 +410,7 @@ WHERE NOT EXISTS (
 """
 
 
-@query("stream_incremental_dedup", oracle=_stream_incr_dedup_oracle())
+@query("stream_incremental_dedup", oracle=_stream_incr_dedup_oracle(), late=True)
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest near-dup removal: documents arrive as a 4-file
     stream (one micro-batch per file, scripted order = doc_id % 4) and
@@ -491,3 +491,192 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "doc_id long, batch long, source string, n_chars long"
     ).parquet(out_dir)
+
+
+def _stream_sig_store_oracle() -> str:
+    """Per-batch survivor replay of the UNIFIED streaming state story
+    (state = the persisted signature store, survivors only — NOT the
+    append-only raw-docs state of ``stream_incremental_dedup``).
+
+    The recursive-survivor rule ("drop iff a verified partner is a
+    SURVIVOR of an earlier batch, or a smaller-id member of my own
+    batch") unrolls into 4 plain CTEs because the scripted stream has
+    exactly 4 batches (batch(doc) = doc_id % 4): s_k = batch-k docs with
+    no verified edge into (s_0 ∪ … ∪ s_{k-1}) and no smaller-id edge
+    inside batch k. The global ``verified`` funnel relation applies
+    unchanged to every base/increment split — band collisions, signature
+    estimates and exact Jaccard are pure pair properties of the two
+    documents, independent of which side of the split each doc sits on."""
+    from .dedup import _minhash_funnel_ctes
+
+    store_k = {
+        1: "SELECT doc_id FROM s0",
+        2: "SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1",
+        3: "SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2",
+    }
+    s_ctes = [
+        """s0 AS (
+  SELECT doc_id FROM documents d WHERE doc_id % 4 = 0
+  AND NOT EXISTS (SELECT 1 FROM edges e
+                  WHERE e.v = d.doc_id AND e.u % 4 = 0 AND e.u < d.doc_id)
+)"""
+    ]
+    for k in (1, 2, 3):
+        s_ctes.append(
+            f"""s{k} AS (
+  SELECT doc_id FROM documents d WHERE doc_id % 4 = {k}
+  AND NOT EXISTS (SELECT 1 FROM edges e
+                  WHERE e.v = d.doc_id
+                    AND (e.u IN ({store_k[k]})
+                         OR (e.u % 4 = {k} AND e.u < d.doc_id)))
+)"""
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS batch, doc_id FROM s{k}" for k in range(4)
+    )
+    return f"""
+WITH {_minhash_funnel_ctes(min_collisions=2)},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION ALL SELECT id_b, id_a FROM verified
+),
+{", ".join(s_ctes)},
+surv AS (
+{unions}
+)
+SELECT s.batch, s.doc_id, d.source, d.n_chars
+FROM surv s JOIN documents d ON d.doc_id = s.doc_id
+"""
+
+
+@query("stream_signature_store", oracle=_stream_sig_store_oracle())
+def stream_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming signature-store maintenance — the ONE state story
+    (SURVEY §12.1, round-4 verdict item 1): micro-batch ingest maintains
+    the SAME persisted assets the batch path reads, instead of a parallel
+    append-only raw-docs state dir.
+
+    Per micro-batch (4 scripted parquet files, batch k = doc_id % 4), the
+    foreachBatch sink:
+      1. reads the signature store's CURRENT snapshot (survivors-only
+         ``__id/__sig/__bands`` rows — the persisted asset) as
+         ``base_sig``, so the corpus side is never re-shingled;
+      2. dedups the batch against it with ``minhash_dedup_incremental``
+         (corpus band table semi-joined to batch-touched buckets; base-vs-
+         base pairs never generated; exact-verify text for store members
+         resolved from the survivors corpus table — the lake data table
+         the same ingest maintains, not a side-channel state dir);
+      3. upserts the batch survivors into the corpus table AND their
+         signatures into the store, one commit per batch on each table.
+
+    Consequence (the semantic difference vs ``stream_incremental_dedup``,
+    now a late/diagnostic variant): a doc is dropped iff it matches an
+    earlier SURVIVOR — matching only a previously-dropped doc is NOT a
+    drop. The oracle unrolls this recursive-survivor rule per batch.
+
+    The result is read back ENTIRELY from the store timeline —
+    ``incremental(ts_{k-1}, ts_k)`` per batch commit — so a hash match
+    proves the store's commit history records exactly the right survivor
+    set per batch. At 100 TB: per-batch cost scales with the batch
+    (bucket semi-join), state is compacted survivor signatures (one row
+    per LIVE doc, not per seen doc), and both assets are queryable lake
+    tables with time travel."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..operators.dedup import _signature_table, minhash_dedup_incremental
+    from ..sources.cow import CowTable
+    from ..sources.fixtures import SCRATCH_ROOT, scratch_tag
+
+    docs_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    doc_cols = [f.name for f in docs_schema.fields]
+    tag = scratch_tag(sf_dir)
+    root = os.path.join(SCRATCH_ROOT, "stream", tag, "sig_store")
+    in_dir = os.path.join(root, "in")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(in_dir, exist_ok=True)
+    store = CowTable(
+        spark, os.path.join(root, "store"), key_fields=["__id"],
+        partition_field=None, num_file_groups=4,
+    )
+    corpus = CowTable(
+        spark, os.path.join(root, "corpus"), key_fields=["doc_id"],
+        partition_field=None, num_file_groups=4,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    for k in range(4):
+        path = os.path.join(in_dir, f"batch-{k}.parquet")
+        pdf = docs.filter(F.col("doc_id") % 4 == k).toPandas()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        os.utime(path, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+
+    def _ts(k: int) -> str:
+        return f"202703010000{k:02d}"
+
+    def sink(batch_df, batch_id):
+        batch = batch_df.persist()
+        try:
+            first = store.timeline.latest_timestamp() is None
+            if first:
+                base = spark.createDataFrame([], docs_schema)
+                base_sig = None
+            else:
+                base_sig = store.snapshot().select("__id", "__sig", "__bands")
+                base = corpus.snapshot().select(*doc_cols)
+            survivors = minhash_dedup_incremental(
+                base, batch, "doc_id", "text", threshold=0.8, base_sig=base_sig
+            ).persist()
+            ts = _ts(int(batch_id))
+            sigs = _signature_table(survivors, "doc_id", "text", 5, 64, 16)
+            if first:
+                corpus.bulk_insert(survivors, ts)
+                store.bulk_insert(sigs, ts)
+            else:
+                corpus.upsert(survivors, ts)
+                store.upsert(sigs, ts)
+            survivors.unpersist()
+        finally:
+            batch.unpersist()
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    # read the answer back from the STORE TIMELINE: batch k's survivors
+    # are exactly the rows committed in (ts_{k-1}, ts_k]
+    tss = store.timeline.timestamps()
+    parts = []
+    prev = "00000000000000"
+    for k, ts in enumerate(tss):
+        ids = store.incremental(prev, ts).select(
+            F.lit(k).cast("long").alias("batch"),
+            F.col("__id").cast("long").alias("doc_id"),
+        )
+        parts.append(ids)
+        prev = ts
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.join(docs.select("doc_id", "source", "n_chars"), "doc_id").select(
+        "batch", "doc_id", "source", "n_chars"
+    )

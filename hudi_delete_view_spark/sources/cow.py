@@ -231,8 +231,8 @@ class CowTable:
             else [*key_fields, *( [partition_field] if partition_field else [] )]
         )
         # secondary value-bucket index columns: for each, every published
-        # file carries a 256-bit md5-bucket bitmap of its values so
-        # EQUALITY predicates prune files whose [min, max] overlap.
+        # file carries an index_bits-wide md5-bucket bitmap of its values
+        # so EQUALITY predicates prune files whose [min, max] overlap.
         # Handle-level config like stats_columns; costs one column-pruned
         # scan of the newly-written files per commit.
         self.index_columns = list(index_columns or [])
@@ -401,16 +401,19 @@ class CowTable:
 
     def _value_index_bitmaps(
         self, written: dict[tuple[str, str], tuple[str, int]]
-    ) -> dict[str, dict[str, list[int]]]:
-        """{rel_path: {col: [w0..w3]}} — 256-bit md5-bucket membership
-        bitmaps for ``index_columns`` over the newly-written files.
+    ) -> dict[str, dict[str, str]]:
+        """{rel_path: {col: base64_bitmap}} — ``self.index_bits``-wide
+        md5-bucket membership bitmaps for ``index_columns`` over the
+        newly-written files, each encoded as a base64 string in the
+        commit payload.
 
         ONE column-pruned Spark job per commit: the files just written are
-        re-read selecting only ``_hoodie_file_name`` + indexed columns,
-        bucket = portable 60-bit md5 of the value string mod 256 (the
-        engine-portable hash contract, so the driver can compute a probe's
-        bucket with hashlib — no Spark round-trip at prune time), one
-        collect_set per column, rows == files (metadata scale)."""
+        re-read selecting only the physical file name + indexed columns,
+        bucket = portable 60-bit md5 of the value string mod
+        ``self.index_bits`` (the engine-portable hash contract, so the
+        driver can compute a probe's bucket with hashlib — no Spark
+        round-trip at prune time), one collect_set per column,
+        rows == files (metadata scale)."""
         from ..operators.util import md5_prefix60_sql
 
         if not self.index_columns or not written:
@@ -1383,7 +1386,16 @@ class CowTable:
                 if (hi is not None and mn > hi) or (lo is not None and mx < lo):
                     return False
             vx = (stat.value_index or {}).get(col) if stat else None
-            if vx and lo is not None and lo == hi:
+            # The bitmap is only consulted for probe types where Python's
+            # str(v) is bit-identical to Spark's cast-to-string (int and
+            # str; bool is excluded: str(True) != 'true'). Any other type
+            # (double/date/timestamp) would compute a DIFFERENT bucket
+            # than the engine hash and could prune a file that DOES
+            # contain the value — the one false negative a membership
+            # index must never produce — so those probes fall back to
+            # [min, max] overlap only.
+            probe_ok = isinstance(lo, (int, str)) and not isinstance(lo, bool)
+            if vx and lo is not None and lo == hi and probe_ok:
                 # bitmap width rides in the payload (recovered from decode)
                 import base64 as _b64
 

@@ -1082,3 +1082,48 @@ def test_commit_history_reports_merge_counters(spark, scratch):
     assert row["operation"] == "merge"
     assert (row["num_update_writes"], row["num_inserts"], row["num_deletes"]) == (1, 1, 1)
     assert row["total_records_deleted"] == 1
+
+
+def test_value_index_probe_skipped_for_unportable_types(spark):
+    """The bitmap probe only fires for int/str probes (where Python's
+    str(v) is bit-identical to Spark's cast-to-string). A float / bool /
+    date probe must FALL BACK to [min, max] overlap — never compute a
+    mismatched bucket and falsely prune a file that contains the value."""
+    import base64
+    import datetime
+
+    from hudi_delete_view_spark.plans.metadata import WriteStat
+    from hudi_delete_view_spark.sources.cow import CowTable, _value_bucket
+
+    n_bits = 256
+    bm = bytearray(n_bits // 8)
+    # index the STRING form Spark would produce for a double column: "1.5"
+    b = _value_bucket("1.5", n_bits)
+    bm[b // 8] |= 1 << (b % 8)
+    stat = WriteStat(
+        file_id="f0", path="x.parquet",
+        column_stats={"v": [0.0, 9.0]},
+        value_index={"v": base64.b64encode(bytes(bm)).decode()},
+    )
+    # float probe: Python str(1.5)=="1.5" here matches, but e.g.
+    # str(1e20) vs Spark's "1.0E20" would not — the guard must skip the
+    # bitmap for ALL floats, so even a value NOT in the bitmap survives
+    # as long as [min, max] overlaps
+    assert CowTable._stat_passes(stat, {"v": (2.5, 2.5)}) is True
+    assert CowTable._stat_passes(stat, {"v": (True, True)}) is True
+    # date probe on a date column (no range stats published): only the
+    # bitmap could prune, and the guard must refuse to consult it
+    dstat = WriteStat(file_id="f1", path="y.parquet",
+                      value_index={"d": stat.value_index["v"]})
+    assert CowTable._stat_passes(
+        dstat, {"d": (datetime.date(2027, 1, 1), datetime.date(2027, 1, 1))}
+    ) is True
+    # int/str probes still consult the bitmap (absent bucket -> prune)
+    assert CowTable._stat_passes(stat, {"v": (7, 7)}) is False
+    sstat = WriteStat(file_id="f2", path="z.parquet",
+                      column_stats={"v": ["0", "9"]},
+                      value_index=dict(stat.value_index))
+    assert CowTable._stat_passes(sstat, {"v": ("1.5", "1.5")}) is True
+    assert CowTable._stat_passes(sstat, {"v": ("2.5", "2.5")}) is False
+    # range stats still prune regardless of probe type
+    assert CowTable._stat_passes(stat, {"v": (10.5, 11.0)}) is False

@@ -282,3 +282,43 @@ def test_quality_filter_blacklist_and_shape(spark):
     )
     row = quality_filter_flags(df, "text").collect()[0]
     assert row["r_blacklist"] is False and row["qf_pass"] is False
+
+
+def test_wav_features_32bit_no_overflow(spark):
+    """32-bit PCM at full scale: sum-of-squares exceeds int64 after ~2
+    samples; the integer-exact RMS path must accumulate in Python ints and
+    produce the true finite value, never a wrapped/NaN one."""
+    import math
+    import struct
+
+    from hudi_delete_view_spark.operators.multimodal import parse_wav, _wav_features
+
+    full = 2**31 - 1
+    samples = [full, -full, full, -full, full, -full, 0, full] * 50
+    data = struct.pack(f"<{len(samples)}i", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 4, 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    meta = parse_wav(wav)
+    assert meta is not None and meta["bit_depth"] == 32
+    feats = _wav_features(meta)
+    assert all(math.isfinite(f) for f in feats), feats
+    # exact: 350 of 400 samples at |full| -> rms = sqrt(350/400)
+    assert feats[1] == pytest.approx(math.sqrt(350 / 400), abs=1e-12)
+    assert feats[7] == float(full)
+
+
+def test_quality_filter_empty_blacklist(spark, monkeypatch):
+    """QF_BLACKLIST is a documented tunable: emptying it must yield
+    r_blacklist = true for every row, not a TypeError on ~None."""
+    from hudi_delete_view_spark.operators import text as text_mod
+
+    monkeypatch.setattr(text_mod, "QF_BLACKLIST", [])
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 4)],
+        ["doc_id", "text"],
+    )
+    row = text_mod.quality_filter_flags(df, "text").collect()[0]
+    assert row["r_blacklist"] is True
