@@ -356,6 +356,12 @@ class CowTable:
         writer = writer.option(
             f"parquet.bloom.filter.enabled#{RECORD_KEY_FIELD}", "true"
         )
+        # adaptive bloom sizing: without it parquet-mr allocates the
+        # bitset for the DEFAULT expected NDV (~1M keys -> a 1 MiB
+        # mostly-zero bloom per file), which floors every small delta log
+        # at ~1 MB and poisons size-based compaction policies; adaptive
+        # mode sizes the bitset from the actual distinct keys written
+        writer = writer.option("parquet.bloom.filter.adaptive.enabled", "true")
         writer.parquet(staging)
 
         written: dict[tuple[str, str], tuple[str, int]] = {}

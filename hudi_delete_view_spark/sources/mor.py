@@ -498,6 +498,70 @@ class MorTable(CowTable):
                 due.append(g)
         return due
 
+    def schedule_compaction_tiered(
+        self,
+        target_ratio: float = 0.5,
+        io_budget_bytes: int | None = None,
+        min_log_files: int = 1,
+    ) -> list[tuple[str, str]]:
+        """Size-tiered compaction planner (SURVEY §12.4): select file
+        groups whose LIVE log bytes have accumulated to at least
+        ``target_ratio`` × the base-file bytes, instead of firing on raw
+        log count/bytes like ``schedule_compaction``.
+
+        Why: compaction rewrites the whole base file to absorb its logs,
+        so per-group write amplification is (base + logs) / logs. A hot
+        wide group with a 1 GB base and one 1 MB log amplifies ~1000×;
+        deferring it until logs reach ``target_ratio`` × base bounds
+        amplification at 1 + 1/target_ratio for every group compacted —
+        the LSM size-tier discipline applied to MOR file groups.
+        Log-only groups (no base file yet) are always due: their
+        "rewrite" IS the absorb, amplification 1.
+
+        ``io_budget_bytes`` caps one run's total rewrite bytes
+        (base + live logs of the cohort): due groups are taken greedily by
+        descending absorbed-per-rewritten ratio (logs / (base + logs)), so
+        a bounded table-service window always spends its IO on the
+        highest-payoff groups first. At least one due group is always
+        returned even if it alone exceeds the budget — otherwise a single
+        over-budget group could starve forever.
+
+        Same driver-side metadata arithmetic as ``schedule_compaction``:
+        sizes come from published write stats, no filesystem stat calls.
+        ``min_log_files`` keeps groups with fewer stacked logs out of
+        consideration regardless of ratio (default 1 = any live log)."""
+        if not 0 < target_ratio:
+            raise ValueError("target_ratio must be > 0")
+        slices = resolve_slices(self.timeline)
+        path_bytes: dict[str, int] = {}
+        for ts in self.timeline.timestamps():
+            for _partition, stat in self.timeline.commit_metadata(ts).all_stats():
+                path_bytes[os.path.join(self.base_path, stat.path)] = (
+                    stat.file_size_bytes
+                )
+        due: list[tuple[float, int, int, tuple[str, str]]] = []
+        for g, s in sorted(slices.items()):
+            if len(s.log_paths) < max(min_log_files, 1):
+                continue
+            log_bytes = sum(path_bytes.get(p, 0) for p in s.log_paths)
+            base_bytes = path_bytes.get(s.base_path, 0) if s.base_path else 0
+            if base_bytes > 0 and log_bytes < target_ratio * base_bytes:
+                continue  # deferred: absorbing now would over-amplify
+            rewrite = base_bytes + log_bytes
+            payoff = log_bytes / rewrite if rewrite else 1.0
+            due.append((payoff, log_bytes, rewrite, g))
+        if io_budget_bytes is None:
+            return [g for _r, _l, _w, g in due]
+        cohort, spent = [], 0
+        for _payoff, _log_bytes, rewrite, g in sorted(
+            due, key=lambda t: (-t[0], t[3])
+        ):
+            if cohort and spent + rewrite > io_budget_bytes:
+                continue
+            cohort.append(g)
+            spent += rewrite
+        return sorted(cohort)
+
     def compact(
         self, commit_ts: str, groups: list[tuple[str, str]] | None = None
     ) -> "CommitMetadata":

@@ -388,3 +388,97 @@ def test_cow_writers_on_mor_absorb_logs(spark, scratch):
     )
     got = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
     assert got == {2: 222, 4: 444}
+
+
+def test_size_tiered_compaction_rewrites_fewer_bytes(spark, scratch):
+    """Size-tiered policy (SURVEY 12.4): a huge-base group carrying one
+    tiny log is DEFERRED (absorbing it now would over-amplify), while a
+    small-base group whose logs rival its base compacts — measurably fewer
+    bytes rewritten than the count-trigger cohort, with the merged view
+    identical either way."""
+    import shutil
+
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    def _mk(path):
+        return MorTable(
+            spark, path, key_fields=["k"], partition_field="p", num_file_groups=1
+        )
+
+    t = _mk(os.path.join(scratch, "tiered"))
+    fat = "x" * 2000
+    big = spark.createDataFrame(
+        [(i, "big", fat + str(i)) for i in range(40000)], "k long, p string, s string"
+    )
+    small = spark.createDataFrame(
+        [(i + 100000, "small", "y") for i in range(200)], "k long, p string, s string"
+    )
+    t.bulk_insert(big.unionByName(small), "20250101000000")
+    # two log stacks: 'big' gets 1-row deltas (tiny vs its base), 'small'
+    # gets 150-row deltas (log bytes rival its base)
+    for i, ts in enumerate(["20250102000000", "20250103000000"]):
+        d_big = spark.createDataFrame([(i, "big", fat)], "k long, p string, s string")
+        d_small = spark.createDataFrame(
+            [(j + 100000, "small", f"z{i}") for j in range(150)],
+            "k long, p string, s string",
+        )
+        t.upsert_delta(d_big.unionByName(d_small), ts)
+
+    due_count = t.schedule_compaction(min_log_files=2)
+    assert len(due_count) == 2  # old policy: both groups fire
+    due_tiered = t.schedule_compaction_tiered(target_ratio=0.5)
+    assert len(due_tiered) == 1 and due_tiered[0][0] == "small"
+
+    # compact a byte-identical copy with the count cohort for comparison
+    t2_path = os.path.join(scratch, "tiered_copy")
+    shutil.copytree(os.path.join(scratch, "tiered"), t2_path)
+    t2 = _mk(t2_path)
+
+    merged_before = t.snapshot().select("k", "p", "s").orderBy("k").collect()
+    m_tiered = t.compact("20250104000000", groups=due_tiered)
+    m_count = t2.compact("20250104000000", groups=due_count)
+    bytes_tiered = sum(s.file_size_bytes for _p, s in m_tiered.all_stats())
+    bytes_count = sum(s.file_size_bytes for _p, s in m_count.all_stats())
+    assert bytes_tiered < bytes_count / 5, (bytes_tiered, bytes_count)
+    # both views stay correct
+    assert t.snapshot().select("k", "p", "s").orderBy("k").collect() == merged_before
+    assert t2.snapshot().select("k", "p", "s").orderBy("k").collect() == merged_before
+    # the deferred big group still carries its logs; small is clean
+    left = t.schedule_compaction(min_log_files=1)
+    assert left == [("big", left[0][1])]
+
+
+def test_size_tiered_budget_and_log_only(spark, scratch):
+    """io_budget_bytes picks the highest-payoff due groups first and never
+    returns an empty cohort when something is due; log-only groups are
+    always due (amplification 1)."""
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    t = MorTable(
+        spark, os.path.join(scratch, "budget"), key_fields=["k"],
+        partition_field="p", num_file_groups=1,
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(1, "a", "x" * 500), (2, "b", "y")],
+                              "k long, p string, s string"),
+        "20250101000000",
+    )
+    # partition 'c' never had a base file -> log-only group
+    t.upsert_delta(
+        spark.createDataFrame(
+            [(10, "c", "new"), (1, "a", "upd"), (2, "b", "upd")],
+            "k long, p string, s string",
+        ),
+        "20250102000000",
+    )
+    due = t.schedule_compaction_tiered(target_ratio=10.0)
+    # ratio 10 defers any group with a base file; log-only 'c' is still due
+    assert [g[0] for g in due] == ["c"]
+    due_all = t.schedule_compaction_tiered(target_ratio=0.0001)
+    assert len(due_all) == 3
+    # budget of 1 byte: greedy keeps the single best-payoff group (the
+    # log-only one, payoff 1.0) rather than returning nothing
+    cohort = t.schedule_compaction_tiered(target_ratio=0.0001, io_budget_bytes=1)
+    assert [g[0] for g in cohort] == ["c"]
+    with pytest.raises(ValueError):
+        t.schedule_compaction_tiered(target_ratio=0)
