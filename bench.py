@@ -83,7 +83,16 @@ def _report_regressions(prev: dict | None, record: dict) -> None:
             print(f"# improved {name}: {p:.3f}s -> {t:.3f}s", file=sys.stderr)
 
 
+_LOAD_AT_START = round(os.getloadavg()[0], 1)
+
+
 def main() -> None:
+    if _LOAD_AT_START > 8:
+        print(
+            f"# WARNING: load_1m={_LOAD_AT_START} at start — timings will be "
+            "inflated by whatever else is running; re-run on an idle box",
+            file=sys.stderr,
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     _registry.load_all()
@@ -186,6 +195,10 @@ def main() -> None:
         "queries": timings,
         "duckdb_queries": duck,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # 1-minute load BEFORE this bench contributed: a loaded box (test
+        # suite, another gate) inflates timings 20-130% — readers should
+        # discount any record whose pre-existing load rivals the core count
+        "load_1m_at_start": _LOAD_AT_START,
     }
 
     # round-over-round trend: append to BENCH_HISTORY.jsonl and flag

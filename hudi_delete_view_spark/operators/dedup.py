@@ -415,7 +415,11 @@ def hamming64(col_a, col_b):
 
 
 def refine_simhash_buckets(
-    s: DataFrame, prefix_bits: int, bucket_cap: int | None
+    s: DataFrame,
+    prefix_bits: int,
+    bucket_cap: int | None,
+    sig_col: str = "__sim",
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split oversized SimHash prefix buckets on additional signature bits.
 
@@ -444,7 +448,8 @@ def refine_simhash_buckets(
     split to different depths never alias."""
     if not bucket_cap or bucket_cap <= 0:
         return s.withColumn("__eb", F.lit(0))
-    occ = s.groupBy("__bucket").agg(F.count("*").alias("__n"))
+    keys = [*extra_keys, "__bucket"]
+    occ = s.groupBy(*keys).agg(F.count("*").alias("__n"))
     eb = F.least(
         F.lit(SIMHASH_BITS - prefix_bits),
         F.greatest(
@@ -453,15 +458,107 @@ def refine_simhash_buckets(
         ),
     )
     return (
-        s.join(occ, "__bucket")
+        s.join(occ, keys)
         .withColumn("__eb", eb)
         .withColumn(
             "__bucket",
             F.expr(
-                f"shiftrightunsigned(__sim, {SIMHASH_BITS - prefix_bits} - __eb)"
+                f"shiftrightunsigned({sig_col}, {SIMHASH_BITS - prefix_bits} - __eb)"
             ),
         )
         .drop("__n")
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(__id, __sim): the 60-bit SimHash signature per document."""
+    return (
+        spread(df)
+        .select(F.col(id_col).alias("__id"), token_hashes(text_col).alias("__th"))
+        .select("__id", simhash("__th").alias("__sim"))
+    )
+
+
+def simhash_pairs_from_sigs(
+    s: DataFrame,
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+    bucket_cap: int | None = None,
+    tables: int = 1,
+) -> DataFrame:
+    """Signature-level SimHash pair generation over (__id, __sim) rows —
+    the text-free core of ``simhash_near_pairs`` (factored out so recall
+    properties are unit-testable on synthetic signatures).
+
+    ``tables=1``: bucket on the top ``prefix_bits`` bits, exact Hamming
+    within buckets. ``tables=T>1``: the Manku multi-table rotation — table
+    i buckets on the top ``prefix_bits`` of the signature ROTATED LEFT by
+    i*prefix_bits, so the T prefix windows tile disjoint bit ranges
+    (requires T*prefix_bits <= 60). A pair is missed only if EVERY window
+    contains a differing bit, which needs >= T differing bits: recall is
+    EXACT for Hamming distance d <= T-1 (p=12, T=5 tiles all 60 bits ->
+    exact through d=4), versus the single-table window miss probability
+    ~ 1-C(60-p,d)/C(60,d). Candidates from all tables are deduped as id
+    pairs BEFORE the Hamming verify, so the exact filter runs once per
+    distinct pair.
+
+    ``bucket_cap`` splits oversized (table, bucket) cells on extra bits of
+    the (rotated) signature — the skew guard composes with the rotation:
+    a bit-identical pathological pile hot-spots every table equally, and
+    the cap bounds each cell's quadratic self-join while the rotation
+    restores the recall the split positions would otherwise cost."""
+    if tables <= 1:
+        # top prefix_bits of the 60-bit signature; prefix_bits=0 = 1 bucket
+        bucket = (
+            F.shiftrightunsigned("__sim", SIMHASH_BITS - prefix_bits)
+            if prefix_bits > 0
+            else F.lit(0)
+        )
+        s = refine_simhash_buckets(
+            s.withColumn("__bucket", bucket), prefix_bits, bucket_cap
+        )
+        keys = ["__bucket", "__eb"]
+        a = s.select(F.col("__id").alias("id_a"), F.col("__sim").alias("__sim_a"), *keys)
+        b = s.select(F.col("__id").alias("id_b"), F.col("__sim").alias("__sim_b"), *keys)
+        return (
+            a.join(b, keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", hamming64(F.col("__sim_a"), F.col("__sim_b")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+    if prefix_bits <= 0 or tables * prefix_bits > SIMHASH_BITS:
+        raise ValueError(
+            f"rotation needs 0 < tables*prefix_bits <= {SIMHASH_BITS}; "
+            f"got tables={tables}, prefix_bits={prefix_bits}"
+        )
+    mask = (1 << SIMHASH_BITS) - 1
+    # rotate-left within the 60-bit domain by i*prefix_bits per table;
+    # one transform + posexplode fans each signature to its T (table,
+    # rotated-sig) rows without a T-way union of the scan
+    rots = F.expr(
+        f"transform(sequence(0, {tables - 1}), i -> IF(i = 0, __sim, "
+        f"(shiftleft(__sim, i * {prefix_bits}) | "
+        f" shiftrightunsigned(__sim, {SIMHASH_BITS} - i * {prefix_bits})) & {mask}))"
+    )
+    e = s.select("__id", "__sim", F.posexplode(rots).alias("__t", "__rsim"))
+    e = e.withColumn(
+        "__bucket", F.shiftrightunsigned("__rsim", SIMHASH_BITS - prefix_bits)
+    )
+    e = refine_simhash_buckets(
+        e, prefix_bits, bucket_cap, sig_col="__rsim", extra_keys=("__t",)
+    )
+    keys = ["__t", "__bucket", "__eb"]
+    a = e.select(F.col("__id").alias("id_a"), F.col("__sim").alias("__sim_a"), *keys)
+    b = e.select(F.col("__id").alias("id_b"), F.col("__sim").alias("__sim_b"), *keys)
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sim_a", "__sim_b")
+        .distinct()  # a pair may collide in several tables
+        .withColumn("hamming", hamming64(F.col("__sim_a"), F.col("__sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -471,37 +568,53 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 8,
     prefix_bits: int = 12,
-    bucket_cap: int | None = None,
+    bucket_cap=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
     (cheap LSH for Hamming space), then exact Hamming within buckets.
 
     ``bucket_cap`` (None = off, keeping the bit-exact SQL-oracle
-    semantics) is the skew guard for the 100 TB path: buckets above the
+    semantics; ``profile.PROFILE_DEFAULT`` = let the active scale profile
+    decide) is the skew guard for the 100 TB path: buckets above the
     cap split on extra signature bits (``refine_simhash_buckets``) so a
     pathologically clustered corpus can't hot-spot one prefix bucket with
     a quadratic self-join."""
-    s = (
-        spread(df)
-        .select(F.col(id_col).alias("__id"), token_hashes(text_col).alias("__th"))
-        .select("__id", simhash("__th").alias("__sim"))
+    from ..profile import PROFILE_DEFAULT, simhash_bucket_cap
+
+    if bucket_cap is PROFILE_DEFAULT:
+        bucket_cap = simhash_bucket_cap(PROFILE_DEFAULT)
+    return simhash_pairs_from_sigs(
+        simhash_signatures(df, id_col, text_col),
+        max_hamming=max_hamming,
+        prefix_bits=prefix_bits,
+        bucket_cap=bucket_cap,
     )
-    # top prefix_bits of the 60-bit signature; prefix_bits=0 = single bucket
-    bucket = (
-        F.shiftrightunsigned("__sim", SIMHASH_BITS - prefix_bits)
-        if prefix_bits > 0
-        else F.lit(0)
-    )
-    s = refine_simhash_buckets(s.withColumn("__bucket", bucket), prefix_bits, bucket_cap)
-    keys = ["__bucket", "__eb"]
-    a = s.select(F.col("__id").alias("id_a"), F.col("__sim").alias("__sim_a"), *keys)
-    b = s.select(F.col("__id").alias("id_b"), F.col("__sim").alias("__sim_b"), *keys)
-    return (
-        a.join(b, keys)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming64(F.col("__sim_a"), F.col("__sim_b")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+
+
+def simhash_near_pairs_rotated(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+    tables: int = 5,
+    bucket_cap=None,
+) -> DataFrame:
+    """Manku multi-table SimHash near-dup pairs (SURVEY §12.3): ``tables``
+    rotations of the signature give exact recall through Hamming distance
+    ``tables-1`` (see ``simhash_pairs_from_sigs``) — the recall-recovery
+    path when a corpus needs BOTH the bucket-occupancy cap and full
+    recall on the documented d<=2 near-dup shape."""
+    from ..profile import PROFILE_DEFAULT, simhash_bucket_cap
+
+    if bucket_cap is PROFILE_DEFAULT:
+        bucket_cap = simhash_bucket_cap(PROFILE_DEFAULT)
+    return simhash_pairs_from_sigs(
+        simhash_signatures(df, id_col, text_col),
+        max_hamming=max_hamming,
+        prefix_bits=prefix_bits,
+        bucket_cap=bucket_cap,
+        tables=tables,
     )
 
 

@@ -1,0 +1,80 @@
+"""Scale profile: one switch that flips the opt-in 100 TB guards ON.
+
+The engine ships two execution profiles:
+
+- ``default`` — every guard that could perturb bit-exact oracle semantics
+  is opt-in (the correctness-first posture the DuckDB gate verifies).
+- ``scale`` — the production posture for very large corpora: skew guards
+  activate with conservative thresholds sized so they restructure PLANS
+  (bucket splits, skew-join forcing), not ANSWERS, on any corpus where
+  the guard doesn't actually fire; where a guard does fire (a bucket
+  beyond ``SIMHASH_BUCKET_CAP``), the documented recall trade of the
+  operator applies and the Manku rotation (``simhash_near_pairs_rotated``)
+  is the recovery path.
+
+Activate per-process with ``SPARK_GRAFT_PROFILE=scale`` (read at each
+lookup, so a test harness can flip it around a single block) or
+programmatically via ``set_profile("scale")``. The full oracle gate is
+required to stay green under the scale profile —
+``SPARK_GRAFT_PROFILE=scale python tools/check_oracle.py …`` — proving
+activation alone never changes a verified answer at gate scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+PROFILE_ENV = "SPARK_GRAFT_PROFILE"
+_override: str | None = None
+
+# SimHash prefix-bucket occupancy cap under the scale profile. Sized two+
+# orders above any bucket the gate corpora produce (500 docs over 4096
+# prefix buckets peak in the single digits) and low enough that one
+# bucket's within-bucket self-join stays ~cap^2/2 ≈ 5e5 comparisons — a
+# single-task quantum, not a hot spot (measured in the skew soak:
+# 200k-doc pathological corpus 14.9s -> 1.0s with a cap of this class).
+SIMHASH_BUCKET_CAP = 1000
+
+# AQE skew handling: always-on basics live in session.py; the scale
+# profile additionally forces skew-join splitting even when Spark would
+# skip it to avoid an extra shuffle — at 1000 executors an extra shuffle
+# is cheaper than one straggler task owning a hot key.
+SCALE_SPARK_CONFS = {
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+}
+
+
+def set_profile(name: str | None) -> None:
+    """Force the profile for this process (None = back to env/default)."""
+    global _override
+    if name not in (None, "default", "scale"):
+        raise ValueError(f"unknown profile: {name!r} (use 'default' or 'scale')")
+    _override = name
+
+
+def active_profile() -> str:
+    return _override or os.environ.get(PROFILE_ENV, "default")
+
+
+def scale_mode() -> bool:
+    return active_profile() == "scale"
+
+
+def simhash_bucket_cap(explicit) -> int | None:
+    """Resolve a ``bucket_cap`` argument: an explicit value (including
+    None = guard off) always wins; the ``PROFILE_DEFAULT`` sentinel takes
+    the profile's answer."""
+    if explicit is not PROFILE_DEFAULT:
+        return explicit
+    return SIMHASH_BUCKET_CAP if scale_mode() else None
+
+
+class _ProfileDefault:
+    """Sentinel: 'let the active profile pick' (distinct from None=off)."""
+
+    def __repr__(self) -> str:  # shows up in signatures/help
+        return "PROFILE_DEFAULT"
+
+
+PROFILE_DEFAULT = _ProfileDefault()

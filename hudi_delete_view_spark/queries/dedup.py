@@ -305,9 +305,19 @@ WHERE bit_count(xor(a.sim, b.sim)) <= 10
 """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (12-bit prefix buckets, Hamming <= 10)."""
+    """SimHash near-dup pairs (12-bit prefix buckets, Hamming <= 10).
+
+    ``bucket_cap`` resolves through the active profile: under
+    ``SPARK_GRAFT_PROFILE=scale`` the occupancy guard is ARMED
+    (cap=1000), and the oracle stays bit-exact because no gate-corpus
+    bucket approaches the cap — the profile changes plans, not answers
+    (proven by running the full gate with the profile active)."""
+    from ..profile import PROFILE_DEFAULT
+
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=10)
+    return simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=10, bucket_cap=PROFILE_DEFAULT
+    )
 
 
 @query(

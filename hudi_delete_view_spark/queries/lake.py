@@ -680,3 +680,61 @@ def lake_indexed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         df[RECORD_KEY_FIELD], *[F.col(c) for c in _PAYLOAD],
         F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Co-located lake-to-lake join (SURVEY §12.5): bucketed mirrors of the COW
+# lineitem table and the MOR orders table joined with ZERO Exchange.
+# --------------------------------------------------------------------------
+@query(
+    "lake_colocated_join",
+    late=True,  # join correctness is windowed via rel_*; this adds the layout
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT l_orderkey,
+         CASE WHEN l_partkey % 10 = 0 THEN l_quantity + 100.0 ELSE l_quantity END AS qty
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+)
+SELECT o2.o_orderkey, o2.o_orderstatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       MAX(o2.o_totalprice) AS o_totalprice
+FROM l2 JOIN o2 ON l2.l_orderkey = o2.o_orderkey
+GROUP BY 1, 2
+""",
+)
+def lake_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-to-lake join through ``bucketed_mirror`` (sources/cow.py): the
+    COW lineitem snapshot and the MOR orders merged view are each
+    materialized once per commit epoch as catalog-bucketed mirrors on
+    their join keys (8 buckets both sides), so the fact-to-fact equi-join
+    AND the following per-order aggregation plan with no Exchange — the
+    partitioning flows from the bucketed scans through the sort-merge
+    join into the groupBy. A pure-Python DSv2 scan cannot report
+    KeyGroupedPartitioning to Catalyst (JVM interface), so catalog
+    bucketing is the supported route to shuffle-free repeated joins; the
+    mirror refresh is metadata-only while the source timeline is
+    unchanged. The merge hint pins sort-merge at oracle scale (AQE would
+    otherwise broadcast the small side; at production scale sort-merge is
+    what the planner picks on its own)."""
+    from ..sources.fixtures import build_orders_mor
+
+    li = build_lineitem_cow(spark, sf_dir).bucketed_mirror("l_orderkey", n_buckets=8)
+    om = build_orders_mor(spark, sf_dir).bucketed_mirror("o_orderkey", n_buckets=8)
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.hint("merge")
+        .join(om, li.l_orderkey == om.o_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.max("o_totalprice").alias("o_totalprice"),
+        )
+    )

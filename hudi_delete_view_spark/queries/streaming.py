@@ -456,6 +456,10 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch order on any filesystem
     for k in range(4):
         path = os.path.join(in_dir, f"batch-{k}.parquet")
+        # FIXTURE CONSTRUCTION, not engine path: the scripted 4-file
+        # arrival order needs one single-file parquet per batch with a
+        # controlled mtime, which DataFrameWriter cannot produce — the
+        # driver-side materialization is bounded by the test corpus
         pdf = docs.filter(F.col("doc_id") % 4 == k).toPandas()
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -618,6 +622,10 @@ def stream_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     for k in range(4):
         path = os.path.join(in_dir, f"batch-{k}.parquet")
+        # FIXTURE CONSTRUCTION, not engine path: the scripted 4-file
+        # arrival order needs one single-file parquet per batch with a
+        # controlled mtime, which DataFrameWriter cannot produce — the
+        # driver-side materialization is bounded by the test corpus
         pdf = docs.filter(F.col("doc_id") % 4 == k).toPandas()
         import pyarrow as pa
         import pyarrow.parquet as pq

@@ -46,4 +46,16 @@ def get_spark(app_name: str = "hudi-delete-view-spark", master: str | None = Non
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    from .profile import SCALE_SPARK_CONFS, scale_mode
+
+    if scale_mode():
+        # scale profile: force skew-join splitting (an extra shuffle beats
+        # a straggler at 1000 executors); runtime-settable confs, so they
+        # also apply when the session already exists
+        for k, v in SCALE_SPARK_CONFS.items():
+            builder = builder.config(k, v)
+        spark = builder.getOrCreate()
+        for k, v in SCALE_SPARK_CONFS.items():
+            spark.conf.set(k, v)
+        return spark
     return builder.getOrCreate()

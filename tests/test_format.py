@@ -1127,3 +1127,46 @@ def test_value_index_probe_skipped_for_unportable_types(spark):
     assert CowTable._stat_passes(sstat, {"v": ("2.5", "2.5")}) is False
     # range stats still prune regardless of probe type
     assert CowTable._stat_passes(stat, {"v": (10.5, 11.0)}) is False
+
+
+def test_bucketed_mirror_colocated_join_no_exchange(spark, scratch):
+    """Two lake tables mirrored with equal bucket counts join with ZERO
+    Exchange in the plan; the mirror refreshes only when the timeline
+    advances; results track the snapshot."""
+    from hudi_delete_view_spark.sources.cow import CowTable
+
+    a = CowTable(spark, os.path.join(scratch, "ta"), key_fields=["k"],
+                 partition_field=None, num_file_groups=4)
+    b = CowTable(spark, os.path.join(scratch, "tb"), key_fields=["k"],
+                 partition_field=None, num_file_groups=4)
+    a.bulk_insert(spark.createDataFrame(
+        [(i, f"a{i}") for i in range(500)], "k long, va string"), "20270101000000")
+    b.bulk_insert(spark.createDataFrame(
+        [(i, i * 10) for i in range(0, 500, 2)], "k long, vb long"), "20270101000000")
+
+    ma = a.bucketed_mirror("k", mirror_name="m_ta")
+    mb = b.bucketed_mirror("k", mirror_name="m_tb")
+    # force sort-merge (at test scale Spark would broadcast, which hides
+    # the bucketing; at the scales this serves, both sides exceed the
+    # broadcast threshold and sort-merge is what the planner picks anyway)
+    joined = ma.hint("merge").join(mb, "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert joined.count() == 250
+
+    # metadata-only on repeat: the mirror parquet files keep their mtimes
+    import glob
+    mdir = os.path.join(scratch, "ta", ".mirror", "m_ta")
+    before = sorted(os.path.getmtime(p) for p in glob.glob(mdir + "/part-*"))
+    a.bucketed_mirror("k", mirror_name="m_ta")
+    after = sorted(os.path.getmtime(p) for p in glob.glob(mdir + "/part-*"))
+    assert before == after
+
+    # timeline advance invalidates: upsert k=1000, mirror refresh sees it
+    a.upsert(spark.createDataFrame([(1000, "new")], "k long, va string"),
+             "20270102000000")
+    ma2 = a.bucketed_mirror("k", mirror_name="m_ta")
+    assert ma2.filter("k = 1000").count() == 1
+    # meta columns are dropped from the join-serving projection
+    assert not [c for c in ma2.columns if c.startswith("_hoodie_")]

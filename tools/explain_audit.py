@@ -137,6 +137,17 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # funnel's joins are bucketed equi-joins, decontamination broadcasts
     # the benchmark gram side — nothing cartesian anywhere in 4 stages
     "pipeline_training_corpus": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # co-located lake-to-lake join: both sides are catalog-bucketed
+    # mirrors of lake tables, so the sort-merge join AND the per-order
+    # aggregation run with no hash-partitioning exchange anywhere
+    "lake_colocated_join": (
+        ["SortMergeJoin", "Bucketed: true"],
+        ["Exchange hashpartitioning", "CartesianProduct"],
+    ),
+    # streaming-maintained signature store readback: per-commit
+    # incremental reads of the store (string-range commit-time filters
+    # pushed into pruned parquet scans) joined to doc metadata
+    "stream_signature_store": (["PushedFilters"], ["CartesianProduct"]),
 }
 
 # per-query session confs applied while building the audited plan
