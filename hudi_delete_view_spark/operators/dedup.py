@@ -852,3 +852,72 @@ def shared_span_pairs(
             F.round(F.col("n_spans").cast("double") / F.col("__nw"), 6).alias("coverage_b"),
         )
     )
+
+
+def remove_boilerplate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_span_df: int = 2,
+) -> DataFrame:
+    """Exact-substring boilerplate REMOVAL (the action to
+    ``shared_span_pairs``'s detection — Lee et al.'s dedup-by-deletion
+    shape): every token covered by a ``window``-token sliding span whose
+    hash appears in >= ``min_span_df`` DISTINCT documents is cut; the
+    survivors keep their original order.
+
+    Scale shape: one tokenize + span-hash pass (pure JVM HOFs), one
+    aggregation to document-frequency, one semi-join back to the
+    (doc, position) span rows, one collect_list of hot start positions
+    per doc — every join keyed on the span hash or the doc id, never
+    all-pairs. The per-doc cover test is a nested HOF (token-index
+    filter against the hot-start list) that runs inside WholeStageCodegen;
+    cost is O(tokens x hot_spans_in_doc), and hot spans per doc are
+    bounded by the doc's own length. Corpus text is never shuffled — only
+    (id, position) pairs and the final starts array move.
+
+    Returns (id, n_tokens_before, n_tokens_removed, cleaned_text).
+    Matches the DuckDB mirror token-for-token: both engines build the
+    same 1-based start positions and the same NOT-covered filter.
+    """
+    from .text import tokens
+
+    w = window
+    toks = spread(df).select(
+        F.col(id_col).alias("__bid"), tokens(text_col).alias("__t")
+    )
+    toks = register_cache(toks, materialize=False)
+    grams = (
+        f"IF(size(__t) < {w}, cast(array() as array<string>), "
+        f"transform(sequence(1, size(__t) - {w - 1}), "
+        f"i -> md5(concat_ws(' ', slice(__t, i, {w})))))"
+    )
+    # (doc, start, hash) — positions are 1-based on both engines
+    wins = toks.select(
+        "__bid", F.posexplode(F.expr(grams)).alias("__p0", "__h")
+    ).select("__bid", (F.col("__p0") + 1).alias("__s"), "__h")
+    hot = (
+        wins.groupBy("__h")
+        .agg(F.count_distinct("__bid").alias("__df"))
+        .filter(F.col("__df") >= min_span_df)
+        .select("__h")
+    )
+    starts = (
+        wins.join(hot, "__h", "left_semi")
+        .groupBy("__bid")
+        .agg(F.sort_array(F.collect_set("__s")).alias("__starts"))
+    )
+    joined = toks.join(starts, "__bid", "left").withColumn(
+        "__starts", F.coalesce("__starts", F.expr("cast(array() as array<int>)"))
+    )
+    kept = F.expr(
+        f"filter(__t, (t, j) -> "
+        f"NOT exists(__starts, s -> j + 1 >= s AND j + 1 <= s + {w - 1}))"
+    )
+    return joined.select(
+        F.col("__bid").alias(id_col),
+        F.size("__t").cast("long").alias("n_tokens_before"),
+        (F.size("__t") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )

@@ -361,3 +361,47 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         "qvec",
         F.round(recon, 6).alias("recon_cosine"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (Abbas et al.): cluster the
+    embedding space with the deterministic mini k-means
+    (``ivf_centroids``), then WITHIN each cluster drop every vector that
+    has a higher-similarity twin — pair rule cosine >= ``threshold``
+    (ROUND 6), deterministic survivor = lowest id, same rule family as
+    the text funnels.
+
+    Scale shape (the published SemDeDup design point): the quadratic
+    pair search runs per CLUSTER, never corpus-wide — expected cluster
+    size is N/nlist, so nlist is the knob that bounds each task's
+    comparisons at 100 TB (SemDeDup used 50k clusters for LAION-scale);
+    centroids broadcast, assignment is one narrow map, and only id pairs
+    shuffle out of the cluster join. Returns surviving (id, cid) rows."""
+    v = corpus.select(
+        F.col(id_col).alias("__vid"), as_double_array(vec_col).alias("__v")
+    )
+    cent = ivf_centroids(corpus, id_col, vec_col, nlist=nlist, iters=iters)
+    asg = _assign(v, cent)
+    from .util import register_cache
+
+    asg = register_cache(asg)
+    a = asg.select("cid", F.col("__vid").alias("id_a"), F.col("__v").alias("__va"))
+    b = asg.select("cid", F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"))
+    losers = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", F.round(cosine_expr("__va", "__vb"), 6))
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("id_b").alias("__vid"))
+        .distinct()
+    )
+    return asg.join(losers, "__vid", "left_anti").select(
+        F.col("__vid").alias(id_col), "cid"
+    )

@@ -300,6 +300,11 @@ QF_MAX_MEAN_WORD_LEN = 4.75
 QF_MAX_SYMBOL_RATIO = 0.1
 QF_MIN_STOPWORD_HITS = 1
 QF_BLACKLIST = ["lorem ipsum"]
+# Gopher repetition rule: fraction of duplicate 3-gram OCCURRENCES
+# (1 - distinct/total). Boilerplate/spam pages repeat phrases heavily
+# (a pure "spam spam spam" page scores ~1.0); clean prose sits near 0
+# (corpus max 0.071 at sf0.01, so the gate answer is threshold-stable).
+QF_MAX_DUP3_RATIO = 0.3
 
 
 def quality_filter_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -331,6 +336,20 @@ def quality_filter_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     blacklist_hit = F.lit(False)
     for phrase in QF_BLACKLIST:
         blacklist_hit = blacklist_hit | lower_txt.contains(phrase)
+    # Gopher repetition signal: duplicate 3-gram occurrence fraction.
+    # 1 - distinct/total over the stride-1 3-gram list; < 3 tokens -> 0.0.
+    # Same integer counts + one double division + round(6) in DuckDB.
+    # empty-guard: Spark's sequence(1, 0) is DESCENDING [1, 0] (not empty
+    # like DuckDB's generate_series) — same contract as word_shingles
+    g3 = (
+        f"IF(size({toks_arr}) < 3, cast(array() as array<string>), "
+        f"transform(sequence(1, size({toks_arr}) - 2), "
+        f"i -> concat_ws(' ', slice({toks_arr}, i, 3))))"
+    )
+    dup3 = F.expr(
+        f"round(IF(size({g3}) = 0, 0.0, "
+        f"1.0 - cast(size(array_distinct({g3})) as double) / size({g3})), 6)"
+    )
     out = (
         df.withColumn("qf_n_words", n_words)
         .withColumn("qf_mean_word_len", mean_token_len(text_col))
@@ -348,8 +367,13 @@ def quality_filter_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("r_symbol_ratio", F.col("qf_symbol_ratio") <= QF_MAX_SYMBOL_RATIO)
         .withColumn("r_stopwords", sw_hits >= QF_MIN_STOPWORD_HITS)
         .withColumn("r_blacklist", ~blacklist_hit)
+        .withColumn("qf_dup3_ratio", dup3)
+        .withColumn("r_repetition", dup3 <= QF_MAX_DUP3_RATIO)
     )
-    rules = ["r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_stopwords", "r_blacklist"]
+    rules = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_stopwords", "r_blacklist", "r_repetition",
+    ]
     verdict = None
     for r in rules:
         verdict = F.col(r) if verdict is None else (verdict & F.col(r))

@@ -320,15 +320,11 @@ def _training_corpus_sql() -> str:
     (split, source) counts. Every stage reuses the exact CTE mirror its
     standalone query is verified by."""
     from .dedup import _minhash_funnel_ctes
-    from .text import _MEAN_TOK_LEN, _PUNCT_RATIO, _QF_SW_HITS, _TOKS
+    from .text import _TOKS, QF_PASS_SQL
 
-    quality = (
-        f"(len({_TOKS}) >= 20 AND len({_TOKS}) <= 90)"
-        f" AND ({_MEAN_TOK_LEN} >= 3.0 AND {_MEAN_TOK_LEN} <= 4.75)"
-        f" AND ({_PUNCT_RATIO} <= 0.1)"
-        f" AND ({_QF_SW_HITS} >= 1)"
-        f" AND (NOT contains(lower(text), 'lorem ipsum'))"
-    )
+    # the SAME rule set (including the repetition rule) the standalone
+    # text_quality_filter oracle verifies — one source of truth
+    quality = QF_PASS_SQL
     return f"""
 WITH dq AS (
   SELECT * FROM documents WHERE doc_id % 17 != 0 AND {quality}

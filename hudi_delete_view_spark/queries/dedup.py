@@ -491,3 +491,57 @@ def dedup_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("added").alias("section"), F.col("__id").cast("long").alias("doc_id"))
     )
     return base_ids.unionByName(added)
+
+
+@query(
+    "dedup_remove_boilerplate",
+    late=True,  # family windowed via dedup_shared_spans; this adds the ACTION
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t,
+    unnest(CASE WHEN len(t) < 8 THEN CAST([] AS BIGINT[])
+                ELSE generate_series(1, len(t) - 7) END) AS s
+  FROM toks
+),
+ws AS (
+  SELECT doc_id, s, md5(array_to_string(list_slice(t, s, s + 7), ' ')) AS h
+  FROM pos
+),
+hot AS (SELECT h FROM ws GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+starts AS (
+  SELECT doc_id, list_sort(list(DISTINCT s)) AS st
+  FROM ws JOIN hot USING (h) GROUP BY doc_id
+),
+cleaned AS (
+  SELECT tk.doc_id, tk.t,
+    list_transform(
+      list_filter(generate_series(1, len(tk.t)),
+        j -> len(list_filter(COALESCE(starts.st, CAST([] AS BIGINT[])),
+                 s2 -> j >= s2 AND j <= s2 + 7)) = 0),
+      j -> tk.t[j]) AS kept
+  FROM toks tk LEFT JOIN starts ON starts.doc_id = tk.doc_id
+)
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens_before,
+  CAST(len(t) - len(kept) AS BIGINT) AS n_tokens_removed,
+  COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+FROM cleaned
+""",
+)
+def dedup_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate span REMOVAL (the action to ``dedup_shared_spans``'s
+    detection): tokens covered by any 8-token sliding span shared by >= 2
+    documents are cut from the text, per Lee et al.'s exact-substring
+    dedup-by-deletion — the treatment for site-wide footers/headers that
+    document-level dedup can't touch without discarding whole documents.
+    The full cleaned text participates in the value hash, so the oracle
+    verifies the surviving token sequence verbatim
+    (operators/dedup.py ``remove_boilerplate_spans``)."""
+    from ..operators.dedup import remove_boilerplate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_boilerplate_spans(docs, "doc_id", "text", window=8, min_span_df=2)

@@ -156,6 +156,53 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _km_assign(cents: str, out: str, where: str = "", rn: str = "rn = 1") -> str:
+    """CTE: nearest-centroid assignment with the engine-portable argmax
+    (cosine ROUND 4, ties -> lowest cid) — shared by the IVF and the
+    semantic-dedup oracles."""
+    return f"""
+{out} AS (
+  SELECT vec_id, cid, v FROM (
+    SELECT e.vec_id, {cents}.cid, e.v,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY ROUND(list_cosine_similarity(e.v, {cents}.cvec), 4) DESC, {cents}.cid) AS rn
+    FROM e CROSS JOIN {cents} {where}) WHERE {rn}
+)"""
+
+
+def _km_recompute(asg: str, out: str, dim: int) -> str:
+    """CTE: centroid recompute via the integer-micro mean (bit-identical
+    doubles in any engine regardless of float summation order)."""
+    return f"""
+{out} AS (
+  SELECT cid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT {asg}.cid, g.i AS pos,
+      CAST(CAST(SUM(CAST(FLOOR({asg}.v[g.i] * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        / 1000000.0 / COUNT(*) AS m
+    FROM {asg}, generate_series(1, {dim}) AS g(i)
+    GROUP BY {asg}.cid, g.i)
+  GROUP BY cid
+)"""
+
+
+def _km_train_ctes(nlist: int, iters: int, dim: int) -> tuple[list[str], str]:
+    """The shared Lloyd-training CTE chain (e, c0, a1/c1, ...); returns
+    (ctes, final_centroid_cte_name)."""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cvec
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {nlist})
+)""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(_km_assign(prev, f"a{i}").strip())
+        ctes.append(_km_recompute(f"a{i}", f"c{i}", dim).strip())
+        prev = f"c{i}"
+    return ctes, prev
+
+
 def _ivf_kmeans_sql(
     k: int = 5, dim: int = 64, nlist: int = 16, nprobe: int = 4, iters: int = 2
 ) -> str:
@@ -168,42 +215,8 @@ def _ivf_kmeans_sql(
     whole pipeline — train, assign, probe, exact re-rank — hash-matches.
     This is SURVEY §10.2's 'frozen centroids' taken one step further: the
     centroids aren't frozen constants, they're re-derived in-oracle."""
-
-    def assign(cents: str, out: str, where: str = "", rn: str = "rn = 1") -> str:
-        return f"""
-{out} AS (
-  SELECT vec_id, cid, v FROM (
-    SELECT e.vec_id, {cents}.cid, e.v,
-      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        ORDER BY ROUND(list_cosine_similarity(e.v, {cents}.cvec), 4) DESC, {cents}.cid) AS rn
-    FROM e CROSS JOIN {cents} {where}) WHERE {rn}
-)"""
-
-    def recompute(asg: str, out: str) -> str:
-        return f"""
-{out} AS (
-  SELECT cid, list(m ORDER BY pos) AS cvec FROM (
-    SELECT {asg}.cid, g.i AS pos,
-      CAST(CAST(SUM(CAST(FLOOR({asg}.v[g.i] * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
-        / 1000000.0 / COUNT(*) AS m
-    FROM {asg}, generate_series(1, {dim}) AS g(i)
-    GROUP BY {asg}.cid, g.i)
-  GROUP BY cid
-)"""
-
-    ctes = [
-        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
-        f"""c0 AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cvec
-  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {nlist})
-)""",
-    ]
-    prev = "c0"
-    for i in range(1, iters + 1):
-        ctes.append(assign(prev, f"a{i}").strip())
-        ctes.append(recompute(f"a{i}", f"c{i}").strip())
-        prev = f"c{i}"
-    ctes.append(assign(prev, "lists").strip())
+    ctes, prev = _km_train_ctes(nlist, iters, dim)
+    ctes.append(_km_assign(prev, "lists").strip())
     ctes.append(
         f"""probes AS (
   SELECT vec_id AS query_id, cid FROM (
@@ -511,3 +524,39 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return quantize_int8(emb, "vec_id", "embedding")
+
+
+def _semantic_dedup_sql(nlist: int = 16, iters: int = 2, dim: int = 64,
+                        threshold: float = 0.4) -> str:
+    """Lloyd-training CTEs (shared with the IVF oracle) + the
+    within-cluster pair drop: survivors = vectors with no smaller-id
+    cluster-mate at cosine >= threshold (ROUND 6)."""
+    ctes, prev = _km_train_ctes(nlist, iters, dim)
+    ctes.append(_km_assign(prev, "asg").strip())
+    return f"""
+WITH {', '.join(ctes)},
+losers AS (
+  SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+)
+SELECT vec_id, cid FROM asg
+WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+"""
+
+
+@query("sim_semantic_dedup", late=True, oracle=_semantic_dedup_sql())  # ANN
+# family windowed via sim_topk_*; this composes clustering with the dedup rule
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: deterministic k-means clusters
+    (engine-exact Lloyd, re-trained bit-identically in the DuckDB oracle),
+    within-cluster cosine pairs, lowest-id survivor per near-duplicate
+    pair (operators/similarity.py ``semantic_dedup``). Threshold 0.4 is
+    corpus-calibrated: the synthetic embeddings top out at cosine ~0.51,
+    so the published 0.95-epsilon would be a no-op here — the rule,
+    clustering, and survivor arithmetic are what the hash verifies."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", nlist=16, iters=2,
+                          threshold=0.4)

@@ -461,6 +461,28 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Quality-filter cascade (Gopher/C4-style) — per-rule flags + verdict.
 _QF_SW_HITS = f"len(list_filter({_TOKS_L}, t -> list_contains({_SW}, t)))"
+# duplicate 3-gram occurrence fraction (Gopher repetition signal); the
+# empty-guard mirrors the Spark side's IF(size < 3, [], ...) contract
+_QF_G3 = (
+    f"CASE WHEN len({_TOKS}) < 3 THEN CAST([] AS VARCHAR[]) ELSE "
+    f"list_transform(generate_series(1, len({_TOKS}) - 2), "
+    f"i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' ')) END"
+)
+_QF_DUP3 = (
+    f"ROUND(CASE WHEN len({_QF_G3}) = 0 THEN 0.0 ELSE "
+    f"1.0 - CAST(len(list_distinct({_QF_G3})) AS DOUBLE) / len({_QF_G3}) END, 6)"
+)
+# per-rule SQL, single source of truth: the cascade oracle lists the
+# rules individually AND the composed pipeline reuses the same AND
+QF_RULES_SQL: dict[str, str] = {
+    "r_word_count": f"(len({_TOKS}) >= 20 AND len({_TOKS}) <= 90)",
+    "r_mean_word_len": f"({_MEAN_TOK_LEN} >= 3.0 AND {_MEAN_TOK_LEN} <= 4.75)",
+    "r_symbol_ratio": f"({_PUNCT_RATIO} <= 0.1)",
+    "r_stopwords": f"({_QF_SW_HITS} >= 1)",
+    "r_blacklist": "(NOT contains(lower(text), 'lorem ipsum'))",
+    "r_repetition": f"({_QF_DUP3} <= 0.3)",
+}
+QF_PASS_SQL = " AND ".join(QF_RULES_SQL.values())
 
 
 @query(
@@ -470,16 +492,14 @@ SELECT doc_id, source,
   len({_TOKS}) AS qf_n_words,
   {_MEAN_TOK_LEN} AS qf_mean_word_len,
   {_PUNCT_RATIO} AS qf_symbol_ratio,
-  (len({_TOKS}) >= 20 AND len({_TOKS}) <= 90) AS r_word_count,
-  ({_MEAN_TOK_LEN} >= 3.0 AND {_MEAN_TOK_LEN} <= 4.75) AS r_mean_word_len,
-  ({_PUNCT_RATIO} <= 0.1) AS r_symbol_ratio,
-  ({_QF_SW_HITS} >= 1) AS r_stopwords,
-  (NOT contains(lower(text), 'lorem ipsum')) AS r_blacklist,
-  ((len({_TOKS}) >= 20 AND len({_TOKS}) <= 90)
-   AND ({_MEAN_TOK_LEN} >= 3.0 AND {_MEAN_TOK_LEN} <= 4.75)
-   AND ({_PUNCT_RATIO} <= 0.1)
-   AND ({_QF_SW_HITS} >= 1)
-   AND (NOT contains(lower(text), 'lorem ipsum'))) AS qf_pass
+  {_QF_DUP3} AS qf_dup3_ratio,
+  {QF_RULES_SQL["r_word_count"]} AS r_word_count,
+  {QF_RULES_SQL["r_mean_word_len"]} AS r_mean_word_len,
+  {QF_RULES_SQL["r_symbol_ratio"]} AS r_symbol_ratio,
+  {QF_RULES_SQL["r_stopwords"]} AS r_stopwords,
+  {QF_RULES_SQL["r_blacklist"]} AS r_blacklist,
+  {QF_RULES_SQL["r_repetition"]} AS r_repetition,
+  ({QF_PASS_SQL}) AS qf_pass
 FROM documents
 """,
 )
@@ -492,6 +512,6 @@ def text_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return quality_filter_flags(docs, "text").select(
         "doc_id", "source", "qf_n_words", "qf_mean_word_len", "qf_symbol_ratio",
-        "r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_stopwords",
-        "r_blacklist", "qf_pass",
+        "qf_dup3_ratio", "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_stopwords", "r_blacklist", "r_repetition", "qf_pass",
     )

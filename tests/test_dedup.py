@@ -468,3 +468,28 @@ def test_scale_profile_resolution(monkeypatch):
     assert not prof.scale_mode()
     with pytest.raises(ValueError):
         prof.set_profile("warp9")
+
+
+def test_remove_boilerplate_spans_footer(spark):
+    """A site-wide footer injected into several docs is cut from each;
+    unique body text survives untouched; a doc that is ONLY footer comes
+    back empty; docs shorter than the window are never candidates."""
+    from hudi_delete_view_spark.operators.dedup import remove_boilerplate_spans
+
+    footer = "copyright acme corp all rights reserved terms apply here"  # 9 tokens
+    bodies = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet ultra infra deep",
+    ]
+    rows = [(i, b + " " + footer) for i, b in enumerate(bodies)]
+    rows.append((10, footer))
+    rows.append((11, "tiny doc"))
+    out = {r["doc_id"]: r for r in remove_boilerplate_spans(
+        spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text",
+        window=8, min_span_df=2).collect()}
+    for i, b in enumerate(bodies):
+        assert out[i]["cleaned_text"] == b, out[i]["cleaned_text"]
+        assert out[i]["n_tokens_removed"] == 9
+    assert out[10]["cleaned_text"] == "" and out[10]["n_tokens_removed"] == 9
+    assert out[11]["cleaned_text"] == "tiny doc" and out[11]["n_tokens_removed"] == 0

@@ -123,3 +123,25 @@ def test_quantize_int8_quality_and_zero_guard(spark, sf_dir):
     z = spark.createDataFrame([(1, [0.0] * 8)], "vec_id long, embedding array<double>")
     rz = quantize_int8(z, "vec_id", "embedding").collect()[0]
     assert rz["scale"] == 1.0 and set(rz["qvec"]) == {0}
+
+
+def test_semantic_dedup_drops_near_identical(spark):
+    """Planted near-identical vectors (cosine ~1) collapse to the lowest
+    id; well-separated vectors all survive; the survivor set is exactly
+    corpus minus higher-id twins."""
+    import random
+
+    from hudi_delete_view_spark.operators.similarity import semantic_dedup
+
+    rnd = random.Random(5)
+    rows = []
+    for i in range(40):
+        base = [rnd.gauss(0, 1) for _ in range(16)]
+        rows.append((i, base))
+        if i % 4 == 0:  # plant a twin with a tiny perturbation
+            rows.append((1000 + i, [x + rnd.gauss(0, 1e-4) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    surv = {r["vec_id"] for r in semantic_dedup(
+        df, "vec_id", "embedding", nlist=4, iters=2, threshold=0.99).collect()}
+    assert set(range(40)) <= surv          # every base vector survives
+    assert not {v for v in surv if v >= 1000}  # every twin dropped

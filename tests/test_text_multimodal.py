@@ -259,11 +259,14 @@ def test_quality_filter_verdict_is_and_of_rules(spark, sf_dir):
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     out = quality_filter_flags(docs, "text")
-    rules = ["r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_stopwords", "r_blacklist"]
-    bad = out.filter(
-        F.col("qf_pass")
-        != (F.col(rules[0]) & F.col(rules[1]) & F.col(rules[2]) & F.col(rules[3]) & F.col(rules[4]))
-    )
+    rules = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_stopwords", "r_blacklist", "r_repetition",
+    ]
+    verdict = F.col(rules[0])
+    for r in rules[1:]:
+        verdict = verdict & F.col(r)
+    bad = out.filter(F.col("qf_pass") != verdict)
     assert bad.count() == 0
     # each band rule actually fires somewhere on the corpus (non-trivial
     # thresholds) and the cascade keeps a non-trivial fraction
@@ -322,3 +325,24 @@ def test_quality_filter_empty_blacklist(spark, monkeypatch):
     )
     row = text_mod.quality_filter_flags(df, "text").collect()[0]
     assert row["r_blacklist"] is True
+
+
+def test_quality_filter_repetition_rule(spark):
+    """The Gopher repetition rule: a phrase-looping spam page fails on
+    duplicate-3-gram fraction; clean prose passes with ratio ~0; docs
+    under 3 tokens get ratio 0.0 (empty-gram guard), not an error."""
+    from hudi_delete_view_spark.operators.text import quality_filter_flags
+
+    spam = "buy cheap pills now " * 30  # 4 tokens looping -> dup3 ~ 0.97
+    prose = (
+        "the quick brown fox jumps over a lazy dog while seven other "
+        "animals watch from their burrows and consider whether any of "
+        "them should attempt something similar before winter arrives"
+    )
+    rows = [(1, spam), (2, prose), (3, "too short")]
+    out = {r["doc_id"]: r for r in quality_filter_flags(
+        spark.createDataFrame(rows, ["doc_id", "text"]), "text").collect()}
+    assert out[1]["r_repetition"] is False and out[1]["qf_dup3_ratio"] > 0.9
+    assert out[2]["r_repetition"] is True
+    assert out[3]["qf_dup3_ratio"] == 0.0 and out[3]["r_repetition"] is True
+    assert out[1]["qf_pass"] is False
