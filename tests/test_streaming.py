@@ -167,3 +167,51 @@ def test_stream_incremental_dedup_invariants(spark, sf_dir):
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     got = {d for d, _b in rows}
     assert got <= all_ids and len(got) > len(all_ids) // 2
+
+
+def test_signature_store_recursive_survivor_semantics(spark):
+    """The unified state story's defining behavior: with survivors-only
+    state, a doc matching ONLY a previously-DROPPED doc survives.
+    Chain A ~ B, B ~ C, A !~ C (premises asserted via the exact-Jaccard
+    kernel): B arrives after A -> dropped; C then arrives — against the
+    STORE (= {A}) it survives; against raw seen-state (= {A, B}) it
+    would have been dropped. This is what distinguishes
+    stream_signature_store from the raw-state stream_incremental_dedup."""
+    from pyspark.sql import functions as F
+
+    from hudi_delete_view_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        ngram_jaccard_pairs,
+    )
+
+    words = [f"tok{i:02d}" for i in range(60)]
+    a = " ".join(words)
+    b = " ".join(words[:-5] + [f"newb{i}" for i in range(5)])
+    c = " ".join(words[:-10] + [f"newb{i}" for i in range(5)] + [f"newc{i}" for i in range(5)])
+    docs = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", pairs=None, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] >= 0.8 and jac[(2, 3)] >= 0.8 and jac[(1, 3)] < 0.8, jac
+
+    def batch(i):
+        return docs.filter(F.col("doc_id") == i)
+
+    empty = docs.limit(0)
+    # batch 1: A vs empty store -> survives; store = {A}
+    s1 = minhash_dedup_incremental(empty, batch(1), "doc_id", "text", threshold=0.8)
+    assert [r["doc_id"] for r in s1.collect()] == [1]
+    store = s1
+    # batch 2: B vs {A} -> dropped; store unchanged
+    s2 = minhash_dedup_incremental(store, batch(2), "doc_id", "text", threshold=0.8)
+    assert s2.count() == 0
+    # batch 3: C vs store {A} -> SURVIVES (matches only the dropped B)
+    s3 = minhash_dedup_incremental(store, batch(3), "doc_id", "text", threshold=0.8)
+    assert [r["doc_id"] for r in s3.collect()] == [3]
+    # raw-seen-state rule would have dropped C (it matches B in {A, B})
+    raw = minhash_dedup_incremental(
+        docs.filter("doc_id < 3"), batch(3), "doc_id", "text", threshold=0.8
+    )
+    assert raw.count() == 0

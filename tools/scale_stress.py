@@ -188,7 +188,35 @@ def main() -> None:
         "shuffle_shards": lambda d, v: shuffle_shards(d, 8).count(),
         "sim_topk_lsh": lambda d, v: cosine_topk_lsh(v, queries1, k=5).count(),
         "shared_spans": lambda d, v: _shared_spans(d),
+        "remove_boilerplate": lambda d, v: _remove_boiler(d),
+        "semantic_dedup": lambda d, v: _sem_dedup(v),
+        "simhash_rotated": lambda d, v: _simhash_rot(d),
     }
+
+    def _remove_boiler(d):
+        from hudi_delete_view_spark.operators.dedup import remove_boilerplate_spans
+
+        # aggregate instead of count so the cleaned-text HOF actually runs
+        return remove_boilerplate_spans(d, "doc_id", "text", window=8).agg(
+            F.sum("n_tokens_removed")
+        ).collect()[0][0]
+
+    def _sem_dedup(v):
+        from hudi_delete_view_spark.operators.similarity import semantic_dedup
+
+        # nlist scales with the corpus (the SemDeDup knob bounding the
+        # within-cluster quadratic) — fixed nlist at Nx would measure the
+        # misconfiguration, not the operator
+        nlist = max(16, v.count() // 500)
+        return semantic_dedup(v, "vec_id", "embedding", nlist=nlist,
+                              threshold=0.4).count()
+
+    def _simhash_rot(d):
+        from hudi_delete_view_spark.operators.dedup import simhash_near_pairs_rotated
+
+        return simhash_near_pairs_rotated(
+            d, "doc_id", "text", max_hamming=10, tables=5, bucket_cap=1000
+        ).count()
 
     def _shared_spans(d):
         from hudi_delete_view_spark.operators.dedup import shared_span_pairs
