@@ -45,7 +45,34 @@ def resolve_slices(timeline: Timeline, as_of: str | None = None) -> dict[tuple[s
     such a commit (time travel) never see the reset, so old commits stay
     readable under the old layout as long as their files survive clean().
     """
+    from .timeline import TimelineError
+
     slices: dict[tuple[str, str], FileSlice] = {}
+    cp = timeline.archive_checkpoint()
+    if cp is not None:
+        boundary = cp["as_of"]
+        if as_of is not None and as_of < boundary:
+            raise TimelineError(
+                f"time travel to {as_of!r} precedes the archive boundary "
+                f"{boundary!r}: slice state before the boundary is archived"
+            )
+        # seed from the checkpoint: resolution replays only the ACTIVE
+        # tail — the scalability point of archival (bounded listing +
+        # bounded replay regardless of total commit count)
+        for d in cp["slices"]:
+            s = FileSlice(
+                partition=d["partition"],
+                file_id=d["file_id"],
+                commit_ts=d["commit_ts"],
+                base_path=os.path.join(timeline.base_path, d["base_path"])
+                if d["base_path"]
+                else "",
+                log_paths=[
+                    os.path.join(timeline.base_path, p) for p in d["log_paths"]
+                ],
+                log_commits=list(d["log_commits"]),
+            )
+            slices[(s.partition, s.file_id)] = s
     for inst in timeline.instants():
         if as_of is not None and inst.timestamp > as_of:
             break

@@ -25,6 +25,9 @@ from .metadata import CommitMetadata
 
 META_DIR_NAME = ".hoodie"
 COMMIT_SUFFIX = ".commit"
+ARCHIVE_DIR_NAME = "archived"
+ARCHIVE_INSTANTS = "instants.jsonl"
+ARCHIVE_CHECKPOINT = "checkpoint.json"
 _TS_RE = re.compile(r"^(\d{14})\.commit$")
 
 
@@ -45,8 +48,11 @@ class Timeline:
     def __init__(self, base_path: str):
         self.base_path = base_path
         self.meta_dir = os.path.join(base_path, META_DIR_NAME)
+        self.archive_dir = os.path.join(self.meta_dir, ARCHIVE_DIR_NAME)
         # lru_cache per-instance: metadata memo-cache (reference A17)
         self._load_metadata = lru_cache(maxsize=256)(self._load_metadata_uncached)
+        self._archived: dict[str, "CommitMetadata"] | None = None  # lazy
+        self._checkpoint: dict | None | bool = False  # False = not loaded
 
     # -- listing ---------------------------------------------------------
     def instants(self) -> list[Instant]:
@@ -74,13 +80,35 @@ class Timeline:
         for inst in self.instants():
             if inst.timestamp == timestamp:
                 return inst
+        boundary = self.archive_boundary()
+        if boundary is not None and timestamp <= boundary:
+            raise TimelineError(
+                f"instant {timestamp!r} is ARCHIVED (archive boundary "
+                f"{boundary!r}): archived commits keep queryable metadata "
+                f"but are no longer time-travel / incremental anchors"
+            )
         raise TimelineError(
             f"no completed commit instant with timestamp {timestamp!r} in "
             f"{self.meta_dir} (have: {self.timestamps()})"
         )
 
     def commits_in_range(self, begin_exclusive: str | None, end_inclusive: str | None) -> list[Instant]:
-        """Instants with begin < ts <= end (incremental-read bounds)."""
+        """Instants with begin < ts <= end (incremental-read bounds).
+
+        A begin BEFORE the archive boundary would silently miss archived
+        commits' changes — raise instead (the consumer must re-anchor at
+        or after the boundary, same contract as a cleaned-up begin)."""
+        boundary = self.archive_boundary()
+        if (
+            boundary is not None
+            and begin_exclusive is not None
+            and begin_exclusive < boundary
+        ):
+            raise TimelineError(
+                f"incremental anchor {begin_exclusive!r} precedes the archive "
+                f"boundary {boundary!r}: changes before the boundary are "
+                f"archived — re-anchor at >= {boundary!r}"
+            )
         out = []
         for inst in self.instants():
             if begin_exclusive is not None and inst.timestamp <= begin_exclusive:
@@ -92,9 +120,17 @@ class Timeline:
 
     # -- metadata --------------------------------------------------------
     def _load_metadata_uncached(self, timestamp: str) -> CommitMetadata:
-        inst = self.instant_for(timestamp)
-        with open(inst.path) as f:
-            return CommitMetadata.from_json(f.read())
+        for inst in self.instants():
+            if inst.timestamp == timestamp:
+                with open(inst.path) as f:
+                    return CommitMetadata.from_json(f.read())
+        # archived commit metadata stays queryable (history, per-slice
+        # pruning stats of checkpoint slices) — loaded lazily, never listed
+        archived = self._archived_metadata()
+        if timestamp in archived:
+            return archived[timestamp]
+        self.instant_for(timestamp)  # raises the canonical error
+        raise AssertionError("unreachable")
 
     def commit_metadata(self, timestamp: str) -> CommitMetadata:
         return self._load_metadata(timestamp)
@@ -102,3 +138,122 @@ class Timeline:
     def refresh(self) -> None:
         """Drop the metadata memo-cache (reference A18's refresh, minus HTTP)."""
         self._load_metadata.cache_clear()
+        self._archived = None
+        self._checkpoint = False
+
+    # -- archival --------------------------------------------------------
+    # The active timeline is a per-commit file listing: at one commit a
+    # minute that's ~0.5M files after a year — listing cost grows without
+    # bound. `archive()` bounds it the lake way (Hudi archived timeline /
+    # Iceberg manifest list): old instants move into ONE append-only
+    # JSONL batch and a CHECKPOINT records the resolved file slices at
+    # the boundary, so slice resolution seeds from the checkpoint and
+    # replays only the active tail. Archived commit METADATA stays fully
+    # queryable (history, per-slice pruning stats load lazily from the
+    # archive); archived TIMESTAMPS are no longer time-travel targets —
+    # travel/incremental before the boundary raises with the boundary
+    # named (the same contract clean() already imposes on expired files).
+
+    def archive_checkpoint(self) -> dict | None:
+        """The archival checkpoint ({'as_of', 'slices'}) or None."""
+        import json
+
+        if self._checkpoint is False:
+            path = os.path.join(self.archive_dir, ARCHIVE_CHECKPOINT)
+            try:
+                with open(path) as f:
+                    self._checkpoint = json.load(f)
+            except OSError:
+                self._checkpoint = None
+        return self._checkpoint
+
+    def archive_boundary(self) -> str | None:
+        """Latest archived timestamp; active history starts after it."""
+        cp = self.archive_checkpoint()
+        return cp["as_of"] if cp else None
+
+    def _archived_metadata(self) -> dict[str, "CommitMetadata"]:
+        import json
+
+        if self._archived is None:
+            self._archived = {}
+            path = os.path.join(self.archive_dir, ARCHIVE_INSTANTS)
+            try:
+                with open(path) as f:
+                    for line in f:
+                        if not line.strip():
+                            continue
+                        rec = json.loads(line)
+                        self._archived[rec["ts"]] = CommitMetadata.from_json(
+                            json.dumps(rec["metadata"])
+                        )
+            except OSError:
+                pass
+        return self._archived
+
+    def archived_timestamps(self) -> list[str]:
+        return sorted(self._archived_metadata())
+
+    def all_timestamps(self) -> list[str]:
+        """Archived + active, in order — the full-history view (commit
+        history / audit surfaces; NOT for slice resolution)."""
+        return self.archived_timestamps() + self.timestamps()
+
+    def archive(self, keep_last_n: int) -> list[str]:
+        """Move all but the newest ``keep_last_n`` instants to the archive
+        and write the slice checkpoint at the new boundary. Returns the
+        archived timestamps ([] if nothing to do). Driver-side metadata
+        only — no Spark jobs, no data files touched."""
+        import json
+        from dataclasses import asdict
+
+        from .slices import resolve_slices
+
+        if keep_last_n < 1:
+            raise TimelineError("archive must keep at least 1 active instant")
+        active = self.timestamps()
+        to_archive = active[:-keep_last_n]
+        if not to_archive:
+            return []
+        boundary = to_archive[-1]
+        # checkpoint BEFORE moving files: resolution still sees full history
+        slices = resolve_slices(self, as_of=boundary)
+        prev_cp = self.archive_checkpoint() or {}
+        cp = {
+            "as_of": boundary,
+            "slices": [
+                {
+                    **asdict(s),
+                    "base_path": os.path.relpath(s.base_path, self.base_path)
+                    if s.base_path
+                    else "",
+                    "log_paths": [
+                        os.path.relpath(p, self.base_path) for p in s.log_paths
+                    ],
+                }
+                for s in slices.values()
+            ],
+            # published sizes of every file written by archived commits:
+            # compaction planners size live logs from write stats, which
+            # move to the archive — the checkpoint keeps the driver-side
+            # no-filesystem-stat contract intact (merged across archives)
+            "path_bytes": dict(prev_cp.get("path_bytes", {})),
+        }
+        os.makedirs(self.archive_dir, exist_ok=True)
+        with open(os.path.join(self.archive_dir, ARCHIVE_INSTANTS), "a") as f:
+            for ts in to_archive:
+                meta = self.commit_metadata(ts)
+                for _p, stat in meta.all_stats():
+                    cp["path_bytes"][stat.path] = stat.file_size_bytes
+                f.write(
+                    json.dumps({"ts": ts, "metadata": json.loads(meta.to_json())})
+                    + "\n"
+                )
+        tmp = os.path.join(self.archive_dir, ARCHIVE_CHECKPOINT + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(cp, f)
+        os.replace(tmp, os.path.join(self.archive_dir, ARCHIVE_CHECKPOINT))
+        for ts in to_archive:
+            os.remove(os.path.join(self.meta_dir, f"{ts}{COMMIT_SUFFIX}"))
+        self.refresh()
+        return to_archive

@@ -738,3 +738,81 @@ def lake_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("o_totalprice"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incrementally-maintained JOIN view (IVM beyond aggregates): lineitem ⋈
+# orders maintained from BOTH tables' CDC feeds.
+# --------------------------------------------------------------------------
+@query(
+    "lake_ivm_join",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT {_KEY_SQL} AS {RECORD_KEY_FIELD}, l_orderkey, {_QTY_SQL} AS l_quantity,
+         l_returnflag
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+)
+SELECT l2.{RECORD_KEY_FIELD}, l2.l_orderkey, l2.l_quantity, l2.l_returnflag,
+       o2.o_orderstatus, o2.o_totalprice
+FROM l2 JOIN o2 ON l2.l_orderkey = o2.o_orderkey
+""",
+)
+def lake_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view — IVM beyond aggregates: the
+    materialized join lineitem(COW) ⋈ orders(MOR) is seeded at C1 and
+    then maintained from the two tables' CDC feeds, never recomputed.
+
+    Delta rule for a key-equijoin with a unique right key: a view row is
+    STALE iff its lineitem record changed (key in Δli) OR its order
+    changed (orderkey in Δord). Maintenance = drop the stale slice from
+    the seed (two anti-joins on the change-key sets) and re-derive ONLY
+    the affected lineitem rows against the current orders snapshot — work
+    proportional to the change volume on both sides, not to either
+    table. At 100 TB the fact-side re-derivation prunes by the change-key
+    semi-join (and by clustered layout when the fact is sorted on the
+    join key); the dim-side change-key set is broadcast. The oracle
+    recomputes the full join from scratch — a hash match proves the
+    maintained view converged to it exactly."""
+    from ..sources.fixtures import build_orders_mor
+
+    li = build_lineitem_cow(spark, sf_dir)
+    om = build_orders_mor(spark, sf_dir)
+    li_cols = [RECORD_KEY_FIELD, "l_orderkey", "l_quantity", "l_returnflag"]
+    ord_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    seed = (
+        li.snapshot(C1).select(*li_cols)
+        .join(om.snapshot(C1).select(*ord_cols),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    d_li_keys = li.cdc(C1).select(RECORD_KEY_FIELD).distinct()
+    d_ord_keys = om.cdc(C1).select("o_orderkey").distinct()
+
+    clean = (
+        seed.join(d_li_keys, RECORD_KEY_FIELD, "left_anti")
+        .join(d_ord_keys, "o_orderkey", "left_anti")
+        # anti-join drops the right-side join key from the frame; restore
+        # column order for the union below
+        .select(*li_cols, *ord_cols)
+    )
+    cur_li = li.snapshot().select(*li_cols)
+    # affected fact rows: key changed, or (key unchanged but) order changed
+    touched = cur_li.join(d_li_keys, RECORD_KEY_FIELD, "left_semi").unionByName(
+        cur_li.join(d_li_keys, RECORD_KEY_FIELD, "left_anti").join(
+            F.broadcast(d_ord_keys),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+    )
+    rederived = touched.join(
+        om.snapshot().select(*ord_cols),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(*li_cols, *ord_cols)
+    return clean.unionByName(rederived).drop("o_orderkey")

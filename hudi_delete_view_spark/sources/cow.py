@@ -1215,7 +1215,9 @@ class CowTable:
         sanctioned metadata plane); the frame is tiny by construction
         (one row per commit, not per record)."""
         rows = []
-        for ts in self.timeline.timestamps():
+        # full history: archived + active (audit surfaces span the archive;
+        # only SLICE RESOLUTION is bounded to the active tail)
+        for ts in self.timeline.all_timestamps():
             meta = self.timeline.commit_metadata(ts)
             stats = [s for _, s in meta.all_stats()]
             rows.append(
@@ -1236,6 +1238,19 @@ class CowTable:
             "num_update_writes long, num_deletes long, total_records_deleted long, "
             "n_files long, bytes_written long",
         )
+
+    def archive_timeline(self, keep_last_n: int) -> list[str]:
+        """Bound the active timeline (Hudi archived-timeline analogue):
+        move all but the newest ``keep_last_n`` instants into
+        ``.hoodie/archived/`` and checkpoint the resolved file slices at
+        the boundary, so snapshot/scan replay only the active tail —
+        listing and resolution cost stop growing with table age. Archived
+        metadata stays queryable (``commit_history`` spans the archive;
+        pruning stats of checkpoint slices load lazily); time travel and
+        incremental anchors BEFORE the boundary raise with the boundary
+        named. Pairs with ``clean()``: clean bounds data files, archive
+        bounds metadata files. Returns the archived timestamps."""
+        return self.timeline.archive(keep_last_n)
 
     def clean(self, retain_last_n: int = 2, dry_run: bool = False) -> list[str]:
         """Retention cleaner (Hudi cleaner analogue): delete data files no

@@ -480,13 +480,7 @@ class MorTable(CowTable):
                 "schedule_compaction with min_log_files=None needs min_log_bytes > 0"
             )
         slices = resolve_slices(self.timeline)
-        path_bytes: dict[str, int] = {}
-        for ts in self.timeline.timestamps():
-            for _partition, stat in self.timeline.commit_metadata(ts).all_stats():
-                if stat.log_file:
-                    path_bytes[os.path.join(self.base_path, stat.path)] = (
-                        stat.file_size_bytes
-                    )
+        path_bytes = self._published_path_bytes(log_only=True)
         due = []
         for g, s in sorted(slices.items()):
             if not s.log_paths:
@@ -497,6 +491,24 @@ class MorTable(CowTable):
             ) or (0 < min_log_bytes <= live_bytes):
                 due.append(g)
         return due
+
+    def _published_path_bytes(self, log_only: bool = False) -> dict[str, int]:
+        """{abs_path: published size} from ACTIVE commit stats plus the
+        archive checkpoint's size map — compaction planners keep sizing
+        live logs without filesystem stat calls even after their writing
+        commits were archived."""
+        path_bytes: dict[str, int] = {}
+        cp = self.timeline.archive_checkpoint()
+        for rel, n in (cp.get("path_bytes", {}) if cp else {}).items():
+            path_bytes[os.path.join(self.base_path, rel)] = n
+        for ts in self.timeline.timestamps():
+            for _partition, stat in self.timeline.commit_metadata(ts).all_stats():
+                if log_only and not stat.log_file:
+                    continue
+                path_bytes[os.path.join(self.base_path, stat.path)] = (
+                    stat.file_size_bytes
+                )
+        return path_bytes
 
     def schedule_compaction_tiered(
         self,
@@ -533,12 +545,7 @@ class MorTable(CowTable):
         if not 0 < target_ratio:
             raise ValueError("target_ratio must be > 0")
         slices = resolve_slices(self.timeline)
-        path_bytes: dict[str, int] = {}
-        for ts in self.timeline.timestamps():
-            for _partition, stat in self.timeline.commit_metadata(ts).all_stats():
-                path_bytes[os.path.join(self.base_path, stat.path)] = (
-                    stat.file_size_bytes
-                )
+        path_bytes = self._published_path_bytes()
         due: list[tuple[float, int, int, tuple[str, str]]] = []
         for g, s in sorted(slices.items()):
             if len(s.log_paths) < max(min_log_files, 1):

@@ -1170,3 +1170,49 @@ def test_bucketed_mirror_colocated_join_no_exchange(spark, scratch):
     assert ma2.filter("k = 1000").count() == 1
     # meta columns are dropped from the join-serving projection
     assert not [c for c in ma2.columns if c.startswith("_hoodie_")]
+
+
+def test_timeline_archive_checkpoint(spark, scratch):
+    """Archiving old instants bounds the active timeline without changing
+    any current read: snapshot, pruned scan (stats of checkpoint slices
+    load from the archive), incremental after the boundary, and full
+    commit history are identical; travel/incremental before the boundary
+    raise naming the boundary."""
+    t = CowTable(spark, os.path.join(scratch, "arch"), key_fields=["k"],
+                 partition_field=None, num_file_groups=2,
+                 stats_columns=["k"])
+    t.bulk_insert(spark.createDataFrame([(i, i * 10) for i in range(100)],
+                                        "k long, v long"), "20250101000000")
+    t.upsert(spark.createDataFrame([(1, 111)], "k long, v long"), "20250102000000")
+    t.delete_where("k % 10 = 0", "20250103000000")
+    t.upsert(spark.createDataFrame([(200, 2000)], "k long, v long"), "20250104000000")
+
+    before_snap = t.snapshot().select("k", "v").orderBy("k").collect()
+    before_hist = t.commit_history().collect()
+    before_inc = t.incremental("20250103000000").select("k").collect()
+    kept_files, total = t.pruned_files({"k": (0, 10)})
+
+    archived = t.archive_timeline(keep_last_n=2)
+    assert archived == ["20250101000000", "20250102000000"]
+    assert t.timeline.timestamps() == ["20250103000000", "20250104000000"]
+    assert t.timeline.all_timestamps()[0] == "20250101000000"
+
+    assert t.snapshot().select("k", "v").orderBy("k").collect() == before_snap
+    assert t.commit_history().collect() == before_hist
+    assert t.incremental("20250103000000").select("k").collect() == before_inc
+    # stats pruning still consults the ARCHIVED commit's write stats
+    kept2, total2 = t.pruned_files({"k": (0, 10)})
+    assert (sorted(kept2), total2) == (sorted(kept_files), total)
+
+    with pytest.raises(TimelineError, match="ARCHIVED|archive boundary"):
+        t.snapshot(as_of="20250101000000")
+    with pytest.raises(TimelineError, match="archive boundary"):
+        t.incremental("20250101000000").collect()
+
+    # a second archive merges into the same checkpoint
+    t.upsert(spark.createDataFrame([(300, 3000)], "k long, v long"), "20250105000000")
+    t.archive_timeline(keep_last_n=1)
+    assert t.timeline.timestamps() == ["20250105000000"]
+    assert len(t.timeline.all_timestamps()) == 5
+    snap = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+    assert snap[300] == 3000 and snap[1] == 111 and 10 not in snap

@@ -482,3 +482,33 @@ def test_size_tiered_budget_and_log_only(spark, scratch):
     assert [g[0] for g in cohort] == ["c"]
     with pytest.raises(ValueError):
         t.schedule_compaction_tiered(target_ratio=0)
+
+
+def test_archive_preserves_live_logs_and_compaction_sizing(spark, scratch):
+    """MOR + archival: delta logs written by ARCHIVED commits stay in the
+    checkpoint slices (the merged snapshot still sees them) and the
+    compaction planners still size them from the checkpoint's published
+    byte map — no filesystem stat calls."""
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    t = MorTable(spark, os.path.join(scratch, "morarch"), key_fields=["k"],
+                 partition_field=None, num_file_groups=1)
+    t.bulk_insert(spark.createDataFrame([(i, i) for i in range(50)],
+                                        "k long, x long"), "20250101000000")
+    t.upsert_delta(spark.createDataFrame([(1, 100)], "k long, x long"), "20250102000000")
+    t.upsert_delta(spark.createDataFrame([(2, 200)], "k long, x long"), "20250103000000")
+
+    merged_before = t.snapshot().select("k", "x").orderBy("k").collect()
+    due_before = t.schedule_compaction(min_log_files=2)
+
+    t.archive_timeline(keep_last_n=1)
+    assert t.timeline.timestamps() == ["20250103000000"]
+    assert t.snapshot().select("k", "x").orderBy("k").collect() == merged_before
+    # planners still see both live logs with their published sizes
+    assert t.schedule_compaction(min_log_files=2) == due_before
+    tiered = t.schedule_compaction_tiered(target_ratio=0.0001)
+    assert tiered == due_before
+    # compaction across the archive boundary still folds the logs
+    t.compact("20250104000000")
+    assert t.read_optimized().filter("k = 1").first().x == 100
+    assert t.snapshot().select("k", "x").orderBy("k").collect() == merged_before
