@@ -816,3 +816,81 @@ def lake_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).select(*li_cols, *ord_cols)
     return clean.unionByName(rederived).drop("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Python DataSource connector (sources/pyds.py): the same table served
+# through `spark.read.format("lakeview")` — schema from the timeline,
+# one partition per file slice, file-level stats pruning via pushFilters.
+# --------------------------------------------------------------------------
+@query(
+    "lake_pyds_scan",
+    late=True,  # serving-path sibling of the windowed lake_snapshot
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT {_KEY_SQL} AS {RECORD_KEY_FIELD},
+       {_PAYLOAD_SQL.format(qty=_QTY_SQL)}
+FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+""",
+)
+def lake_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot read through the Python DataSource connector
+    (``spark.read.format("lakeview")``, sources/pyds.py): schema resolves
+    from the commit timeline, executor parallelism follows the table's
+    own file slices (one InputPartition each), and pushed filters prune
+    whole slices through the published-stats test before any file opens.
+    Hash-matching ``lake_snapshot``'s oracle proves the connector serves
+    the identical table."""
+    from ..sources import pyds
+
+    table = build_lineitem_cow(spark, sf_dir)
+    pyds.register(spark)
+    df = spark.read.format("lakeview").option("path", table.base_path).load()
+    return df.select(
+        df[RECORD_KEY_FIELD], *[F.col(c) for c in _PAYLOAD],
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("l_shipdate"),
+    )
+
+
+@query(
+    "lake_pyds_stream",
+    late=True,  # streaming sibling; stream family windowed via stream_*
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT '{C1}' AS commit_ts, {_KEY_SQL} AS {RECORD_KEY_FIELD}, l_quantity FROM li
+UNION ALL
+SELECT '{C2}', {_KEY_SQL}, l_quantity + 100.0 FROM li WHERE l_partkey % 10 = 0
+""",
+)
+def lake_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-tailing streaming source through the connector
+    (``spark.readStream.format("lakeview")``): offset = commit timestamp,
+    each micro-batch reads exactly the files WRITTEN by the commits in
+    its offset range filtered to rows they stamped — Hudi
+    incremental-source semantics (inserts + update after-images; the
+    delete commits C3/C4 rewrite survivors under their ORIGINAL stamps,
+    so they correctly emit zero rows; deletes flow through the delete
+    view / CDC instead). The union of all batches must therefore be:
+    every C1 row as inserted + the C2 after-images."""
+    import os
+    import shutil
+
+    from ..sources import pyds
+    from ..sources.fixtures import SCRATCH_ROOT, scratch_tag
+
+    table = build_lineitem_cow(spark, sf_dir)
+    pyds.register(spark)
+    ckpt = os.path.join(SCRATCH_ROOT, "stream", scratch_tag(sf_dir), "pyds_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    name = "lakeview_tail"
+    stream = spark.readStream.format("lakeview").option("path", table.base_path).load()
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .trigger(availableNow=True).option("checkpointLocation", ckpt).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col(COMMIT_TIME_FIELD).alias("commit_ts"),
+        F.col(RECORD_KEY_FIELD),
+        F.col("l_quantity"),
+    )

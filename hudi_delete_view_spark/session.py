@@ -40,6 +40,9 @@ def get_spark(app_name: str = "hudi-delete-view-spark", master: str | None = Non
         # measured 25% faster on the 10x minhash soak, neutral at sf0.1
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # the lakeview Python DataSource (sources/pyds.py) prunes file
+        # slices from pushed filters; off by default in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # the events table stores TIMESTAMP(NANOS); read as long + convert
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,264 @@
+"""Python DataSource connector (Spark 4 `pyspark.sql.datasource`) for
+lakeview tables: ``spark.read.format("lakeview")`` and
+``spark.readStream.format("lakeview")``.
+
+This is the DSv2-via-Python route SURVEY §12.5 scoped: a pure-Python
+connector CAN own schema resolution, partition planning, per-partition
+reads (Arrow batches), file-level filter pushdown, and a streaming
+incremental source — everything except reporting KeyGroupedPartitioning
+to Catalyst (a JVM-only interface; the bucketed-mirror path covers the
+exchange-free-join story instead).
+
+Design:
+
+- **Partition = file slice.** ``partitions()`` resolves the timeline
+  driver-side (checkpoint-seeded, metadata only) and emits one
+  ``InputPartition`` per file slice, so executor parallelism follows the
+  table's own layout. A MOR slice's merge (base + delta logs ->
+  latest-per-key, tombstones dropped) runs INSIDE its partition on
+  Arrow/pandas — per-group merge with no table-wide window shuffle,
+  which is the merge shape a 1000-executor cluster wants.
+- **Filter pushdown = stats pruning.** ``pushFilters`` collects
+  single-column range/equality bounds and prunes whole slices through
+  the SAME published-stats test the native scan uses
+  (``CowTable._stat_passes`` — [min, max] overlap + the value-bucket
+  bitmap for portable equality probes). Every filter is still returned
+  to Spark for row-level evaluation: the connector prunes files, Spark
+  prunes rows — both layers stay correct independently.
+- **Streaming = commit tailing.** The stream reader's offset is the
+  commit timestamp; each micro-batch reads exactly the files WRITTEN by
+  the commits in (start, end] filtered to rows stamped by them — the
+  Hudi incremental-source semantics (inserts + update after-images;
+  deletes surface through the delete view / CDC, not here).
+
+Reference: the reference engine exposes no connector; this surface is
+driver-mandated extension territory (SURVEY §2.B), built only on the
+public pyspark.sql.datasource API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+
+class SlicePartition(InputPartition):
+    def __init__(self, base_path: str, log_paths: list[str], commit_filter: str | None = None):
+        self.base_path = base_path
+        self.log_paths = list(log_paths)
+        # streaming: restrict rows to this exact commit stamp
+        self.commit_filter = commit_filter
+
+
+def _merged_batches(part: SlicePartition, schema_names: list[str]):
+    """Arrow batches for one slice: plain read for base-only slices, the
+    per-group MOR merge (latest _hoodie_commit_time per record key,
+    tombstones dropped) for log-bearing ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not part.log_paths:
+        f = pq.ParquetFile(part.base_path)
+        for b in f.iter_batches():
+            yield _project(b, schema_names)
+        return
+    frames, src_fields = [], {}
+    for p in ([part.base_path] if part.base_path else []) + part.log_paths:
+        t = pq.read_table(p)
+        for fld in t.schema:
+            src_fields.setdefault(fld.name, fld)
+        frames.append(t.to_pandas())
+    import pandas as pd
+
+    df = pd.concat(frames, ignore_index=True)
+    # stable sort -> last row per key is the latest version; within one
+    # commit the log order is file order (same contract as the window)
+    df = df.sort_values("_hoodie_commit_time", kind="stable")
+    df = df.groupby("_hoodie_record_key", as_index=False).tail(1)
+    if "_hoodie_is_deleted" in df.columns:
+        df = df[~df["_hoodie_is_deleted"].fillna(False)].copy()
+        # every emitted row is a survivor; base files predating the first
+        # delta commit don't carry the column (null after concat) but the
+        # table schema declares it non-nullable
+        df["_hoodie_is_deleted"] = False
+    # pin arrow types to the SOURCE parquet schemas (union across base +
+    # logs — evolution means not every file carries every column): the
+    # pandas round-trip would otherwise drift (bool-with-NaN -> object,
+    # int-with-NaN -> float) and Spark's ArrowColumnVector accessors
+    # reject the mismatched vector
+    for n in schema_names:
+        if n not in df.columns:
+            df[n] = None
+    inferred = pa.Table.from_pandas(df[schema_names], preserve_index=False)
+    target = pa.schema(
+        [
+            pa.field(n, src_fields[n].type)  # nullable: merged rows may
+            if n in src_fields  # lack a column some files declare NOT NULL
+            else inferred.schema.field(n)
+            for n in schema_names
+        ]
+    )
+    tbl = inferred.cast(target)
+    for b in tbl.to_batches():
+        yield b
+
+
+def _project(batch, schema_names: list[str]):
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [batch.column(batch.schema.get_field_index(n)) for n in schema_names],
+        names=schema_names,
+    )
+
+
+def _load_schema(path: str, as_of: str | None) -> StructType:
+    from ..plans.timeline import Timeline
+
+    tl = Timeline(path)
+    ts = as_of or tl.latest_timestamp()
+    if ts is None:
+        raise ValueError(f"no commits at {path}")
+    return StructType.fromJson(json.loads(tl.commit_metadata(ts).schema_json))
+
+
+class LakeviewReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.as_of = options.get("as_of")
+        self.schema_names: list[str] = []  # set by LakeviewDataSource.reader
+        self.bounds: dict[str, list] = {}  # col -> [lo, hi] (None = open)
+
+    def pushFilters(self, filters):
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            if col is not None:
+                lo, hi = self.bounds.get(col, [None, None])
+                if isinstance(f, EqualTo):
+                    lo = hi = f.value
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    lo = f.value if lo is None else max(lo, f.value)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    hi = f.value if hi is None else min(hi, f.value)
+                else:
+                    yield f
+                    continue
+                self.bounds[col] = [lo, hi]
+            # partial pushdown: the connector prunes FILES with the
+            # bounds; Spark still evaluates every filter row-level
+            yield f
+
+    def partitions(self):
+        from ..plans.slices import resolve_slices
+        from ..plans.timeline import Timeline
+        from .cow import CowTable
+
+        tl = Timeline(self.path)
+        slices = resolve_slices(tl, self.as_of)
+        out = []
+        between = {c: (lo, hi) for c, (lo, hi) in self.bounds.items()}
+        for (_pp, fid), s in sorted(slices.items()):
+            if between and s.base_path and not s.log_paths:
+                stat = tl.commit_metadata(s.commit_ts).find_write_stat(fid)
+                if not CowTable._stat_passes(stat, between):
+                    continue  # provably empty under the pushed bounds
+            out.append(SlicePartition(s.base_path, s.log_paths))
+        return out
+
+    def read(self, partition: SlicePartition):
+        yield from _merged_batches(partition, self.schema_names)
+
+
+class LakeviewStreamReader(DataSourceStreamReader):
+    """Commit-tailing incremental source: offset = commit timestamp."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.schema_names: list[str] = []
+
+    def initialOffset(self) -> dict:
+        return {"ts": "00000000000000"}
+
+    def latestOffset(self) -> dict:
+        from ..plans.timeline import Timeline
+
+        latest = Timeline(self.path).latest_timestamp()
+        return {"ts": latest or "00000000000000"}
+
+    def partitions(self, start: dict, end: dict):
+        from ..plans.timeline import Timeline
+
+        tl = Timeline(self.path)
+        out = []
+        for inst in tl.commits_in_range(start["ts"], end["ts"]):
+            meta = tl.commit_metadata(inst.timestamp)
+            for _p, stat in meta.all_stats():
+                out.append(
+                    SlicePartition(
+                        os.path.join(self.path, stat.path),
+                        [],
+                        commit_filter=inst.timestamp,
+                    )
+                )
+        # Spark requires >= 1 partition per batch; an empty range yields
+        # one no-op partition (no path)
+        return out or [SlicePartition("", [], commit_filter=None)]
+
+    def read(self, partition: SlicePartition):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if not partition.base_path:
+            return
+        tbl = pq.read_table(partition.base_path)
+        if partition.commit_filter is not None:
+            tbl = tbl.filter(
+                pc.equal(tbl["_hoodie_commit_time"], partition.commit_filter)
+            )
+        for b in tbl.select(self.schema_names).to_batches():
+            if b.num_rows:
+                yield b
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are commit timestamps; nothing to clean up
+
+
+class LakeviewDataSource(DataSource):
+    """``spark.read.format("lakeview").option("path", ...)`` — see module
+    docstring. Options: ``path`` (required), ``as_of`` (batch only)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakeview"
+
+    def schema(self) -> StructType:
+        return _load_schema(self.options["path"], self.options.get("as_of"))
+
+    def reader(self, schema: StructType) -> LakeviewReader:
+        r = LakeviewReader(dict(self.options))
+        r.schema_names = [f.name for f in schema.fields]
+        return r
+
+    def streamReader(self, schema: StructType) -> LakeviewStreamReader:
+        r = LakeviewStreamReader(dict(self.options))
+        r.schema_names = [f.name for f in schema.fields]
+        return r
+
+
+def register(spark) -> None:
+    """Idempotently register the connector with a session."""
+    spark.dataSource.register(LakeviewDataSource)

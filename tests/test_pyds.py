@@ -1,0 +1,121 @@
+"""Python DataSource connector (sources/pyds.py): batch scan, MOR merged
+read, filter-pushdown slice pruning, time travel, streaming commit tail."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_delete_view_spark.sources import pyds
+from hudi_delete_view_spark.sources.cow import CowTable
+from hudi_delete_view_spark.sources.mor import MorTable
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    pyds.register(spark)
+
+
+def _lv(spark, path, **opts):
+    r = spark.read.format("lakeview").option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_pyds_cow_snapshot_and_travel(spark, scratch):
+    t = CowTable(spark, os.path.join(scratch, "c"), key_fields=["k"],
+                 partition_field=None, num_file_groups=4, stats_columns=["k"])
+    t.bulk_insert(spark.createDataFrame([(i, i * 10) for i in range(500)],
+                                        "k long, v long"), "20250101000000")
+    t.upsert(spark.createDataFrame([(5, 555)], "k long, v long"), "20250102000000")
+    df = _lv(spark, t.base_path)
+    native = t.snapshot().select("k", "v").orderBy("k").collect()
+    assert df.select("k", "v").orderBy("k").collect() == native
+    old = _lv(spark, t.base_path, as_of="20250101000000")
+    assert old.filter("k = 5").select("v").first().v == 50
+
+
+def test_pyds_mor_merged_read(spark, scratch):
+    t = MorTable(spark, os.path.join(scratch, "m"), key_fields=["k"],
+                 partition_field=None, num_file_groups=2)
+    t.bulk_insert(spark.createDataFrame([(i, i * 10) for i in range(100)],
+                                        "k long, v long"), "20250101000000")
+    t.upsert_delta(spark.createDataFrame([(7, 700)], "k long, v long"), "20250102000000")
+    t.delete_delta(spark.createDataFrame([(3,)], "k long"), "20250103000000")
+    df = _lv(spark, t.base_path)
+    # the per-partition pandas merge must equal the native window merge
+    assert df.select("k", "v").orderBy("k").collect() == \
+        t.snapshot().select("k", "v").orderBy("k").collect()
+    assert df.filter("k = 3").count() == 0
+    assert df.filter("k = 7").first().v == 700
+
+
+def test_pyds_pushdown_prunes_slices(spark, scratch):
+    """pushFilters: range/equality bounds prune whole file slices through
+    the published stats BEFORE any file opens; results stay exact because
+    Spark still applies every filter row-level."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan, IsNotNull
+
+    t = CowTable(spark, os.path.join(scratch, "p"), key_fields=["k"],
+                 partition_field="band", num_file_groups=1, stats_columns=["k"])
+    rows = [(k, f"b{k // 100}", k) for k in range(400)]  # 4 tight slices
+    t.bulk_insert(spark.createDataFrame(rows, ["k", "band", "v"]), "20250101000000")
+
+    reader = pyds.LakeviewReader({"path": t.base_path})
+    assert len(reader.partitions()) == 4
+    leftover = list(reader.pushFilters([EqualTo(("k",), 150)]))
+    assert len(leftover) == 1  # partial push: Spark re-checks row-level
+    assert len(reader.partitions()) == 1
+
+    # bounds are CONSERVATIVE (inclusive): GreaterThan(99) keeps the
+    # [0, 99] slice — a file is pruned only when it provably can't match
+    r2 = pyds.LakeviewReader({"path": t.base_path})
+    list(r2.pushFilters([GreaterThan(("k",), 100), LessThan(("k",), 250)]))
+    assert len(r2.partitions()) == 2  # b1 + b2; b0 (max 99) and b3 (min 300) pruned
+
+    # unsupported filters pass through untouched and prune nothing
+    r3 = pyds.LakeviewReader({"path": t.base_path})
+    out = list(r3.pushFilters([IsNotNull(("k",))]))
+    assert len(out) == 1 and len(r3.partitions()) == 4
+
+    # end-to-end answer with pushdown active
+    got = _lv(spark, t.base_path).filter("k between 100 and 249").count()
+    assert got == 150
+
+
+def test_pyds_stream_tails_commits(spark, scratch):
+    """Streaming source: offset = commit timestamp; batches emit exactly
+    the rows stamped by each commit; a restart from the checkpoint
+    re-emits nothing old and picks up NEW commits."""
+    import shutil
+
+    t = CowTable(spark, os.path.join(scratch, "s"), key_fields=["k"],
+                 partition_field=None, num_file_groups=2)
+    t.bulk_insert(spark.createDataFrame([(i, i * 10) for i in range(20)],
+                                        "k long, v long"), "20250101000000")
+    t.upsert(spark.createDataFrame([(3, 333)], "k long, v long"), "20250102000000")
+    ckpt = os.path.join(scratch, "ckpt")
+    out = os.path.join(scratch, "out")
+
+    def drain():
+        stream = spark.readStream.format("lakeview").option("path", t.base_path).load()
+        q = (
+            stream.select("_hoodie_commit_time", "k", "v")
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 21  # 20 inserts + 1 after-image
+    assert got.filter("_hoodie_commit_time = '20250102000000'").count() == 1
+
+    # new commit after the first drain: only ITS rows arrive on restart
+    t.upsert(spark.createDataFrame([(50, 5000)], "k long, v long"), "20250103000000")
+    drain()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 22
+    assert got2.filter("_hoodie_commit_time = '20250103000000'").count() == 1
+    shutil.rmtree(ckpt, ignore_errors=True)
