@@ -38,6 +38,7 @@ HEADLINE = [
     "rel_window_topk_per_group",
     "rel_asof_join",
     "lake_merge_into",         # B5 MERGE INTO readback (snapshot + delete view)
+    "lake_pyds_scan",          # Python DataSource connector serving path
     "dedup_exact_count",       # B8 exact dedup
     "dedup_minhash_survivors", # B9 MinHash-LSH near-dup
     "dedup_minhash_clusters",  # B9 funnel + connected-components resolution

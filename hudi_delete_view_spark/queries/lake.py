@@ -782,6 +782,8 @@ def lake_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained view converged to it exactly."""
     from ..sources.fixtures import build_orders_mor
 
+    from ..sources.delete_view import delete_views_between
+
     li = build_lineitem_cow(spark, sf_dir)
     om = build_orders_mor(spark, sf_dir)
     li_cols = [RECORD_KEY_FIELD, "l_orderkey", "l_quantity", "l_returnflag"]
@@ -792,7 +794,20 @@ def lake_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(om.snapshot(C1).select(*ord_cols),
               F.col("l_orderkey") == F.col("o_orderkey"))
     )
-    d_li_keys = li.cdc(C1).select(RECORD_KEY_FIELD).distinct()
+    # change-key feeds, cheapest-available form (not the full CDC diff):
+    # after-images from the pruned incremental read + delete keys from the
+    # MATERIALIZED per-commit delete views (A12-A15 cache: repeat
+    # maintenance runs read the delete feed as plain parquet). The key set
+    # may over-approximate (a rewritten-but-unchanged row re-derives to
+    # an identical view row) — the drop+re-derive algebra is idempotent
+    # per key, so over-approximation costs work, never correctness.
+    d_li_keys = (
+        li.incremental(C1).select(RECORD_KEY_FIELD)
+        .union(
+            delete_views_between(spark, li.base_path, C1).select(RECORD_KEY_FIELD)
+        )
+        .distinct()
+    )
     d_ord_keys = om.cdc(C1).select("o_orderkey").distinct()
 
     clean = (

@@ -148,6 +148,12 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # incremental reads of the store (string-range commit-time filters
     # pushed into pruned parquet scans) joined to doc metadata
     "stream_signature_store": (["PushedFilters"], ["CartesianProduct"]),
+    # join-view IVM: stale slice dropped via change-key anti-joins, only
+    # affected fact rows re-derived — equi-joins throughout
+    "lake_ivm_join": (["LeftAnti"], ["CartesianProduct"]),
+    # Python DataSource connector scan: a real DSv2 BatchScan over the
+    # registered lakeview source (slice partitions + stats pushdown)
+    "lake_pyds_scan": (["BatchScan lakeview"], ["CartesianProduct", "Join"]),
 }
 
 # per-query session confs applied while building the audited plan
