@@ -189,6 +189,7 @@ class LakeviewStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.schema_names: list[str] = []
+        self.arrow_schema = None  # set by LakeviewDataSource.streamReader
 
     def initialOffset(self) -> dict:
         return {"ts": "00000000000000"}
@@ -229,7 +230,28 @@ class LakeviewStreamReader(DataSourceStreamReader):
             tbl = tbl.filter(
                 pc.equal(tbl["_hoodie_commit_time"], partition.commit_filter)
             )
-        for b in tbl.select(self.schema_names).to_batches():
+        if "_hoodie_is_deleted" in tbl.column_names:
+            # incremental-source semantics: after-images only — MOR delta
+            # tombstones are DELETES and flow through the delete view /
+            # CDC, not the incremental stream
+            tbl = tbl.filter(
+                pc.invert(pc.fill_null(tbl["_hoodie_is_deleted"], False))
+            )
+        import pyarrow as pa
+
+        # schema-evolution tolerance: files written before a column existed
+        # (e.g. a bulk-insert base before the first delta commit stamped
+        # _hoodie_is_deleted into the table schema) surface it as null /
+        # false, same as the native evolved read
+        cols = []
+        for i, n in enumerate(self.schema_names):
+            if n in tbl.column_names:
+                cols.append(tbl[n])
+            elif n == "_hoodie_is_deleted":
+                cols.append(pa.array([False] * tbl.num_rows))
+            else:
+                cols.append(pa.nulls(tbl.num_rows, type=self.arrow_schema.field(i).type))
+        for b in pa.table(dict(zip(self.schema_names, cols))).to_batches():
             if b.num_rows:
                 yield b
 
@@ -254,8 +276,11 @@ class LakeviewDataSource(DataSource):
         return r
 
     def streamReader(self, schema: StructType) -> LakeviewStreamReader:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         r = LakeviewStreamReader(dict(self.options))
         r.schema_names = [f.name for f in schema.fields]
+        r.arrow_schema = to_arrow_schema(schema)
         return r
 
 

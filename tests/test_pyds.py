@@ -119,3 +119,55 @@ def test_pyds_stream_tails_commits(spark, scratch):
     assert got2.count() == 22
     assert got2.filter("_hoodie_commit_time = '20250103000000'").count() == 1
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_pyds_stream_mor_delta_tail(spark, scratch):
+    """Streaming tail over a MOR table: delta-commit batches emit the
+    after-images written by each commit; tombstones never surface as
+    data rows (they flow through delete view / CDC)."""
+    t = MorTable(spark, os.path.join(scratch, "sm"), key_fields=["k"],
+                 partition_field=None, num_file_groups=2)
+    t.bulk_insert(spark.createDataFrame([(i, i * 10) for i in range(10)],
+                                        "k long, v long"), "20250101000000")
+    t.upsert_delta(spark.createDataFrame([(4, 400), (99, 990)],
+                                         "k long, v long"), "20250102000000")
+    t.delete_delta(spark.createDataFrame([(2,)], "k long"), "20250103000000")
+
+    out, ckpt = os.path.join(scratch, "out"), os.path.join(scratch, "ckpt")
+    stream = spark.readStream.format("lakeview").option("path", t.base_path).load()
+    q = (
+        stream.select("_hoodie_commit_time", "k", "v")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 12  # 10 inserts + 2 delta after-images, 0 tombstones
+    by_ct = {r[0]: r[1] for r in got.groupBy("_hoodie_commit_time").count().collect()}
+    assert by_ct == {"20250101000000": 10, "20250102000000": 2}
+
+
+def test_archive_corrupt_checkpoint_raises(spark, scratch):
+    """A damaged archive checkpoint must fail loudly at resolution time,
+    not serve a partial table."""
+    import json
+
+    from hudi_delete_view_spark.plans.timeline import (
+        ARCHIVE_CHECKPOINT,
+        ARCHIVE_DIR_NAME,
+    )
+
+    t = CowTable(spark, os.path.join(scratch, "cc"), key_fields=["k"],
+                 partition_field=None, num_file_groups=1)
+    t.bulk_insert(spark.createDataFrame([(1, 1)], "k long, v long"), "20250101000000")
+    t.upsert(spark.createDataFrame([(2, 2)], "k long, v long"), "20250102000000")
+    t.archive_timeline(keep_last_n=1)
+    cp_path = os.path.join(t.base_path, ".hoodie", ARCHIVE_DIR_NAME, ARCHIVE_CHECKPOINT)
+    with open(cp_path) as f:
+        cp = json.load(f)
+    del cp["slices"]
+    with open(cp_path, "w") as f:
+        json.dump(cp, f)
+    t.timeline.refresh()
+    with pytest.raises(KeyError):
+        t.snapshot().count()
