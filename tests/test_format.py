@@ -1216,3 +1216,31 @@ def test_timeline_archive_checkpoint(spark, scratch):
     assert len(t.timeline.all_timestamps()) == 5
     snap = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
     assert snap[300] == 3000 and snap[1] == 111 and 10 not in snap
+
+
+def test_ivm_view_table_service(spark, sf_dir):
+    """The materialized join view is a REAL lake table: maintenance writes
+    one delete + one upsert commit, the view's OWN delete view reconstructs
+    the vanished rows, time travel reaches the seed state, and a rerun at
+    the same anchors performs zero writes."""
+    from hudi_delete_view_spark.queries.lake import _maintain_join_view
+    from hudi_delete_view_spark.sources.delete_view import delete_view
+
+    view = _maintain_join_view(spark, sf_dir)
+    tss = view.timeline.timestamps()
+    assert len(tss) == 3  # seed + delete + upsert
+    hist = {r["commit_ts"]: r for r in view.commit_history().collect()}
+    assert hist[tss[1]]["total_records_deleted"] > 0
+    assert hist[tss[2]]["num_update_writes"] + hist[tss[2]]["num_inserts"] > 0
+
+    # the view's own delete view = rows the maintenance removed
+    dv = delete_view(spark, view.base_path, tss[1])
+    assert dv.count() == hist[tss[1]]["total_records_deleted"]
+
+    # time travel to the seed = the C1-as-of join
+    seed = view.snapshot(as_of=tss[0])
+    assert seed.count() > view.snapshot().count()  # deletes shrank the view
+
+    # idempotent rerun: anchors already at the sources' latest -> no commits
+    again = _maintain_join_view(spark, sf_dir)
+    assert again.timeline.timestamps() == tss
