@@ -969,6 +969,17 @@ class CowTable:
             raise TimelineError(
                 f"commit {commit_ts} is savepointed; release_savepoint first"
             )
+        if (
+            self.timeline.archive_boundary() is not None
+            and len(self.timeline.timestamps()) == 1
+        ):
+            # the checkpoint seeds slice resolution but the reader's
+            # as-of anchor is the active timeline — emptying it would
+            # strand the archived state behind a "no commits" error
+            raise TimelineError(
+                "rolling back the last ACTIVE commit would strand the "
+                "archived table state; the archive keeps >= 1 active instant"
+            )
         meta = self.timeline.commit_metadata(commit_ts)
         removed = []
         for _p, stat in meta.all_stats():
@@ -1249,7 +1260,19 @@ class CowTable:
         pruning stats of checkpoint slices load lazily); time travel and
         incremental anchors BEFORE the boundary raise with the boundary
         named. Pairs with ``clean()``: clean bounds data files, archive
-        bounds metadata files. Returns the archived timestamps."""
+        bounds metadata files. Returns the archived timestamps.
+
+        Savepointed commits pin time-travel states, and a pinned state
+        BEHIND the archive boundary would be unreachable (resolution
+        refuses pre-boundary as_of) — archiving past one is refused."""
+        active = self.timeline.timestamps()
+        to_archive = active[:-keep_last_n] if keep_last_n >= 1 else active
+        pinned = sorted(sp for sp in self.savepoints() if sp in to_archive)
+        if pinned:
+            raise TimelineError(
+                f"cannot archive past savepointed commit(s) {pinned}: release "
+                f"the savepoint or keep more active instants"
+            )
         return self.timeline.archive(keep_last_n)
 
     def clean(self, retain_last_n: int = 2, dry_run: bool = False) -> list[str]:
@@ -1278,8 +1301,14 @@ class CowTable:
                 if s.base_path:
                     referenced.add(os.path.abspath(s.base_path))
                 referenced.update(os.path.abspath(p) for p in s.log_paths)
-        # every data file any commit ever wrote
+        # every data file any commit ever wrote — including files whose
+        # writing commit was ARCHIVED (the checkpoint's byte map records
+        # them): superseded pre-boundary slices must stay clean-able, not
+        # leak forever as metadata-invisible debris
         all_files: set[str] = set()
+        cp = self.timeline.archive_checkpoint()
+        for rel in (cp.get("path_bytes", {}) if cp else {}):
+            all_files.add(os.path.abspath(os.path.join(self.base_path, rel)))
         for t in ts_list:
             for _p, stat in self.timeline.commit_metadata(t).all_stats():
                 all_files.add(os.path.abspath(os.path.join(self.base_path, stat.path)))
