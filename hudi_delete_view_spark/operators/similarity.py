@@ -405,3 +405,53 @@ def semantic_dedup(
     return asg.join(losers, "__vid", "left_anti").select(
         F.col("__vid").alias(id_col), "cid"
     )
+
+
+def semantic_dedup_incremental(
+    base: DataFrame,
+    inc: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Ingest-time SemDeDup: dedup an embedding INCREMENT against a
+    settled corpus without re-pairing the corpus against itself — the
+    vector-space mirror of ``minhash_dedup_incremental``.
+
+    The coarse quantizer (centroids) is the persisted store asset trained
+    on the BASE (re-training here stands in for one read of it); base and
+    increment both assign to it, and the base side is semi-joined down to
+    clusters an increment member actually touches BEFORE the pair join —
+    corpus-side work is proportional to cluster collisions with the
+    increment, never corpus size. Drop rule: an increment vector dies iff
+    it has cosine >= ``threshold`` against ANY base member of its cluster
+    or a smaller-id increment member (the deterministic survivor rule of
+    ``semantic_dedup`` restricted to pairs touching the increment).
+    Returns surviving increment (id, cid) rows."""
+    from .util import register_cache
+
+    vb = base.select(F.col(id_col).alias("__vid"), as_double_array(vec_col).alias("__v"))
+    vi = inc.select(F.col(id_col).alias("__vid"), as_double_array(vec_col).alias("__v"))
+    cent = ivf_centroids(base, id_col, vec_col, nlist=nlist, iters=iters)
+    asg_i = register_cache(_assign(vi, cent))
+    touched = asg_i.select("cid").distinct()
+    asg_b = _assign(vb, cent).join(F.broadcast(touched), "cid", "left_semi")
+    right = asg_i.select("cid", F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"))
+    base_inc = asg_b.select("cid", F.col("__vid").alias("id_a"), F.col("__v").alias("__va")).join(right, "cid")
+    inc_inc = (
+        asg_i.select("cid", F.col("__vid").alias("id_a"), F.col("__v").alias("__va"))
+        .join(right, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    losers = (
+        base_inc.unionByName(inc_inc)
+        .withColumn("__cos", F.round(cosine_expr("__va", "__vb"), 6))
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("id_b").alias("__vid"))
+        .distinct()
+    )
+    return asg_i.join(losers, "__vid", "left_anti").select(
+        F.col("__vid").alias(id_col), "cid"
+    )

@@ -156,17 +156,20 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_assign(cents: str, out: str, where: str = "", rn: str = "rn = 1") -> str:
+def _km_assign(
+    cents: str, out: str, where: str = "", rn: str = "rn = 1", src: str = "e"
+) -> str:
     """CTE: nearest-centroid assignment with the engine-portable argmax
     (cosine ROUND 4, ties -> lowest cid) — shared by the IVF and the
-    semantic-dedup oracles."""
+    semantic-dedup oracles. ``src`` picks the vector CTE (the incremental
+    variant trains on the base but assigns EVERYONE)."""
     return f"""
 {out} AS (
   SELECT vec_id, cid, v FROM (
-    SELECT e.vec_id, {cents}.cid, e.v,
-      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        ORDER BY ROUND(list_cosine_similarity(e.v, {cents}.cvec), 4) DESC, {cents}.cid) AS rn
-    FROM e CROSS JOIN {cents} {where}) WHERE {rn}
+    SELECT {src}.vec_id, {cents}.cid, {src}.v,
+      ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
+        ORDER BY ROUND(list_cosine_similarity({src}.v, {cents}.cvec), 4) DESC, {cents}.cid) AS rn
+    FROM {src} CROSS JOIN {cents} {where}) WHERE {rn}
 )"""
 
 
@@ -185,11 +188,14 @@ def _km_recompute(asg: str, out: str, dim: int) -> str:
 )"""
 
 
-def _km_train_ctes(nlist: int, iters: int, dim: int) -> tuple[list[str], str]:
+def _km_train_ctes(
+    nlist: int, iters: int, dim: int, source_where: str = ""
+) -> tuple[list[str], str]:
     """The shared Lloyd-training CTE chain (e, c0, a1/c1, ...); returns
-    (ctes, final_centroid_cte_name)."""
+    (ctes, final_centroid_cte_name). ``source_where`` restricts the
+    TRAINING corpus (the incremental variant trains on the base only)."""
     ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings {source_where})",
         f"""c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cvec
   FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {nlist})
@@ -560,3 +566,46 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, "vec_id", "embedding", nlist=16, iters=2,
                           threshold=0.4)
+
+
+def _semantic_dedup_incr_sql(nlist: int = 16, iters: int = 2, dim: int = 64,
+                             threshold: float = 0.4) -> str:
+    """Lloyd trained on the BASE (vec_id % 5 != 0), everyone assigned to
+    the final centroids, increment survivors = no >=threshold partner in
+    (base ∪ smaller-id increment) of the same cluster. Split-invariant:
+    assignment and pair cosine are per-vector/per-pair properties, so the
+    engine's touched-cluster pruning cannot change the answer."""
+    ctes, prev = _km_train_ctes(nlist, iters, dim,
+                                source_where="WHERE vec_id % 5 != 0")
+    ctes.append(
+        "e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    )
+    ctes.append(_km_assign(prev, "asg", src="e2").strip())
+    return f"""
+WITH {', '.join(ctes)},
+losers AS (
+  SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+    ON a.cid = b.cid AND b.vec_id % 5 = 0
+   AND (a.vec_id % 5 != 0 OR a.vec_id < b.vec_id)
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+)
+SELECT vec_id, cid FROM asg
+WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT vec_id FROM losers)
+"""
+
+
+@query("sim_semantic_dedup_incremental", late=True,
+       oracle=_semantic_dedup_incr_sql())  # increment-vs-store sibling of
+# sim_semantic_dedup; ANN family windowed via sim_topk_*
+def sim_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increment (vec_id % 5 = 0) deduped against the settled remainder
+    through the persisted centroid store — base-vs-base pairs never
+    generated, base side pruned to increment-touched clusters
+    (operators/similarity.py ``semantic_dedup_incremental``)."""
+    from ..operators.similarity import semantic_dedup_incremental
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    inc = emb.filter(F.col("vec_id") % 5 == 0)
+    return semantic_dedup_incremental(base, inc, "vec_id", "embedding",
+                                      nlist=16, iters=2, threshold=0.4)

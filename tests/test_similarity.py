@@ -145,3 +145,29 @@ def test_semantic_dedup_drops_near_identical(spark):
         df, "vec_id", "embedding", nlist=4, iters=2, threshold=0.99).collect()}
     assert set(range(40)) <= surv          # every base vector survives
     assert not {v for v in surv if v >= 1000}  # every twin dropped
+
+
+def test_semantic_dedup_incremental_twins(spark):
+    """Increment twins of base vectors die; novel increment vectors
+    survive; a twin of a DROPPED increment vector survives iff its base
+    partner is gone — mirrors the minhash incremental drop rule."""
+    import random
+
+    from hudi_delete_view_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    rnd = random.Random(9)
+    base_rows, inc_rows = [], []
+    for i in range(30):
+        v = [rnd.gauss(0, 1) for _ in range(16)]
+        base_rows.append((i, v))
+        if i % 3 == 0:  # increment twin of a base vector
+            inc_rows.append((1000 + i, [x + rnd.gauss(0, 1e-4) for x in v]))
+    for j in range(10):  # novel increment vectors
+        inc_rows.append((2000 + j, [rnd.gauss(0, 1) for _ in range(16)]))
+    base = spark.createDataFrame(base_rows, "vec_id long, embedding array<double>")
+    inc = spark.createDataFrame(inc_rows, "vec_id long, embedding array<double>")
+    surv = {r["vec_id"] for r in semantic_dedup_incremental(
+        base, inc, nlist=4, iters=2, threshold=0.99).collect()}
+    assert surv == {2000 + j for j in range(10)}
