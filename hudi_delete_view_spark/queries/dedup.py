@@ -1,10 +1,12 @@
 """Dedup queries (B8/B9) over the ``documents`` / ``embeddings`` tables.
 
-Exact dedup and n-gram Jaccard are fully DuckDB-oracled (list
-comprehensions mirror the Spark higher-order expressions). MinHash-LSH and
-SimHash are not SQL-expressible — they get rows-only driver checks plus
-property tests in tests/test_dedup.py (recall vs. the exact-Jaccard
-ground truth)."""
+EVERY query here is fully DuckDB-oracled — including MinHash-LSH and
+SimHash: the portable 60-bit md5 hash contract lets the oracles replay
+the funnel bit-for-bit (seeded permutation family as SQL literals, band
+collisions, estimate prune, exact verify — see ``_minhash_funnel_ctes``),
+and SimHash mirrors the sign-sum bit packing exactly. Property tests in
+tests/test_dedup.py additionally pin recall against the exact-Jaccard
+ground truth."""
 
 from __future__ import annotations
 

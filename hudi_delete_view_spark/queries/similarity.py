@@ -1,6 +1,8 @@
-"""Similarity-search queries (B10) over ``embeddings``: exact brute-force
-top-k (DuckDB-oracled) and the LSH-bucketed approximate path (recall-tested
-in pytest; rows-only for the driver)."""
+"""Similarity-search queries (B10) over ``embeddings`` — ALL fully
+DuckDB-oracled, including the approximate paths: sign-LSH replays the
+seeded hyperplanes as SQL literals, and the k-means IVF / SemDeDup
+variants re-train the engine-exact Lloyd rounds in-oracle (shared
+``_km_*`` CTE builders). Recall additionally property-tested in pytest."""
 
 from __future__ import annotations
 
@@ -304,7 +306,7 @@ def pipeline_dedup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_topk_ivf_label",
-    late=True,  # IVF family; the k-means variant keeps its rows-only slot
+    late=True,  # IVF family; sim_topk_bruteforce/lsh hold the window slots
     # Fully-oracled IVF: the coarse quantizer is the LABEL centroids,
     # computed with engine-exact integer-micro sums (floor(x*1e6+0.5)
     # summed as BIGINT, divided in a fixed order). Selection stages
@@ -361,10 +363,10 @@ def sim_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe 2): corpus vectors assign to their nearest centroid's inverted
     list; each query scans only its 2 closest lists, then exact re-rank.
 
-    Unlike the k-means variant (iterative, rows-only checked), the
-    quantizer is a one-pass aggregation with engine-exact integer
-    arithmetic, and the selection stages quantize scores so the whole
-    funnel carries a DuckDB oracle. Scale shape: the centroid table is 10
+    Here the quantizer is a one-pass aggregation with engine-exact
+    integer arithmetic (the k-means variant re-trains its iterative
+    Lloyd rounds in-oracle instead), and the selection stages quantize
+    scores so the whole funnel carries a DuckDB oracle. Scale shape: the centroid table is 10
     rows, cached and broadcast; corpus assignment is ONE pass (max-struct
     argmax, no window over corpus x nlist); the only data shuffle is the
     inverted-list join keyed by centroid id."""
