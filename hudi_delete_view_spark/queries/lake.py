@@ -1055,3 +1055,119 @@ def lake_ivm_view_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lk", "l_orderkey", "l_quantity", "l_returnflag",
         "o_orderstatus", "o_totalprice",
     )
+
+
+# --------------------------------------------------------------------------
+# STREAM-DRIVEN view maintenance: the connector's commit tail advances the
+# materialized view table one source commit at a time.
+# --------------------------------------------------------------------------
+@query(
+    "stream_ivm_view",
+    late=True,  # composition sibling of lake_ivm_view_table (same oracle
+    # family); IVM + stream families already windowed
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT {_KEY_SQL} AS lk, l_orderkey, {_QTY_SQL} AS l_quantity, l_returnflag
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+)
+SELECT l2.lk, l2.l_orderkey, l2.l_quantity, l2.l_returnflag,
+       o2.o_orderstatus, o2.o_totalprice
+FROM l2 JOIN o2 ON l2.l_orderkey = o2.o_orderkey
+""",
+)
+def stream_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the materialized join view (SURVEY §12
+    round-6 item 1, shipped early): the lakeview connector TAILS the
+    lineitem table's commits — one checkpointed drain per source commit,
+    bounded by the ``end_ts`` admission knob — and each micro-batch's
+    after-images drive one maintenance advance of the view table
+    (delete commit for vanished rows via the materialized delete feed,
+    upsert commit for re-derived rows against the orders snapshot).
+
+    Composition under test: Python DSv2 stream source -> foreachBatch ->
+    change-key IVM algebra -> COW view-table commits. The view converges
+    through FOUR independent advances (seed + 3 commit-driven), and the
+    oracle recomputes the join from scratch — a hash match proves every
+    intermediate advance was exact, since each later advance only touches
+    that commit's change keys. At 100 TB: per-advance work ∝ one
+    commit's changes; the stream checkpoint makes restarts resume at the
+    right commit for free."""
+    import os
+    import shutil
+
+    from ..sources import pyds
+    from ..sources.cow import CowTable
+    from ..sources.delete_view import delete_views_between
+    from ..sources.fixtures import SCRATCH_ROOT, build_orders_mor, scratch_tag
+
+    li = build_lineitem_cow(spark, sf_dir)
+    om = build_orders_mor(spark, sf_dir)
+    pyds.register(spark)
+    root = os.path.join(SCRATCH_ROOT, "stream", scratch_tag(sf_dir), "ivm_view")
+    shutil.rmtree(root, ignore_errors=True)
+    ckpt = os.path.join(root, "ckpt")
+    view = CowTable(spark, os.path.join(root, "view"), key_fields=["lk"],
+                    partition_field=None, num_file_groups=4)
+
+    li_cols = [
+        F.col(RECORD_KEY_FIELD).alias("lk"), F.col("l_orderkey"),
+        F.col("l_quantity"), F.col("l_returnflag"),
+    ]
+    ord_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    ord_snap = om.snapshot().select(*ord_cols)
+
+    # seed at the first source commit
+    view.bulk_insert(
+        li.snapshot(C1).select(*li_cols).join(
+            ord_snap, F.col("l_orderkey") == F.col("o_orderkey")),
+        C1,
+    )
+
+    state = {"anchor": C1}
+
+    def advance(batch_df, batch_id):
+        ts = state["ts"]
+        keys = (
+            batch_df.select(F.col(RECORD_KEY_FIELD).alias("lk"))
+            .union(
+                delete_views_between(spark, li.base_path, state["anchor"], ts)
+                .select(F.col(RECORD_KEY_FIELD).alias("lk"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rederived = (
+            li.snapshot(ts).select(*li_cols).join(keys, "lk", "left_semi")
+            .join(ord_snap, F.col("l_orderkey") == F.col("o_orderkey"))
+            .localCheckpoint(eager=True)
+        )
+        dead = keys.join(rederived.select("lk"), "lk", "left_anti")
+        if dead.count() > 0:
+            view.delete(dead, f"{int(ts) + 1:014d}")
+        if rederived.count() > 0:
+            view.upsert(rederived, f"{int(ts) + 2:014d}")
+        state["anchor"] = ts
+
+    for ts in li.timeline.timestamps()[1:]:
+        state["ts"] = ts
+        stream = (
+            spark.readStream.format("lakeview")
+            .option("path", li.base_path).option("end_ts", ts).load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(advance)
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    snap = view.snapshot()
+    return snap.select(
+        "lk", "l_orderkey", "l_quantity", "l_returnflag",
+        "o_orderstatus", "o_totalprice",
+    )

@@ -188,6 +188,11 @@ class LakeviewStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.path = options["path"]
+        # end_ts bounds how far this stream will tail (inclusive): a
+        # driver can advance a consumer one source commit at a time by
+        # re-draining with successive bounds — the deterministic
+        # admission-control knob (the Python stream API has no ReadLimit)
+        self.end_ts = options.get("end_ts")
         self.schema_names: list[str] = []
         self.arrow_schema = None  # set by LakeviewDataSource.streamReader
 
@@ -197,8 +202,10 @@ class LakeviewStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         from ..plans.timeline import Timeline
 
-        latest = Timeline(self.path).latest_timestamp()
-        return {"ts": latest or "00000000000000"}
+        latest = Timeline(self.path).latest_timestamp() or "00000000000000"
+        if self.end_ts is not None:
+            latest = min(latest, self.end_ts)
+        return {"ts": latest}
 
     def partitions(self, start: dict, end: dict):
         from ..plans.timeline import Timeline
