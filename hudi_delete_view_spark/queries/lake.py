@@ -1171,3 +1171,95 @@ def stream_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lk", "l_orderkey", "l_quantity", "l_returnflag",
         "o_orderstatus", "o_totalprice",
     )
+
+
+# --------------------------------------------------------------------------
+# Materialized AGGREGATE view as a lake table: the retraction algebra
+# applied through the COW writer (the aggregate sibling of
+# lake_ivm_view_table — together they are the general IVM surface:
+# change-key re-derivation for joins, signed retraction for aggregates).
+# --------------------------------------------------------------------------
+@query(
+    "lake_ivm_agg_table",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(CAST(round(({_QTY_SQL}) * 100) AS BIGINT)) / 100.0, 6) AS sum_qty
+FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+GROUP BY l_returnflag
+""",
+)
+def lake_ivm_agg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained AGGREGATE materialized as a lake table: seed the
+    per-returnflag rollup at C1 into a COW table keyed by the group, then
+    advance with ONE upsert commit carrying the retraction-merged rows
+    (exact integer cents, so the algebra is order-free) and ONE delete
+    commit for groups whose count net to zero. Anchor in a sidecar —
+    fully-advanced reruns serve the table with zero writes. The group
+    table gets time travel to any maintenance epoch and its own change
+    feeds; at 100 TB the upsert touches only groups the CDC delta
+    mentions (hash-routed file groups), never the full rollup."""
+    import json
+    import os
+    import shutil
+
+    from ..sources.cow import CowTable
+    from ..sources.fixtures import SCRATCH_ROOT, scratch_tag
+
+    li = build_lineitem_cow(spark, sf_dir)
+    latest = li.timeline.latest_timestamp()
+    path = os.path.join(SCRATCH_ROOT, "lake", scratch_tag(sf_dir), "ivm_agg")
+    anchor_path = os.path.join(path, "_view_anchor")
+    view = CowTable(spark, path, key_fields=["l_returnflag"],
+                    partition_field=None, num_file_groups=2)
+    cents = F.expr("cast(round(l_quantity * 100) as bigint)")
+
+    anchor = None
+    try:
+        with open(anchor_path) as f:
+            anchor = json.load(f)["li"]
+    except OSError:
+        pass
+    if anchor is None:
+        shutil.rmtree(path, ignore_errors=True)
+        seed = (
+            li.snapshot(C1).groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_rows"), F.sum(cents).alias("sum_cents"))
+        )
+        view.bulk_insert(seed, C1)
+        anchor = C1
+        with open(anchor_path, "w") as f:
+            json.dump({"li": C1}, f)
+
+    if anchor != latest:
+        feed = li.cdc(anchor, latest, include_update_preimages=True)
+        sign = F.when(F.col("op").isin("insert", "update"), F.lit(1)).otherwise(F.lit(-1))
+        delta = (
+            feed.select("l_returnflag", sign.alias("w"), cents.alias("__c"))
+            .groupBy("l_returnflag")
+            .agg(F.sum("w").alias("n_rows"),
+                 F.sum(F.col("w") * F.col("__c")).alias("sum_cents"))
+        )
+        merged = (
+            view.snapshot().select("l_returnflag", "n_rows", "sum_cents")
+            .unionByName(delta)
+            .groupBy("l_returnflag")
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.sum("sum_cents").alias("sum_cents"))
+        ).localCheckpoint(eager=True)
+        live = merged.filter(F.col("n_rows") > 0)
+        dead = merged.filter(F.col("n_rows") <= 0).select("l_returnflag")
+        if dead.count() > 0:
+            view.delete(dead, f"{int(latest) + 1:014d}")
+        if live.count() > 0:
+            view.upsert(live, f"{int(latest) + 2:014d}")
+        with open(anchor_path, "w") as f:
+            json.dump({"li": latest}, f)
+
+    snap = view.snapshot()
+    return snap.select(
+        "l_returnflag", "n_rows",
+        F.round(F.col("sum_cents") / F.lit(100.0), 6).alias("sum_qty"),
+    )
