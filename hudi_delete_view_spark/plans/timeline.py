@@ -125,10 +125,11 @@ class Timeline:
                 with open(inst.path) as f:
                     return CommitMetadata.from_json(f.read())
         # archived commit metadata stays queryable (history, per-slice
-        # pruning stats of checkpoint slices) — loaded lazily, never listed
-        archived = self._archived_metadata()
-        if timestamp in archived:
-            return archived[timestamp]
+        # pruning stats of checkpoint slices) — the covering BATCH loads
+        # lazily; the rest of the archive is never read
+        meta = self.archived_metadata_for(timestamp)
+        if meta is not None:
+            return meta
         self.instant_for(timestamp)  # raises the canonical error
         raise AssertionError("unreachable")
 
@@ -145,10 +146,13 @@ class Timeline:
     # The active timeline is a per-commit file listing: at one commit a
     # minute that's ~0.5M files after a year — listing cost grows without
     # bound. `archive()` bounds it the lake way (Hudi archived timeline /
-    # Iceberg manifest list): old instants move into ONE append-only
-    # JSONL batch and a CHECKPOINT records the resolved file slices at
-    # the boundary, so slice resolution seeds from the checkpoint and
-    # replays only the active tail. Archived commit METADATA stays fully
+    # Iceberg manifest list): each archive call rolls its instants into
+    # ONE range-named JSONL batch (instants-<first>-<last>.jsonl) and a
+    # CHECKPOINT records the resolved file slices at the boundary, so
+    # slice resolution seeds from the checkpoint and replays only the
+    # active tail. A point lookup of archived metadata (pruning stats of
+    # a checkpoint slice) loads only the batch whose filename range
+    # covers the timestamp — never the whole archive. Archived commit METADATA stays fully
     # queryable (history, per-slice pruning stats load lazily from the
     # archive); archived TIMESTAMPS are no longer time-travel targets —
     # travel/incremental before the boundary raises with the boundary
@@ -172,27 +176,60 @@ class Timeline:
         cp = self.archive_checkpoint()
         return cp["as_of"] if cp else None
 
-    def _archived_metadata(self) -> dict[str, "CommitMetadata"]:
+    def _archive_batches(self) -> list[tuple[str, str, str]]:
+        """(first_ts, last_ts, path) per archive batch file, sorted. The
+        legacy single-file name (pre-range batches) sorts in as a batch
+        covering everything."""
+        out = []
+        try:
+            names = os.listdir(self.archive_dir)
+        except OSError:
+            return []
+        for n in names:
+            p = os.path.join(self.archive_dir, n)
+            if n == ARCHIVE_INSTANTS:
+                out.append(("00000000000000", "99999999999999", p))
+            else:
+                m = re.match(r"^instants-(\d{14})-(\d{14})\.jsonl$", n)
+                if m:
+                    out.append((m.group(1), m.group(2), p))
+        return sorted(out)
+
+    def _load_archive_batch(self, path: str) -> dict[str, "CommitMetadata"]:
         import json
 
         if self._archived is None:
             self._archived = {}
-            path = os.path.join(self.archive_dir, ARCHIVE_INSTANTS)
+        if path not in self._archived:
+            batch: dict[str, CommitMetadata] = {}
             try:
                 with open(path) as f:
                     for line in f:
                         if not line.strip():
                             continue
                         rec = json.loads(line)
-                        self._archived[rec["ts"]] = CommitMetadata.from_json(
+                        batch[rec["ts"]] = CommitMetadata.from_json(
                             json.dumps(rec["metadata"])
                         )
             except OSError:
                 pass
-        return self._archived
+            self._archived[path] = batch
+        return self._archived[path]
+
+    def archived_metadata_for(self, timestamp: str) -> "CommitMetadata | None":
+        """Point lookup: load ONLY the batch whose range covers ``timestamp``."""
+        for first, last, path in self._archive_batches():
+            if first <= timestamp <= last:
+                meta = self._load_archive_batch(path).get(timestamp)
+                if meta is not None:
+                    return meta
+        return None
 
     def archived_timestamps(self) -> list[str]:
-        return sorted(self._archived_metadata())
+        out: list[str] = []
+        for _f, _l, path in self._archive_batches():
+            out.extend(self._load_archive_batch(path))
+        return sorted(out)
 
     def all_timestamps(self) -> list[str]:
         """Archived + active, in order — the full-history view (commit
@@ -240,7 +277,8 @@ class Timeline:
             "path_bytes": dict(prev_cp.get("path_bytes", {})),
         }
         os.makedirs(self.archive_dir, exist_ok=True)
-        with open(os.path.join(self.archive_dir, ARCHIVE_INSTANTS), "a") as f:
+        batch_name = f"instants-{to_archive[0]}-{to_archive[-1]}.jsonl"
+        with open(os.path.join(self.archive_dir, batch_name), "w") as f:
             for ts in to_archive:
                 meta = self.commit_metadata(ts)
                 for _p, stat in meta.all_stats():

@@ -1209,13 +1209,26 @@ def test_timeline_archive_checkpoint(spark, scratch):
     with pytest.raises(TimelineError, match="archive boundary"):
         t.incremental("20250101000000").collect()
 
-    # a second archive merges into the same checkpoint
+    # a second archive merges into the same checkpoint and rolls its own
+    # range-named batch file
     t.upsert(spark.createDataFrame([(300, 3000)], "k long, v long"), "20250105000000")
     t.archive_timeline(keep_last_n=1)
     assert t.timeline.timestamps() == ["20250105000000"]
     assert len(t.timeline.all_timestamps()) == 5
     snap = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
     assert snap[300] == 3000 and snap[1] == 111 and 10 not in snap
+    batches = t.timeline._archive_batches()
+    assert [(f, l) for f, l, _p in batches] == [
+        ("20250101000000", "20250102000000"),
+        ("20250103000000", "20250104000000"),
+    ]
+    # point lookup loads ONLY the covering batch
+    t.timeline.refresh()
+    t.timeline.archived_metadata_for("20250103000000")
+    loaded = list(t.timeline._archived or {})
+    assert len(loaded) == 1 and loaded[0].endswith(
+        "instants-20250103000000-20250104000000.jsonl"
+    )
 
 
 def test_ivm_view_table_service(spark, sf_dir):
