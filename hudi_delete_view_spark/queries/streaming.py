@@ -688,3 +688,58 @@ def stream_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(docs.select("doc_id", "source", "n_chars"), "doc_id").select(
         "batch", "doc_id", "source", "n_chars"
     )
+
+
+@query(
+    "stream_pyds_sink",
+    late=True,  # sink sibling of stream_lake_ingest (windowed); same contract
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_id) AS n_keys,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY event_type
+""",
+)
+def stream_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest through the CONNECTOR SINK
+    (``writeStream.format("lakeview")``, sources/pyds.py): executors land
+    each micro-batch's Arrow batches as staged parquet, the epoch commit
+    publishes a manifest (the durable exactly-once record), and
+    ``absorb_stream_epochs`` applies the pending epochs through the real
+    keyed upsert — one table commit per micro-batch. The query aggregates
+    the TABLE's snapshot; the oracle aggregates the SOURCE — a hash match
+    proves lossless, duplicate-free ingestion through the three-phase
+    sink (same contract as the foreachBatch sibling stream_lake_ingest)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..sources import pyds
+    from ..sources.cow import CowTable
+    from ..sources.fixtures import SCRATCH_ROOT, scratch_tag
+
+    pyds.register(spark)
+    root = os.path.join(SCRATCH_ROOT, "stream", scratch_tag(sf_dir), "pyds_sink")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl_path = os.path.join(root, "tbl")
+    stream = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = (
+        stream.writeStream.format("lakeview")
+        .option("path", tbl_path).option("keys", "event_id")
+        .option("partition_field", "event_type")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    table = CowTable(spark, tbl_path, key_fields=["event_id"],
+                     partition_field="event_type", num_file_groups=4)
+    table.absorb_stream_epochs()
+    return table.snapshot().groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_id").alias("n_keys"),
+        F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("total_cents"),
+    )

@@ -1275,6 +1275,46 @@ class CowTable:
             )
         return self.timeline.archive(keep_last_n)
 
+    def absorb_stream_epochs(self) -> list[str]:
+        """Publish pending stream-writer epochs (sources/pyds.py
+        ``LakeviewStreamWriter``): each ``.stream-pending/<ts>.manifest``
+        is applied in epoch order through the real keyed upsert — one
+        table commit per micro-batch. Exactly-once: an epoch whose
+        timestamp is already on the timeline (a replayed micro-batch) is
+        dropped without rereading its data. Staged files and manifests
+        are removed after publishing. Returns the commit timestamps
+        published by this call."""
+        import json
+
+        pending = os.path.join(self.base_path, ".stream-pending")
+        try:
+            manifests = sorted(
+                n for n in os.listdir(pending) if n.endswith(".manifest.json")
+            )
+        except OSError:
+            return []
+        published = []
+        for name in manifests:
+            mp = os.path.join(pending, name)
+            with open(mp) as f:
+                m = json.load(f)
+            ts = m["ts"]
+            paths = [os.path.join(self.base_path, p) for p in m["paths"]]
+            if ts not in self.timeline.timestamps():
+                df = self.spark.read.parquet(*paths)
+                if self.timeline.latest_timestamp() is None:
+                    self.bulk_insert(df, ts)
+                else:
+                    self.upsert(df, ts)
+                published.append(ts)
+            for p in paths:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            os.remove(mp)
+        return published
+
     def clean(self, retain_last_n: int = 2, dry_run: bool = False) -> list[str]:
         """Retention cleaner (Hudi cleaner analogue): delete data files no
         longer referenced by any snapshot within the last ``retain_last_n``

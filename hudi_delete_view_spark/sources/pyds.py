@@ -44,6 +44,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -51,6 +52,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -290,7 +292,104 @@ class LakeviewDataSource(DataSource):
         r.arrow_schema = to_arrow_schema(schema)
         return r
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError("lakeview stream writes are append/upsert only")
+        return LakeviewStreamWriter(dict(self.options), schema)
+
 
 def register(spark) -> None:
     """Idempotently register the connector with a session."""
     spark.dataSource.register(LakeviewDataSource)
+
+
+class _StagedFiles(WriterCommitMessage):
+    def __init__(self, path: str | None):
+        self.path = path
+
+
+class LakeviewStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("lakeview")`` — two-phase exactly-once ingest.
+
+    Phase 1 (executors, ``write``): each partition lands its Arrow
+    batches as ONE staged parquet file under ``<table>/.stream-staging/``
+    — no routing, no coordination.
+    Phase 2 (epoch ``commit``): an epoch MANIFEST
+    (``.stream-pending/<ts>.manifest.json`` listing the staged files) is
+    published atomically — the durable exactly-once record of the
+    micro-batch (``abort`` deletes the epoch's staging instead).
+    Phase 3 (``CowTable.absorb_stream_epochs``, any driver with a
+    session): each pending manifest is applied in epoch order through
+    the table's REAL keyed upsert — one table commit per micro-batch
+    with write stats the delete-view pipeline consumes; replayed epochs
+    (manifest ts already on the timeline) are dropped.
+
+    Why three-phase: the write API hands executors whatever partitioning
+    the query plan produced — it cannot reshuffle rows into the table's
+    hash-routed file groups (landing unrouted rows as pseudo-log slices
+    would break the per-group merge contract) — and the epoch ``commit``
+    hook runs in a sessionless worker process, so the routing upsert
+    cannot run there either. The absorb service is the same
+    land-then-publish shape as Hudi's deltastreamer: the SINK guarantees
+    durable exactly-once landing; the TABLE publishes.
+
+    Options: ``path`` (table base), ``keys`` (comma-separated key
+    fields), ``partition_field`` (optional), ``base_ts`` (optional
+    numeric base for epoch commit timestamps, default 20300101000000)."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options["path"]
+        self.keys = [k for k in options.get("keys", "").split(",") if k]
+        if not self.keys:
+            raise ValueError("writeStream lakeview needs option('keys', 'col[,col...]')")
+        missing = [k for k in self.keys if k not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"key column(s) {missing} not in stream schema")
+        self.partition_field = options.get("partition_field") or None
+        self.num_file_groups = int(options.get("num_file_groups", "4"))
+        self.base_ts = int(options.get("base_ts", "20300101000000"))
+        self.staging = os.path.join(self.path, ".stream-staging")
+
+    def write(self, iterator) -> _StagedFiles:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _StagedFiles(None)
+        os.makedirs(self.staging, exist_ok=True)
+        p = os.path.join(self.staging, f"{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_batches(batches), p)
+        return _StagedFiles(p)
+
+    def _epoch_ts(self, batch_id: int) -> str:
+        return f"{self.base_ts + batch_id:014d}"
+
+    def commit(self, messages, batchId: int) -> None:
+        paths = [m.path for m in messages if m is not None and m.path]
+        if not paths:
+            return
+        pending = os.path.join(self.path, ".stream-pending")
+        os.makedirs(pending, exist_ok=True)
+        ts = self._epoch_ts(batchId)
+        manifest = {
+            "ts": ts,
+            "paths": [os.path.relpath(p, self.path) for p in paths],
+            "keys": self.keys,
+            "partition_field": self.partition_field,
+            "num_file_groups": self.num_file_groups,
+        }
+        tmp = os.path.join(pending, f"{ts}.manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(pending, f"{ts}.manifest.json"))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.path:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass

@@ -171,3 +171,58 @@ def test_archive_corrupt_checkpoint_raises(spark, scratch):
     t.timeline.refresh()
     with pytest.raises(KeyError):
         t.snapshot().count()
+
+
+def test_pyds_stream_writer_ingest(spark, scratch):
+    """writeStream.format('lakeview'): two-phase exactly-once ingest —
+    executors stage, the driver commit routes through a real keyed upsert
+    (one table commit per epoch); replays with the same checkpoint add no
+    duplicate commits; later epochs upsert over earlier ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir = os.path.join(scratch, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    rows0 = {"k": list(range(10)), "v": [i * 10 for i in range(10)]}
+    rows1 = {"k": [3, 100], "v": [333, 1000]}
+    for i, rows in enumerate((rows0, rows1)):
+        p = os.path.join(in_dir, f"f{i}.parquet")
+        pq.write_table(pa.table(rows), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    tbl_path = os.path.join(scratch, "tbl")
+    ckpt = os.path.join(scratch, "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", "1").parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.format("lakeview")
+            .option("path", tbl_path).option("keys", "k")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    t = CowTable(spark, tbl_path, key_fields=["k"])
+    published = t.absorb_stream_epochs()
+    assert published == ["20300101000000", "20300101000001"]
+    assert t.timeline.timestamps() == ["20300101000000", "20300101000001"]
+    snap = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+    assert len(snap) == 11 and snap[3] == 333 and snap[100] == 1000 and snap[4] == 40
+    # the epoch upsert published real write stats (delete-view consumable)
+    hist = {r["commit_ts"]: r for r in t.commit_history().collect()}
+    assert hist["20300101000001"]["num_update_writes"] == 1
+    assert hist["20300101000001"]["num_inserts"] == 1
+    # replay with the same checkpoint: no new data, no new epochs
+    drain()
+    assert t.absorb_stream_epochs() == []
+    assert t.timeline.timestamps() == ["20300101000000", "20300101000001"]
+    # no staged debris left behind
+    staged = os.path.join(tbl_path, ".stream-staging")
+    assert not os.path.isdir(staged) or not os.listdir(staged)
+    pending = os.path.join(tbl_path, ".stream-pending")
+    assert not os.path.isdir(pending) or not os.listdir(pending)
