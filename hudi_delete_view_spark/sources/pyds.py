@@ -65,7 +65,7 @@ class SlicePartition(InputPartition):
         self.commit_filter = commit_filter
 
 
-def _merged_batches(part: SlicePartition, schema_names: list[str]):
+def _merged_batches(part: SlicePartition, schema_names: list[str], arrow_schema=None):
     """Arrow batches for one slice: plain read for base-only slices, the
     per-group MOR merge (latest _hoodie_commit_time per record key,
     tombstones dropped) for log-bearing ones."""
@@ -75,7 +75,7 @@ def _merged_batches(part: SlicePartition, schema_names: list[str]):
     if not part.log_paths:
         f = pq.ParquetFile(part.base_path)
         for b in f.iter_batches():
-            yield _project(b, schema_names)
+            yield _project(b, schema_names, arrow_schema)
         return
     frames, src_fields = [], {}
     for p in ([part.base_path] if part.base_path else []) + part.log_paths:
@@ -118,13 +118,23 @@ def _merged_batches(part: SlicePartition, schema_names: list[str]):
         yield b
 
 
-def _project(batch, schema_names: list[str]):
+def _project(batch, schema_names: list[str], arrow_schema=None):
+    """Reorder a batch to the declared read schema. A file written before
+    a column joined the table schema (evolution) lacks it — surface NULLS
+    of the declared type, NEVER a positional fallback (pyarrow's
+    get_field_index returns -1 for missing names, which would silently
+    alias the LAST column)."""
     import pyarrow as pa
 
-    return pa.RecordBatch.from_arrays(
-        [batch.column(batch.schema.get_field_index(n)) for n in schema_names],
-        names=schema_names,
-    )
+    arrays = []
+    for i, n in enumerate(schema_names):
+        idx = batch.schema.get_field_index(n)
+        if idx >= 0:
+            arrays.append(batch.column(idx))
+        else:
+            typ = arrow_schema.field(i).type if arrow_schema is not None else pa.null()
+            arrays.append(pa.nulls(batch.num_rows, type=typ))
+    return pa.RecordBatch.from_arrays(arrays, names=schema_names)
 
 
 def _load_schema(path: str, as_of: str | None) -> StructType:
@@ -142,6 +152,7 @@ class LakeviewReader(DataSourceReader):
         self.path = options["path"]
         self.as_of = options.get("as_of")
         self.schema_names: list[str] = []  # set by LakeviewDataSource.reader
+        self.arrow_schema = None  # set by LakeviewDataSource.reader
         self.bounds: dict[str, list] = {}  # col -> [lo, hi] (None = open)
 
     def pushFilters(self, filters):
@@ -182,7 +193,7 @@ class LakeviewReader(DataSourceReader):
         return out
 
     def read(self, partition: SlicePartition):
-        yield from _merged_batches(partition, self.schema_names)
+        yield from _merged_batches(partition, self.schema_names, self.arrow_schema)
 
 
 class LakeviewStreamReader(DataSourceStreamReader):
@@ -280,8 +291,11 @@ class LakeviewDataSource(DataSource):
         return _load_schema(self.options["path"], self.options.get("as_of"))
 
     def reader(self, schema: StructType) -> LakeviewReader:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         r = LakeviewReader(dict(self.options))
         r.schema_names = [f.name for f in schema.fields]
+        r.arrow_schema = to_arrow_schema(schema)
         return r
 
     def streamReader(self, schema: StructType) -> LakeviewStreamReader:

@@ -226,3 +226,25 @@ def test_pyds_stream_writer_ingest(spark, scratch):
     assert not os.path.isdir(staged) or not os.listdir(staged)
     pending = os.path.join(tbl_path, ".stream-pending")
     assert not os.path.isdir(pending) or not os.listdir(pending)
+
+
+def test_pyds_schema_evolution_read(spark, scratch):
+    """Batch read of an EVOLVED table: files written before a column
+    existed surface it as null — never a positionally-aliased wrong
+    column (pyarrow's get_field_index returns -1 for missing names)."""
+    t = CowTable(spark, os.path.join(scratch, "evo"), key_fields=["k"],
+                 partition_field="p", num_file_groups=1)
+    t.bulk_insert(spark.createDataFrame(
+        [(i, "a" if i < 5 else "b", i * 10) for i in range(10)],
+        ["k", "p", "v"]), "20250101000000")
+    # evolution: partition 'a' gets rewritten with a new column; 'b' keeps
+    # its ORIGINAL pre-evolution file
+    t.upsert(spark.createDataFrame([(0, "a", 999, "extra")],
+                                   ["k", "p", "v", "note"]), "20250102000000")
+    df = _lv(spark, t.base_path)
+    rows = {r["k"]: (r["v"], r["note"]) for r in df.select("k", "v", "note").collect()}
+    assert rows[0] == (999, "extra")
+    assert rows[7] == (70, None)  # old-file row: null note, CORRECT v
+    assert rows[2] == (20, None)
+    native = t.snapshot().select("k", "v", "note").orderBy("k").collect()
+    assert df.select("k", "v", "note").orderBy("k").collect() == native
