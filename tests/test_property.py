@@ -556,3 +556,73 @@ def test_mor_merge_delta_matches_reference_model(spark, prop_root, script):
         t.compact("20270109000000")
         got = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
         assert got == model
+
+
+@st.composite
+def archive_script(draw):
+    """Random upsert/delete sequence plus a random archive point."""
+    n = draw(st.integers(min_value=5, max_value=30))
+    ops = []
+    for _ in range(draw(st.integers(min_value=2, max_value=4))):
+        kind = draw(st.sampled_from(["upsert", "delete"]))
+        keys = sorted(draw(st.sets(st.sampled_from(range(n)), min_size=1, max_size=n)))
+        ops.append((kind, keys))
+    keep = draw(st.integers(min_value=1, max_value=len(ops)))
+    return n, ops, keep
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(script=archive_script())
+def test_archive_invariant_random_scripts(spark, prop_root, script):
+    """For ANY commit sequence and ANY archive point, archival never
+    changes the snapshot, the full history, or post-boundary incremental
+    reads — checked against a dict reference model."""
+    n, ops, keep = script
+    base = os.path.join(prop_root, "arch_prop")
+    shutil.rmtree(base, ignore_errors=True)
+    table = CowTable(spark, base, key_fields=["k"], partition_field=None,
+                     num_file_groups=2)
+    model: dict[int, int] = {k: k * 10 for k in range(n)}
+    table.bulk_insert(
+        spark.createDataFrame([(k, k * 10) for k in range(n)], ["k", "v"]),
+        "20270101000000",
+    )
+    ts_list = ["20270101000000"]
+    for i, (kind, keys) in enumerate(ops):
+        ts = f"{20270101000000 + (i + 1):014d}"
+        ts_list.append(ts)
+        if kind == "upsert":
+            table.upsert(
+                spark.createDataFrame([(k, k * 10 + i + 1) for k in keys], ["k", "v"]),
+                ts,
+            )
+            for k in keys:
+                model[k] = k * 10 + i + 1
+        else:
+            live = sorted(set(keys) & set(model))
+            if not live:
+                table.upsert(
+                    spark.createDataFrame([(n + i, 0)], ["k", "v"]), ts)
+                model[n + i] = 0
+                continue
+            table.delete_where(F.col("k").isin(live), ts)
+            for k in live:
+                del model[k]
+
+    hist_before = table.commit_history().collect()
+    boundary_idx = len(ts_list) - keep - 1
+    table.archive_timeline(keep_last_n=keep)
+
+    got = {r["k"]: r["v"] for r in table.snapshot().select("k", "v").collect()}
+    assert got == model
+    assert table.commit_history().collect() == hist_before
+    assert len(table.timeline.timestamps()) == keep
+    # post-boundary incremental still serves; pre-boundary anchors raise
+    if boundary_idx >= 0:
+        anchor = ts_list[boundary_idx]
+        table.incremental(anchor).count()  # boundary anchor itself is legal
+        if boundary_idx > 0:
+            from hudi_delete_view_spark.plans.timeline import TimelineError
+
+            with pytest.raises(TimelineError):
+                table.incremental(ts_list[0]).count()
