@@ -626,3 +626,23 @@ def test_archive_invariant_random_scripts(spark, prop_root, script):
 
             with pytest.raises(TimelineError):
                 table.incremental(ts_list[0]).count()
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(script=commit_script())
+def test_pyds_connector_equals_native_random(spark, prop_root, script):
+    """For any commit script, the Python DataSource read equals the
+    native snapshot — rows, values, and as-of time travel."""
+    from hudi_delete_view_spark.sources import pyds
+
+    keys, d1, d2 = script
+    base = os.path.join(prop_root, "pyds_prop")
+    table, live, d1, d2 = _build(spark, base, keys, d1, d2)
+    pyds.register(spark)
+    df = (spark.read.format("lakeview").option("path", base).load()
+          .select("k", "p", "v").orderBy("k"))
+    native = table.snapshot().select("k", "p", "v").orderBy("k")
+    assert df.collect() == native.collect()
+    old = (spark.read.format("lakeview").option("path", base)
+           .option("as_of", TS[0]).load())
+    assert old.count() == len(keys)
