@@ -1,0 +1,587 @@
+"""Unified materialized-view maintenance: ONE entry point that inspects
+the view definition's analyzed Catalyst plan and picks the maintenance
+algebra automatically (SURVEY §12 round-6 item 5 — the unification of
+``lake_ivm_view_table`` / ``lake_ivm_agg_table``).
+
+A view is declared as a plain DataFrame program over source snapshots::
+
+    mv = AutoMaterializedView(
+        spark, path,
+        sources={"li": lineitem_cow, "om": orders_mor},
+        plan_fn=lambda t: t["li"].join(t["om"], ...).select(...),
+    )
+    mv.refresh()       # classify -> seed or advance, minimal commits
+    mv.serve()         # current view contents (a real lake table snapshot)
+
+``refresh`` walks the ANALYZED logical plan (via the JVM tree — node
+classes, grouping/aggregate expressions, join conditions, and expression
+IDs for lineage) and classifies the view:
+
+- **aggregate** — top node is ``Aggregate`` over ONE source: maintained
+  by signed retraction.  The below-aggregate Project/Filter chain is
+  REPLAYED over the source's CDC feed (preimages = sign −1, postimages =
+  sign +1), the aggregate is rewritten into its delta form
+  (``count(1)`` → Σ sign; ``count(x)`` → Σ sign·[x IS NOT NULL];
+  ``sum(x)`` → Σ sign·coalesce(x,0) plus a hidden non-null counter so
+  an all-NULL group still serves SQL-correct NULL), and the merged
+  groups land as one upsert commit + one delete commit for groups whose
+  row count nets to zero.  Only count/sum are accepted: they are the
+  self-maintainable aggregates — min/max under deletes need auxiliary
+  per-group state and distinct aggregates need per-value state, so both
+  raise ``UnsupportedViewError`` instead of silently approximating.
+- **join** — exactly one INNER equi-join of TWO sources: maintained by
+  change-key re-derivation.  The fact source is found by LINEAGE: the
+  view's key column must alias some source's ``_hoodie_record_key``
+  (expression-ID resolution through the plan's Alias chain, not name
+  matching).  Advance = (fact keys touched in range) ∪ (fact rows
+  joining a dim key changed in range, dim deletes included via CDC
+  before-images) → re-derive those rows against latest snapshots, one
+  delete commit for vanished view rows, one upsert for the rest.
+- **select** — single source, no join/aggregate (the everyday
+  project/filter view): the join algebra degenerated to zero dim
+  sources — touched record keys re-derived through the plan, rows the
+  filter now rejects becoming view deletes.
+
+Scale shape (100 TB): every advance is proportional to the CHANGE SET,
+never the view or source size — changed keys come from touched file
+groups only, the re-derivation semi-join pushes through the join to the
+fact scan (Catalyst's PushDownLeftSemiAntiJoin), dim change keys are
+broadcast, and the view is a real COW table so its writes touch only
+hash-routed file groups.  Reference parity: this generalizes the same
+incremental algebra the reference applies to its materialized delete
+view (DeleteView.java:99-140 — seed once, advance per commit, serve the
+stored state); oracle queries prove every advance converges to the
+from-scratch recompute bit-exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.cow import RECORD_KEY_FIELD, META_FIELDS, CowTable
+
+__all__ = ["AutoMaterializedView", "UnsupportedViewError", "classify_view"]
+
+_HIDDEN_N = "__mv_n"  # signed row count per group (dead-group detector)
+
+
+class UnsupportedViewError(ValueError):
+    """The view plan is outside the self-maintainable surface; the error
+    message names the offending node so the caller can rewrite the view
+    (e.g. min/max -> argmax re-derivation, avg -> sum/count columns)."""
+
+
+# ------------------------------------------------------------------------
+# plan introspection helpers (py4j over the analyzed logical plan)
+# ------------------------------------------------------------------------
+def _children(node):
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _cls(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _seq(s) -> list:
+    return [s.apply(i) for i in range(s.size())]
+
+
+def _out_ids(df: DataFrame) -> dict[int, str]:
+    """exprId -> column name for a DataFrame's analyzed output."""
+    out = df._jdf.queryExecution().analyzed().output()
+    return {a.exprId().id(): a.name() for a in _seq(out)}
+
+
+def _alias_refs(plan) -> dict[int, list[int]]:
+    """exprId of every Alias in the plan -> exprIds it references
+    (the lineage edges used to resolve a view column to its source)."""
+    refs: dict[int, list[int]] = {}
+
+    def walk(n):
+        if _cls(n) == "Project":
+            for e in _seq(n.projectList()):
+                if _cls(e) == "Alias":
+                    refs[e.exprId().id()] = [
+                        a.exprId().id() for a in _seq(e.references().toSeq())
+                    ]
+        for c in _children(n):
+            walk(c)
+
+    walk(plan)
+    return refs
+
+
+def _resolve_to_source(
+    expr_id: int, refs: dict[int, list[int]], sources: dict[str, dict[int, str]]
+) -> tuple[str, str] | None:
+    """Follow alias lineage until an exprId lands in some source's output;
+    returns (source_name, source_column) or None."""
+    seen, frontier = set(), [expr_id]
+    while frontier:
+        eid = frontier.pop()
+        if eid in seen:
+            continue
+        seen.add(eid)
+        for name, ids in sources.items():
+            if eid in ids:
+                return name, ids[eid]
+        frontier.extend(refs.get(eid, []))
+    return None
+
+
+def classify_view(df: DataFrame, snapshots: dict[str, DataFrame]) -> dict:
+    """Classify a view DataFrame against its source snapshots.
+
+    Returns ``{"kind": "aggregate", "group": [(name, sql)], "aggs":
+    [(alias, fn, arg_sql)], "chain": [...], "source": name}`` or
+    ``{"kind": "join", ...}`` / ``{"kind": "select", ...}`` — everything
+    the maintenance algebras need, extracted from the Catalyst tree.
+    """
+    plan = df._jdf.queryExecution().analyzed()
+    src_ids = {n: _out_ids(s) for n, s in snapshots.items()}
+    refs = _alias_refs(plan)
+
+    if _cls(plan) == "Aggregate":
+        return _classify_aggregate(plan, src_ids, refs, snapshots)
+
+    # find join nodes anywhere in the tree
+    joins = []
+
+    def find(n):
+        if _cls(n) == "Join":
+            joins.append(n)
+        for c in _children(n):
+            find(c)
+
+    find(plan)
+    if len(joins) > 1:
+        raise UnsupportedViewError(
+            f"{len(joins)} joins in the view plan; the change-key algebra "
+            "maintains exactly one fact-dim equi-join — stage multi-joins "
+            "as a view-over-view"
+        )
+    out_ids = _out_ids(df)
+    if joins:
+        return _classify_join(df, joins[0], src_ids, refs, out_ids)
+
+    # select view: single source project/filter
+    if len(snapshots) != 1:
+        raise UnsupportedViewError(
+            "a join-free view must read exactly one source"
+        )
+    (src_name,) = snapshots
+    key = _find_view_key(out_ids, refs, src_ids, want_source=src_name)
+    return {"kind": "select", "source": src_name, "key": key}
+
+
+def _find_view_key(
+    out_ids: dict[int, str],
+    refs: dict[int, list[int]],
+    src_ids: dict[str, dict[int, str]],
+    want_source: str | None = None,
+) -> dict:
+    """The view's row identity: the output column whose lineage resolves
+    to some source's ``_hoodie_record_key``.  Exactly one must exist."""
+    hits = []
+    for eid, name in out_ids.items():
+        hit = _resolve_to_source(eid, refs, src_ids)
+        if hit and hit[1] == RECORD_KEY_FIELD:
+            hits.append({"name": name, "source": hit[0]})
+    if want_source is not None:
+        hits = [h for h in hits if h["source"] == want_source]
+    if len(hits) != 1:
+        raise UnsupportedViewError(
+            "change-key maintenance needs exactly one view column aliasing "
+            f"a source's {RECORD_KEY_FIELD} (found {len(hits)}: {hits}) — "
+            "it is the view's row identity"
+        )
+    return hits[0]
+
+
+def _chain_below(plan, snapshots: dict[str, DataFrame]) -> tuple[list, str]:
+    """The linear Project/Filter chain from ``plan``'s child down to a
+    source snapshot's own plan root; returns (top-down chain, source)."""
+    snap_plans = {n: s._jdf.queryExecution().analyzed() for n, s in snapshots.items()}
+    chain, node = [], _children(plan)[0]
+    while True:
+        for name, sp in snap_plans.items():
+            if node.sameResult(sp):
+                return chain, name
+        if _cls(node) not in ("Project", "Filter"):
+            raise UnsupportedViewError(
+                f"node {_cls(node)} between the aggregate and its source; "
+                "only Project/Filter chains can be replayed over the CDC feed"
+            )
+        chain.append(node)
+        node = _children(node)[0]
+
+
+def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
+    group, aggs = [], []
+    for e in _seq(plan.groupingExpressions()):
+        name = e.name() if _cls(e) in ("AttributeReference", "Alias") else None
+        if name is None:
+            raise UnsupportedViewError(
+                f"grouping expression {e.sql()} must be a column or alias"
+            )
+        group.append((name, e.child().sql() if _cls(e) == "Alias" else e.sql()))
+    group_names = {n for n, _ in group}
+    for e in _seq(plan.aggregateExpressions()):
+        if _cls(e) == "AttributeReference" and e.name() in group_names:
+            continue  # the grouping columns re-listed in the output
+        if _cls(e) != "Alias":
+            raise UnsupportedViewError(
+                f"aggregate output {e.sql()} must be aliased (the stored "
+                "column name)"
+            )
+        ae = e.child()
+        if _cls(ae) != "AggregateExpression":
+            if e.name() in group_names:
+                continue  # a derived grouping column re-listed in the output
+            raise UnsupportedViewError(
+                f"non-aggregate output {e.sql()} in an aggregate view"
+            )
+        if ae.isDistinct():
+            raise UnsupportedViewError(
+                f"{e.sql()}: DISTINCT aggregates need per-value state and "
+                "are not retraction-maintainable"
+            )
+        fn = ae.aggregateFunction()
+        fname = fn.prettyName()
+        if fname not in ("count", "sum"):
+            raise UnsupportedViewError(
+                f"{e.sql()}: only count/sum are retraction-maintainable "
+                "(min/max need auxiliary per-group state under deletes)"
+            )
+        arg = _seq(fn.children())
+        arg_sql = arg[0].sql() if arg else "1"
+        aggs.append((e.name(), fname, arg_sql))
+    if not aggs:
+        raise UnsupportedViewError("aggregate view with no count/sum outputs")
+    chain, source = _chain_below(plan, snapshots)
+    # replay specs are (kind, payload) so maintenance needs no JVM handles
+    chain_spec = []
+    for n in chain:
+        if _cls(n) == "Filter":
+            chain_spec.append(("filter", n.condition().sql()))
+        else:
+            items = []
+            for p in _seq(n.projectList()):
+                if _cls(p) == "Alias":
+                    items.append((p.name(), p.child().sql()))
+                else:
+                    items.append((p.name(), p.sql()))
+            chain_spec.append(("project", items))
+    return {
+        "kind": "aggregate",
+        "source": source,
+        "group": group,
+        "aggs": aggs,
+        "chain": chain_spec,
+    }
+
+
+def _classify_join(df, join_node, src_ids, refs, out_ids) -> dict:
+    if join_node.joinType().sql() != "INNER":
+        raise UnsupportedViewError(
+            f"{join_node.joinType().sql()} join: only INNER equi-joins are "
+            "change-key-maintainable (outer joins need null-extension "
+            "bookkeeping)"
+        )
+    cond = join_node.condition()
+    if cond.isEmpty():
+        raise UnsupportedViewError("cross join has no change-key mapping")
+    cond = cond.get()
+    if _cls(cond) != "EqualTo":
+        raise UnsupportedViewError(
+            f"join condition {cond.sql()} must be a single equality"
+        )
+    sides = {}
+    for attr in (cond.left(), cond.right()):
+        if _cls(attr) != "AttributeReference":
+            raise UnsupportedViewError(
+                f"join key {attr.sql()} must be a plain column"
+            )
+        hit = _resolve_to_source(attr.exprId().id(), refs, src_ids)
+        if hit is None:
+            raise UnsupportedViewError(
+                f"join key {attr.sql()} does not resolve to a source column"
+            )
+        sides[hit[0]] = {"src_col": hit[1], "expr_id": attr.exprId().id()}
+    if len(sides) != 2:
+        raise UnsupportedViewError(
+            "both join keys resolve to the same source; need fact ⋈ dim"
+        )
+    key = _find_view_key(out_ids, refs, src_ids)
+    fact = key["source"]
+    (dim,) = [s for s in sides if s != fact]
+    # the fact-side join key must ride in the view output (same exprId):
+    # it maps a changed dim key to affected stored view rows
+    fact_join_out = out_ids.get(sides[fact]["expr_id"])
+    if fact_join_out is None:
+        raise UnsupportedViewError(
+            f"the fact-side join column ({fact}.{sides[fact]['src_col']}) "
+            "must be projected into the view output — it maps dim changes "
+            "to affected view rows"
+        )
+    return {
+        "kind": "join",
+        "fact": fact,
+        "dim": dim,
+        "key": key,
+        "fact_join_col": fact_join_out,
+        "dim_join_col": sides[dim]["src_col"],
+    }
+
+
+# ------------------------------------------------------------------------
+# the unified entry point
+# ------------------------------------------------------------------------
+class AutoMaterializedView:
+    """A maintained view over lake-table sources, stored as a real COW
+    table (so it gets time travel, incremental tailing, and delete views
+    for free).  ``refresh`` classifies the plan and runs the minimal
+    advance; a fully-advanced view refreshes with ZERO writes."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        sources: dict[str, CowTable],
+        plan_fn,
+        num_file_groups: int = 4,
+    ):
+        self.spark = spark
+        self.path = path
+        self.sources = sources
+        self.plan_fn = plan_fn
+        self.num_file_groups = num_file_groups
+        self._anchor_path = os.path.join(path, "_view_anchor")
+        self._spec = None
+
+    # -- classification (lazy, cached per instance) ---------------------
+    def spec(self) -> dict:
+        if self._spec is None:
+            snaps = {n: t.snapshot() for n, t in self.sources.items()}
+            self._spec = classify_view(self.plan_fn(snaps), snaps)
+        return self._spec
+
+    def _key_fields(self) -> list[str]:
+        spec = self.spec()
+        if spec["kind"] == "aggregate":
+            return [n for n, _ in spec["group"]]
+        return [spec["key"]["name"]]
+
+    @property
+    def table(self) -> CowTable:
+        return CowTable(
+            self.spark,
+            self.path,
+            key_fields=self._key_fields(),
+            partition_field=None,
+            num_file_groups=self.num_file_groups,
+        )
+
+    # -- anchor sidecar -------------------------------------------------
+    def _read_anchor(self) -> dict | None:
+        try:
+            with open(self._anchor_path) as f:
+                return json.load(f)
+        except OSError:
+            return None
+
+    def _write_anchor(self, anchor: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._anchor_path, "w") as f:
+            json.dump(anchor, f)
+
+    # -- refresh ---------------------------------------------------------
+    def refresh(self, seed_as_of: dict[str, str] | None = None) -> dict:
+        """Seed (first call) or advance the view.  ``seed_as_of`` pins the
+        seed to early source commits so later refreshes exercise the
+        incremental path; default seeds at the sources' latest."""
+        spec = self.spec()
+        latest = {n: t.timeline.latest_timestamp() for n, t in self.sources.items()}
+        anchor = self._read_anchor()
+        if anchor is None:
+            at = seed_as_of or latest
+            shutil.rmtree(self.path, ignore_errors=True)
+            self._seed(spec, at)
+            self._write_anchor(at)
+            anchor = at
+        if anchor == latest:
+            return {"kind": spec["kind"], "advanced": False, "anchor": anchor}
+        self._advance(spec, anchor, latest)
+        self._write_anchor(latest)
+        return {"kind": spec["kind"], "advanced": True, "anchor": latest}
+
+    def serve(self) -> DataFrame:
+        snap = self.table.snapshot()
+        spec = self.spec()
+        if spec["kind"] != "aggregate":
+            keep = [c for c in snap.columns if c not in META_FIELDS]
+            return snap.select(*keep)
+        cols = [F.col(n) for n, _ in spec["group"]]
+        for alias, fn, _arg in spec["aggs"]:
+            if fn == "sum":
+                # SQL semantics: SUM over zero non-null inputs is NULL
+                cols.append(
+                    F.when(F.col(f"__nn_{alias}") > 0, F.col(alias))
+                    .alias(alias)
+                )
+            else:
+                cols.append(F.col(alias))
+        return snap.select(*cols)
+
+    # -- algebra: signed retraction (aggregate views) --------------------
+    def _replay_chain(self, spec: dict, df: DataFrame) -> DataFrame:
+        """Re-run the below-aggregate Project/Filter chain (bottom-up)
+        over a feed carrying a ``__mv_sign`` column."""
+        for kind, payload in reversed(spec["chain"]):
+            if kind == "filter":
+                df = df.filter(F.expr(payload))
+            else:
+                df = df.select(
+                    *[F.expr(sql).alias(name) for name, sql in payload],
+                    F.col("__mv_sign"),
+                )
+        return df
+
+    def _agg_delta(self, spec: dict, feed: DataFrame) -> DataFrame:
+        """Group the signed feed into delta rows matching the stored
+        schema (user cols + hidden non-null counters + __mv_n)."""
+        df = self._replay_chain(spec, feed)
+        sign = F.col("__mv_sign")
+        aggs = [F.sum(sign).cast("long").alias(_HIDDEN_N)]
+        for alias, fn, arg in spec["aggs"]:
+            x = F.expr(arg)
+            if fn == "count":
+                contrib = sign if arg == "1" else sign * x.isNotNull().cast("long")
+                aggs.append(F.sum(contrib).cast("long").alias(alias))
+            else:  # sum: exact delta over coalesce(x, 0) + non-null counter
+                aggs.append(F.sum(sign * F.coalesce(x, F.lit(0))).alias(alias))
+                aggs.append(
+                    F.sum(sign * x.isNotNull().cast("long"))
+                    .cast("long")
+                    .alias(f"__nn_{alias}")
+                )
+        keys = [F.expr(sql).alias(name) for name, sql in spec["group"]]
+        return df.groupBy(*keys).agg(*aggs)
+
+    def _seed(self, spec: dict, at: dict[str, str]) -> None:
+        snaps = {n: t.snapshot(at[n]) for n, t in self.sources.items()}
+        ts = max(at.values())
+        if spec["kind"] == "aggregate":
+            feed = snaps[spec["source"]].withColumn("__mv_sign", F.lit(1))
+            self.table.bulk_insert(self._agg_delta(spec, feed), ts)
+        else:
+            self.table.bulk_insert(self.plan_fn(snaps), ts)
+
+    def _advance(self, spec, anchor: dict, latest: dict) -> None:
+        if spec["kind"] == "aggregate":
+            self._advance_aggregate(spec, anchor, latest)
+        else:
+            self._advance_change_keys(spec, anchor, latest)
+
+    def _advance_aggregate(self, spec, anchor, latest) -> None:
+        src = self.sources[spec["source"]]
+        feed = src.cdc(
+            anchor[spec["source"]],
+            latest[spec["source"]],
+            include_update_preimages=True,
+        ).withColumn(
+            "__mv_sign",
+            F.when(F.col("op").isin("insert", "update"), F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        delta = self._agg_delta(spec, feed)
+        group_names = [n for n, _ in spec["group"]]
+        stored = [c for c in delta.columns if c not in group_names]
+        merged = (
+            self.table.snapshot()
+            .select(*group_names, *stored)
+            .unionByName(delta)
+            .groupBy(*group_names)
+            .agg(*[F.sum(c).alias(c) for c in stored])
+        ).localCheckpoint(eager=True)
+        live = merged.filter(F.col(_HIDDEN_N) > 0)
+        dead = merged.filter(F.col(_HIDDEN_N) <= 0).select(*group_names)
+        base = max(latest.values())
+        if dead.count() > 0:
+            self.table.delete(dead, f"{int(base) + 1:014d}")
+        if live.count() > 0:
+            self.table.upsert(live, f"{int(base) + 2:014d}")
+
+    # -- algebra: change-key re-derivation (select / join views) ---------
+    def _changed_fact_keys(self, spec, anchor) -> DataFrame:
+        """Record keys the fact source touched in (anchor, latest]:
+        inserts/updates from the incremental read, deletes from the
+        materialized delete-view feed — touched file groups only, never a
+        full diff."""
+        from ..sources.delete_view import delete_views_between
+
+        fact_name = spec.get("fact", spec.get("source"))
+        fact = self.sources[fact_name]
+        key_name = spec["key"]["name"]
+        return (
+            fact.incremental(anchor[fact_name])
+            .select(F.col(RECORD_KEY_FIELD).alias(key_name))
+            .union(
+                delete_views_between(
+                    self.spark, fact.base_path, anchor[fact_name]
+                ).select(F.col(RECORD_KEY_FIELD).alias(key_name))
+            )
+            .distinct()
+        )
+
+    def _advance_change_keys(self, spec, anchor, latest) -> None:
+        key = spec["key"]["name"]
+        d_fact = self._changed_fact_keys(spec, anchor)
+        snaps = {n: t.snapshot() for n, t in self.sources.items()}
+        full = self.plan_fn(snaps)
+        touched = full.join(d_fact, key, "left_semi")
+        view_snap = self.table.snapshot()
+        affected = view_snap.select(key).join(d_fact, key, "left_semi")
+        if spec["kind"] == "join":
+            # dim changes: CDC before-images catch dim deletes too
+            dim = self.sources[spec["dim"]]
+            d_dim = (
+                dim.cdc(anchor[spec["dim"]], latest[spec["dim"]])
+                .select(F.col(spec["dim_join_col"]).alias("__d_dim_key"))
+                .distinct()
+            )
+            fjc = spec["fact_join_col"]
+            touched = touched.unionByName(
+                full.join(d_fact, key, "left_anti").join(
+                    F.broadcast(d_dim),
+                    F.col(fjc) == F.col("__d_dim_key"),
+                    "left_semi",
+                )
+            )
+            affected = affected.unionByName(
+                view_snap.select(key, fjc)
+                .join(d_fact, key, "left_anti")
+                .join(
+                    F.broadcast(d_dim),
+                    F.col(fjc) == F.col("__d_dim_key"),
+                    "left_semi",
+                )
+                .select(key)
+            )
+        rederived = touched.localCheckpoint(eager=True)
+        dead = (
+            affected.join(rederived.select(key), key, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        base = max(latest.values())
+        if dead.count() > 0:
+            self.table.delete(dead, f"{int(base) + 1:014d}")
+        if rederived.count() > 0:
+            self.table.upsert(rederived, f"{int(base) + 2:014d}")

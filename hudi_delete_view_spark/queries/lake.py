@@ -1263,3 +1263,142 @@ def lake_ivm_agg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "n_rows",
         F.round(F.col("sum_cents") / F.lit(100.0), 6).alias("sum_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# UNIFIED IVM ENTRY POINT (SURVEY §12 round-6 item 5): one
+# AutoMaterializedView that CLASSIFIES the analyzed Catalyst plan and
+# picks the algebra — signed retraction for aggregates, change-key
+# re-derivation for joins and project/filter views (plans/ivm.py).  The
+# three queries below cover all three classifications end-to-end; each
+# seeds at C1 and advances to latest in ONE refresh() call, and the
+# oracle recomputes the view from scratch — a hash match proves the
+# classifier picked a convergent algebra.
+# --------------------------------------------------------------------------
+def _auto_mv(spark, sf_dir: str, name: str, sources, plan_fn):
+    import os
+
+    from ..plans.ivm import AutoMaterializedView
+    from ..sources.fixtures import SCRATCH_ROOT, scratch_tag
+
+    path = os.path.join(SCRATCH_ROOT, "lake", scratch_tag(sf_dir), name)
+    mv = AutoMaterializedView(spark, path, sources, plan_fn)
+    mv.refresh(seed_as_of={n: C1 for n in sources})
+    return mv
+
+
+@query(
+    "lake_mv_auto_agg",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN l_suppkey % 19 = 0 THEN NULL ELSE 1 END) AS n_priced,
+       CAST(SUM(CASE WHEN l_suppkey % 19 = 0 THEN NULL
+                ELSE CAST(round(l_extendedprice * 100) AS BIGINT) END) AS BIGINT)
+         AS sum_price_cents
+FROM li
+WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0 AND l_linenumber <= 5
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def lake_mv_auto_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate view through the UNIFIED entry point: the plan (filter →
+    groupBy count/count(x)/sum) is classified off the Catalyst tree and
+    maintained by signed retraction over the CDC feed, with hidden
+    non-null counters so an all-NULL group serves SQL-correct NULL.  The
+    ``l_suppkey % 19`` NULL-injection exercises exactly that path; sums
+    ride as exact integer cents so retraction is order-free.  Seeded at
+    C1, advanced to C4 in one refresh; the oracle recomputes from
+    scratch."""
+
+    def plan(t):
+        s = t["li"].filter("l_linenumber <= 5")
+        price = (
+            "CASE WHEN l_suppkey % 19 = 0 THEN CAST(NULL AS BIGINT) "
+            "ELSE cast(round(l_extendedprice * 100) as bigint) END"
+        )
+        return s.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.expr(price)).alias("n_priced"),
+            F.sum(F.expr(price)).alias("sum_price_cents"),
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_agg",
+                  {"li": build_lineitem_cow(spark, sf_dir)}, plan)
+    return mv.serve()
+
+
+@query(
+    "lake_mv_auto_join",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT {_KEY_SQL} AS vk, l_orderkey, {_QTY_SQL} AS l_quantity
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+)
+SELECT l2.vk, l2.l_orderkey, l2.l_quantity, o2.o_totalprice
+FROM l2 JOIN o2 ON l2.l_orderkey = o2.o_orderkey
+""",
+)
+def lake_mv_auto_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join view through the UNIFIED entry point: the INNER equi-join is
+    classified off the Catalyst tree (fact source found by expression-ID
+    lineage of the view key to lineitem's record key, dim by the other
+    join side) and maintained by change-key re-derivation — fact keys
+    from touched file groups, dim changes (incl. deletes) from CDC
+    before-images, broadcast into the affected-row semi-join."""
+    from ..sources.fixtures import build_orders_mor
+
+    def plan(t):
+        f = t["li"].select(
+            F.col(RECORD_KEY_FIELD).alias("vk"), "l_orderkey", "l_quantity")
+        d = t["om"].select("o_orderkey", "o_totalprice")
+        return f.join(d, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "vk", "l_orderkey", "l_quantity", "o_totalprice")
+
+    mv = _auto_mv(
+        spark, sf_dir, "mv_auto_join",
+        {"li": build_lineitem_cow(spark, sf_dir),
+         "om": build_orders_mor(spark, sf_dir)},
+        plan,
+    )
+    return mv.serve()
+
+
+@query(
+    "lake_mv_auto_select",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT {_KEY_SQL} AS vk, l_orderkey, {_QTY_SQL} AS l_quantity,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM li
+WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0 AND l_returnflag = 'R'
+""",
+)
+def lake_mv_auto_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project/filter view through the UNIFIED entry point — the everyday
+    materialized view: classified as change-key-maintainable off the
+    plan (single source, no join/aggregate), advanced by re-deriving
+    exactly the touched record keys, with rows the filter now rejects
+    becoming view deletes.  ``net_price`` is one IEEE-754 multiply —
+    bit-identical in DuckDB."""
+
+    def plan(t):
+        return t["li"].filter("l_returnflag = 'R'").select(
+            F.col(RECORD_KEY_FIELD).alias("vk"), "l_orderkey", "l_quantity",
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            .alias("net_price"),
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_select",
+                  {"li": build_lineitem_cow(spark, sf_dir)}, plan)
+    return mv.serve()

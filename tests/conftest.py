@@ -27,7 +27,12 @@ def scratch(request):
     """Per-test scratch dir inside the repo (kept out of git)."""
     import shutil
 
-    path = os.path.join(SCRATCH, request.node.name)
+    # strip glob metacharacters from parametrized ids ("t[avg]" etc.) —
+    # Hadoop path resolution treats [] {} * ? as glob syntax
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", request.node.name)
+    path = os.path.join(SCRATCH, safe)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     yield path

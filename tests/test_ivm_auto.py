@@ -1,0 +1,182 @@
+"""AutoMaterializedView: plan classification + the three maintenance
+algebras (signed retraction, change-key join, change-key select), each
+checked for exact convergence against a from-scratch recompute, plus
+zero-write idempotence and the documented unsupported-shape refusals."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from hudi_delete_view_spark.plans.ivm import (
+    AutoMaterializedView,
+    UnsupportedViewError,
+    classify_view,
+)
+from hudi_delete_view_spark.sources.cow import CowTable
+
+
+@pytest.fixture()
+def tables(spark, scratch):
+    """A scripted fact table (insert/update/delete/insert commits, NULLs
+    in ``nv``) and a dim table (update + delete commits)."""
+    fact = CowTable(spark, os.path.join(scratch, "fact"), key_fields=["k"],
+                    partition_field=None, num_file_groups=2)
+    rows = spark.range(20).selectExpr(
+        "concat('k', id) as k", "cast(id % 4 as long) as g",
+        "cast(id as double) as v",
+        "case when id % 7 = 0 then cast(null as long) else id * 10 end as nv",
+    )
+    fact.bulk_insert(rows, "20260101000000")
+    fact.upsert(
+        spark.range(5).selectExpr(
+            "concat('k', id) as k", "cast(id % 4 as long) as g",
+            "cast(id + 100 as double) as v", "cast(id as long) as nv"),
+        "20260102000000",
+    )
+    fact.delete(spark.createDataFrame([("k15",), ("k16",)], "k string"),
+                "20260103000000")
+    fact.upsert(
+        spark.createDataFrame([("k99", 9, 9.0, None)],
+                              "k string, g long, v double, nv long"),
+        "20260104000000",
+    )
+    dim = CowTable(spark, os.path.join(scratch, "dim"), key_fields=["gk"],
+                   partition_field=None, num_file_groups=1)
+    dim.bulk_insert(
+        spark.range(4).selectExpr("cast(id as long) as gk",
+                                  "concat('name', id) as gname"),
+        "20260101000000",
+    )
+    dim.upsert(spark.createDataFrame([(1, "RENAMED")], "gk long, gname string"),
+               "20260103000000")
+    dim.delete(spark.createDataFrame([(3,)], "gk long"), "20260104000000")
+    return fact, dim
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def agg_plan(t):
+    return (
+        t["fact"].filter("g != 2").groupBy("g")
+        .agg(F.count("*").alias("n"), F.count("nv").alias("n_nv"),
+             F.sum(F.expr("cast(v * 100 as bigint)")).alias("sum_cents"))
+    )
+
+
+def join_plan(t):
+    f = t["fact"].select(F.col("_hoodie_record_key").alias("vk"), "k", "g", "v")
+    return f.join(t["dim"].select("gk", "gname"), F.col("g") == F.col("gk"))
+
+
+def sel_plan(t):
+    return t["fact"].filter("v < 50").select(
+        F.col("_hoodie_record_key").alias("vk"), "v",
+        (F.col("v") * 2).alias("v2"))
+
+
+def test_classify_all_kinds(spark, tables):
+    fact, dim = tables
+    fs, ds = fact.snapshot(), dim.snapshot()
+    a = classify_view(agg_plan({"fact": fs}), {"fact": fs})
+    assert a["kind"] == "aggregate" and a["source"] == "fact"
+    assert [x[0] for x in a["group"]] == ["g"]
+    assert [(x[0], x[1]) for x in a["aggs"]] == [
+        ("n", "count"), ("n_nv", "count"), ("sum_cents", "sum")]
+    assert a["chain"][0][0] == "filter"
+    j = classify_view(join_plan({"fact": fs, "dim": ds}),
+                      {"fact": fs, "dim": ds})
+    assert (j["kind"], j["fact"], j["dim"]) == ("join", "fact", "dim")
+    assert (j["fact_join_col"], j["dim_join_col"]) == ("g", "gk")
+    assert j["key"] == {"name": "vk", "source": "fact"}
+    s = classify_view(sel_plan({"fact": fs}), {"fact": fs})
+    assert s["kind"] == "select" and s["key"]["name"] == "vk"
+
+
+@pytest.mark.parametrize("bad,msg", [
+    (lambda t: t.groupBy("g").agg(F.avg("v").alias("a")), "count/sum"),
+    (lambda t: t.groupBy("g").agg(F.max("v").alias("m")), "count/sum"),
+    (lambda t: t.groupBy("g").agg(F.countDistinct("k").alias("d")), "DISTINCT"),
+], ids=["avg", "max", "distinct"])
+def test_unsupported_aggregates_raise(spark, tables, bad, msg):
+    fact, _ = tables
+    fs = fact.snapshot()
+    with pytest.raises(UnsupportedViewError, match=msg):
+        classify_view(bad(fs), {"fact": fs})
+
+
+def test_outer_join_and_missing_key_raise(spark, tables):
+    fact, dim = tables
+    fs, ds = fact.snapshot(), dim.snapshot()
+    outer = fs.select(F.col("_hoodie_record_key").alias("vk"), "g").join(
+        ds.select("gk"), F.col("g") == F.col("gk"), "left")
+    with pytest.raises(UnsupportedViewError, match="INNER"):
+        classify_view(outer, {"fact": fs, "dim": ds})
+    # no record-key lineage in the output -> no row identity
+    nokey = fs.select("g", "v").join(
+        ds.select("gk", "gname"), F.col("g") == F.col("gk"))
+    with pytest.raises(UnsupportedViewError, match="row identity"):
+        classify_view(nokey, {"fact": fs, "dim": ds})
+
+
+@pytest.mark.parametrize("plan,srcs", [
+    (agg_plan, ("fact",)),
+    (join_plan, ("fact", "dim")),
+    (sel_plan, ("fact",)),
+], ids=["agg", "join", "select"])
+def test_refresh_converges_and_is_idempotent(spark, scratch, tables, plan, srcs):
+    fact, dim = tables
+    sources = {"fact": fact, "dim": dim}
+    sources = {n: sources[n] for n in srcs}
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mv"), sources, plan)
+    seed = {n: "20260101000000" for n in srcs}
+    r = mv.refresh(seed_as_of=seed)
+    assert r["advanced"] is True
+    want = _rows(plan({n: t.snapshot() for n, t in sources.items()}))
+    assert _rows(mv.serve()) == want
+    # fully advanced: zero writes (timeline unchanged)
+    before = mv.table.timeline.timestamps()
+    r2 = mv.refresh()
+    assert r2["advanced"] is False
+    assert mv.table.timeline.timestamps() == before
+    assert _rows(mv.serve()) == want
+
+
+def test_aggregate_null_semantics(spark, scratch, tables):
+    """A group whose sum inputs are all NULL serves NULL (not 0), and a
+    group whose rows all vanish is deleted from the view table."""
+    fact, _ = tables
+
+    def plan(t):
+        return t["fact"].groupBy("g").agg(
+            F.count("nv").alias("n_nv"), F.sum("nv").alias("sum_nv"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mv0"),
+                              {"fact": fact}, plan)
+    mv.refresh(seed_as_of={"fact": "20260101000000"})
+    got = {r["g"]: (r["n_nv"], r["sum_nv"]) for r in mv.serve().collect()}
+    # g=9 is the single k99 row with nv NULL: count 0, sum NULL
+    assert got[9] == (0, None)
+    # now delete every g=9 row -> the group row must leave the view
+    fact.delete(spark.createDataFrame([("k99",)], "k string"), "20260105000000")
+    mv.refresh()
+    assert 9 not in {r["g"] for r in mv.serve().collect()}
+    want = _rows(plan({"fact": fact.snapshot()}))
+    assert _rows(mv.serve()) == want
+
+
+def test_join_view_tracks_dim_changes(spark, scratch, tables):
+    """Dim updates AND dim deletes propagate: gk=1 renamed rows carry the
+    new name, gk=3 rows leave the view."""
+    fact, dim = tables
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvj"),
+                              {"fact": fact, "dim": dim}, join_plan)
+    mv.refresh(seed_as_of={"fact": "20260101000000", "dim": "20260101000000"})
+    rows = mv.serve().collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], set()).add(r["gname"])
+    assert by_g[1] == {"RENAMED"}
+    assert 3 not in by_g  # dim delete retracted the whole group's rows
