@@ -415,13 +415,19 @@ def semantic_dedup_incremental(
     nlist: int = 16,
     iters: int = 2,
     threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+    base_asg: DataFrame | None = None,
 ) -> DataFrame:
     """Ingest-time SemDeDup: dedup an embedding INCREMENT against a
     settled corpus without re-pairing the corpus against itself — the
     vector-space mirror of ``minhash_dedup_incremental``.
 
     The coarse quantizer (centroids) is the persisted store asset trained
-    on the BASE (re-training here stands in for one read of it); base and
+    on the BASE — pass ``centroids`` (cid, cvec) to READ it instead of
+    re-training (deterministic Lloyd makes the two identical), and
+    ``base_asg`` (__vid, __v, cid) to read the settled corpus's
+    assignments from the vector store instead of re-assigning (the
+    ingest-time shape: see fixtures.build_vector_store).  Base and
     increment both assign to it, and the base side is semi-joined down to
     clusters an increment member actually touches BEFORE the pair join —
     corpus-side work is proportional to cluster collisions with the
@@ -432,12 +438,20 @@ def semantic_dedup_incremental(
     Returns surviving increment (id, cid) rows."""
     from .util import register_cache
 
-    vb = base.select(F.col(id_col).alias("__vid"), as_double_array(vec_col).alias("__v"))
     vi = inc.select(F.col(id_col).alias("__vid"), as_double_array(vec_col).alias("__v"))
-    cent = ivf_centroids(base, id_col, vec_col, nlist=nlist, iters=iters)
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(base, id_col, vec_col, nlist=nlist, iters=iters)
+    )
     asg_i = register_cache(_assign(vi, cent))
     touched = asg_i.select("cid").distinct()
-    asg_b = _assign(vb, cent).join(F.broadcast(touched), "cid", "left_semi")
+    if base_asg is None:
+        vb = base.select(
+            F.col(id_col).alias("__vid"), as_double_array(vec_col).alias("__v")
+        )
+        base_asg = _assign(vb, cent)
+    asg_b = base_asg.join(F.broadcast(touched), "cid", "left_semi")
     right = asg_i.select("cid", F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"))
     base_inc = asg_b.select("cid", F.col("__vid").alias("id_a"), F.col("__v").alias("__va")).join(right, "cid")
     inc_inc = (

@@ -611,3 +611,69 @@ def sim_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     inc = emb.filter(F.col("vec_id") % 5 == 0)
     return semantic_dedup_incremental(base, inc, "vec_id", "embedding",
                                       nlist=16, iters=2, threshold=0.4)
+
+
+def _vector_store_sql(nlist: int = 16, iters: int = 2, dim: int = 64,
+                      threshold: float = 0.4) -> str:
+    """The persisted vector store's full contents: Lloyd trained on the
+    base (the centroid table's rows), everyone assigned, increment
+    survivors per the incremental SemDeDup rule, and the int8 codes per
+    the quantize_int8 arithmetic — one oracle hash over assignment,
+    admission, and quantization at once."""
+    ctes, prev = _km_train_ctes(nlist, iters, dim,
+                                source_where="WHERE vec_id % 5 != 0")
+    ctes.append(
+        "e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    )
+    ctes.append(_km_assign(prev, "asg", src="e2").strip())
+    return f"""
+WITH {', '.join(ctes)},
+losers AS (
+  SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+    ON a.cid = b.cid AND b.vec_id % 5 = 0
+   AND (a.vec_id % 5 != 0 OR a.vec_id < b.vec_id)
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+),
+members AS (
+  SELECT 'base' AS section, vec_id, cid FROM asg WHERE vec_id % 5 != 0
+  UNION ALL
+  SELECT 'added' AS section, vec_id, cid FROM asg
+  WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT vec_id FROM losers)
+),
+q AS (
+  SELECT vec_id, v,
+    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0 THEN 1.0
+         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale0
+  FROM e2
+)
+SELECT m.section, m.vec_id, m.cid, ROUND(q.scale0, 6) AS scale,
+  list_transform(q.v, x -> CAST(greatest(-127.0, least(127.0,
+      floor(x / q.scale0 + 0.5))) AS INT)) AS qvec
+FROM members m JOIN q ON m.vec_id = q.vec_id
+"""
+
+
+@query("sim_vector_store", late=True, oracle=_vector_store_sql())  # store
+# sibling of dedup_signature_store; ANN family windowed via sim_topk_*
+def sim_vector_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted VECTOR store as real lake tables
+    (sources/fixtures.py ``build_vector_store`` — SURVEY §12 round-6
+    item 3): per-vector rows (centroid assignment + raw vector + int8
+    codes) keyed by vec_id plus the KB-sized centroid table.  C1 holds
+    the settled base corpus; the increment dedups against the STORE
+    (centroids and base assignments READ from the tables, never
+    re-derived) and C2 upserts the admitted survivors — section 'base'
+    = the C1 snapshot, 'added' = ``incremental(C1)``.  The oracle
+    re-derives assignment, admission, and quantization from scratch, so
+    a hash match proves the store round-trip changed nothing.  At
+    100 TB: the store is THE ingest-time asset — admission work scales
+    with the increment (touched clusters only), codes serve ANN at 4x
+    less bandwidth, and raw vectors stay the exactness source of
+    truth."""
+    from ..sources.fixtures import C1, build_vector_store
+
+    store, _cents = build_vector_store(spark, sf_dir)
+    cols = ["vec_id", "cid", "scale", "qvec"]
+    base = store.snapshot(as_of=C1).select(F.lit("base").alias("section"), *cols)
+    added = store.incremental(C1).select(F.lit("added").alias("section"), *cols)
+    return base.unionByName(added)

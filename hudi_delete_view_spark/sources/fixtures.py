@@ -458,3 +458,73 @@ def build_signature_store(spark: SparkSession, sf_dir: str, base_path: str | Non
     survivors = minhash_dedup_incremental(base, inc, "doc_id", "text", base_sig=base_sig)
     store.upsert(_signature_table(survivors, "doc_id", "text", 5, 64, 16), C2)
     return store
+
+
+# --------------------------------------------------------------------------
+# Persisted VECTOR store (SURVEY §12 round-6 item 3): the embeddings
+# analogue of the signature store — the ANN/SemDeDup corpus state as TWO
+# real lake tables: per-vector rows (assignment + raw vector + int8
+# codes) keyed by vec_id, and the KB-sized centroid table keyed by cid.
+# C1 bulk-inserts the settled base corpus; the increment dedups against
+# the STORE's snapshot (centroids and base assignments READ, never
+# re-trained/re-assigned) and C2 upserts the surviving increment rows —
+# so ``incremental(C1)`` is exactly the admitted vectors and the
+# snapshot is the current serving asset (raw vectors = source of truth
+# for exact re-scoring, int8 codes = the 4x-smaller serving tier).
+# --------------------------------------------------------------------------
+def vector_store_path(sf_dir: str) -> str:
+    tag = scratch_tag(sf_dir)
+    return os.path.join(SCRATCH_ROOT, "lake", tag, "vector_store")
+
+
+def build_vector_store(
+    spark: SparkSession, sf_dir: str, base_path: str | None = None
+) -> tuple[CowTable, CowTable]:
+    from ..operators.similarity import (
+        _assign,
+        as_double_array,
+        ivf_centroids,
+        quantize_int8,
+        semantic_dedup_incremental,
+    )
+
+    root = base_path or vector_store_path(sf_dir)
+    store = CowTable(
+        spark, os.path.join(root, "vectors"), key_fields=["vec_id"],
+        partition_field=None, num_file_groups=4,
+    )
+    cents = CowTable(
+        spark, os.path.join(root, "centroids"), key_fields=["cid"],
+        partition_field=None, num_file_groups=1,
+    )
+    if store.timeline.timestamps() == [C1, C2] and cents.timeline.timestamps() == [C1]:
+        return store, cents
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    inc = emb.filter(F.col("vec_id") % 5 == 0)
+    cents.bulk_insert(ivf_centroids(base, "vec_id", "embedding", nlist=16, iters=2), C1)
+    cent_read = cents.snapshot().select("cid", "cvec")
+
+    def _rows(df):
+        v = df.select(F.col("vec_id").alias("__vid"), as_double_array("embedding").alias("__v"))
+        asg = _assign(v, cent_read)
+        q = quantize_int8(df, "vec_id", "embedding")
+        return asg.select(
+            F.col("__vid").alias("vec_id"), "cid", F.col("__v").alias("embedding")
+        ).join(q.select("vec_id", "scale", "qvec"), "vec_id")
+
+    store.bulk_insert(_rows(base), C1)
+    base_asg = store.snapshot().select(
+        F.col("vec_id").alias("__vid"), F.col("embedding").alias("__v"), "cid"
+    )
+    surv = semantic_dedup_incremental(
+        base, inc, "vec_id", "embedding", nlist=16, iters=2, threshold=0.4,
+        centroids=cent_read, base_asg=base_asg,
+    )
+    inc_keep = inc.join(surv.select("vec_id"), "vec_id", "left_semi")
+    store.upsert(_rows(inc_keep), C2)
+    return store, cents

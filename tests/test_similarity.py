@@ -171,3 +171,40 @@ def test_semantic_dedup_incremental_twins(spark):
     surv = {r["vec_id"] for r in semantic_dedup_incremental(
         base, inc, nlist=4, iters=2, threshold=0.99).collect()}
     assert surv == {2000 + j for j in range(10)}
+
+
+def test_vector_store_is_the_read_path(spark, sf_dir):
+    """build_vector_store persists centroids + assignments as lake
+    tables; dedup through the STORE-read state must equal the retrained
+    path bit-for-bit (deterministic Lloyd), and the store's sections
+    must partition base/admitted rows."""
+    import pyspark.sql.functions as F
+
+    from hudi_delete_view_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+    from hudi_delete_view_spark.sources.fixtures import C1, build_vector_store
+
+    store, cents = build_vector_store(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    inc = emb.filter(F.col("vec_id") % 5 == 0)
+
+    retrained = {(r["vec_id"], r["cid"]) for r in semantic_dedup_incremental(
+        base, inc, "vec_id", "embedding", nlist=16, iters=2, threshold=0.4
+    ).collect()}
+    base_asg = store.snapshot(as_of=C1).select(
+        F.col("vec_id").alias("__vid"), F.col("embedding").alias("__v"), "cid")
+    from_store = {(r["vec_id"], r["cid"]) for r in semantic_dedup_incremental(
+        base, inc, "vec_id", "embedding", nlist=16, iters=2, threshold=0.4,
+        centroids=cents.snapshot().select("cid", "cvec"), base_asg=base_asg,
+    ).collect()}
+    assert from_store == retrained
+
+    n_base = base.count()
+    assert store.snapshot(as_of=C1).count() == n_base
+    added = {r["vec_id"] for r in store.incremental(C1).collect()}
+    assert added == {v for v, _ in from_store}
+    # idempotent reuse: a second build call serves the existing tables
+    store2, _ = build_vector_store(spark, sf_dir)
+    assert store2.timeline.timestamps() == store.timeline.timestamps()
