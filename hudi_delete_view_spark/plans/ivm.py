@@ -402,12 +402,21 @@ class AutoMaterializedView:
             json.dump(anchor, f)
 
     # -- refresh ---------------------------------------------------------
-    def refresh(self, seed_as_of: dict[str, str] | None = None) -> dict:
+    def refresh(
+        self,
+        seed_as_of: dict[str, str] | None = None,
+        to: dict[str, str] | None = None,
+    ) -> dict:
         """Seed (first call) or advance the view.  ``seed_as_of`` pins the
         seed to early source commits so later refreshes exercise the
-        incremental path; default seeds at the sources' latest."""
+        incremental path; default seeds at the sources' latest.  ``to``
+        bounds the advance target per source (default: each source's
+        latest commit) — the stepwise-replay hook that lets a streaming
+        driver advance the view ONE source commit at a time."""
         spec = self.spec()
-        latest = {n: t.timeline.latest_timestamp() for n, t in self.sources.items()}
+        latest = to or {
+            n: t.timeline.latest_timestamp() for n, t in self.sources.items()
+        }
         anchor = self._read_anchor()
         if anchor is None:
             at = seed_as_of or latest
@@ -420,6 +429,13 @@ class AutoMaterializedView:
         self._advance(spec, anchor, latest)
         self._write_anchor(latest)
         return {"kind": spec["kind"], "advanced": True, "anchor": latest}
+
+    def _commit_base(self, latest: dict) -> int:
+        """Maintenance commits stamp after BOTH the advance target and
+        the view's own tail — stepwise replays where two consecutive
+        advances share a source timestamp must not collide."""
+        vl = self.table.timeline.latest_timestamp()
+        return max(int(max(latest.values())), int(vl) if vl else 0)
 
     def serve(self) -> DataFrame:
         snap = self.table.snapshot()
@@ -513,15 +529,15 @@ class AutoMaterializedView:
         ).localCheckpoint(eager=True)
         live = merged.filter(F.col(_HIDDEN_N) > 0)
         dead = merged.filter(F.col(_HIDDEN_N) <= 0).select(*group_names)
-        base = max(latest.values())
+        base = self._commit_base(latest)
         if dead.count() > 0:
-            self.table.delete(dead, f"{int(base) + 1:014d}")
+            self.table.delete(dead, f"{base + 1:014d}")
         if live.count() > 0:
-            self.table.upsert(live, f"{int(base) + 2:014d}")
+            self.table.upsert(live, f"{base + 2:014d}")
 
     # -- algebra: change-key re-derivation (select / join views) ---------
-    def _changed_fact_keys(self, spec, anchor) -> DataFrame:
-        """Record keys the fact source touched in (anchor, latest]:
+    def _changed_fact_keys(self, spec, anchor, latest) -> DataFrame:
+        """Record keys the fact source touched in (anchor, to]:
         inserts/updates from the incremental read, deletes from the
         materialized delete-view feed — touched file groups only, never a
         full diff."""
@@ -531,11 +547,14 @@ class AutoMaterializedView:
         fact = self.sources[fact_name]
         key_name = spec["key"]["name"]
         return (
-            fact.incremental(anchor[fact_name])
+            fact.incremental(anchor[fact_name], latest[fact_name])
             .select(F.col(RECORD_KEY_FIELD).alias(key_name))
             .union(
                 delete_views_between(
-                    self.spark, fact.base_path, anchor[fact_name]
+                    self.spark,
+                    fact.base_path,
+                    anchor[fact_name],
+                    latest[fact_name],
                 ).select(F.col(RECORD_KEY_FIELD).alias(key_name))
             )
             .distinct()
@@ -543,8 +562,8 @@ class AutoMaterializedView:
 
     def _advance_change_keys(self, spec, anchor, latest) -> None:
         key = spec["key"]["name"]
-        d_fact = self._changed_fact_keys(spec, anchor)
-        snaps = {n: t.snapshot() for n, t in self.sources.items()}
+        d_fact = self._changed_fact_keys(spec, anchor, latest)
+        snaps = {n: t.snapshot(latest[n]) for n, t in self.sources.items()}
         full = self.plan_fn(snaps)
         touched = full.join(d_fact, key, "left_semi")
         view_snap = self.table.snapshot()
@@ -580,8 +599,8 @@ class AutoMaterializedView:
             affected.join(rederived.select(key), key, "left_anti")
             .localCheckpoint(eager=True)
         )
-        base = max(latest.values())
+        base = self._commit_base(latest)
         if dead.count() > 0:
-            self.table.delete(dead, f"{int(base) + 1:014d}")
+            self.table.delete(dead, f"{base + 1:014d}")
         if rederived.count() > 0:
-            self.table.upsert(rederived, f"{int(base) + 2:014d}")
+            self.table.upsert(rederived, f"{base + 2:014d}")

@@ -1402,3 +1402,99 @@ def lake_mv_auto_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = _auto_mv(spark, sf_dir, "mv_auto_select",
                   {"li": build_lineitem_cow(spark, sf_dir)}, plan)
     return mv.serve()
+
+
+@query(
+    "stream_ivm_view_multi",
+    late=True,  # composition sibling of stream_ivm_view; IVM + stream
+    # families already windowed
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT {_KEY_SQL} AS lk, l_orderkey, {_QTY_SQL} AS l_quantity, l_returnflag
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+)
+SELECT l2.lk, l2.l_orderkey, l2.l_quantity, l2.l_returnflag,
+       o2.o_orderstatus, o2.o_totalprice
+FROM l2 JOIN o2 ON l2.l_orderkey = o2.o_orderkey
+""",
+)
+def stream_ivm_view_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-source streaming view maintenance (the round-6 refinement of
+    ``stream_ivm_view``, whose orders side was static at latest): the
+    MERGED commit timeline of lineitem (COW, via the lakeview connector's
+    checkpointed tail) and orders (MOR, via its commit tail) replays in
+    timestamp order, and EVERY source commit drives one bounded
+    ``AutoMaterializedView.refresh(to=...)`` — fact commits re-derive
+    their touched keys against the dim AS OF ITS CURRENT ANCHOR, dim
+    commits retract/re-derive exactly the fact rows joining a changed
+    dim key.  Seven independent advances (seed + 3 fact + 3 dim) must
+    each be exact for the final hash to match the from-scratch oracle.
+    At 100 TB: per-advance work ∝ one commit's changes on either side;
+    the stream checkpoint resumes fact-side replay at the right commit,
+    and maintenance commits self-stamp past the view's tail so
+    same-timestamp advances from the two sources never collide."""
+    import os
+    import shutil
+
+    from ..plans.ivm import AutoMaterializedView
+    from ..sources import pyds
+    from ..sources.fixtures import SCRATCH_ROOT, build_orders_mor, scratch_tag
+
+    li = build_lineitem_cow(spark, sf_dir)
+    om = build_orders_mor(spark, sf_dir)
+    pyds.register(spark)
+    root = os.path.join(SCRATCH_ROOT, "stream", scratch_tag(sf_dir), "ivm_view_multi")
+    shutil.rmtree(root, ignore_errors=True)
+    ckpt = os.path.join(root, "ckpt")
+
+    def plan(t):
+        f = t["li"].select(
+            F.col(RECORD_KEY_FIELD).alias("lk"), "l_orderkey", "l_quantity",
+            "l_returnflag",
+        )
+        d = t["om"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+        return f.join(d, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "lk", "l_orderkey", "l_quantity", "l_returnflag",
+            "o_orderstatus", "o_totalprice",
+        )
+
+    mv = AutoMaterializedView(
+        spark, os.path.join(root, "view"), {"li": li, "om": om}, plan
+    )
+    seed = {"li": C1, "om": C1}
+    mv.refresh(seed_as_of=seed, to=seed)
+
+    anchors = dict(seed)
+    events = sorted(
+        [("li", ts) for ts in li.timeline.timestamps()[1:]]
+        + [("om", ts) for ts in om.timeline.timestamps()[1:]],
+        key=lambda e: (e[1], e[0]),
+    )
+    for src, ts in events:
+        if src == "li":
+            # the connector tail drives the fact-side advance: one
+            # checkpointed drain per commit (its batch images are the
+            # same after-images refresh re-reads via incremental())
+            state = {"ts": ts}
+
+            def advance(batch_df, batch_id, _s=state):
+                mv.refresh(to={"li": _s["ts"], "om": anchors["om"]})
+
+            q = (
+                spark.readStream.format("lakeview")
+                .option("path", li.base_path).option("end_ts", ts).load()
+                .writeStream.foreachBatch(advance)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+        else:
+            mv.refresh(to={"li": anchors["li"], "om": ts})
+        anchors[src] = ts
+    return mv.serve()

@@ -180,3 +180,32 @@ def test_join_view_tracks_dim_changes(spark, scratch, tables):
         by_g.setdefault(r["g"], set()).add(r["gname"])
     assert by_g[1] == {"RENAMED"}
     assert 3 not in by_g  # dim delete retracted the whole group's rows
+
+
+def test_stepwise_bounded_refresh_converges(spark, scratch, tables):
+    """Replaying the MERGED fact+dim commit timeline through bounded
+    refresh(to=...) — one advance per source commit, same-timestamp
+    commits on both sources — converges to the from-scratch recompute,
+    and every maintenance commit gets a unique timestamp (the view
+    self-stamps past its own tail)."""
+    fact, dim = tables
+    sources = {"fact": fact, "dim": dim}
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvs"), sources,
+                              join_plan)
+    seed = {"fact": "20260101000000", "dim": "20260101000000"}
+    mv.refresh(seed_as_of=seed, to=seed)
+    anchors = dict(seed)
+    events = sorted(
+        [("fact", ts) for ts in fact.timeline.timestamps()[1:]]
+        + [("dim", ts) for ts in dim.timeline.timestamps()[1:]],
+        key=lambda e: (e[1], e[0]),
+    )
+    for src, ts in events:
+        other = "dim" if src == "fact" else "fact"
+        mv.refresh(to={src: ts, other: anchors[other]})
+        anchors[src] = ts
+    want = _rows(join_plan({n: t.snapshot() for n, t in sources.items()}))
+    assert _rows(mv.serve()) == want
+    stamps = mv.table.timeline.timestamps()
+    assert len(stamps) == len(set(stamps))  # no commit-ts collisions
+    assert len(stamps) > 3  # the replay actually produced stepwise commits
