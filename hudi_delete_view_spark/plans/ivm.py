@@ -25,10 +25,15 @@ IDs for lineage) and classifies the view:
   ``sum(x)`` → Σ sign·coalesce(x,0) plus a hidden non-null counter so
   an all-NULL group still serves SQL-correct NULL), and the merged
   groups land as one upsert commit + one delete commit for groups whose
-  row count nets to zero.  Only count/sum are accepted: they are the
-  self-maintainable aggregates — min/max under deletes need auxiliary
-  per-group state and distinct aggregates need per-value state, so both
-  raise ``UnsupportedViewError`` instead of silently approximating.
+  row count nets to zero.  ``avg`` is auto-rewritten to hidden
+  exact-sum + non-null-count columns and served as their ratio (the
+  classic IVM decomposition).  ``min``/``max`` are NOT retraction-
+  maintainable (a deleted row may have been the extreme), so they use
+  the standard fallback: insert-only (clean) groups combine
+  monotonically, retraction-touched (dirty) groups re-derive their
+  extremes from the source — work ∝ rows of dirty groups, never the
+  table.  DISTINCT aggregates need per-value state and raise
+  ``UnsupportedViewError`` instead of silently approximating.
 - **join** — exactly one INNER equi-join of TWO sources: maintained by
   change-key re-derivation.  The fact source is found by LINEAGE: the
   view's key column must alias some source's ``_hoodie_record_key``
@@ -254,10 +259,10 @@ def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
             )
         fn = ae.aggregateFunction()
         fname = fn.prettyName()
-        if fname not in ("count", "sum"):
+        if fname not in ("count", "sum", "avg", "min", "max"):
             raise UnsupportedViewError(
-                f"{e.sql()}: only count/sum are retraction-maintainable "
-                "(min/max need auxiliary per-group state under deletes)"
+                f"{e.sql()}: supported aggregates are count/sum/avg "
+                "(retraction) and min/max (dirty-group re-derivation)"
             )
         arg = _seq(fn.children())
         arg_sql = arg[0].sql() if arg else "1"
@@ -451,6 +456,15 @@ class AutoMaterializedView:
                     F.when(F.col(f"__nn_{alias}") > 0, F.col(alias))
                     .alias(alias)
                 )
+            elif fn == "avg":
+                # served as the exact-sum / non-null-count ratio
+                cols.append(
+                    F.when(
+                        F.col(f"__avg_cnt_{alias}") > 0,
+                        F.col(f"__avg_sum_{alias}").cast("double")
+                        / F.col(f"__avg_cnt_{alias}"),
+                    ).alias(alias)
+                )
             else:
                 cols.append(F.col(alias))
         return snap.select(*cols)
@@ -469,9 +483,16 @@ class AutoMaterializedView:
                 )
         return df
 
+    @staticmethod
+    def _minmax_aliases(spec: dict) -> list[str]:
+        return [a for a, fn, _ in spec["aggs"] if fn in ("min", "max")]
+
     def _agg_delta(self, spec: dict, feed: DataFrame) -> DataFrame:
         """Group the signed feed into delta rows matching the stored
-        schema (user cols + hidden non-null counters + __mv_n)."""
+        schema (user cols + hidden counters + __mv_n).  min/max columns
+        carry the INSERT-side extreme only; ``__mv_dirty`` flags groups
+        any retraction touched — those must re-derive their extremes
+        (a deleted/updated row may have BEEN the extreme)."""
         df = self._replay_chain(spec, feed)
         sign = F.col("__mv_sign")
         aggs = [F.sum(sign).cast("long").alias(_HIDDEN_N)]
@@ -480,13 +501,33 @@ class AutoMaterializedView:
             if fn == "count":
                 contrib = sign if arg == "1" else sign * x.isNotNull().cast("long")
                 aggs.append(F.sum(contrib).cast("long").alias(alias))
-            else:  # sum: exact delta over coalesce(x, 0) + non-null counter
+            elif fn == "sum":
+                # exact delta over coalesce(x, 0) + non-null counter
                 aggs.append(F.sum(sign * F.coalesce(x, F.lit(0))).alias(alias))
                 aggs.append(
                     F.sum(sign * x.isNotNull().cast("long"))
                     .cast("long")
                     .alias(f"__nn_{alias}")
                 )
+            elif fn == "avg":
+                # decomposed to exact sum + non-null count; served as ratio
+                aggs.append(
+                    F.sum(sign * F.coalesce(x, F.lit(0))).alias(f"__avg_sum_{alias}")
+                )
+                aggs.append(
+                    F.sum(sign * x.isNotNull().cast("long"))
+                    .cast("long")
+                    .alias(f"__avg_cnt_{alias}")
+                )
+            else:  # min / max: monotone under inserts only
+                ins = F.when(sign > 0, x)
+                aggs.append((F.min(ins) if fn == "min" else F.max(ins)).alias(alias))
+        if self._minmax_aliases(spec):
+            aggs.append(
+                F.max(F.when(sign < 0, F.lit(1)).otherwise(F.lit(0))).alias(
+                    "__mv_dirty"
+                )
+            )
         keys = [F.expr(sql).alias(name) for name, sql in spec["group"]]
         return df.groupBy(*keys).agg(*aggs)
 
@@ -495,7 +536,10 @@ class AutoMaterializedView:
         ts = max(at.values())
         if spec["kind"] == "aggregate":
             feed = snaps[spec["source"]].withColumn("__mv_sign", F.lit(1))
-            self.table.bulk_insert(self._agg_delta(spec, feed), ts)
+            seed = self._agg_delta(spec, feed)
+            if "__mv_dirty" in seed.columns:
+                seed = seed.drop("__mv_dirty")  # delta-only flag
+            self.table.bulk_insert(seed, ts)
         else:
             self.table.bulk_insert(self.plan_fn(snaps), ts)
 
@@ -506,6 +550,8 @@ class AutoMaterializedView:
             self._advance_change_keys(spec, anchor, latest)
 
     def _advance_aggregate(self, spec, anchor, latest) -> None:
+        from functools import reduce
+
         src = self.sources[spec["source"]]
         feed = src.cdc(
             anchor[spec["source"]],
@@ -517,16 +563,111 @@ class AutoMaterializedView:
                 F.lit(-1)
             ),
         )
-        delta = self._agg_delta(spec, feed)
+        delta = self._agg_delta(spec, feed).localCheckpoint(eager=True)
         group_names = [n for n, _ in spec["group"]]
-        stored = [c for c in delta.columns if c not in group_names]
-        merged = (
-            self.table.snapshot()
-            .select(*group_names, *stored)
-            .unionByName(delta)
-            .groupBy(*group_names)
-            .agg(*[F.sum(c).alias(c) for c in stored])
-        ).localCheckpoint(eager=True)
+        mm = self._minmax_aliases(spec)
+        summable = [
+            c
+            for c in delta.columns
+            if c not in group_names and c not in mm and c != "__mv_dirty"
+        ]
+        s = self.table.snapshot().select(*group_names, *summable, *mm).alias("s")
+        d = delta.alias("d")
+        # null-safe full-outer merge: group keys may legitimately be NULL
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in group_names],
+        )
+        j = s.join(d, cond, "full_outer")
+        out = [
+            F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k)
+            for k in group_names
+        ]
+        out += [
+            (
+                F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+            ).alias(c)
+            for c in summable
+        ]
+        # min/max: untouched groups keep the stored extreme; insert-only
+        # (clean) groups combine monotonically; retraction-touched (dirty)
+        # groups get NULL here and re-derive below
+        present_d = F.col(f"d.{_HIDDEN_N}").isNotNull()
+        for alias, fn, _arg in spec["aggs"]:
+            if fn not in ("min", "max"):
+                continue
+            comb = (F.least if fn == "min" else F.greatest)(
+                F.col(f"s.{alias}"), F.col(f"d.{alias}")
+            )
+            out.append(
+                F.when(~present_d, F.col(f"s.{alias}"))
+                .when(F.col("d.__mv_dirty") == 1, F.lit(None))
+                .otherwise(comb)
+                .alias(alias)
+            )
+        if mm:
+            out.append(
+                F.when(present_d, F.coalesce(F.col("d.__mv_dirty"), F.lit(0)))
+                .otherwise(F.lit(0))
+                .alias("__mv_dirty")
+            )
+        merged = j.select(*out).localCheckpoint(eager=True)
+        if mm:
+            dirty_keys = merged.filter(F.col("__mv_dirty") == 1).select(*group_names)
+            merged = merged.drop("__mv_dirty")
+            if dirty_keys.count() > 0:
+                # re-derive extremes for dirty groups from the source —
+                # work ∝ rows of retraction-touched groups, never the table
+                snap_feed = src.snapshot(latest[spec["source"]]).withColumn(
+                    "__mv_sign", F.lit(1)
+                )
+                re_full = self._agg_delta(spec, snap_feed)
+                rcond = reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"r.{k}").eqNullSafe(F.col(f"k.{k}"))
+                        for k in group_names
+                    ],
+                )
+                re_rows = (
+                    re_full.alias("r")
+                    .join(dirty_keys.alias("k"), rcond, "left_semi")
+                    .select(
+                        *group_names,
+                        *[F.col(a).alias(f"__re_{a}") for a in mm],
+                    )
+                )
+                mcond = reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"m.{k}").eqNullSafe(F.col(f"r.{k}"))
+                        for k in group_names
+                    ],
+                )
+                merged = (
+                    merged.alias("m")
+                    .join(re_rows.alias("r"), mcond, "left_outer")
+                    .select(
+                        *[F.col(f"m.{k}").alias(k) for k in group_names],
+                        *[
+                            F.col(f"m.{c}").alias(c)
+                            for c in merged.columns
+                            if c not in group_names and c not in mm
+                        ],
+                        *[
+                            F.coalesce(F.col(f"r.__re_{a}"), F.col(f"m.{a}"))
+                            .alias(a)
+                            for a in mm
+                        ],
+                    )
+                    .localCheckpoint(eager=True)
+                )
+        # emit in the seed's stored order so writes align positionally too
+        stored_order = [
+            c for c in delta.columns if c not in group_names and c != "__mv_dirty"
+        ]
+        merged = merged.select(*group_names, *stored_order)
         live = merged.filter(F.col(_HIDDEN_N) > 0)
         dead = merged.filter(F.col(_HIDDEN_N) <= 0).select(*group_names)
         base = self._commit_base(latest)

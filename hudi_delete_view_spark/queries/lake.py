@@ -1498,3 +1498,43 @@ def stream_ivm_view_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             mv.refresh(to={"li": anchors["li"], "om": ts})
         anchors[src] = ts
     return mv.serve()
+
+
+@query(
+    "lake_mv_auto_minmax",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       MIN({_QTY_SQL}) AS min_qty,
+       MAX({_QTY_SQL}) AS max_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / COUNT(l_extendedprice) AS avg_price_cents
+FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+GROUP BY l_returnflag
+""",
+)
+def lake_mv_auto_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg through the unified entry point — the aggregates
+    retraction CANNOT maintain: C2's quantity updates retract preimages
+    (making every touched group dirty for min/max re-derivation) and
+    C3/C4's deletes remove rows that may have been extremes.  avg is
+    auto-decomposed to hidden exact-cents sum + count and served as the
+    ratio (matching the oracle's CAST(SUM)/COUNT exactly — one division
+    each).  Work shape at 100 TB: dirty-group re-derivation touches
+    only rows of groups a retraction hit; the clean-insert path never
+    reads the source."""
+
+    def plan(t):
+        cents = F.expr("cast(round(l_extendedprice * 100) as bigint)")
+        return t["li"].groupBy("l_returnflag").agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.avg(cents).alias("avg_price_cents"),
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_minmax",
+                  {"li": build_lineitem_cow(spark, sf_dir)}, plan)
+    return mv.serve()

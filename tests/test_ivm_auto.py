@@ -96,10 +96,12 @@ def test_classify_all_kinds(spark, tables):
 
 
 @pytest.mark.parametrize("bad,msg", [
-    (lambda t: t.groupBy("g").agg(F.avg("v").alias("a")), "count/sum"),
-    (lambda t: t.groupBy("g").agg(F.max("v").alias("m")), "count/sum"),
     (lambda t: t.groupBy("g").agg(F.countDistinct("k").alias("d")), "DISTINCT"),
-], ids=["avg", "max", "distinct"])
+    (lambda t: t.groupBy("g").agg(F.collect_list("v").alias("l")),
+     "supported aggregates"),
+    (lambda t: t.groupBy("g").agg(F.stddev("v").alias("sd")),
+     "supported aggregates"),
+], ids=["distinct", "collect_list", "stddev"])
 def test_unsupported_aggregates_raise(spark, tables, bad, msg):
     fact, _ = tables
     fs = fact.snapshot()
@@ -209,3 +211,42 @@ def test_stepwise_bounded_refresh_converges(spark, scratch, tables):
     stamps = mv.table.timeline.timestamps()
     assert len(stamps) == len(set(stamps))  # no commit-ts collisions
     assert len(stamps) > 3  # the replay actually produced stepwise commits
+
+
+def test_minmax_avg_maintenance(spark, scratch, tables):
+    """min/max under deletes and updates (the retraction-hostile cases):
+    a deleted extreme re-derives from the dirty group, an inserted
+    extreme combines monotonically without touching the source, avg
+    serves the exact sum/count ratio, and a fully-deleted group leaves
+    the view."""
+    fact, _ = tables
+
+    def plan(t):
+        return t["fact"].groupBy("g").agg(
+            F.count("*").alias("n"), F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"), F.avg("nv").alias("avg_nv"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvmm"),
+                              {"fact": fact}, plan)
+    mv.refresh(seed_as_of={"fact": "20260101000000"})
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    # delete the current max of g=3 (k19 v=19) -> dirty re-derivation
+    fact.delete(spark.createDataFrame([("k19",)], "k string"),
+                "20260105000000")
+    # and insert a new clean max for g=0
+    fact.upsert(
+        spark.createDataFrame([("k200", 0, 900.0, 3)],
+                              "k string, g long, v double, nv long"),
+        "20260106000000",
+    )
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    # wipe an entire group -> its row must leave the view
+    gone = [r["k"] for r in fact.snapshot().filter("g = 2")
+            .select("k").collect()]
+    fact.delete(spark.createDataFrame([(k,) for k in gone], "k string"),
+                "20260107000000")
+    mv.refresh()
+    got = mv.serve()
+    assert 2 not in {r["g"] for r in got.collect()}
+    assert _rows(got) == _rows(plan({"fact": fact.snapshot()}))
