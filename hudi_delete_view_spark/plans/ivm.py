@@ -27,7 +27,14 @@ IDs for lineage) and classifies the view:
   groups land as one upsert commit + one delete commit for groups whose
   row count nets to zero.  ``avg`` is auto-rewritten to hidden
   exact-sum + non-null-count columns and served as their ratio (the
-  classic IVM decomposition).  ``min``/``max`` are NOT retraction-
+  classic IVM decomposition).  The variance family (``stddev[_samp]``,
+  ``stddev_pop``, ``variance``, ``var_samp``, ``var_pop``) decomposes
+  to hidden power sums — Σx, Σx², non-null count — all three signed-
+  summable, served through the textbook moment formula
+  ``(Σx² − (Σx)²/n) / (n or n−1)`` (√ for stddev); exactness under
+  retraction holds when the argument is integral (the registry query
+  feeds integer cents), since the hidden sums then never round.
+  ``min``/``max`` are NOT retraction-
   maintainable (a deleted row may have been the extreme), so they use
   the standard fallback: insert-only (clean) groups combine
   monotonically, retraction-touched (dirty) groups re-derive their
@@ -73,6 +80,14 @@ from ..sources.cow import RECORD_KEY_FIELD, META_FIELDS, CowTable
 __all__ = ["AutoMaterializedView", "UnsupportedViewError", "classify_view"]
 
 _HIDDEN_N = "__mv_n"  # signed row count per group (dead-group detector)
+
+# the variance family, all maintained through signed power sums
+# (Σx, Σx², non-null n); "samp" members divide by n−1, "pop" by n
+_MOMENT_FNS = {
+    "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
+}
+_MOMENT_POP = {"stddev_pop", "var_pop"}
+_MOMENT_SQRT = {"stddev", "stddev_samp", "stddev_pop"}
 
 
 class UnsupportedViewError(ValueError):
@@ -259,10 +274,13 @@ def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
             )
         fn = ae.aggregateFunction()
         fname = fn.prettyName()
-        if fname not in ("count", "sum", "avg", "min", "max"):
+        if fname not in ("count", "sum", "avg", "min", "max") and (
+            fname not in _MOMENT_FNS
+        ):
             raise UnsupportedViewError(
-                f"{e.sql()}: supported aggregates are count/sum/avg "
-                "(retraction) and min/max (dirty-group re-derivation)"
+                f"{e.sql()}: supported aggregates are count/sum/avg/"
+                "stddev/variance (retraction) and min/max (dirty-group "
+                "re-derivation)"
             )
         arg = _seq(fn.children())
         arg_sql = arg[0].sql() if arg else "1"
@@ -465,6 +483,24 @@ class AutoMaterializedView:
                         / F.col(f"__avg_cnt_{alias}"),
                     ).alias(alias)
                 )
+            elif fn in _MOMENT_FNS:
+                # textbook moment formula over the maintained power sums;
+                # greatest(·, 0) absorbs the −ε a zero-variance group can
+                # produce when (Σx)²/n rounds above Σx² in double (sqrt
+                # would yield NaN); inside the when() so n≤threshold still
+                # serves SQL-correct NULL.  The registry oracle spells the
+                # SAME expression tree so both engines round identically.
+                n = F.col(f"__mc_{alias}")
+                s1 = F.col(f"__m1_{alias}").cast("double")
+                s2 = F.col(f"__m2_{alias}").cast("double")
+                css = F.greatest(s2 - s1 * s1 / n, F.lit(0.0))
+                if fn in _MOMENT_POP:
+                    v = F.when(n > 0, css / n)
+                else:
+                    v = F.when(n > 1, css / (n - F.lit(1)))
+                if fn in _MOMENT_SQRT:
+                    v = F.sqrt(v)
+                cols.append(v.alias(alias))
             else:
                 cols.append(F.col(alias))
         return snap.select(*cols)
@@ -518,6 +554,22 @@ class AutoMaterializedView:
                     F.sum(sign * x.isNotNull().cast("long"))
                     .cast("long")
                     .alias(f"__avg_cnt_{alias}")
+                )
+            elif fn in _MOMENT_FNS:
+                # signed power sums: Σx, Σx², non-null count — each a plain
+                # summable column, so the merge path needs no special case
+                aggs.append(
+                    F.sum(sign * F.coalesce(x, F.lit(0))).alias(f"__m1_{alias}")
+                )
+                aggs.append(
+                    F.sum(sign * F.coalesce(x * x, F.lit(0))).alias(
+                        f"__m2_{alias}"
+                    )
+                )
+                aggs.append(
+                    F.sum(sign * x.isNotNull().cast("long"))
+                    .cast("long")
+                    .alias(f"__mc_{alias}")
                 )
             else:  # min / max: monotone under inserts only
                 ins = F.when(sign > 0, x)

@@ -1538,3 +1538,53 @@ def lake_mv_auto_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = _auto_mv(spark, sf_dir, "mv_auto_minmax",
                   {"li": build_lineitem_cow(spark, sf_dir)}, plan)
     return mv.serve()
+
+
+@query(
+    "lake_mv_auto_variance",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+q AS (
+  SELECT l_returnflag, CAST(round(({_QTY_SQL}) * 100) AS BIGINT) AS qc
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+m AS (
+  SELECT l_returnflag, COUNT(qc) AS n_q,
+         CAST(SUM(qc) AS DOUBLE) AS s1,
+         CAST(SUM(qc * qc) AS DOUBLE) AS s2
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_q,
+       CASE WHEN n_q > 1
+            THEN sqrt(GREATEST(s2 - s1 * s1 / n_q, 0) / (n_q - 1)) END
+         AS sd_qty_cents,
+       CASE WHEN n_q > 0
+            THEN GREATEST(s2 - s1 * s1 / n_q, 0) / n_q END
+         AS var_pop_qty_cents
+FROM m
+""",
+)
+def lake_mv_auto_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance family through the unified entry point: stddev/var_pop
+    over integer quantity cents decompose to hidden signed power sums
+    (Σx, Σx², non-null n) — plain summable state, so C2's update
+    retractions and C3/C4's deletes maintain them exactly (integral
+    argument ⇒ the sums never round) — and serve through the textbook
+    moment formula.  The oracle spells the SAME expression tree
+    (greatest-guarded sqrt of the corrected sum of squares) so both
+    engines perform identical IEEE double ops on identical integer
+    moments.  At 100 TB the per-advance cost is the CDC change set
+    grouped once — variance adds two summable columns, not a rescan."""
+
+    def plan(t):
+        qc = F.expr("cast(round(l_quantity * 100) as bigint)")
+        return t["li"].groupBy("l_returnflag").agg(
+            F.count(qc).alias("n_q"),
+            F.stddev(qc).alias("sd_qty_cents"),
+            F.var_pop(qc).alias("var_pop_qty_cents"),
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_variance",
+                  {"li": build_lineitem_cow(spark, sf_dir)}, plan)
+    return mv.serve()
