@@ -39,7 +39,14 @@ IDs for lineage) and classifies the view:
   the standard fallback: insert-only (clean) groups combine
   monotonically, retraction-touched (dirty) groups re-derive their
   extremes from the source — work ∝ rows of dirty groups, never the
-  table.  DISTINCT aggregates need per-value state and raise
+  table.  ``count(DISTINCT x)`` is maintained with the textbook
+  PER-VALUE auxiliary state: a nested lake table per distinct alias
+  (``.aux_<alias>``, keyed on group keys + value) holds the signed
+  row count of every live (group, value) pair; an advance merges the
+  feed's per-value deltas into the aux table and recounts ONLY the
+  touched groups — storage ∝ Σ distinct values, advance work ∝ the
+  change set.  Values are keyed by their cast-to-string (injective
+  for the primitive types); other DISTINCT aggregates still raise
   ``UnsupportedViewError`` instead of silently approximating.
 - **join** — exactly one INNER equi-join of TWO sources: maintained by
   change-key re-derivation.  The fact source is found by LINEAGE: the
@@ -267,13 +274,17 @@ def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
             raise UnsupportedViewError(
                 f"non-aggregate output {e.sql()} in an aggregate view"
             )
-        if ae.isDistinct():
-            raise UnsupportedViewError(
-                f"{e.sql()}: DISTINCT aggregates need per-value state and "
-                "are not retraction-maintainable"
-            )
         fn = ae.aggregateFunction()
         fname = fn.prettyName()
+        if ae.isDistinct():
+            if fname != "count" or fn.children().size() != 1:
+                raise UnsupportedViewError(
+                    f"{e.sql()}: only COUNT(DISTINCT x) carries per-value "
+                    "auxiliary state; other DISTINCT aggregates are not "
+                    "maintainable"
+                )
+            aggs.append((e.name(), "count_distinct", _seq(fn.children())[0].sql()))
+            continue
         if fname not in ("count", "sum", "avg", "min", "max") and (
             fname not in _MOMENT_FNS
         ):
@@ -523,6 +534,37 @@ class AutoMaterializedView:
     def _minmax_aliases(spec: dict) -> list[str]:
         return [a for a, fn, _ in spec["aggs"] if fn in ("min", "max")]
 
+    @staticmethod
+    def _distinct_aliases(spec: dict) -> list[tuple[str, str]]:
+        return [(a, arg) for a, fn, arg in spec["aggs"] if fn == "count_distinct"]
+
+    def _aux_table(self, alias: str) -> CowTable:
+        """Per-value state for one COUNT(DISTINCT) output: a nested lake
+        table (dot-dir = service dir, invisible to orphan walks) keyed on
+        group keys + the value's string form, one row per live (group,
+        value) pair with its signed row count ``__mv_vn``."""
+        group_names = [n for n, _ in self.spec()["group"]]
+        return CowTable(
+            self.spark,
+            os.path.join(self.path, f".aux_{alias}"),
+            key_fields=group_names + ["__mv_val"],
+            partition_field=None,
+            num_file_groups=self.num_file_groups,
+        )
+
+    def _value_state(self, spec: dict, arg: str, feed: DataFrame) -> DataFrame:
+        """Signed per-(group, value) row counts from a feed: the delta the
+        aux table merges.  NULL arguments never enter (COUNT DISTINCT
+        ignores them); the value keys by its cast-to-string."""
+        df = self._replay_chain(spec, feed)
+        keys = [F.expr(sql).alias(name) for name, sql in spec["group"]]
+        x = F.expr(arg)
+        return (
+            df.filter(x.isNotNull())
+            .groupBy(*keys, x.cast("string").alias("__mv_val"))
+            .agg(F.sum("__mv_sign").cast("long").alias("__mv_vn"))
+        )
+
     def _agg_delta(self, spec: dict, feed: DataFrame) -> DataFrame:
         """Group the signed feed into delta rows matching the stored
         schema (user cols + hidden counters + __mv_n).  min/max columns
@@ -537,6 +579,13 @@ class AutoMaterializedView:
             if fn == "count":
                 contrib = sign if arg == "1" else sign * x.isNotNull().cast("long")
                 aggs.append(F.sum(contrib).cast("long").alias(alias))
+            elif fn == "count_distinct":
+                # correct on an insert-only feed (the seed); on a CDC
+                # delta the advance OVERWRITES this column with the
+                # aux-table recount of every touched group
+                aggs.append(
+                    F.count_distinct(F.when(sign > 0, x)).alias(alias)
+                )
             elif fn == "sum":
                 # exact delta over coalesce(x, 0) + non-null counter
                 aggs.append(F.sum(sign * F.coalesce(x, F.lit(0))).alias(alias))
@@ -592,6 +641,10 @@ class AutoMaterializedView:
             if "__mv_dirty" in seed.columns:
                 seed = seed.drop("__mv_dirty")  # delta-only flag
             self.table.bulk_insert(seed, ts)
+            for alias, arg in self._distinct_aliases(spec):
+                self._aux_table(alias).bulk_insert(
+                    self._value_state(spec, arg, feed), ts
+                )
         else:
             self.table.bulk_insert(self.plan_fn(snaps), ts)
 
@@ -618,12 +671,20 @@ class AutoMaterializedView:
         delta = self._agg_delta(spec, feed).localCheckpoint(eager=True)
         group_names = [n for n, _ in spec["group"]]
         mm = self._minmax_aliases(spec)
+        cd = [a for a, _ in self._distinct_aliases(spec)]
         summable = [
             c
             for c in delta.columns
-            if c not in group_names and c not in mm and c != "__mv_dirty"
+            if c not in group_names
+            and c not in mm
+            and c not in cd
+            and c != "__mv_dirty"
         ]
-        s = self.table.snapshot().select(*group_names, *summable, *mm).alias("s")
+        s = (
+            self.table.snapshot()
+            .select(*group_names, *summable, *mm, *cd)
+            .alias("s")
+        )
         d = delta.alias("d")
         # null-safe full-outer merge: group keys may legitimately be NULL
         cond = reduce(
@@ -656,6 +717,19 @@ class AutoMaterializedView:
                 F.when(~present_d, F.col(f"s.{alias}"))
                 .when(F.col("d.__mv_dirty") == 1, F.lit(None))
                 .otherwise(comb)
+                .alias(alias)
+            )
+        # count-distinct: absolute-valued columns — EXISTING groups keep
+        # the stored count (a feed touching only NULL arguments changes
+        # nothing, and any non-null change lands in the value delta and
+        # recounts below); brand-new groups take the delta's feed-distinct
+        # count, which the recount also corrects if an in-window delete
+        # retracted one of their values
+        present_s = F.col(f"s.{_HIDDEN_N}").isNotNull()
+        for alias in cd:
+            out.append(
+                F.when(present_s, F.col(f"s.{alias}"))
+                .otherwise(F.col(f"d.{alias}"))
                 .alias(alias)
             )
         if mm:
@@ -715,6 +789,80 @@ class AutoMaterializedView:
                     )
                     .localCheckpoint(eager=True)
                 )
+        base = self._commit_base(latest)
+        for alias, arg in self._distinct_aliases(spec):
+            # per-value delta from the SAME signed feed; empty = no
+            # non-null-value change, stored counts stand as-is
+            vd = self._value_state(spec, arg, feed).localCheckpoint(eager=True)
+            if vd.count() == 0:
+                continue
+            aux = self._aux_table(alias)
+            touched = vd.select(*group_names).distinct()
+            tcond = reduce(
+                lambda a, b: a & b,
+                [F.col(f"a.{k}").eqNullSafe(F.col(f"t.{k}")) for k in group_names],
+            )
+            # only the touched groups' value rows participate — the merge
+            # and recount scale with the change set, never the aux table
+            aux_rel = (
+                aux.snapshot()
+                .select(*group_names, "__mv_val", "__mv_vn")
+                .alias("a")
+                .join(touched.alias("t"), tcond, "left_semi")
+            )
+            vcond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"a.{k}").eqNullSafe(F.col(f"v.{k}"))
+                    for k in group_names + ["__mv_val"]
+                ],
+            )
+            mv_cols = [
+                F.coalesce(F.col(f"a.{k}"), F.col(f"v.{k}")).alias(k)
+                for k in group_names + ["__mv_val"]
+            ] + [
+                (
+                    F.coalesce(F.col("a.__mv_vn"), F.lit(0))
+                    + F.coalesce(F.col("v.__mv_vn"), F.lit(0))
+                ).alias("__mv_vn")
+            ]
+            mergedv = (
+                aux_rel.alias("a")
+                .join(vd.alias("v"), vcond, "full_outer")
+                .select(*mv_cols)
+                .localCheckpoint(eager=True)
+            )
+            deadv = mergedv.filter(F.col("__mv_vn") <= 0).select(
+                *group_names, "__mv_val"
+            )
+            livev = mergedv.filter(F.col("__mv_vn") > 0)
+            if deadv.count() > 0:
+                aux.delete(deadv, f"{base + 1:014d}")
+            if livev.count() > 0:
+                aux.upsert(livev, f"{base + 2:014d}")
+            # recount every touched group over its FULL merged value set
+            # (zero-count rows included so a group whose last value died
+            # serves 0, not its stale stored count)
+            recount = mergedv.groupBy(*group_names).agg(
+                F.sum((F.col("__mv_vn") > 0).cast("long")).alias("__rc")
+            )
+            rcond = reduce(
+                lambda a, b: a & b,
+                [F.col(f"m.{k}").eqNullSafe(F.col(f"r.{k}")) for k in group_names],
+            )
+            merged = (
+                merged.alias("m")
+                .join(F.broadcast(recount.alias("r")), rcond, "left_outer")
+                .select(
+                    *[
+                        F.coalesce(F.col("r.__rc"), F.col(f"m.{c}")).alias(c)
+                        if c == alias
+                        else F.col(f"m.{c}").alias(c)
+                        for c in merged.columns
+                    ]
+                )
+                .localCheckpoint(eager=True)
+            )
         # emit in the seed's stored order so writes align positionally too
         stored_order = [
             c for c in delta.columns if c not in group_names and c != "__mv_dirty"
@@ -722,7 +870,6 @@ class AutoMaterializedView:
         merged = merged.select(*group_names, *stored_order)
         live = merged.filter(F.col(_HIDDEN_N) > 0)
         dead = merged.filter(F.col(_HIDDEN_N) <= 0).select(*group_names)
-        base = self._commit_base(latest)
         if dead.count() > 0:
             self.table.delete(dead, f"{base + 1:014d}")
         if live.count() > 0:

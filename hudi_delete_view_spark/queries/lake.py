@@ -1588,3 +1588,40 @@ def lake_mv_auto_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = _auto_mv(spark, sf_dir, "mv_auto_variance",
                   {"li": build_lineitem_cow(spark, sf_dir)}, plan)
     return mv.serve()
+
+
+@query(
+    "lake_mv_auto_count_distinct",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_suppkey) AS d_supp,
+       COUNT(DISTINCT {_QTY_SQL}) AS d_qty
+FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+GROUP BY l_returnflag
+""",
+)
+def lake_mv_auto_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) through the unified entry point: each distinct
+    output gets a nested per-value aux lake table (group keys + value →
+    signed row count).  C2's quantity updates MOVE rows between values
+    (preimage retracts one value, postimage lands another) and C3/C4's
+    deletes retract carriers — every advance merges the feed's
+    per-value deltas and recounts only the touched groups, so the work
+    is change-set-sized while the aux storage is Σ distinct values per
+    group (the honest lower bound for exact distinct maintenance; the
+    approximate alternative is the registry's HLL sketches).  The
+    oracle recomputes both distincts from scratch."""
+
+    def plan(t):
+        return t["li"].groupBy("l_returnflag").agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_suppkey").alias("d_supp"),
+            F.countDistinct("l_quantity").alias("d_qty"),
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_count_distinct",
+                  {"li": build_lineitem_cow(spark, sf_dir)}, plan)
+    return mv.serve()

@@ -96,7 +96,8 @@ def test_classify_all_kinds(spark, tables):
 
 
 @pytest.mark.parametrize("bad,msg", [
-    (lambda t: t.groupBy("g").agg(F.countDistinct("k").alias("d")), "DISTINCT"),
+    (lambda t: t.groupBy("g").agg(F.sum_distinct(F.col("v")).alias("d")),
+     "only COUNT.DISTINCT"),
     (lambda t: t.groupBy("g").agg(F.collect_list("v").alias("l")),
      "supported aggregates"),
     (lambda t: t.groupBy("g").agg(F.skewness("v").alias("sk")),
@@ -305,3 +306,51 @@ def test_variance_family_maintenance(spark, scratch, tables):
     solo = [r for r in mv.serve().collect() if r["g"] == 7][0]
     assert solo["sd"] is None and solo["var"] is None
     assert solo["sd_pop"] == 0.0 and solo["var_pop"] == 0.0
+
+
+def test_count_distinct_maintenance(spark, scratch, tables):
+    """COUNT(DISTINCT x) through the per-value aux table: an update that
+    moves a row between values, a delete removing a group's only
+    instance of a value, a brand-new group, and whole-group death must
+    all converge to the from-scratch recompute."""
+    fact, _ = tables
+
+    def plan(t):
+        return t["fact"].groupBy("g").agg(
+            F.count("*").alias("n"),
+            F.countDistinct("nv").alias("d_nv"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvcd"),
+                              {"fact": fact}, plan)
+    mv.refresh(seed_as_of={"fact": "20260101000000"})
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    # collide two rows onto one value (k1 joins k2's nv), delete the only
+    # carrier of another value, add a row with a NULL (ignored by DISTINCT)
+    fact.upsert(
+        spark.createDataFrame(
+            [("k1", 1, 1.0, 2), ("knull", 1, 5.0, None)],
+            "k string, g long, v double, nv long"),
+        "20260105000000",
+    )
+    fact.delete(spark.createDataFrame([("k7",)], "k string"), "20260106000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    # idempotent: fully advanced refresh writes nothing
+    before = mv.table.timeline.timestamps()
+    mv.refresh()
+    assert mv.table.timeline.timestamps() == before
+    # wipe group g=3 entirely; its aux rows and view row must both go
+    gone = [r["k"] for r in fact.snapshot().filter("g = 3")
+            .select("k").collect()]
+    fact.delete(spark.createDataFrame([(k,) for k in gone], "k string"),
+                "20260107000000")
+    mv.refresh()
+    got = mv.serve()
+    assert 3 not in {r["g"] for r in got.collect()}
+    assert _rows(got) == _rows(plan({"fact": fact.snapshot()}))
+    # aux table state is exactly the live (g, nv) pairs of the source
+    aux = mv._aux_table("d_nv").snapshot()
+    want_pairs = _rows(fact.snapshot().filter("nv is not null")
+                       .selectExpr("g", "cast(nv as string) as v").distinct())
+    got_pairs = _rows(aux.selectExpr("g", "__mv_val as v"))
+    assert got_pairs == want_pairs
