@@ -743,3 +743,64 @@ def stream_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_keys"),
         F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("total_cents"),
     )
+
+
+@query(
+    "stream_pyds_auto_absorb",
+    late=True,  # sink sibling of stream_lake_ingest (windowed); same contract
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_id) AS n_keys,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY event_type
+""",
+)
+def stream_pyds_auto_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector sink under the ASYNC absorber: a
+    ``StreamingQueryListener`` (sources/pyds.py ``LakeviewAbsorber``)
+    publishes pending epochs while the stream runs — the ingest path a
+    continuous deployment would use, where no batch driver ever calls
+    absorb between micro-batches — and ``drain()`` finishes the tail
+    after termination.  Same lossless-ingest contract and oracle as
+    stream_pyds_sink; the hash match proves the listener-driven service
+    publishes every epoch exactly once (replays dropped by the timeline
+    check) with no duplicate or missing rows."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..sources import pyds
+    from ..sources.cow import CowTable
+    from ..sources.fixtures import SCRATCH_ROOT, scratch_tag
+    from ..sources.pyds import LakeviewAbsorber
+
+    pyds.register(spark)
+    root = os.path.join(SCRATCH_ROOT, "stream", scratch_tag(sf_dir), "pyds_auto")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl_path = os.path.join(root, "tbl")
+    absorber = LakeviewAbsorber(spark, tbl_path, min_pending=1)
+    spark.streams.addListener(absorber.listener())
+    try:
+        stream = events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        q = (
+            stream.writeStream.format("lakeview")
+            .option("path", tbl_path).option("keys", "event_id")
+            .option("partition_field", "event_type")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        absorber.drain()
+    finally:
+        spark.streams.removeListener(absorber._listener)
+    table = CowTable(spark, tbl_path, key_fields=["event_id"],
+                     partition_field="event_type", num_file_groups=4)
+    return table.snapshot().groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_id").alias("n_keys"),
+        F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("total_cents"),
+    )

@@ -407,3 +407,115 @@ class LakeviewStreamWriter(DataSourceStreamArrowWriter):
                     os.remove(m.path)
                 except OSError:
                     pass
+
+
+class LakeviewAbsorber:
+    """ASYNC table service for the connector sink: absorbs pending sink
+    epochs while the stream runs instead of on demand (the Hudi
+    async-table-services / deltastreamer-continuous analogue; closes
+    SURVEY §12 lead 4's "auto-absorb on a schedule").
+
+    Usage::
+
+        absorber = LakeviewAbsorber(spark, tbl_path, min_pending=2)
+        spark.streams.addListener(absorber.listener())
+        ... run writeStream.format("lakeview") ...
+        absorber.drain()          # after awaitTermination: final absorb
+
+    The Spark-first shape: a ``StreamingQueryListener`` runs on the
+    DRIVER's listener thread with a live session — exactly the context
+    phase-3 absorption needs (the epoch ``commit`` hook is sessionless,
+    so the routing upsert cannot run there).  Every micro-batch progress
+    event absorbs once at least ``min_pending`` manifests are queued
+    (batching epochs amortizes upsert overhead without unbounding the
+    serving lag); query termination force-drains.  All table config
+    (keys, partition field, file-group count) rides in the manifests, so
+    the absorber needs only the table path.  A lock serializes absorbs:
+    listener events are sequential per listener, but a caller's
+    ``drain()`` may race the terminated-event callback — the exactly-once
+    timeline check makes replays no-ops, the lock keeps two absorbs from
+    interleaving inside one manifest.  At scale this is the ingest
+    split: executors land data with zero coordination, ONE driver-side
+    service publishes keyed commits at its own cadence."""
+
+    def __init__(self, spark, table_path: str, min_pending: int = 1):
+        import threading
+
+        self.spark = spark
+        self.path = table_path
+        self.min_pending = max(1, int(min_pending))
+        self.published: list[str] = []
+        self._lock = threading.Lock()
+
+    # -- pending-manifest introspection ---------------------------------
+    def _pending_dir(self) -> str:
+        return os.path.join(self.path, ".stream-pending")
+
+    def pending(self) -> list[str]:
+        try:
+            return sorted(
+                n
+                for n in os.listdir(self._pending_dir())
+                if n.endswith(".manifest.json")
+            )
+        except OSError:
+            return []
+
+    def _table(self):
+        """Table handle built from the oldest pending manifest's config."""
+        from .cow import CowTable
+
+        names = self.pending()
+        if not names:
+            return None
+        with open(os.path.join(self._pending_dir(), names[0])) as f:
+            m = json.load(f)
+        return CowTable(
+            self.spark,
+            self.path,
+            key_fields=m["keys"],
+            partition_field=m.get("partition_field"),
+            num_file_groups=m.get("num_file_groups", 4),
+        )
+
+    # -- the service ----------------------------------------------------
+    def absorb(self, force: bool = False) -> list[str]:
+        """Publish pending epochs if the backlog warrants it (always,
+        when ``force``).  Returns the commit timestamps published."""
+        with self._lock:
+            names = self.pending()
+            if not names or (len(names) < self.min_pending and not force):
+                return []
+            table = self._table()
+            done = table.absorb_stream_epochs() if table is not None else []
+            self.published.extend(done)
+            return done
+
+    def drain(self) -> list[str]:
+        """Final absorb after ``awaitTermination`` — the terminated-event
+        callback is asynchronous, so callers needing the table current
+        RIGHT NOW drain explicitly (idempotent either way)."""
+        return self.absorb(force=True)
+
+    def listener(self):
+        """A ``StreamingQueryListener`` bound to this absorber (built
+        lazily so constructing an absorber never imports streaming)."""
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        absorber = self
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                absorber.absorb()
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                absorber.absorb(force=True)
+
+        self._listener = _Listener()
+        return self._listener

@@ -248,3 +248,59 @@ def test_pyds_schema_evolution_read(spark, scratch):
     assert rows[2] == (20, None)
     native = t.snapshot().select("k", "v", "note").orderBy("k").collect()
     assert df.select("k", "v", "note").orderBy("k").collect() == native
+
+
+def test_pyds_auto_absorb_listener(spark, scratch):
+    """LakeviewAbsorber: the listener absorbs epochs WHILE the stream
+    runs (no manual absorb between micro-batches), drain() finishes the
+    tail, and a concurrent drain racing the terminated-event callback
+    publishes nothing twice."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hudi_delete_view_spark.sources.pyds import LakeviewAbsorber
+
+    in_dir = os.path.join(scratch, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    for i in range(3):
+        p = os.path.join(in_dir, f"f{i}.parquet")
+        pq.write_table(
+            pa.table({"k": [i * 10 + j for j in range(5)],
+                      "v": [i * 100 + j for j in range(5)]}), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    tbl_path = os.path.join(scratch, "tbl")
+    absorber = LakeviewAbsorber(spark, tbl_path, min_pending=1)
+    spark.streams.addListener(absorber.listener())
+    try:
+        stream = (
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", "1").parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.format("lakeview")
+            .option("path", tbl_path).option("keys", "k")
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        # listener callbacks are asynchronous: give the bus a moment to
+        # deliver, then require that the LISTENER (not drain) published
+        import time
+
+        deadline = time.time() + 30
+        while not absorber.published and time.time() < deadline:
+            time.sleep(0.2)
+        listener_published = list(absorber.published)
+        absorber.drain()
+    finally:
+        spark.streams.removeListener(absorber._listener)
+    t = CowTable(spark, tbl_path, key_fields=["k"])
+    # all three epochs published exactly once, no pending debris
+    assert t.timeline.timestamps() == [
+        "20300101000000", "20300101000001", "20300101000002"]
+    assert sorted(absorber.published) == t.timeline.timestamps()
+    assert absorber.pending() == []
+    assert t.snapshot().count() == 15
+    # the listener did real MID-STREAM work before drain() ran
+    assert len(listener_published) >= 1
