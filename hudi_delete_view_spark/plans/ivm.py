@@ -48,6 +48,10 @@ IDs for lineage) and classifies the view:
   change set.  Values are keyed by their cast-to-string (injective
   for the primitive types); other DISTINCT aggregates still raise
   ``UnsupportedViewError`` instead of silently approximating.
+  A linear Project/Filter chain ABOVE the aggregate (HAVING, derived
+  outputs like ratio-of-sums) is recorded and re-applied at SERVE time:
+  the stored state keeps every group, so groups entering or leaving a
+  HAVING set as their aggregates change cost no maintenance work.
 - **join** — exactly one INNER equi-join of TWO sources: maintained by
   change-key re-derivation.  The fact source is found by LINEAGE: the
   view's key column must alias some source's ``_hoodie_record_key``
@@ -177,6 +181,29 @@ def classify_view(df: DataFrame, snapshots: dict[str, DataFrame]) -> dict:
     if _cls(plan) == "Aggregate":
         return _classify_aggregate(plan, src_ids, refs, snapshots)
 
+    # peel a linear Project/Filter chain ABOVE an aggregate (HAVING and
+    # derived output columns like ratio-of-sums): the maintained state is
+    # the full underlying aggregate — groups enter and leave a HAVING set
+    # as their aggregates change, so the filter/projection re-applies at
+    # serve time, never at maintenance time
+    post, node = [], plan
+    while _cls(node) in ("Project", "Filter"):
+        if _cls(node) == "Filter":
+            post.append(("filter", node.condition().sql()))
+        else:
+            items = []
+            for p in _seq(node.projectList()):
+                if _cls(p) == "Alias":
+                    items.append((p.name(), p.child().sql()))
+                else:
+                    items.append((p.name(), p.sql()))
+            post.append(("project", items))
+        node = _children(node)[0]
+        if _cls(node) == "Aggregate":
+            spec = _classify_aggregate(node, src_ids, refs, snapshots)
+            spec["post"] = post  # top-down; serve applies bottom-up
+            return spec
+
     # find join nodes anywhere in the tree
     joins = []
 
@@ -251,13 +278,25 @@ def _chain_below(plan, snapshots: dict[str, DataFrame]) -> tuple[list, str]:
 
 def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
     group, aggs = [], []
+    out_aliases = [
+        a for a in _seq(plan.aggregateExpressions()) if _cls(a) == "Alias"
+    ]
     for e in _seq(plan.groupingExpressions()):
-        name = e.name() if _cls(e) in ("AttributeReference", "Alias") else None
-        if name is None:
-            raise UnsupportedViewError(
-                f"grouping expression {e.sql()} must be a column or alias"
-            )
-        group.append((name, e.child().sql() if _cls(e) == "Alias" else e.sql()))
+        if _cls(e) in ("AttributeReference", "Alias"):
+            name = e.name()
+            sql = e.child().sql() if _cls(e) == "Alias" else e.sql()
+        else:
+            # groupBy(expr.alias(name)) strips the alias from the grouping
+            # list (it survives only in the output) — recover the stored
+            # column name from the output alias carrying the SAME expression
+            hits = [a for a in out_aliases if a.child().sql() == e.sql()]
+            if not hits:
+                raise UnsupportedViewError(
+                    f"grouping expression {e.sql()} must be a column, or "
+                    "aliased into the view output (it names the stored key)"
+                )
+            name, sql = hits[0].name(), e.sql()
+        group.append((name, sql))
     group_names = {n for n, _ in group}
     for e in _seq(plan.aggregateExpressions()):
         if _cls(e) == "AttributeReference" and e.name() in group_names:
@@ -514,7 +553,18 @@ class AutoMaterializedView:
                 cols.append(v.alias(alias))
             else:
                 cols.append(F.col(alias))
-        return snap.select(*cols)
+        out = snap.select(*cols)
+        # re-apply the post-aggregation chain (HAVING / derived columns)
+        # bottom-up: the stored state keeps EVERY group so membership
+        # changes need no maintenance work
+        for kind, payload in reversed(spec.get("post", [])):
+            if kind == "filter":
+                out = out.filter(F.expr(payload))
+            else:
+                out = out.select(
+                    *[F.expr(sql).alias(name) for name, sql in payload]
+                )
+        return out
 
     # -- algebra: signed retraction (aggregate views) --------------------
     def _replay_chain(self, spec: dict, df: DataFrame) -> DataFrame:

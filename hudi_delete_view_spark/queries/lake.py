@@ -1625,3 +1625,50 @@ def lake_mv_auto_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = _auto_mv(spark, sf_dir, "mv_auto_count_distinct",
                   {"li": build_lineitem_cow(spark, sf_dir)}, plan)
     return mv.serve()
+
+
+@query(
+    "lake_mv_auto_having",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+q AS (
+  SELECT CAST({_QTY_SQL} AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+a AS (
+  SELECT qty, COUNT(*) AS n_rows, SUM(cents) AS s_cents
+  FROM q GROUP BY qty
+)
+SELECT qty, n_rows, CAST(s_cents AS DOUBLE) / n_rows AS avg_price_cents
+FROM a WHERE n_rows >= 500
+""",
+)
+def lake_mv_auto_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + derived outputs above a maintained aggregate: the
+    classifier peels the Project/Filter chain ABOVE the Aggregate and
+    re-applies it at SERVE time over stored state that keeps every
+    group.  C2's quantity updates MOVE rows between qty groups (the
+    +100 groups are ~10× sparser, so ``n_rows >= 500`` genuinely
+    splits the served set) and groups can enter or leave the HAVING
+    set as deletes shift their counts — with zero maintenance work,
+    because membership is a serve-time filter.  The ratio column is
+    computed at serve from the exact maintained sum and count, spelled
+    identically in the oracle."""
+
+    def plan(t):
+        qty = F.expr("cast(l_quantity as bigint)").alias("qty")
+        cents = F.expr("cast(round(l_extendedprice * 100) as bigint)")
+        a = t["li"].groupBy(qty).agg(
+            F.count("*").alias("n_rows"), F.sum(cents).alias("s_cents"))
+        return (
+            a.filter("n_rows >= 500")
+            .select("qty", "n_rows",
+                    (F.col("s_cents").cast("double") / F.col("n_rows"))
+                    .alias("avg_price_cents"))
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_having",
+                  {"li": build_lineitem_cow(spark, sf_dir)}, plan)
+    return mv.serve()

@@ -354,3 +354,89 @@ def test_count_distinct_maintenance(spark, scratch, tables):
                        .selectExpr("g", "cast(nv as string) as v").distinct())
     got_pairs = _rows(aux.selectExpr("g", "__mv_val as v"))
     assert got_pairs == want_pairs
+
+
+def test_aggregate_over_mor_source(spark, scratch):
+    """The maintenance algebra composes with MERGE-ON-READ sources: the
+    inherited cdc() resolves through MorTable's merge-correct snapshot,
+    so log-resident updates and delta tombstones retract correctly —
+    including changes a compaction later absorbs."""
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    fact = MorTable(spark, os.path.join(scratch, "morfact"),
+                    key_fields=["k"], partition_field=None, num_file_groups=2)
+    fact.bulk_insert(
+        spark.range(12).selectExpr(
+            "concat('k', id) as k", "cast(id % 3 as long) as g",
+            "id * 10 as nv"),
+        "20260101000000")
+
+    def plan(t):
+        return t["fact"].groupBy("g").agg(
+            F.count("*").alias("n"), F.sum("nv").alias("s"),
+            F.max("nv").alias("mx"), F.countDistinct("nv").alias("d"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvmor"),
+                              {"fact": fact}, plan)
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    # log-resident update (moves k3's value) + tombstone of the g=1 max
+    fact.upsert_delta(
+        spark.createDataFrame([("k3", 0, 77)], "k string, g long, nv long"),
+        "20260102000000")
+    fact.delete_delta(spark.createDataFrame([("k10",)], "k string"),
+                      "20260103000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    # compact, then keep changing: the view must stay convergent across
+    # the compaction boundary
+    fact.schedule_compaction(min_log_files=1)
+    fact.compact("20260104000000")
+    fact.upsert_delta(
+        spark.createDataFrame([("k0", 0, 1), ("knew", 1, 999)],
+                              "k string, g long, nv long"),
+        "20260105000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+
+
+def test_having_and_derived_outputs(spark, scratch, tables):
+    """A Project/Filter chain above the aggregate (HAVING + derived
+    ratio column) classifies and serves correctly, and groups ENTER and
+    LEAVE the HAVING set as deletes shift their counts — possible only
+    because the stored state keeps every group."""
+    fact, _ = tables
+
+    def plan(t):
+        return (
+            t["fact"].groupBy("g")
+            .agg(F.count("*").alias("n"), F.sum("nv").alias("s"))
+            .filter("n >= 5")
+            .select("g", "n", (F.col("s") / F.col("n")).alias("avg_nv"))
+        )
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvh"),
+                              {"fact": fact}, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "aggregate" and len(spec["post"]) == 2
+    mv.refresh(seed_as_of={"fact": "20260101000000"})
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    served = {r["g"] for r in mv.serve().collect()}
+    # k99's singleton group and the delete-shrunk g∈{0,3} fail n >= 5
+    assert served == {1, 2}
+    # drop g=1 below the threshold: it must LEAVE the served view while
+    # staying in the stored state
+    fact.delete(spark.createDataFrame([("k1",)], "k string"), "20260105000000")
+    mv.refresh()
+    assert 1 not in {r["g"] for r in mv.serve().collect()}
+    assert 1 in {r["g"] for r in mv.table.snapshot().select("g").collect()}
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    # and RE-ENTER when inserts push it back over
+    fact.upsert(
+        spark.createDataFrame([("kx", 1, 1.0, 5), ("ky", 1, 2.0, 6)],
+                              "k string, g long, v double, nv long"),
+        "20260106000000",
+    )
+    mv.refresh()
+    assert 1 in {r["g"] for r in mv.serve().collect()}
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
