@@ -1672,3 +1672,71 @@ def lake_mv_auto_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = _auto_mv(spark, sf_dir, "mv_auto_having",
                   {"li": build_lineitem_cow(spark, sf_dir)}, plan)
     return mv.serve()
+
+
+@query(
+    "lake_mv_auto_staged",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT {_KEY_SQL} AS vk2, l_orderkey, {_QTY_SQL} AS l_quantity
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+),
+c2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE NOT (c_custkey % 19 = 0)
+)
+SELECT vk2, o_custkey, l_quantity, o_totalprice, c_acctbal
+FROM l2
+JOIN o2 ON l_orderkey = o_orderkey
+JOIN c2 ON o_custkey = c_custkey
+""",
+)
+def lake_mv_auto_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED multi-join: the single-join algebra composes as
+    view-over-view (exactly what the classifier's multi-join refusal
+    prescribes).  Stage 1 maintains lineitem ⋈ orders; its backing
+    table is a REAL lake table, so stage 2 declares (stage-1 ⋈
+    customer) with stage 1 as its fact source — record-key lineage,
+    CDC dim feeds, and the change-key semi-joins all work unchanged on
+    the view table's own commits.  Refreshing in dependency order
+    (stage 1, then stage 2) propagates base-source changes through
+    both hops with change-set-sized work at each; the oracle recomputes
+    the three-way join from scratch over all three change scripts."""
+    from ..sources.fixtures import build_customer_cow, build_orders_mor
+
+    def plan1(t):
+        f = t["li"].select(
+            F.col(RECORD_KEY_FIELD).alias("vk"), "l_orderkey", "l_quantity")
+        d = t["om"].select("o_orderkey", "o_custkey", "o_totalprice")
+        return f.join(d, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "vk", "l_orderkey", "o_custkey", "l_quantity", "o_totalprice")
+
+    mv1 = _auto_mv(
+        spark, sf_dir, "mv_staged_1",
+        {"li": build_lineitem_cow(spark, sf_dir),
+         "om": build_orders_mor(spark, sf_dir)},
+        plan1,
+    )
+
+    def plan2(t):
+        f = t["v1"].select(
+            F.col(RECORD_KEY_FIELD).alias("vk2"),
+            "o_custkey", "l_quantity", "o_totalprice")
+        d = t["cu"].select("c_custkey", "c_acctbal")
+        return f.join(d, F.col("o_custkey") == F.col("c_custkey")).select(
+            "vk2", "o_custkey", "l_quantity", "o_totalprice", "c_acctbal")
+
+    mv2 = _auto_mv(
+        spark, sf_dir, "mv_staged_2",
+        {"v1": mv1.table, "cu": build_customer_cow(spark, sf_dir)},
+        plan2,
+    )
+    return mv2.serve()

@@ -528,3 +528,43 @@ def build_vector_store(
     inc_keep = inc.join(surv.select("vec_id"), "vec_id", "left_semi")
     store.upsert(_rows(inc_keep), C2)
     return store, cents
+
+
+# --------------------------------------------------------------------------
+# customer_cow — 3-commit COW dim from customer (the staged-view third
+# table): C1 bulk-insert; C2 update (c_custkey % 13 = 0 → c_acctbal
+# + 1000); C3 delete (c_custkey % 19 = 0).  Oracles replay the same
+# script over the raw parquet.
+# --------------------------------------------------------------------------
+CUST_UPDATE_PRED_SQL = "c_custkey % 13 = 0"
+CUST_DELETE_PRED_SQL = "c_custkey % 19 = 0"
+
+
+def customer_cow_path(sf_dir: str) -> str:
+    tag = scratch_tag(sf_dir)
+    return os.path.join(SCRATCH_ROOT, "lake", tag, "customer_cow")
+
+
+def build_customer_cow(spark: SparkSession, sf_dir: str, base_path: str | None = None) -> CowTable:
+    base_path = base_path or customer_cow_path(sf_dir)
+    table = CowTable(
+        spark,
+        base_path,
+        key_fields=["c_custkey"],
+        partition_field=None,
+        num_file_groups=4,
+    )
+    if table.timeline.timestamps() == [C1, C2, C3]:
+        return table
+    import shutil
+
+    shutil.rmtree(base_path, ignore_errors=True)
+    os.makedirs(base_path, exist_ok=True)
+    src = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    table.bulk_insert(src, C1)
+    updates = src.filter(F.expr(CUST_UPDATE_PRED_SQL)).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+    )
+    table.upsert(updates, C2)
+    table.delete_where(F.expr(CUST_DELETE_PRED_SQL), C3)
+    return table

@@ -440,3 +440,60 @@ def test_having_and_derived_outputs(spark, scratch, tables):
     mv.refresh()
     assert 1 in {r["g"] for r in mv.serve().collect()}
     assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+
+
+def test_staged_view_over_view(spark, scratch, tables):
+    """Multi-join staged as view-over-view: stage 2's fact source IS
+    stage 1's backing lake table.  Base-source changes propagate through
+    both hops when refreshed in dependency order, including a dim delete
+    at each stage."""
+    fact, dim = tables
+    dim2 = CowTable(spark, os.path.join(scratch, "dim2"), key_fields=["uk"],
+                    partition_field=None, num_file_groups=1)
+    dim2.bulk_insert(
+        spark.range(8).selectExpr("cast(id as long) as uk",
+                                  "cast(id * 1000 as long) as bonus"),
+        "20260101000000")
+
+    def plan1(t):
+        f = t["fact"].select(F.col("_hoodie_record_key").alias("vk"),
+                             "k", "g", "v")
+        return f.join(t["dim"].select("gk", "gname"),
+                      F.col("g") == F.col("gk"))
+
+    mv1 = AutoMaterializedView(spark, os.path.join(scratch, "st1"),
+                               {"fact": fact, "dim": dim}, plan1)
+    mv1.refresh(seed_as_of={"fact": "20260101000000",
+                            "dim": "20260101000000"})
+
+    def plan2(t):
+        f = t["v1"].select(F.col("_hoodie_record_key").alias("vk2"),
+                           "k", "g", "gname", "v")
+        # second hop keys on a DERIVED column of the first view
+        f = f.withColumn("uk", F.expr("cast(v as long) % 8"))
+        return f.join(t["d2"].select("uk", "bonus"), "uk").select(
+            "vk2", "uk", "k", "gname", "v", "bonus")
+
+    mv2 = AutoMaterializedView(spark, os.path.join(scratch, "st2"),
+                               {"v1": mv1.table, "d2": dim2}, plan2)
+    mv2.refresh()
+
+    def recompute():
+        s1 = plan1({"fact": fact.snapshot(), "dim": dim.snapshot()})
+        mv1.refresh(); mv2.refresh()
+        return _rows(mv2.serve()), _rows(
+            plan2({"v1": mv1.table.snapshot(), "d2": dim2.snapshot()}))
+
+    got, want = recompute()
+    assert got == want and len(got) > 0
+    # fact change ripples through hop 1 into hop 2
+    fact.upsert(spark.createDataFrame([("k2", 2, 7.0, 20)],
+                                      "k string, g long, v double, nv long"),
+                "20260105000000")
+    got, want = recompute()
+    assert got == want
+    # stage-2 dim delete retracts its joined rows only
+    dim2.delete(spark.createDataFrame([(2,)], "uk long"), "20260106000000")
+    got, want = recompute()
+    assert got == want
+    assert 2 not in {r["uk"] for r in mv2.serve().collect()}
