@@ -52,8 +52,13 @@ IDs for lineage) and classifies the view:
   outputs like ratio-of-sums) is recorded and re-applied at SERVE time:
   the stored state keeps every group, so groups entering or leaving a
   HAVING set as their aggregates change cost no maintenance work.
-- **join** — exactly one INNER equi-join of TWO sources: maintained by
-  change-key re-derivation.  The fact source is found by LINEAGE: the
+- **join** — exactly one INNER or LEFT OUTER equi-join of TWO sources:
+  maintained by change-key re-derivation (LEFT OUTER needs no extra
+  bookkeeping — re-derivation runs the user's own plan, so a dim delete
+  flips its fact rows to null-extended instead of dead, and a dim
+  insert upgrades them; the preserved side must be the fact, since a
+  preserved dim row has no fact record key to serve as row identity).
+  The fact source is found by LINEAGE: the
   view's key column must alias some source's ``_hoodie_record_key``
   (expression-ID resolution through the plan's Alias chain, not name
   matching).  Advance = (fact keys touched in range) ∪ (fact rows
@@ -361,11 +366,12 @@ def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
 
 
 def _classify_join(df, join_node, src_ids, refs, out_ids) -> dict:
-    if join_node.joinType().sql() != "INNER":
+    jt = join_node.joinType().sql()
+    if jt not in ("INNER", "LEFT OUTER"):
         raise UnsupportedViewError(
-            f"{join_node.joinType().sql()} join: only INNER equi-joins are "
-            "change-key-maintainable (outer joins need null-extension "
-            "bookkeeping)"
+            f"{jt} join: INNER and LEFT OUTER equi-joins are change-key-"
+            "maintainable (RIGHT/FULL outer put dim-only rows in the view, "
+            "which have no fact record key to serve as row identity)"
         )
     cond = join_node.condition()
     if cond.isEmpty():
@@ -394,6 +400,16 @@ def _classify_join(df, join_node, src_ids, refs, out_ids) -> dict:
     key = _find_view_key(out_ids, refs, src_ids)
     fact = key["source"]
     (dim,) = [s for s in sides if s != fact]
+    if jt == "LEFT OUTER":
+        # the PRESERVED side must be the fact: dim-on-the-left would
+        # null-extend rows that have no fact record key (no row identity)
+        left_ids = {a.exprId().id() for a in _seq(join_node.left().output())}
+        if sides[fact]["expr_id"] not in left_ids:
+            raise UnsupportedViewError(
+                "LEFT OUTER view: the left (preserved) side must be the "
+                f"fact source ({fact} — the one whose record key is the "
+                "view identity); a preserved dim row has no row identity"
+            )
     # the fact-side join key must ride in the view output (same exprId):
     # it maps a changed dim key to affected stored view rows
     fact_join_out = out_ids.get(sides[fact]["expr_id"])

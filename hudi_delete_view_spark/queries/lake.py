@@ -1740,3 +1740,49 @@ def lake_mv_auto_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan2,
     )
     return mv2.serve()
+
+
+@query(
+    "lake_mv_auto_left_join",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT {_KEY_SQL} AS vk, l_orderkey, {_QTY_SQL} AS l_quantity
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+)
+SELECT vk, l_orderkey, l_quantity, o_totalprice
+FROM l2 LEFT JOIN o2 ON l_orderkey = o_orderkey
+""",
+)
+def lake_mv_auto_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join view through the unified entry point: orders'
+    C3 delta-deletes (o_orderkey % 11) flip their lineitems to
+    NULL-EXTENDED rows instead of retracting them — the semantics the
+    inner-join view cannot express — with zero extra bookkeeping,
+    because change-key re-derivation runs the user's own left-join
+    plan over the affected fact keys.  The preserved side must be the
+    fact (a preserved dim row has no record-key identity; the
+    classifier refuses that shape).  Oracle recomputes the left join
+    from scratch over both change scripts."""
+    from ..sources.fixtures import build_orders_mor
+
+    def plan(t):
+        f = t["li"].select(
+            F.col(RECORD_KEY_FIELD).alias("vk"), "l_orderkey", "l_quantity")
+        d = t["om"].select("o_orderkey", "o_totalprice")
+        return f.join(d, F.col("l_orderkey") == F.col("o_orderkey"), "left")\
+            .select("vk", "l_orderkey", "l_quantity", "o_totalprice")
+
+    mv = _auto_mv(
+        spark, sf_dir, "mv_auto_left_join",
+        {"li": build_lineitem_cow(spark, sf_dir),
+         "om": build_orders_mor(spark, sf_dir)},
+        plan,
+    )
+    return mv.serve()

@@ -114,8 +114,8 @@ def test_outer_join_and_missing_key_raise(spark, tables):
     fact, dim = tables
     fs, ds = fact.snapshot(), dim.snapshot()
     outer = fs.select(F.col("_hoodie_record_key").alias("vk"), "g").join(
-        ds.select("gk"), F.col("g") == F.col("gk"), "left")
-    with pytest.raises(UnsupportedViewError, match="INNER"):
+        ds.select("gk"), F.col("g") == F.col("gk"), "full")
+    with pytest.raises(UnsupportedViewError, match="INNER and LEFT OUTER"):
         classify_view(outer, {"fact": fs, "dim": ds})
     # no record-key lineage in the output -> no row identity
     nokey = fs.select("g", "v").join(
@@ -497,3 +497,84 @@ def test_staged_view_over_view(spark, scratch, tables):
     got, want = recompute()
     assert got == want
     assert 2 not in {r["uk"] for r in mv2.serve().collect()}
+
+
+def test_staged_aggregate_over_join(spark, scratch, tables):
+    """Aggregate OVER a join, staged: stage 1 maintains the join view,
+    stage 2 classifies an aggregate whose source is stage 1's backing
+    table — retraction consumes the view table's own CDC feed."""
+    fact, dim = tables
+
+    def plan1(t):
+        f = t["fact"].select(F.col("_hoodie_record_key").alias("vk"),
+                             "k", "g", "v")
+        return f.join(t["dim"].select("gk", "gname"),
+                      F.col("g") == F.col("gk"))
+
+    mv1 = AutoMaterializedView(spark, os.path.join(scratch, "aj1"),
+                               {"fact": fact, "dim": dim}, plan1)
+    mv1.refresh(seed_as_of={"fact": "20260101000000",
+                            "dim": "20260101000000"})
+
+    def plan2(t):
+        return t["v1"].groupBy("gname").agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("cast(v * 100 as bigint)")).alias("cents"),
+            F.max("v").alias("mx"))
+
+    mv2 = AutoMaterializedView(spark, os.path.join(scratch, "aj2"),
+                               {"v1": mv1.table}, plan2)
+    mv2.refresh()
+    want = _rows(plan2({"v1": mv1.table.snapshot()}))
+    assert _rows(mv2.serve()) == want and len(want) > 0
+    # ripple: a fact update + a dim delete reshape the join, the rollup
+    # over the view's CDC must track both (incl. a group vanishing)
+    fact.upsert(spark.createDataFrame([("k5", 1, 500.0, 1)],
+                                      "k string, g long, v double, nv long"),
+                "20260105000000")
+    dim.delete(spark.createDataFrame([(2,)], "gk long"), "20260106000000")
+    mv1.refresh()
+    mv2.refresh()
+    assert _rows(mv2.serve()) == _rows(plan2({"v1": mv1.table.snapshot()}))
+    assert "name2" not in {r["gname"] for r in mv2.serve().collect()}
+
+
+def test_left_outer_join_view(spark, scratch, tables):
+    """LEFT OUTER views: a dim delete flips its fact rows to
+    null-extended (NOT dead), a dim insert upgrades null-extended rows,
+    fact deletes still retract — all through the unchanged change-key
+    algebra.  Dim-preserved outer joins are refused (no row identity)."""
+    fact, dim = tables
+
+    def plan(t):
+        f = t["fact"].select(F.col("_hoodie_record_key").alias("vk"),
+                             "k", "g", "v")
+        return f.join(t["dim"].select("gk", "gname"),
+                      F.col("g") == F.col("gk"), "left")
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvlo"),
+                              {"fact": fact, "dim": dim}, plan)
+    mv.refresh(seed_as_of={"fact": "20260101000000",
+                           "dim": "20260101000000"})
+    want = _rows(plan({"fact": fact.snapshot(), "dim": dim.snapshot()}))
+    assert _rows(mv.serve()) == want
+    got = {r["k"]: r["gname"] for r in mv.serve().collect()}
+    assert got["k99"] is None       # g=9 never had a dim row
+    assert got["k3"] is None        # gk=3 deleted at C4 -> null-extended
+    # dim insert UPGRADES the null-extended rows
+    dim.upsert(spark.createDataFrame([(9, "nine")], "gk long, gname string"),
+               "20260105000000")
+    # and a fact delete must still retract its view row
+    fact.delete(spark.createDataFrame([("k4",)], "k string"), "20260106000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(
+        plan({"fact": fact.snapshot(), "dim": dim.snapshot()}))
+    got = {r["k"]: r["gname"] for r in mv.serve().collect()}
+    assert got["k99"] == "nine" and "k4" not in got
+    # preserved-dim refusal
+    fs, ds = fact.snapshot(), dim.snapshot()
+    bad = ds.select("gk", "gname").join(
+        fs.select(F.col("_hoodie_record_key").alias("vk"), "g"),
+        F.col("gk") == F.col("g"), "left")
+    with pytest.raises(UnsupportedViewError, match="preserved"):
+        classify_view(bad, {"fact": fs, "dim": ds})
