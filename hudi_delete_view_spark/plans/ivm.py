@@ -65,6 +65,16 @@ IDs for lineage) and classifies the view:
   joining a dim key changed in range, dim deletes included via CDC
   before-images) → re-derive those rows against latest snapshots, one
   delete commit for vanished view rows, one upsert for the rest.
+- **window** — Project/Filter above ONE Window over one source (rank,
+  top-k per group, running aggregates): maintained by WHOLE-PARTITION
+  re-derivation, because one changed row reshuffles every rank in its
+  partition.  Touched partitions = old locations from the stored view ∪
+  new locations from the source (never from the windowed plan, whose
+  top-k filter may hide a changed row); the plan re-runs over exactly
+  those partitions (the semi-join pushes below the Window), vanished
+  rows become view deletes.  A Window anywhere else in a plan is
+  refused — the row-granular algebras would silently miss the
+  partition reshuffle.
 - **select** — single source, no join/aggregate (the everyday
   project/filter view): the join algebra degenerated to zero dim
   sources — touched record keys re-derived through the plan, rows the
@@ -208,6 +218,39 @@ def classify_view(df: DataFrame, snapshots: dict[str, DataFrame]) -> dict:
             spec = _classify_aggregate(node, src_ids, refs, snapshots)
             spec["post"] = post  # top-down; serve applies bottom-up
             return spec
+        if _cls(node) == "Window":
+            return _classify_window(node, src_ids, refs, _out_ids(df), snapshots)
+
+    if _cls(plan) == "Window":
+        return _classify_window(plan, src_ids, refs, _out_ids(df), snapshots)
+
+    # a Window anywhere ELSE would silently maintain wrong: the key/join
+    # algebras re-derive touched ROWS, but a rank reshuffles its whole
+    # partition when any member changes — refuse instead of approximating.
+    # The search stops at source-snapshot boundaries (node output == a
+    # source's output ids): a Window INSIDE a source's own plan — e.g. the
+    # MOR merge's row_number — is the source's implementation detail, not
+    # part of the view the user asked to maintain.
+    src_bounds = {frozenset(ids) for ids in src_ids.values()}
+    wins = []
+
+    def _findw(n):
+        if frozenset(a.exprId().id() for a in _seq(n.output())) in src_bounds:
+            return
+        if _cls(n) == "Window":
+            wins.append(n)
+        for c in _children(n):
+            _findw(c)
+
+    _findw(plan)
+    if wins:
+        raise UnsupportedViewError(
+            "window functions are maintainable only as the top-level "
+            "window-view shape (Project/Filter above ONE Window over one "
+            "source) — a window inside a join or select view would need "
+            "whole-partition re-derivation the change-key algebra does "
+            "not do"
+        )
 
     # find join nodes anywhere in the tree
     joins = []
@@ -363,6 +406,58 @@ def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
         "aggs": aggs,
         "chain": chain_spec,
     }
+
+
+def _classify_window(win_node, src_ids, refs, out_ids, snapshots) -> dict:
+    """Window views (rank / top-k per group / running aggregates):
+    maintained by WHOLE-PARTITION re-derivation — one changed row
+    reshuffles every rank in its partition, so the advance re-runs the
+    plan over exactly the touched partitions (old location from the
+    stored view, new location from the source) and swaps them in.
+    Work ∝ rows of touched partitions, never the table; ANY window
+    function is supported because the user's own plan recomputes."""
+    if len(snapshots) != 1:
+        raise UnsupportedViewError("a window view must read exactly one source")
+    (src_name,) = snapshots
+    key = _find_view_key(out_ids, refs, src_ids, want_source=src_name)
+    pspec = _seq(win_node.partitionSpec())
+    if not pspec:
+        raise UnsupportedViewError(
+            "window without PARTITION BY: every change would re-derive the "
+            "whole table (one global partition) — give the window a "
+            "partition or use a plain select view"
+        )
+    parts = []
+    for e in pspec:
+        if _cls(e) != "AttributeReference":
+            raise UnsupportedViewError(
+                f"window partition expression {e.sql()} must be a plain "
+                "column (pre-compute derived partitions in a select below)"
+            )
+        hit = _resolve_to_source(e.exprId().id(), refs, src_ids)
+        if hit is None or hit[0] != src_name:
+            raise UnsupportedViewError(
+                f"window partition column {e.sql()} does not resolve to the "
+                "source"
+            )
+        # the output column carrying the partition attr: same exprId
+        # (pass-through) or a pure rename (an alias referencing ONLY it —
+        # transitive reach would false-match e.g. the rank column, whose
+        # window expression also references the partition attr)
+        tid = e.exprId().id()
+        out_name = next(
+            (name for eid, name in out_ids.items() if eid == tid), None
+        ) or next(
+            (name for eid, name in out_ids.items() if refs.get(eid) == [tid]),
+            None,
+        )
+        if out_name is None:
+            raise UnsupportedViewError(
+                f"window partition column {e.sql()} must be projected into "
+                "the view output — it maps stored rows to their partitions"
+            )
+        parts.append((out_name, hit[1]))
+    return {"kind": "window", "source": src_name, "key": key, "parts": parts}
 
 
 def _classify_join(df, join_node, src_ids, refs, out_ids) -> dict:
@@ -717,6 +812,8 @@ class AutoMaterializedView:
     def _advance(self, spec, anchor: dict, latest: dict) -> None:
         if spec["kind"] == "aggregate":
             self._advance_aggregate(spec, anchor, latest)
+        elif spec["kind"] == "window":
+            self._advance_window(spec, anchor, latest)
         else:
             self._advance_change_keys(spec, anchor, latest)
 
@@ -940,6 +1037,71 @@ class AutoMaterializedView:
             self.table.delete(dead, f"{base + 1:014d}")
         if live.count() > 0:
             self.table.upsert(live, f"{base + 2:014d}")
+
+    # -- algebra: whole-partition re-derivation (window views) -----------
+    def _advance_window(self, spec, anchor, latest) -> None:
+        """Re-rank exactly the TOUCHED partitions: a changed row's old
+        partition comes from the stored view (updates can move rows
+        between partitions; deletes only exist there), its new partition
+        from the source — never from the windowed plan itself, whose
+        top-k filter may hide the row.  The semi-joins on partition
+        columns push below the Window (Catalyst's
+        PushDownLeftSemiAntiJoin), so re-derivation scans only touched
+        partitions' rows."""
+        from functools import reduce
+
+        key = spec["key"]["name"]
+        out_parts = [o for o, _s in spec["parts"]]
+        d_fact = self._changed_fact_keys(spec, anchor, latest)
+        src = self.sources[spec["source"]]
+        snaps = {spec["source"]: src.snapshot(latest[spec["source"]])}
+        view_snap = self.table.snapshot()
+        tp_new = (
+            snaps[spec["source"]]
+            .join(
+                d_fact.select(F.col(key).alias(RECORD_KEY_FIELD)),
+                RECORD_KEY_FIELD,
+                "left_semi",
+            )
+            .select(*[F.col(s).alias(o) for o, s in spec["parts"]])
+        )
+        tp_old = (
+            view_snap.select(key, *out_parts)
+            .join(d_fact, key, "left_semi")
+            .select(*out_parts)
+        )
+        touched = tp_new.unionByName(tp_old).distinct().localCheckpoint(
+            eager=True
+        )
+
+        def part_cond(a: str, b: str):
+            return reduce(
+                lambda x, y: x & y,
+                [
+                    F.col(f"{a}.{p}").eqNullSafe(F.col(f"{b}.{p}"))
+                    for p in out_parts
+                ],
+            )
+
+        full = self.plan_fn(snaps)
+        rederived = (
+            full.alias("f")
+            .join(F.broadcast(touched.alias("t")), part_cond("f", "t"), "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        dead = (
+            view_snap.select(key, *out_parts)
+            .alias("v")
+            .join(F.broadcast(touched.alias("t")), part_cond("v", "t"), "left_semi")
+            .select(key)
+            .join(rederived.select(key), key, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        base = self._commit_base(latest)
+        if dead.count() > 0:
+            self.table.delete(dead, f"{base + 1:014d}")
+        if rederived.count() > 0:
+            self.table.upsert(rederived, f"{base + 2:014d}")
 
     # -- algebra: change-key re-derivation (select / join views) ---------
     def _changed_fact_keys(self, spec, anchor, latest) -> DataFrame:

@@ -1786,3 +1786,50 @@ def lake_mv_auto_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan,
     )
     return mv.serve()
+
+
+@query(
+    "lake_mv_auto_window",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT {_KEY_SQL} AS vk, l_returnflag, l_extendedprice
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+r AS (
+  SELECT vk, l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, vk) AS rn
+  FROM l2
+)
+SELECT vk, l_returnflag, l_extendedprice, rn FROM r WHERE rn <= 10
+""",
+)
+def lake_mv_auto_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-per-group WINDOW view through the unified entry point:
+    maintained by whole-partition re-derivation, because one changed
+    row reshuffles every rank in its partition — C3/C4's deletes
+    PROMOTE previously-hidden rows into the top 10, the displacement
+    case row-granular maintenance cannot see.  Touched partitions come
+    from the stored view (old location) and the source (new location);
+    the re-rank semi-join pushes below the Window, so advance work is
+    rows of touched partitions, never the table.  Deterministic rank:
+    price desc, record key as the total tiebreak — identical in
+    DuckDB's ROW_NUMBER."""
+    from pyspark.sql import Window as W
+
+    def plan(t):
+        w = W.partitionBy("l_returnflag").orderBy(
+            F.desc("l_extendedprice"), F.asc("vk"))
+        return (
+            t["li"]
+            .select(F.col(RECORD_KEY_FIELD).alias("vk"),
+                    "l_returnflag", "l_extendedprice")
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn <= 10")
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_window",
+                  {"li": build_lineitem_cow(spark, sf_dir)}, plan)
+    return mv.serve()

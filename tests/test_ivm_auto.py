@@ -578,3 +578,68 @@ def test_left_outer_join_view(spark, scratch, tables):
         F.col("gk") == F.col("g"), "left")
     with pytest.raises(UnsupportedViewError, match="preserved"):
         classify_view(bad, {"fact": fs, "dim": ds})
+
+
+def test_window_view_topk(spark, scratch, tables):
+    """Top-k-per-group window view: an insert DISPLACES the previous
+    rank-3 row (which must leave the view), an update moves a row
+    between partitions (both re-ranked), a delete PROMOTES a hidden
+    row into the top-k — the displacement cases row-granular
+    maintenance cannot see."""
+    from pyspark.sql import Window
+
+    fact, _ = tables
+
+    def plan(t):
+        w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("k"))
+        return (
+            t["fact"]
+            .select(F.col("_hoodie_record_key").alias("vk"), "k", "g", "v")
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn <= 3")
+        )
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvw"),
+                              {"fact": fact}, plan)
+    assert mv.spec()["kind"] == "window"
+    mv.refresh(seed_as_of={"fact": "20260101000000"})
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    # insert a new g=1 maximum: ranks shift, old rank-3 leaves the view
+    fact.upsert(spark.createDataFrame([("kbig", 1, 9999.0, 1)],
+                                      "k string, g long, v double, nv long"),
+                "20260105000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    # move the g=1 top row to g=2: BOTH partitions re-rank
+    fact.upsert(spark.createDataFrame([("kbig", 2, 9999.0, 1)],
+                                      "k string, g long, v double, nv long"),
+                "20260106000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    # delete a ranked row: a previously-hidden row is PROMOTED in
+    fact.delete(spark.createDataFrame([("kbig",)], "k string"),
+                "20260107000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+
+
+def test_window_misplacement_refusals(spark, tables):
+    """Windows outside the top shape refuse loudly (they would silently
+    maintain wrong under the row-granular algebras), as do global
+    windows."""
+    from pyspark.sql import Window
+
+    fact, dim = tables
+    fs, ds = fact.snapshot(), dim.snapshot()
+    w = Window.partitionBy("g").orderBy("v")
+    ranked = fs.select(F.col("_hoodie_record_key").alias("vk"), "g", "v")\
+        .withColumn("rn", F.row_number().over(w))
+    inside_join = ranked.join(ds.select("gk", "gname"),
+                              F.col("g") == F.col("gk"))
+    with pytest.raises(UnsupportedViewError, match="top-level"):
+        classify_view(inside_join, {"fact": fs, "dim": ds})
+    wg = Window.orderBy("v")
+    glob = fs.select(F.col("_hoodie_record_key").alias("vk"), "v")\
+        .withColumn("rn", F.row_number().over(wg)).filter("rn <= 3")
+    with pytest.raises(UnsupportedViewError, match="PARTITION BY"):
+        classify_view(glob, {"fact": fs})
