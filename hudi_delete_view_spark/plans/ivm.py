@@ -306,22 +306,54 @@ def _find_view_key(
     return hits[0]
 
 
-def _chain_below(plan, snapshots: dict[str, DataFrame]) -> tuple[list, str]:
-    """The linear Project/Filter chain from ``plan``'s child down to a
-    source snapshot's own plan root; returns (top-down chain, source)."""
+def _descend_chain(node, snapshots: dict[str, DataFrame]) -> tuple[list, tuple]:
+    """Descend a linear Project/Filter chain from ``node``; returns
+    (top-down chain nodes, terminal) where terminal is ``("source",
+    name)`` when the chain bottoms out on a source snapshot's own plan
+    root, or ``("node", n)`` at the first non-Project/Filter node."""
     snap_plans = {n: s._jdf.queryExecution().analyzed() for n, s in snapshots.items()}
-    chain, node = [], _children(plan)[0]
+    chain = []
     while True:
         for name, sp in snap_plans.items():
             if node.sameResult(sp):
-                return chain, name
+                return chain, ("source", name)
         if _cls(node) not in ("Project", "Filter"):
-            raise UnsupportedViewError(
-                f"node {_cls(node)} between the aggregate and its source; "
-                "only Project/Filter chains can be replayed over the CDC feed"
-            )
+            return chain, ("node", node)
         chain.append(node)
         node = _children(node)[0]
+
+
+def _chain_to_spec(nodes: list) -> list:
+    """(kind, payload) replay specs for a Project/Filter node chain —
+    plain SQL strings, so maintenance needs no JVM handles."""
+    spec = []
+    for n in nodes:
+        if _cls(n) == "Filter":
+            spec.append(("filter", n.condition().sql()))
+        else:
+            items = []
+            for p in _seq(n.projectList()):
+                if _cls(p) == "Alias":
+                    items.append((p.name(), p.child().sql()))
+                else:
+                    items.append((p.name(), p.sql()))
+            spec.append(("project", items))
+    return spec
+
+
+def _replay_spec(chain_spec: list, df: DataFrame, extra: tuple = ()) -> DataFrame:
+    """Re-run a (kind, payload) chain bottom-up over rows carrying the
+    chain's input columns; ``extra`` columns ride along through
+    projects (e.g. a CDC ``op`` column)."""
+    for kind, payload in reversed(chain_spec):
+        if kind == "filter":
+            df = df.filter(F.expr(payload))
+        else:
+            df = df.select(
+                *[F.expr(sql).alias(name) for name, sql in payload],
+                *[F.col(c) for c in extra if c in df.columns],
+            )
+    return df
 
 
 def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
@@ -385,26 +417,102 @@ def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
         aggs.append((e.name(), fname, arg_sql))
     if not aggs:
         raise UnsupportedViewError("aggregate view with no count/sum outputs")
-    chain, source = _chain_below(plan, snapshots)
-    # replay specs are (kind, payload) so maintenance needs no JVM handles
-    chain_spec = []
-    for n in chain:
-        if _cls(n) == "Filter":
-            chain_spec.append(("filter", n.condition().sql()))
-        else:
-            items = []
-            for p in _seq(n.projectList()):
-                if _cls(p) == "Alias":
-                    items.append((p.name(), p.child().sql()))
-                else:
-                    items.append((p.name(), p.sql()))
-            chain_spec.append(("project", items))
+    chain, term = _descend_chain(_children(plan)[0], snapshots)
+    if term[0] == "source":
+        return {
+            "kind": "aggregate",
+            "source": term[1],
+            "group": group,
+            "aggs": aggs,
+            "chain": _chain_to_spec(chain),
+        }
+    if _cls(term[1]) == "Join":
+        return _classify_agg_join(group, aggs, chain, term[1], snapshots)
+    raise UnsupportedViewError(
+        f"node {_cls(term[1])} between the aggregate and its source; "
+        "only Project/Filter chains (optionally over one INNER equi-join) "
+        "can be maintained below an aggregate"
+    )
+
+
+def _classify_agg_join(group, aggs, mid_nodes, join_node, snapshots) -> dict:
+    """Aggregate over ONE inner equi-join — maintained by DIRTY-GROUP
+    re-derivation: both sides' CDC feeds name the touched join-key
+    values, the pre-aggregate join (replayed at the anchor and the
+    target) maps those keys to the groups they feed at either state,
+    and exactly those groups recompute from the target snapshots.
+    Work ∝ rows of touched groups; any supported aggregate works
+    because dirty groups rebuild their stored state from scratch."""
+    jt = join_node.joinType().sql()
+    if jt != "INNER":
+        raise UnsupportedViewError(
+            f"aggregate over a {jt} join: only INNER equi-joins are "
+            "maintainable below an aggregate (an outer join's "
+            "null-extended rows appear/vanish with the OTHER side's "
+            "changes, which join-key dirty-group detection cannot see)"
+        )
+    cond = join_node.condition()
+    if cond.isEmpty():
+        raise UnsupportedViewError("aggregate over a cross join: no join "
+                                   "key to map changes to dirty groups")
+    cond = cond.get()
+    if _cls(cond) != "EqualTo":
+        raise UnsupportedViewError(
+            f"join condition {cond.sql()} must be a single equality"
+        )
+    left_ids = {a.exprId().id(): a.name() for a in _seq(join_node.left().output())}
+    right_ids = {a.exprId().id(): a.name() for a in _seq(join_node.right().output())}
+    if set(left_ids.values()) & set(right_ids.values()):
+        raise UnsupportedViewError(
+            "aggregate-over-join sides share column names "
+            f"({sorted(set(left_ids.values()) & set(right_ids.values()))}) "
+            "— rename in the per-side projections so the replayed join is "
+            "unambiguous"
+        )
+    jcols = {}
+    for attr in (cond.left(), cond.right()):
+        if _cls(attr) != "AttributeReference":
+            raise UnsupportedViewError(
+                f"join key {attr.sql()} must be a plain column"
+            )
+        eid = attr.exprId().id()
+        if eid in left_ids:
+            jcols["left"] = left_ids[eid]
+        elif eid in right_ids:
+            jcols["right"] = right_ids[eid]
+    if set(jcols) != {"left", "right"}:
+        raise UnsupportedViewError(
+            "join keys must come one from each side of the join"
+        )
+    sides = {}
+    for pos, child in (("left", join_node.left()), ("right", join_node.right())):
+        nodes, term = _descend_chain(child, snapshots)
+        if term[0] != "source":
+            raise UnsupportedViewError(
+                f"the {pos} side of an aggregate-over-join must be a "
+                "Project/Filter chain over one source — stage deeper "
+                "shapes as view-over-view"
+            )
+        sides[pos] = {
+            "source": term[1],
+            "chain": _chain_to_spec(nodes),
+            "join_col": jcols[pos],
+        }
+    if sides["left"]["source"] == sides["right"]["source"]:
+        raise UnsupportedViewError(
+            "aggregate-over-join self-joins are not maintainable (one "
+            "source's change dirties through both sides at once)"
+        )
     return {
-        "kind": "aggregate",
-        "source": source,
+        "kind": "agg_join",
         "group": group,
         "aggs": aggs,
-        "chain": chain_spec,
+        # feeds reach _agg_delta already pre-replayed (the join IS the
+        # replay); an empty chain makes the shared state-builders identity
+        "chain": [],
+        "mid": _chain_to_spec(mid_nodes),
+        "left": sides["left"],
+        "right": sides["right"],
     }
 
 
@@ -558,7 +666,7 @@ class AutoMaterializedView:
 
     def _key_fields(self) -> list[str]:
         spec = self.spec()
-        if spec["kind"] == "aggregate":
+        if spec["kind"] in ("aggregate", "agg_join"):
             return [n for n, _ in spec["group"]]
         return [spec["key"]["name"]]
 
@@ -624,7 +732,7 @@ class AutoMaterializedView:
     def serve(self) -> DataFrame:
         snap = self.table.snapshot()
         spec = self.spec()
-        if spec["kind"] != "aggregate":
+        if spec["kind"] not in ("aggregate", "agg_join"):
             keep = [c for c in snap.columns if c not in META_FIELDS]
             return snap.select(*keep)
         cols = [F.col(n) for n, _ in spec["group"]]
@@ -793,11 +901,47 @@ class AutoMaterializedView:
         keys = [F.expr(sql).alias(name) for name, sql in spec["group"]]
         return df.groupBy(*keys).agg(*aggs)
 
+    def _pre_agg(
+        self,
+        spec: dict,
+        snaps: dict[str, DataFrame],
+        dirty_jk: DataFrame | None = None,
+    ) -> DataFrame:
+        """The replayed below-aggregate join of an agg_join view: each
+        side's Project/Filter chain over its snapshot, the inner
+        equi-join, then the mid chain (filters/projections between the
+        join and the aggregate).  ``dirty_jk`` (one ``__mv_jk`` column)
+        prunes BOTH sides to the touched join keys before the join —
+        explicit semi-joins rather than trusting pushdown, so each
+        side's scan is change-sized."""
+        left = _replay_spec(spec["left"]["chain"], snaps[spec["left"]["source"]])
+        right = _replay_spec(spec["right"]["chain"], snaps[spec["right"]["source"]])
+        if dirty_jk is not None:
+            left = left.join(
+                F.broadcast(dirty_jk),
+                F.col(spec["left"]["join_col"]) == F.col("__mv_jk"),
+                "left_semi",
+            )
+            right = right.join(
+                F.broadcast(dirty_jk),
+                F.col(spec["right"]["join_col"]) == F.col("__mv_jk"),
+                "left_semi",
+            )
+        j = left.join(
+            right,
+            F.col(spec["left"]["join_col"]) == F.col(spec["right"]["join_col"]),
+            "inner",
+        )
+        return _replay_spec(spec["mid"], j)
+
     def _seed(self, spec: dict, at: dict[str, str]) -> None:
         snaps = {n: t.snapshot(at[n]) for n, t in self.sources.items()}
         ts = max(at.values())
-        if spec["kind"] == "aggregate":
-            feed = snaps[spec["source"]].withColumn("__mv_sign", F.lit(1))
+        if spec["kind"] in ("aggregate", "agg_join"):
+            if spec["kind"] == "aggregate":
+                feed = snaps[spec["source"]].withColumn("__mv_sign", F.lit(1))
+            else:
+                feed = self._pre_agg(spec, snaps).withColumn("__mv_sign", F.lit(1))
             seed = self._agg_delta(spec, feed)
             if "__mv_dirty" in seed.columns:
                 seed = seed.drop("__mv_dirty")  # delta-only flag
@@ -812,6 +956,8 @@ class AutoMaterializedView:
     def _advance(self, spec, anchor: dict, latest: dict) -> None:
         if spec["kind"] == "aggregate":
             self._advance_aggregate(spec, anchor, latest)
+        elif spec["kind"] == "agg_join":
+            self._advance_agg_join(spec, anchor, latest)
         elif spec["kind"] == "window":
             self._advance_window(spec, anchor, latest)
         else:
@@ -1037,6 +1183,131 @@ class AutoMaterializedView:
             self.table.delete(dead, f"{base + 1:014d}")
         if live.count() > 0:
             self.table.upsert(live, f"{base + 2:014d}")
+
+    # -- algebra: dirty-group re-derivation (aggregate-over-join views) --
+    def _advance_agg_join(self, spec, anchor, latest) -> None:
+        """Advance an aggregate-over-join view: (1) both sides' CDC
+        windows name the touched JOIN-KEY values (before- and
+        after-images replayed through that side's own chain, so filters
+        and renames apply); (2) the pre-aggregate join — pruned to those
+        keys on BOTH sides — maps them to the groups they feed at the
+        anchor state and at the target state (an update that moves rows
+        between groups dirties both); (3) exactly those dirty groups
+        rebuild their stored state from the target snapshots and swap
+        in, with vanished groups becoming view deletes.  Every pass is
+        change-sized: the broadcast join-key semi prunes both scan
+        sides, and the group-key semi bounds the re-aggregation."""
+        from functools import reduce
+
+        group_names = [n for n, _ in spec["group"]]
+        gk = [f"__mv_gk{i}" for i in range(len(group_names))]
+        key_exprs = [
+            F.expr(sql).alias(t) for t, (_n, sql) in zip(gk, spec["group"])
+        ]
+
+        # 1. touched join-key values from both sides' CDC windows
+        dirty_jk = None
+        for side in (spec["left"], spec["right"]):
+            s = side["source"]
+            if anchor[s] == latest[s]:
+                continue
+            cdc = self.sources[s].cdc(
+                anchor[s], latest[s], include_update_preimages=True
+            )
+            jks = (
+                _replay_spec(side["chain"], cdc)
+                .select(F.col(side["join_col"]).alias("__mv_jk"))
+                .distinct()
+            )
+            dirty_jk = jks if dirty_jk is None else dirty_jk.unionByName(jks)
+        if dirty_jk is None:
+            return
+        dirty_jk = dirty_jk.distinct().localCheckpoint(eager=True)
+        if dirty_jk.count() == 0:
+            return
+
+        # 2. the groups those keys feed, at the anchor AND target states
+        def groups_at(at: dict) -> DataFrame:
+            snaps = {n: t.snapshot(at[n]) for n, t in self.sources.items()}
+            return self._pre_agg(spec, snaps, dirty_jk).select(*key_exprs)
+
+        dirty = (
+            groups_at(anchor)
+            .unionByName(groups_at(latest))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if dirty.count() == 0:
+            return
+
+        # 3. re-derive exactly those groups from the target snapshots
+        snaps = {n: t.snapshot(latest[n]) for n, t in self.sources.items()}
+        pa = self._pre_agg(spec, snaps)
+        pcond = reduce(
+            lambda a, b: a & b,
+            [
+                F.expr(sql).eqNullSafe(F.col(f"__dg.{t}"))
+                for t, (_n, sql) in zip(gk, spec["group"])
+            ],
+        )
+        feed = pa.join(
+            F.broadcast(dirty.alias("__dg")), pcond, "left_semi"
+        ).withColumn("__mv_sign", F.lit(1))
+        state = self._agg_delta(spec, feed)
+        if "__mv_dirty" in state.columns:
+            state = state.drop("__mv_dirty")
+        state = state.localCheckpoint(eager=True)
+        scond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__dg.{t}").eqNullSafe(F.col(f"__st.{n}"))
+                for t, n in zip(gk, group_names)
+            ],
+        )
+        dead = (
+            dirty.alias("__dg")
+            .join(state.select(*group_names).alias("__st"), scond, "left_anti")
+            .select(*[F.col(t).alias(n) for t, n in zip(gk, group_names)])
+            .localCheckpoint(eager=True)
+        )
+        base = self._commit_base(latest)
+        # per-value COUNT(DISTINCT) state: dirty groups' rows replaced
+        # wholesale (re-derivation has no signed delta to merge)
+        for alias, arg in self._distinct_aliases(spec):
+            aux = self._aux_table(alias)
+            new_vals = self._value_state(spec, arg, feed).localCheckpoint(
+                eager=True
+            )
+            acond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__a.{n}").eqNullSafe(F.col(f"__dg.{t}"))
+                    for n, t in zip(group_names, gk)
+                ],
+            )
+            vcond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__a.{c}").eqNullSafe(F.col(f"__v.{c}"))
+                    for c in group_names + ["__mv_val"]
+                ],
+            )
+            dead_vals = (
+                aux.snapshot()
+                .select(*group_names, "__mv_val")
+                .alias("__a")
+                .join(F.broadcast(dirty.alias("__dg")), acond, "left_semi")
+                .join(new_vals.alias("__v"), vcond, "left_anti")
+                .select(*[F.col(f"__a.{c}").alias(c) for c in group_names + ["__mv_val"]])
+            )
+            if dead_vals.count() > 0:
+                aux.delete(dead_vals, f"{base + 1:014d}")
+            if new_vals.count() > 0:
+                aux.upsert(new_vals, f"{base + 2:014d}")
+        if dead.count() > 0:
+            self.table.delete(dead, f"{base + 1:014d}")
+        if state.count() > 0:
+            self.table.upsert(state, f"{base + 2:014d}")
 
     # -- algebra: whole-partition re-derivation (window views) -----------
     def _advance_window(self, spec, anchor, latest) -> None:

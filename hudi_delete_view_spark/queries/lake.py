@@ -1833,3 +1833,54 @@ def lake_mv_auto_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = _auto_mv(spark, sf_dir, "mv_auto_window",
                   {"li": build_lineitem_cow(spark, sf_dir)}, plan)
     return mv.serve()
+
+
+@query(
+    "lake_mv_auto_agg_join",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT l_orderkey, {_QTY_SQL} AS l_quantity, l_extendedprice
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey, o_orderpriority
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+)
+SELECT o_orderpriority, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty,
+       MIN(l_extendedprice) AS min_price
+FROM l2 JOIN o2 ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def lake_mv_auto_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-join in ONE declaration through the unified entry
+    point — no manual staging: the classifier finds the inner equi-join
+    below the aggregate and maintains by DIRTY-GROUP re-derivation.
+    Both sides' CDC windows name the touched join keys (lineitem's
+    C2 updates / C3+C4 deletes, orders' C2 delta-updates / C3
+    delta-deletes), the join-key-pruned pre-aggregate join maps them to
+    the groups they feed at the anchor and target states, and exactly
+    those groups rebuild from the target snapshots.  The group key
+    lives on the DIM side (o_orderpriority) — the case a fact-only
+    change feed cannot resolve, and the reason detection goes through
+    the join.  Oracle recomputes the join + GROUP BY from scratch over
+    both change scripts."""
+    from ..sources.fixtures import build_orders_mor
+
+    def plan(t):
+        f = t["li"].select("l_orderkey", "l_quantity", "l_extendedprice")
+        d = t["om"].select("o_orderkey", "o_orderpriority")
+        return (
+            f.join(d, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("l_quantity").alias("sum_qty"),
+                 F.min("l_extendedprice").alias("min_price"))
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_agg_join",
+                  {"li": build_lineitem_cow(spark, sf_dir),
+                   "om": build_orders_mor(spark, sf_dir)}, plan)
+    return mv.serve()

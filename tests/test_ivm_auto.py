@@ -643,3 +643,75 @@ def test_window_misplacement_refusals(spark, tables):
         .withColumn("rn", F.row_number().over(wg)).filter("rn <= 3")
     with pytest.raises(UnsupportedViewError, match="PARTITION BY"):
         classify_view(glob, {"fact": fs})
+
+
+def agg_join_plan(t):
+    f = t["fact"].select("k", "g", "v", "nv")
+    d = t["dim"].select("gk", "gname")
+    return (
+        f.join(d, F.col("g") == F.col("gk"))
+        .groupBy("gname")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("v").alias("sum_v"),
+             F.min("v").alias("min_v"),
+             F.count_distinct("nv").alias("nd_nv"))
+    )
+
+
+def test_agg_join_view(spark, scratch, tables):
+    """Aggregate-over-join in ONE declaration: the dim RENAME moves every
+    g=1 row between groups (both dirty, min/count-distinct re-derived),
+    the dim DELETE kills group name3 outright (dead-group delete), fact
+    deletes shrink their group, and the no-match insert (k99, g=9)
+    dirties nothing."""
+    fact, dim = tables
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvaj"),
+                              {"fact": fact, "dim": dim}, agg_join_plan)
+    spec = mv.spec()
+    assert spec["kind"] == "agg_join"
+    assert {spec["left"]["source"], spec["right"]["source"]} == {"fact", "dim"}
+    mv.refresh(seed_as_of={"fact": "20260101000000", "dim": "20260101000000"},
+               to={"fact": "20260101000000", "dim": "20260101000000"})
+
+    def expect(at):
+        return _rows(agg_join_plan(
+            {"fact": fact.snapshot(at["fact"]), "dim": dim.snapshot(at["dim"])}))
+
+    assert _rows(mv.serve()) == expect(
+        {"fact": "20260101000000", "dim": "20260101000000"})
+    # fact-only step: C2 updates v for k0..k4
+    mv.refresh(to={"fact": "20260102000000", "dim": "20260101000000"})
+    assert _rows(mv.serve()) == expect(
+        {"fact": "20260102000000", "dim": "20260101000000"})
+    # dim rename + fact deletes land together; then the dim delete +
+    # no-match fact insert
+    mv.refresh(to={"fact": "20260103000000", "dim": "20260103000000"})
+    assert _rows(mv.serve()) == expect(
+        {"fact": "20260103000000", "dim": "20260103000000"})
+    mv.refresh()
+    assert _rows(mv.serve()) == expect(
+        {"fact": "20260104000000", "dim": "20260104000000"})
+    # idempotence: fully-advanced view refreshes with zero writes
+    assert mv.refresh()["advanced"] is False
+
+
+def test_agg_join_refusals(spark, tables):
+    """Outer joins below an aggregate refuse (join-key dirty-group
+    detection cannot see null-extension flips), as do side column-name
+    collisions (the replayed join would be ambiguous)."""
+    fact, dim = tables
+    fs, ds = fact.snapshot(), dim.snapshot()
+    outer = (
+        fs.select("k", "g", "v")
+        .join(ds.select("gk", "gname"), F.col("g") == F.col("gk"), "left")
+        .groupBy("gname").agg(F.sum("v").alias("sv"))
+    )
+    with pytest.raises(UnsupportedViewError, match="INNER"):
+        classify_view(outer, {"fact": fs, "dim": ds})
+    clash = (
+        fs.select("k", "g", "v")
+        .join(ds.selectExpr("gk as g", "gname"), "g")
+        .groupBy("gname").agg(F.sum("v").alias("sv"))
+    )
+    with pytest.raises(UnsupportedViewError, match="share column names|USING|natural"):
+        classify_view(clash, {"fact": fs, "dim": ds})
