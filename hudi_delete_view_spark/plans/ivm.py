@@ -404,13 +404,14 @@ def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
                 )
             aggs.append((e.name(), "count_distinct", _seq(fn.children())[0].sql()))
             continue
-        if fname not in ("count", "sum", "avg", "min", "max") and (
-            fname not in _MOMENT_FNS
-        ):
+        if fname not in (
+            "count", "sum", "avg", "min", "max", "approx_count_distinct"
+        ) and (fname not in _MOMENT_FNS):
             raise UnsupportedViewError(
                 f"{e.sql()}: supported aggregates are count/sum/avg/"
-                "stddev/variance (retraction) and min/max (dirty-group "
-                "re-derivation)"
+                "stddev/variance (retraction), min/max (dirty-group "
+                "re-derivation), and approx_count_distinct (mergeable "
+                "HLL state, re-derived on retraction)"
             )
         arg = _seq(fn.children())
         arg_sql = arg[0].sql() if arg else "1"
@@ -770,6 +771,11 @@ class AutoMaterializedView:
                 if fn in _MOMENT_SQRT:
                     v = F.sqrt(v)
                 cols.append(v.alias(alias))
+            elif fn == "approx_count_distinct":
+                # the stored state is the mergeable HLL sketch; serve the
+                # estimate (exact below the sketch's sparse-mode capacity,
+                # ~1.6% rsd at the default lgK beyond)
+                cols.append(F.hll_sketch_estimate(F.col(alias)).alias(alias))
             else:
                 cols.append(F.col(alias))
         out = snap.select(*cols)
@@ -801,7 +807,14 @@ class AutoMaterializedView:
 
     @staticmethod
     def _minmax_aliases(spec: dict) -> list[str]:
-        return [a for a, fn, _ in spec["aggs"] if fn in ("min", "max")]
+        """Aliases that re-derive on retraction: min/max (a deleted row
+        may have BEEN the extreme) and approx_count_distinct (an HLL
+        sketch merges under insert but cannot subtract)."""
+        return [
+            a
+            for a, fn, _ in spec["aggs"]
+            if fn in ("min", "max", "approx_count_distinct")
+        ]
 
     @staticmethod
     def _distinct_aliases(spec: dict) -> list[tuple[str, str]]:
@@ -889,6 +902,11 @@ class AutoMaterializedView:
                     .cast("long")
                     .alias(f"__mc_{alias}")
                 )
+            elif fn == "approx_count_distinct":
+                # mergeable Datasketches HLL over the INSERT side only
+                # (retraction rows null out and are ignored); a
+                # retraction-touched group re-derives below via __mv_dirty
+                aggs.append(F.hll_sketch_agg(F.when(sign > 0, x)).alias(alias))
             else:  # min / max: monotone under inserts only
                 ins = F.when(sign > 0, x)
                 aggs.append((F.min(ins) if fn == "min" else F.max(ins)).alias(alias))
@@ -1017,11 +1035,22 @@ class AutoMaterializedView:
         # groups get NULL here and re-derive below
         present_d = F.col(f"d.{_HIDDEN_N}").isNotNull()
         for alias, fn, _arg in spec["aggs"]:
-            if fn not in ("min", "max"):
+            if fn not in ("min", "max", "approx_count_distinct"):
                 continue
-            comb = (F.least if fn == "min" else F.greatest)(
-                F.col(f"s.{alias}"), F.col(f"d.{alias}")
-            )
+            if fn == "approx_count_distinct":
+                su, du = F.col(f"s.{alias}"), F.col(f"d.{alias}")
+                # hll_union of a stored sketch with the insert-delta
+                # sketch; either side absent (brand-new group / group
+                # untouched by this delta) passes through
+                comb = (
+                    F.when(su.isNull(), du)
+                    .when(du.isNull(), su)
+                    .otherwise(F.hll_union(su, du))
+                )
+            else:
+                comb = (F.least if fn == "min" else F.greatest)(
+                    F.col(f"s.{alias}"), F.col(f"d.{alias}")
+                )
             out.append(
                 F.when(~present_d, F.col(f"s.{alias}"))
                 .when(F.col("d.__mv_dirty") == 1, F.lit(None))

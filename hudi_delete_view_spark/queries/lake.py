@@ -1884,3 +1884,51 @@ def lake_mv_auto_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   {"li": build_lineitem_cow(spark, sf_dir),
                    "om": build_orders_mor(spark, sf_dir)}, plan)
     return mv.serve()
+
+
+@query(
+    "lake_mv_auto_approx_distinct",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT l_returnflag, l_partkey
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+)
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS sketch_ok
+FROM l2 GROUP BY l_returnflag
+""",
+)
+def lake_mv_auto_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct maintained as MERGEABLE HLL STATE through
+    the unified entry point: insert-only advances union the stored
+    Datasketches sketch with the delta's sketch (no re-scan); any
+    retraction (C3/C4's deletes here) flags the group dirty and
+    re-derives its sketch from the source — sketches cannot subtract.
+    Sketch values are engine-specific, so the hash contract follows
+    rel_approx_sketches: exact baselines + an in-engine error-bound
+    verdict (served estimate within 5% of exact; the maintained sketch
+    drifting past its published bound flips the boolean and fails the
+    hash)."""
+
+    def plan(t):
+        return (
+            t["li"].groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.approx_count_distinct("l_partkey").alias("ad_parts"))
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_approx_distinct",
+                  {"li": build_lineitem_cow(spark, sf_dir)}, plan)
+    served = mv.serve()
+    exact = (
+        build_lineitem_cow(spark, sf_dir).snapshot()
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("exact_parts"))
+    )
+    return served.join(exact, "l_returnflag").select(
+        "l_returnflag", "n_rows", "exact_parts",
+        (F.abs(F.col("ad_parts") - F.col("exact_parts"))
+         <= 0.05 * F.col("exact_parts")).alias("sketch_ok"),
+    )

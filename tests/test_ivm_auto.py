@@ -715,3 +715,45 @@ def test_agg_join_refusals(spark, tables):
     )
     with pytest.raises(UnsupportedViewError, match="share column names|USING|natural"):
         classify_view(clash, {"fact": fs, "dim": ds})
+
+
+def test_agg_approx_distinct(spark, scratch, tables):
+    """approx_count_distinct maintained as mergeable HLL state: clean
+    insert steps UNION sketches (new group and existing group), any
+    retraction re-derives the touched group's sketch from the source.
+    The fixture cardinalities sit inside both engines' exact (sparse)
+    range, so serve() must EQUAL the from-scratch recompute."""
+
+    def plan(t):
+        return (
+            t["fact"].groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.approx_count_distinct("nv").alias("ad_nv"))
+        )
+
+    fact, _ = tables
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvhll"),
+                              {"fact": fact}, plan)
+    assert mv.spec()["kind"] == "aggregate"
+    mv.refresh(seed_as_of={"fact": "20260101000000"},
+               to={"fact": "20260101000000"})
+
+    def check(at=None):
+        assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot(at)}))
+
+    check("20260101000000")
+    # C2 updates retract old rows -> dirty re-derivation of their groups
+    mv.refresh(to={"fact": "20260102000000"})
+    check("20260102000000")
+    # C3 deletes, C4 inserts a brand-new group (g=9, s-side NULL union)
+    mv.refresh()
+    check()
+    # pure insert into an EXISTING group: the hll_union merge path
+    fact.upsert(
+        spark.createDataFrame([("k100", 1, 1.0, 777), ("k101", 1, 2.0, 778)],
+                              "k string, g long, v double, nv long"),
+        "20260105000000",
+    )
+    mv.refresh()
+    check()
+    assert mv.refresh()["advanced"] is False
