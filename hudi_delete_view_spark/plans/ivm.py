@@ -70,9 +70,11 @@ IDs for lineage) and classifies the view:
   re-derivation, because one changed row reshuffles every rank in its
   partition.  Touched partitions = old locations from the stored view ∪
   new locations from the source (never from the windowed plan, whose
-  top-k filter may hide a changed row); the plan re-runs over exactly
-  those partitions (the semi-join pushes below the Window), vanished
-  rows become view deletes.  A Window anywhere else in a plan is
+  top-k filter may hide a changed row); the plan re-runs over the
+  SOURCE RESTRICTED to those partitions (input restriction commutes
+  with whole partitions; an output semi-join would not be pushed below
+  the top-k filter), vanished rows become view deletes.  A Window
+  anywhere else in a plan is
   refused — the row-granular algebras would silently miss the
   partition reshuffle.
 - **select** — single source, no join/aggregate (the everyday
@@ -82,10 +84,12 @@ IDs for lineage) and classifies the view:
 
 Scale shape (100 TB): every advance is proportional to the CHANGE SET,
 never the view or source size — changed keys come from touched file
-groups only, the re-derivation semi-join pushes through the join to the
-fact scan (Catalyst's PushDownLeftSemiAntiJoin), dim change keys are
-broadcast, and the view is a real COW table so its writes touch only
-hash-routed file groups.  Reference parity: this generalizes the same
+groups only, dim change keys are broadcast, every dirty-group /
+touched-partition restriction is applied to the INPUTS (measured on
+4.1: PushDownLeftSemiAntiJoin does NOT push an output-side semi-join
+below a Filter or Aggregate, so relying on the optimizer would
+silently re-derive the whole table), and the view is a real COW table
+so its writes touch only hash-routed file groups.  Reference parity: this generalizes the same
 incremental algebra the reference applies to its materialized delete
 view (DeleteView.java:99-140 — seed once, advance per commit, serve the
 stored state); oracle queries prove every advance converges to the
@@ -504,6 +508,23 @@ def _classify_agg_join(group, aggs, mid_nodes, join_node, snapshots) -> dict:
             "aggregate-over-join self-joins are not maintainable (one "
             "source's change dirties through both sides at once)"
         )
+    mid_spec = _chain_to_spec(mid_nodes)
+    # when every group key is a plain column of ONE side (and the mid
+    # chain doesn't rename anything), re-derivation can restrict that
+    # side's INPUT to the dirty groups — the 100 TB lever that keeps the
+    # recompute join member-sized instead of table-sized
+    group_side = None
+    if not any(k == "project" for k, _ in mid_spec):
+        cands = set()
+        for _n, sql in group:
+            if sql in left_ids.values():
+                cands.add("left")
+            elif sql in right_ids.values():
+                cands.add("right")
+            else:
+                cands.add(None)
+        if len(cands) == 1:
+            group_side = cands.pop()
     return {
         "kind": "agg_join",
         "group": group,
@@ -511,9 +532,10 @@ def _classify_agg_join(group, aggs, mid_nodes, join_node, snapshots) -> dict:
         # feeds reach _agg_delta already pre-replayed (the join IS the
         # replay); an empty chain makes the shared state-builders identity
         "chain": [],
-        "mid": _chain_to_spec(mid_nodes),
+        "mid": mid_spec,
         "left": sides["left"],
         "right": sides["right"],
+        "group_side": group_side,
     }
 
 
@@ -847,13 +869,41 @@ class AutoMaterializedView:
             .agg(F.sum("__mv_sign").cast("long").alias("__mv_vn"))
         )
 
-    def _agg_delta(self, spec: dict, feed: DataFrame) -> DataFrame:
+    def _agg_delta(
+        self,
+        spec: dict,
+        feed: DataFrame,
+        only_groups: DataFrame | None = None,
+    ) -> DataFrame:
         """Group the signed feed into delta rows matching the stored
         schema (user cols + hidden counters + __mv_n).  min/max columns
         carry the INSERT-side extreme only; ``__mv_dirty`` flags groups
         any retraction touched — those must re-derive their extremes
-        (a deleted/updated row may have BEEN the extreme)."""
+        (a deleted/updated row may have BEEN the extreme).
+
+        ``only_groups`` (group-name columns) restricts the feed to the
+        named groups BEFORE aggregating — the restriction must land
+        below the groupBy ourselves, because a semi-join left above the
+        Aggregate is not pushed down (measured on 4.1)."""
+        from functools import reduce
+
         df = self._replay_chain(spec, feed)
+        if only_groups is not None:
+            gk = [f"__mv_gk{i}" for i in range(len(spec["group"]))]
+            dg = only_groups.select(
+                *[
+                    F.col(n).alias(t)
+                    for (n, _sql), t in zip(spec["group"], gk)
+                ]
+            )
+            cond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.expr(sql).eqNullSafe(F.col(f"__dg.{t}"))
+                    for t, (_n, sql) in zip(gk, spec["group"])
+                ],
+            )
+            df = df.join(F.broadcast(dg.alias("__dg")), cond, "left_semi")
         sign = F.col("__mv_sign")
         aggs = [F.sum(sign).cast("long").alias(_HIDDEN_N)]
         for alias, fn, arg in spec["aggs"]:
@@ -1082,25 +1132,18 @@ class AutoMaterializedView:
             merged = merged.drop("__mv_dirty")
             if dirty_keys.count() > 0:
                 # re-derive extremes for dirty groups from the source —
-                # work ∝ rows of retraction-touched groups, never the table
+                # work ∝ rows of retraction-touched groups, never the
+                # table: the group restriction lands BELOW the groupBy
+                # (only_groups), where a post-aggregation semi-join would
+                # not be pushed
                 snap_feed = src.snapshot(latest[spec["source"]]).withColumn(
                     "__mv_sign", F.lit(1)
                 )
-                re_full = self._agg_delta(spec, snap_feed)
-                rcond = reduce(
-                    lambda a, b: a & b,
-                    [
-                        F.col(f"r.{k}").eqNullSafe(F.col(f"k.{k}"))
-                        for k in group_names
-                    ],
-                )
-                re_rows = (
-                    re_full.alias("r")
-                    .join(dirty_keys.alias("k"), rcond, "left_semi")
-                    .select(
-                        *group_names,
-                        *[F.col(a).alias(f"__re_{a}") for a in mm],
-                    )
+                re_rows = self._agg_delta(
+                    spec, snap_feed, only_groups=dirty_keys
+                ).select(
+                    *group_names,
+                    *[F.col(a).alias(f"__re_{a}") for a in mm],
                 )
                 mcond = reduce(
                     lambda a, b: a & b,
@@ -1223,9 +1266,14 @@ class AutoMaterializedView:
         anchor state and at the target state (an update that moves rows
         between groups dirties both); (3) exactly those dirty groups
         rebuild their stored state from the target snapshots and swap
-        in, with vanished groups becoming view deletes.  Every pass is
-        change-sized: the broadcast join-key semi prunes both scan
-        sides, and the group-key semi bounds the re-aggregation."""
+        in, with vanished groups becoming view deletes.  Detection
+        passes are change-sized (the broadcast join-key semi prunes
+        both scan sides); the re-derivation pass is member-sized when
+        the group keys live on one side (that side's input restricted
+        to dirty groups, the other pruned through the equi-join build)
+        and falls back to one full join pass for expression/mixed group
+        keys — every restriction applied to INPUTS, never left to
+        optimizer pushdown."""
         from functools import reduce
 
         group_names = [n for n, _ in spec["group"]]
@@ -1269,9 +1317,47 @@ class AutoMaterializedView:
         if dirty.count() == 0:
             return
 
-        # 3. re-derive exactly those groups from the target snapshots
+        # 3. re-derive exactly those groups from the target snapshots.
+        # When the group keys live on ONE side, that side's INPUT is
+        # restricted to the dirty groups before the join (the other side
+        # prunes through the equi-join build), keeping the recompute
+        # join member-sized; the post-join group semi below the
+        # aggregate then only trims partial-group rows the restriction
+        # could not express (group_side None: expression keys or
+        # renaming mid chain).
         snaps = {n: t.snapshot(latest[n]) for n, t in self.sources.items()}
-        pa = self._pre_agg(spec, snaps)
+        left_df = _replay_spec(
+            spec["left"]["chain"], snaps[spec["left"]["source"]]
+        )
+        right_df = _replay_spec(
+            spec["right"]["chain"], snaps[spec["right"]["source"]]
+        )
+        gside = spec.get("group_side")
+        if gside is not None:
+            sdf = left_df if gside == "left" else right_df
+            rcond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__s.{sql}").eqNullSafe(F.col(f"__dg.{t}"))
+                    for t, (_n, sql) in zip(gk, spec["group"])
+                ],
+            )
+            sdf = sdf.alias("__s").join(
+                F.broadcast(dirty.alias("__dg")), rcond, "left_semi"
+            )
+            if gside == "left":
+                left_df = sdf
+            else:
+                right_df = sdf
+        pa = _replay_spec(
+            spec["mid"],
+            left_df.join(
+                right_df,
+                F.col(spec["left"]["join_col"])
+                == F.col(spec["right"]["join_col"]),
+                "inner",
+            ),
+        )
         pcond = reduce(
             lambda a, b: a & b,
             [
@@ -1344,10 +1430,14 @@ class AutoMaterializedView:
         partition comes from the stored view (updates can move rows
         between partitions; deletes only exist there), its new partition
         from the source — never from the windowed plan itself, whose
-        top-k filter may hide the row.  The semi-joins on partition
-        columns push below the Window (Catalyst's
-        PushDownLeftSemiAntiJoin), so re-derivation scans only touched
-        partitions' rows."""
+        top-k filter may hide the row.  The partition restriction is
+        applied to the SOURCE INPUT, not the plan output: partition
+        columns are plain source columns (classifier-enforced), so
+        feeding whole partitions commutes with every row-wise stage and
+        the Window itself — whereas a semi-join left above the plan is
+        NOT pushed down (measured on 4.1: PushDownLeftSemiAntiJoin
+        pushes below a bare Window but stops at the top-k Filter above
+        it, which would re-rank the whole table)."""
         from functools import reduce
 
         key = spec["key"]["name"]
@@ -1383,11 +1473,24 @@ class AutoMaterializedView:
                 ],
             )
 
-        full = self.plan_fn(snaps)
-        rederived = (
-            full.alias("f")
-            .join(F.broadcast(touched.alias("t")), part_cond("f", "t"), "left_semi")
-            .localCheckpoint(eager=True)
+        touched_src = touched.select(
+            *[F.col(o).alias(s) for o, s in spec["parts"]]
+        )
+        src_parts = [s for _o, s in spec["parts"]]
+        src_cond = reduce(
+            lambda x, y: x & y,
+            [
+                F.col(f"s.{p}").eqNullSafe(F.col(f"t.{p}"))
+                for p in src_parts
+            ],
+        )
+        restricted = (
+            snaps[spec["source"]]
+            .alias("s")
+            .join(F.broadcast(touched_src.alias("t")), src_cond, "left_semi")
+        )
+        rederived = self.plan_fn({spec["source"]: restricted}).localCheckpoint(
+            eager=True
         )
         dead = (
             view_snap.select(key, *out_parts)

@@ -1813,8 +1813,10 @@ def lake_mv_auto_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     PROMOTE previously-hidden rows into the top 10, the displacement
     case row-granular maintenance cannot see.  Touched partitions come
     from the stored view (old location) and the source (new location);
-    the re-rank semi-join pushes below the Window, so advance work is
-    rows of touched partitions, never the table.  Deterministic rank:
+    the re-rank runs over the SOURCE restricted to those partitions —
+    input restriction, because an output semi-join is not pushed below
+    the top-k filter — so advance work is rows of touched partitions,
+    never the table.  Deterministic rank:
     price desc, record key as the total tiebreak — identical in
     DuckDB's ROW_NUMBER."""
     from pyspark.sql import Window as W
