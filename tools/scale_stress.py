@@ -143,12 +143,96 @@ def incremental_dedup_soak() -> None:
         print(f"| {n_rows} | {best:.2f} | {surv} |", flush=True)
 
 
+def ivm_advance_soak() -> None:
+    """Advance-cost soak for the round-5 IVM algebras (window views,
+    aggregate-over-join views): grow the fact table 8x while holding the
+    CHANGE SIZE fixed — advance wall-time should stay near-flat, because
+    window views re-rank only touched partitions (source-input
+    restriction) and agg_join views re-derive only dirty groups (side-
+    input restriction).  A table-sized re-derivation would scale ~8x.
+    Prints a table to paste into SCALE.md.
+    Usage: python tools/scale_stress.py --ivm-advance"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from hudi_delete_view_spark.plans.ivm import AutoMaterializedView
+    from hudi_delete_view_spark.session import get_spark
+    from hudi_delete_view_spark.sources.cow import CowTable
+
+    spark = get_spark("ivm-advance-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="ivm_soak_")
+    print("| fact rows | window advance s | agg_join advance s |")
+    print("|---|---|---|")
+    try:
+        for n in (50_000, 400_000):
+            d = os.path.join(root, str(n))
+            fact = CowTable(spark, os.path.join(d, "fact"), key_fields=["k"],
+                            partition_field=None, num_file_groups=8)
+            # ~100 rows per group so touched-partition size is constant
+            fact.bulk_insert(
+                spark.range(n).selectExpr(
+                    "concat('k', id) as k", "cast(id % 1000 as long) as g",
+                    "cast(id as double) as v"),
+                "20260101000000")
+            dim = CowTable(spark, os.path.join(d, "dim"), key_fields=["gk"],
+                           partition_field=None, num_file_groups=2)
+            dim.bulk_insert(
+                spark.range(1000).selectExpr(
+                    "cast(id as long) as gk", "concat('n', id % 40) as gname"),
+                "20260101000000")
+
+            def wplan(t):
+                w = W.partitionBy("g").orderBy(F.desc("v"), F.asc("vk"))
+                return (t["fact"]
+                        .select(F.col("_hoodie_record_key").alias("vk"),
+                                "g", "v")
+                        .withColumn("rn", F.row_number().over(w))
+                        .filter("rn <= 3"))
+
+            def jplan(t):
+                f = t["fact"].select("k", "g", "v")
+                dd = t["dim"].select("gk", "gname")
+                return (f.join(dd, F.col("g") == F.col("gk"))
+                        .groupBy("gname")
+                        .agg(F.sum("v").alias("sv"), F.min("v").alias("mv")))
+
+            wmv = AutoMaterializedView(spark, os.path.join(d, "wmv"),
+                                       {"fact": fact}, wplan)
+            jmv = AutoMaterializedView(spark, os.path.join(d, "jmv"),
+                                       {"fact": fact, "dim": dim},
+                                       jplan)
+            wmv.refresh()
+            jmv.refresh()
+            # fixed change: 50 fact upserts across ~50 partitions
+            fact.upsert(
+                spark.range(50).selectExpr(
+                    "concat('k', id * 97) as k",
+                    "cast((id * 97) % 1000 as long) as g",
+                    "cast(id + 1e9 as double) as v"),
+                "20260102000000")
+            t0 = time.monotonic()
+            wmv.refresh()
+            wt = time.monotonic() - t0
+            t0 = time.monotonic()
+            jmv.refresh()
+            jt = time.monotonic() - t0
+            print(f"| {n} | {wt:.2f} | {jt:.2f} |", flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     if "--simhash-skew" in sys.argv:
         simhash_skew_soak()
         return
     if "--incremental" in sys.argv:
         incremental_dedup_soak()
+        return
+    if "--ivm-advance" in sys.argv:
+        ivm_advance_soak()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
