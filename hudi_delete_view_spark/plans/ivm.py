@@ -196,9 +196,10 @@ def classify_view(df: DataFrame, snapshots: dict[str, DataFrame]) -> dict:
     plan = df._jdf.queryExecution().analyzed()
     src_ids = {n: _out_ids(s) for n, s in snapshots.items()}
     refs = _alias_refs(plan)
+    quals = _collect_qualifiers(plan)
 
     if _cls(plan) == "Aggregate":
-        return _classify_aggregate(plan, src_ids, refs, snapshots)
+        return _classify_aggregate(plan, src_ids, refs, snapshots, quals)
 
     # peel a linear Project/Filter chain ABOVE an aggregate (HAVING and
     # derived output columns like ratio-of-sums): the maintained state is
@@ -206,20 +207,22 @@ def classify_view(df: DataFrame, snapshots: dict[str, DataFrame]) -> dict:
     # as their aggregates change, so the filter/projection re-applies at
     # serve time, never at maintenance time
     post, node = [], plan
-    while _cls(node) in ("Project", "Filter"):
+    while _cls(node) in ("Project", "Filter", "SubqueryAlias"):
         if _cls(node) == "Filter":
-            post.append(("filter", node.condition().sql()))
-        else:
+            post.append(("filter", _strip_quals(node.condition().sql(), quals)))
+        elif _cls(node) == "Project":
             items = []
             for p in _seq(node.projectList()):
                 if _cls(p) == "Alias":
-                    items.append((p.name(), p.child().sql()))
+                    items.append((p.name(), _strip_quals(p.child().sql(), quals)))
                 else:
-                    items.append((p.name(), p.sql()))
+                    items.append((p.name(), _strip_quals(p.sql(), quals)))
             post.append(("project", items))
+        # SubqueryAlias (SQL-declared views): qualifier wrapper only —
+        # transparent to the descent
         node = _children(node)[0]
         if _cls(node) == "Aggregate":
-            spec = _classify_aggregate(node, src_ids, refs, snapshots)
+            spec = _classify_aggregate(node, src_ids, refs, snapshots, quals)
             spec["post"] = post  # top-down; serve applies bottom-up
             return spec
         if _cls(node) == "Window":
@@ -321,26 +324,69 @@ def _descend_chain(node, snapshots: dict[str, DataFrame]) -> tuple[list, tuple]:
         for name, sp in snap_plans.items():
             if node.sameResult(sp):
                 return chain, ("source", name)
+        if _cls(node) == "SubqueryAlias":  # qualifier wrapper: transparent
+            node = _children(node)[0]
+            continue
         if _cls(node) not in ("Project", "Filter"):
             return chain, ("node", node)
         chain.append(node)
         node = _children(node)[0]
 
 
-def _chain_to_spec(nodes: list) -> list:
+def _collect_qualifiers(plan) -> set[str]:
+    """Every SubqueryAlias name in the plan: the complete set of
+    qualifiers attribute references can print with (temp views
+    registered for a SQL-declared view, auto-generated subquery
+    names).  Python-API plans have none."""
+    quals = set()
+
+    def walk(n):
+        if _cls(n) == "SubqueryAlias":
+            try:
+                quals.add(n.alias())
+            except Exception:  # noqa: BLE001 — best-effort, name-only
+                pass
+        for c in _children(n):
+            walk(c)
+
+    walk(plan)
+    return quals
+
+
+def _strip_quals(sql: str, quals: set[str]) -> str:
+    """Drop ``<qualifier>.`` prefixes from a printed expression so the
+    maintenance replays resolve by bare column name against replayed
+    DataFrames (which carry no SubqueryAlias).  Only the plan's OWN
+    qualifier names are stripped, and never inside single-quoted string
+    literals, so struct-field access and literals survive."""
+    if not quals:
+        return sql
+    import re as _re
+
+    pat = _re.compile(
+        r"`?(?:" + "|".join(_re.escape(q) for q in sorted(quals)) + r")`?\."
+    )
+    parts = _re.split(r"('(?:[^']|'')*')", sql)
+    return "".join(p if j % 2 else pat.sub("", p) for j, p in enumerate(parts))
+
+
+def _chain_to_spec(nodes: list, quals: set[str] = frozenset()) -> list:
     """(kind, payload) replay specs for a Project/Filter node chain —
-    plain SQL strings, so maintenance needs no JVM handles."""
+    plain SQL strings (qualifiers stripped), so maintenance needs no
+    JVM handles."""
     spec = []
     for n in nodes:
         if _cls(n) == "Filter":
-            spec.append(("filter", n.condition().sql()))
+            spec.append(("filter", _strip_quals(n.condition().sql(), quals)))
         else:
             items = []
             for p in _seq(n.projectList()):
                 if _cls(p) == "Alias":
-                    items.append((p.name(), p.child().sql()))
+                    items.append(
+                        (p.name(), _strip_quals(p.child().sql(), quals))
+                    )
                 else:
-                    items.append((p.name(), p.sql()))
+                    items.append((p.name(), _strip_quals(p.sql(), quals)))
             spec.append(("project", items))
     return spec
 
@@ -360,7 +406,7 @@ def _replay_spec(chain_spec: list, df: DataFrame, extra: tuple = ()) -> DataFram
     return df
 
 
-def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
+def _classify_aggregate(plan, src_ids, refs, snapshots, quals=frozenset()) -> dict:
     group, aggs = [], []
     out_aliases = [
         a for a in _seq(plan.aggregateExpressions()) if _cls(a) == "Alias"
@@ -368,7 +414,9 @@ def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
     for e in _seq(plan.groupingExpressions()):
         if _cls(e) in ("AttributeReference", "Alias"):
             name = e.name()
-            sql = e.child().sql() if _cls(e) == "Alias" else e.sql()
+            sql = _strip_quals(
+                e.child().sql() if _cls(e) == "Alias" else e.sql(), quals
+            )
         else:
             # groupBy(expr.alias(name)) strips the alias from the grouping
             # list (it survives only in the output) — recover the stored
@@ -379,7 +427,7 @@ def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
                     f"grouping expression {e.sql()} must be a column, or "
                     "aliased into the view output (it names the stored key)"
                 )
-            name, sql = hits[0].name(), e.sql()
+            name, sql = hits[0].name(), _strip_quals(e.sql(), quals)
         group.append((name, sql))
     group_names = {n for n, _ in group}
     for e in _seq(plan.aggregateExpressions()):
@@ -406,7 +454,11 @@ def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
                     "auxiliary state; other DISTINCT aggregates are not "
                     "maintainable"
                 )
-            aggs.append((e.name(), "count_distinct", _seq(fn.children())[0].sql()))
+            aggs.append((
+                e.name(),
+                "count_distinct",
+                _strip_quals(_seq(fn.children())[0].sql(), quals),
+            ))
             continue
         if fname not in (
             "count", "sum", "avg", "min", "max", "approx_count_distinct"
@@ -418,7 +470,7 @@ def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
                 "HLL state, re-derived on retraction)"
             )
         arg = _seq(fn.children())
-        arg_sql = arg[0].sql() if arg else "1"
+        arg_sql = _strip_quals(arg[0].sql(), quals) if arg else "1"
         aggs.append((e.name(), fname, arg_sql))
     if not aggs:
         raise UnsupportedViewError("aggregate view with no count/sum outputs")
@@ -429,10 +481,12 @@ def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
             "source": term[1],
             "group": group,
             "aggs": aggs,
-            "chain": _chain_to_spec(chain),
+            "chain": _chain_to_spec(chain, quals),
         }
     if _cls(term[1]) == "Join":
-        return _classify_agg_join(group, aggs, chain, term[1], snapshots)
+        return _classify_agg_join(
+            group, aggs, chain, term[1], snapshots, plan, quals
+        )
     raise UnsupportedViewError(
         f"node {_cls(term[1])} between the aggregate and its source; "
         "only Project/Filter chains (optionally over one INNER equi-join) "
@@ -440,7 +494,9 @@ def _classify_aggregate(plan, src_ids, refs, snapshots) -> dict:
     )
 
 
-def _classify_agg_join(group, aggs, mid_nodes, join_node, snapshots) -> dict:
+def _classify_agg_join(
+    group, aggs, mid_nodes, join_node, snapshots, agg_node, quals=frozenset()
+) -> dict:
     """Aggregate over ONE inner equi-join — maintained by DIRTY-GROUP
     re-derivation: both sides' CDC feeds name the touched join-key
     values, the pre-aggregate join (replayed at the anchor and the
@@ -467,13 +523,6 @@ def _classify_agg_join(group, aggs, mid_nodes, join_node, snapshots) -> dict:
         )
     left_ids = {a.exprId().id(): a.name() for a in _seq(join_node.left().output())}
     right_ids = {a.exprId().id(): a.name() for a in _seq(join_node.right().output())}
-    if set(left_ids.values()) & set(right_ids.values()):
-        raise UnsupportedViewError(
-            "aggregate-over-join sides share column names "
-            f"({sorted(set(left_ids.values()) & set(right_ids.values()))}) "
-            "— rename in the per-side projections so the replayed join is "
-            "unambiguous"
-        )
     jcols = {}
     for attr in (cond.left(), cond.right()):
         if _cls(attr) != "AttributeReference":
@@ -489,6 +538,30 @@ def _classify_agg_join(group, aggs, mid_nodes, join_node, snapshots) -> dict:
         raise UnsupportedViewError(
             "join keys must come one from each side of the join"
         )
+    # Colliding column names across the two sides (e.g. SQL joining raw
+    # snapshots — both carry the _hoodie_* meta columns) matter only
+    # when the plan REFERENCES them: the join-output attrs the view
+    # actually consumes are the references of the node directly above
+    # the join (the bottom mid node, else the aggregate) plus the join
+    # keys.  A name needed from BOTH sides is genuinely ambiguous in
+    # the replayed join and refuses; a collision needed on one side
+    # drops from the other; needed on neither drops from both.
+    consumer = mid_nodes[-1] if mid_nodes else agg_node
+    needed_ids = {
+        a.exprId().id() for a in _seq(consumer.references().toSeq())
+    } | {cond.left().exprId().id(), cond.right().exprId().id()}
+    need_l = {left_ids[i] for i in needed_ids if i in left_ids}
+    need_r = {right_ids[i] for i in needed_ids if i in right_ids}
+    both = need_l & need_r
+    if both:
+        raise UnsupportedViewError(
+            f"aggregate-over-join references column name(s) {sorted(both)} "
+            "from BOTH sides of the join — rename in the per-side "
+            "projections so the replayed join is unambiguous"
+        )
+    collide = set(left_ids.values()) & set(right_ids.values())
+    drop_l = sorted(collide - need_l)
+    drop_r = sorted(collide - need_r)
     sides = {}
     for pos, child in (("left", join_node.left()), ("right", join_node.right())):
         nodes, term = _descend_chain(child, snapshots)
@@ -500,15 +573,16 @@ def _classify_agg_join(group, aggs, mid_nodes, join_node, snapshots) -> dict:
             )
         sides[pos] = {
             "source": term[1],
-            "chain": _chain_to_spec(nodes),
+            "chain": _chain_to_spec(nodes, quals),
             "join_col": jcols[pos],
+            "drop": drop_l if pos == "left" else drop_r,
         }
     if sides["left"]["source"] == sides["right"]["source"]:
         raise UnsupportedViewError(
             "aggregate-over-join self-joins are not maintainable (one "
             "source's change dirties through both sides at once)"
         )
-    mid_spec = _chain_to_spec(mid_nodes)
+    mid_spec = _chain_to_spec(mid_nodes, quals)
     # when every group key is a plain column of ONE side (and the mid
     # chain doesn't rename anything), re-derivation can restrict that
     # side's INPUT to the dirty groups — the 100 TB lever that keeps the
@@ -982,8 +1056,12 @@ class AutoMaterializedView:
         prunes BOTH sides to the touched join keys before the join —
         explicit semi-joins rather than trusting pushdown, so each
         side's scan is change-sized."""
-        left = _replay_spec(spec["left"]["chain"], snaps[spec["left"]["source"]])
-        right = _replay_spec(spec["right"]["chain"], snaps[spec["right"]["source"]])
+        left = _replay_spec(
+            spec["left"]["chain"], snaps[spec["left"]["source"]]
+        ).drop(*spec["left"]["drop"])
+        right = _replay_spec(
+            spec["right"]["chain"], snaps[spec["right"]["source"]]
+        ).drop(*spec["right"]["drop"])
         if dirty_jk is not None:
             left = left.join(
                 F.broadcast(dirty_jk),
@@ -1328,10 +1406,10 @@ class AutoMaterializedView:
         snaps = {n: t.snapshot(latest[n]) for n, t in self.sources.items()}
         left_df = _replay_spec(
             spec["left"]["chain"], snaps[spec["left"]["source"]]
-        )
+        ).drop(*spec["left"]["drop"])
         right_df = _replay_spec(
             spec["right"]["chain"], snaps[spec["right"]["source"]]
-        )
+        ).drop(*spec["right"]["drop"])
         gside = spec.get("group_side")
         if gside is not None:
             sdf = left_df if gside == "left" else right_df

@@ -1934,3 +1934,52 @@ def lake_mv_auto_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("ad_parts") - F.col("exact_parts"))
          <= 0.05 * F.col("exact_parts")).alias("sketch_ok"),
     )
+
+
+@query(
+    "lake_mv_sql_ddl",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT l_orderkey, {_QTY_SQL} AS l_quantity
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey, o_orderstatus
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+)
+SELECT o_orderstatus, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+FROM l2 JOIN o2 ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def lake_mv_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MATERIALIZED VIEW declared in SQL TEXT — the switch-over
+    surface for SQL-first users: the SELECT is planned by spark.sql
+    over temp-view-registered lake snapshots, classified off the same
+    analyzed tree (here: agg_join — qualified attribute references are
+    stripped against the plan's own SubqueryAlias names so the
+    maintenance replays resolve), maintained by dirty-group
+    re-derivation across both change scripts, and served back as a
+    temp view SQL consumers query by name."""
+    import os as _os
+
+    from ..sources.fixtures import SCRATCH_ROOT, build_orders_mor, scratch_tag
+    from ..sql import create_materialized_view, refresh_materialized_view
+
+    name, mv = create_materialized_view(
+        spark,
+        _os.path.join(SCRATCH_ROOT, "lake", scratch_tag(sf_dir), "mv_sql_ddl"),
+        {"li_tbl": build_lineitem_cow(spark, sf_dir),
+         "om_tbl": build_orders_mor(spark, sf_dir)},
+        """CREATE MATERIALIZED VIEW order_status_rollup AS
+           SELECT o_orderstatus, count(1) AS n_items,
+                  sum(l_quantity) AS sum_qty
+           FROM li_tbl JOIN om_tbl ON l_orderkey = o_orderkey
+           GROUP BY o_orderstatus""",
+    )
+    refresh_materialized_view(
+        name, mv, seed_as_of={"li_tbl": C1, "om_tbl": C1})
+    refresh_materialized_view(name, mv)
+    return spark.sql(f"SELECT * FROM {name}")

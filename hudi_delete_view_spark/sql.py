@@ -29,3 +29,66 @@ def register_views(table: CowTable, name: str) -> list[str]:
             DeleteView(table.spark, table.base_path, ts).dataset().createOrReplaceTempView(vn)
             created.append(vn)
     return created
+
+
+# -- materialized-view DDL -------------------------------------------------
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .plans.ivm import AutoMaterializedView
+
+_MV_DDL = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def create_materialized_view(
+    spark: SparkSession,
+    path: str,
+    sources: dict[str, CowTable],
+    ddl: str,
+) -> tuple[str, AutoMaterializedView]:
+    """``CREATE MATERIALIZED VIEW <name> AS SELECT ...`` over lake tables
+    — the SQL twin of declaring an ``AutoMaterializedView`` in Python.
+
+    The ``sources`` dict names the lake tables the SELECT may reference;
+    each plan evaluation registers the CURRENT snapshots under those
+    names and plans the SELECT with ``spark.sql``, so classification
+    (aggregate / agg_join / join / select / window off the analyzed
+    Catalyst tree) and every maintenance algebra work unchanged —
+    including the algebras that re-run the plan over RESTRICTED inputs
+    (touched partitions, dirty groups): the restriction rides in as the
+    temp view body.  ``refresh_materialized_view`` advances the backing
+    table and (re)binds ``<name>`` as a temp view serving the stored
+    state, so SQL consumers read the view by name.
+
+    Returns ``(view_name, mv)``.  Reference parity: the reference
+    likewise serves its materialized product as a registered dataset
+    (DeleteSupport.java:94-95); this extends that surface to arbitrary
+    maintained views."""
+    m = _MV_DDL.match(ddl)
+    if m is None:
+        raise ValueError(
+            "expected CREATE MATERIALIZED VIEW <name> AS SELECT ...; got "
+            f"{ddl[:80]!r}"
+        )
+    name, select = m.group(1), m.group(2).rstrip().rstrip(";")
+
+    def plan_fn(snaps: dict[str, DataFrame]) -> DataFrame:
+        for n, df in snaps.items():
+            df.createOrReplaceTempView(n)
+        return spark.sql(select)
+
+    return name, AutoMaterializedView(spark, path, sources, plan_fn)
+
+
+def refresh_materialized_view(
+    name: str, mv: AutoMaterializedView, **refresh_kwargs
+) -> DataFrame:
+    """Advance the view and (re)bind ``<name>`` to the served state."""
+    mv.refresh(**refresh_kwargs)
+    served = mv.serve()
+    served.createOrReplaceTempView(name)
+    return served

@@ -713,7 +713,7 @@ def test_agg_join_refusals(spark, tables):
         .join(ds.selectExpr("gk as g", "gname"), "g")
         .groupBy("gname").agg(F.sum("v").alias("sv"))
     )
-    with pytest.raises(UnsupportedViewError, match="share column names|USING|natural"):
+    with pytest.raises(UnsupportedViewError, match="BOTH sides"):
         classify_view(clash, {"fact": fs, "dim": ds})
 
 
@@ -757,3 +757,62 @@ def test_agg_approx_distinct(spark, scratch, tables):
     mv.refresh()
     check()
     assert mv.refresh()["advanced"] is False
+
+
+def test_sql_materialized_view_ddl(spark, scratch, tables):
+    """CREATE MATERIALIZED VIEW over SQL text: classification sees the
+    same Catalyst shapes spark.sql produces (SubqueryAlias-wrapped
+    sources resolve via sameResult), maintenance algebras run the SQL
+    plan over restricted inputs via temp-view re-registration, and the
+    served state binds as a queryable temp view."""
+    from hudi_delete_view_spark.sql import (
+        create_materialized_view,
+        refresh_materialized_view,
+    )
+
+    fact, dim = tables
+    name, mv = create_materialized_view(
+        spark, os.path.join(scratch, "mvsql"),
+        {"f_tbl": fact, "d_tbl": dim},
+        """CREATE MATERIALIZED VIEW sales_by_name AS
+           SELECT gname, count(1) AS n, sum(v) AS sv, min(v) AS mv
+           FROM f_tbl JOIN d_tbl ON g = gk
+           GROUP BY gname""",
+    )
+    assert name == "sales_by_name"
+    assert mv.spec()["kind"] == "agg_join"
+    refresh_materialized_view(name, mv, seed_as_of={
+        "f_tbl": "20260101000000", "d_tbl": "20260101000000"})
+    got = _rows(spark.sql("SELECT * FROM sales_by_name"))
+
+    def expect():
+        fact.snapshot().createOrReplaceTempView("f_tbl")
+        dim.snapshot().createOrReplaceTempView("d_tbl")
+        return _rows(spark.sql(
+            "SELECT gname, count(1) AS n, sum(v) AS sv, min(v) AS mv "
+            "FROM f_tbl JOIN d_tbl ON g = gk GROUP BY gname"))
+
+    assert got == expect()
+    # idempotent rebind + a SQL WINDOW view through the same DDL
+    assert _rows(refresh_materialized_view(name, mv)) == expect()
+    wname, wmv = create_materialized_view(
+        spark, os.path.join(scratch, "mvsqlw"),
+        {"f_tbl": fact},
+        """CREATE MATERIALIZED VIEW topv AS
+           SELECT * FROM (
+             SELECT _hoodie_record_key AS vk, g, v,
+                    row_number() OVER (PARTITION BY g
+                                       ORDER BY v DESC, _hoodie_record_key) AS rn
+             FROM f_tbl) WHERE rn <= 2""",
+    )
+    assert wmv.spec()["kind"] == "window"
+    refresh_materialized_view(wname, wmv, seed_as_of={"f_tbl": "20260101000000"})
+    fact.snapshot().createOrReplaceTempView("f_tbl")
+    want = _rows(spark.sql(
+        "SELECT * FROM (SELECT _hoodie_record_key AS vk, g, v, "
+        "row_number() OVER (PARTITION BY g ORDER BY v DESC, _hoodie_record_key) AS rn "
+        "FROM f_tbl) WHERE rn <= 2"))
+    assert _rows(spark.sql("SELECT * FROM topv")) == want
+    with pytest.raises(ValueError, match="CREATE MATERIALIZED VIEW"):
+        create_materialized_view(spark, os.path.join(scratch, "x"),
+                                 {"f_tbl": fact}, "SELECT 1")
