@@ -497,20 +497,28 @@ def _classify_aggregate(plan, src_ids, refs, snapshots, quals=frozenset()) -> di
 def _classify_agg_join(
     group, aggs, mid_nodes, join_node, snapshots, agg_node, quals=frozenset()
 ) -> dict:
-    """Aggregate over ONE inner equi-join — maintained by DIRTY-GROUP
-    re-derivation: both sides' CDC feeds name the touched join-key
-    values, the pre-aggregate join (replayed at the anchor and the
-    target) maps those keys to the groups they feed at either state,
-    and exactly those groups recompute from the target snapshots.
-    Work ∝ rows of touched groups; any supported aggregate works
-    because dirty groups rebuild their stored state from scratch."""
+    """Aggregate over ONE inner or left-outer equi-join — maintained by
+    DIRTY-GROUP re-derivation: both sides' CDC feeds name the touched
+    join-key values, the pre-aggregate join (replayed at the anchor and
+    the target) maps those keys to the groups they feed at either
+    state, and exactly those groups recompute from the target
+    snapshots.  LEFT OUTER detection restricts only the PRESERVED side
+    (null-safe, so NULL-keyed preserved rows re-derive too): every
+    affected row — including a row whose dim match vanished and flipped
+    to null-extension — survives on the preserved side with its join
+    key in the dirty set.  Work ∝ rows of touched groups; any supported
+    aggregate works because dirty groups rebuild their stored state
+    from scratch.  Honest cost note: under LEFT OUTER, a dim delete
+    dirties the null-extension group, whose re-derivation is
+    group-sized — at scale, keep the unmatched-rows group small or
+    filter it out above the join."""
     jt = join_node.joinType().sql()
-    if jt != "INNER":
+    if jt not in ("INNER", "LEFT OUTER"):
         raise UnsupportedViewError(
-            f"aggregate over a {jt} join: only INNER equi-joins are "
-            "maintainable below an aggregate (an outer join's "
-            "null-extended rows appear/vanish with the OTHER side's "
-            "changes, which join-key dirty-group detection cannot see)"
+            f"aggregate over a {jt} join: INNER and LEFT OUTER equi-joins "
+            "are maintainable below an aggregate (RIGHT/FULL preserve the "
+            "dim side, whose null-extended rows appear/vanish with fact "
+            "changes the preserved-side dirty-key probe cannot see)"
         )
     cond = join_node.condition()
     if cond.isEmpty():
@@ -599,6 +607,11 @@ def _classify_agg_join(
                 cands.add(None)
         if len(cands) == 1:
             group_side = cands.pop()
+    if jt == "LEFT OUTER" and group_side == "right":
+        # restricting the null-extended side would flip unmatched
+        # preserved rows into the NULL group — fall back to the full
+        # re-derivation join for dim-side group keys
+        group_side = None
     return {
         "kind": "agg_join",
         "group": group,
@@ -610,6 +623,7 @@ def _classify_agg_join(
         "left": sides["left"],
         "right": sides["right"],
         "group_side": group_side,
+        "join_type": "left" if jt == "LEFT OUTER" else "inner",
     }
 
 
@@ -1062,21 +1076,30 @@ class AutoMaterializedView:
         right = _replay_spec(
             spec["right"]["chain"], snaps[spec["right"]["source"]]
         ).drop(*spec["right"]["drop"])
+        jt = spec.get("join_type", "inner")
         if dirty_jk is not None:
+            # INNER: both sides prune (NULL keys can't join).  LEFT
+            # OUTER: only the preserved side prunes — null-safe, so
+            # NULL-keyed preserved rows re-derive — while the right side
+            # stays whole (a pruned right side would flip unaffected
+            # preserved rows to null-extension)
             left = left.join(
                 F.broadcast(dirty_jk),
-                F.col(spec["left"]["join_col"]) == F.col("__mv_jk"),
+                F.col(spec["left"]["join_col"]).eqNullSafe(F.col("__mv_jk"))
+                if jt == "left"
+                else F.col(spec["left"]["join_col"]) == F.col("__mv_jk"),
                 "left_semi",
             )
-            right = right.join(
-                F.broadcast(dirty_jk),
-                F.col(spec["right"]["join_col"]) == F.col("__mv_jk"),
-                "left_semi",
-            )
+            if jt == "inner":
+                right = right.join(
+                    F.broadcast(dirty_jk),
+                    F.col(spec["right"]["join_col"]) == F.col("__mv_jk"),
+                    "left_semi",
+                )
         j = left.join(
             right,
             F.col(spec["left"]["join_col"]) == F.col(spec["right"]["join_col"]),
-            "inner",
+            jt,
         )
         return _replay_spec(spec["mid"], j)
 
@@ -1433,7 +1456,7 @@ class AutoMaterializedView:
                 right_df,
                 F.col(spec["left"]["join_col"])
                 == F.col(spec["right"]["join_col"]),
-                "inner",
+                spec.get("join_type", "inner"),
             ),
         )
         pcond = reduce(

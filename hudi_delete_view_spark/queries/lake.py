@@ -1983,3 +1983,49 @@ def lake_mv_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         name, mv, seed_as_of={"li_tbl": C1, "om_tbl": C1})
     refresh_materialized_view(name, mv)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+@query(
+    "lake_mv_auto_agg_left_join",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT l_orderkey, {_QTY_SQL} AS l_quantity
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey, o_orderpriority
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+)
+SELECT o_orderpriority, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+FROM l2 LEFT JOIN o2 ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def lake_mv_auto_agg_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a LEFT OUTER join in one declaration: orders'
+    C3 delta-deletes (o_orderkey % 11) flip their lineitems into the
+    NULL-priority group instead of dropping them — dirty-group
+    detection restricts only the PRESERVED side (null-safe), so the
+    flip registers at both states and the NULL group re-derives along
+    with the vacated named groups.  Group key on the null-extended
+    side, so re-derivation takes the documented full-join-pass
+    fallback.  Oracle recomputes the left join + GROUP BY from scratch
+    over both change scripts."""
+    from ..sources.fixtures import build_orders_mor
+
+    def plan(t):
+        f = t["li"].select("l_orderkey", "l_quantity")
+        d = t["om"].select("o_orderkey", "o_orderpriority")
+        return (
+            f.join(d, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("l_quantity").alias("sum_qty"))
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_agg_left_join",
+                  {"li": build_lineitem_cow(spark, sf_dir),
+                   "om": build_orders_mor(spark, sf_dir)}, plan)
+    return mv.serve()

@@ -696,17 +696,18 @@ def test_agg_join_view(spark, scratch, tables):
 
 
 def test_agg_join_refusals(spark, tables):
-    """Outer joins below an aggregate refuse (join-key dirty-group
-    detection cannot see null-extension flips), as do side column-name
-    collisions (the replayed join would be ambiguous)."""
+    """RIGHT/FULL outer joins below an aggregate refuse (the preserved
+    dim side's null-extension flips with fact changes the dirty-key
+    probe cannot see), as do referenced side column-name collisions
+    (the replayed join would be ambiguous)."""
     fact, dim = tables
     fs, ds = fact.snapshot(), dim.snapshot()
     outer = (
         fs.select("k", "g", "v")
-        .join(ds.select("gk", "gname"), F.col("g") == F.col("gk"), "left")
+        .join(ds.select("gk", "gname"), F.col("g") == F.col("gk"), "full")
         .groupBy("gname").agg(F.sum("v").alias("sv"))
     )
-    with pytest.raises(UnsupportedViewError, match="INNER"):
+    with pytest.raises(UnsupportedViewError, match="INNER and LEFT OUTER"):
         classify_view(outer, {"fact": fs, "dim": ds})
     clash = (
         fs.select("k", "g", "v")
@@ -816,3 +817,58 @@ def test_sql_materialized_view_ddl(spark, scratch, tables):
     with pytest.raises(ValueError, match="CREATE MATERIALIZED VIEW"):
         create_materialized_view(spark, os.path.join(scratch, "x"),
                                  {"f_tbl": fact}, "SELECT 1")
+
+
+def _rows_ns(df):
+    """Null-safe row sort: NULL group keys sort after non-null values
+    instead of raising on None < str."""
+    return sorted(
+        tuple((x is None, x) for x in r) for r in df.collect()
+    )
+
+
+def test_agg_left_outer_join_view(spark, scratch, tables):
+    """Aggregate over a LEFT OUTER join: the dim DELETE flips g=3 rows
+    into the NULL-extension group (both groups re-derive), the dim
+    RENAME moves g=1 rows between named groups, and NULL-group
+    membership converges exactly at every step."""
+
+    def plan(t):
+        f = t["fact"].select("k", "g", "v")
+        d = t["dim"].select("gk", "gname")
+        return (
+            f.join(d, F.col("g") == F.col("gk"), "left")
+            .groupBy("gname")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+                 F.max("v").alias("xv"))
+        )
+
+    fact, dim = tables
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvalj"),
+                              {"fact": fact, "dim": dim}, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "agg_join" and spec["join_type"] == "left"
+    # group key on the null-extended side: input restriction must NOT
+    # apply to the dim side
+    assert spec["group_side"] is None
+    mv.refresh(seed_as_of={"fact": "20260101000000", "dim": "20260101000000"},
+               to={"fact": "20260101000000", "dim": "20260101000000"})
+
+    def expect(at):
+        return _rows_ns(plan(
+            {"fact": fact.snapshot(at["fact"]), "dim": dim.snapshot(at["dim"])}))
+
+    assert _rows_ns(mv.serve()) == expect(
+        {"fact": "20260101000000", "dim": "20260101000000"})
+    mv.refresh(to={"fact": "20260103000000", "dim": "20260103000000"})
+    assert _rows_ns(mv.serve()) == expect(
+        {"fact": "20260103000000", "dim": "20260103000000"})
+    # dim delete -> g=3 rows flip into the NULL gname group; fact C4
+    # inserts k99 g=9 (no dim match -> NULL group too)
+    mv.refresh()
+    assert _rows_ns(mv.serve()) == expect(
+        {"fact": "20260104000000", "dim": "20260104000000"})
+    served = {r["gname"]: r["n"] for r in mv.serve().collect()}
+    # g=3 survivors (ids 3,7,11,19 after the k15 delete) + k99
+    assert None in served and served[None] == 5
+    assert mv.refresh()["advanced"] is False

@@ -154,6 +154,12 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # Python DataSource connector scan: a real DSv2 BatchScan over the
     # registered lakeview source (slice partitions + stats pushdown)
     "lake_pyds_scan": (["BatchScan lakeview"], ["CartesianProduct", "Join"]),
+    # auto-MV serve paths: the maintained state is a real COW table, so
+    # serving is a parquet scan + narrow projection — the advance cost
+    # lives in refresh(), never in the read plan
+    "lake_mv_auto_agg_join": ([], ["Join", "CartesianProduct", "Exchange"]),
+    "lake_mv_auto_window": ([], ["Join", "CartesianProduct", "Exchange"]),
+    "lake_mv_sql_ddl": ([], ["Join", "CartesianProduct", "Exchange"]),
 }
 
 # per-query session confs applied while building the audited plan
