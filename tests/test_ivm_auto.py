@@ -185,16 +185,28 @@ def test_join_view_tracks_dim_changes(spark, scratch, tables):
     assert 3 not in by_g  # dim delete retracted the whole group's rows
 
 
-def test_stepwise_bounded_refresh_converges(spark, scratch, tables):
+def agg_join_stepwise_plan(t):
+    f = t["fact"].select("k", "g", "v")
+    d = t["dim"].select("gk", "gname")
+    return (f.join(d, F.col("g") == F.col("gk"))
+            .groupBy("gname")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")))
+
+
+@pytest.mark.parametrize("plan", [join_plan, agg_join_stepwise_plan],
+                         ids=["join", "agg_join"])
+def test_stepwise_bounded_refresh_converges(spark, scratch, tables, plan):
     """Replaying the MERGED fact+dim commit timeline through bounded
     refresh(to=...) — one advance per source commit, same-timestamp
     commits on both sources — converges to the from-scratch recompute,
     and every maintenance commit gets a unique timestamp (the view
-    self-stamps past its own tail)."""
+    self-stamps past its own tail).  This IS the streaming-maintenance
+    driver's mechanism, so both change-key (join) and dirty-group
+    (agg_join) algebras are pinned stepwise."""
     fact, dim = tables
     sources = {"fact": fact, "dim": dim}
     mv = AutoMaterializedView(spark, os.path.join(scratch, "mvs"), sources,
-                              join_plan)
+                              plan)
     seed = {"fact": "20260101000000", "dim": "20260101000000"}
     mv.refresh(seed_as_of=seed, to=seed)
     anchors = dict(seed)
@@ -207,7 +219,7 @@ def test_stepwise_bounded_refresh_converges(spark, scratch, tables):
         other = "dim" if src == "fact" else "fact"
         mv.refresh(to={src: ts, other: anchors[other]})
         anchors[src] = ts
-    want = _rows(join_plan({n: t.snapshot() for n, t in sources.items()}))
+    want = _rows(plan({n: t.snapshot() for n, t in sources.items()}))
     assert _rows(mv.serve()) == want
     stamps = mv.table.timeline.timestamps()
     assert len(stamps) == len(set(stamps))  # no commit-ts collisions
