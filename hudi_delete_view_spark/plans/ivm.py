@@ -126,6 +126,13 @@ class UnsupportedViewError(ValueError):
     (e.g. min/max -> argmax re-derivation, avg -> sum/count columns)."""
 
 
+class ConcurrentRefreshError(RuntimeError):
+    """Another refresh holds the view's advisory lock.  Two concurrent
+    advances would race the anchor sidecar and double-apply deltas; the
+    error names the lock file and holder so a dead holder's lock can be
+    removed and the refresh retried."""
+
+
 # ------------------------------------------------------------------------
 # plan introspection helpers (py4j over the analyzed logical plan)
 # ------------------------------------------------------------------------
@@ -200,6 +207,8 @@ def classify_view(df: DataFrame, snapshots: dict[str, DataFrame]) -> dict:
 
     if _cls(plan) == "Aggregate":
         return _classify_aggregate(plan, src_ids, refs, snapshots, quals)
+    if _cls(plan) in ("Deduplicate", "Distinct"):
+        return _classify_distinct(plan, snapshots, quals)
 
     # peel a linear Project/Filter chain ABOVE an aggregate (HAVING and
     # derived output columns like ratio-of-sums): the maintained state is
@@ -224,6 +233,10 @@ def classify_view(df: DataFrame, snapshots: dict[str, DataFrame]) -> dict:
         if _cls(node) == "Aggregate":
             spec = _classify_aggregate(node, src_ids, refs, snapshots, quals)
             spec["post"] = post  # top-down; serve applies bottom-up
+            return spec
+        if _cls(node) in ("Deduplicate", "Distinct"):
+            spec = _classify_distinct(node, snapshots, quals)
+            spec["post"] = post
             return spec
         if _cls(node) == "Window":
             return _classify_window(node, src_ids, refs, _out_ids(df), snapshots)
@@ -492,6 +505,40 @@ def _classify_aggregate(plan, src_ids, refs, snapshots, quals=frozenset()) -> di
         "only Project/Filter chains (optionally over one INNER equi-join) "
         "can be maintained below an aggregate"
     )
+
+
+def _classify_distinct(node, snapshots, quals=frozenset()) -> dict:
+    """SELECT DISTINCT / df.distinct(): the degenerate aggregate —
+    group by every output column, no aggregate outputs, the hidden
+    signed row count alone decides membership (a combination leaves
+    the view when its last source row retracts).  dropDuplicates on a
+    key SUBSET refuses: it keeps an arbitrary row per key, which is
+    not a deterministic view (use a window view with an explicit
+    order instead)."""
+    out_attrs = _seq(node.output())
+    if _cls(node) == "Deduplicate":
+        keys = {a.exprId().id() for a in _seq(node.keys())}
+        if keys != {a.exprId().id() for a in out_attrs}:
+            raise UnsupportedViewError(
+                "dropDuplicates on a key SUBSET keeps an arbitrary row per "
+                "key — not a deterministic view; use DISTINCT over exactly "
+                "the columns you want, or a window view with an explicit "
+                "order and rn = 1"
+            )
+    chain, term = _descend_chain(_children(node)[0], snapshots)
+    if term[0] != "source":
+        raise UnsupportedViewError(
+            f"node {_cls(term[1])} between DISTINCT and its source; a "
+            "DISTINCT view must be a Project/Filter chain over one source "
+            "— stage joins as view-over-view"
+        )
+    return {
+        "kind": "aggregate",
+        "source": term[1],
+        "group": [(a.name(), a.name()) for a in out_attrs],
+        "aggs": [],
+        "chain": _chain_to_spec(chain, quals),
+    }
 
 
 def _classify_agg_join(
@@ -815,23 +862,56 @@ class AutoMaterializedView:
         incremental path; default seeds at the sources' latest.  ``to``
         bounds the advance target per source (default: each source's
         latest commit) — the stepwise-replay hook that lets a streaming
-        driver advance the view ONE source commit at a time."""
+        driver advance the view ONE source commit at a time.
+
+        Refreshes hold an advisory lock (O_EXCL lock file NEXT TO the
+        view dir — the seed wipes the dir itself): two concurrent
+        advances would race the anchor sidecar and double-apply deltas,
+        so the second caller gets ConcurrentRefreshError instead."""
         spec = self.spec()
-        latest = to or {
-            n: t.timeline.latest_timestamp() for n, t in self.sources.items()
-        }
-        anchor = self._read_anchor()
-        if anchor is None:
-            at = seed_as_of or latest
-            shutil.rmtree(self.path, ignore_errors=True)
-            self._seed(spec, at)
-            self._write_anchor(at)
-            anchor = at
-        if anchor == latest:
-            return {"kind": spec["kind"], "advanced": False, "anchor": anchor}
-        self._advance(spec, anchor, latest)
-        self._write_anchor(latest)
-        return {"kind": spec["kind"], "advanced": True, "anchor": latest}
+        lock = self.path.rstrip("/") + ".refresh_lock"
+        parent = os.path.dirname(lock)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    holder = f.read().strip() or "?"
+            except OSError:
+                holder = "?"
+            raise ConcurrentRefreshError(
+                f"another refresh of {self.path} holds {lock} "
+                f"(holder: {holder}); if that process died, remove the "
+                "lock file and retry"
+            ) from None
+        try:
+            os.write(fd, f"pid={os.getpid()}".encode())
+            os.close(fd)
+            latest = to or {
+                n: t.timeline.latest_timestamp()
+                for n, t in self.sources.items()
+            }
+            anchor = self._read_anchor()
+            if anchor is None:
+                at = seed_as_of or latest
+                shutil.rmtree(self.path, ignore_errors=True)
+                self._seed(spec, at)
+                self._write_anchor(at)
+                anchor = at
+            if anchor == latest:
+                return {
+                    "kind": spec["kind"], "advanced": False, "anchor": anchor
+                }
+            self._advance(spec, anchor, latest)
+            self._write_anchor(latest)
+            return {"kind": spec["kind"], "advanced": True, "anchor": latest}
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
     def _commit_base(self, latest: dict) -> int:
         """Maintenance commits stamp after BOTH the advance target and

@@ -2029,3 +2029,35 @@ def lake_mv_auto_agg_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   {"li": build_lineitem_cow(spark, sf_dir),
                    "om": build_orders_mor(spark, sf_dir)}, plan)
     return mv.serve()
+
+
+@query(
+    "lake_mv_auto_distinct",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT DISTINCT l_returnflag, l_linestatus,
+       CAST(FLOOR(({_QTY_SQL}) / 10) AS BIGINT) AS qty_decade
+FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+""",
+)
+def lake_mv_auto_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT as a maintained view — the degenerate aggregate:
+    group by every output column with only the hidden signed row count,
+    so a (flag, status, decade) combination leaves the view when C3/C4
+    retract its last row and enters when C2's +100 quantity shift
+    creates a new decade.  Oracle recomputes DISTINCT from scratch over
+    the full change script."""
+
+    def plan(t):
+        return (
+            t["li"].select(
+                "l_returnflag", "l_linestatus",
+                F.floor(F.col("l_quantity") / 10).cast("bigint")
+                .alias("qty_decade"))
+            .distinct()
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_distinct",
+                  {"li": build_lineitem_cow(spark, sf_dir)}, plan)
+    return mv.serve()

@@ -32,6 +32,7 @@ def register_views(table: CowTable, name: str) -> list[str]:
 
 
 # -- materialized-view DDL -------------------------------------------------
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,3 +93,18 @@ def refresh_materialized_view(
     served = mv.serve()
     served.createOrReplaceTempView(name)
     return served
+
+
+def drop_materialized_view(
+    spark: SparkSession, name: str, mv: AutoMaterializedView
+) -> None:
+    """``DROP MATERIALIZED VIEW``: unbind the temp view and remove the
+    backing table, its aux tables, anchor sidecar, and refresh lock."""
+    import shutil
+
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(mv.path, ignore_errors=True)
+    try:
+        os.remove(mv.path.rstrip("/") + ".refresh_lock")
+    except OSError:
+        pass

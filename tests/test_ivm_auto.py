@@ -884,3 +884,68 @@ def test_agg_left_outer_join_view(spark, scratch, tables):
     # g=3 survivors (ids 3,7,11,19 after the k15 delete) + k99
     assert None in served and served[None] == 5
     assert mv.refresh()["advanced"] is False
+
+
+def test_distinct_view(spark, scratch, tables):
+    """DISTINCT views: the degenerate aggregate — a (g, bucket)
+    combination leaves the view when its last source row retracts,
+    enters when the first appears; dropDuplicates on a key subset
+    refuses (arbitrary survivor = not a deterministic view)."""
+
+    def plan(t):
+        return t["fact"].selectExpr("g", "cast(v as int) % 2 as parity")\
+            .distinct()
+
+    fact, _ = tables
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvd"),
+                              {"fact": fact}, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "aggregate" and spec["aggs"] == []
+    mv.refresh(seed_as_of={"fact": "20260101000000"},
+               to={"fact": "20260101000000"})
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot("20260101000000")}))
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    # delete every g=9 row: the (9, *) combos must leave the view
+    fact.delete(spark.createDataFrame([("k99",)], "k string"), "20260105000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    assert 9 not in {r["g"] for r in mv.serve().collect()}
+    # SQL DISTINCT classifies identically (Distinct node)
+    fs = fact.snapshot()
+    fs.createOrReplaceTempView("f_tbl")
+    sql_d = spark.sql("SELECT DISTINCT g, cast(v as int) % 2 AS parity FROM f_tbl")
+    assert classify_view(sql_d, {"fact": fs})["kind"] == "aggregate"
+    with pytest.raises(UnsupportedViewError, match="SUBSET"):
+        classify_view(fs.select("g", "v").dropDuplicates(["g"]), {"fact": fs})
+
+
+def test_refresh_lock_and_drop(spark, scratch, tables):
+    """Concurrent refreshes are excluded by the advisory lock (with the
+    holder named so a dead lock can be cleared), and DROP MATERIALIZED
+    VIEW removes the temp view, backing table, and lock."""
+    from hudi_delete_view_spark.plans.ivm import ConcurrentRefreshError
+    from hudi_delete_view_spark.sql import (
+        create_materialized_view,
+        drop_materialized_view,
+        refresh_materialized_view,
+    )
+
+    fact, _ = tables
+    name, mv = create_materialized_view(
+        spark, os.path.join(scratch, "mvlk"), {"f_tbl": fact},
+        "CREATE MATERIALIZED VIEW locked AS "
+        "SELECT g, sum(v) AS sv FROM f_tbl GROUP BY g")
+    lock = mv.path + ".refresh_lock"
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    with open(lock, "w") as f:
+        f.write("pid=12345")
+    with pytest.raises(ConcurrentRefreshError, match="pid=12345"):
+        mv.refresh()
+    os.remove(lock)  # the documented dead-holder recovery
+    refresh_materialized_view(name, mv)
+    assert not os.path.exists(lock)  # released after a successful refresh
+    assert spark.sql("SELECT count(1) AS n FROM locked").collect()[0]["n"] > 0
+    drop_materialized_view(spark, name, mv)
+    assert not os.path.exists(mv.path)
+    assert not any(t.name == "locked" for t in spark.catalog.listTables())
