@@ -133,6 +133,15 @@ class ConcurrentRefreshError(RuntimeError):
     removed and the refresh retried."""
 
 
+class ViewHistoryLostError(RuntimeError):
+    """A source no longer has incremental history at the view's anchor —
+    it was rolled back past the anchor, or its timeline was archived
+    beyond it.  The stored view is still a correct snapshot OF ITS
+    ANCHOR, but no change feed can bridge anchor → latest; the only
+    sound recovery is ``reseed()`` (rebuild from the current
+    snapshots), which this error names instead of doing silently."""
+
+
 # ------------------------------------------------------------------------
 # plan introspection helpers (py4j over the analyzed logical plan)
 # ------------------------------------------------------------------------
@@ -904,7 +913,24 @@ class AutoMaterializedView:
                 return {
                     "kind": spec["kind"], "advanced": False, "anchor": anchor
                 }
-            self._advance(spec, anchor, latest)
+            from ..plans.timeline import TimelineError
+
+            for n, t in self.sources.items():
+                if anchor.get(n) not in t.timeline.all_timestamps():
+                    raise ViewHistoryLostError(
+                        f"source '{n}' no longer has the view's anchor "
+                        f"commit {anchor.get(n)} (rolled back?): no change "
+                        "feed bridges the anchor to the present — call "
+                        "reseed() to rebuild from the current snapshots"
+                    )
+            try:
+                self._advance(spec, anchor, latest)
+            except TimelineError as e:
+                raise ViewHistoryLostError(
+                    "a source's incremental history at the view's anchor "
+                    f"is gone ({e}): call reseed() to rebuild from the "
+                    "current snapshots"
+                ) from e
             self._write_anchor(latest)
             return {"kind": spec["kind"], "advanced": True, "anchor": latest}
         finally:
@@ -912,6 +938,18 @@ class AutoMaterializedView:
                 os.remove(lock)
             except OSError:
                 pass
+
+    def reseed(self) -> dict:
+        """Rebuild the view from the CURRENT source snapshots — the
+        recovery for ViewHistoryLostError (source rolled back past the
+        anchor, or timeline archived beyond it).  Explicit by design:
+        reseeding discards the view's own commit history."""
+        shutil.rmtree(self.path, ignore_errors=True)
+        try:
+            os.remove(self._anchor_path)
+        except OSError:
+            pass
+        return self.refresh()
 
     def _commit_base(self, latest: dict) -> int:
         """Maintenance commits stamp after BOTH the advance target and

@@ -949,3 +949,74 @@ def test_refresh_lock_and_drop(spark, scratch, tables):
     drop_materialized_view(spark, name, mv)
     assert not os.path.exists(mv.path)
     assert not any(t.name == "locked" for t in spark.catalog.listTables())
+
+
+def test_history_lost_reseed(spark, scratch, tables):
+    """A source rolled back past the anchor, or archived beyond it,
+    cannot be bridged by any change feed: refresh names reseed()
+    instead of silently diverging, and reseed() rebuilds correctly."""
+    from hudi_delete_view_spark.plans.ivm import ViewHistoryLostError
+
+    fact, _ = tables
+
+    def plan(t):
+        return t["fact"].groupBy("g").agg(F.sum("v").alias("sv"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvhl"),
+                              {"fact": fact}, plan)
+    mv.refresh()  # anchor = C4
+    fact.rollback("20260104000000")
+    with pytest.raises(ViewHistoryLostError, match="reseed"):
+        mv.refresh()
+    mv.reseed()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    # archived-beyond-anchor: fresh view anchored at C1, then archive
+    fact2 = CowTable(spark, os.path.join(scratch, "fact2"), key_fields=["k"],
+                     partition_field=None, num_file_groups=2)
+    fact2.bulk_insert(spark.range(10).selectExpr(
+        "concat('k', id) as k", "cast(id % 3 as long) as g",
+        "cast(id as double) as v"), "20260101000000")
+    mv2 = AutoMaterializedView(spark, os.path.join(scratch, "mvhl2"),
+                               {"fact2": fact2},
+                               lambda t: t["fact2"].groupBy("g")
+                               .agg(F.sum("v").alias("sv")))
+    mv2.refresh()
+    for i in range(2, 6):
+        fact2.upsert(spark.range(2).selectExpr(
+            "concat('k', id) as k", "cast(id % 3 as long) as g",
+            f"cast(id + {i * 100} as double) as v"), f"2026010{i}000000")
+    fact2.archive_timeline(keep_last_n=2)
+    with pytest.raises(ViewHistoryLostError, match="reseed"):
+        mv2.refresh()
+    mv2.reseed()
+    assert _rows(mv2.serve()) == _rows(
+        fact2.snapshot().groupBy("g").agg(F.sum("v").alias("sv")))
+
+
+def test_service_commits_in_window(spark, scratch, tables):
+    """Table-service commits between the anchor and the target must not
+    perturb maintenance: a CLUSTER rewrite is byte-identical (original
+    commit stamps), so the CDC feed sees zero changes from it, and a
+    schema-evolution commit adding a column the plan never reads flows
+    through the fixed-column chain untouched."""
+    fact, _ = tables
+
+    def plan(t):
+        return t["fact"].groupBy("g").agg(
+            F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvsvc"),
+                              {"fact": fact}, plan)
+    mv.refresh()
+    fact.cluster("20260105000000", ["v"])
+    fact.upsert(spark.createDataFrame([("k3", 1, 999.0, 3)],
+                                      "k string, g long, v double, nv long"),
+                "20260106000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    fact.upsert(
+        spark.createDataFrame([("k77", 2, 77.0, 7, "x")],
+                              "k string, g long, v double, nv long, extra string"),
+        "20260107000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
