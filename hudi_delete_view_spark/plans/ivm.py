@@ -225,7 +225,15 @@ def classify_view(df: DataFrame, snapshots: dict[str, DataFrame]) -> dict:
     # as their aggregates change, so the filter/projection re-applies at
     # serve time, never at maintenance time
     post, node = [], plan
+    snap_plans = [
+        s._jdf.queryExecution().analyzed() for s in snapshots.values()
+    ]
     while _cls(node) in ("Project", "Filter", "SubqueryAlias"):
+        # stop at a source-snapshot boundary: a MOR source's own plan is
+        # a Project/Filter/Window tree (the log merge) — its internals
+        # are the source's implementation, not view structure
+        if any(node.sameResult(sp) for sp in snap_plans):
+            break
         if _cls(node) == "Filter":
             post.append(("filter", _strip_quals(node.condition().sql(), quals)))
         elif _cls(node) == "Project":
@@ -239,6 +247,8 @@ def classify_view(df: DataFrame, snapshots: dict[str, DataFrame]) -> dict:
         # SubqueryAlias (SQL-declared views): qualifier wrapper only —
         # transparent to the descent
         node = _children(node)[0]
+        if any(node.sameResult(sp) for sp in snap_plans):
+            break
         if _cls(node) == "Aggregate":
             spec = _classify_aggregate(node, src_ids, refs, snapshots, quals)
             spec["post"] = post  # top-down; serve applies bottom-up
@@ -252,6 +262,9 @@ def classify_view(df: DataFrame, snapshots: dict[str, DataFrame]) -> dict:
 
     if _cls(plan) == "Window":
         return _classify_window(plan, src_ids, refs, _out_ids(df), snapshots)
+
+    if _cls(plan) == "Union":
+        return _classify_union(plan, src_ids, refs, snapshots, quals)
 
     # a Window anywhere ELSE would silently maintain wrong: the key/join
     # algebras re-derive touched ROWS, but a rank reshuffles its whole
@@ -514,6 +527,105 @@ def _classify_aggregate(plan, src_ids, refs, snapshots, quals=frozenset()) -> di
         "only Project/Filter chains (optionally over one INNER equi-join) "
         "can be maintained below an aggregate"
     )
+
+
+def _resolve_literal(eid: int, nodes: list) -> str | None:
+    """Follow an output attr down a top-down Project/Filter chain; if it
+    resolves to an Alias of a Literal, return that literal's SQL."""
+    cur = eid
+    for n in nodes:
+        if _cls(n) != "Project":
+            continue
+        for p in _seq(n.projectList()):
+            if _cls(p) == "Alias" and p.exprId().id() == cur:
+                ch = p.child()
+                if _cls(ch) == "Literal":
+                    return ch.sql()
+                if _cls(ch) == "AttributeReference":
+                    cur = ch.exprId().id()
+                    break
+                return None
+            if _cls(p) == "AttributeReference" and p.exprId().id() == cur:
+                break  # pass-through; keep descending
+    return None
+
+
+def _classify_union(plan, src_ids, refs, snapshots, quals=frozenset()) -> dict:
+    """UNION ALL views (multi-source append — N ingest feeds fused into
+    one logical table): each branch is a Project/Filter chain over a
+    source, maintained independently by change-key re-derivation over
+    that branch's chain.  Row identity is (tag, record key): every
+    branch must project its source's record key into a COMMON output
+    column AND a DISTINCT LITERAL tag column (e.g.
+    ``lit('web').alias('src')``) — record keys from different sources
+    may collide, so the tag disambiguates storage and deletes."""
+    kids = _children(plan)
+    out_names = [a.name() for a in _seq(plan.output())]
+    branches, key_idx, tag_cands = [], None, None
+    for child in kids:
+        nodes, term = _descend_chain(child, snapshots)
+        if term[0] != "source":
+            raise UnsupportedViewError(
+                f"UNION branch bottoms out at {_cls(term[1])}; each branch "
+                "must be a Project/Filter chain over one source — stage "
+                "joins/aggregates below a union as view-over-view"
+            )
+        child_out = _seq(child.output())
+        k_idx = None
+        for i, a in enumerate(child_out):
+            hit = _resolve_to_source(a.exprId().id(), refs, src_ids)
+            if hit and hit[0] == term[1] and hit[1] == RECORD_KEY_FIELD:
+                k_idx = i
+        if k_idx is None:
+            raise UnsupportedViewError(
+                f"UNION branch over '{term[1]}' does not project the "
+                f"source's {RECORD_KEY_FIELD} — it is the branch's row "
+                "identity"
+            )
+        if key_idx is None:
+            key_idx = k_idx
+        elif key_idx != k_idx:
+            raise UnsupportedViewError(
+                "UNION branches project their record keys at different "
+                "output positions — align the branch projections"
+            )
+        # literal output positions of this branch (tag candidates):
+        # follow each output attr down the chain — union name-alignment
+        # adapters add pass-through Projects above the literal's Alias
+        lits = {}
+        for i, a in enumerate(child_out):
+            lit_sql = _resolve_literal(a.exprId().id(), nodes)
+            if lit_sql is not None:
+                lits[i] = lit_sql
+        tag_cands = (
+            set(lits) if tag_cands is None else tag_cands & set(lits)
+        )
+        branches.append(
+            {"source": term[1], "chain": _chain_to_spec(nodes, quals),
+             "lits": lits}
+        )
+    tag_idx = None
+    for i in sorted(tag_cands or ()):
+        vals = [b["lits"][i] for b in branches]
+        if len(set(vals)) == len(vals):
+            tag_idx = i
+            break
+    if tag_idx is None:
+        raise UnsupportedViewError(
+            "UNION view needs a discriminator: every branch must project "
+            "a LITERAL tag column with pairwise-distinct values (e.g. "
+            "lit('web').alias('src')) — record keys from different "
+            "sources may collide, so (tag, key) is the row identity"
+        )
+    for b in branches:
+        b["tag_sql"] = b.pop("lits")[tag_idx]
+    return {
+        "kind": "union",
+        "branches": branches,
+        "key": {"name": out_names[key_idx]},
+        "tag_col": out_names[tag_idx],
+        "out_names": out_names,
+    }
 
 
 def _classify_distinct(node, snapshots, quals=frozenset()) -> dict:
@@ -835,6 +947,8 @@ class AutoMaterializedView:
         spec = self.spec()
         if spec["kind"] in ("aggregate", "agg_join"):
             return [n for n, _ in spec["group"]]
+        if spec["kind"] == "union":
+            return [spec["tag_col"], spec["key"]["name"]]
         return [spec["key"]["name"]]
 
     @property
@@ -1247,6 +1361,8 @@ class AutoMaterializedView:
             self._advance_agg_join(spec, anchor, latest)
         elif spec["kind"] == "window":
             self._advance_window(spec, anchor, latest)
+        elif spec["kind"] == "union":
+            self._advance_union(spec, anchor, latest)
         else:
             self._advance_change_keys(spec, anchor, latest)
 
@@ -1725,30 +1841,88 @@ class AutoMaterializedView:
         if rederived.count() > 0:
             self.table.upsert(rederived, f"{base + 2:014d}")
 
-    # -- algebra: change-key re-derivation (select / join views) ---------
-    def _changed_fact_keys(self, spec, anchor, latest) -> DataFrame:
-        """Record keys the fact source touched in (anchor, to]:
-        inserts/updates from the incremental read, deletes from the
-        materialized delete-view feed — touched file groups only, never a
-        full diff."""
-        from ..sources.delete_view import delete_views_between
+    # -- algebra: per-branch change-key re-derivation (union views) ------
+    def _advance_union(self, spec, anchor, latest) -> None:
+        """Each branch advances independently: the branch source's
+        changed record keys restrict its SNAPSHOT (input restriction),
+        the branch chain replays over just those rows, and vanished
+        keys become (tag, key) deletes.  Branch work ∝ that source's
+        change set; untouched branches cost nothing."""
+        key = spec["key"]["name"]
+        tag = spec["tag_col"]
+        ups, deads = [], []
+        for br in spec["branches"]:
+            s = br["source"]
+            if anchor[s] == latest[s]:
+                continue
+            src = self.sources[s]
+            d_keys = self._changed_keys_of(
+                src, anchor[s], latest[s]
+            ).localCheckpoint(eager=True)
+            restricted = src.snapshot(latest[s]).join(
+                F.broadcast(d_keys), RECORD_KEY_FIELD, "left_semi"
+            )
+            red = _replay_spec(br["chain"], restricted).toDF(
+                *spec["out_names"]
+            )
+            ups.append(red)
+            deads.append(
+                d_keys.select(
+                    F.expr(br["tag_sql"]).alias(tag),
+                    F.col(RECORD_KEY_FIELD).alias(key),
+                ).join(
+                    red.select(tag, key), [tag, key], "left_anti"
+                )
+            )
+        if not ups:
+            return
+        from functools import reduce
 
-        fact_name = spec.get("fact", spec.get("source"))
-        fact = self.sources[fact_name]
-        key_name = spec["key"]["name"]
+        rederived = reduce(
+            lambda a, b: a.unionByName(b), ups
+        ).localCheckpoint(eager=True)
+        dead = reduce(
+            lambda a, b: a.unionByName(b), deads
+        ).localCheckpoint(eager=True)
+        base = self._commit_base(latest)
+        if dead.count() > 0:
+            self.table.delete(dead, f"{base + 1:014d}")
+        if rederived.count() > 0:
+            self.table.upsert(rederived, f"{base + 2:014d}")
+
+    # -- algebra: change-key re-derivation (select / join views) ---------
+    def _changed_keys_of(self, src, begin: str, end: str) -> DataFrame:
+        """Record keys ``src`` touched in (begin, end], one
+        ``RECORD_KEY_FIELD`` column.  COW: inserts/updates from the
+        incremental read + deletes from the materialized per-commit
+        delete-view feed — touched file groups only, never a full diff.
+        MOR: delta tombstones live in LOGS, which the COW delete-view
+        feed cannot see — the inherited net-effect cdc names every
+        touched key (inserts, updates, deletes) through the
+        merge-correct boundary snapshots instead."""
+        from ..sources.delete_view import delete_views_between
+        from ..sources.mor import MorTable
+
+        if isinstance(src, MorTable):
+            return src.cdc(begin, end).select(RECORD_KEY_FIELD).distinct()
         return (
-            fact.incremental(anchor[fact_name], latest[fact_name])
-            .select(F.col(RECORD_KEY_FIELD).alias(key_name))
+            src.incremental(begin, end)
+            .select(RECORD_KEY_FIELD)
             .union(
                 delete_views_between(
-                    self.spark,
-                    fact.base_path,
-                    anchor[fact_name],
-                    latest[fact_name],
-                ).select(F.col(RECORD_KEY_FIELD).alias(key_name))
+                    self.spark, src.base_path, begin, end
+                ).select(RECORD_KEY_FIELD)
             )
             .distinct()
         )
+
+    def _changed_fact_keys(self, spec, anchor, latest) -> DataFrame:
+        fact_name = spec.get("fact", spec.get("source"))
+        fact = self.sources[fact_name]
+        key_name = spec["key"]["name"]
+        return self._changed_keys_of(
+            fact, anchor[fact_name], latest[fact_name]
+        ).select(F.col(RECORD_KEY_FIELD).alias(key_name))
 
     def _advance_change_keys(self, spec, anchor, latest) -> None:
         key = spec["key"]["name"]

@@ -2061,3 +2061,46 @@ def lake_mv_auto_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = _auto_mv(spark, sf_dir, "mv_auto_distinct",
                   {"li": build_lineitem_cow(spark, sf_dir)}, plan)
     return mv.serve()
+
+
+@query(
+    "lake_mv_auto_union",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT 'li' AS src, {_KEY_SQL} AS vk, {_QTY_SQL} AS val
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT 'om' AS src, CAST(o_orderkey AS VARCHAR) AS vk,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS val
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+)
+SELECT * FROM l2 UNION ALL SELECT * FROM o2
+""",
+)
+def lake_mv_auto_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL view fusing TWO ingest feeds (COW lineitem + MOR
+    orders) into one maintained table: each branch advances
+    independently by change-key re-derivation over its own chain under
+    a (tag, record key) identity — lineitem's C2 update / C3+C4
+    deletes touch only the 'li' branch, orders' delta update / delete
+    only 'om'.  Oracle recomputes both feeds from scratch and unions."""
+    from ..sources.fixtures import build_orders_mor
+
+    def plan(t):
+        a = t["li"].select(
+            F.lit("li").alias("src"),
+            F.col(RECORD_KEY_FIELD).alias("vk"),
+            F.col("l_quantity").alias("val"))
+        b = t["om"].select(
+            F.lit("om").alias("src"),
+            F.col(RECORD_KEY_FIELD).alias("vk"),
+            F.col("o_totalprice").alias("val"))
+        return a.unionByName(b)
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_union",
+                  {"li": build_lineitem_cow(spark, sf_dir),
+                   "om": build_orders_mor(spark, sf_dir)}, plan)
+    return mv.serve()

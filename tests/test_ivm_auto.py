@@ -1020,3 +1020,106 @@ def test_service_commits_in_window(spark, scratch, tables):
         "20260107000000")
     mv.refresh()
     assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+
+
+def test_union_view(spark, scratch, tables):
+    """UNION ALL multi-source view: per-branch change-key maintenance
+    under a (tag, key) identity — each source's changes advance only
+    its own branch, colliding record keys across sources stay
+    distinct rows, and branch filters retract rows they now reject."""
+    fact, _ = tables
+    other = CowTable(spark, os.path.join(scratch, "other"), key_fields=["k"],
+                     partition_field=None, num_file_groups=2)
+    # deliberately COLLIDING record keys (k0..k9) with different payloads
+    other.bulk_insert(spark.range(10).selectExpr(
+        "concat('k', id) as k", "cast(id as double) as v"), "20260101000000")
+
+    def plan(t):
+        a = t["fact"].filter("v < 1000").select(
+            F.lit("fact").alias("src"),
+            F.col("_hoodie_record_key").alias("vk"), "v")
+        b = t["other"].select(
+            F.lit("other").alias("src"),
+            F.col("_hoodie_record_key").alias("vk"),
+            (F.col("v") * 10).alias("v"))
+        return a.unionByName(b)
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvu"),
+                              {"fact": fact, "other": other}, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "union" and spec["tag_col"] == "src"
+    seed = {"fact": "20260101000000", "other": "20260101000000"}
+    mv.refresh(seed_as_of=seed, to=seed)
+
+    def expect():
+        return _rows(plan({"fact": fact.snapshot(), "other": other.snapshot()}))
+
+    # fact-only advance (C2 updates push k0..k4 past the filter? no —
+    # +100 keeps v<1000; C3 deletes two keys; C4 inserts k99)
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    # other-side change: update one colliding key, delete another
+    other.upsert(spark.createDataFrame([("k1", 500.0)], "k string, v double"),
+                 "20260105000000")
+    other.delete(spark.createDataFrame([("k2",)], "k string"), "20260106000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    # the colliding keys remain distinct rows under their tags
+    vk_counts = {}
+    for r in mv.serve().collect():
+        vk_counts[r["vk"]] = vk_counts.get(r["vk"], 0) + 1
+    assert vk_counts["k1"] == 2  # one per source
+    assert mv.refresh()["advanced"] is False
+
+
+def test_union_refusals(spark, scratch, tables):
+    """Unions without a distinct literal tag, or without per-branch
+    record keys, refuse with the contract spelled out."""
+    fact, _ = tables
+    other = CowTable(spark, os.path.join(scratch, "other2"), key_fields=["k"],
+                     partition_field=None, num_file_groups=1)
+    other.bulk_insert(spark.range(3).selectExpr(
+        "concat('x', id) as k", "cast(id as double) as v"), "20260101000000")
+    fs, os_ = fact.snapshot(), other.snapshot()
+    no_tag = fs.select(F.col("_hoodie_record_key").alias("vk"), "v")\
+        .unionByName(os_.select(F.col("_hoodie_record_key").alias("vk"), "v"))
+    with pytest.raises(UnsupportedViewError, match="discriminator"):
+        classify_view(no_tag, {"fact": fs, "other": os_})
+    no_key = fs.select(F.lit("a").alias("src"), "v").unionByName(
+        os_.select(F.lit("b").alias("src"), "v"))
+    with pytest.raises(UnsupportedViewError, match=RECORD_KEY_FIELD_RE):
+        classify_view(no_key, {"fact": fs, "other": os_})
+
+
+RECORD_KEY_FIELD_RE = "_hoodie_record_key"
+
+
+def test_select_view_over_mor_fact(spark, scratch):
+    """Change-key views over a MOR FACT: classification must stop at
+    the source boundary (the MOR merge's internal Window is not view
+    structure), and delta TOMBSTONES — which live in logs the COW
+    delete-view feed cannot see — must retract via the cdc-backed
+    changed-key feed.  Both halves regressed silently before this pin."""
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    fact = MorTable(spark, os.path.join(scratch, "morfact2"),
+                    key_fields=["k"], partition_field=None, num_file_groups=2)
+    fact.bulk_insert(spark.range(12).selectExpr(
+        "concat('k', id) as k", "cast(id as double) as v"), "20260101000000")
+
+    def plan(t):
+        return t["fact"].filter("v != 4").select(
+            F.col("_hoodie_record_key").alias("vk"), "v")
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvmsel"),
+                              {"fact": fact}, plan)
+    assert mv.spec()["kind"] == "select"
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    fact.upsert_delta(spark.createDataFrame([("k5", 55.0)], "k string, v double"),
+                      "20260102000000")
+    fact.delete_delta(spark.createDataFrame([("k3",), ("k7",)], "k string"),
+                      "20260103000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    assert not {r["vk"] for r in mv.serve().collect()} & {"k3", "k7"}
