@@ -81,6 +81,24 @@ IDs for lineage) and classifies the view:
   project/filter view): the join algebra degenerated to zero dim
   sources — touched record keys re-derived through the plan, rows the
   filter now rejects becoming view deletes.
+- **agg_join** — Aggregate over ONE inner or left-outer equi-join in a
+  single declaration: DIRTY-GROUP re-derivation — both sides' CDC
+  windows name touched join keys, the join-key-pruned pre-aggregate
+  join maps them to groups at the anchor and target states, and
+  exactly those groups rebuild from the target snapshots (group keys
+  on one side restrict that side's input; under LEFT OUTER only the
+  preserved side is probed, null-safely).
+- **union** — UNION ALL of N Project/Filter branches over N sources
+  under a (literal tag, record key) identity: each branch advances
+  independently by change-key re-derivation over its own chain.
+- **distinct** — SELECT DISTINCT / df.distinct(): the degenerate
+  aggregate (group by every column, signed count decides membership);
+  dropDuplicates on a key subset refuses (arbitrary survivor).
+
+Operational posture: refreshes hold an advisory lock
+(ConcurrentRefreshError names a dead holder's lock), and a source
+rolled back or archived past the view's anchor raises
+ViewHistoryLostError pointing at the explicit ``reseed()`` recovery.
 
 Scale shape (100 TB): every advance is proportional to the CHANGE SET,
 never the view or source size — changed keys come from touched file

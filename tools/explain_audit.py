@@ -160,6 +160,8 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "lake_mv_auto_agg_join": ([], ["Join", "CartesianProduct", "Exchange"]),
     "lake_mv_auto_window": ([], ["Join", "CartesianProduct", "Exchange"]),
     "lake_mv_sql_ddl": ([], ["Join", "CartesianProduct", "Exchange"]),
+    "lake_mv_auto_union": ([], ["Join", "CartesianProduct", "Exchange"]),
+    "lake_mv_auto_distinct": ([], ["Join", "CartesianProduct", "Exchange"]),
 }
 
 # per-query session confs applied while building the audited plan
