@@ -1123,3 +1123,49 @@ def test_select_view_over_mor_fact(spark, scratch):
     mv.refresh()
     assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
     assert not {r["vk"] for r in mv.serve().collect()} & {"k3", "k7"}
+
+
+def test_aggregate_over_union_staged(spark, scratch, tables):
+    """Composition: the UNION view's backing table is a real lake
+    table, so an aggregate view declares directly over it — the staged
+    answer to GROUP BY over UNION ALL, converging through BOTH hops."""
+    fact, _ = tables
+    other = CowTable(spark, os.path.join(scratch, "other3"), key_fields=["k"],
+                     partition_field=None, num_file_groups=2)
+    other.bulk_insert(spark.range(8).selectExpr(
+        "concat('k', id) as k", "cast(id as double) as v"), "20260101000000")
+
+    def uplan(t):
+        a = t["fact"].select(F.lit("fact").alias("src"),
+                             F.col("_hoodie_record_key").alias("vk"), "v")
+        b = t["other"].select(F.lit("other").alias("src"),
+                              F.col("_hoodie_record_key").alias("vk"), "v")
+        return a.unionByName(b)
+
+    mv1 = AutoMaterializedView(spark, os.path.join(scratch, "mvu2"),
+                               {"fact": fact, "other": other}, uplan)
+    mv1.refresh()
+
+    def aplan(t):
+        return t["u"].groupBy("src").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+
+    mv2 = AutoMaterializedView(spark, os.path.join(scratch, "mvu2agg"),
+                               {"u": mv1.table}, aplan)
+    mv2.refresh()
+
+    def expect():
+        return _rows(uplan({"fact": fact.snapshot(),
+                            "other": other.snapshot()})
+                     .groupBy("src")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("v").alias("sv")))
+
+    assert _rows(mv2.serve()) == expect()
+    # ripple: change both feeds, refresh in dependency order
+    fact.delete(spark.createDataFrame([("k1",)], "k string"), "20260108000000")
+    other.upsert(spark.createDataFrame([("k2", 222.0)], "k string, v double"),
+                 "20260108000000")
+    mv1.refresh()
+    mv2.refresh()
+    assert _rows(mv2.serve()) == expect()
