@@ -666,7 +666,10 @@ def agg_join_plan(t):
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum("v").alias("sum_v"),
              F.min("v").alias("min_v"),
-             F.count_distinct("nv").alias("nd_nv"))
+             F.count_distinct("nv").alias("nd_nv"),
+             # HLL state rebuilds wholesale with the dirty group; exact
+             # at fixture cardinality, so equality vs recompute holds
+             F.approx_count_distinct("nv").alias("ad_nv"))
     )
 
 
@@ -1169,3 +1172,25 @@ def test_aggregate_over_union_staged(spark, scratch, tables):
     mv1.refresh()
     mv2.refresh()
     assert _rows(mv2.serve()) == expect()
+
+
+def test_noop_refresh_is_jobless(spark, scratch, tables):
+    """A fully-advanced refresh is a METADATA decision: anchor sidecar
+    vs source timelines, zero Spark jobs — the property that makes
+    polling refreshes (a streaming driver, a cron) free."""
+    fact, _ = tables
+
+    def plan(t):
+        return t["fact"].groupBy("g").agg(F.sum("v").alias("sv"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvnoop"),
+                              {"fact": fact}, plan)
+    mv.refresh()
+    mv.spec()  # classification cached; serve-side analysis done
+    sc = spark.sparkContext
+    sc.setJobGroup("noop-refresh", "ivm noop audit")
+    try:
+        assert mv.refresh()["advanced"] is False
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("noop-refresh") == []
