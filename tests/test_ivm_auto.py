@@ -1194,3 +1194,37 @@ def test_noop_refresh_is_jobless(spark, scratch, tables):
     finally:
         sc.setJobGroup(None, None)
     assert sc.statusTracker().getJobIdsForGroup("noop-refresh") == []
+
+
+def test_window_view_over_mor_fact(spark, scratch):
+    """Window views over a MOR fact: delta updates move rows between
+    rank partitions and delta tombstones promote hidden partition-mates
+    — the cdc-backed changed-key feed sees log-resident changes the
+    COW feed cannot."""
+    from pyspark.sql import Window
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    fact = MorTable(spark, os.path.join(scratch, "morwin"),
+                    key_fields=["k"], partition_field=None, num_file_groups=2)
+    fact.bulk_insert(spark.range(20).selectExpr(
+        "concat('k', id) as k", "cast(id % 4 as long) as g",
+        "cast(id as double) as v"), "20260101000000")
+
+    def plan(t):
+        w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("vk"))
+        return (t["fact"]
+                .select(F.col("_hoodie_record_key").alias("vk"), "g", "v")
+                .withColumn("rn", F.row_number().over(w)).filter("rn <= 2"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvmorwin"),
+                              {"fact": fact}, plan)
+    assert mv.spec()["kind"] == "window"
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    fact.upsert_delta(spark.createDataFrame([("k2", 2, 500.0)],
+                                            "k string, g long, v double"),
+                      "20260102000000")
+    fact.delete_delta(spark.createDataFrame([("k19",)], "k string"),
+                      "20260103000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
