@@ -82,12 +82,15 @@ IDs for lineage) and classifies the view:
   sources — touched record keys re-derived through the plan, rows the
   filter now rejects becoming view deletes.
 - **agg_join** — Aggregate over ONE inner or left-outer equi-join in a
-  single declaration: DIRTY-GROUP re-derivation — both sides' CDC
-  windows name touched join keys, the join-key-pruned pre-aggregate
-  join maps them to groups at the anchor and target states, and
-  exactly those groups rebuild from the target snapshots (group keys
-  on one side restrict that side's input; under LEFT OUTER only the
-  preserved side is probed, null-safely).
+  single declaration.  INNER: DELTA-JOIN maintenance — the exact
+  multiset identity Δ(F⋈D) = ΔF⋈D_anchor ∪ F_target⋈ΔD builds a
+  signed pre-aggregate feed (each static side pruned to the delta's
+  join keys by a broadcast semi-join) that flows into the same
+  retraction merge as single-source aggregates; min/max/HLL re-derive
+  their dirty groups from the group-side-restricted pre-aggregate
+  join.  LEFT OUTER: dirty-group re-derivation (the identity does not
+  hold under null-extension) — join-key CDC probes map changes to
+  groups at both states, which rebuild from the target snapshots.
 - **union** — UNION ALL of N Project/Filter branches over N sources
   under a (literal tag, record key) identity: each branch advances
   independently by change-key re-derivation over its own chain.
@@ -1385,8 +1388,6 @@ class AutoMaterializedView:
             self._advance_change_keys(spec, anchor, latest)
 
     def _advance_aggregate(self, spec, anchor, latest) -> None:
-        from functools import reduce
-
         src = self.sources[spec["source"]]
         feed = src.cdc(
             anchor[spec["source"]],
@@ -1398,6 +1399,23 @@ class AutoMaterializedView:
                 F.lit(-1)
             ),
         )
+
+        def full_feed(_dirty_keys):
+            return src.snapshot(latest[spec["source"]]).withColumn(
+                "__mv_sign", F.lit(1)
+            )
+
+        self._merge_agg_delta(spec, feed, latest, full_feed)
+
+    def _merge_agg_delta(self, spec, feed, latest, full_feed_fn) -> None:
+        """Merge a SIGNED feed's aggregate delta into the stored state —
+        the shared retraction engine behind single-source aggregates
+        AND delta-join-maintained aggregate-over-join views.
+        ``full_feed_fn(dirty_keys)`` supplies an insert-only full feed
+        (optionally pre-restricted to the dirty groups) for the
+        re-derive-on-retraction aliases (min/max/HLL)."""
+        from functools import reduce
+
         delta = self._agg_delta(spec, feed).localCheckpoint(eager=True)
         group_names = [n for n, _ in spec["group"]]
         mm = self._minmax_aliases(spec)
@@ -1489,11 +1507,8 @@ class AutoMaterializedView:
                 # table: the group restriction lands BELOW the groupBy
                 # (only_groups), where a post-aggregation semi-join would
                 # not be pushed
-                snap_feed = src.snapshot(latest[spec["source"]]).withColumn(
-                    "__mv_sign", F.lit(1)
-                )
                 re_rows = self._agg_delta(
-                    spec, snap_feed, only_groups=dirty_keys
+                    spec, full_feed_fn(dirty_keys), only_groups=dirty_keys
                 ).select(
                     *group_names,
                     *[F.col(a).alias(f"__re_{a}") for a in mm],
@@ -1609,9 +1624,131 @@ class AutoMaterializedView:
         if live.count() > 0:
             self.table.upsert(live, f"{base + 2:014d}")
 
-    # -- algebra: dirty-group re-derivation (aggregate-over-join views) --
+    # -- algebra: delta-join maintenance (INNER aggregate-over-join) -----
+    def _agg_join_delta_feed(self, spec, anchor, latest) -> DataFrame | None:
+        """Signed pre-aggregate delta of an INNER equi-join — the exact
+        multiset identity  Δ(F⋈D) = ΔF ⋈ D_anchor  ∪  F_target ⋈ ΔD:
+        each source's CDC (with preimages) replays through its own
+        chain as the signed side, the static side is PRUNED to the
+        delta's join keys by a broadcast semi-join, and the mid chain
+        replays on top.  Work ∝ the change set; the anchor state costs
+        one key-pruned scan, never an evaluation of the old join."""
+        sign = F.when(
+            F.col("op").isin("insert", "update"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        l, r = spec["left"], spec["right"]
+        lsrc, rsrc = self.sources[l["source"]], self.sources[r["source"]]
+        ljc, rjc = l["join_col"], r["join_col"]
+        terms = []
+        if anchor[l["source"]] != latest[l["source"]]:
+            dl = _replay_spec(
+                l["chain"],
+                lsrc.cdc(
+                    anchor[l["source"]],
+                    latest[l["source"]],
+                    include_update_preimages=True,
+                ).withColumn("__mv_sign", sign),
+                extra=("__mv_sign",),
+            ).drop(*l["drop"])
+            d_old = _replay_spec(
+                r["chain"], rsrc.snapshot(anchor[r["source"]])
+            ).drop(*r["drop"])
+            jks = dl.select(F.col(ljc).alias("__mv_jk")).distinct()
+            d_old = d_old.join(
+                F.broadcast(jks), F.col(rjc) == F.col("__mv_jk"), "left_semi"
+            )
+            terms.append(dl.join(d_old, F.col(ljc) == F.col(rjc), "inner"))
+        if anchor[r["source"]] != latest[r["source"]]:
+            dr = _replay_spec(
+                r["chain"],
+                rsrc.cdc(
+                    anchor[r["source"]],
+                    latest[r["source"]],
+                    include_update_preimages=True,
+                ).withColumn("__mv_sign", sign),
+                extra=("__mv_sign",),
+            ).drop(*r["drop"])
+            f_new = _replay_spec(
+                l["chain"], lsrc.snapshot(latest[l["source"]])
+            ).drop(*l["drop"])
+            jks = dr.select(F.col(rjc).alias("__mv_jk")).distinct()
+            f_new = f_new.join(
+                F.broadcast(jks), F.col(ljc) == F.col("__mv_jk"), "left_semi"
+            )
+            terms.append(f_new.join(dr, F.col(ljc) == F.col(rjc), "inner"))
+        if not terms:
+            return None
+        feed = terms[0] if len(terms) == 1 else terms[0].unionByName(
+            terms[1], allowMissingColumns=True
+        )
+        return _replay_spec(spec["mid"], feed, extra=("__mv_sign",))
+
+    def _pre_agg_for_groups(self, spec, latest, dirty_keys) -> DataFrame:
+        """Insert-only full pre-aggregate feed for re-derive-on-
+        retraction aliases, with the group-carrying side's INPUT
+        restricted to the dirty groups when the group keys live on one
+        side (the other side prunes through the equi-join build)."""
+        from functools import reduce
+
+        snaps = {n: t.snapshot(latest[n]) for n, t in self.sources.items()}
+        gside = spec.get("group_side")
+        if gside is None or dirty_keys is None:
+            return self._pre_agg(spec, snaps).withColumn(
+                "__mv_sign", F.lit(1)
+            )
+        left_df = _replay_spec(
+            spec["left"]["chain"], snaps[spec["left"]["source"]]
+        ).drop(*spec["left"]["drop"])
+        right_df = _replay_spec(
+            spec["right"]["chain"], snaps[spec["right"]["source"]]
+        ).drop(*spec["right"]["drop"])
+        sdf = left_df if gside == "left" else right_df
+        rcond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__s.{sql}").eqNullSafe(F.col(f"__dg.{name}"))
+                for name, sql in spec["group"]
+            ],
+        )
+        sdf = sdf.alias("__s").join(
+            F.broadcast(dirty_keys.alias("__dg")), rcond, "left_semi"
+        )
+        if gside == "left":
+            left_df = sdf
+        else:
+            right_df = sdf
+        pa = _replay_spec(
+            spec["mid"],
+            left_df.join(
+                right_df,
+                F.col(spec["left"]["join_col"])
+                == F.col(spec["right"]["join_col"]),
+                "inner",
+            ),
+        )
+        return pa.withColumn("__mv_sign", F.lit(1))
+
+    # -- algebra: dirty-group re-derivation (LEFT OUTER agg-over-join) ---
     def _advance_agg_join(self, spec, anchor, latest) -> None:
-        """Advance an aggregate-over-join view: (1) both sides' CDC
+        if spec.get("join_type", "inner") == "inner":
+            feed = self._agg_join_delta_feed(spec, anchor, latest)
+            if feed is None:
+                return
+            self._merge_agg_delta(
+                spec,
+                feed,
+                latest,
+                lambda dirty_keys: self._pre_agg_for_groups(
+                    spec, latest, dirty_keys
+                ),
+            )
+            return
+        self._advance_agg_join_dirty(spec, anchor, latest)
+
+    def _advance_agg_join_dirty(self, spec, anchor, latest) -> None:
+        """Advance a LEFT OUTER aggregate-over-join view by DIRTY-GROUP
+        re-derivation (the delta-join identity does not hold under
+        null-extension): (1) both sides' CDC
         windows name the touched JOIN-KEY values (before- and
         after-images replayed through that side's own chain, so filters
         and renames apply); (2) the pre-aggregate join — pruned to those
