@@ -702,12 +702,10 @@ def _classify_agg_join(
     group-sized — at scale, keep the unmatched-rows group small or
     filter it out above the join."""
     jt = join_node.joinType().sql()
-    if jt not in ("INNER", "LEFT OUTER"):
+    if jt not in ("INNER", "LEFT OUTER", "RIGHT OUTER", "FULL OUTER"):
         raise UnsupportedViewError(
-            f"aggregate over a {jt} join: INNER and LEFT OUTER equi-joins "
-            "are maintainable below an aggregate (RIGHT/FULL preserve the "
-            "dim side, whose null-extended rows appear/vanish with fact "
-            "changes the preserved-side dirty-key probe cannot see)"
+            f"aggregate over a {jt} join: INNER / LEFT / RIGHT / FULL "
+            "OUTER equi-joins are maintainable below an aggregate"
         )
     cond = join_node.condition()
     if cond.isEmpty():
@@ -796,10 +794,24 @@ def _classify_agg_join(
                 cands.add(None)
         if len(cands) == 1:
             group_side = cands.pop()
-    if jt == "LEFT OUTER" and group_side == "right":
+    if jt == "RIGHT OUTER":
+        # A right-join B == B left-join A: swap the stored sides so the
+        # PRESERVED side is always spec["left"], and every left-outer
+        # rule below applies verbatim (column names drive the replay,
+        # so the physical side order is irrelevant)
+        sides = {"left": sides["right"], "right": sides["left"]}
+        group_side = {"left": "right", "right": "left", None: None}[group_side]
+        jt = "LEFT OUTER"
+    join_type = {"INNER": "inner", "LEFT OUTER": "left",
+                 "FULL OUTER": "full"}[jt]
+    if join_type == "left" and group_side == "right":
         # restricting the null-extended side would flip unmatched
         # preserved rows into the NULL group — fall back to the full
         # re-derivation join for dim-side group keys
+        group_side = None
+    if join_type == "full":
+        # either side's input restriction would flip the OTHER side's
+        # unaffected rows into null-extension
         group_side = None
     return {
         "kind": "agg_join",
@@ -812,7 +824,7 @@ def _classify_agg_join(
         "left": sides["left"],
         "right": sides["right"],
         "group_side": group_side,
-        "join_type": "left" if jt == "LEFT OUTER" else "inner",
+        "join_type": join_type,
     }
 
 
@@ -1315,6 +1327,7 @@ class AutoMaterializedView:
         spec: dict,
         snaps: dict[str, DataFrame],
         dirty_jk: DataFrame | None = None,
+        restrict: str | None = None,
     ) -> DataFrame:
         """The replayed below-aggregate join of an agg_join view: each
         side's Project/Filter chain over its snapshot, the inner
@@ -1331,22 +1344,33 @@ class AutoMaterializedView:
         ).drop(*spec["right"]["drop"])
         jt = spec.get("join_type", "inner")
         if dirty_jk is not None:
-            # INNER: both sides prune (NULL keys can't join).  LEFT
-            # OUTER: only the preserved side prunes — null-safe, so
-            # NULL-keyed preserved rows re-derive — while the right side
-            # stays whole (a pruned right side would flip unaffected
-            # preserved rows to null-extension)
-            left = left.join(
-                F.broadcast(dirty_jk),
-                F.col(spec["left"]["join_col"]).eqNullSafe(F.col("__mv_jk"))
-                if jt == "left"
-                else F.col(spec["left"]["join_col"]) == F.col("__mv_jk"),
-                "left_semi",
-            )
-            if jt == "inner":
+            # INNER: both sides prune (NULL keys can't join).  Outer
+            # joins: only a PRESERVED side prunes — null-safe, so
+            # NULL-keyed preserved rows re-derive — while a null-
+            # extended side stays whole (pruning it would flip the
+            # other side's unaffected rows to null-extension).
+            # ``restrict`` picks the side(s): default both for inner,
+            # left for left-outer; full-outer callers run once per side.
+            sides_to = restrict or ("both" if jt == "inner" else "left")
+            nullsafe = jt != "inner"
+
+            def _cond(col):
+                return (
+                    F.col(col).eqNullSafe(F.col("__mv_jk"))
+                    if nullsafe
+                    else F.col(col) == F.col("__mv_jk")
+                )
+
+            if sides_to in ("both", "left"):
+                left = left.join(
+                    F.broadcast(dirty_jk),
+                    _cond(spec["left"]["join_col"]),
+                    "left_semi",
+                )
+            if sides_to in ("both", "right"):
                 right = right.join(
                     F.broadcast(dirty_jk),
-                    F.col(spec["right"]["join_col"]) == F.col("__mv_jk"),
+                    _cond(spec["right"]["join_col"]),
                     "left_semi",
                 )
         j = left.join(
@@ -1796,6 +1820,19 @@ class AutoMaterializedView:
         # 2. the groups those keys feed, at the anchor AND target states
         def groups_at(at: dict) -> DataFrame:
             snaps = {n: t.snapshot(at[n]) for n, t in self.sources.items()}
+            if spec.get("join_type") == "full":
+                # a changed row survives on ITS OWN side under FULL
+                # OUTER; one preserved-side-restricted run per side
+                # covers every affected row (incl. null-extension flips)
+                return (
+                    self._pre_agg(spec, snaps, dirty_jk, restrict="left")
+                    .select(*key_exprs)
+                    .unionByName(
+                        self._pre_agg(
+                            spec, snaps, dirty_jk, restrict="right"
+                        ).select(*key_exprs)
+                    )
+                )
             return self._pre_agg(spec, snaps, dirty_jk).select(*key_exprs)
 
         dirty = (

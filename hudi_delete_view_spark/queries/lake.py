@@ -2104,3 +2104,47 @@ def lake_mv_auto_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                   {"li": build_lineitem_cow(spark, sf_dir),
                    "om": build_orders_mor(spark, sf_dir)}, plan)
     return mv.serve()
+
+
+@query(
+    "lake_mv_auto_agg_full_join",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT l_orderkey, {_QTY_SQL} AS l_quantity
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey, o_orderpriority
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+)
+SELECT o_orderpriority, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+FROM l2 FULL JOIN o2 ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def lake_mv_auto_agg_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a FULL OUTER join: orders' C3 deletes flip their
+    lineitems into the NULL-priority group AND lineitem's C3/C4
+    deletes strand their orders as lineitem-less null-extended rows —
+    both directions of null-extension, which is why dirty-group
+    detection runs one preserved-side-restricted pass per side
+    (null-safe) instead of a single probe.  Oracle recomputes the full
+    join + GROUP BY from scratch over both change scripts."""
+    from ..sources.fixtures import build_orders_mor
+
+    def plan(t):
+        f = t["li"].select("l_orderkey", "l_quantity")
+        d = t["om"].select("o_orderkey", "o_orderpriority")
+        return (
+            f.join(d, F.col("l_orderkey") == F.col("o_orderkey"), "full")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("l_quantity").alias("sum_qty"))
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_agg_full_join",
+                  {"li": build_lineitem_cow(spark, sf_dir),
+                   "om": build_orders_mor(spark, sf_dir)}, plan)
+    return mv.serve()

@@ -711,19 +711,18 @@ def test_agg_join_view(spark, scratch, tables):
 
 
 def test_agg_join_refusals(spark, tables):
-    """RIGHT/FULL outer joins below an aggregate refuse (the preserved
-    dim side's null-extension flips with fact changes the dirty-key
-    probe cannot see), as do referenced side column-name collisions
-    (the replayed join would be ambiguous)."""
+    """Cross joins below an aggregate refuse (no join key to map
+    changes to dirty groups), as do referenced side column-name
+    collisions (the replayed join would be ambiguous)."""
     fact, dim = tables
     fs, ds = fact.snapshot(), dim.snapshot()
-    outer = (
+    cross = (
         fs.select("k", "g", "v")
-        .join(ds.select("gk", "gname"), F.col("g") == F.col("gk"), "full")
+        .crossJoin(ds.select("gk", "gname"))
         .groupBy("gname").agg(F.sum("v").alias("sv"))
     )
-    with pytest.raises(UnsupportedViewError, match="INNER and LEFT OUTER"):
-        classify_view(outer, {"fact": fs, "dim": ds})
+    with pytest.raises(UnsupportedViewError, match="CROSS join"):
+        classify_view(cross, {"fact": fs, "dim": ds})
     clash = (
         fs.select("k", "g", "v")
         .join(ds.selectExpr("gk as g", "gname"), "g")
@@ -1228,3 +1227,57 @@ def test_window_view_over_mor_fact(spark, scratch):
                       "20260103000000")
     mv.refresh()
     assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+
+
+def test_agg_right_and_full_outer_join_views(spark, scratch, tables):
+    """RIGHT OUTER normalizes by side swap (preserved side becomes the
+    stored left); FULL OUTER detection runs one preserved-side-
+    restricted pass per side, so dim deletes AND fact deletes both
+    register their null-extension flips.  Convergence at every step."""
+    fact, dim = tables
+
+    def rplan(t):
+        d = t["dim"].select("gk", "gname")
+        f = t["fact"].select("k", "g", "v")
+        return (
+            d.join(f, F.col("g") == F.col("gk"), "right")
+            .groupBy("gname")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        )
+
+    def fplan(t):
+        f = t["fact"].select("k", "g", "v")
+        d = t["dim"].select("gk", "gname")
+        return (
+            f.join(d, F.col("g") == F.col("gk"), "full")
+            .groupBy("gname")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        )
+
+    for name, plan in (("mvraj", rplan), ("mvfaj", fplan)):
+        mv = AutoMaterializedView(spark, os.path.join(scratch, name),
+                                  {"fact": fact, "dim": dim}, plan)
+        spec = mv.spec()
+        assert spec["kind"] == "agg_join"
+        if name == "mvraj":
+            # swapped: the preserved (fact) side is stored as left
+            assert spec["join_type"] == "left"
+            assert spec["left"]["source"] == "fact"
+        else:
+            assert spec["join_type"] == "full"
+            assert spec["group_side"] is None
+        seed = {"fact": "20260101000000", "dim": "20260101000000"}
+        mv.refresh(seed_as_of=seed, to=seed)
+
+        def expect(at):
+            return _rows_ns(plan({"fact": fact.snapshot(at["fact"]),
+                                  "dim": dim.snapshot(at["dim"])}))
+
+        assert _rows_ns(mv.serve()) == expect(seed)
+        mv.refresh(to={"fact": "20260103000000", "dim": "20260103000000"})
+        assert _rows_ns(mv.serve()) == expect(
+            {"fact": "20260103000000", "dim": "20260103000000"})
+        mv.refresh()
+        assert _rows_ns(mv.serve()) == expect(
+            {"fact": "20260104000000", "dim": "20260104000000"})
+        assert mv.refresh()["advanced"] is False
