@@ -712,27 +712,52 @@ def _classify_agg_join(
         raise UnsupportedViewError("aggregate over a cross join: no join "
                                    "key to map changes to dirty groups")
     cond = cond.get()
-    if _cls(cond) != "EqualTo":
-        raise UnsupportedViewError(
-            f"join condition {cond.sql()} must be a single equality"
-        )
+    # a conjunction of plain-column equalities, each one-per-side: the
+    # composite key real schemas join on
+    eqs = []
+
+    def _walk_cond(c):
+        if _cls(c) == "And":
+            _walk_cond(c.left())
+            _walk_cond(c.right())
+        elif _cls(c) == "EqualTo":
+            eqs.append(c)
+        else:
+            raise UnsupportedViewError(
+                f"join condition {c.sql()} must be a conjunction of "
+                "plain-column equalities"
+            )
+
+    _walk_cond(cond)
     left_ids = {a.exprId().id(): a.name() for a in _seq(join_node.left().output())}
     right_ids = {a.exprId().id(): a.name() for a in _seq(join_node.right().output())}
-    jcols = {}
-    for attr in (cond.left(), cond.right()):
-        if _cls(attr) != "AttributeReference":
+
+    def _unwrap_cast(e):
+        # the analyzer wraps mixed-width join keys in implicit Casts;
+        # the replayed join re-coerces identically, so classify through
+        while _cls(e) == "Cast":
+            e = e.child()
+        return e
+
+    jpairs, cond_ids = [], set()
+    for e in eqs:
+        a, b = _unwrap_cast(e.left()), _unwrap_cast(e.right())
+        if _cls(a) != "AttributeReference" or _cls(b) != "AttributeReference":
             raise UnsupportedViewError(
-                f"join key {attr.sql()} must be a plain column"
+                f"join key {e.sql()} must equate plain columns"
             )
-        eid = attr.exprId().id()
-        if eid in left_ids:
-            jcols["left"] = left_ids[eid]
-        elif eid in right_ids:
-            jcols["right"] = right_ids[eid]
-    if set(jcols) != {"left", "right"}:
-        raise UnsupportedViewError(
-            "join keys must come one from each side of the join"
-        )
+        ia, ib = a.exprId().id(), b.exprId().id()
+        cond_ids |= {ia, ib}
+        if ia in left_ids and ib in right_ids:
+            jpairs.append((left_ids[ia], right_ids[ib]))
+        elif ib in left_ids and ia in right_ids:
+            jpairs.append((left_ids[ib], right_ids[ia]))
+        else:
+            raise UnsupportedViewError(
+                f"join equality {e.sql()} must take one column from each "
+                "side of the join"
+            )
+    jcols = {"left": [l for l, _ in jpairs], "right": [r for _, r in jpairs]}
     # Colliding column names across the two sides (e.g. SQL joining raw
     # snapshots — both carry the _hoodie_* meta columns) matter only
     # when the plan REFERENCES them: the join-output attrs the view
@@ -744,7 +769,7 @@ def _classify_agg_join(
     consumer = mid_nodes[-1] if mid_nodes else agg_node
     needed_ids = {
         a.exprId().id() for a in _seq(consumer.references().toSeq())
-    } | {cond.left().exprId().id(), cond.right().exprId().id()}
+    } | cond_ids
     need_l = {left_ids[i] for i in needed_ids if i in left_ids}
     need_r = {right_ids[i] for i in needed_ids if i in right_ids}
     both = need_l & need_r
@@ -769,7 +794,7 @@ def _classify_agg_join(
         sides[pos] = {
             "source": term[1],
             "chain": _chain_to_spec(nodes, quals),
-            "join_col": jcols[pos],
+            "join_cols": jcols[pos],
             "drop": drop_l if pos == "left" else drop_r,
         }
     if sides["left"]["source"] == sides["right"]["source"]:
@@ -826,6 +851,37 @@ def _classify_agg_join(
         "group_side": group_side,
         "join_type": join_type,
     }
+
+
+def _jk_frame(df: DataFrame, cols: list) -> DataFrame:
+    """Distinct join-key tuples of ``df`` as ``__mv_jk{i}`` columns."""
+    return df.select(
+        *[F.col(c).alias(f"__mv_jk{i}") for i, c in enumerate(cols)]
+    ).distinct()
+
+
+def _jk_cond(cols: list, nullsafe: bool):
+    """AND-composed condition matching ``cols`` against a _jk_frame."""
+    from functools import reduce
+
+    terms = [
+        F.col(c).eqNullSafe(F.col(f"__mv_jk{i}"))
+        if nullsafe
+        else F.col(c) == F.col(f"__mv_jk{i}")
+        for i, c in enumerate(cols)
+    ]
+    return reduce(lambda a, b: a & b, terms)
+
+
+def _join_cond(spec: dict):
+    """AND-composed equi-join condition from the aligned side columns."""
+    from functools import reduce
+
+    terms = [
+        F.col(lc) == F.col(rc)
+        for lc, rc in zip(spec["left"]["join_cols"], spec["right"]["join_cols"])
+    ]
+    return reduce(lambda a, b: a & b, terms)
 
 
 def _classify_window(win_node, src_ids, refs, out_ids, snapshots) -> dict:
@@ -1354,30 +1410,19 @@ class AutoMaterializedView:
             sides_to = restrict or ("both" if jt == "inner" else "left")
             nullsafe = jt != "inner"
 
-            def _cond(col):
-                return (
-                    F.col(col).eqNullSafe(F.col("__mv_jk"))
-                    if nullsafe
-                    else F.col(col) == F.col("__mv_jk")
-                )
-
             if sides_to in ("both", "left"):
                 left = left.join(
                     F.broadcast(dirty_jk),
-                    _cond(spec["left"]["join_col"]),
+                    _jk_cond(spec["left"]["join_cols"], nullsafe),
                     "left_semi",
                 )
             if sides_to in ("both", "right"):
                 right = right.join(
                     F.broadcast(dirty_jk),
-                    _cond(spec["right"]["join_col"]),
+                    _jk_cond(spec["right"]["join_cols"], nullsafe),
                     "left_semi",
                 )
-        j = left.join(
-            right,
-            F.col(spec["left"]["join_col"]) == F.col(spec["right"]["join_col"]),
-            jt,
-        )
+        j = left.join(right, _join_cond(spec), jt)
         return _replay_spec(spec["mid"], j)
 
     def _seed(self, spec: dict, at: dict[str, str]) -> None:
@@ -1662,7 +1707,6 @@ class AutoMaterializedView:
         ).otherwise(F.lit(-1))
         l, r = spec["left"], spec["right"]
         lsrc, rsrc = self.sources[l["source"]], self.sources[r["source"]]
-        ljc, rjc = l["join_col"], r["join_col"]
         terms = []
         if anchor[l["source"]] != latest[l["source"]]:
             dl = _replay_spec(
@@ -1677,11 +1721,13 @@ class AutoMaterializedView:
             d_old = _replay_spec(
                 r["chain"], rsrc.snapshot(anchor[r["source"]])
             ).drop(*r["drop"])
-            jks = dl.select(F.col(ljc).alias("__mv_jk")).distinct()
+            jks = _jk_frame(dl, l["join_cols"])
             d_old = d_old.join(
-                F.broadcast(jks), F.col(rjc) == F.col("__mv_jk"), "left_semi"
+                F.broadcast(jks),
+                _jk_cond(r["join_cols"], False),
+                "left_semi",
             )
-            terms.append(dl.join(d_old, F.col(ljc) == F.col(rjc), "inner"))
+            terms.append(dl.join(d_old, _join_cond(spec), "inner"))
         if anchor[r["source"]] != latest[r["source"]]:
             dr = _replay_spec(
                 r["chain"],
@@ -1695,11 +1741,13 @@ class AutoMaterializedView:
             f_new = _replay_spec(
                 l["chain"], lsrc.snapshot(latest[l["source"]])
             ).drop(*l["drop"])
-            jks = dr.select(F.col(rjc).alias("__mv_jk")).distinct()
+            jks = _jk_frame(dr, r["join_cols"])
             f_new = f_new.join(
-                F.broadcast(jks), F.col(ljc) == F.col("__mv_jk"), "left_semi"
+                F.broadcast(jks),
+                _jk_cond(l["join_cols"], False),
+                "left_semi",
             )
-            terms.append(f_new.join(dr, F.col(ljc) == F.col(rjc), "inner"))
+            terms.append(f_new.join(dr, _join_cond(spec), "inner"))
         if not terms:
             return None
         feed = terms[0] if len(terms) == 1 else terms[0].unionByName(
@@ -1742,13 +1790,7 @@ class AutoMaterializedView:
         else:
             right_df = sdf
         pa = _replay_spec(
-            spec["mid"],
-            left_df.join(
-                right_df,
-                F.col(spec["left"]["join_col"])
-                == F.col(spec["right"]["join_col"]),
-                "inner",
-            ),
+            spec["mid"], left_df.join(right_df, _join_cond(spec), "inner")
         )
         return pa.withColumn("__mv_sign", F.lit(1))
 
@@ -1805,11 +1847,8 @@ class AutoMaterializedView:
             cdc = self.sources[s].cdc(
                 anchor[s], latest[s], include_update_preimages=True
             )
-            jks = (
-                _replay_spec(side["chain"], cdc)
-                .select(F.col(side["join_col"]).alias("__mv_jk"))
-                .distinct()
-            )
+            jks = _jk_frame(_replay_spec(side["chain"], cdc),
+                            side["join_cols"])
             dirty_jk = jks if dirty_jk is None else dirty_jk.unionByName(jks)
         if dirty_jk is None:
             return
@@ -1879,10 +1918,7 @@ class AutoMaterializedView:
         pa = _replay_spec(
             spec["mid"],
             left_df.join(
-                right_df,
-                F.col(spec["left"]["join_col"])
-                == F.col(spec["right"]["join_col"]),
-                spec.get("join_type", "inner"),
+                right_df, _join_cond(spec), spec.get("join_type", "inner")
             ),
         )
         pcond = reduce(

@@ -1281,3 +1281,50 @@ def test_agg_right_and_full_outer_join_views(spark, scratch, tables):
         assert _rows_ns(mv.serve()) == expect(
             {"fact": "20260104000000", "dim": "20260104000000"})
         assert mv.refresh()["advanced"] is False
+
+
+def test_agg_join_composite_key(spark, scratch, tables):
+    """Composite equi-join (AND of equalities) below an aggregate: the
+    delta-join feed, join-key pruning frames, and replayed joins all
+    compose over the aligned column PAIRS; dim updates and deletes on
+    the two-column key converge exactly."""
+    fact, _ = tables
+    dim2 = CowTable(spark, os.path.join(scratch, "dim2"),
+                    key_fields=["gk", "par"], partition_field=None,
+                    num_file_groups=2)
+    dim2.bulk_insert(spark.range(8).selectExpr(
+        "cast(id % 4 as long) as gk", "cast(id < 4 as long) as par",
+        "concat('n', id) as nm"), "20260101000000")
+
+    def plan(t):
+        f = t["fact"].selectExpr("k", "g", "cast(v as int) % 2 as par2", "v")
+        d = t["dim2"].select("gk", "par", "nm")
+        return (
+            f.join(d, (F.col("g") == F.col("gk"))
+                   & (F.col("par2") == F.col("par")))
+            .groupBy("nm")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        )
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvck"),
+                              {"fact": fact, "dim2": dim2}, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "agg_join"
+    assert len(spec["left"]["join_cols"]) == 2
+    seed = {"fact": "20260101000000", "dim2": "20260101000000"}
+    mv.refresh(seed_as_of=seed, to=seed)
+
+    def expect():
+        return _rows(plan({"fact": fact.snapshot(), "dim2": dim2.snapshot()}))
+
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    # move one (gk, par) cell to a new name; delete another cell
+    dim2.upsert(spark.createDataFrame([(1, 1, "MOVED")],
+                                      "gk long, par long, nm string"),
+                "20260105000000")
+    dim2.delete(spark.createDataFrame([(2, 0)], "gk long, par long"),
+                "20260106000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    assert mv.refresh()["advanced"] is False
