@@ -948,55 +948,90 @@ def _classify_join(df, join_node, src_ids, refs, out_ids) -> dict:
     if cond.isEmpty():
         raise UnsupportedViewError("cross join has no change-key mapping")
     cond = cond.get()
-    if _cls(cond) != "EqualTo":
-        raise UnsupportedViewError(
-            f"join condition {cond.sql()} must be a single equality"
-        )
-    sides = {}
-    for attr in (cond.left(), cond.right()):
-        if _cls(attr) != "AttributeReference":
+    # a conjunction of plain-column equalities (implicit casts unwrapped)
+    eqs = []
+
+    def _walk_cond(c):
+        if _cls(c) == "And":
+            _walk_cond(c.left())
+            _walk_cond(c.right())
+        elif _cls(c) == "EqualTo":
+            eqs.append(c)
+        else:
             raise UnsupportedViewError(
-                f"join key {attr.sql()} must be a plain column"
+                f"join condition {c.sql()} must be a conjunction of "
+                "plain-column equalities"
             )
-        hit = _resolve_to_source(attr.exprId().id(), refs, src_ids)
-        if hit is None:
+
+    def _unwrap_cast(e):
+        while _cls(e) == "Cast":
+            e = e.child()
+        return e
+
+    _walk_cond(cond)
+    pairs = []  # per equality: {source: {src_col, expr_id}}
+    for e in eqs:
+        ends = {}
+        for attr in (_unwrap_cast(e.left()), _unwrap_cast(e.right())):
+            if _cls(attr) != "AttributeReference":
+                raise UnsupportedViewError(
+                    f"join key {e.sql()} must equate plain columns"
+                )
+            hit = _resolve_to_source(attr.exprId().id(), refs, src_ids)
+            if hit is None:
+                raise UnsupportedViewError(
+                    f"join key {attr.sql()} does not resolve to a source "
+                    "column"
+                )
+            ends[hit[0]] = {"src_col": hit[1], "expr_id": attr.exprId().id()}
+        if len(ends) != 2:
             raise UnsupportedViewError(
-                f"join key {attr.sql()} does not resolve to a source column"
+                f"join equality {e.sql()} resolves to one source; each "
+                "must take one column from fact and one from dim"
             )
-        sides[hit[0]] = {"src_col": hit[1], "expr_id": attr.exprId().id()}
-    if len(sides) != 2:
+        pairs.append(ends)
+    srcs = set(pairs[0])
+    if any(set(p) != srcs for p in pairs):
         raise UnsupportedViewError(
-            "both join keys resolve to the same source; need fact ⋈ dim"
+            "every join equality must relate the SAME two sources"
         )
     key = _find_view_key(out_ids, refs, src_ids)
     fact = key["source"]
-    (dim,) = [s for s in sides if s != fact]
+    if fact not in srcs:
+        raise UnsupportedViewError(
+            f"the view key's source ({fact}) is not a side of the join"
+        )
+    (dim,) = srcs - {fact}
     if jt == "LEFT OUTER":
         # the PRESERVED side must be the fact: dim-on-the-left would
         # null-extend rows that have no fact record key (no row identity)
         left_ids = {a.exprId().id() for a in _seq(join_node.left().output())}
-        if sides[fact]["expr_id"] not in left_ids:
+        if pairs[0][fact]["expr_id"] not in left_ids:
             raise UnsupportedViewError(
                 "LEFT OUTER view: the left (preserved) side must be the "
                 f"fact source ({fact} — the one whose record key is the "
                 "view identity); a preserved dim row has no row identity"
             )
-    # the fact-side join key must ride in the view output (same exprId):
-    # it maps a changed dim key to affected stored view rows
-    fact_join_out = out_ids.get(sides[fact]["expr_id"])
-    if fact_join_out is None:
-        raise UnsupportedViewError(
-            f"the fact-side join column ({fact}.{sides[fact]['src_col']}) "
-            "must be projected into the view output — it maps dim changes "
-            "to affected view rows"
-        )
+    # the fact-side join keys must ride in the view output (same
+    # exprIds): they map a changed dim key to affected stored view rows
+    fact_join_out, dim_join_src = [], []
+    for p in pairs:
+        out = out_ids.get(p[fact]["expr_id"])
+        if out is None:
+            raise UnsupportedViewError(
+                f"the fact-side join column ({fact}.{p[fact]['src_col']}) "
+                "must be projected into the view output — it maps dim "
+                "changes to affected view rows"
+            )
+        fact_join_out.append(out)
+        dim_join_src.append(p[dim]["src_col"])
     return {
         "kind": "join",
         "fact": fact,
         "dim": dim,
         "key": key,
-        "fact_join_col": fact_join_out,
-        "dim_join_col": sides[dim]["src_col"],
+        "fact_join_cols": fact_join_out,
+        "dim_join_cols": dim_join_src,
     }
 
 
@@ -2161,29 +2196,37 @@ class AutoMaterializedView:
         view_snap = self.table.snapshot()
         affected = view_snap.select(key).join(d_fact, key, "left_semi")
         if spec["kind"] == "join":
+            from functools import reduce
+
             # dim changes: CDC before-images catch dim deletes too
             dim = self.sources[spec["dim"]]
             d_dim = (
                 dim.cdc(anchor[spec["dim"]], latest[spec["dim"]])
-                .select(F.col(spec["dim_join_col"]).alias("__d_dim_key"))
+                .select(
+                    *[
+                        F.col(c).alias(f"__d_dim_key{i}")
+                        for i, c in enumerate(spec["dim_join_cols"])
+                    ]
+                )
                 .distinct()
             )
-            fjc = spec["fact_join_col"]
+            fjcs = spec["fact_join_cols"]
+            probe = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(c) == F.col(f"__d_dim_key{i}")
+                    for i, c in enumerate(fjcs)
+                ],
+            )
             touched = touched.unionByName(
                 full.join(d_fact, key, "left_anti").join(
-                    F.broadcast(d_dim),
-                    F.col(fjc) == F.col("__d_dim_key"),
-                    "left_semi",
+                    F.broadcast(d_dim), probe, "left_semi"
                 )
             )
             affected = affected.unionByName(
-                view_snap.select(key, fjc)
+                view_snap.select(key, *fjcs)
                 .join(d_fact, key, "left_anti")
-                .join(
-                    F.broadcast(d_dim),
-                    F.col(fjc) == F.col("__d_dim_key"),
-                    "left_semi",
-                )
+                .join(F.broadcast(d_dim), probe, "left_semi")
                 .select(key)
             )
         rederived = touched.localCheckpoint(eager=True)

@@ -89,7 +89,7 @@ def test_classify_all_kinds(spark, tables):
     j = classify_view(join_plan({"fact": fs, "dim": ds}),
                       {"fact": fs, "dim": ds})
     assert (j["kind"], j["fact"], j["dim"]) == ("join", "fact", "dim")
-    assert (j["fact_join_col"], j["dim_join_col"]) == ("g", "gk")
+    assert (j["fact_join_cols"], j["dim_join_cols"]) == (["g"], ["gk"])
     assert j["key"] == {"name": "vk", "source": "fact"}
     s = classify_view(sel_plan({"fact": fs}), {"fact": fs})
     assert s["kind"] == "select" and s["key"]["name"] == "vk"
@@ -1328,3 +1328,40 @@ def test_agg_join_composite_key(spark, scratch, tables):
     mv.refresh()
     assert _rows(mv.serve()) == expect()
     assert mv.refresh()["advanced"] is False
+
+
+def test_join_view_composite_key(spark, scratch, tables):
+    """Composite-key change-key JOIN view: dim changes on a two-column
+    key map to affected fact rows through the AND-composed probe."""
+    fact, _ = tables
+    dim2 = CowTable(spark, os.path.join(scratch, "dim2j"),
+                    key_fields=["gk", "par"], partition_field=None,
+                    num_file_groups=2)
+    dim2.bulk_insert(spark.range(8).selectExpr(
+        "cast(id % 4 as long) as gk", "cast(id < 4 as long) as par",
+        "concat('n', id) as nm"), "20260101000000")
+
+    def plan(t):
+        f = t["fact"].selectExpr(
+            "_hoodie_record_key as vk", "g",
+            "cast(cast(v as int) % 2 as long) as par2", "v")
+        d = t["dim2"].select("gk", "par", "nm")
+        return f.join(d, (F.col("g") == F.col("gk"))
+                      & (F.col("par2") == F.col("par")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvjck"),
+                              {"fact": fact, "dim2": dim2}, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "join" and len(spec["fact_join_cols"]) == 2
+    mv.refresh(seed_as_of={"fact": "20260101000000",
+                           "dim2": "20260101000000"})
+    assert _rows(mv.serve()) == _rows(
+        plan({"fact": fact.snapshot(), "dim2": dim2.snapshot()}))
+    dim2.upsert(spark.createDataFrame([(1, 1, "MOVED")],
+                                      "gk long, par long, nm string"),
+                "20260105000000")
+    dim2.delete(spark.createDataFrame([(0, 0)], "gk long, par long"),
+                "20260106000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(
+        plan({"fact": fact.snapshot(), "dim2": dim2.snapshot()}))
