@@ -108,3 +108,76 @@ def drop_materialized_view(
         os.remove(mv.path.rstrip("/") + ".refresh_lock")
     except OSError:
         pass
+
+
+# -- DDL dialect + session catalog -----------------------------------------
+_MV_CATALOG: dict[str, AutoMaterializedView] = {}
+
+_REFRESH_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_RE = re.compile(
+    r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$", re.IGNORECASE
+)
+
+
+def ddl(
+    spark: SparkSession,
+    stmt: str,
+    *,
+    path: str | None = None,
+    sources: dict[str, CowTable] | None = None,
+) -> DataFrame | None:
+    """One entry point for the materialized-view DDL dialect:
+
+    - ``CREATE MATERIALIZED VIEW <n> AS SELECT ...`` (needs ``path`` +
+      ``sources``): classifies, seeds/advances, binds ``<n>`` as a temp
+      view, registers in the session catalog, returns the served frame.
+    - ``REFRESH MATERIALIZED VIEW <n>``: advances + rebinds by name.
+    - ``DROP MATERIALIZED VIEW <n>``: unbinds, removes the backing
+      table, forgets the catalog entry.
+    - ``SHOW MATERIALIZED VIEWS``: one row per registered view (name,
+      kind, path, anchor).
+
+    The catalog is SESSION-scoped bookkeeping only — the durable state
+    is the backing lake table + anchor sidecar on disk, so a new
+    session re-creates entries with the same CREATE and continues
+    incrementally (the seed path is skipped when the anchor exists)."""
+    m = _MV_DDL.match(stmt)
+    if m is not None:
+        if path is None or sources is None:
+            raise ValueError(
+                "CREATE MATERIALIZED VIEW needs path= and sources="
+            )
+        name, mv = create_materialized_view(spark, path, sources, stmt)
+        _MV_CATALOG[name] = mv
+        return refresh_materialized_view(name, mv)
+    m = _REFRESH_RE.match(stmt)
+    if m is not None:
+        name = m.group(1)
+        if name not in _MV_CATALOG:
+            raise ValueError(f"unknown materialized view {name!r}")
+        return refresh_materialized_view(name, _MV_CATALOG[name])
+    m = _DROP_RE.match(stmt)
+    if m is not None:
+        name = m.group(1)
+        if name not in _MV_CATALOG:
+            raise ValueError(f"unknown materialized view {name!r}")
+        drop_materialized_view(spark, name, _MV_CATALOG.pop(name))
+        return None
+    if _SHOW_RE.match(stmt):
+        rows = [
+            (n, mv.spec()["kind"], mv.path,
+             str(mv._read_anchor() or {}))
+            for n, mv in sorted(_MV_CATALOG.items())
+        ]
+        return spark.createDataFrame(
+            rows or [], "name string, kind string, path string, anchor string"
+        )
+    raise ValueError(
+        "unsupported statement; expected CREATE/REFRESH/DROP MATERIALIZED "
+        f"VIEW or SHOW MATERIALIZED VIEWS, got {stmt[:80]!r}"
+    )

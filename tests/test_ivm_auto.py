@@ -1365,3 +1365,36 @@ def test_join_view_composite_key(spark, scratch, tables):
     mv.refresh()
     assert _rows(mv.serve()) == _rows(
         plan({"fact": fact.snapshot(), "dim2": dim2.snapshot()}))
+
+
+def test_sql_ddl_dialect_lifecycle(spark, scratch, tables):
+    """CREATE → SHOW → REFRESH → DROP through the one ddl() entry
+    point; catalog state is session bookkeeping while the durable
+    state (table + anchor) lives on disk."""
+    from hudi_delete_view_spark import sql as lake_sql
+
+    fact, _ = tables
+    served = lake_sql.ddl(
+        spark,
+        "CREATE MATERIALIZED VIEW rollup_g AS "
+        "SELECT g, count(1) AS n, sum(v) AS sv FROM f_tbl GROUP BY g",
+        path=os.path.join(scratch, "mvddl"), sources={"f_tbl": fact},
+    )
+    assert served.count() > 0
+    shown = {r["name"]: r["kind"]
+             for r in lake_sql.ddl(spark, "SHOW MATERIALIZED VIEWS").collect()}
+    assert shown.get("rollup_g") == "aggregate"
+    fact.upsert(spark.createDataFrame([("k0", 1, 1000.0, 1)],
+                                      "k string, g long, v double, nv long"),
+                "20260109000000")
+    lake_sql.ddl(spark, "REFRESH MATERIALIZED VIEW rollup_g")
+    fact.snapshot().createOrReplaceTempView("f_tbl")
+    want = _rows(spark.sql(
+        "SELECT g, count(1) AS n, sum(v) AS sv FROM f_tbl GROUP BY g"))
+    assert _rows(spark.sql("SELECT * FROM rollup_g")) == want
+    lake_sql.ddl(spark, "DROP MATERIALIZED VIEW rollup_g")
+    assert "rollup_g" not in {
+        r["name"]
+        for r in lake_sql.ddl(spark, "SHOW MATERIALIZED VIEWS").collect()}
+    with pytest.raises(ValueError, match="unknown materialized view"):
+        lake_sql.ddl(spark, "REFRESH MATERIALIZED VIEW rollup_g")
