@@ -325,15 +325,9 @@ def classify_view(df: DataFrame, snapshots: dict[str, DataFrame]) -> dict:
             find(c)
 
     find(plan)
-    if len(joins) > 1:
-        raise UnsupportedViewError(
-            f"{len(joins)} joins in the view plan; the change-key algebra "
-            "maintains exactly one fact-dim equi-join — stage multi-joins "
-            "as a view-over-view"
-        )
     out_ids = _out_ids(df)
     if joins:
-        return _classify_join(df, joins[0], src_ids, refs, out_ids)
+        return _classify_join(df, joins, src_ids, refs, out_ids)
 
     # select view: single source project/filter
     if len(snapshots) != 1:
@@ -936,103 +930,125 @@ def _classify_window(win_node, src_ids, refs, out_ids, snapshots) -> dict:
     return {"kind": "window", "source": src_name, "key": key, "parts": parts}
 
 
-def _classify_join(df, join_node, src_ids, refs, out_ids) -> dict:
-    jt = join_node.joinType().sql()
-    if jt not in ("INNER", "LEFT OUTER"):
-        raise UnsupportedViewError(
-            f"{jt} join: INNER and LEFT OUTER equi-joins are change-key-"
-            "maintainable (RIGHT/FULL outer put dim-only rows in the view, "
-            "which have no fact record key to serve as row identity)"
-        )
-    cond = join_node.condition()
-    if cond.isEmpty():
-        raise UnsupportedViewError("cross join has no change-key mapping")
-    cond = cond.get()
-    # a conjunction of plain-column equalities (implicit casts unwrapped)
-    eqs = []
-
-    def _walk_cond(c):
-        if _cls(c) == "And":
-            _walk_cond(c.left())
-            _walk_cond(c.right())
-        elif _cls(c) == "EqualTo":
-            eqs.append(c)
-        else:
-            raise UnsupportedViewError(
-                f"join condition {c.sql()} must be a conjunction of "
-                "plain-column equalities"
-            )
-
-    def _unwrap_cast(e):
-        while _cls(e) == "Cast":
-            e = e.child()
-        return e
-
-    _walk_cond(cond)
-    pairs = []  # per equality: {source: {src_col, expr_id}}
-    for e in eqs:
-        ends = {}
-        for attr in (_unwrap_cast(e.left()), _unwrap_cast(e.right())):
-            if _cls(attr) != "AttributeReference":
-                raise UnsupportedViewError(
-                    f"join key {e.sql()} must equate plain columns"
-                )
-            hit = _resolve_to_source(attr.exprId().id(), refs, src_ids)
-            if hit is None:
-                raise UnsupportedViewError(
-                    f"join key {attr.sql()} does not resolve to a source "
-                    "column"
-                )
-            ends[hit[0]] = {"src_col": hit[1], "expr_id": attr.exprId().id()}
-        if len(ends) != 2:
-            raise UnsupportedViewError(
-                f"join equality {e.sql()} resolves to one source; each "
-                "must take one column from fact and one from dim"
-            )
-        pairs.append(ends)
-    srcs = set(pairs[0])
-    if any(set(p) != srcs for p in pairs):
-        raise UnsupportedViewError(
-            "every join equality must relate the SAME two sources"
-        )
+def _classify_join(df, join_nodes, src_ids, refs, out_ids) -> dict:
+    """One or more equi-joins of dims onto ONE fact — the STAR shape:
+    every join's condition must pair a fact-lineage column (projected
+    into the view output) with one dim's columns.  N dims cost N
+    change-probes, no staging; a dim-to-dim (snowflake) join refuses
+    with the staging recipe."""
     key = _find_view_key(out_ids, refs, src_ids)
     fact = key["source"]
-    if fact not in srcs:
-        raise UnsupportedViewError(
-            f"the view key's source ({fact}) is not a side of the join"
+    dims, seen_dims = [], set()
+    for join_node in join_nodes:
+        jt = join_node.joinType().sql()
+        if jt not in ("INNER", "LEFT OUTER"):
+            raise UnsupportedViewError(
+                f"{jt} join: INNER and LEFT OUTER equi-joins are change-"
+                "key-maintainable (RIGHT/FULL outer put dim-only rows in "
+                "the view, which have no fact record key to serve as row "
+                "identity)"
+            )
+        cond = join_node.condition()
+        if cond.isEmpty():
+            raise UnsupportedViewError("cross join has no change-key mapping")
+        cond = cond.get()
+        eqs = []
+
+        def _walk_cond(c):
+            if _cls(c) == "And":
+                _walk_cond(c.left())
+                _walk_cond(c.right())
+            elif _cls(c) == "EqualTo":
+                eqs.append(c)
+            else:
+                raise UnsupportedViewError(
+                    f"join condition {c.sql()} must be a conjunction of "
+                    "plain-column equalities"
+                )
+
+        def _unwrap_cast(e):
+            while _cls(e) == "Cast":
+                e = e.child()
+            return e
+
+        _walk_cond(cond)
+        pairs = []  # per equality: {source: {src_col, expr_id}}
+        for e in eqs:
+            ends = {}
+            for attr in (_unwrap_cast(e.left()), _unwrap_cast(e.right())):
+                if _cls(attr) != "AttributeReference":
+                    raise UnsupportedViewError(
+                        f"join key {e.sql()} must equate plain columns"
+                    )
+                hit = _resolve_to_source(attr.exprId().id(), refs, src_ids)
+                if hit is None:
+                    raise UnsupportedViewError(
+                        f"join key {attr.sql()} does not resolve to a "
+                        "source column"
+                    )
+                ends[hit[0]] = {
+                    "src_col": hit[1], "expr_id": attr.exprId().id()
+                }
+            if len(ends) != 2:
+                raise UnsupportedViewError(
+                    f"join equality {e.sql()} resolves to one source; "
+                    "each must take one column from fact and one from dim"
+                )
+            if fact not in ends:
+                raise UnsupportedViewError(
+                    f"join equality {e.sql()} relates two DIM sources "
+                    f"({sorted(ends)}) — a snowflake arm; stage it as "
+                    "view-over-view (the change-key algebra probes dims "
+                    "through FACT columns only)"
+                )
+            pairs.append(ends)
+        srcs = set(pairs[0])
+        if any(set(p) != srcs for p in pairs):
+            raise UnsupportedViewError(
+                "every equality of one join must relate the SAME two "
+                "sources"
+            )
+        (dim,) = srcs - {fact}
+        if dim in seen_dims:
+            raise UnsupportedViewError(
+                f"dim source '{dim}' joins twice — alias it as two "
+                "sources or stage"
+            )
+        seen_dims.add(dim)
+        if jt == "LEFT OUTER":
+            # the PRESERVED side must carry the fact: dim-on-the-left
+            # would null-extend rows with no row identity
+            left_ids = {
+                a.exprId().id() for a in _seq(join_node.left().output())
+            }
+            if pairs[0][fact]["expr_id"] not in left_ids:
+                raise UnsupportedViewError(
+                    "LEFT OUTER view: the left (preserved) side must "
+                    f"carry the fact source ({fact} — the one whose "
+                    "record key is the view identity); a preserved dim "
+                    "row has no row identity"
+                )
+        # the fact-side join keys must ride in the view output (same
+        # exprIds): they map changed dim keys to affected stored rows
+        fact_join_out, dim_join_src = [], []
+        for p in pairs:
+            out = out_ids.get(p[fact]["expr_id"])
+            if out is None:
+                raise UnsupportedViewError(
+                    f"the fact-side join column ({fact}."
+                    f"{p[fact]['src_col']}) must be projected into the "
+                    "view output — it maps dim changes to affected rows"
+                )
+            fact_join_out.append(out)
+            dim_join_src.append(p[dim]["src_col"])
+        dims.append(
+            {
+                "name": dim,
+                "fact_join_cols": fact_join_out,
+                "dim_join_cols": dim_join_src,
+            }
         )
-    (dim,) = srcs - {fact}
-    if jt == "LEFT OUTER":
-        # the PRESERVED side must be the fact: dim-on-the-left would
-        # null-extend rows that have no fact record key (no row identity)
-        left_ids = {a.exprId().id() for a in _seq(join_node.left().output())}
-        if pairs[0][fact]["expr_id"] not in left_ids:
-            raise UnsupportedViewError(
-                "LEFT OUTER view: the left (preserved) side must be the "
-                f"fact source ({fact} — the one whose record key is the "
-                "view identity); a preserved dim row has no row identity"
-            )
-    # the fact-side join keys must ride in the view output (same
-    # exprIds): they map a changed dim key to affected stored view rows
-    fact_join_out, dim_join_src = [], []
-    for p in pairs:
-        out = out_ids.get(p[fact]["expr_id"])
-        if out is None:
-            raise UnsupportedViewError(
-                f"the fact-side join column ({fact}.{p[fact]['src_col']}) "
-                "must be projected into the view output — it maps dim "
-                "changes to affected view rows"
-            )
-        fact_join_out.append(out)
-        dim_join_src.append(p[dim]["src_col"])
-    return {
-        "kind": "join",
-        "fact": fact,
-        "dim": dim,
-        "key": key,
-        "fact_join_cols": fact_join_out,
-        "dim_join_cols": dim_join_src,
-    }
+    return {"kind": "join", "fact": fact, "key": key, "dims": dims}
 
 
 # ------------------------------------------------------------------------
@@ -2198,37 +2214,45 @@ class AutoMaterializedView:
         if spec["kind"] == "join":
             from functools import reduce
 
-            # dim changes: CDC before-images catch dim deletes too
-            dim = self.sources[spec["dim"]]
-            d_dim = (
-                dim.cdc(anchor[spec["dim"]], latest[spec["dim"]])
-                .select(
-                    *[
-                        F.col(c).alias(f"__d_dim_key{i}")
-                        for i, c in enumerate(spec["dim_join_cols"])
-                    ]
+            for dspec in spec["dims"]:
+                dn = dspec["name"]
+                if anchor[dn] == latest[dn]:
+                    continue
+                # dim changes: CDC before-images catch dim deletes too
+                dim = self.sources[dn]
+                d_dim = (
+                    dim.cdc(anchor[dn], latest[dn])
+                    .select(
+                        *[
+                            F.col(c).alias(f"__d_dim_key{i}")
+                            for i, c in enumerate(dspec["dim_join_cols"])
+                        ]
+                    )
+                    .distinct()
                 )
-                .distinct()
-            )
-            fjcs = spec["fact_join_cols"]
-            probe = reduce(
-                lambda a, b: a & b,
-                [
-                    F.col(c) == F.col(f"__d_dim_key{i}")
-                    for i, c in enumerate(fjcs)
-                ],
-            )
-            touched = touched.unionByName(
-                full.join(d_fact, key, "left_anti").join(
-                    F.broadcast(d_dim), probe, "left_semi"
+                fjcs = dspec["fact_join_cols"]
+                probe = reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(c) == F.col(f"__d_dim_key{i}")
+                        for i, c in enumerate(fjcs)
+                    ],
                 )
-            )
-            affected = affected.unionByName(
-                view_snap.select(key, *fjcs)
-                .join(d_fact, key, "left_anti")
-                .join(F.broadcast(d_dim), probe, "left_semi")
-                .select(key)
-            )
+                touched = touched.unionByName(
+                    full.join(d_fact, key, "left_anti").join(
+                        F.broadcast(d_dim), probe, "left_semi"
+                    )
+                )
+                affected = affected.unionByName(
+                    view_snap.select(key, *fjcs)
+                    .join(d_fact, key, "left_anti")
+                    .join(F.broadcast(d_dim), probe, "left_semi")
+                    .select(key)
+                )
+            # a row can be hit through TWO dims' probes — dedup by the
+            # row identity before writing (rows are identical copies)
+            touched = touched.dropDuplicates([key])
+            affected = affected.dropDuplicates([key])
         rederived = touched.localCheckpoint(eager=True)
         dead = (
             affected.join(rederived.select(key), key, "left_anti")

@@ -2148,3 +2148,61 @@ def lake_mv_auto_agg_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   {"li": build_lineitem_cow(spark, sf_dir),
                    "om": build_orders_mor(spark, sf_dir)}, plan)
     return mv.serve()
+
+
+@query(
+    "lake_mv_auto_star",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT {_KEY_SQL} AS vk, l_orderkey, l_partkey, {_QTY_SQL} AS l_quantity
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey, o_orderpriority
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+),
+p2 AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 5 = 0 THEN p_retailprice + 100.0
+              ELSE p_retailprice END AS p_retailprice
+  FROM part WHERE NOT (p_partkey % 23 = 0)
+)
+SELECT vk, l_orderkey, l_partkey, l_quantity, o_orderpriority,
+       p_retailprice
+FROM l2
+JOIN o2 ON l_orderkey = o_orderkey
+JOIN p2 ON l_partkey = p_partkey
+""",
+)
+def lake_mv_auto_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR view — TWO dims joined on FACT columns in one declaration,
+    no staging: orders probes through l_orderkey, part through
+    l_partkey, each dim's CDC (orders' MOR delta update+delete, part's
+    COW update+delete) re-derives only the fact rows its own join
+    columns name, with rows hit through both dims deduped before the
+    write.  This is the TPC-H shape (lineitem star); snowflake arms
+    (customer via o_custkey) still stage, and the refusal says so.
+    Oracle recomputes the 3-way star from scratch over all three
+    change scripts."""
+    from ..sources.fixtures import build_orders_mor, build_part_cow
+
+    def plan(t):
+        f = t["li"].select(
+            F.col(RECORD_KEY_FIELD).alias("vk"),
+            "l_orderkey", "l_partkey", "l_quantity")
+        return (
+            f.join(t["om"].select("o_orderkey", "o_orderpriority"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(t["pt"].select("p_partkey", "p_retailprice"),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .select("vk", "l_orderkey", "l_partkey", "l_quantity",
+                    "o_orderpriority", "p_retailprice")
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_star",
+                  {"li": build_lineitem_cow(spark, sf_dir),
+                   "om": build_orders_mor(spark, sf_dir),
+                   "pt": build_part_cow(spark, sf_dir)}, plan)
+    return mv.serve()

@@ -568,3 +568,42 @@ def build_customer_cow(spark: SparkSession, sf_dir: str, base_path: str | None =
     table.upsert(updates, C2)
     table.delete_where(F.expr(CUST_DELETE_PRED_SQL), C3)
     return table
+
+
+# --------------------------------------------------------------------------
+# part_cow — scripted 3-commit part dimension (star-join fixture):
+#   C1 bulk-insert; C2 update (p_partkey % 5 = 0 → retailprice + 100);
+#   C3 delete (p_partkey % 23 = 0).
+# --------------------------------------------------------------------------
+PART_UPDATE_PRED_SQL = "p_partkey % 5 = 0"
+PART_DELETE_PRED_SQL = "p_partkey % 23 = 0"
+
+
+def part_cow_path(sf_dir: str) -> str:
+    tag = scratch_tag(sf_dir)
+    return os.path.join(SCRATCH_ROOT, "lake", tag, "part_cow")
+
+
+def build_part_cow(spark: SparkSession, sf_dir: str, base_path: str | None = None) -> CowTable:
+    base_path = base_path or part_cow_path(sf_dir)
+    table = CowTable(
+        spark,
+        base_path,
+        key_fields=["p_partkey"],
+        partition_field=None,
+        num_file_groups=4,
+    )
+    if table.timeline.timestamps() == [C1, C2, C3]:
+        return table
+    import shutil
+
+    shutil.rmtree(base_path, ignore_errors=True)
+    os.makedirs(base_path, exist_ok=True)
+    src = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    table.bulk_insert(src, C1)
+    updates = src.filter(F.expr(PART_UPDATE_PRED_SQL)).withColumn(
+        "p_retailprice", F.col("p_retailprice") + F.lit(100.0)
+    )
+    table.upsert(updates, C2)
+    table.delete_where(F.expr(PART_DELETE_PRED_SQL), C3)
+    return table

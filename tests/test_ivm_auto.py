@@ -88,8 +88,9 @@ def test_classify_all_kinds(spark, tables):
     assert a["chain"][0][0] == "filter"
     j = classify_view(join_plan({"fact": fs, "dim": ds}),
                       {"fact": fs, "dim": ds})
-    assert (j["kind"], j["fact"], j["dim"]) == ("join", "fact", "dim")
-    assert (j["fact_join_cols"], j["dim_join_cols"]) == (["g"], ["gk"])
+    assert (j["kind"], j["fact"]) == ("join", "fact")
+    assert [(d["name"], d["fact_join_cols"], d["dim_join_cols"])
+            for d in j["dims"]] == [("dim", ["g"], ["gk"])]
     assert j["key"] == {"name": "vk", "source": "fact"}
     s = classify_view(sel_plan({"fact": fs}), {"fact": fs})
     assert s["kind"] == "select" and s["key"]["name"] == "vk"
@@ -1352,7 +1353,8 @@ def test_join_view_composite_key(spark, scratch, tables):
     mv = AutoMaterializedView(spark, os.path.join(scratch, "mvjck"),
                               {"fact": fact, "dim2": dim2}, plan)
     spec = mv.spec()
-    assert spec["kind"] == "join" and len(spec["fact_join_cols"]) == 2
+    assert spec["kind"] == "join"
+    assert len(spec["dims"][0]["fact_join_cols"]) == 2
     mv.refresh(seed_as_of={"fact": "20260101000000",
                            "dim2": "20260101000000"})
     assert _rows(mv.serve()) == _rows(
@@ -1398,3 +1400,56 @@ def test_sql_ddl_dialect_lifecycle(spark, scratch, tables):
         for r in lake_sql.ddl(spark, "SHOW MATERIALIZED VIEWS").collect()}
     with pytest.raises(ValueError, match="unknown materialized view"):
         lake_sql.ddl(spark, "REFRESH MATERIALIZED VIEW rollup_g")
+
+
+def test_star_join_view(spark, scratch, tables):
+    """STAR views (N dims joined on FACT columns) maintain without
+    staging: each dim's changes probe the view through its own
+    fact-side join columns, rows hit through two dims dedup before the
+    write, and a snowflake arm (dim joined through another DIM's
+    column) refuses with the staging recipe."""
+    fact, dim = tables
+    dim_b = CowTable(spark, os.path.join(scratch, "dimb"), key_fields=["pk"],
+                     partition_field=None, num_file_groups=1)
+    dim_b.bulk_insert(spark.range(2).selectExpr(
+        "cast(id as long) as pk", "concat('p', id) as pname"),
+        "20260101000000")
+
+    def plan(t):
+        f = t["fact"].selectExpr("_hoodie_record_key as vk", "g",
+                                 "cast(cast(v as int) % 2 as long) as par", "v")
+        return (f.join(t["dim"].select("gk", "gname"),
+                       F.col("g") == F.col("gk"))
+                .join(t["dim_b"].select("pk", "pname"),
+                      F.col("par") == F.col("pk")))
+
+    srcs = {"fact": fact, "dim": dim, "dim_b": dim_b}
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvstar"),
+                              srcs, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "join"
+    assert sorted(d["name"] for d in spec["dims"]) == ["dim", "dim_b"]
+    seed = {n: "20260101000000" for n in srcs}
+    mv.refresh(seed_as_of=seed, to=seed)
+
+    def expect():
+        return _rows(plan({n: t.snapshot() for n, t in srcs.items()}))
+
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    # change BOTH dims in one window: overlapping probes must dedup
+    dim.upsert(spark.createDataFrame([(0, "ZED")], "gk long, gname string"),
+               "20260105000000")
+    dim_b.upsert(spark.createDataFrame([(0, "PZ")], "pk long, pname string"),
+                 "20260105000000")
+    dim_b.delete(spark.createDataFrame([(1,)], "pk long"), "20260106000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    # snowflake arm: customer-style dim joined via ANOTHER dim's column
+    fs, ds, dbs = fact.snapshot(), dim.snapshot(), dim_b.snapshot()
+    snow = (fs.selectExpr("_hoodie_record_key as vk", "g", "v")
+            .join(ds.selectExpr("gk", "gk % 2 as cust", "gname"),
+                  F.col("g") == F.col("gk"))
+            .join(dbs.select("pk", "pname"), F.col("cust") == F.col("pk")))
+    with pytest.raises(UnsupportedViewError, match="snowflake"):
+        classify_view(snow, {"fact": fs, "dim": ds, "dim_b": dbs})
