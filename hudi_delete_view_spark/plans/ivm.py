@@ -517,7 +517,7 @@ def _classify_aggregate(plan, src_ids, refs, snapshots, quals=frozenset()) -> di
                 f"{e.sql()}: supported aggregates are count/sum/avg/"
                 "stddev/variance (retraction), min/max (dirty-group "
                 "re-derivation), and approx_count_distinct (mergeable "
-                "HLL state, re-derived on retraction)"
+                "HLL state, rebuilt from per-value aux on retraction)"
             )
         arg = _seq(fn.children())
         arg_sql = _strip_quals(arg[0].sql(), quals) if arg else "1"
@@ -537,11 +537,57 @@ def _classify_aggregate(plan, src_ids, refs, snapshots, quals=frozenset()) -> di
         return _classify_agg_join(
             group, aggs, chain, term[1], snapshots, plan, quals
         )
+    if _cls(term[1]) == "Union":
+        return _classify_agg_union(group, aggs, chain, term[1], snapshots, quals)
     raise UnsupportedViewError(
         f"node {_cls(term[1])} between the aggregate and its source; "
-        "only Project/Filter chains (optionally over one INNER equi-join) "
-        "can be maintained below an aggregate"
+        "only Project/Filter chains (optionally over one equi-join or "
+        "a UNION ALL of chains) can be maintained below an aggregate"
     )
+
+
+def _classify_agg_union(
+    group, aggs, mid_nodes, union_node, snapshots, quals=frozenset()
+) -> dict:
+    """Aggregate over UNION ALL, maintained DIRECTLY by the signed
+    retraction merge — no staging, no intermediate table, no tag
+    contract: union-all is a multiset sum, so
+    Δ(B1 ∪all … ∪all Bn) = ΔB1 ∪all … ∪all ΔBn, and each branch's
+    CDC feed (replayed through that branch's own Project/Filter chain)
+    enters the shared merge independently.  The SAME source may appear
+    in several branches (self-union shapes): each branch contributes
+    its own delta — exactly the multiset semantics.  Branch outputs
+    align POSITIONALLY (SQL UNION rules); feeds rename every branch to
+    the union's output names, and the chain between the union and the
+    aggregate replays on top via spec["chain"].  This supersedes the
+    manual union-view + aggregate-view staging for aggregate shapes:
+    no intermediate table, no per-branch literal tags, and work stays
+    change-sized per branch (untouched branches contribute nothing)."""
+    branches = []
+    out_names = [a.name() for a in _seq(union_node.output())]
+    for child in _children(union_node):
+        nodes, term = _descend_chain(child, snapshots)
+        if term[0] != "source":
+            raise UnsupportedViewError(
+                f"UNION branch below an aggregate bottoms out at "
+                f"{_cls(term[1])}; each branch must be a Project/Filter "
+                "chain over one source"
+            )
+        branches.append({
+            "source": term[1],
+            "chain": _chain_to_spec(nodes, quals),
+            "out_names": [a.name() for a in _seq(child.output())],
+        })
+    return {
+        "kind": "agg_union",
+        "group": group,
+        "aggs": aggs,
+        # feeds reach _agg_delta already renamed to the union's output
+        # names; the mid chain (union -> aggregate) replays over them
+        "chain": _chain_to_spec(mid_nodes, quals),
+        "branches": branches,
+        "out_names": out_names,
+    }
 
 
 def _resolve_literal(eid: int, nodes: list) -> str | None:
@@ -1085,7 +1131,7 @@ class AutoMaterializedView:
 
     def _key_fields(self) -> list[str]:
         spec = self.spec()
-        if spec["kind"] in ("aggregate", "agg_join"):
+        if spec["kind"] in ("aggregate", "agg_join", "agg_union"):
             return [n for n, _ in spec["group"]]
         if spec["kind"] == "union":
             return [spec["tag_col"], spec["key"]["name"]]
@@ -1215,7 +1261,7 @@ class AutoMaterializedView:
     def serve(self) -> DataFrame:
         snap = self.table.snapshot()
         spec = self.spec()
-        if spec["kind"] not in ("aggregate", "agg_join"):
+        if spec["kind"] not in ("aggregate", "agg_join", "agg_union"):
             keep = [c for c in snap.columns if c not in META_FIELDS]
             return snap.select(*keep)
         cols = [F.col(n) for n, _ in spec["group"]]
@@ -1289,18 +1335,40 @@ class AutoMaterializedView:
 
     @staticmethod
     def _minmax_aliases(spec: dict) -> list[str]:
-        """Aliases that re-derive on retraction: min/max (a deleted row
-        may have BEEN the extreme) and approx_count_distinct (an HLL
-        sketch merges under insert but cannot subtract)."""
-        return [
-            a
-            for a, fn, _ in spec["aggs"]
-            if fn in ("min", "max", "approx_count_distinct")
-        ]
+        """Aliases that re-derive on retraction from the SOURCE: min/max
+        (a deleted row may have BEEN the extreme, and no smaller state
+        can recover the runner-up).  approx_count_distinct used to live
+        here too — an HLL sketch merges under insert but cannot
+        subtract — but it now rebuilds from its per-value aux table
+        instead (`_hll_aux_aliases`), which is (group, value)-sized
+        rather than source-sized."""
+        return [a for a, fn, _ in spec["aggs"] if fn in ("min", "max")]
 
     @staticmethod
     def _distinct_aliases(spec: dict) -> list[tuple[str, str]]:
         return [(a, arg) for a, fn, arg in spec["aggs"] if fn == "count_distinct"]
+
+    @staticmethod
+    def _hll_aux_aliases(spec: dict) -> list[tuple[str, str]]:
+        """approx_count_distinct aliases whose sketches are backed by a
+        per-value aux table (the E4 COUNT DISTINCT state, reused): on
+        retraction the group's sketch rebuilds from the aux table's live
+        values — never from the source, whose dirty groups could be
+        arbitrarily large at 100 TB while aux is bounded by the live
+        DISTINCT value set.  Only the signed-merge advance paths keep
+        aux (single-source aggregates and delta-join INNER agg_join);
+        the outer-join dirty path rebuilds dirty groups' sketches from
+        scratch anyway, so it carries no aux state."""
+        if spec["kind"] in ("aggregate", "agg_union") or (
+            spec["kind"] == "agg_join"
+            and spec.get("join_type", "inner") == "inner"
+        ):
+            return [
+                (a, arg)
+                for a, fn, arg in spec["aggs"]
+                if fn == "approx_count_distinct"
+            ]
+        return []
 
     def _aux_table(self, alias: str) -> CowTable:
         """Per-value state for one COUNT(DISTINCT) output: a nested lake
@@ -1414,9 +1482,17 @@ class AutoMaterializedView:
                 )
             elif fn == "approx_count_distinct":
                 # mergeable Datasketches HLL over the INSERT side only
-                # (retraction rows null out and are ignored); a
-                # retraction-touched group re-derives below via __mv_dirty
-                aggs.append(F.hll_sketch_agg(F.when(sign > 0, x)).alias(alias))
+                # (retraction rows null out and are ignored), hashed over
+                # the value's STRING form — the same representation the
+                # per-value aux table stores — so a sketch rebuilt from
+                # aux is state-identical to one unioned incrementally
+                # (HLL updates are idempotent per hashed value, so
+                # duplicates in either path don't matter)
+                aggs.append(
+                    F.hll_sketch_agg(
+                        F.when(sign > 0, x.cast("string"))
+                    ).alias(alias)
+                )
             else:  # min / max: monotone under inserts only
                 ins = F.when(sign > 0, x)
                 aggs.append((F.min(ins) if fn == "min" else F.max(ins)).alias(alias))
@@ -1479,16 +1555,20 @@ class AutoMaterializedView:
     def _seed(self, spec: dict, at: dict[str, str]) -> None:
         snaps = {n: t.snapshot(at[n]) for n, t in self.sources.items()}
         ts = max(at.values())
-        if spec["kind"] in ("aggregate", "agg_join"):
+        if spec["kind"] in ("aggregate", "agg_join", "agg_union"):
             if spec["kind"] == "aggregate":
                 feed = snaps[spec["source"]].withColumn("__mv_sign", F.lit(1))
+            elif spec["kind"] == "agg_union":
+                feed = self._agg_union_full_feed(spec, snaps)
             else:
                 feed = self._pre_agg(spec, snaps).withColumn("__mv_sign", F.lit(1))
             seed = self._agg_delta(spec, feed)
             if "__mv_dirty" in seed.columns:
                 seed = seed.drop("__mv_dirty")  # delta-only flag
             self.table.bulk_insert(seed, ts)
-            for alias, arg in self._distinct_aliases(spec):
+            for alias, arg in self._distinct_aliases(spec) + self._hll_aux_aliases(
+                spec
+            ):
                 self._aux_table(alias).bulk_insert(
                     self._value_state(spec, arg, feed), ts
                 )
@@ -1500,6 +1580,8 @@ class AutoMaterializedView:
             self._advance_aggregate(spec, anchor, latest)
         elif spec["kind"] == "agg_join":
             self._advance_agg_join(spec, anchor, latest)
+        elif spec["kind"] == "agg_union":
+            self._advance_agg_union(spec, anchor, latest)
         elif spec["kind"] == "window":
             self._advance_window(spec, anchor, latest)
         elif spec["kind"] == "union":
@@ -1527,6 +1609,69 @@ class AutoMaterializedView:
 
         self._merge_agg_delta(spec, feed, latest, full_feed)
 
+    # -- algebra: per-branch deltas (aggregate-over-UNION-ALL views) -----
+    def _union_branch_feed(self, spec, branch, df: DataFrame) -> DataFrame:
+        """Replay one union branch's chain over a signed frame and
+        rename its outputs POSITIONALLY to the union's column names
+        (SQL UNION aligns by position; names come from the first
+        branch), keeping the sign column."""
+        d = _replay_spec(branch["chain"], df, extra=("__mv_sign",))
+        return d.select(
+            *[
+                F.col(bn).alias(on)
+                for bn, on in zip(branch["out_names"], spec["out_names"])
+            ],
+            F.col("__mv_sign"),
+        )
+
+    def _agg_union_full_feed(self, spec, snaps) -> DataFrame:
+        from functools import reduce
+
+        parts = [
+            self._union_branch_feed(
+                spec, b, snaps[b["source"]].withColumn("__mv_sign", F.lit(1))
+            )
+            for b in spec["branches"]
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _advance_agg_union(self, spec, anchor, latest) -> None:
+        """Advance an aggregate-over-UNION-ALL view: union-all is a
+        multiset sum, so the view's delta is the union of each branch's
+        signed CDC delta replayed through that branch's own chain —
+        straight into the shared retraction merge.  Untouched branches
+        contribute nothing; a source feeding N branches contributes N
+        branch deltas (the multiset semantics of self-union)."""
+        from functools import reduce
+
+        sign = F.when(
+            F.col("op").isin("insert", "update"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        terms = []
+        for b in spec["branches"]:
+            s = b["source"]
+            if anchor[s] == latest[s]:
+                continue
+            cdc = self.sources[s].cdc(
+                anchor[s], latest[s], include_update_preimages=True
+            )
+            terms.append(
+                self._union_branch_feed(
+                    spec, b, cdc.withColumn("__mv_sign", sign)
+                )
+            )
+        if not terms:
+            return
+        feed = reduce(lambda a, b: a.unionByName(b), terms)
+
+        def full_feed(_dirty_keys):
+            snaps = {
+                n: t.snapshot(latest[n]) for n, t in self.sources.items()
+            }
+            return self._agg_union_full_feed(spec, snaps)
+
+        self._merge_agg_delta(spec, feed, latest, full_feed)
+
     def _merge_agg_delta(self, spec, feed, latest, full_feed_fn) -> None:
         """Merge a SIGNED feed's aggregate delta into the stored state —
         the shared retraction engine behind single-source aggregates
@@ -1540,17 +1685,19 @@ class AutoMaterializedView:
         group_names = [n for n, _ in spec["group"]]
         mm = self._minmax_aliases(spec)
         cd = [a for a, _ in self._distinct_aliases(spec)]
+        hl = [a for a, _ in self._hll_aux_aliases(spec)]
         summable = [
             c
             for c in delta.columns
             if c not in group_names
             and c not in mm
             and c not in cd
+            and c not in hl
             and c != "__mv_dirty"
         ]
         s = (
             self.table.snapshot()
-            .select(*group_names, *summable, *mm, *cd)
+            .select(*group_names, *summable, *mm, *cd, *hl)
             .alias("s")
         )
         d = delta.alias("d")
@@ -1582,16 +1729,24 @@ class AutoMaterializedView:
                 su, du = F.col(f"s.{alias}"), F.col(f"d.{alias}")
                 # hll_union of a stored sketch with the insert-delta
                 # sketch; either side absent (brand-new group / group
-                # untouched by this delta) passes through
+                # untouched by this delta) passes through.  No dirty
+                # handling here: any group whose non-null values changed
+                # appears in the value delta below and gets its sketch
+                # REBUILT from the aux table's live values, overwriting
+                # this column; a retraction of only-NULL arguments never
+                # touched the sketch, so the union stands correct.
                 comb = (
                     F.when(su.isNull(), du)
                     .when(du.isNull(), su)
                     .otherwise(F.hll_union(su, du))
                 )
-            else:
-                comb = (F.least if fn == "min" else F.greatest)(
-                    F.col(f"s.{alias}"), F.col(f"d.{alias}")
+                out.append(
+                    F.when(~present_d, su).otherwise(comb).alias(alias)
                 )
+                continue
+            comb = (F.least if fn == "min" else F.greatest)(
+                F.col(f"s.{alias}"), F.col(f"d.{alias}")
+            )
             out.append(
                 F.when(~present_d, F.col(f"s.{alias}"))
                 .when(F.col("d.__mv_dirty") == 1, F.lit(None))
@@ -1659,9 +1814,11 @@ class AutoMaterializedView:
                     .localCheckpoint(eager=True)
                 )
         base = self._commit_base(latest)
-        for alias, arg in self._distinct_aliases(spec):
+        for (alias, arg), is_hll in [
+            (p, False) for p in self._distinct_aliases(spec)
+        ] + [(p, True) for p in self._hll_aux_aliases(spec)]:
             # per-value delta from the SAME signed feed; empty = no
-            # non-null-value change, stored counts stand as-is
+            # non-null-value change, stored counts/sketches stand as-is
             vd = self._value_state(spec, arg, feed).localCheckpoint(eager=True)
             if vd.count() == 0:
                 continue
@@ -1711,10 +1868,20 @@ class AutoMaterializedView:
                 aux.upsert(livev, f"{base + 2:014d}")
             # recount every touched group over its FULL merged value set
             # (zero-count rows included so a group whose last value died
-            # serves 0, not its stale stored count)
-            recount = mergedv.groupBy(*group_names).agg(
-                F.sum((F.col("__mv_vn") > 0).cast("long")).alias("__rc")
-            )
+            # serves 0, not its stale stored count).  HLL aliases rebuild
+            # the SKETCH from the live values instead — hll_sketch_agg
+            # skips NULLs and returns an EMPTY sketch (estimate 0) when
+            # every value died, so the same overwrite join serves both
+            if is_hll:
+                recount = mergedv.groupBy(*group_names).agg(
+                    F.hll_sketch_agg(
+                        F.when(F.col("__mv_vn") > 0, F.col("__mv_val"))
+                    ).alias("__rc")
+                )
+            else:
+                recount = mergedv.groupBy(*group_names).agg(
+                    F.sum((F.col("__mv_vn") > 0).cast("long")).alias("__rc")
+                )
             rcond = reduce(
                 lambda a, b: a & b,
                 [F.col(f"m.{k}").eqNullSafe(F.col(f"r.{k}")) for k in group_names],

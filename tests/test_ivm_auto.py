@@ -775,6 +775,72 @@ def test_agg_approx_distinct(spark, scratch, tables):
     assert mv.refresh()["advanced"] is False
 
 
+def test_hll_retraction_rebuilds_from_aux_not_source(spark, scratch):
+    """approx_count_distinct retraction is served by the per-value aux
+    table, NEVER a source re-derivation: ``full_feed_fn`` is replaced
+    with a raiser for every advance, and the view still converges
+    through deletes that (a) kill a group's LAST non-null value while
+    the group lives (estimate must drop to 0, not stay stale), (b)
+    retract only NULL-argument rows (sketch untouched, union stands),
+    and (c) rewrite a value (retraction + insert rebuild).  At 100 TB
+    this is the difference between an aux scan bounded by the live
+    DISTINCT value set and a re-scan of the dirty groups' source rows."""
+    fact = CowTable(spark, os.path.join(scratch, "hfact"), key_fields=["k"],
+                    partition_field=None, num_file_groups=2)
+    fact.bulk_insert(
+        spark.createDataFrame(
+            [("a1", 1, "x"), ("a2", 1, "y"), ("b1", 2, "z"), ("b2", 2, None),
+             ("c1", 3, None), ("c2", 3, None)],
+            "k string, g long, s string"),
+        "20260101000000",
+    )
+
+    def plan(t):
+        return (t["fact"].groupBy("g")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.approx_count_distinct("s").alias("ad")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvhllaux"),
+                              {"fact": fact}, plan)
+    mv.refresh()
+
+    orig = AutoMaterializedView._merge_agg_delta
+
+    def no_source_rederive(self, spec, feed, latest, full_feed_fn):
+        def boom(_dirty):
+            raise AssertionError(
+                "HLL retraction re-derived from the source feed")
+        return orig(self, spec, feed, latest, boom)
+
+    AutoMaterializedView._merge_agg_delta = no_source_rederive
+    try:
+        # (a) g=2 loses its only non-null value; the NULL-valued row
+        # keeps the group alive -> ad must serve 0
+        fact.delete(spark.createDataFrame([("b1",)], "k string"),
+                    "20260102000000")
+        mv.refresh()
+        assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+        got = {r["g"]: (r["n"], r["ad"]) for r in mv.serve().collect()}
+        assert got[2] == (1, 0)
+        # (b) NULL-argument retraction only: g=3 sketch untouched
+        fact.delete(spark.createDataFrame([("c1",)], "k string"),
+                    "20260103000000")
+        mv.refresh()
+        assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+        # (c) value rewrite: retraction of 'x' + insert of 'w' in g=1,
+        # plus a brand-new group
+        fact.upsert(
+            spark.createDataFrame([("a1", 1, "w"), ("d1", 4, "q")],
+                                  "k string, g long, s string"),
+            "20260104000000",
+        )
+        mv.refresh()
+        assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    finally:
+        AutoMaterializedView._merge_agg_delta = orig
+    assert mv.refresh()["advanced"] is False
+
+
 def test_sql_materialized_view_ddl(spark, scratch, tables):
     """CREATE MATERIALIZED VIEW over SQL text: classification sees the
     same Catalyst shapes spark.sql produces (SubqueryAlias-wrapped
@@ -1172,6 +1238,75 @@ def test_aggregate_over_union_staged(spark, scratch, tables):
     mv1.refresh()
     mv2.refresh()
     assert _rows(mv2.serve()) == expect()
+
+
+def test_agg_over_union_direct(spark, scratch, tables):
+    """GROUP BY over UNION ALL in ONE declaration — no staging, no
+    intermediate table, no literal tags: Δ(∪all branches) = ∪all of
+    the branches' signed CDC deltas, fed straight into the retraction
+    merge.  The fixture pins the hard parts: a SELF-union (the fact
+    appears in two branches with different filters — multiset
+    semantics: one source change contributes BOTH branch deltas), a
+    mid-chain filter between the union and the aggregate, and min /
+    COUNT DISTINCT / approx_count_distinct so the dirty re-derivation
+    (from the union full feed) and the per-value aux paths both run
+    over the union shape."""
+    fact, _ = tables
+    other = CowTable(spark, os.path.join(scratch, "other4"), key_fields=["k"],
+                     partition_field=None, num_file_groups=2)
+    other.bulk_insert(spark.range(8).selectExpr(
+        "concat('k', id) as k", "cast(id % 3 as long) as g",
+        "cast(id * 1.5 as double) as v",
+        "cast(id % 5 as long) as nv"), "20260101000000")
+
+    def plan(t):
+        a = t["fact"].select("g", "v", "nv")
+        b = t["other"].select("g", "v", "nv").filter("v < 900")
+        c = t["fact"].filter("g = 1").select("g", (F.col("v") * 2).alias("v"),
+                                             "nv")  # self-union branch
+        return (
+            a.unionByName(b).unionByName(c)
+            .filter("v >= 0")
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("v").alias("sv"),
+                 F.min("v").alias("mn"),
+                 F.count_distinct("nv").alias("nd"),
+                 F.approx_count_distinct("nv").alias("ad"))
+        )
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvaggu"),
+                              {"fact": fact, "other": other}, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "agg_union"
+    assert [b["source"] for b in spec["branches"]] == ["fact", "other", "fact"]
+    mv.refresh(seed_as_of={"fact": "20260101000000",
+                           "other": "20260101000000"},
+               to={"fact": "20260101000000", "other": "20260101000000"})
+
+    def check(at=None):
+        snaps = {"fact": fact.snapshot(at), "other": other.snapshot(at)}
+        assert _rows(mv.serve()) == _rows(plan(snaps))
+
+    check("20260101000000")
+    # fact-only step: updates retract through BOTH fact branches
+    mv.refresh(to={"fact": "20260102000000", "other": "20260101000000"})
+    snaps = {"fact": fact.snapshot("20260102000000"),
+             "other": other.snapshot("20260101000000")}
+    assert _rows(mv.serve()) == _rows(plan(snaps))
+    # both sources change: fact deletes + other update in one window
+    other.upsert(spark.createDataFrame([("k2", 2, 333.0, 9)],
+                                       "k string, g long, v double, nv long"),
+                 "20260105000000")
+    mv.refresh()
+    check()
+    # a delete on the self-unioned branch's filter domain (g=1 rows
+    # leave twice — once per branch)
+    fact.delete(spark.createDataFrame([("k1",), ("k5",)], "k string"),
+                "20260106000000")
+    mv.refresh()
+    check()
+    assert mv.refresh()["advanced"] is False
 
 
 def test_noop_refresh_is_jobless(spark, scratch, tables):
