@@ -2107,6 +2107,64 @@ def lake_mv_auto_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_mv_auto_agg_union",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT l_orderkey % 5 AS grp,
+         CAST(round(({_QTY_SQL}) * 100) AS BIGINT) AS val
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey % 5 AS grp,
+         CAST(round((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END) * 100) AS BIGINT) AS val
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+),
+u AS (SELECT * FROM l2 UNION ALL SELECT * FROM o2)
+SELECT grp, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS sv,
+       MIN(val) AS mn, COUNT(DISTINCT val) AS nd
+FROM u GROUP BY grp
+""",
+)
+def lake_mv_auto_agg_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY over UNION ALL in ONE declaration: the view's delta is
+    the union of each branch's signed CDC delta replayed through that
+    branch's own chain (Δ(∪all) = ∪all Δ — union-all is a multiset
+    sum), fed into the shared retraction merge.  No staging table, no
+    per-branch literal tags, and untouched branches contribute nothing:
+    lineitem's C2/C3/C4 changes advance through the l2 branch alone,
+    orders' MOR delta through o2 alone.  min exercises the dirty
+    re-derivation over the UNION full feed; COUNT DISTINCT the
+    per-value aux path.  Values ride as exact integer cents so
+    retraction sums are order-free; oracle recomputes the union +
+    GROUP BY from scratch over both change scripts."""
+    from ..sources.fixtures import build_orders_mor
+
+    def plan(t):
+        a = t["li"].select(
+            (F.col("l_orderkey") % 5).alias("grp"),
+            F.expr("cast(round(l_quantity * 100) as bigint)").alias("val"))
+        b = t["om"].select(
+            (F.col("o_orderkey") % 5).alias("grp"),
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("val"))
+        return (
+            a.unionByName(b)
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("val").alias("sv"),
+                 F.min("val").alias("mn"),
+                 F.count_distinct("val").alias("nd"))
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_agg_union",
+                  {"li": build_lineitem_cow(spark, sf_dir),
+                   "om": build_orders_mor(spark, sf_dir)}, plan)
+    return mv.serve()
+
+
+@query(
     "lake_mv_auto_agg_full_join",
     late=True,  # IVM family windowed via lake_ivm_aggregate
     oracle=f"""

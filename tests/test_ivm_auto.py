@@ -898,6 +898,29 @@ def test_sql_materialized_view_ddl(spark, scratch, tables):
     with pytest.raises(ValueError, match="CREATE MATERIALIZED VIEW"):
         create_materialized_view(spark, os.path.join(scratch, "x"),
                                  {"f_tbl": fact}, "SELECT 1")
+    # GROUP BY over UNION ALL through the SQL dialect: the SubqueryAlias
+    # wrappers around the subquery and each branch's view name must stay
+    # transparent to the agg_union descent, and qualifier stripping must
+    # leave the branch chains replayable by bare column name
+    uname, umv = create_materialized_view(
+        spark, os.path.join(scratch, "mvsqlu"),
+        {"f_tbl": fact, "d_tbl": dim},
+        """CREATE MATERIALIZED VIEW union_counts AS
+           SELECT g, count(1) AS n, sum(v) AS sv FROM (
+             SELECT g, v FROM f_tbl WHERE v < 900
+             UNION ALL
+             SELECT gk AS g, cast(gk as double) AS v FROM d_tbl
+           ) GROUP BY g""",
+    )
+    assert umv.spec()["kind"] == "agg_union"
+    refresh_materialized_view(uname, umv)
+    fact.snapshot().createOrReplaceTempView("f_tbl")
+    dim.snapshot().createOrReplaceTempView("d_tbl")
+    want = _rows(spark.sql(
+        "SELECT g, count(1) AS n, sum(v) AS sv FROM ("
+        "SELECT g, v FROM f_tbl WHERE v < 900 UNION ALL "
+        "SELECT gk AS g, cast(gk as double) AS v FROM d_tbl) GROUP BY g"))
+    assert _rows(spark.sql("SELECT * FROM union_counts")) == want
 
 
 def _rows_ns(df):
