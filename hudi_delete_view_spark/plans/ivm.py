@@ -976,124 +976,157 @@ def _classify_window(win_node, src_ids, refs, out_ids, snapshots) -> dict:
     return {"kind": "window", "source": src_name, "key": key, "parts": parts}
 
 
+def _classify_one_join(join_node, fact, anchored, src_ids, refs, out_ids):
+    """Classify ONE equi-join node against the set of already-anchored
+    sources.  Returns a dim probe spec when exactly one end of the
+    join is anchored (the other is the new arm), ``None`` when neither
+    end is anchored yet (the caller defers the node until the arm it
+    hangs off is attached — bushy snowflake plans join arms together
+    before reaching the fact tree), and raises for shapes the
+    change-key algebra cannot maintain."""
+    jt = join_node.joinType().sql()
+    if jt not in ("INNER", "LEFT OUTER"):
+        raise UnsupportedViewError(
+            f"{jt} join: INNER and LEFT OUTER equi-joins are change-"
+            "key-maintainable (RIGHT/FULL outer put dim-only rows in "
+            "the view, which have no fact record key to serve as row "
+            "identity)"
+        )
+    cond = join_node.condition()
+    if cond.isEmpty():
+        raise UnsupportedViewError("cross join has no change-key mapping")
+    cond = cond.get()
+    eqs = []
+
+    def _walk_cond(c):
+        if _cls(c) == "And":
+            _walk_cond(c.left())
+            _walk_cond(c.right())
+        elif _cls(c) == "EqualTo":
+            eqs.append(c)
+        else:
+            raise UnsupportedViewError(
+                f"join condition {c.sql()} must be a conjunction of "
+                "plain-column equalities"
+            )
+
+    def _unwrap_cast(e):
+        while _cls(e) == "Cast":
+            e = e.child()
+        return e
+
+    _walk_cond(cond)
+    pairs = []  # per equality: {source: {src_col, expr_id}}
+    for e in eqs:
+        ends = {}
+        for attr in (_unwrap_cast(e.left()), _unwrap_cast(e.right())):
+            if _cls(attr) != "AttributeReference":
+                raise UnsupportedViewError(
+                    f"join key {e.sql()} must equate plain columns"
+                )
+            hit = _resolve_to_source(attr.exprId().id(), refs, src_ids)
+            if hit is None:
+                raise UnsupportedViewError(
+                    f"join key {attr.sql()} does not resolve to a "
+                    "source column"
+                )
+            ends[hit[0]] = {
+                "src_col": hit[1], "expr_id": attr.exprId().id()
+            }
+        if len(ends) != 2:
+            raise UnsupportedViewError(
+                f"join equality {e.sql()} resolves to one source; "
+                "each must take one column from each side of the join"
+            )
+        pairs.append(ends)
+    srcs = set(pairs[0])
+    if any(set(p) != srcs for p in pairs):
+        raise UnsupportedViewError(
+            "every equality of one join must relate the SAME two "
+            "sources"
+        )
+    in_tree = srcs & anchored
+    if len(in_tree) == 2:
+        raise UnsupportedViewError(
+            f"sources {sorted(srcs)} join twice (a cycle) — alias one "
+            "of them as a second source or stage"
+        )
+    if not in_tree:
+        return None  # defer: the arm this node hangs off isn't attached yet
+    (probe_src,) = in_tree
+    (arm,) = srcs - in_tree
+    if jt == "LEFT OUTER":
+        # the PRESERVED side must carry the anchored (probe) source:
+        # a preserved arm row with no tree match would have no fact
+        # record key to serve as row identity
+        left_ids = {
+            a.exprId().id() for a in _seq(join_node.left().output())
+        }
+        if pairs[0][probe_src]["expr_id"] not in left_ids:
+            raise UnsupportedViewError(
+                "LEFT OUTER view: the left (preserved) side must carry "
+                f"the fact tree (here: {probe_src}); a preserved "
+                f"'{arm}' row has no row identity"
+            )
+    # the anchored-side join keys must ride in the view OUTPUT (same
+    # exprIds): the probe maps a changed arm key to affected stored
+    # rows through the output column, so it does not care whether the
+    # column came from the fact or an earlier-attached dim — this is
+    # what makes SNOWFLAKE arms maintainable without staging
+    probe_out, arm_src = [], []
+    for p in pairs:
+        out = out_ids.get(p[probe_src]["expr_id"])
+        if out is None:
+            raise UnsupportedViewError(
+                f"the tree-side join column ({probe_src}."
+                f"{p[probe_src]['src_col']}) must be projected into the "
+                "view output — it maps arm changes to affected rows"
+            )
+        probe_out.append(out)
+        arm_src.append(p[arm]["src_col"])
+    return {
+        "name": arm,
+        "probe_out_cols": probe_out,
+        "dim_join_cols": arm_src,
+    }
+
+
 def _classify_join(df, join_nodes, src_ids, refs, out_ids) -> dict:
-    """One or more equi-joins of dims onto ONE fact — the STAR shape:
-    every join's condition must pair a fact-lineage column (projected
-    into the view output) with one dim's columns.  N dims cost N
-    change-probes, no staging; a dim-to-dim (snowflake) join refuses
-    with the staging recipe."""
+    """One or more equi-joins onto ONE fact — STAR and SNOWFLAKE
+    shapes: every join pairs a new source (the "arm") with one source
+    already anchored to the fact tree (the fact itself, or a
+    previously-attached dim), and the anchored side's join columns
+    must ride in the view output.  The probe machinery maps a changed
+    arm key to affected stored rows through the OUTPUT column — it is
+    indifferent to which source the column came from, so a snowflake
+    arm (dim joined to another dim) costs the same one change-probe as
+    a star dim, no staging.  Nodes are resolved by fixpoint: a bushy
+    plan that joins two arms together BEFORE attaching them to the
+    fact tree defers that node until one side anchors."""
     key = _find_view_key(out_ids, refs, src_ids)
     fact = key["source"]
-    dims, seen_dims = [], set()
-    for join_node in join_nodes:
-        jt = join_node.joinType().sql()
-        if jt not in ("INNER", "LEFT OUTER"):
-            raise UnsupportedViewError(
-                f"{jt} join: INNER and LEFT OUTER equi-joins are change-"
-                "key-maintainable (RIGHT/FULL outer put dim-only rows in "
-                "the view, which have no fact record key to serve as row "
-                "identity)"
+    dims = []
+    anchored = {fact}
+    pending = list(join_nodes)
+    while pending:
+        progressed, deferred = False, []
+        for join_node in pending:
+            res = _classify_one_join(
+                join_node, fact, anchored, src_ids, refs, out_ids
             )
-        cond = join_node.condition()
-        if cond.isEmpty():
-            raise UnsupportedViewError("cross join has no change-key mapping")
-        cond = cond.get()
-        eqs = []
-
-        def _walk_cond(c):
-            if _cls(c) == "And":
-                _walk_cond(c.left())
-                _walk_cond(c.right())
-            elif _cls(c) == "EqualTo":
-                eqs.append(c)
-            else:
-                raise UnsupportedViewError(
-                    f"join condition {c.sql()} must be a conjunction of "
-                    "plain-column equalities"
-                )
-
-        def _unwrap_cast(e):
-            while _cls(e) == "Cast":
-                e = e.child()
-            return e
-
-        _walk_cond(cond)
-        pairs = []  # per equality: {source: {src_col, expr_id}}
-        for e in eqs:
-            ends = {}
-            for attr in (_unwrap_cast(e.left()), _unwrap_cast(e.right())):
-                if _cls(attr) != "AttributeReference":
-                    raise UnsupportedViewError(
-                        f"join key {e.sql()} must equate plain columns"
-                    )
-                hit = _resolve_to_source(attr.exprId().id(), refs, src_ids)
-                if hit is None:
-                    raise UnsupportedViewError(
-                        f"join key {attr.sql()} does not resolve to a "
-                        "source column"
-                    )
-                ends[hit[0]] = {
-                    "src_col": hit[1], "expr_id": attr.exprId().id()
-                }
-            if len(ends) != 2:
-                raise UnsupportedViewError(
-                    f"join equality {e.sql()} resolves to one source; "
-                    "each must take one column from fact and one from dim"
-                )
-            if fact not in ends:
-                raise UnsupportedViewError(
-                    f"join equality {e.sql()} relates two DIM sources "
-                    f"({sorted(ends)}) — a snowflake arm; stage it as "
-                    "view-over-view (the change-key algebra probes dims "
-                    "through FACT columns only)"
-                )
-            pairs.append(ends)
-        srcs = set(pairs[0])
-        if any(set(p) != srcs for p in pairs):
+            if res is None:
+                deferred.append(join_node)
+                continue
+            dims.append(res)
+            anchored.add(res["name"])
+            progressed = True
+        if not progressed:
             raise UnsupportedViewError(
-                "every equality of one join must relate the SAME two "
-                "sources"
+                "join view has a subtree that never attaches to the "
+                "fact's record-key lineage — every source must join "
+                "(directly or through other dims) onto the fact tree"
             )
-        (dim,) = srcs - {fact}
-        if dim in seen_dims:
-            raise UnsupportedViewError(
-                f"dim source '{dim}' joins twice — alias it as two "
-                "sources or stage"
-            )
-        seen_dims.add(dim)
-        if jt == "LEFT OUTER":
-            # the PRESERVED side must carry the fact: dim-on-the-left
-            # would null-extend rows with no row identity
-            left_ids = {
-                a.exprId().id() for a in _seq(join_node.left().output())
-            }
-            if pairs[0][fact]["expr_id"] not in left_ids:
-                raise UnsupportedViewError(
-                    "LEFT OUTER view: the left (preserved) side must "
-                    f"carry the fact source ({fact} — the one whose "
-                    "record key is the view identity); a preserved dim "
-                    "row has no row identity"
-                )
-        # the fact-side join keys must ride in the view output (same
-        # exprIds): they map changed dim keys to affected stored rows
-        fact_join_out, dim_join_src = [], []
-        for p in pairs:
-            out = out_ids.get(p[fact]["expr_id"])
-            if out is None:
-                raise UnsupportedViewError(
-                    f"the fact-side join column ({fact}."
-                    f"{p[fact]['src_col']}) must be projected into the "
-                    "view output — it maps dim changes to affected rows"
-                )
-            fact_join_out.append(out)
-            dim_join_src.append(p[dim]["src_col"])
-        dims.append(
-            {
-                "name": dim,
-                "fact_join_cols": fact_join_out,
-                "dim_join_cols": dim_join_src,
-            }
-        )
+        pending = deferred
     return {"kind": "join", "fact": fact, "key": key, "dims": dims}
 
 
@@ -2385,10 +2418,18 @@ class AutoMaterializedView:
                 dn = dspec["name"]
                 if anchor[dn] == latest[dn]:
                     continue
-                # dim changes: CDC before-images catch dim deletes too
+                # dim changes: CDC before-images catch dim deletes, and
+                # update PREIMAGES catch join-column mutations — an
+                # update that moves a dim row from join value y1 to y2
+                # must probe BOTH (rows that joined y1 go stale/dead,
+                # rows at y2 gain the match); after-images alone would
+                # leave the y1 rows serving the old joined values
                 dim = self.sources[dn]
                 d_dim = (
-                    dim.cdc(anchor[dn], latest[dn])
+                    dim.cdc(
+                        anchor[dn], latest[dn],
+                        include_update_preimages=True,
+                    )
                     .select(
                         *[
                             F.col(c).alias(f"__d_dim_key{i}")
@@ -2397,7 +2438,7 @@ class AutoMaterializedView:
                     )
                     .distinct()
                 )
-                fjcs = dspec["fact_join_cols"]
+                fjcs = dspec["probe_out_cols"]
                 probe = reduce(
                     lambda a, b: a & b,
                     [

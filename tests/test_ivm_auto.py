@@ -89,7 +89,7 @@ def test_classify_all_kinds(spark, tables):
     j = classify_view(join_plan({"fact": fs, "dim": ds}),
                       {"fact": fs, "dim": ds})
     assert (j["kind"], j["fact"]) == ("join", "fact")
-    assert [(d["name"], d["fact_join_cols"], d["dim_join_cols"])
+    assert [(d["name"], d["probe_out_cols"], d["dim_join_cols"])
             for d in j["dims"]] == [("dim", ["g"], ["gk"])]
     assert j["key"] == {"name": "vk", "source": "fact"}
     s = classify_view(sel_plan({"fact": fs}), {"fact": fs})
@@ -1512,7 +1512,7 @@ def test_join_view_composite_key(spark, scratch, tables):
                               {"fact": fact, "dim2": dim2}, plan)
     spec = mv.spec()
     assert spec["kind"] == "join"
-    assert len(spec["dims"][0]["fact_join_cols"]) == 2
+    assert len(spec["dims"][0]["probe_out_cols"]) == 2
     mv.refresh(seed_as_of={"fact": "20260101000000",
                            "dim2": "20260101000000"})
     assert _rows(mv.serve()) == _rows(
@@ -1564,8 +1564,9 @@ def test_star_join_view(spark, scratch, tables):
     """STAR views (N dims joined on FACT columns) maintain without
     staging: each dim's changes probe the view through its own
     fact-side join columns, rows hit through two dims dedup before the
-    write, and a snowflake arm (dim joined through another DIM's
-    column) refuses with the staging recipe."""
+    write, and a SNOWFLAKE arm (dim joined through another DIM's
+    column) classifies too — the probe maps arm changes to stored rows
+    through the view OUTPUT column, indifferent to its source."""
     fact, dim = tables
     dim_b = CowTable(spark, os.path.join(scratch, "dimb"), key_fields=["pk"],
                      partition_field=None, num_file_groups=1)
@@ -1603,11 +1604,131 @@ def test_star_join_view(spark, scratch, tables):
     dim_b.delete(spark.createDataFrame([(1,)], "pk long"), "20260106000000")
     mv.refresh()
     assert _rows(mv.serve()) == expect()
-    # snowflake arm: customer-style dim joined via ANOTHER dim's column
+    # snowflake arm: dim_b joined via ANOTHER dim's derived column —
+    # classifies as a join view whose dim_b probe runs through the
+    # OUTPUT column 'cust' (dim lineage, not fact lineage)
     fs, ds, dbs = fact.snapshot(), dim.snapshot(), dim_b.snapshot()
     snow = (fs.selectExpr("_hoodie_record_key as vk", "g", "v")
             .join(ds.selectExpr("gk", "gk % 2 as cust", "gname"),
                   F.col("g") == F.col("gk"))
             .join(dbs.select("pk", "pname"), F.col("cust") == F.col("pk")))
-    with pytest.raises(UnsupportedViewError, match="snowflake"):
-        classify_view(snow, {"fact": fs, "dim": ds, "dim_b": dbs})
+    sspec = classify_view(snow, {"fact": fs, "dim": ds, "dim_b": dbs})
+    assert sspec["kind"] == "join"
+    probes = {d["name"]: d["probe_out_cols"] for d in sspec["dims"]}
+    assert probes == {"dim": ["g"], "dim_b": ["cust"]}
+
+
+def test_snowflake_join_view_maintains(spark, scratch, tables):
+    """SNOWFLAKE maintenance end-to-end: fact ⋈ dim (on fact.g), dim ⋈
+    subdim (on dim.region) — subdim never touches a fact column.
+    Changes at every level converge: a subdim rename re-derives exactly
+    the rows whose output 'region' matched (probed through the DIM-
+    lineage column), a subdim delete kills them (INNER), and a dim
+    update that MOVES a row's region re-probes both the old and new
+    region values via update preimages."""
+    fact, _ = tables
+    dim2 = CowTable(spark, os.path.join(scratch, "sdim"), key_fields=["gk"],
+                    partition_field=None, num_file_groups=1)
+    dim2.bulk_insert(spark.createDataFrame(
+        [(0, 10, "g0"), (1, 10, "g1"), (2, 20, "g2"), (3, 20, "g3")],
+        "gk long, region long, gname string"), "20260101000000")
+    sub = CowTable(spark, os.path.join(scratch, "subdim"), key_fields=["rk"],
+                   partition_field=None, num_file_groups=1)
+    sub.bulk_insert(spark.createDataFrame(
+        [(10, "north"), (20, "south")], "rk long, rname string"),
+        "20260101000000")
+
+    def plan(t):
+        f = t["fact"].selectExpr("_hoodie_record_key as vk", "g", "v")
+        d = t["dim2"].select("gk", "region", "gname")
+        s = t["sub"].select("rk", "rname")
+        return (f.join(d, F.col("g") == F.col("gk"))
+                 .join(s, F.col("region") == F.col("rk"))
+                 .select("vk", "g", "v", "region", "gname", "rname"))
+
+    srcs = {"fact": fact, "dim2": dim2, "sub": sub}
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvsnow"),
+                              srcs, plan)
+    spec = mv.spec()
+    assert {d["name"]: d["probe_out_cols"] for d in spec["dims"]} == {
+        "dim2": ["g"], "sub": ["region"]}
+    seed = {n: "20260101000000" for n in srcs}
+    mv.refresh(seed_as_of=seed, to=seed)
+
+    def expect():
+        return _rows(plan({n: t.snapshot() for n, t in srcs.items()}))
+
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    # subdim rename: every 'south' row re-derives, probed via region
+    sub.upsert(spark.createDataFrame([(20, "SOUTH")], "rk long, rname string"),
+               "20260105000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    # dim moves g1 from region 10 to 20: old-region rows must re-derive
+    # too (update preimages), not just the new-region ones
+    dim2.upsert(spark.createDataFrame([(1, 20, "g1")],
+                                      "gk long, region long, gname string"),
+                "20260106000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    # subdim delete: INNER join drops every north row
+    sub.delete(spark.createDataFrame([(10,)], "rk long"), "20260107000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    assert mv.refresh()["advanced"] is False
+    # a subtree that NEVER reaches the fact's record-key lineage refuses
+    fs = fact.snapshot()
+    detached = (fs.selectExpr("_hoodie_record_key as vk", "g", "v")
+                .crossJoin(dim2.snapshot().select("gk", "region")
+                           .join(sub.snapshot().select("rk", "rname"),
+                                 F.col("region") == F.col("rk"))))
+    with pytest.raises(UnsupportedViewError):
+        classify_view(detached,
+                      {"fact": fs, "dim2": dim2.snapshot(),
+                       "sub": sub.snapshot()})
+
+
+def test_join_view_dim_join_column_mutation(spark, scratch):
+    """Regression: a dim UPDATE that changes its JOIN-COLUMN value (the
+    join column is NOT the dim's record key) must re-derive the rows
+    that joined the OLD value, not just the new one — after-images
+    alone left them serving stale joined columns.  The probe feed now
+    includes update preimages."""
+    fact = CowTable(spark, os.path.join(scratch, "jmf"), key_fields=["k"],
+                    partition_field=None, num_file_groups=2)
+    fact.bulk_insert(spark.createDataFrame(
+        [("k1", 1, 10.0), ("k2", 2, 20.0), ("k3", 1, 30.0)],
+        "k string, g long, v double"), "20260101000000")
+    dim = CowTable(spark, os.path.join(scratch, "jmd"), key_fields=["dk"],
+                   partition_field=None, num_file_groups=1)
+    dim.bulk_insert(spark.createDataFrame(
+        [(100, 1, "one"), (200, 2, "two")],
+        "dk long, gk long, gname string"), "20260101000000")
+
+    def plan(t):
+        f = t["fact"].selectExpr("_hoodie_record_key as vk", "g", "v")
+        return (f.join(t["dim"].select("gk", "gname"),
+                       F.col("g") == F.col("gk"))
+                .select("vk", "g", "v", "gname"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvjm"),
+                              {"fact": fact, "dim": dim}, plan)
+    mv.refresh()
+    # dk=100 moves gk 1 -> 3: k1/k3 lose their match and must DROP
+    dim.upsert(spark.createDataFrame([(100, 3, "three")],
+                                     "dk long, gk long, gname string"),
+               "20260102000000")
+    mv.refresh()
+    want = _rows(plan({"fact": fact.snapshot(), "dim": dim.snapshot()}))
+    assert _rows(mv.serve()) == want
+    # and back: k4 at g=3 gains it, dk=200 moves onto g=1
+    fact.upsert(spark.createDataFrame([("k4", 3, 40.0)],
+                                      "k string, g long, v double"),
+                "20260103000000")
+    dim.upsert(spark.createDataFrame([(200, 1, "one-again")],
+                                     "dk long, gk long, gname string"),
+               "20260103000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(
+        plan({"fact": fact.snapshot(), "dim": dim.snapshot()}))
