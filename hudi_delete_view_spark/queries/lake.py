@@ -2107,6 +2107,63 @@ def lake_mv_auto_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_mv_auto_snowflake",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT {_KEY_SQL} AS vk, l_orderkey, {_QTY_SQL} AS l_quantity
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+),
+c2 AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1000.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE NOT (c_custkey % 19 = 0)
+)
+SELECT vk, l_orderkey, l_quantity, o_custkey, o_orderpriority,
+       c_mktsegment, c_acctbal
+FROM l2
+JOIN o2 ON l_orderkey = o_orderkey
+JOIN c2 ON o_custkey = c_custkey
+""",
+)
+def lake_mv_auto_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNOWFLAKE view in one declaration: lineitem (fact) ⋈ orders on
+    the fact's l_orderkey, customer ⋈ orders on o_custkey — a column
+    that never touches the fact.  The customer arm's changes (C2
+    acctbal update, C3 delete) probe the stored view through the
+    OUTPUT column o_custkey (dim lineage): the change-key machinery is
+    indifferent to which source a probe column came from, so the
+    classic fact→orders→customer normalization maintains with one
+    probe per source and NO staging table.  Oracle recomputes the
+    3-way join from scratch over all three change scripts."""
+    from ..sources.fixtures import build_customer_cow, build_orders_mor
+
+    def plan(t):
+        f = t["li"].select(
+            F.col(RECORD_KEY_FIELD).alias("vk"), "l_orderkey", "l_quantity")
+        o = t["ord"].select("o_orderkey", "o_custkey", "o_orderpriority")
+        c = t["cu"].select("c_custkey", "c_mktsegment", "c_acctbal")
+        return (
+            f.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .select("vk", "l_orderkey", "l_quantity", "o_custkey",
+                    "o_orderpriority", "c_mktsegment", "c_acctbal")
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_snowflake",
+                  {"li": build_lineitem_cow(spark, sf_dir),
+                   "ord": build_orders_mor(spark, sf_dir),
+                   "cu": build_customer_cow(spark, sf_dir)}, plan)
+    return mv.serve()
+
+
+@query(
     "lake_mv_auto_agg_union",
     late=True,  # IVM family windowed via lake_ivm_aggregate
     oracle=f"""
