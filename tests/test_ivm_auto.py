@@ -1689,6 +1689,105 @@ def test_snowflake_join_view_maintains(spark, scratch, tables):
                        "sub": sub.snapshot()})
 
 
+def test_bushy_snowflake_and_left_outer_arm(spark, scratch):
+    """Two snowflake corners: (1) a BUSHY plan joins two dims together
+    BEFORE attaching to the fact — the fixpoint classifier defers that
+    node until d1 anchors, then registers d2's probe through the
+    output 'region'; (2) a LEFT OUTER arm's inserts flip stored
+    null-extended rows to matches (the probe runs on the anchored
+    side's column, non-null in every stored row), and deletes flip
+    them back."""
+    fact = CowTable(spark, os.path.join(scratch, "bf"), key_fields=["k"],
+                    partition_field=None, num_file_groups=2)
+    fact.bulk_insert(spark.createDataFrame(
+        [("k1", 1, 1.0), ("k2", 2, 2.0), ("k3", 1, 3.0)],
+        "k string, g long, v double"), "20260101000000")
+    d1 = CowTable(spark, os.path.join(scratch, "bd1"), key_fields=["gk"],
+                  partition_field=None, num_file_groups=1)
+    d1.bulk_insert(spark.createDataFrame(
+        [(1, 10, "a"), (2, 30, "b")], "gk long, region long, gname string"),
+        "20260101000000")
+    d2 = CowTable(spark, os.path.join(scratch, "bd2"), key_fields=["rk"],
+                  partition_field=None, num_file_groups=1)
+    d2.bulk_insert(spark.createDataFrame(
+        [(10, "north")], "rk long, rname string"), "20260101000000")
+
+    def plan(t):
+        f = t["fact"].selectExpr("_hoodie_record_key as vk", "g", "v")
+        arm = (t["d1"].select("gk", "region", "gname")
+               .join(t["d2"].select("rk", "rname"),
+                     F.col("region") == F.col("rk"), "left"))
+        return (f.join(arm, F.col("g") == F.col("gk"))
+                .select("vk", "g", "v", "region", "gname", "rname"))
+
+    srcs = {"fact": fact, "d1": d1, "d2": d2}
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvbushy"),
+                              srcs, plan)
+    assert {d["name"]: d["probe_out_cols"] for d in mv.spec()["dims"]} == {
+        "d1": ["g"], "d2": ["region"]}
+    mv.refresh()
+
+    def expect():
+        return _rows(plan({n: t.snapshot() for n, t in srcs.items()}))
+
+    assert _rows(mv.serve()) == expect()
+    # LEFT OUTER arm insert: region 30 rows flip from null-extension
+    d2.upsert(spark.createDataFrame([(30, "west")], "rk long, rname string"),
+              "20260102000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    # arm delete flips back; d1 moves a row's region in the same window
+    d2.delete(spark.createDataFrame([(10,)], "rk long"), "20260103000000")
+    d1.upsert(spark.createDataFrame([(1, 30, "a2")],
+                                    "gk long, region long, gname string"),
+              "20260103000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    assert mv.refresh()["advanced"] is False
+
+
+def test_agg_union_mor_branch_stepwise(spark, scratch):
+    """agg_union with a MOR branch: log-resident delta updates and
+    tombstones feed the branch delta through the inherited cdc, and a
+    BOUNDED stepwise refresh (MOR branch first, then both) converges
+    to the same state as one big advance."""
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    cow = CowTable(spark, os.path.join(scratch, "uc"), key_fields=["k"],
+                   partition_field=None, num_file_groups=2)
+    cow.bulk_insert(spark.range(10).selectExpr(
+        "concat('k', id) as k", "cast(id % 3 as long) as g",
+        "cast(id as double) as v"), "20260101000000")
+    mor = MorTable(spark, os.path.join(scratch, "um"), key_fields=["k"],
+                   partition_field=None, num_file_groups=2)
+    mor.bulk_insert(spark.range(6).selectExpr(
+        "concat('m', id) as k", "cast(id % 3 as long) as g",
+        "cast(id * 2 as double) as v"), "20260101000000")
+
+    def plan(t):
+        return (t["cw"].select("g", "v").unionByName(t["mr"].select("g", "v"))
+                .groupBy("g")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+                     F.min("v").alias("mn")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvum"),
+                              {"cw": cow, "mr": mor}, plan)
+    assert mv.spec()["kind"] == "agg_union"
+    mv.refresh(seed_as_of={"cw": "20260101000000", "mr": "20260101000000"},
+               to={"cw": "20260101000000", "mr": "20260101000000"})
+    mor.upsert_delta(spark.createDataFrame([("m1", 1, 99.0)],
+                                           "k string, g long, v double"),
+                     "20260102000000")
+    mor.delete_delta(spark.createDataFrame([("m2",)], "k string"),
+                     "20260103000000")
+    cow.delete(spark.createDataFrame([("k3",)], "k string"), "20260103000000")
+    mv.refresh(to={"cw": "20260101000000", "mr": "20260102000000"})
+    mv.refresh()
+    want = _rows(plan({"cw": cow.snapshot(), "mr": mor.snapshot()}))
+    assert _rows(mv.serve()) == want
+    assert mv.refresh()["advanced"] is False
+
+
 def test_join_view_dim_join_column_mutation(spark, scratch):
     """Regression: a dim UPDATE that changes its JOIN-COLUMN value (the
     join column is NOT the dim's record key) must re-derive the rows
