@@ -708,19 +708,30 @@ def _classify_distinct(node, snapshots, quals=frozenset()) -> dict:
                 "order and rn = 1"
             )
     chain, term = _descend_chain(_children(node)[0], snapshots)
-    if term[0] != "source":
-        raise UnsupportedViewError(
-            f"node {_cls(term[1])} between DISTINCT and its source; a "
-            "DISTINCT view must be a Project/Filter chain over one source "
-            "— stage joins as view-over-view"
+    group = [(a.name(), a.name()) for a in out_attrs]
+    if term[0] == "source":
+        return {
+            "kind": "aggregate",
+            "source": term[1],
+            "group": group,
+            "aggs": [],
+            "chain": _chain_to_spec(chain, quals),
+        }
+    if _cls(term[1]) == "Union":
+        # DISTINCT over UNION ALL — the multi-feed ingest-dedup shape:
+        # the degenerate aggregate rides the agg_union algebra (per-
+        # branch signed CDC deltas; the hidden count decides membership)
+        return _classify_agg_union(group, [], chain, term[1], snapshots, quals)
+    if _cls(term[1]) == "Join":
+        # DISTINCT over an equi-join: the degenerate aggregate-over-join
+        return _classify_agg_join(
+            group, [], chain, term[1], snapshots, node, quals
         )
-    return {
-        "kind": "aggregate",
-        "source": term[1],
-        "group": [(a.name(), a.name()) for a in out_attrs],
-        "aggs": [],
-        "chain": _chain_to_spec(chain, quals),
-    }
+    raise UnsupportedViewError(
+        f"node {_cls(term[1])} between DISTINCT and its source; a "
+        "DISTINCT view must be a Project/Filter chain over one source, "
+        "one equi-join, or a UNION ALL of chains"
+    )
 
 
 def _classify_agg_join(

@@ -1012,6 +1012,55 @@ def test_distinct_view(spark, scratch, tables):
         classify_view(fs.select("g", "v").dropDuplicates(["g"]), {"fact": fs})
 
 
+def test_distinct_over_union_and_join(spark, scratch, tables):
+    """DISTINCT composes with the new below-aggregate shapes: over a
+    UNION ALL it rides the agg_union algebra (a combination leaves only
+    when its last source row across ALL branches retracts), and over an
+    equi-join it rides agg_join (dim updates re-derive the touched
+    combinations)."""
+    fact, dim = tables
+    other = CowTable(spark, os.path.join(scratch, "du_o"), key_fields=["k"],
+                     partition_field=None, num_file_groups=2)
+    other.bulk_insert(spark.range(6).selectExpr(
+        "concat('o', id) as k", "cast(id % 3 as long) as g",
+        "cast(id % 2 as double) as v"), "20260101000000")
+
+    def uplan(t):
+        return (t["fact"].select("g", (F.col("v") % 2).alias("p"))
+                .unionByName(t["other"].select("g", F.col("v").alias("p")))
+                .distinct())
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvdu"),
+                              {"fact": fact, "other": other}, uplan)
+    assert mv.spec()["kind"] == "agg_union" and mv.spec()["aggs"] == []
+    mv.refresh()
+    other.delete(spark.createDataFrame([("o5",)], "k string"),
+                 "20260105000000")
+    fact.upsert(spark.createDataFrame([("k50", 7, 7.0, None)],
+                                      "k string, g long, v double, nv long"),
+                "20260105000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(
+        uplan({"fact": fact.snapshot(), "other": other.snapshot()}))
+
+    def jplan(t):
+        f = t["fact"].select("g", (F.col("v") % 3).alias("p"))
+        return (f.join(t["dim"].select("gk", "gname"),
+                       F.col("g") == F.col("gk"))
+                .select("gname", "p").distinct())
+
+    mv2 = AutoMaterializedView(spark, os.path.join(scratch, "mvdj"),
+                               {"fact": fact, "dim": dim}, jplan)
+    assert mv2.spec()["kind"] == "agg_join" and mv2.spec()["aggs"] == []
+    mv2.refresh()
+    dim.upsert(spark.createDataFrame([(0, "ZERO")], "gk long, gname string"),
+               "20260106000000")
+    fact.delete(spark.createDataFrame([("k4",)], "k string"), "20260106000000")
+    mv2.refresh()
+    assert _rows(mv2.serve()) == _rows(
+        jplan({"fact": fact.snapshot(), "dim": dim.snapshot()}))
+
+
 def test_refresh_lock_and_drop(spark, scratch, tables):
     """Concurrent refreshes are excluded by the advisory lock (with the
     holder named so a dead lock can be cleared), and DROP MATERIALIZED
