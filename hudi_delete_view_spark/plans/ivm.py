@@ -534,7 +534,15 @@ def _classify_aggregate(plan, src_ids, refs, snapshots, quals=frozenset()) -> di
             "chain": _chain_to_spec(chain, quals),
         }
     if _cls(term[1]) == "Join":
-        return _classify_agg_join(
+        two_way = all(
+            _descend_chain(c, snapshots)[1][0] == "source"
+            for c in _children(term[1])
+        )
+        if two_way:
+            return _classify_agg_join(
+                group, aggs, chain, term[1], snapshots, plan, quals
+            )
+        return _classify_agg_tree(
             group, aggs, chain, term[1], snapshots, plan, quals
         )
     if _cls(term[1]) == "Union":
@@ -904,6 +912,206 @@ def _classify_agg_join(
     }
 
 
+def _classify_agg_tree(
+    group, aggs, mid_nodes, join_root, snapshots, agg_node, quals=frozenset()
+) -> dict:
+    """Aggregate over a MULTI-JOIN tree (star/snowflake below GROUP BY —
+    the TPC-H Q5 rollup shape), maintained by DIRTY-GROUP re-derivation
+    with IMAGE-REPLAY detection: for each changed source S and each
+    boundary (anchor / target), the user's own join tree re-runs with
+    S's leaf replaced by S's CDC images at that boundary (before-images
+    at the anchor, after-images at the target) and every other leaf at
+    that boundary's snapshot — the group keys it produces are exactly
+    the groups S's changes touch at that state.  LEFT OUTER joins where
+    S sits on the null-extended side flip to INNER for S's detection
+    pass (restricting a null-extended side does not restrict the
+    preserved output; INNER names precisely the tree rows whose S-match
+    appeared or vanished — under the real LEFT join, the null-extension
+    flip set).  Exactly the dirty groups rebuild from the target
+    snapshots and swap in.
+
+    Work shape: detection costs 2·|changed sources| tree joins, each
+    with ONE change-sized (broadcastable) side; re-derivation restricts
+    the group-carrying leaf's INPUT to the dirty groups when every
+    group key is a plain column of one leaf (the other leaves prune
+    through the equi-join build), falling back to one full tree pass
+    for expression/mixed group keys.  FULL OUTER inside a tree refuses
+    (both sides null-extend, so detection restriction holds for
+    neither); two-source aggregates take the delta-join / agg_join
+    algebras instead."""
+    # names consumed ABOVE any join: the aggregate, the mid chain, and
+    # every join condition in the tree — collision drops keep exactly
+    # these and refuse genuinely ambiguous ones
+    needed_ids = {
+        a.exprId().id() for a in _seq(agg_node.references().toSeq())
+    }
+    for n in mid_nodes:
+        needed_ids |= {a.exprId().id() for a in _seq(n.references().toSeq())}
+
+    def _collect_conds(n):
+        if _cls(n) == "Join" and not n.condition().isEmpty():
+            needed_ids.update(
+                a.exprId().id()
+                for a in _seq(n.condition().get().references().toSeq())
+            )
+        for c in _children(n):
+            _collect_conds(c)
+
+    _collect_conds(join_root)
+    seen: set[str] = set()
+
+    def build(node):
+        nodes, term = _descend_chain(node, snapshots)
+        if term[0] == "source":
+            if term[1] in seen:
+                raise UnsupportedViewError(
+                    f"source '{term[1]}' appears twice in one aggregate-"
+                    "over-join tree — self-joins are not maintainable "
+                    "(alias the table as two sources)"
+                )
+            seen.add(term[1])
+            return {
+                "src": term[1],
+                "chain": _chain_to_spec(nodes, quals),
+                "out_names": [a.name() for a in _seq(node.output())],
+                "srcs": [term[1]],
+            }
+        jn = term[1]
+        if _cls(jn) != "Join":
+            raise UnsupportedViewError(
+                f"node {_cls(jn)} inside an aggregate-over-join tree; "
+                "each branch must be Project/Filter chains over sources "
+                "and equi-joins"
+            )
+        jt = jn.joinType().sql()
+        swap = jt == "RIGHT OUTER"
+        if swap:
+            jt = "LEFT OUTER"  # normalize: A right-join B == B left-join A
+        if jt not in ("INNER", "LEFT OUTER"):
+            raise UnsupportedViewError(
+                f"{jt} join inside an aggregate-over-join tree: INNER and "
+                "LEFT OUTER compose; FULL OUTER needs the two-source "
+                "agg_join algebra"
+            )
+        cond = jn.condition()
+        if cond.isEmpty():
+            raise UnsupportedViewError(
+                "cross join inside an aggregate-over-join tree: no join "
+                "key to map changes to dirty groups"
+            )
+        eqs = []
+
+        def _walk_cond(c):
+            if _cls(c) == "And":
+                _walk_cond(c.left())
+                _walk_cond(c.right())
+            elif _cls(c) == "EqualTo":
+                eqs.append(c)
+            else:
+                raise UnsupportedViewError(
+                    f"join condition {c.sql()} must be a conjunction of "
+                    "plain-column equalities"
+                )
+
+        def _unwrap_cast(e):
+            while _cls(e) == "Cast":
+                e = e.child()
+            return e
+
+        _walk_cond(cond.get())
+        lnode, rnode = (_children(jn) + [None, None])[:2]
+        if swap:
+            lnode, rnode = rnode, lnode
+        left_ids = {a.exprId().id(): a.name() for a in _seq(lnode.output())}
+        right_ids = {a.exprId().id(): a.name() for a in _seq(rnode.output())}
+        pairs = []
+        for e in eqs:
+            a, b = _unwrap_cast(e.left()), _unwrap_cast(e.right())
+            if _cls(a) != "AttributeReference" or _cls(b) != "AttributeReference":
+                raise UnsupportedViewError(
+                    f"join key {e.sql()} must equate plain columns"
+                )
+            ia, ib = a.exprId().id(), b.exprId().id()
+            if ia in left_ids and ib in right_ids:
+                pairs.append((left_ids[ia], right_ids[ib]))
+            elif ib in left_ids and ia in right_ids:
+                pairs.append((left_ids[ib], right_ids[ia]))
+            else:
+                raise UnsupportedViewError(
+                    f"join equality {e.sql()} must take one column from "
+                    "each side of the join"
+                )
+        need_l = {left_ids[i] for i in needed_ids if i in left_ids}
+        need_r = {right_ids[i] for i in needed_ids if i in right_ids}
+        both = need_l & need_r
+        if both:
+            raise UnsupportedViewError(
+                f"aggregate-over-join tree references column name(s) "
+                f"{sorted(both)} from BOTH sides of one join — rename in "
+                "the per-side projections so the replayed join is "
+                "unambiguous"
+            )
+        collide = set(left_ids.values()) & set(right_ids.values())
+        lspec, rspec = build(lnode), build(rnode)
+        return {
+            "jt": "inner" if jt == "INNER" else "left",
+            "pairs": pairs,
+            "left": lspec,
+            "right": rspec,
+            "drop_l": sorted(collide - need_l),
+            "drop_r": sorted(collide - need_r),
+            "right_srcs": rspec["srcs"],
+            "mid": _chain_to_spec(nodes, quals),
+            "srcs": lspec["srcs"] + rspec["srcs"],
+        }
+
+    tree = build(join_root)
+
+    # leaf-input restriction for the rebuild: every group key a plain
+    # column of exactly one leaf — the 100 TB lever that keeps the
+    # recompute tree member-sized instead of table-sized
+    def _leaves(n):
+        if "src" in n:
+            return [n]
+        return _leaves(n["left"]) + _leaves(n["right"])
+
+    group_src = None
+    if not any(k == "project" for k, _ in _chain_to_spec(mid_nodes, quals)):
+        cands = set()
+        for _n, sql in group:
+            hit = [
+                lf["src"] for lf in _leaves(tree) if sql in lf["out_names"]
+            ]
+            cands.add(hit[0] if len(hit) == 1 else None)
+        if len(cands) == 1:
+            group_src = cands.pop()
+
+    # restricting a NULL-EXTENDED leaf is unsound: dropping its
+    # non-dirty rows flips unrelated preserved rows into null-extension
+    # and pollutes the NULL group's rebuild — same rule as agg_join's
+    # group_side=None for dim-side keys under LEFT OUTER
+    def _null_extended(n):
+        if "src" in n:
+            return set()
+        out = _null_extended(n["left"]) | _null_extended(n["right"])
+        if n["jt"] == "left":
+            out |= set(n["right_srcs"])
+        return out
+
+    if group_src is not None and group_src in _null_extended(tree):
+        group_src = None
+    return {
+        "kind": "agg_tree",
+        "group": group,
+        "aggs": aggs,
+        "chain": [],  # feeds reach _agg_delta already pre-replayed
+        "mid": _chain_to_spec(mid_nodes, quals),
+        "tree": tree,
+        "sources": tree["srcs"],
+        "group_src": group_src,
+    }
+
+
 def _jk_frame(df: DataFrame, cols: list) -> DataFrame:
     """Distinct join-key tuples of ``df`` as ``__mv_jk{i}`` columns."""
     return df.select(
@@ -1175,7 +1383,7 @@ class AutoMaterializedView:
 
     def _key_fields(self) -> list[str]:
         spec = self.spec()
-        if spec["kind"] in ("aggregate", "agg_join", "agg_union"):
+        if spec["kind"] in ("aggregate", "agg_join", "agg_union", "agg_tree"):
             return [n for n, _ in spec["group"]]
         if spec["kind"] == "union":
             return [spec["tag_col"], spec["key"]["name"]]
@@ -1305,7 +1513,8 @@ class AutoMaterializedView:
     def serve(self) -> DataFrame:
         snap = self.table.snapshot()
         spec = self.spec()
-        if spec["kind"] not in ("aggregate", "agg_join", "agg_union"):
+        if spec["kind"] not in ("aggregate", "agg_join", "agg_union",
+                                "agg_tree"):
             keep = [c for c in snap.columns if c not in META_FIELDS]
             return snap.select(*keep)
         cols = [F.col(n) for n, _ in spec["group"]]
@@ -1599,11 +1808,13 @@ class AutoMaterializedView:
     def _seed(self, spec: dict, at: dict[str, str]) -> None:
         snaps = {n: t.snapshot(at[n]) for n, t in self.sources.items()}
         ts = max(at.values())
-        if spec["kind"] in ("aggregate", "agg_join", "agg_union"):
+        if spec["kind"] in ("aggregate", "agg_join", "agg_union", "agg_tree"):
             if spec["kind"] == "aggregate":
                 feed = snaps[spec["source"]].withColumn("__mv_sign", F.lit(1))
             elif spec["kind"] == "agg_union":
                 feed = self._agg_union_full_feed(spec, snaps)
+            elif spec["kind"] == "agg_tree":
+                feed = self._agg_tree_full_feed(spec, snaps)
             else:
                 feed = self._pre_agg(spec, snaps).withColumn("__mv_sign", F.lit(1))
             seed = self._agg_delta(spec, feed)
@@ -1626,6 +1837,8 @@ class AutoMaterializedView:
             self._advance_agg_join(spec, anchor, latest)
         elif spec["kind"] == "agg_union":
             self._advance_agg_union(spec, anchor, latest)
+        elif spec["kind"] == "agg_tree":
+            self._advance_agg_tree(spec, anchor, latest)
         elif spec["kind"] == "window":
             self._advance_window(spec, anchor, latest)
         elif spec["kind"] == "union":
@@ -2239,6 +2452,228 @@ class AutoMaterializedView:
                 .join(F.broadcast(dirty.alias("__dg")), acond, "left_semi")
                 .join(new_vals.alias("__v"), vcond, "left_anti")
                 .select(*[F.col(f"__a.{c}").alias(c) for c in group_names + ["__mv_val"]])
+            )
+            if dead_vals.count() > 0:
+                aux.delete(dead_vals, f"{base + 1:014d}")
+            if new_vals.count() > 0:
+                aux.upsert(new_vals, f"{base + 2:014d}")
+        if dead.count() > 0:
+            self.table.delete(dead, f"{base + 1:014d}")
+        if state.count() > 0:
+            self.table.upsert(state, f"{base + 2:014d}")
+
+    # -- algebra: image-replay dirty groups (aggregate-over-join trees) --
+    def _replay_tree(
+        self, node, snaps, override=None, flip_for=None, restrict=None,
+        restrict_join=None,
+    ) -> DataFrame:
+        """Re-run a classified join tree over source snapshots.
+        ``override`` swaps one leaf's INPUT frame (CDC images for
+        detection); ``flip_for`` names the changed source whose
+        detection pass is running — LEFT joins with that source on the
+        null-extended side run as INNER (see _classify_agg_tree);
+        ``restrict`` = (src, dirty_frame, cond) semi-joins one leaf's
+        post-chain rows to the dirty groups (the rebuild's leaf-input
+        restriction); ``restrict_join`` = (join_node, jk_frame)
+        semi-joins that join's PRESERVED side to the touched join keys
+        (null-safe) — the null-extension-aware detection for changed
+        sources under a LEFT join."""
+        from functools import reduce
+
+        if "src" in node:
+            base = (override or {}).get(node["src"], snaps[node["src"]])
+            df = _replay_spec(node["chain"], base)
+            if restrict is not None and restrict[0] == node["src"]:
+                df = df.alias("__s").join(
+                    F.broadcast(restrict[1].alias("__dg")),
+                    restrict[2],
+                    "left_semi",
+                )
+            return df
+        left = self._replay_tree(
+            node["left"], snaps, override, flip_for, restrict, restrict_join
+        ).drop(*node["drop_l"])
+        right = self._replay_tree(
+            node["right"], snaps, override, flip_for, restrict, restrict_join
+        ).drop(*node["drop_r"])
+        if restrict_join is not None and node is restrict_join[0]:
+            left = left.join(
+                F.broadcast(restrict_join[1]),
+                _jk_cond([lc for lc, _rc in node["pairs"]], True),
+                "left_semi",
+            )
+        jt = node["jt"]
+        if flip_for is not None and jt == "left" and flip_for in node["right_srcs"]:
+            jt = "inner"
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(lc) == F.col(rc) for lc, rc in node["pairs"]],
+        )
+        return _replay_spec(node["mid"], left.join(right, cond, jt))
+
+    def _agg_tree_full_feed(self, spec, snaps, restrict=None) -> DataFrame:
+        df = self._replay_tree(spec["tree"], snaps, restrict=restrict)
+        return _replay_spec(spec["mid"], df).withColumn("__mv_sign", F.lit(1))
+
+    def _advance_agg_tree(self, spec, anchor, latest) -> None:
+        """Advance an aggregate-over-multi-join view: image-replay
+        detection names the dirty groups (each changed source's CDC
+        images run through the user's own tree at both boundaries),
+        then exactly those groups rebuild from the target snapshots —
+        the N-way generalization of the two-source dirty-group
+        algebra."""
+        from functools import reduce
+
+        group_names = [n for n, _ in spec["group"]]
+        gk = [f"__mv_gk{i}" for i in range(len(group_names))]
+        key_exprs = [
+            F.expr(sql).alias(t) for t, (_n, sql) in zip(gk, spec["group"])
+        ]
+        changed = [s for s in spec["sources"] if anchor[s] != latest[s]]
+        if not changed:
+            return
+
+        def _outer_left_with(node, s):
+            # outermost LEFT join whose null-extended side contains s
+            if "src" in node:
+                return None
+            if node["jt"] == "left" and s in node["right_srcs"]:
+                return node
+            return _outer_left_with(node["left"], s) or _outer_left_with(
+                node["right"], s
+            )
+
+        parts = []
+        for s in changed:
+            cdc = self.sources[s].cdc(
+                anchor[s], latest[s], include_update_preimages=True
+            )
+            before = cdc.filter(F.col("op").isin("delete", "update_preimage"))
+            after = cdc.filter(F.col("op").isin("insert", "update"))
+            jnode = _outer_left_with(spec["tree"], s)
+            if jnode is None:
+                for imgs, at in ((before, anchor), (after, latest)):
+                    snaps = {
+                        n: t.snapshot(at[n]) for n, t in self.sources.items()
+                    }
+                    df = self._replay_tree(
+                        spec["tree"], snaps, override={s: imgs}, flip_for=s
+                    )
+                    parts.append(
+                        _replay_spec(spec["mid"], df).select(*key_exprs)
+                    )
+                continue
+            # s is null-extended under jnode: an INNER-flipped pass
+            # cannot see preserved rows moving INTO the null-extension
+            # group (a pure delete has EMPTY after-images — the flip
+            # set only exists at the target state).  Instead: pool the
+            # touched join keys at jnode across BOTH boundaries (the
+            # arm replayed with the image override, inner-flipped
+            # within), then replay the FULL tree — real join types —
+            # at BOTH states with jnode's preserved side restricted to
+            # those keys: anchor names the old groups, target the new
+            # ones including the null-extension flips
+            jk_parts = []
+            rcs = [rc for _lc, rc in jnode["pairs"]]
+            for imgs, at in ((before, anchor), (after, latest)):
+                snaps = {
+                    n: t.snapshot(at[n]) for n, t in self.sources.items()
+                }
+                arm = self._replay_tree(
+                    jnode["right"], snaps, override={s: imgs}, flip_for=s
+                )
+                jk_parts.append(_jk_frame(arm, rcs))
+            jks = (
+                jk_parts[0].unionByName(jk_parts[1])
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            for at in (anchor, latest):
+                snaps = {
+                    n: t.snapshot(at[n]) for n, t in self.sources.items()
+                }
+                df = self._replay_tree(
+                    spec["tree"], snaps, restrict_join=(jnode, jks)
+                )
+                parts.append(_replay_spec(spec["mid"], df).select(*key_exprs))
+        dirty = (
+            reduce(lambda a, b: a.unionByName(b), parts)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if dirty.count() == 0:
+            return
+        snaps = {n: t.snapshot(latest[n]) for n, t in self.sources.items()}
+        restrict = None
+        if spec.get("group_src") is not None:
+            rcond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__s.{sql}").eqNullSafe(F.col(f"__dg.{t}"))
+                    for t, (_n, sql) in zip(gk, spec["group"])
+                ],
+            )
+            restrict = (spec["group_src"], dirty, rcond)
+        pa = self._agg_tree_full_feed(spec, snaps, restrict=restrict)
+        pcond = reduce(
+            lambda a, b: a & b,
+            [
+                F.expr(sql).eqNullSafe(F.col(f"__dg.{t}"))
+                for t, (_n, sql) in zip(gk, spec["group"])
+            ],
+        )
+        feed = pa.join(F.broadcast(dirty.alias("__dg")), pcond, "left_semi")
+        state = self._agg_delta(spec, feed)
+        if "__mv_dirty" in state.columns:
+            state = state.drop("__mv_dirty")
+        state = state.localCheckpoint(eager=True)
+        scond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__dg.{t}").eqNullSafe(F.col(f"__st.{n}"))
+                for t, n in zip(gk, group_names)
+            ],
+        )
+        dead = (
+            dirty.alias("__dg")
+            .join(state.select(*group_names).alias("__st"), scond, "left_anti")
+            .select(*[F.col(t).alias(n) for t, n in zip(gk, group_names)])
+            .localCheckpoint(eager=True)
+        )
+        base = self._commit_base(latest)
+        # per-value COUNT(DISTINCT) state: dirty groups' rows replaced
+        # wholesale, same as the two-source dirty path
+        for alias, arg in self._distinct_aliases(spec):
+            aux = self._aux_table(alias)
+            new_vals = self._value_state(spec, arg, feed).localCheckpoint(
+                eager=True
+            )
+            acond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__a.{n}").eqNullSafe(F.col(f"__dg.{t}"))
+                    for n, t in zip(group_names, gk)
+                ],
+            )
+            vcond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__a.{c}").eqNullSafe(F.col(f"__v.{c}"))
+                    for c in group_names + ["__mv_val"]
+                ],
+            )
+            dead_vals = (
+                aux.snapshot()
+                .select(*group_names, "__mv_val")
+                .alias("__a")
+                .join(F.broadcast(dirty.alias("__dg")), acond, "left_semi")
+                .join(new_vals.alias("__v"), vcond, "left_anti")
+                .select(
+                    *[
+                        F.col(f"__a.{c}").alias(c)
+                        for c in group_names + ["__mv_val"]
+                    ]
+                )
             )
             if dead_vals.count() > 0:
                 aux.delete(dead_vals, f"{base + 1:014d}")

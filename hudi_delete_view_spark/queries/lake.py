@@ -2164,6 +2164,69 @@ def lake_mv_auto_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_mv_auto_agg_tree",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT l_orderkey, CAST(round(({_QTY_SQL}) * 100) AS BIGINT) AS qty_c
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey, o_custkey
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+),
+c2 AS (
+  SELECT c_custkey, c_mktsegment
+  FROM customer WHERE NOT (c_custkey % 19 = 0)
+)
+SELECT c_mktsegment, COUNT(*) AS n_items,
+       CAST(SUM(qty_c) AS BIGINT) AS sum_qty_cents,
+       MIN(qty_c) AS min_qty_cents,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM l2
+JOIN o2 ON l_orderkey = o_orderkey
+JOIN c2 ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def lake_mv_auto_agg_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a MULTI-JOIN tree in ONE declaration — the TPC-H
+    Q5 rollup (lineitem ⋈ orders ⋈ customer GROUP BY market segment),
+    maintained by image-replay dirty-group detection: each changed
+    source's CDC images re-run the user's own join tree at both
+    boundaries to name the touched segments, and exactly those rebuild
+    from the target snapshots with the customer leaf's INPUT restricted
+    to the dirty segments.  Quantities ride as exact integer cents;
+    COUNT DISTINCT exercises the per-value aux over the tree.  Oracle
+    recomputes the 3-way rollup from scratch over all three change
+    scripts (COW lineitem C2-C4, MOR orders deltas, customer C2-C3)."""
+    from ..sources.fixtures import build_customer_cow, build_orders_mor
+
+    def plan(t):
+        f = t["li"].select(
+            "l_orderkey",
+            F.expr("cast(round(l_quantity * 100) as bigint)").alias("qty_c"))
+        o = t["ord"].select("o_orderkey", "o_custkey")
+        c = t["cu"].select("c_custkey", "c_mktsegment")
+        return (
+            f.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("qty_c").alias("sum_qty_cents"),
+                 F.min("qty_c").alias("min_qty_cents"),
+                 F.count_distinct("l_orderkey").alias("n_orders"))
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_agg_tree",
+                  {"li": build_lineitem_cow(spark, sf_dir),
+                   "ord": build_orders_mor(spark, sf_dir),
+                   "cu": build_customer_cow(spark, sf_dir)}, plan)
+    return mv.serve()
+
+
+@query(
     "lake_mv_auto_agg_union",
     late=True,  # IVM family windowed via lake_ivm_aggregate
     oracle=f"""

@@ -1837,6 +1837,148 @@ def test_agg_union_mor_branch_stepwise(spark, scratch):
     assert mv.refresh()["advanced"] is False
 
 
+@pytest.fixture()
+def tree_tables(spark, scratch):
+    """fact(li) → mid dim(o) → top dim(c): the Q5 rollup chain."""
+    li = CowTable(spark, os.path.join(scratch, "t_li"), key_fields=["k"],
+                  partition_field=None, num_file_groups=2)
+    li.bulk_insert(spark.range(20).selectExpr(
+        "concat('l', id) as k", "cast(id % 6 as long) as ok",
+        "cast(id as double) as qty"), "20260101000000")
+    o = CowTable(spark, os.path.join(scratch, "t_o"), key_fields=["okey"],
+                 partition_field=None, num_file_groups=2)
+    o.bulk_insert(spark.range(6).selectExpr(
+        "cast(id as long) as okey", "cast(id % 3 as long) as ck"),
+        "20260101000000")
+    c = CowTable(spark, os.path.join(scratch, "t_c"), key_fields=["ckey"],
+                 partition_field=None, num_file_groups=1)
+    c.bulk_insert(spark.createDataFrame(
+        [(0, "EU"), (1, "US"), (2, "APAC")], "ckey long, region string"),
+        "20260101000000")
+    return {"li": li, "o": o, "c": c}
+
+
+def test_agg_tree_q5_rollup(spark, scratch, tree_tables):
+    """Aggregate over a MULTI-JOIN tree in ONE declaration — the TPC-H
+    Q5 shape (lineitem ⋈ orders ⋈ customer GROUP BY region): changes
+    at every level converge, including a mid-dim join-column move that
+    shifts rows between regions, and count_distinct/min exercise the
+    aux + dirty-rebuild paths over the tree."""
+    srcs = tree_tables
+    li, o, c = srcs["li"], srcs["o"], srcs["c"]
+
+    def plan(t):
+        return (t["li"].select("ok", "qty")
+                .join(t["o"].select("okey", "ck"), F.col("ok") == F.col("okey"))
+                .join(t["c"].select("ckey", "region"),
+                      F.col("ck") == F.col("ckey"))
+                .groupBy("region")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("sq"),
+                     F.min("qty").alias("mn"),
+                     F.count_distinct("ok").alias("nd")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvq5"),
+                              srcs, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "agg_tree"
+    assert spec["sources"] == ["li", "o", "c"]
+    assert spec["group_src"] == "c"  # group key lives on one INNER leaf
+    mv.refresh()
+
+    def check():
+        assert _rows_ns(mv.serve()) == _rows_ns(
+            plan({n: t.snapshot() for n, t in srcs.items()}))
+
+    check()
+    li.delete(spark.createDataFrame([("l1",), ("l7",)], "k string"),
+              "20260102000000")
+    mv.refresh(); check()
+    # mid dim moves an order between customers -> between regions
+    o.upsert(spark.createDataFrame([(0, 2)], "okey long, ck long"),
+             "20260103000000")
+    mv.refresh(); check()
+    c.upsert(spark.createDataFrame([(1, "USA")], "ckey long, region string"),
+             "20260104000000")
+    c.delete(spark.createDataFrame([(2,)], "ckey long"), "20260105000000")
+    mv.refresh(); check()
+    # all three levels in one window
+    li.upsert(spark.createDataFrame([("l2", 5, 200.0)],
+                                    "k string, ok long, qty double"),
+              "20260106000000")
+    o.upsert(spark.createDataFrame([(5, 0)], "okey long, ck long"),
+             "20260106000000")
+    c.upsert(spark.createDataFrame([(0, "EMEA")], "ckey long, region string"),
+             "20260106000000")
+    mv.refresh(); check()
+    assert mv.refresh()["advanced"] is False
+
+
+def test_agg_tree_left_outer_arm_null_group(spark, scratch, tree_tables):
+    """LEFT OUTER arm inside a tree: the null-extension group is a
+    first-class group — a top-dim delete moves rows INTO it (detected
+    via the pooled-key preserved-side pass: a pure delete has empty
+    after-images, so the flip set only exists at the target state), a
+    re-insert moves them out, and a mid-dim move to a match-less key
+    lands rows there; the group-leaf input restriction is disabled
+    (restricting a null-extended leaf would flip unrelated rows)."""
+    srcs = tree_tables
+    li, o, c = srcs["li"], srcs["o"], srcs["c"]
+
+    def plan(t):
+        return (t["li"].select("ok", "qty")
+                .join(t["o"].select("okey", "ck"), F.col("ok") == F.col("okey"))
+                .join(t["c"].select("ckey", "region"),
+                      F.col("ck") == F.col("ckey"), "left")
+                .groupBy("region")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("sq")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvq5l"),
+                              srcs, plan)
+    assert mv.spec()["group_src"] is None  # c is null-extended
+    mv.refresh()
+
+    def check():
+        assert _rows_ns(mv.serve()) == _rows_ns(
+            plan({n: t.snapshot() for n, t in srcs.items()}))
+
+    c.delete(spark.createDataFrame([(0,)], "ckey long"), "20260102000000")
+    mv.refresh(); check()
+    c.upsert(spark.createDataFrame([(0, "EU2")], "ckey long, region string"),
+             "20260103000000")
+    mv.refresh(); check()
+    o.upsert(spark.createDataFrame([(1, 9)], "okey long, ck long"),
+             "20260104000000")
+    mv.refresh(); check()
+    li.delete(spark.createDataFrame([("l1",)], "k string"), "20260105000000")
+    mv.refresh(); check()
+    assert mv.refresh()["advanced"] is False
+
+
+def test_agg_tree_refusals(spark, tree_tables):
+    """Tree refusals: FULL OUTER inside a tree (both sides null-extend
+    — the preserved-side detection restriction holds for neither) and
+    a source appearing twice (self-join: one change dirties through
+    two leaves at once)."""
+    srcs = tree_tables
+    snaps = {n: t.snapshot() for n, t in srcs.items()}
+    full = (snaps["li"].select("ok", "qty")
+            .join(snaps["o"].select("okey", "ck"), F.col("ok") == F.col("okey"))
+            .join(snaps["c"].select("ckey", "region"),
+                  F.col("ck") == F.col("ckey"), "full")
+            .groupBy("region").agg(F.sum("qty").alias("sq")))
+    with pytest.raises(UnsupportedViewError, match="FULL OUTER"):
+        classify_view(full, snaps)
+    twice = (snaps["li"].select("ok", "qty")
+             .join(snaps["o"].select("okey", "ck"),
+                   F.col("ok") == F.col("okey"))
+             .join(snaps["li"].select(F.col("k").alias("k2"),
+                                      F.col("ok").alias("ok2")),
+                   F.col("ck") == F.col("ok2"))
+             .groupBy("ck").agg(F.sum("qty").alias("sq")))
+    with pytest.raises(UnsupportedViewError, match="twice"):
+        classify_view(twice, snaps)
+
+
 def test_join_view_dim_join_column_mutation(spark, scratch):
     """Regression: a dim UPDATE that changes its JOIN-COLUMN value (the
     join column is NOT the dim's record key) must re-derive the rows
