@@ -902,6 +902,34 @@ def test_sql_materialized_view_ddl(spark, scratch, tables):
     # wrappers around the subquery and each branch's view name must stay
     # transparent to the agg_union descent, and qualifier stripping must
     # leave the branch chains replayable by bare column name
+    # a 3-way join + GROUP BY through the SQL dialect classifies as the
+    # multi-join tree and maintains through the same entry point
+    sub = CowTable(spark, os.path.join(scratch, "sqlsub"), key_fields=["rk"],
+                   partition_field=None, num_file_groups=1)
+    sub.bulk_insert(spark.createDataFrame(
+        [(0, "even"), (1, "odd"), (2, "even"), (3, "odd")],
+        "rk long, par string"), "20260101000000")
+    tname, tmv = create_materialized_view(
+        spark, os.path.join(scratch, "mvsqlt"),
+        {"f_tbl": fact, "d_tbl": dim, "s_tbl": sub},
+        """CREATE MATERIALIZED VIEW seg_totals AS
+           SELECT par, count(1) AS n, sum(v) AS sv
+           FROM f_tbl JOIN d_tbl ON g = gk
+                      JOIN s_tbl ON gk = rk
+           GROUP BY par""",
+    )
+    assert tmv.spec()["kind"] == "agg_tree"
+    refresh_materialized_view(tname, tmv)
+    sub.upsert(spark.createDataFrame([(0, "EVEN")], "rk long, par string"),
+               "20260107000000")
+    refresh_materialized_view(tname, tmv)
+    fact.snapshot().createOrReplaceTempView("f_tbl")
+    dim.snapshot().createOrReplaceTempView("d_tbl")
+    sub.snapshot().createOrReplaceTempView("s_tbl")
+    want = _rows(spark.sql(
+        "SELECT par, count(1) AS n, sum(v) AS sv FROM f_tbl "
+        "JOIN d_tbl ON g = gk JOIN s_tbl ON gk = rk GROUP BY par"))
+    assert _rows(spark.sql("SELECT * FROM seg_totals")) == want
     uname, umv = create_materialized_view(
         spark, os.path.join(scratch, "mvsqlu"),
         {"f_tbl": fact, "d_tbl": dim},
