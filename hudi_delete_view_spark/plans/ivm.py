@@ -731,8 +731,17 @@ def _classify_distinct(node, snapshots, quals=frozenset()) -> dict:
         # branch signed CDC deltas; the hidden count decides membership)
         return _classify_agg_union(group, [], chain, term[1], snapshots, quals)
     if _cls(term[1]) == "Join":
-        # DISTINCT over an equi-join: the degenerate aggregate-over-join
-        return _classify_agg_join(
+        # DISTINCT over equi-joins: the degenerate aggregate-over-join
+        # (two sources) or aggregate-over-tree (star/snowflake)
+        two_way = all(
+            _descend_chain(c, snapshots)[1][0] == "source"
+            for c in _children(term[1])
+        )
+        if two_way:
+            return _classify_agg_join(
+                group, [], chain, term[1], snapshots, node, quals
+            )
+        return _classify_agg_tree(
             group, [], chain, term[1], snapshots, node, quals
         )
     raise UnsupportedViewError(
