@@ -2007,6 +2007,49 @@ def test_agg_tree_refusals(spark, tree_tables):
         classify_view(twice, snaps)
 
 
+def test_self_join_via_aliased_sources(spark, scratch):
+    """The refusal recipe works: registering TWO CowTable handles to
+    the SAME path as separate sources gives each branch its own
+    expression-ID lineage, so a parent/child self-join classifies and
+    maintains — one physical change advances both roles' anchors."""
+    path = os.path.join(scratch, "selfj")
+    t1 = CowTable(spark, path, key_fields=["k"], partition_field=None,
+                  num_file_groups=2)
+    t1.bulk_insert(spark.createDataFrame(
+        [("a", 1, 0), ("b", 2, 1), ("c", 3, 1)],
+        "k string, v long, parent long"), "20260101000000")
+    t2 = CowTable(spark, path, key_fields=["k"], partition_field=None,
+                  num_file_groups=2)
+
+    def plan(t):
+        child = t["c1"].selectExpr("_hoodie_record_key as vk", "k", "v",
+                                   "parent")
+        par = t["c2"].selectExpr("v as pv", "k as pk")
+        return child.join(par, F.col("parent") == F.col("pv"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvself"),
+                              {"c1": t1, "c2": t2}, plan)
+    assert mv.spec()["kind"] == "join"
+    mv.refresh()
+
+    def check():
+        assert _rows(mv.serve()) == _rows(
+            plan({"c1": t1.snapshot(), "c2": t2.snapshot()}))
+
+    check()
+    # one physical change plays BOTH roles: 'b' gains a child ('d') and
+    # 'a' (a parent) changes its v so 'b','c' lose their parent match
+    t1.upsert(spark.createDataFrame([("d", 4, 2), ("a", 9, 0)],
+                                    "k string, v long, parent long"),
+              "20260102000000")
+    mv.refresh()
+    check()
+    t1.delete(spark.createDataFrame([("d",)], "k string"), "20260103000000")
+    mv.refresh()
+    check()
+    assert mv.refresh()["advanced"] is False
+
+
 def test_join_view_dim_join_column_mutation(spark, scratch):
     """Regression: a dim UPDATE that changes its JOIN-COLUMN value (the
     join column is NOT the dim's record key) must re-derive the rows
