@@ -164,8 +164,9 @@ def ivm_advance_soak() -> None:
     spark = get_spark("ivm-advance-soak")
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="ivm_soak_")
-    print("| fact rows | window advance s | agg_join advance s |")
-    print("|---|---|---|")
+    print("| fact rows | window advance s | agg_join advance s "
+          "| agg_tree advance s |")
+    print("|---|---|---|---|")
     try:
         for n in (50_000, 400_000):
             d = os.path.join(root, str(n))
@@ -181,7 +182,16 @@ def ivm_advance_soak() -> None:
                            partition_field=None, num_file_groups=2)
             dim.bulk_insert(
                 spark.range(1000).selectExpr(
-                    "cast(id as long) as gk", "concat('n', id % 40) as gname"),
+                    "cast(id as long) as gk", "concat('n', id % 40) as gname",
+                    "cast(id % 500 as long) as rk2"),
+                "20260101000000")
+            sub = CowTable(spark, os.path.join(d, "sub"), key_fields=["rk"],
+                           partition_field=None, num_file_groups=1)
+            # 500 distinct tree groups so the 50-row change dirties ~50,
+            # keeping the rebuild member-sized (5 groups would dirty all)
+            sub.bulk_insert(
+                spark.range(500).selectExpr(
+                    "cast(id as long) as rk", "concat('r', id) as rname"),
                 "20260101000000")
 
             def wplan(t):
@@ -199,13 +209,27 @@ def ivm_advance_soak() -> None:
                         .groupBy("gname")
                         .agg(F.sum("v").alias("sv"), F.min("v").alias("mv")))
 
+            def tplan(t):
+                f = t["fact"].select("g", "v")
+                dd = t["dim"].select("gk", "rk2")
+                ss = t["sub"].select("rk", "rname")
+                return (f.join(dd, F.col("g") == F.col("gk"))
+                        .join(ss, F.col("rk2") == F.col("rk"))
+                        .groupBy("rname")
+                        .agg(F.sum("v").alias("sv"),
+                             F.count(F.lit(1)).alias("n")))
+
             wmv = AutoMaterializedView(spark, os.path.join(d, "wmv"),
                                        {"fact": fact}, wplan)
             jmv = AutoMaterializedView(spark, os.path.join(d, "jmv"),
                                        {"fact": fact, "dim": dim},
                                        jplan)
+            tmv = AutoMaterializedView(spark, os.path.join(d, "tmv"),
+                                       {"fact": fact, "dim": dim,
+                                        "sub": sub}, tplan)
             wmv.refresh()
             jmv.refresh()
+            tmv.refresh()
             # fixed change: 50 fact upserts across ~50 partitions
             fact.upsert(
                 spark.range(50).selectExpr(
@@ -219,7 +243,10 @@ def ivm_advance_soak() -> None:
             t0 = time.monotonic()
             jmv.refresh()
             jt = time.monotonic() - t0
-            print(f"| {n} | {wt:.2f} | {jt:.2f} |", flush=True)
+            t0 = time.monotonic()
+            tmv.refresh()
+            tt = time.monotonic() - t0
+            print(f"| {n} | {wt:.2f} | {jt:.2f} | {tt:.2f} |", flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
