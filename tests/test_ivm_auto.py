@@ -2007,6 +2007,54 @@ def test_agg_tree_refusals(spark, tree_tables):
         classify_view(twice, snaps)
 
 
+def test_agg_tree_cross_feature(spark, scratch, tree_tables):
+    """agg_tree composes with the table services: (1) PARTITION
+    EVOLUTION inside the advance window (the cdc boundary falls back to
+    full boundary snapshots and key-only joins — the fid-pruned diff
+    would pair nothing across the rewrite); (2) a source ROLLBACK past
+    the anchor raises ViewHistoryLostError and reseed() recovers;
+    (3) SCHEMA EVOLUTION mid-window (new column) flows through the
+    image replays via mergeSchema alignment."""
+    srcs = tree_tables
+    li = srcs["li"]
+
+    def plan(t):
+        return (t["li"].select("ok", "qty")
+                .join(t["o"].select("okey", "ck"), F.col("ok") == F.col("okey"))
+                .join(t["c"].select("ckey", "region"),
+                      F.col("ck") == F.col("ckey"))
+                .groupBy("region")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("sq")))
+
+    def check(mv):
+        assert _rows_ns(mv.serve()) == _rows_ns(
+            plan({n: t.snapshot() for n, t in srcs.items()}))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvxf"),
+                              srcs, plan)
+    mv.refresh()
+    # (1) evolution + a delete in ONE window
+    li.evolve_partitioning("20260102000000", "ok", num_file_groups=4)
+    li.delete(spark.createDataFrame([("l3", 3)], "k string, ok long"),
+              "20260103000000")
+    mv.refresh(); check(mv)
+    # (3) schema evolution mid-window
+    li.upsert(spark.createDataFrame(
+        [("z1", 1, 50.0, "x")],
+        "k string, ok long, qty double, extra string"), "20260104000000")
+    mv.refresh(); check(mv)
+    # (2) rollback past the anchor -> explicit reseed contract
+    li.restore("20260103000000")
+    li.upsert(spark.createDataFrame([("l2", 5, 222.0)],
+                                    "k string, ok long, qty double"),
+              "20260106000000")
+    from hudi_delete_view_spark.plans.ivm import ViewHistoryLostError
+    with pytest.raises(ViewHistoryLostError):
+        mv.refresh()
+    mv.reseed()
+    check(mv)
+
+
 def test_self_join_via_aliased_sources(spark, scratch):
     """The refusal recipe works: registering TWO CowTable handles to
     the SAME path as separate sources gives each branch its own
