@@ -751,6 +751,45 @@ def _classify_distinct(node, snapshots, quals=frozenset()) -> dict:
     )
 
 
+def _join_end(expr, left_ids, right_ids, synth, quals):
+    """Resolve one end of a join equality to ``(side, column_name,
+    ref_ids)``: a plain column (casts unwrapped) passes through; a
+    ONE-SIDED expression (``date_trunc(ts) = d.day``, ``a % 2 = rk``)
+    synthesizes a hidden projected column on its side — the classifier
+    prepends ``synth[side]`` as a projection at that side's replay top,
+    so every downstream join/probe/jk-frame sees a plain column.
+    Returns ``None`` when the end straddles both sides."""
+    e = expr
+    while _cls(e) == "Cast":
+        e = e.child()
+    if _cls(e) == "AttributeReference":
+        i = e.exprId().id()
+        if i in left_ids:
+            return "left", left_ids[i], {i}
+        if i in right_ids:
+            return "right", right_ids[i], {i}
+        return None
+    refs = {a.exprId().id() for a in _seq(expr.references().toSeq())}
+    if refs and refs <= set(left_ids):
+        side = "left"
+    elif refs and refs <= set(right_ids):
+        side = "right"
+    else:
+        return None
+    name = f"__mv_jke{len(synth['left']) + len(synth['right'])}"
+    synth[side].append((name, _strip_quals(expr.sql(), quals)))
+    return side, name, refs
+
+
+def _synth_project(side_out_names, synth_items):
+    """A chain-top projection carrying every existing column plus the
+    synthesized join-key expressions."""
+    return (
+        "project",
+        [(n, f"`{n}`") for n in side_out_names] + synth_items,
+    )
+
+
 def _classify_agg_join(
     group, aggs, mid_nodes, join_node, snapshots, agg_node, quals=frozenset()
 ) -> dict:
@@ -799,32 +838,19 @@ def _classify_agg_join(
     _walk_cond(cond)
     left_ids = {a.exprId().id(): a.name() for a in _seq(join_node.left().output())}
     right_ids = {a.exprId().id(): a.name() for a in _seq(join_node.right().output())}
-
-    def _unwrap_cast(e):
-        # the analyzer wraps mixed-width join keys in implicit Casts;
-        # the replayed join re-coerces identically, so classify through
-        while _cls(e) == "Cast":
-            e = e.child()
-        return e
-
     jpairs, cond_ids = [], set()
+    synth = {"left": [], "right": []}
     for e in eqs:
-        a, b = _unwrap_cast(e.left()), _unwrap_cast(e.right())
-        if _cls(a) != "AttributeReference" or _cls(b) != "AttributeReference":
+        ea = _join_end(e.left(), left_ids, right_ids, synth, quals)
+        eb = _join_end(e.right(), left_ids, right_ids, synth, quals)
+        if ea is None or eb is None or ea[0] == eb[0]:
             raise UnsupportedViewError(
-                f"join key {e.sql()} must equate plain columns"
+                f"join equality {e.sql()} must take one column (or a "
+                "one-sided expression) from each side of the join"
             )
-        ia, ib = a.exprId().id(), b.exprId().id()
-        cond_ids |= {ia, ib}
-        if ia in left_ids and ib in right_ids:
-            jpairs.append((left_ids[ia], right_ids[ib]))
-        elif ib in left_ids and ia in right_ids:
-            jpairs.append((left_ids[ib], right_ids[ia]))
-        else:
-            raise UnsupportedViewError(
-                f"join equality {e.sql()} must take one column from each "
-                "side of the join"
-            )
+        cond_ids |= ea[2] | eb[2]
+        l_end, r_end = (ea, eb) if ea[0] == "left" else (eb, ea)
+        jpairs.append((l_end[1], r_end[1]))
     jcols = {"left": [l for l, _ in jpairs], "right": [r for _, r in jpairs]}
     # Colliding column names across the two sides (e.g. SQL joining raw
     # snapshots — both carry the _hoodie_* meta columns) matter only
@@ -859,9 +885,20 @@ def _classify_agg_join(
                 "Project/Filter chain over one source — stage deeper "
                 "shapes as view-over-view"
             )
+        ch = _chain_to_spec(nodes, quals)
+        if synth[pos]:
+            # synthesized join-key expressions ride as hidden columns
+            # computed at the side's replay top — before the join, the
+            # probes, and the collision drops
+            ch.insert(
+                0,
+                _synth_project(
+                    [a.name() for a in _seq(child.output())], synth[pos]
+                ),
+            )
         sides[pos] = {
             "source": term[1],
-            "chain": _chain_to_spec(nodes, quals),
+            "chain": ch,
             "join_cols": jcols[pos],
             "drop": drop_l if pos == "left" else drop_r,
         }
@@ -1034,22 +1071,17 @@ def _classify_agg_tree(
         left_ids = {a.exprId().id(): a.name() for a in _seq(lnode.output())}
         right_ids = {a.exprId().id(): a.name() for a in _seq(rnode.output())}
         pairs = []
+        synth = {"left": [], "right": []}
         for e in eqs:
-            a, b = _unwrap_cast(e.left()), _unwrap_cast(e.right())
-            if _cls(a) != "AttributeReference" or _cls(b) != "AttributeReference":
+            ea = _join_end(e.left(), left_ids, right_ids, synth, quals)
+            eb = _join_end(e.right(), left_ids, right_ids, synth, quals)
+            if ea is None or eb is None or ea[0] == eb[0]:
                 raise UnsupportedViewError(
-                    f"join key {e.sql()} must equate plain columns"
+                    f"join equality {e.sql()} must take one column (or a "
+                    "one-sided expression) from each side of the join"
                 )
-            ia, ib = a.exprId().id(), b.exprId().id()
-            if ia in left_ids and ib in right_ids:
-                pairs.append((left_ids[ia], right_ids[ib]))
-            elif ib in left_ids and ia in right_ids:
-                pairs.append((left_ids[ib], right_ids[ia]))
-            else:
-                raise UnsupportedViewError(
-                    f"join equality {e.sql()} must take one column from "
-                    "each side of the join"
-                )
+            l_end, r_end = (ea, eb) if ea[0] == "left" else (eb, ea)
+            pairs.append((l_end[1], r_end[1]))
         need_l = {left_ids[i] for i in needed_ids if i in left_ids}
         need_r = {right_ids[i] for i in needed_ids if i in right_ids}
         both = need_l & need_r
@@ -1062,6 +1094,14 @@ def _classify_agg_tree(
             )
         collide = set(left_ids.values()) & set(right_ids.values())
         lspec, rspec = build(lnode), build(rnode)
+        for side_spec, items in (
+            (lspec, synth["left"]), (rspec, synth["right"])
+        ):
+            if items:
+                # applied at REPLAY time as select("*", expr) — a static
+                # all-columns projection would have to predict which
+                # collision drops survive inside the subtree
+                side_spec.setdefault("synth", []).extend(items)
         return {
             "jt": "inner" if jt == "INNER" else "left",
             "pairs": pairs,
@@ -2489,6 +2529,14 @@ class AutoMaterializedView:
         sources under a LEFT join."""
         from functools import reduce
 
+        def _synth(df, n):
+            items = n.get("synth", [])
+            if not items:
+                return df
+            return df.select(
+                "*", *[F.expr(sql).alias(nm) for nm, sql in items]
+            )
+
         if "src" in node:
             base = (override or {}).get(node["src"], snaps[node["src"]])
             df = _replay_spec(node["chain"], base)
@@ -2498,7 +2546,7 @@ class AutoMaterializedView:
                     restrict[2],
                     "left_semi",
                 )
-            return df
+            return _synth(df, node)
         left = self._replay_tree(
             node["left"], snaps, override, flip_for, restrict, restrict_join
         ).drop(*node["drop_l"])
@@ -2518,7 +2566,9 @@ class AutoMaterializedView:
             lambda a, b: a & b,
             [F.col(lc) == F.col(rc) for lc, rc in node["pairs"]],
         )
-        return _replay_spec(node["mid"], left.join(right, cond, jt))
+        return _synth(
+            _replay_spec(node["mid"], left.join(right, cond, jt)), node
+        )
 
     def _agg_tree_full_feed(self, spec, snaps, restrict=None) -> DataFrame:
         df = self._replay_tree(spec["tree"], snaps, restrict=restrict)

@@ -1982,6 +1982,69 @@ def test_agg_tree_left_outer_arm_null_group(spark, scratch, tree_tables):
     assert mv.refresh()["advanced"] is False
 
 
+def test_expression_join_keys(spark, scratch, tree_tables):
+    """ONE-SIDED expression join keys (ON g % 2 = rk — the SQL-inline
+    form of date-trunc / bucketing joins) synthesize hidden projected
+    columns on their side, so the replayed joins, probes, and jk
+    frames all see plain columns; works for the two-source agg_join
+    and for the deeper tree (through the SQL DDL dialect, where the
+    join subtree's raw temp views carry colliding meta columns the
+    synth must not predict)."""
+    from hudi_delete_view_spark.sql import (
+        create_materialized_view,
+        refresh_materialized_view,
+    )
+
+    srcs = tree_tables
+    li, o, c = srcs["li"], srcs["o"], srcs["c"]
+    par = CowTable(spark, os.path.join(scratch, "expar"), key_fields=["rk"],
+                   partition_field=None, num_file_groups=1)
+    par.bulk_insert(spark.createDataFrame(
+        [(0, "even"), (1, "odd")], "rk long, par string"), "20260101000000")
+
+    def plan(t):
+        return (t["li"].select("ok", "qty")
+                .join(t["par"].select("rk", "par"),
+                      (F.col("ok") % 2) == F.col("rk"))
+                .groupBy("par")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("sq")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvek"),
+                              {"li": li, "par": par}, plan)
+    assert mv.spec()["kind"] == "agg_join"
+    mv.refresh()
+    li.delete(spark.createDataFrame([("l2",), ("l3",)], "k string"),
+              "20260102000000")
+    par.upsert(spark.createDataFrame([(0, "EVEN")], "rk long, par string"),
+               "20260103000000")
+    mv.refresh()
+    assert _rows_ns(mv.serve()) == _rows_ns(
+        plan({"li": li.snapshot(), "par": par.snapshot()}))
+    # tree through SQL with an inline expression key on the mid dim
+    name, tmv = create_materialized_view(
+        spark, os.path.join(scratch, "mveksql"),
+        {"li_t": li, "o_t": o, "p_t": par},
+        """CREATE MATERIALIZED VIEW par_totals AS
+           SELECT par, count(1) AS n, sum(qty) AS sq
+           FROM li_t JOIN o_t ON ok = okey
+                     JOIN p_t ON ck % 2 = rk
+           GROUP BY par""",
+    )
+    assert tmv.spec()["kind"] == "agg_tree"
+    refresh_materialized_view(name, tmv)
+    o.upsert(spark.createDataFrame([(0, 1)], "okey long, ck long"),
+             "20260104000000")
+    par.upsert(spark.createDataFrame([(1, "ODD")], "rk long, par string"),
+               "20260105000000")
+    refresh_materialized_view(name, tmv)
+    for n_, t_ in (("li_t", li), ("o_t", o), ("p_t", par)):
+        t_.snapshot().createOrReplaceTempView(n_)
+    want = _rows_ns(spark.sql(
+        "SELECT par, count(1) AS n, sum(qty) AS sq FROM li_t "
+        "JOIN o_t ON ok = okey JOIN p_t ON ck % 2 = rk GROUP BY par"))
+    assert _rows_ns(spark.sql("SELECT * FROM par_totals")) == want
+
+
 def test_agg_tree_refusals(spark, tree_tables):
     """Tree refusals: FULL OUTER inside a tree (both sides null-extend
     — the preserved-side detection restriction holds for neither) and
