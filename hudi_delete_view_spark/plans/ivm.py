@@ -1149,6 +1149,16 @@ def _classify_agg_tree(
 
     if group_src is not None and group_src in _null_extended(tree):
         group_src = None
+
+    def _all_inner(n):
+        if "src" in n:
+            return True
+        return (
+            n["jt"] == "inner"
+            and _all_inner(n["left"])
+            and _all_inner(n["right"])
+        )
+
     return {
         "kind": "agg_tree",
         "group": group,
@@ -1158,6 +1168,10 @@ def _classify_agg_tree(
         "tree": tree,
         "sources": tree["srcs"],
         "group_src": group_src,
+        # all-INNER trees advance by the telescoping DELTA-JOIN feed
+        # (change-sized); any LEFT arm falls back to dirty-group
+        # re-derivation (the identity fails under null-extension)
+        "all_inner": _all_inner(tree),
     }
 
 
@@ -1661,9 +1675,13 @@ class AutoMaterializedView:
         aux (single-source aggregates and delta-join INNER agg_join);
         the outer-join dirty path rebuilds dirty groups' sketches from
         scratch anyway, so it carries no aux state."""
-        if spec["kind"] in ("aggregate", "agg_union") or (
-            spec["kind"] == "agg_join"
-            and spec.get("join_type", "inner") == "inner"
+        if (
+            spec["kind"] in ("aggregate", "agg_union")
+            or (
+                spec["kind"] == "agg_join"
+                and spec.get("join_type", "inner") == "inner"
+            )
+            or (spec["kind"] == "agg_tree" and spec.get("all_inner"))
         ):
             return [
                 (a, arg)
@@ -2514,7 +2532,7 @@ class AutoMaterializedView:
     # -- algebra: image-replay dirty groups (aggregate-over-join trees) --
     def _replay_tree(
         self, node, snaps, override=None, flip_for=None, restrict=None,
-        restrict_join=None,
+        restrict_join=None, extra=(),
     ) -> DataFrame:
         """Re-run a classified join tree over source snapshots.
         ``override`` swaps one leaf's INPUT frame (CDC images for
@@ -2538,8 +2556,10 @@ class AutoMaterializedView:
             )
 
         if "src" in node:
-            base = (override or {}).get(node["src"], snaps[node["src"]])
-            df = _replay_spec(node["chain"], base)
+            base = (override or {}).get(node["src"])
+            if base is None:  # delta terms omit the changed source's snap
+                base = snaps[node["src"]]
+            df = _replay_spec(node["chain"], base, extra=extra)
             if restrict is not None and restrict[0] == node["src"]:
                 df = df.alias("__s").join(
                     F.broadcast(restrict[1].alias("__dg")),
@@ -2548,10 +2568,12 @@ class AutoMaterializedView:
                 )
             return _synth(df, node)
         left = self._replay_tree(
-            node["left"], snaps, override, flip_for, restrict, restrict_join
+            node["left"], snaps, override, flip_for, restrict, restrict_join,
+            extra,
         ).drop(*node["drop_l"])
         right = self._replay_tree(
-            node["right"], snaps, override, flip_for, restrict, restrict_join
+            node["right"], snaps, override, flip_for, restrict, restrict_join,
+            extra,
         ).drop(*node["drop_r"])
         if restrict_join is not None and node is restrict_join[0]:
             left = left.join(
@@ -2567,7 +2589,96 @@ class AutoMaterializedView:
             [F.col(lc) == F.col(rc) for lc, rc in node["pairs"]],
         )
         return _synth(
-            _replay_spec(node["mid"], left.join(right, cond, jt)), node
+            _replay_spec(node["mid"], left.join(right, cond, jt),
+                         extra=extra),
+            node,
+        )
+
+    def _tree_delta_term(self, node, s, snaps, override) -> DataFrame:
+        """One telescoping term's subtree replay: the side containing
+        the changed source ``s`` carries the SIGNED delta; every
+        sibling subtree replays full and is SEMI-PRUNED to the delta
+        side's join keys at its meet node — the tree generalization of
+        the 2-way delta-join's static-side pruning, applied to INPUTS
+        bottom-up so no sibling join ever runs unpruned."""
+        from functools import reduce
+
+        if "src" in node:
+            return self._replay_tree(
+                node, snaps, override=override, extra=("__mv_sign",)
+            )
+        on_left = s in node["left"]["srcs"]
+        dside = self._tree_delta_term(
+            node["left"] if on_left else node["right"], s, snaps, override
+        ).drop(*(node["drop_l"] if on_left else node["drop_r"]))
+        dside = dside.localCheckpoint(eager=True)  # change-sized
+        sib = self._replay_tree(
+            node["right"] if on_left else node["left"], snaps
+        ).drop(*(node["drop_r"] if on_left else node["drop_l"]))
+        d_cols = [lc if on_left else rc for lc, rc in node["pairs"]]
+        s_cols = [rc if on_left else lc for lc, rc in node["pairs"]]
+        sib = sib.join(
+            F.broadcast(_jk_frame(dside, d_cols)),
+            _jk_cond(s_cols, False),
+            "left_semi",
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(lc) == F.col(rc) for lc, rc in node["pairs"]],
+        )
+        left, right = (dside, sib) if on_left else (sib, dside)
+        out = _replay_spec(
+            node["mid"], left.join(right, cond, "inner"),
+            extra=("__mv_sign",),
+        )
+        items = node.get("synth", [])
+        if items:
+            out = out.select(
+                "*", *[F.expr(sql).alias(nm) for nm, sql in items]
+            )
+        return out
+
+    def _agg_tree_delta_feed(self, spec, anchor, latest) -> DataFrame | None:
+        """Signed pre-aggregate delta of an all-INNER join tree — the
+        telescoping multiset identity
+        Δ(s1⋈…⋈sn) = Σ_i s1_t⋈…⋈s_{i-1}_t ⋈ Δs_i ⋈ s_{i+1}_a⋈…⋈sn_a
+        (sources before i at the TARGET state, after i at the ANCHOR,
+        Δs_i the signed CDC images): inner equi-joins are multiset-
+        bilinear, so the terms sum to exactly the view's delta.  Work ∝
+        the change set — each term's static sides are key-pruned to the
+        delta before joining."""
+        sign = F.when(
+            F.col("op").isin("insert", "update"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        order = spec["sources"]
+        terms = []
+        for i, s in enumerate(order):
+            if anchor[s] == latest[s]:
+                continue
+            cdc = self.sources[s].cdc(
+                anchor[s], latest[s], include_update_preimages=True
+            ).withColumn("__mv_sign", sign)
+            snaps = {}
+            for j, s2 in enumerate(order):
+                if s2 == s:
+                    continue
+                at = latest if j < i else anchor
+                snaps[s2] = self.sources[s2].snapshot(at[s2])
+            terms.append(
+                _replay_spec(
+                    spec["mid"],
+                    self._tree_delta_term(
+                        spec["tree"], s, snaps, {s: cdc}
+                    ),
+                    extra=("__mv_sign",),
+                )
+            )
+        if not terms:
+            return None
+        from functools import reduce
+
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), terms
         )
 
     def _agg_tree_full_feed(self, spec, snaps, restrict=None) -> DataFrame:
@@ -2575,12 +2686,42 @@ class AutoMaterializedView:
         return _replay_spec(spec["mid"], df).withColumn("__mv_sign", F.lit(1))
 
     def _advance_agg_tree(self, spec, anchor, latest) -> None:
-        """Advance an aggregate-over-multi-join view: image-replay
-        detection names the dirty groups (each changed source's CDC
-        images run through the user's own tree at both boundaries),
-        then exactly those groups rebuild from the target snapshots —
-        the N-way generalization of the two-source dirty-group
-        algebra."""
+        if spec.get("all_inner"):
+            feed = self._agg_tree_delta_feed(spec, anchor, latest)
+            if feed is None:
+                return
+            from functools import reduce
+
+            def full_feed(dirty_keys):
+                snaps = {
+                    n: t.snapshot(latest[n])
+                    for n, t in self.sources.items()
+                }
+                restrict = None
+                if spec.get("group_src") is not None and dirty_keys is not None:
+                    rcond = reduce(
+                        lambda a, b: a & b,
+                        [
+                            F.col(f"__s.{sql}").eqNullSafe(
+                                F.col(f"__dg.{name}")
+                            )
+                            for name, sql in spec["group"]
+                        ],
+                    )
+                    restrict = (spec["group_src"], dirty_keys, rcond)
+                return self._agg_tree_full_feed(spec, snaps, restrict=restrict)
+
+            self._merge_agg_delta(spec, feed, latest, full_feed)
+            return
+        self._advance_agg_tree_dirty(spec, anchor, latest)
+
+    def _advance_agg_tree_dirty(self, spec, anchor, latest) -> None:
+        """Advance an aggregate-over-multi-join view with OUTER arms:
+        image-replay detection names the dirty groups (each changed
+        source's CDC images run through the user's own tree at both
+        boundaries), then exactly those groups rebuild from the target
+        snapshots — the N-way generalization of the two-source
+        dirty-group algebra."""
         from functools import reduce
 
         group_names = [n for n, _ in spec["group"]]

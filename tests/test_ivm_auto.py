@@ -2045,6 +2045,61 @@ def test_expression_join_keys(spark, scratch, tree_tables):
     assert _rows_ns(spark.sql("SELECT * FROM par_totals")) == want
 
 
+def test_agg_tree_inner_takes_delta_path(spark, scratch, tree_tables):
+    """All-INNER trees advance by the telescoping delta-join feed —
+    change-sized, never the dirty-group rebuild: the dirty path is
+    replaced with a raiser, and for a retraction-capable aggregate set
+    (sum/count, HLL via aux) the full-feed re-derivation hook is a
+    raiser too; the view still converges through changes at every
+    level."""
+    srcs = tree_tables
+    li, o, c = srcs["li"], srcs["o"], srcs["c"]
+
+    def plan(t):
+        return (t["li"].select("ok", "qty")
+                .join(t["o"].select("okey", "ck"), F.col("ok") == F.col("okey"))
+                .join(t["c"].select("ckey", "region"),
+                      F.col("ck") == F.col("ckey"))
+                .groupBy("region")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("sq"),
+                     F.approx_count_distinct("ok").alias("ad")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvdp"),
+                              srcs, plan)
+    assert mv.spec()["all_inner"] is True
+    mv.refresh()
+
+    def boom_dirty(self, spec, anchor, latest):
+        raise AssertionError("all-INNER tree fell back to the dirty path")
+
+    orig_dirty = AutoMaterializedView._advance_agg_tree_dirty
+    orig_merge = AutoMaterializedView._merge_agg_delta
+
+    def no_full_feed(self, spec, feed, latest, full_feed_fn):
+        def boom(_dirty):
+            raise AssertionError("retraction-capable tree re-derived "
+                                 "from the full feed")
+        return orig_merge(self, spec, feed, latest, boom)
+
+    AutoMaterializedView._advance_agg_tree_dirty = boom_dirty
+    AutoMaterializedView._merge_agg_delta = no_full_feed
+    try:
+        li.delete(spark.createDataFrame([("l1",), ("l7",)], "k string"),
+                  "20260102000000")
+        o.upsert(spark.createDataFrame([(0, 2)], "okey long, ck long"),
+                 "20260103000000")
+        c.upsert(spark.createDataFrame([(1, "USA")],
+                                       "ckey long, region string"),
+                 "20260104000000")
+        mv.refresh()
+        assert _rows_ns(mv.serve()) == _rows_ns(
+            plan({n: t.snapshot() for n, t in srcs.items()}))
+    finally:
+        AutoMaterializedView._advance_agg_tree_dirty = orig_dirty
+        AutoMaterializedView._merge_agg_delta = orig_merge
+    assert mv.refresh()["advanced"] is False
+
+
 def test_agg_tree_refusals(spark, tree_tables):
     """Tree refusals: FULL OUTER inside a tree (both sides null-extend
     — the preserved-side detection restriction holds for neither) and
