@@ -781,13 +781,19 @@ def _join_end(expr, left_ids, right_ids, synth, quals):
     return side, name, refs
 
 
-def _synth_project(side_out_names, synth_items):
-    """A chain-top projection carrying every existing column plus the
-    synthesized join-key expressions."""
-    return (
-        "project",
-        [(n, f"`{n}`") for n in side_out_names] + synth_items,
-    )
+def _side_replay(side: dict, df: DataFrame, extra: tuple = ()) -> DataFrame:
+    """Replay one agg_join side: its Project/Filter chain, then any
+    synthesized join-key expressions as select("*", expr) — runtime
+    application, because a static all-columns projection would break on
+    CDC feeds (which carry payload + op columns, not the snapshot's
+    meta columns)."""
+    out = _replay_spec(side["chain"], df, extra=extra)
+    items = side.get("synth", [])
+    if items:
+        out = out.select(
+            "*", *[F.expr(sql).alias(nm) for nm, sql in items]
+        )
+    return out
 
 
 def _classify_agg_join(
@@ -885,20 +891,13 @@ def _classify_agg_join(
                 "Project/Filter chain over one source — stage deeper "
                 "shapes as view-over-view"
             )
-        ch = _chain_to_spec(nodes, quals)
-        if synth[pos]:
-            # synthesized join-key expressions ride as hidden columns
-            # computed at the side's replay top — before the join, the
-            # probes, and the collision drops
-            ch.insert(
-                0,
-                _synth_project(
-                    [a.name() for a in _seq(child.output())], synth[pos]
-                ),
-            )
         sides[pos] = {
             "source": term[1],
-            "chain": ch,
+            "chain": _chain_to_spec(nodes, quals),
+            # synthesized join-key expressions ride as hidden columns
+            # applied at replay time — before the join, the probes,
+            # and the collision drops
+            "synth": synth[pos],
             "join_cols": jcols[pos],
             "drop": drop_l if pos == "left" else drop_r,
         }
@@ -1839,11 +1838,11 @@ class AutoMaterializedView:
         prunes BOTH sides to the touched join keys before the join —
         explicit semi-joins rather than trusting pushdown, so each
         side's scan is change-sized."""
-        left = _replay_spec(
-            spec["left"]["chain"], snaps[spec["left"]["source"]]
+        left = _side_replay(
+            spec["left"], snaps[spec["left"]["source"]]
         ).drop(*spec["left"]["drop"])
-        right = _replay_spec(
-            spec["right"]["chain"], snaps[spec["right"]["source"]]
+        right = _side_replay(
+            spec["right"], snaps[spec["right"]["source"]]
         ).drop(*spec["right"]["drop"])
         jt = spec.get("join_type", "inner")
         if dirty_jk is not None:
@@ -2251,8 +2250,8 @@ class AutoMaterializedView:
         lsrc, rsrc = self.sources[l["source"]], self.sources[r["source"]]
         terms = []
         if anchor[l["source"]] != latest[l["source"]]:
-            dl = _replay_spec(
-                l["chain"],
+            dl = _side_replay(
+                l,
                 lsrc.cdc(
                     anchor[l["source"]],
                     latest[l["source"]],
@@ -2260,8 +2259,8 @@ class AutoMaterializedView:
                 ).withColumn("__mv_sign", sign),
                 extra=("__mv_sign",),
             ).drop(*l["drop"])
-            d_old = _replay_spec(
-                r["chain"], rsrc.snapshot(anchor[r["source"]])
+            d_old = _side_replay(
+                r, rsrc.snapshot(anchor[r["source"]])
             ).drop(*r["drop"])
             jks = _jk_frame(dl, l["join_cols"])
             d_old = d_old.join(
@@ -2271,8 +2270,8 @@ class AutoMaterializedView:
             )
             terms.append(dl.join(d_old, _join_cond(spec), "inner"))
         if anchor[r["source"]] != latest[r["source"]]:
-            dr = _replay_spec(
-                r["chain"],
+            dr = _side_replay(
+                r,
                 rsrc.cdc(
                     anchor[r["source"]],
                     latest[r["source"]],
@@ -2280,8 +2279,8 @@ class AutoMaterializedView:
                 ).withColumn("__mv_sign", sign),
                 extra=("__mv_sign",),
             ).drop(*r["drop"])
-            f_new = _replay_spec(
-                l["chain"], lsrc.snapshot(latest[l["source"]])
+            f_new = _side_replay(
+                l, lsrc.snapshot(latest[l["source"]])
             ).drop(*l["drop"])
             jks = _jk_frame(dr, r["join_cols"])
             f_new = f_new.join(
@@ -2310,11 +2309,11 @@ class AutoMaterializedView:
             return self._pre_agg(spec, snaps).withColumn(
                 "__mv_sign", F.lit(1)
             )
-        left_df = _replay_spec(
-            spec["left"]["chain"], snaps[spec["left"]["source"]]
+        left_df = _side_replay(
+            spec["left"], snaps[spec["left"]["source"]]
         ).drop(*spec["left"]["drop"])
-        right_df = _replay_spec(
-            spec["right"]["chain"], snaps[spec["right"]["source"]]
+        right_df = _side_replay(
+            spec["right"], snaps[spec["right"]["source"]]
         ).drop(*spec["right"]["drop"])
         sdf = left_df if gside == "left" else right_df
         rcond = reduce(
@@ -2389,8 +2388,7 @@ class AutoMaterializedView:
             cdc = self.sources[s].cdc(
                 anchor[s], latest[s], include_update_preimages=True
             )
-            jks = _jk_frame(_replay_spec(side["chain"], cdc),
-                            side["join_cols"])
+            jks = _jk_frame(_side_replay(side, cdc), side["join_cols"])
             dirty_jk = jks if dirty_jk is None else dirty_jk.unionByName(jks)
         if dirty_jk is None:
             return
@@ -2434,11 +2432,11 @@ class AutoMaterializedView:
         # could not express (group_side None: expression keys or
         # renaming mid chain).
         snaps = {n: t.snapshot(latest[n]) for n, t in self.sources.items()}
-        left_df = _replay_spec(
-            spec["left"]["chain"], snaps[spec["left"]["source"]]
+        left_df = _side_replay(
+            spec["left"], snaps[spec["left"]["source"]]
         ).drop(*spec["left"]["drop"])
-        right_df = _replay_spec(
-            spec["right"]["chain"], snaps[spec["right"]["source"]]
+        right_df = _side_replay(
+            spec["right"], snaps[spec["right"]["source"]]
         ).drop(*spec["right"]["drop"])
         gside = spec.get("group_side")
         if gside is not None:

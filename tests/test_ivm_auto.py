@@ -2043,6 +2043,28 @@ def test_expression_join_keys(spark, scratch, tree_tables):
         "SELECT par, count(1) AS n, sum(qty) AS sq FROM li_t "
         "JOIN o_t ON ok = okey JOIN p_t ON ck % 2 = rk GROUP BY par"))
     assert _rows_ns(spark.sql("SELECT * FROM par_totals")) == want
+    # RAW sides (no per-side SELECT): the synth must apply at replay
+    # time — a static all-columns projection would list snapshot meta
+    # columns the CDC delta feed does not carry
+    rname, rmv = create_materialized_view(
+        spark, os.path.join(scratch, "mvekraw"),
+        {"li_r": li, "p_r": par},
+        """CREATE MATERIALIZED VIEW raw_par AS
+           SELECT par, count(1) AS n, sum(qty) AS sq
+           FROM li_r JOIN p_r ON ok % 2 = rk
+           GROUP BY par""",
+    )
+    refresh_materialized_view(rname, rmv)
+    li.delete(spark.createDataFrame([("l4",)], "k string"), "20260106000000")
+    par.upsert(spark.createDataFrame([(0, "E3")], "rk long, par string"),
+               "20260107000000")
+    refresh_materialized_view(rname, rmv)
+    li.snapshot().createOrReplaceTempView("li_r")
+    par.snapshot().createOrReplaceTempView("p_r")
+    want = _rows_ns(spark.sql(
+        "SELECT par, count(1) AS n, sum(qty) AS sq FROM li_r "
+        "JOIN p_r ON ok % 2 = rk GROUP BY par"))
+    assert _rows_ns(spark.sql("SELECT * FROM raw_par")) == want
 
 
 def test_agg_tree_inner_takes_delta_path(spark, scratch, tree_tables):
