@@ -547,11 +547,70 @@ def _classify_aggregate(plan, src_ids, refs, snapshots, quals=frozenset()) -> di
         )
     if _cls(term[1]) == "Union":
         return _classify_agg_union(group, aggs, chain, term[1], snapshots, quals)
+    if _cls(term[1]) == "Aggregate":
+        inner = _classify_aggregate(term[1], src_ids, refs, snapshots, quals)
+        return _compose_agg_stage(group, aggs, chain, inner, quals)
     raise UnsupportedViewError(
         f"node {_cls(term[1])} between the aggregate and its source; "
-        "only Project/Filter chains (optionally over one equi-join or "
-        "a UNION ALL of chains) can be maintained below an aggregate"
+        "only Project/Filter chains (optionally over one equi-join, a "
+        "UNION ALL of chains, or another aggregate) can be maintained "
+        "below an aggregate"
     )
+
+
+# inner-aggregate outputs whose serve expression is a plain SQL string —
+# the set an auto-staged outer aggregate can consume
+_STAGE_SERVE_FNS = ("count", "sum", "avg", "min", "max", "count_distinct")
+
+
+def _compose_agg_stage(group, aggs, mid_nodes, inner, quals) -> dict:
+    """Aggregate OVER an aggregate (per-order totals → per-customer
+    rollups of order totals), AUTO-STAGED: the inner aggregate becomes
+    a hidden child view on a real lake table (the manual view-over-view
+    recipe, synthesized), and the outer classifies as a plain aggregate
+    whose source is the child's backing table — its CDC feed retracts
+    old group rows and asserts new ones, which is exactly the signed
+    feed the outer merge needs.  The outer's chain starts with the
+    child's SERVE projection (NULL-sum / avg-ratio semantics spelled as
+    SQL over the stored hidden counters), so the outer sees the same
+    rows the user's inner aggregate would produce."""
+    if inner["kind"] != "aggregate":
+        raise UnsupportedViewError(
+            "aggregate over an aggregate-over-"
+            f"{inner['kind'].replace('agg_', '')} — auto-staging supports "
+            "a single-source inner aggregate; stage deeper inners as "
+            "view-over-view"
+        )
+    items = [(n, f"`{n}`") for n, _sql in inner["group"]]
+    for alias, fn, _arg in inner["aggs"]:
+        if fn not in _STAGE_SERVE_FNS:
+            raise UnsupportedViewError(
+                f"inner aggregate output {alias} ({fn}): auto-staging "
+                f"serves {_STAGE_SERVE_FNS} — stage views with "
+                "variance-family or sketch inners manually"
+            )
+        if fn == "sum":
+            items.append(
+                (alias, f"CASE WHEN `__nn_{alias}` > 0 THEN `{alias}` END")
+            )
+        elif fn == "avg":
+            items.append((
+                alias,
+                f"CASE WHEN `__avg_cnt_{alias}` > 0 THEN "
+                f"CAST(`__avg_sum_{alias}` AS DOUBLE) / "
+                f"`__avg_cnt_{alias}` END",
+            ))
+        else:
+            items.append((alias, f"`{alias}`"))
+    return {
+        "kind": "agg_stage",
+        "group": group,
+        "aggs": aggs,
+        # bottom-up replay: the child's serve projection runs FIRST
+        # (list tail), then the user's mid chain
+        "chain": _chain_to_spec(mid_nodes, quals) + [("project", items)],
+        "inner": inner,
+    }
 
 
 def _classify_agg_union(
@@ -1435,13 +1494,45 @@ class AutoMaterializedView:
         self.num_file_groups = num_file_groups
         self._anchor_path = os.path.join(path, "_view_anchor")
         self._spec = None
+        self._stage = None  # hidden child view of an auto-staged plan
 
     # -- classification (lazy, cached per instance) ---------------------
     def spec(self) -> dict:
         if self._spec is None:
             snaps = {n: t.snapshot() for n, t in self.sources.items()}
-            self._spec = classify_view(self.plan_fn(snaps), snaps)
+            spec = classify_view(self.plan_fn(snaps), snaps)
+            if spec["kind"] == "agg_stage":
+                spec = self._setup_stage(spec)
+            self._spec = spec
         return self._spec
+
+    def _setup_stage(self, spec: dict) -> dict:
+        """Materialize an auto-staged plan: the inner aggregate becomes
+        a hidden child view (a SIBLING dir — the seed wipes self.path),
+        and the outer rewrites to a plain aggregate over the child's
+        backing table.  refresh() drives the child first; its CDC feed
+        (old group rows retracted, new ones asserted) is the outer's
+        signed delta."""
+        inner = spec["inner"]
+        stage = AutoMaterializedView(
+            self.spark,
+            self.path.rstrip("/") + ".stage0",
+            {inner["source"]: self.sources[inner["source"]]},
+            plan_fn=None,  # kind "aggregate" never replays the plan_fn
+            num_file_groups=self.num_file_groups,
+        )
+        stage._spec = inner
+        self._stage = stage
+        self.sources = {"__stage0": stage.table}
+        return {
+            "kind": "aggregate",
+            "source": "__stage0",
+            "group": spec["group"],
+            "aggs": spec["aggs"],
+            "chain": spec["chain"],
+            "post": spec.get("post", []),
+            "staged": True,
+        }
 
     def _key_fields(self) -> list[str]:
         spec = self.spec()
@@ -1492,6 +1583,14 @@ class AutoMaterializedView:
         advances would race the anchor sidecar and double-apply deltas,
         so the second caller gets ConcurrentRefreshError instead."""
         spec = self.spec()
+        if self._stage is not None:
+            # advance the hidden child first (bounded targets pass
+            # through in the ORIGINAL source names), then aim the outer
+            # at the child's resulting tail
+            self._stage.refresh(seed_as_of=seed_as_of, to=to)
+            st = self._stage.table.timeline.latest_timestamp()
+            seed_as_of = {"__stage0": st} if seed_as_of else None
+            to = {"__stage0": st}
         lock = self.path.rstrip("/") + ".refresh_lock"
         parent = os.path.dirname(lock)
         if parent:
@@ -1558,6 +1657,8 @@ class AutoMaterializedView:
         recovery for ViewHistoryLostError (source rolled back past the
         anchor, or timeline archived beyond it).  Explicit by design:
         reseeding discards the view's own commit history."""
+        if self._stage is not None:
+            shutil.rmtree(self._stage.path, ignore_errors=True)
         shutil.rmtree(self.path, ignore_errors=True)
         try:
             os.remove(self._anchor_path)

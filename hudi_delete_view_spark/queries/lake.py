@@ -2227,6 +2227,58 @@ def lake_mv_auto_agg_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_mv_auto_agg_stage",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT l_orderkey, CAST(round(({_QTY_SQL}) * 100) AS BIGINT) AS qty_c
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_items,
+         CAST(SUM(qty_c) AS BIGINT) AS order_qty_cents
+  FROM l2 GROUP BY l_orderkey
+)
+SELECT n_items, COUNT(*) AS n_orders,
+       CAST(SUM(order_qty_cents) AS BIGINT) AS total_qty_cents,
+       MIN(order_qty_cents) AS min_order_cents
+FROM per_order GROUP BY n_items
+""",
+)
+def lake_mv_auto_agg_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate OVER an aggregate in one declaration — the order-size
+    distribution (per-order item counts and totals, rolled up by item
+    count): the inner per-order aggregate AUTO-STAGES as a hidden child
+    view on a real lake table, whose CDC feed (old order rows
+    retracted, new asserted) is exactly the outer's signed delta — a
+    lineitem delete that shrinks an order moves that order between
+    n_items groups in one refresh.  Oracle recomputes the two-level
+    GROUP BY from scratch over the full change script."""
+
+    def plan(t):
+        per_order = (
+            t["li"].select(
+                "l_orderkey",
+                F.expr("cast(round(l_quantity * 100) as bigint)")
+                .alias("qty_c"))
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("qty_c").alias("order_qty_cents"))
+        )
+        return (
+            per_order.groupBy("n_items")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("order_qty_cents").alias("total_qty_cents"),
+                 F.min("order_qty_cents").alias("min_order_cents"))
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_agg_stage",
+                  {"li": build_lineitem_cow(spark, sf_dir)}, plan)
+    return mv.serve()
+
+
+@query(
     "lake_mv_auto_agg_union",
     late=True,  # IVM family windowed via lake_ivm_aggregate
     oracle=f"""

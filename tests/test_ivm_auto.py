@@ -2122,6 +2122,106 @@ def test_agg_tree_inner_takes_delta_path(spark, scratch, tree_tables):
     assert mv.refresh()["advanced"] is False
 
 
+def test_aggregate_over_aggregate_autostaged(spark, scratch):
+    """Aggregate OVER an aggregate in ONE declaration (per-order totals
+    → per-customer rollups): the inner aggregate auto-stages as a
+    hidden child view on a real lake table, whose CDC feed (old group
+    rows retracted, new asserted) is exactly the outer's signed delta;
+    the outer's chain starts with the child's serve projection so
+    NULL-sum / avg-ratio semantics survive the hop.  Covers bounded
+    stepwise refresh, reseed through the stage, and the SQL subquery
+    form."""
+    li = CowTable(spark, os.path.join(scratch, "aa_li"), key_fields=["k"],
+                  partition_field=None, num_file_groups=2)
+    li.bulk_insert(spark.range(30).selectExpr(
+        "concat('l', id) as k", "cast(id % 10 as long) as order_id",
+        "cast(id % 4 as long) as cust", "cast(id as double) as v",
+        "case when id % 9 = 0 then cast(null as double) "
+        "else cast(id * 2 as double) end as nv"), "20260101000000")
+
+    def plan(t):
+        per_order = (t["li"].filter("v >= 0")
+                     .groupBy("order_id", "cust")
+                     .agg(F.sum("nv").alias("order_total"),
+                          F.count(F.lit(1)).alias("n_items"),
+                          F.avg("v").alias("avg_v")))
+        return (per_order.groupBy("cust")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.sum("order_total").alias("cust_total"),
+                     F.min("avg_v").alias("min_avg")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "aa_mv"),
+                              {"li": li}, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "aggregate" and spec.get("staged") is True
+    mv.refresh(seed_as_of={"li": "20260101000000"},
+               to={"li": "20260101000000"})
+
+    def check():
+        assert _rows_ns(mv.serve()) == _rows_ns(plan({"li": li.snapshot()}))
+
+    check()
+    li.delete(spark.createDataFrame([(f"l{i}",) for i in (0, 10, 20)],
+                                    "k string"), "20260102000000")
+    li.upsert(spark.createDataFrame([("l5", 5, 1, 999.0, 7.0)],
+                                    "k string, order_id long, cust long, "
+                                    "v double, nv double"), "20260103000000")
+    # bounded stepwise: one source commit at a time through BOTH hops
+    mv.refresh(to={"li": "20260102000000"})
+    mv.refresh()
+    check()
+    assert mv.refresh()["advanced"] is False
+    # rollback past the anchor surfaces through the STAGE as the same
+    # explicit reseed contract, and reseed rebuilds both hops
+    from hudi_delete_view_spark.plans.ivm import ViewHistoryLostError
+    li.restore("20260102000000")
+    li.upsert(spark.createDataFrame([("l7", 7, 3, 70.0, 1.0)],
+                                    "k string, order_id long, cust long, "
+                                    "v double, nv double"), "20260105000000")
+    with pytest.raises(ViewHistoryLostError):
+        mv.refresh()
+    mv.reseed()
+    check()
+    # refusals: variance-family inner, inner over a join
+    bad1 = (li.snapshot().groupBy("order_id")
+            .agg(F.stddev("v").alias("sd"))
+            .groupBy().agg(F.sum("sd").alias("s")))
+    with pytest.raises(UnsupportedViewError, match="variance"):
+        classify_view(bad1, {"li": li.snapshot()})
+
+
+def test_aggregate_over_aggregate_sql(spark, scratch, tables):
+    """The SQL subquery form: GROUP BY over a GROUP BY subquery
+    classifies and maintains through the DDL dialect."""
+    from hudi_delete_view_spark.sql import (
+        create_materialized_view,
+        refresh_materialized_view,
+    )
+
+    fact, _ = tables
+    name, mv = create_materialized_view(
+        spark, os.path.join(scratch, "aa_sql"),
+        {"f_tbl": fact},
+        """CREATE MATERIALIZED VIEW per_g AS
+           SELECT n_rows, count(1) AS n_groups, sum(sv) AS total
+           FROM (
+             SELECT g, count(1) AS n_rows, sum(v) AS sv
+             FROM f_tbl GROUP BY g
+           ) GROUP BY n_rows""",
+    )
+    assert mv.spec().get("staged") is True
+    refresh_materialized_view(name, mv)
+    fact.delete(spark.createDataFrame([("k15",), ("k3",)], "k string"),
+                "20260107000000")
+    refresh_materialized_view(name, mv)
+    fact.snapshot().createOrReplaceTempView("f_tbl")
+    want = _rows_ns(spark.sql(
+        "SELECT n_rows, count(1) AS n_groups, sum(sv) AS total FROM ("
+        "SELECT g, count(1) AS n_rows, sum(v) AS sv FROM f_tbl GROUP BY g"
+        ") GROUP BY n_rows"))
+    assert _rows_ns(spark.sql("SELECT * FROM per_g")) == want
+
+
 def test_agg_tree_refusals(spark, tree_tables):
     """Tree refusals: FULL OUTER inside a tree (both sides null-extend
     — the preserved-side detection restriction holds for neither) and
