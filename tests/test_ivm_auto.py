@@ -194,8 +194,17 @@ def agg_join_stepwise_plan(t):
             .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")))
 
 
-@pytest.mark.parametrize("plan", [join_plan, agg_join_stepwise_plan],
-                         ids=["join", "agg_join"])
+def agg_union_stepwise_plan(t):
+    a = t["fact"].select("g", "v")
+    b = t["dim"].select(F.col("gk").alias("g"),
+                        F.col("gk").cast("double").alias("v"))
+    return (a.unionByName(b).groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")))
+
+
+@pytest.mark.parametrize(
+    "plan", [join_plan, agg_join_stepwise_plan, agg_union_stepwise_plan],
+    ids=["join", "agg_join", "agg_union"])
 def test_stepwise_bounded_refresh_converges(spark, scratch, tables, plan):
     """Replaying the MERGED fact+dim commit timeline through bounded
     refresh(to=...) — one advance per source commit, same-timestamp
