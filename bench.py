@@ -29,8 +29,9 @@ HEADLINE = [
     "lake_pruned_scan",        # column-stats file skipping
     "lake_cdc",                # net-effect change feed (boundary-snapshot diff)
     "lake_ivm_aggregate",      # incremental view maintenance from CDC delta
-    "lake_mv_auto_agg_join",   # auto-IVM: aggregate-over-join, dirty groups
+    "lake_mv_auto_agg_join",   # auto-IVM: aggregate-over-join, delta-join feed
     "lake_mv_auto_union",      # auto-IVM: UNION ALL feeds, per-branch keys
+    "lake_mv_auto_agg_tree",   # auto-IVM: Q5 rollup tree, telescoping deltas
     "lake_partition_evolution",  # repartition commit: snapshot + travel + delete view
     "mor_snapshot",            # B4 merge-on-read latest-per-key window
     "stream_mor_ingest",       # B13->B4 delta-commit streaming ingest (merged read)

@@ -550,6 +550,12 @@ def _classify_aggregate(plan, src_ids, refs, snapshots, quals=frozenset()) -> di
     if _cls(term[1]) == "Aggregate":
         inner = _classify_aggregate(term[1], src_ids, refs, snapshots, quals)
         return _compose_agg_stage(group, aggs, chain, inner, quals)
+    if _cls(term[1]) in ("Deduplicate", "Distinct"):
+        # aggregate over SELECT DISTINCT (count distinct combinations):
+        # the distinct is the degenerate inner aggregate, staged the
+        # same way
+        inner = _classify_distinct(term[1], snapshots, quals)
+        return _compose_agg_stage(group, aggs, chain, inner, quals)
     raise UnsupportedViewError(
         f"node {_cls(term[1])} between the aggregate and its source; "
         "only Project/Filter chains (optionally over one equi-join, a "

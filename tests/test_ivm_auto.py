@@ -2199,6 +2199,30 @@ def test_aggregate_over_aggregate_autostaged(spark, scratch):
         classify_view(bad1, {"li": li.snapshot()})
 
 
+def test_aggregate_over_distinct(spark, scratch, tables):
+    """Aggregate over SELECT DISTINCT (count distinct combinations per
+    group): the distinct stages as the degenerate inner aggregate — a
+    combination's LAST source row leaving retracts it from the outer
+    count through the stage's CDC feed."""
+    fact, _ = tables
+
+    def plan(t):
+        return (t["fact"].select("g", (F.col("v") % 3).alias("h"))
+                .distinct()
+                .groupBy("g").agg(F.count(F.lit(1)).alias("n_combos")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvad"),
+                              {"fact": fact}, plan)
+    assert mv.spec().get("staged") is True
+    mv.refresh()
+    fact.delete(spark.createDataFrame([("k4",), ("k8",)], "k string"),
+                "20260108000000")
+    mv.refresh()
+    assert _rows_ns(mv.serve()) == _rows_ns(
+        plan({"fact": fact.snapshot()}))
+    assert mv.refresh()["advanced"] is False
+
+
 def test_aggregate_over_aggregate_sql(spark, scratch, tables):
     """The SQL subquery form: GROUP BY over a GROUP BY subquery
     classifies and maintains through the DDL dialect."""
