@@ -279,10 +279,12 @@ def classify_view(df: DataFrame, snapshots: dict[str, DataFrame]) -> dict:
             spec["post"] = post
             return spec
         if _cls(node) == "Window":
-            return _classify_window(node, src_ids, refs, _out_ids(df), snapshots)
+            return _classify_window(node, src_ids, refs, _out_ids(df),
+                                    snapshots, quals)
 
     if _cls(plan) == "Window":
-        return _classify_window(plan, src_ids, refs, _out_ids(df), snapshots)
+        return _classify_window(plan, src_ids, refs, _out_ids(df), snapshots,
+                                quals)
 
     if _cls(plan) == "Union":
         return _classify_union(plan, src_ids, refs, snapshots, quals)
@@ -1022,6 +1024,123 @@ def _classify_agg_join(
     }
 
 
+def _build_join_tree(node, snapshots, quals, needed_ids, seen):
+    """Recursively classify a join subtree (shared by aggregate-over-
+    tree and window-over-tree classification): Project/Filter chains
+    over sources at the leaves, INNER / LEFT OUTER equi-joins above
+    (RIGHT normalizes by swap), collision drops driven by
+    ``needed_ids``, one-sided expression join keys synthesized as
+    replay-time hidden columns."""
+    nodes, term = _descend_chain(node, snapshots)
+    if term[0] == "source":
+        if term[1] in seen:
+            raise UnsupportedViewError(
+                f"source '{term[1]}' appears twice in one aggregate-"
+                "over-join tree — self-joins are not maintainable "
+                "(alias the table as two sources)"
+            )
+        seen.add(term[1])
+        return {
+            "src": term[1],
+            "chain": _chain_to_spec(nodes, quals),
+            "out_names": [a.name() for a in _seq(node.output())],
+            "srcs": [term[1]],
+        }
+    jn = term[1]
+    if _cls(jn) != "Join":
+        raise UnsupportedViewError(
+            f"node {_cls(jn)} inside an aggregate-over-join tree; "
+            "each branch must be Project/Filter chains over sources "
+            "and equi-joins"
+        )
+    jt = jn.joinType().sql()
+    swap = jt == "RIGHT OUTER"
+    if swap:
+        jt = "LEFT OUTER"  # normalize: A right-join B == B left-join A
+    if jt not in ("INNER", "LEFT OUTER"):
+        raise UnsupportedViewError(
+            f"{jt} join inside an aggregate-over-join tree: INNER and "
+            "LEFT OUTER compose; FULL OUTER needs the two-source "
+            "agg_join algebra"
+        )
+    cond = jn.condition()
+    if cond.isEmpty():
+        raise UnsupportedViewError(
+            "cross join inside an aggregate-over-join tree: no join "
+            "key to map changes to dirty groups"
+        )
+    eqs = []
+
+    def _walk_cond(c):
+        if _cls(c) == "And":
+            _walk_cond(c.left())
+            _walk_cond(c.right())
+        elif _cls(c) == "EqualTo":
+            eqs.append(c)
+        else:
+            raise UnsupportedViewError(
+                f"join condition {c.sql()} must be a conjunction of "
+                "plain-column equalities"
+            )
+
+    def _unwrap_cast(e):
+        while _cls(e) == "Cast":
+            e = e.child()
+        return e
+
+    _walk_cond(cond.get())
+    lnode, rnode = (_children(jn) + [None, None])[:2]
+    if swap:
+        lnode, rnode = rnode, lnode
+    left_ids = {a.exprId().id(): a.name() for a in _seq(lnode.output())}
+    right_ids = {a.exprId().id(): a.name() for a in _seq(rnode.output())}
+    pairs = []
+    synth = {"left": [], "right": []}
+    for e in eqs:
+        ea = _join_end(e.left(), left_ids, right_ids, synth, quals)
+        eb = _join_end(e.right(), left_ids, right_ids, synth, quals)
+        if ea is None or eb is None or ea[0] == eb[0]:
+            raise UnsupportedViewError(
+                f"join equality {e.sql()} must take one column (or a "
+                "one-sided expression) from each side of the join"
+            )
+        l_end, r_end = (ea, eb) if ea[0] == "left" else (eb, ea)
+        pairs.append((l_end[1], r_end[1]))
+    need_l = {left_ids[i] for i in needed_ids if i in left_ids}
+    need_r = {right_ids[i] for i in needed_ids if i in right_ids}
+    both = need_l & need_r
+    if both:
+        raise UnsupportedViewError(
+            f"aggregate-over-join tree references column name(s) "
+            f"{sorted(both)} from BOTH sides of one join — rename in "
+            "the per-side projections so the replayed join is "
+            "unambiguous"
+        )
+    collide = set(left_ids.values()) & set(right_ids.values())
+    lspec, rspec = (_build_join_tree(lnode, snapshots, quals, needed_ids, seen),
+                    _build_join_tree(rnode, snapshots, quals, needed_ids, seen))
+    for side_spec, items in (
+        (lspec, synth["left"]), (rspec, synth["right"])
+    ):
+        if items:
+            # applied at REPLAY time as select("*", expr) — a static
+            # all-columns projection would have to predict which
+            # collision drops survive inside the subtree
+            side_spec.setdefault("synth", []).extend(items)
+    return {
+        "jt": "inner" if jt == "INNER" else "left",
+        "pairs": pairs,
+        "left": lspec,
+        "right": rspec,
+        "drop_l": sorted(collide - need_l),
+        "drop_r": sorted(collide - need_r),
+        "right_srcs": rspec["srcs"],
+        "mid": _chain_to_spec(nodes, quals),
+        "srcs": lspec["srcs"] + rspec["srcs"],
+    }
+
+
+
 def _classify_agg_tree(
     group, aggs, mid_nodes, join_root, snapshots, agg_node, quals=frozenset()
 ) -> dict:
@@ -1068,118 +1187,7 @@ def _classify_agg_tree(
             _collect_conds(c)
 
     _collect_conds(join_root)
-    seen: set[str] = set()
-
-    def build(node):
-        nodes, term = _descend_chain(node, snapshots)
-        if term[0] == "source":
-            if term[1] in seen:
-                raise UnsupportedViewError(
-                    f"source '{term[1]}' appears twice in one aggregate-"
-                    "over-join tree — self-joins are not maintainable "
-                    "(alias the table as two sources)"
-                )
-            seen.add(term[1])
-            return {
-                "src": term[1],
-                "chain": _chain_to_spec(nodes, quals),
-                "out_names": [a.name() for a in _seq(node.output())],
-                "srcs": [term[1]],
-            }
-        jn = term[1]
-        if _cls(jn) != "Join":
-            raise UnsupportedViewError(
-                f"node {_cls(jn)} inside an aggregate-over-join tree; "
-                "each branch must be Project/Filter chains over sources "
-                "and equi-joins"
-            )
-        jt = jn.joinType().sql()
-        swap = jt == "RIGHT OUTER"
-        if swap:
-            jt = "LEFT OUTER"  # normalize: A right-join B == B left-join A
-        if jt not in ("INNER", "LEFT OUTER"):
-            raise UnsupportedViewError(
-                f"{jt} join inside an aggregate-over-join tree: INNER and "
-                "LEFT OUTER compose; FULL OUTER needs the two-source "
-                "agg_join algebra"
-            )
-        cond = jn.condition()
-        if cond.isEmpty():
-            raise UnsupportedViewError(
-                "cross join inside an aggregate-over-join tree: no join "
-                "key to map changes to dirty groups"
-            )
-        eqs = []
-
-        def _walk_cond(c):
-            if _cls(c) == "And":
-                _walk_cond(c.left())
-                _walk_cond(c.right())
-            elif _cls(c) == "EqualTo":
-                eqs.append(c)
-            else:
-                raise UnsupportedViewError(
-                    f"join condition {c.sql()} must be a conjunction of "
-                    "plain-column equalities"
-                )
-
-        def _unwrap_cast(e):
-            while _cls(e) == "Cast":
-                e = e.child()
-            return e
-
-        _walk_cond(cond.get())
-        lnode, rnode = (_children(jn) + [None, None])[:2]
-        if swap:
-            lnode, rnode = rnode, lnode
-        left_ids = {a.exprId().id(): a.name() for a in _seq(lnode.output())}
-        right_ids = {a.exprId().id(): a.name() for a in _seq(rnode.output())}
-        pairs = []
-        synth = {"left": [], "right": []}
-        for e in eqs:
-            ea = _join_end(e.left(), left_ids, right_ids, synth, quals)
-            eb = _join_end(e.right(), left_ids, right_ids, synth, quals)
-            if ea is None or eb is None or ea[0] == eb[0]:
-                raise UnsupportedViewError(
-                    f"join equality {e.sql()} must take one column (or a "
-                    "one-sided expression) from each side of the join"
-                )
-            l_end, r_end = (ea, eb) if ea[0] == "left" else (eb, ea)
-            pairs.append((l_end[1], r_end[1]))
-        need_l = {left_ids[i] for i in needed_ids if i in left_ids}
-        need_r = {right_ids[i] for i in needed_ids if i in right_ids}
-        both = need_l & need_r
-        if both:
-            raise UnsupportedViewError(
-                f"aggregate-over-join tree references column name(s) "
-                f"{sorted(both)} from BOTH sides of one join — rename in "
-                "the per-side projections so the replayed join is "
-                "unambiguous"
-            )
-        collide = set(left_ids.values()) & set(right_ids.values())
-        lspec, rspec = build(lnode), build(rnode)
-        for side_spec, items in (
-            (lspec, synth["left"]), (rspec, synth["right"])
-        ):
-            if items:
-                # applied at REPLAY time as select("*", expr) — a static
-                # all-columns projection would have to predict which
-                # collision drops survive inside the subtree
-                side_spec.setdefault("synth", []).extend(items)
-        return {
-            "jt": "inner" if jt == "INNER" else "left",
-            "pairs": pairs,
-            "left": lspec,
-            "right": rspec,
-            "drop_l": sorted(collide - need_l),
-            "drop_r": sorted(collide - need_r),
-            "right_srcs": rspec["srcs"],
-            "mid": _chain_to_spec(nodes, quals),
-            "srcs": lspec["srcs"] + rspec["srcs"],
-        }
-
-    tree = build(join_root)
-
+    tree = _build_join_tree(join_root, snapshots, quals, needed_ids, set())
     # leaf-input restriction for the rebuild: every group key a plain
     # column of exactly one leaf — the 100 TB lever that keeps the
     # recompute tree member-sized instead of table-sized
@@ -1270,7 +1278,8 @@ def _join_cond(spec: dict):
     return reduce(lambda a, b: a & b, terms)
 
 
-def _classify_window(win_node, src_ids, refs, out_ids, snapshots) -> dict:
+def _classify_window(win_node, src_ids, refs, out_ids, snapshots,
+                     quals=frozenset()) -> dict:
     """Window views (rank / top-k per group / running aggregates):
     maintained by WHOLE-PARTITION re-derivation — one changed row
     reshuffles every rank in its partition, so the advance re-runs the
@@ -1279,7 +1288,9 @@ def _classify_window(win_node, src_ids, refs, out_ids, snapshots) -> dict:
     Work ∝ rows of touched partitions, never the table; ANY window
     function is supported because the user's own plan recomputes."""
     if len(snapshots) != 1:
-        raise UnsupportedViewError("a window view must read exactly one source")
+        return _classify_window_tree(
+            win_node, src_ids, refs, out_ids, snapshots, quals
+        )
     (src_name,) = snapshots
     key = _find_view_key(out_ids, refs, src_ids, want_source=src_name)
     pspec = _seq(win_node.partitionSpec())
@@ -1320,6 +1331,121 @@ def _classify_window(win_node, src_ids, refs, out_ids, snapshots) -> dict:
             )
         parts.append((out_name, hit[1]))
     return {"kind": "window", "source": src_name, "key": key, "parts": parts}
+
+
+def _classify_window_tree(
+    win_node, src_ids, refs, out_ids, snapshots, quals=frozenset()
+) -> dict:
+    """Window views over a JOIN TREE (top-k per region after a dim
+    join): the composition of two existing algebras — touched
+    partitions come from IMAGE-REPLAY detection through the classified
+    join tree (each changed source's CDC images re-run the tree at both
+    boundaries, naming the partitions they leave and enter), and the
+    re-derivation re-runs the user's OWN plan with the partition-
+    carrying source's snapshot restricted to the touched partition
+    tuples (the other sources prune through the join; the output is
+    post-trimmed to exactly the touched partitions, so a LEFT-extended
+    partition source — where input restriction is unsound — falls back
+    to a full-input pass that is still output-exact).  Row identity is
+    the fact's record key, like every join view."""
+    key = _find_view_key(out_ids, refs, src_ids)
+    pspec = _seq(win_node.partitionSpec())
+    if not pspec:
+        raise UnsupportedViewError(
+            "window without PARTITION BY: every change would re-derive "
+            "the whole table — give the window a partition"
+        )
+    parts, psrcs = [], set()
+    for e in pspec:
+        if _cls(e) != "AttributeReference":
+            raise UnsupportedViewError(
+                f"window partition expression {e.sql()} must be a plain "
+                "column (pre-compute derived partitions in a select below)"
+            )
+        hit = _resolve_to_source(e.exprId().id(), refs, src_ids)
+        if hit is None:
+            raise UnsupportedViewError(
+                f"window partition column {e.sql()} does not resolve to "
+                "a source column"
+            )
+        tid = e.exprId().id()
+        out_name = next(
+            (name for eid, name in out_ids.items() if eid == tid), None
+        ) or next(
+            (name for eid, name in out_ids.items() if refs.get(eid) == [tid]),
+            None,
+        )
+        if out_name is None:
+            raise UnsupportedViewError(
+                f"window partition column {e.sql()} must be projected into "
+                "the view output — it maps stored rows to their partitions"
+            )
+        psrcs.add(hit[0])
+        # (output name, window-input name, source column name): detection
+        # reads the tree replay (window-input names), the input
+        # restriction reads the source snapshot (source names)
+        parts.append((out_name, e.name(), hit[1]))
+    if len(psrcs) != 1:
+        raise UnsupportedViewError(
+            f"window partition columns span sources {sorted(psrcs)} — "
+            "partition by one source's columns (per-source value "
+            "restriction cannot name exact partition tuples)"
+        )
+    (part_src,) = psrcs
+    # needed names for collision drops: everything the view output or
+    # the window expressions transitively reference, plus join conds
+    def _closure(ids):
+        seen, stack = set(), list(ids)
+        while stack:
+            i = stack.pop()
+            if i in seen:
+                continue
+            seen.add(i)
+            stack.extend(refs.get(i, []))
+        return seen
+
+    needed_ids = _closure(out_ids.keys()) | _closure(
+        a.exprId().id() for a in _seq(win_node.references().toSeq())
+    )
+
+    def _collect_conds(n):
+        if _cls(n) == "Join" and not n.condition().isEmpty():
+            needed_ids.update(
+                a.exprId().id()
+                for a in _seq(n.condition().get().references().toSeq())
+            )
+        for c in _children(n):
+            _collect_conds(c)
+
+    child = _children(win_node)[0]
+    nodes, term = _descend_chain(child, snapshots)
+    if term[0] != "node" or _cls(term[1]) != "Join":
+        raise UnsupportedViewError(
+            "a multi-source window view must sit over a join tree"
+        )
+    for n in nodes:
+        needed_ids |= {a.exprId().id() for a in _seq(n.references().toSeq())}
+    _collect_conds(term[1])
+    tree = _build_join_tree(term[1], snapshots, quals, needed_ids, set())
+
+    def _null_extended(n):
+        if "src" in n:
+            return set()
+        out = _null_extended(n["left"]) | _null_extended(n["right"])
+        if n["jt"] == "left":
+            out |= set(n["right_srcs"])
+        return out
+
+    return {
+        "kind": "window_tree",
+        "key": key,
+        "parts": parts,
+        "part_src": part_src,
+        "restrict_ok": part_src not in _null_extended(tree),
+        "tree": tree,
+        "sources": tree["srcs"],
+        "mid": _chain_to_spec(nodes, quals),
+    }
 
 
 def _classify_one_join(join_node, fact, anchored, src_ids, refs, out_ids):
@@ -2014,6 +2140,8 @@ class AutoMaterializedView:
             self._advance_agg_tree(spec, anchor, latest)
         elif spec["kind"] == "window":
             self._advance_window(spec, anchor, latest)
+        elif spec["kind"] == "window_tree":
+            self._advance_window_tree(spec, anchor, latest)
         elif spec["kind"] == "union":
             self._advance_union(spec, anchor, latest)
         else:
@@ -2790,6 +2918,86 @@ class AutoMaterializedView:
         df = self._replay_tree(spec["tree"], snaps, restrict=restrict)
         return _replay_spec(spec["mid"], df).withColumn("__mv_sign", F.lit(1))
 
+    def _tree_touched(
+        self, spec, anchor, latest, sel_exprs
+    ) -> DataFrame | None:
+        """IMAGE-REPLAY touched-set detection over a classified join
+        tree: for each changed source S and each boundary, the tree
+        re-runs with S's leaf replaced by S's CDC images (before-images
+        at the anchor, after-images at the target; other leaves at that
+        boundary's snapshots) and ``sel_exprs`` name what the caller is
+        tracking (group keys for aggregates, partition columns for
+        windows).  S under a LEFT join's null-extended side uses the
+        pooled-key preserved-side pass instead (a pure delete has empty
+        after-images — the null-extension flip set exists only at the
+        target state, invisible to inner-flipping).  Returns the
+        distinct checkpointed frame, or None when nothing changed."""
+        from functools import reduce
+
+        changed = [s for s in spec["sources"] if anchor[s] != latest[s]]
+        if not changed:
+            return None
+
+        def _outer_left_with(node, s):
+            # outermost LEFT join whose null-extended side contains s
+            if "src" in node:
+                return None
+            if node["jt"] == "left" and s in node["right_srcs"]:
+                return node
+            return _outer_left_with(node["left"], s) or _outer_left_with(
+                node["right"], s
+            )
+
+        parts = []
+        for s in changed:
+            cdc = self.sources[s].cdc(
+                anchor[s], latest[s], include_update_preimages=True
+            )
+            before = cdc.filter(F.col("op").isin("delete", "update_preimage"))
+            after = cdc.filter(F.col("op").isin("insert", "update"))
+            jnode = _outer_left_with(spec["tree"], s)
+            if jnode is None:
+                for imgs, at in ((before, anchor), (after, latest)):
+                    snaps = {
+                        n: t.snapshot(at[n]) for n, t in self.sources.items()
+                    }
+                    df = self._replay_tree(
+                        spec["tree"], snaps, override={s: imgs}, flip_for=s
+                    )
+                    parts.append(
+                        _replay_spec(spec["mid"], df).select(*sel_exprs)
+                    )
+                continue
+            # pooled-key preserved-side pass (see docstring)
+            jk_parts = []
+            rcs = [rc for _lc, rc in jnode["pairs"]]
+            for imgs, at in ((before, anchor), (after, latest)):
+                snaps = {
+                    n: t.snapshot(at[n]) for n, t in self.sources.items()
+                }
+                arm = self._replay_tree(
+                    jnode["right"], snaps, override={s: imgs}, flip_for=s
+                )
+                jk_parts.append(_jk_frame(arm, rcs))
+            jks = (
+                jk_parts[0].unionByName(jk_parts[1])
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            for at in (anchor, latest):
+                snaps = {
+                    n: t.snapshot(at[n]) for n, t in self.sources.items()
+                }
+                df = self._replay_tree(
+                    spec["tree"], snaps, restrict_join=(jnode, jks)
+                )
+                parts.append(_replay_spec(spec["mid"], df).select(*sel_exprs))
+        return (
+            reduce(lambda a, b: a.unionByName(b), parts)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
     def _advance_agg_tree(self, spec, anchor, latest) -> None:
         if spec.get("all_inner"):
             feed = self._agg_tree_delta_feed(spec, anchor, latest)
@@ -2834,79 +3042,8 @@ class AutoMaterializedView:
         key_exprs = [
             F.expr(sql).alias(t) for t, (_n, sql) in zip(gk, spec["group"])
         ]
-        changed = [s for s in spec["sources"] if anchor[s] != latest[s]]
-        if not changed:
-            return
-
-        def _outer_left_with(node, s):
-            # outermost LEFT join whose null-extended side contains s
-            if "src" in node:
-                return None
-            if node["jt"] == "left" and s in node["right_srcs"]:
-                return node
-            return _outer_left_with(node["left"], s) or _outer_left_with(
-                node["right"], s
-            )
-
-        parts = []
-        for s in changed:
-            cdc = self.sources[s].cdc(
-                anchor[s], latest[s], include_update_preimages=True
-            )
-            before = cdc.filter(F.col("op").isin("delete", "update_preimage"))
-            after = cdc.filter(F.col("op").isin("insert", "update"))
-            jnode = _outer_left_with(spec["tree"], s)
-            if jnode is None:
-                for imgs, at in ((before, anchor), (after, latest)):
-                    snaps = {
-                        n: t.snapshot(at[n]) for n, t in self.sources.items()
-                    }
-                    df = self._replay_tree(
-                        spec["tree"], snaps, override={s: imgs}, flip_for=s
-                    )
-                    parts.append(
-                        _replay_spec(spec["mid"], df).select(*key_exprs)
-                    )
-                continue
-            # s is null-extended under jnode: an INNER-flipped pass
-            # cannot see preserved rows moving INTO the null-extension
-            # group (a pure delete has EMPTY after-images — the flip
-            # set only exists at the target state).  Instead: pool the
-            # touched join keys at jnode across BOTH boundaries (the
-            # arm replayed with the image override, inner-flipped
-            # within), then replay the FULL tree — real join types —
-            # at BOTH states with jnode's preserved side restricted to
-            # those keys: anchor names the old groups, target the new
-            # ones including the null-extension flips
-            jk_parts = []
-            rcs = [rc for _lc, rc in jnode["pairs"]]
-            for imgs, at in ((before, anchor), (after, latest)):
-                snaps = {
-                    n: t.snapshot(at[n]) for n, t in self.sources.items()
-                }
-                arm = self._replay_tree(
-                    jnode["right"], snaps, override={s: imgs}, flip_for=s
-                )
-                jk_parts.append(_jk_frame(arm, rcs))
-            jks = (
-                jk_parts[0].unionByName(jk_parts[1])
-                .distinct()
-                .localCheckpoint(eager=True)
-            )
-            for at in (anchor, latest):
-                snaps = {
-                    n: t.snapshot(at[n]) for n, t in self.sources.items()
-                }
-                df = self._replay_tree(
-                    spec["tree"], snaps, restrict_join=(jnode, jks)
-                )
-                parts.append(_replay_spec(spec["mid"], df).select(*key_exprs))
-        dirty = (
-            reduce(lambda a, b: a.unionByName(b), parts)
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        if dirty.count() == 0:
+        dirty = self._tree_touched(spec, anchor, latest, key_exprs)
+        if dirty is None or dirty.count() == 0:
             return
         snaps = {n: t.snapshot(latest[n]) for n, t in self.sources.items()}
         restrict = None
@@ -3061,6 +3198,71 @@ class AutoMaterializedView:
             view_snap.select(key, *out_parts)
             .alias("v")
             .join(F.broadcast(touched.alias("t")), part_cond("v", "t"), "left_semi")
+            .select(key)
+            .join(rederived.select(key), key, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        base = self._commit_base(latest)
+        if dead.count() > 0:
+            self.table.delete(dead, f"{base + 1:014d}")
+        if rederived.count() > 0:
+            self.table.upsert(rederived, f"{base + 2:014d}")
+
+    def _advance_window_tree(self, spec, anchor, latest) -> None:
+        """Re-rank exactly the touched partitions of a window-over-join
+        view: image-replay detection through the tree names the
+        partitions changed rows leave and enter (before-images at the
+        anchor cover deletes and moves-out; after-images at the target
+        cover inserts, moves-in, and null-extension flips), the user's
+        OWN plan re-runs with the partition source's snapshot
+        restricted to the touched tuples, and the output post-trims to
+        exactly those partitions — so the fallback for a null-extended
+        partition source (full-input pass) stays output-exact."""
+        from functools import reduce
+
+        key = spec["key"]["name"]
+        out_parts = [o for o, _w, _s in spec["parts"]]
+        sel = [F.col(w).alias(o) for o, w, _s in spec["parts"]]
+        touched = self._tree_touched(spec, anchor, latest, sel)
+        if touched is None or touched.count() == 0:
+            return
+        snaps = {n: t.snapshot(latest[n]) for n, t in self.sources.items()}
+        if spec["restrict_ok"]:
+            scond = reduce(
+                lambda x, y: x & y,
+                [
+                    F.col(f"__s.{sc}").eqNullSafe(F.col(f"__t.{o}"))
+                    for o, _w, sc in spec["parts"]
+                ],
+            )
+            snaps[spec["part_src"]] = (
+                snaps[spec["part_src"]]
+                .alias("__s")
+                .join(F.broadcast(touched.alias("__t")), scond, "left_semi")
+            )
+        rederived = self.plan_fn(snaps)
+
+        def part_cond(a, b):
+            return reduce(
+                lambda x, y: x & y,
+                [
+                    F.col(f"{a}.{p}").eqNullSafe(F.col(f"{b}.{p}"))
+                    for p in out_parts
+                ],
+            )
+
+        rederived = (
+            rederived.alias("r")
+            .join(F.broadcast(touched.alias("t")), part_cond("r", "t"),
+                  "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        view_snap = self.table.snapshot()
+        dead = (
+            view_snap.select(key, *out_parts)
+            .alias("v")
+            .join(F.broadcast(touched.alias("t")), part_cond("v", "t"),
+                  "left_semi")
             .select(key)
             .join(rederived.select(key), key, "left_anti")
             .localCheckpoint(eager=True)

@@ -2227,6 +2227,66 @@ def lake_mv_auto_agg_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_mv_auto_window_tree",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT {_KEY_SQL} AS vk, l_orderkey, {_QTY_SQL} AS l_quantity
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey, o_custkey
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+),
+c2 AS (
+  SELECT c_custkey, c_mktsegment
+  FROM customer WHERE NOT (c_custkey % 19 = 0)
+),
+r AS (
+  SELECT vk, l_quantity, c_mktsegment,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY l_quantity DESC, vk) AS rn
+  FROM l2
+  JOIN o2 ON l_orderkey = o_orderkey
+  JOIN c2 ON o_custkey = c_custkey
+)
+SELECT vk, l_quantity, c_mktsegment, rn FROM r WHERE rn <= 10
+""",
+)
+def lake_mv_auto_window_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window view over a JOIN TREE: top-10 lineitems per market
+    segment across lineitem ⋈ orders ⋈ customer — touched partitions
+    detected by image-replay through the tree (a customer delete
+    re-ranks its segment; an order moving customers re-ranks both
+    segments), re-derived by the user's own plan with the customer
+    snapshot restricted to the touched segments.  Oracle recomputes
+    the ROW_NUMBER over the 3-way join from scratch."""
+    from pyspark.sql import Window as W
+
+    from ..sources.fixtures import build_customer_cow, build_orders_mor
+
+    def plan(t):
+        f = t["li"].select(
+            F.col(RECORD_KEY_FIELD).alias("vk"), "l_orderkey", "l_quantity")
+        j = (f.join(t["ord"].select("o_orderkey", "o_custkey"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(t["cu"].select("c_custkey", "c_mktsegment"),
+                   F.col("o_custkey") == F.col("c_custkey")))
+        w = W.partitionBy("c_mktsegment").orderBy(
+            F.desc("l_quantity"), F.asc("vk"))
+        return (j.withColumn("rn", F.row_number().over(w))
+                .filter("rn <= 10")
+                .select("vk", "l_quantity", "c_mktsegment", "rn"))
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_window_tree",
+                  {"li": build_lineitem_cow(spark, sf_dir),
+                   "ord": build_orders_mor(spark, sf_dir),
+                   "cu": build_customer_cow(spark, sf_dir)}, plan)
+    return mv.serve()
+
+
+@query(
     "lake_mv_auto_agg_stage",
     late=True,  # IVM family windowed via lake_ivm_aggregate
     oracle=f"""

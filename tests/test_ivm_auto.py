@@ -2255,6 +2255,81 @@ def test_aggregate_over_aggregate_sql(spark, scratch, tables):
     assert _rows_ns(spark.sql("SELECT * FROM per_g")) == want
 
 
+def test_window_over_join_tree(spark, scratch, tree_tables):
+    """Window views over a JOIN (top-k per region after a dim chain):
+    touched partitions come from image-replay detection through the
+    tree — a dim update that MOVES a join key re-ranks both the left
+    and the entered partition — and re-derivation re-runs the user's
+    plan with the partition source's snapshot restricted to the
+    touched tuples.  The LEFT-join variant partitions by a
+    NULL-EXTENDED source: input restriction is disabled (restrict_ok
+    False) and the output post-trim keeps the full-input fallback
+    exact, including flips into and out of the NULL partition."""
+    from pyspark.sql import Window as W
+
+    srcs = tree_tables
+    li, o, c = srcs["li"], srcs["o"], srcs["c"]
+
+    def plan(t):
+        f = t["li"].selectExpr("_hoodie_record_key as vk", "ok", "qty")
+        j = (f.join(t["o"].select("okey", "ck"), F.col("ok") == F.col("okey"))
+             .join(t["c"].select("ckey", "region"),
+                   F.col("ck") == F.col("ckey")))
+        w = W.partitionBy("region").orderBy(F.desc("qty"), F.asc("vk"))
+        return (j.withColumn("rn", F.row_number().over(w)).filter("rn <= 3")
+                .select("vk", "ok", "qty", "region", "rn"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvwt"),
+                              srcs, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "window_tree"
+    assert spec["part_src"] == "c" and spec["restrict_ok"] is True
+    mv.refresh()
+
+    def check():
+        assert _rows_ns(mv.serve()) == _rows_ns(
+            plan({n: t.snapshot() for n, t in srcs.items()}))
+
+    check()
+    li.delete(spark.createDataFrame([("l19",), ("l18",)], "k string"),
+              "20260102000000")
+    mv.refresh(); check()
+    # mid dim moves an order between customers -> between regions
+    o.upsert(spark.createDataFrame([(0, 2)], "okey long, ck long"),
+             "20260103000000")
+    mv.refresh(); check()
+    c.delete(spark.createDataFrame([(1,)], "ckey long"), "20260104000000")
+    li.upsert(spark.createDataFrame([("z1", 2, 999.0)],
+                                    "k string, ok long, qty double"),
+              "20260105000000")
+    mv.refresh(); check()
+    assert mv.refresh()["advanced"] is False
+
+    # LEFT variant: partition by the null-extended dim's column
+    def lplan(t):
+        f = t["li"].selectExpr("_hoodie_record_key as vk", "ok", "qty")
+        j = (f.join(t["o"].select("okey", "ck"), F.col("ok") == F.col("okey"))
+             .join(t["c"].select("ckey", "region"),
+                   F.col("ck") == F.col("ckey"), "left"))
+        w = W.partitionBy("region").orderBy(F.desc("qty"), F.asc("vk"))
+        return (j.withColumn("rn", F.row_number().over(w)).filter("rn <= 3")
+                .select("vk", "qty", "region", "rn"))
+
+    lmv = AutoMaterializedView(spark, os.path.join(scratch, "mvwtl"),
+                               srcs, lplan)
+    assert lmv.spec()["restrict_ok"] is False
+    lmv.refresh()
+    c.delete(spark.createDataFrame([(0,)], "ckey long"), "20260106000000")
+    lmv.refresh()
+    assert _rows_ns(lmv.serve()) == _rows_ns(
+        lplan({n: t.snapshot() for n, t in srcs.items()}))
+    c.upsert(spark.createDataFrame([(0, "BACK")], "ckey long, region string"),
+             "20260107000000")
+    lmv.refresh()
+    assert _rows_ns(lmv.serve()) == _rows_ns(
+        lplan({n: t.snapshot() for n, t in srcs.items()}))
+
+
 def test_agg_tree_refusals(spark, tree_tables):
     """Tree refusals: FULL OUTER inside a tree (both sides null-extend
     — the preserved-side detection restriction holds for neither) and
