@@ -582,12 +582,12 @@ def _compose_agg_stage(group, aggs, mid_nodes, inner, quals) -> dict:
     child's SERVE projection (NULL-sum / avg-ratio semantics spelled as
     SQL over the stored hidden counters), so the outer sees the same
     rows the user's inner aggregate would produce."""
-    if inner["kind"] != "aggregate":
+    if inner["kind"] not in ("aggregate", "agg_stage"):
         raise UnsupportedViewError(
             "aggregate over an aggregate-over-"
             f"{inner['kind'].replace('agg_', '')} — auto-staging supports "
-            "a single-source inner aggregate; stage deeper inners as "
-            "view-over-view"
+            "single-source inner aggregates (stacked to any depth); stage "
+            "join/union inners as view-over-view"
         )
     items = [(n, f"`{n}`") for n, _sql in inner["group"]]
     for alias, fn, _arg in inner["aggs"]:
@@ -1646,14 +1646,25 @@ class AutoMaterializedView:
         (old group rows retracted, new ones asserted) is the outer's
         signed delta."""
         inner = spec["inner"]
+        deepest = inner
+        while deepest["kind"] == "agg_stage":
+            deepest = deepest["inner"]
+        src_name = deepest["source"]
         stage = AutoMaterializedView(
             self.spark,
             self.path.rstrip("/") + ".stage0",
-            {inner["source"]: self.sources[inner["source"]]},
+            {src_name: self.sources[src_name]},
             plan_fn=None,  # kind "aggregate" never replays the plan_fn
             num_file_groups=self.num_file_groups,
         )
-        stage._spec = inner
+        # stacked rollups recurse: the child stages its own inner, so a
+        # 3-level GROUP BY chains .stage0.stage0 tables, each advancing
+        # off the one below's CDC
+        stage._spec = (
+            stage._setup_stage(inner)
+            if inner["kind"] == "agg_stage"
+            else inner
+        )
         self._stage = stage
         self.sources = {"__stage0": stage.table}
         return {

@@ -2223,6 +2223,48 @@ def test_aggregate_over_distinct(spark, scratch, tables):
     assert mv.refresh()["advanced"] is False
 
 
+def test_three_level_rollup_stages_recursively(spark, scratch):
+    """Stacked rollups recurse: order totals → per-customer totals →
+    per-segment totals chains .stage0.stage0 tables, each advancing
+    off the one below's CDC feed, all driven by one refresh."""
+    li = CowTable(spark, os.path.join(scratch, "r3_li"), key_fields=["k"],
+                  partition_field=None, num_file_groups=2)
+    li.bulk_insert(spark.range(40).selectExpr(
+        "concat('l', id) as k", "cast(id % 12 as long) as oid",
+        "cast(id % 6 as long) as cust", "cast(id % 3 as long) as seg",
+        "cast(id as double) as v"), "20260101000000")
+
+    def plan(t):
+        per_order = (t["li"].groupBy("oid", "cust", "seg")
+                     .agg(F.sum("v").alias("ot")))
+        per_cust = (per_order.groupBy("cust", "seg")
+                    .agg(F.sum("ot").alias("ct"),
+                         F.count(F.lit(1)).alias("no")))
+        return (per_cust.groupBy("seg")
+                .agg(F.sum("ct").alias("st"),
+                     F.count(F.lit(1)).alias("nc"),
+                     F.min("no").alias("mn")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "r3_mv"),
+                              {"li": li}, plan)
+    assert mv.spec().get("staged") is True
+    mv.refresh()
+
+    def check():
+        assert _rows_ns(mv.serve()) == _rows_ns(plan({"li": li.snapshot()}))
+
+    check()
+    li.delete(spark.createDataFrame([("l1",), ("l13",), ("l25",), ("l37",)],
+                                    "k string"), "20260102000000")
+    mv.refresh(); check()
+    li.upsert(spark.createDataFrame(
+        [("l2", 2, 2, 2, 500.0)],
+        "k string, oid long, cust long, seg long, v double"),
+        "20260103000000")
+    mv.refresh(); check()
+    assert mv.refresh()["advanced"] is False
+
+
 def test_aggregate_over_aggregate_sql(spark, scratch, tables):
     """The SQL subquery form: GROUP BY over a GROUP BY subquery
     classifies and maintains through the DDL dialect."""
