@@ -582,12 +582,11 @@ def _compose_agg_stage(group, aggs, mid_nodes, inner, quals) -> dict:
     child's SERVE projection (NULL-sum / avg-ratio semantics spelled as
     SQL over the stored hidden counters), so the outer sees the same
     rows the user's inner aggregate would produce."""
-    if inner["kind"] not in ("aggregate", "agg_stage"):
+    if inner["kind"] not in (
+        "aggregate", "agg_stage", "agg_join", "agg_union", "agg_tree"
+    ):
         raise UnsupportedViewError(
-            "aggregate over an aggregate-over-"
-            f"{inner['kind'].replace('agg_', '')} — auto-staging supports "
-            "single-source inner aggregates (stacked to any depth); stage "
-            "join/union inners as view-over-view"
+            f"aggregate over a {inner['kind']} view is not auto-stageable"
         )
     items = [(n, f"`{n}`") for n, _sql in inner["group"]]
     for alias, fn, _arg in inner["aggs"]:
@@ -1649,12 +1648,20 @@ class AutoMaterializedView:
         deepest = inner
         while deepest["kind"] == "agg_stage":
             deepest = deepest["inner"]
-        src_name = deepest["source"]
+        if deepest["kind"] == "aggregate":
+            src_names = [deepest["source"]]
+        elif deepest["kind"] == "agg_join":
+            src_names = [deepest["left"]["source"],
+                         deepest["right"]["source"]]
+        elif deepest["kind"] == "agg_union":
+            src_names = sorted({b["source"] for b in deepest["branches"]})
+        else:  # agg_tree
+            src_names = list(deepest["sources"])
         stage = AutoMaterializedView(
             self.spark,
             self.path.rstrip("/") + ".stage0",
-            {src_name: self.sources[src_name]},
-            plan_fn=None,  # kind "aggregate" never replays the plan_fn
+            {n: self.sources[n] for n in src_names},
+            plan_fn=None,  # every aggregate kind replays from its spec
             num_file_groups=self.num_file_groups,
         )
         # stacked rollups recurse: the child stages its own inner, so a

@@ -2223,6 +2223,43 @@ def test_aggregate_over_distinct(spark, scratch, tables):
     assert mv.refresh()["advanced"] is False
 
 
+def test_aggregate_over_agg_join_autostaged(spark, scratch, tree_tables):
+    """Aggregate over an aggregate-over-JOIN (revenue per customer
+    across lineitem ⋈ orders → distribution by revenue bucket): every
+    aggregate kind replays from its spec, so the hidden child can BE an
+    agg_join view — its delta-join advance feeds the outer through the
+    same CDC contract.  The same holds for union and tree inners."""
+    srcs = {"li": tree_tables["li"], "o": tree_tables["o"]}
+    li, o = srcs["li"], srcs["o"]
+
+    def plan(t):
+        per_cust = (t["li"].select("ok", "qty")
+                    .join(t["o"].select("okey", "ck"),
+                          F.col("ok") == F.col("okey"))
+                    .groupBy("ck")
+                    .agg(F.sum("qty").alias("rev"),
+                         F.count(F.lit(1)).alias("n")))
+        return (per_cust.groupBy((F.col("rev") % 7).alias("b"))
+                .agg(F.count(F.lit(1)).alias("nc"), F.sum("n").alias("tn")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "aaj_mv"),
+                              srcs, plan)
+    assert mv.spec().get("staged") is True
+    mv.refresh()
+
+    def check():
+        assert _rows_ns(mv.serve()) == _rows_ns(
+            plan({n: t.snapshot() for n, t in srcs.items()}))
+
+    check()
+    li.delete(spark.createDataFrame([("l1",), ("l7",)], "k string"),
+              "20260102000000")
+    o.upsert(spark.createDataFrame([(0, 2)], "okey long, ck long"),
+             "20260103000000")
+    mv.refresh(); check()
+    assert mv.refresh()["advanced"] is False
+
+
 def test_three_level_rollup_stages_recursively(spark, scratch):
     """Stacked rollups recurse: order totals → per-customer totals →
     per-segment totals chains .stage0.stage0 tables, each advancing
