@@ -2409,6 +2409,99 @@ def test_window_over_join_tree(spark, scratch, tree_tables):
         lplan({n: t.snapshot() for n, t in srcs.items()}))
 
 
+def test_new_kinds_compose_with_mor_and_sql(spark, scratch):
+    """Cross-feature pins for the late wave: (1) window_tree over a MOR
+    dim — log-resident dim moves and tombstones re-rank through the
+    inherited cdc; (2) agg_stage over a MOR source; (3) window_tree
+    declared through the SQL dialect (SubqueryAlias wrappers and
+    qualifier stripping through the tree builder)."""
+    from pyspark.sql import Window as W
+    from hudi_delete_view_spark.sources.mor import MorTable
+    from hudi_delete_view_spark.sql import (
+        create_materialized_view,
+        refresh_materialized_view,
+    )
+
+    li = CowTable(spark, os.path.join(scratch, "x_li"), key_fields=["k"],
+                  partition_field=None, num_file_groups=2)
+    li.bulk_insert(spark.range(24).selectExpr(
+        "concat('l', id) as k", "cast(id % 6 as long) as g",
+        "cast(id as double) as v"), "20260101000000")
+    d = MorTable(spark, os.path.join(scratch, "x_d"), key_fields=["gk"],
+                 partition_field=None, num_file_groups=1)
+    d.bulk_insert(spark.createDataFrame(
+        [(0, "EU"), (1, "US"), (2, "EU"), (3, "US"), (4, "APAC"),
+         (5, "APAC")], "gk long, region string"), "20260101000000")
+
+    def plan(t):
+        f = t["li"].selectExpr("_hoodie_record_key as vk", "g", "v")
+        j = f.join(t["d"].select("gk", "region"), F.col("g") == F.col("gk"))
+        w = W.partitionBy("region").orderBy(F.desc("v"), F.asc("vk"))
+        return (j.withColumn("rn", F.row_number().over(w)).filter("rn <= 3")
+                .select("vk", "g", "v", "region", "rn"))
+
+    srcs = {"li": li, "d": d}
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "x_mvw"),
+                              srcs, plan)
+    mv.refresh()
+    d.upsert_delta(spark.createDataFrame([(0, "APAC")],
+                                         "gk long, region string"),
+                   "20260102000000")
+    d.delete_delta(spark.createDataFrame([(4,)], "gk long"), "20260103000000")
+    mv.refresh()
+    assert _rows_ns(mv.serve()) == _rows_ns(
+        plan({n: t.snapshot() for n, t in srcs.items()}))
+
+    m = MorTable(spark, os.path.join(scratch, "x_m"), key_fields=["k"],
+                 partition_field=None, num_file_groups=2)
+    m.bulk_insert(spark.range(20).selectExpr(
+        "concat('m', id) as k", "cast(id % 5 as long) as oid",
+        "cast(id % 2 as long) as c", "cast(id as double) as v"),
+        "20260101000000")
+
+    def plan2(t):
+        po = t["m"].groupBy("oid", "c").agg(F.sum("v").alias("ot"))
+        return po.groupBy("c").agg(F.sum("ot").alias("ct"),
+                                   F.count(F.lit(1)).alias("n"))
+
+    mv2 = AutoMaterializedView(spark, os.path.join(scratch, "x_mv2"),
+                               {"m": m}, plan2)
+    mv2.refresh()
+    m.upsert_delta(spark.createDataFrame(
+        [("m1", 1, 1, 99.0)], "k string, oid long, c long, v double"),
+        "20260102000000")
+    m.delete_delta(spark.createDataFrame([("m2",)], "k string"),
+                   "20260103000000")
+    mv2.refresh()
+    assert _rows_ns(mv2.serve()) == _rows_ns(plan2({"m": m.snapshot()}))
+
+    name, wmv = create_materialized_view(
+        spark, os.path.join(scratch, "x_mvsql"),
+        {"f_tbl": li, "d_tbl": d},
+        """CREATE MATERIALIZED VIEW topk2 AS
+           SELECT * FROM (
+             SELECT _hoodie_record_key AS vk, v, region,
+                    row_number() OVER (PARTITION BY region
+                                       ORDER BY v DESC, _hoodie_record_key) AS rn
+             FROM (SELECT f_tbl._hoodie_record_key, v, g FROM f_tbl) f
+             JOIN (SELECT gk, region FROM d_tbl) dd ON g = gk
+           ) WHERE rn <= 2""",
+    )
+    assert wmv.spec()["kind"] == "window_tree"
+    refresh_materialized_view(name, wmv)
+    li.delete(spark.createDataFrame([("l23",)], "k string"), "20260104000000")
+    refresh_materialized_view(name, wmv)
+    li.snapshot().createOrReplaceTempView("f_tbl")
+    d.snapshot().createOrReplaceTempView("d_tbl")
+    want = _rows_ns(spark.sql(
+        "SELECT * FROM (SELECT _hoodie_record_key AS vk, v, region, "
+        "row_number() OVER (PARTITION BY region ORDER BY v DESC, "
+        "_hoodie_record_key) AS rn "
+        "FROM (SELECT f_tbl._hoodie_record_key, v, g FROM f_tbl) f "
+        "JOIN (SELECT gk, region FROM d_tbl) dd ON g = gk) WHERE rn <= 2"))
+    assert _rows_ns(spark.sql("SELECT * FROM topk2")) == want
+
+
 def test_agg_tree_refusals(spark, tree_tables):
     """Tree refusals: FULL OUTER inside a tree (both sides null-extend
     — the preserved-side detection restriction holds for neither) and
