@@ -238,7 +238,7 @@ def classify_view(df: DataFrame, snapshots: dict[str, DataFrame]) -> dict:
     if _cls(plan) == "Aggregate":
         return _classify_aggregate(plan, src_ids, refs, snapshots, quals)
     if _cls(plan) in ("Deduplicate", "Distinct"):
-        return _classify_distinct(plan, snapshots, quals)
+        return _classify_distinct(plan, snapshots, quals, src_ids, refs)
 
     # peel a linear Project/Filter chain ABOVE an aggregate (HAVING and
     # derived output columns like ratio-of-sums): the maintained state is
@@ -275,7 +275,7 @@ def classify_view(df: DataFrame, snapshots: dict[str, DataFrame]) -> dict:
             spec["post"] = post  # top-down; serve applies bottom-up
             return spec
         if _cls(node) in ("Deduplicate", "Distinct"):
-            spec = _classify_distinct(node, snapshots, quals)
+            spec = _classify_distinct(node, snapshots, quals, src_ids, refs)
             spec["post"] = post
             return spec
         if _cls(node) == "Window":
@@ -556,7 +556,7 @@ def _classify_aggregate(plan, src_ids, refs, snapshots, quals=frozenset()) -> di
         # aggregate over SELECT DISTINCT (count distinct combinations):
         # the distinct is the degenerate inner aggregate, staged the
         # same way
-        inner = _classify_distinct(term[1], snapshots, quals)
+        inner = _classify_distinct(term[1], snapshots, quals, src_ids, refs)
         return _compose_agg_stage(group, aggs, chain, inner, quals)
     raise UnsupportedViewError(
         f"node {_cls(term[1])} between the aggregate and its source; "
@@ -763,7 +763,8 @@ def _classify_union(plan, src_ids, refs, snapshots, quals=frozenset()) -> dict:
     }
 
 
-def _classify_distinct(node, snapshots, quals=frozenset()) -> dict:
+def _classify_distinct(node, snapshots, quals=frozenset(), src_ids=None,
+                       refs=None) -> dict:
     """SELECT DISTINCT / df.distinct(): the degenerate aggregate —
     group by every output column, no aggregate outputs, the hidden
     signed row count alone decides membership (a combination leaves
@@ -796,6 +797,12 @@ def _classify_distinct(node, snapshots, quals=frozenset()) -> dict:
         # the degenerate aggregate rides the agg_union algebra (per-
         # branch signed CDC deltas; the hidden count decides membership)
         return _classify_agg_union(group, [], chain, term[1], snapshots, quals)
+    if _cls(term[1]) == "Aggregate" and src_ids is not None:
+        # DISTINCT over a GROUP BY (distinct values of a rollup column):
+        # the aggregate stages as the hidden child, the distinct is the
+        # degenerate outer — the mirror of aggregate-over-DISTINCT
+        inner = _classify_aggregate(term[1], src_ids, refs, snapshots, quals)
+        return _compose_agg_stage(group, [], chain, inner, quals)
     if _cls(term[1]) == "Join":
         # DISTINCT over equi-joins: the degenerate aggregate-over-join
         # (two sources) or aggregate-over-tree (star/snowflake)

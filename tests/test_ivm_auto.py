@@ -2260,6 +2260,29 @@ def test_aggregate_over_agg_join_autostaged(spark, scratch, tree_tables):
     assert mv.refresh()["advanced"] is False
 
 
+def test_distinct_over_aggregate(spark, scratch, tables):
+    """DISTINCT over a GROUP BY (the distinct VALUES a rollup column
+    takes): the aggregate stages as the hidden child, the distinct is
+    the degenerate outer — a value leaves when its last group's rollup
+    moves off it."""
+    fact, _ = tables
+
+    def plan(t):
+        agg = t["fact"].groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"))
+        return agg.select("n").distinct()
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvda"),
+                              {"fact": fact}, plan)
+    assert mv.spec().get("staged") is True and mv.spec()["aggs"] == []
+    mv.refresh()
+    fact.delete(spark.createDataFrame([("k2",)], "k string"),
+                "20260108000000")
+    mv.refresh()
+    assert _rows_ns(mv.serve()) == _rows_ns(plan({"fact": fact.snapshot()}))
+    assert mv.refresh()["advanced"] is False
+
+
 def test_three_level_rollup_stages_recursively(spark, scratch):
     """Stacked rollups recurse: order totals → per-customer totals →
     per-segment totals chains .stage0.stage0 tables, each advancing
