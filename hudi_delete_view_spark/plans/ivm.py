@@ -1293,11 +1293,15 @@ def _classify_window(win_node, src_ids, refs, out_ids, snapshots,
     stored view, new location from the source) and swaps them in.
     Work ∝ rows of touched partitions, never the table; ANY window
     function is supported because the user's own plan recomputes."""
-    if len(snapshots) != 1:
+    _nodes, term = _descend_chain(_children(win_node)[0], snapshots)
+    if term[0] != "source":
+        # joins below the window — the multi-source composition
         return _classify_window_tree(
             win_node, src_ids, refs, out_ids, snapshots, quals
         )
-    (src_name,) = snapshots
+    # a chain over ONE source (regardless of how many sources are
+    # registered): the classic single-source window algebra
+    src_name = term[1]
     key = _find_view_key(out_ids, refs, src_ids, want_source=src_name)
     pspec = _seq(win_node.partitionSpec())
     if not pspec:
