@@ -32,6 +32,7 @@ from pyspark.sql import Window as W  # noqa: E402
 from hudi_delete_view_spark.plans.ivm import AutoMaterializedView  # noqa: E402
 from hudi_delete_view_spark.session import get_spark  # noqa: E402
 from hudi_delete_view_spark.sources.cow import CowTable  # noqa: E402
+from hudi_delete_view_spark.sources.mor import MorTable  # noqa: E402
 
 
 def _plans():
@@ -134,9 +135,14 @@ def _rows(df):
 
 
 def run_seed(spark, seed: int, steps: int, root: str) -> None:
+    """Odd seeds use a MERGE-ON-READ fact with delta commits — the
+    log-resident update/tombstone feeds through every algebra's
+    inherited cdc; even seeds use COW."""
     rng = random.Random(seed)
+    mor = seed % 2 == 1
     d = os.path.join(root, f"s{seed}")
-    fact = CowTable(spark, os.path.join(d, "fact"), key_fields=["k"],
+    fact_cls = MorTable if mor else CowTable
+    fact = fact_cls(spark, os.path.join(d, "fact"), key_fields=["k"],
                     partition_field=None, num_file_groups=2)
     fact.bulk_insert(
         spark.range(24).selectExpr(
@@ -178,16 +184,24 @@ def run_seed(spark, seed: int, steps: int, root: str) -> None:
                          float(rng.randint(-5, 40)),
                          None if rng.random() < 0.3 else rng.randint(0, 5))
                         for i in keys]
-                fact.upsert(spark.createDataFrame(
-                    rows, "k string, g long, v double, nv long"), ts)
+                df = spark.createDataFrame(
+                    rows, "k string, g long, v double, nv long")
+                if mor:
+                    fact.upsert_delta(df, ts)  # log-resident update
+                else:
+                    fact.upsert(df, ts)
             else:
                 live = [r.k for r in fact.snapshot().select("k").collect()]
                 if not live:
                     return
                 keys = rng.sample(live, min(len(live),
                                             rng.randint(1, 3)))
-                fact.delete(spark.createDataFrame(
-                    [(k,) for k in keys], "k string"), ts)
+                kdf = spark.createDataFrame(
+                    [(k,) for k in keys], "k string")
+                if mor:
+                    fact.delete_delta(kdf, ts)  # log tombstones
+                else:
+                    fact.delete(kdf, ts)
         elif which < 0.85:  # dim mutation — join-column moves included
             op = rng.random()
             if op < 0.6:
