@@ -134,6 +134,12 @@ def _rows(df):
     return sorted(tuple((x is None, x) for x in r) for r in df.collect())
 
 
+def _prev_ts(table, ts: str) -> str:
+    """The commit immediately before ``ts`` on a table's timeline."""
+    stamps = [t for t in table.timeline.timestamps() if t < ts]
+    return stamps[-1]
+
+
 def run_seed(spark, seed: int, steps: int, root: str) -> None:
     """Odd seeds use a MERGE-ON-READ fact with delta commits — the
     log-resident update/tombstone feeds through every algebra's
@@ -173,10 +179,13 @@ def run_seed(spark, seed: int, steps: int, root: str) -> None:
     for mv in mvs.values():
         mv.refresh()
 
-    def mutate(step: int) -> None:
-        ts = f"2026010{step + 2}000000"
+    def mutate(idx: int):
+        """One random commit; returns (source_name, ts) or None."""
+        ts = f"20260102{idx:06d}"
         which = rng.random()
+        hit = None
         if which < 0.5:  # fact mutation
+            hit = "fact"
             op = rng.random()
             if op < 0.5:
                 keys = rng.sample(range(30), rng.randint(1, 4))
@@ -193,7 +202,7 @@ def run_seed(spark, seed: int, steps: int, root: str) -> None:
             else:
                 live = [r.k for r in fact.snapshot().select("k").collect()]
                 if not live:
-                    return
+                    return None
                 keys = rng.sample(live, min(len(live),
                                             rng.randint(1, 3)))
                 kdf = spark.createDataFrame(
@@ -203,6 +212,7 @@ def run_seed(spark, seed: int, steps: int, root: str) -> None:
                 else:
                     fact.delete(kdf, ts)
         elif which < 0.85:  # dim mutation — join-column moves included
+            hit = "dim"
             op = rng.random()
             if op < 0.6:
                 gk = rng.randint(0, 7)
@@ -212,10 +222,11 @@ def run_seed(spark, seed: int, steps: int, root: str) -> None:
             else:
                 live = [r.gk for r in dim.snapshot().select("gk").collect()]
                 if not live:
-                    return
+                    return None
                 dim.delete(spark.createDataFrame(
                     [(rng.choice(live),)], "gk long"), ts)
         else:  # sub mutation
+            hit = "sub"
             if rng.random() < 0.6:
                 sub.upsert(spark.createDataFrame(
                     [(rng.randint(0, 4), f"r{rng.randint(0, 9)}")],
@@ -223,21 +234,43 @@ def run_seed(spark, seed: int, steps: int, root: str) -> None:
             else:
                 live = [r.rk for r in sub.snapshot().select("rk").collect()]
                 if not live:
-                    return
+                    return None
                 sub.delete(spark.createDataFrame(
                     [(rng.choice(live),)], "rk long"), ts)
 
-    for step in range(steps):
-        mutate(step)
+    def _check_all():
         for name, mv in mvs.items():
-            mv.refresh()
             got = _rows(mv.serve())
             want = _rows(_plans()[name](
                 {n: t.snapshot() for n, t in srcs.items()}))
             if got != want:
                 raise AssertionError(
-                    f"seed={seed} step={step} plan={name}\n"
-                    f"got:  {got}\nwant: {want}")
+                    f"seed={seed} plan={name}\ngot:  {got}\nwant: {want}")
+
+    idx = 0
+    for step in range(steps):
+        idx += 1
+        m1 = mutate(idx)
+        m2 = None
+        if rng.random() < 0.5:  # two commits in one advance window
+            idx += 1
+            m2 = mutate(idx)
+        if m1 and rng.random() < 0.4:
+            # BOUNDED intermediate refresh: advance only up to m1's
+            # commit, convergence-check the intermediate state too,
+            # then advance fully — the stepwise-replay contract under
+            # random scripts
+            to = {n: t.timeline.latest_timestamp()
+                  for n, t in srcs.items()}
+            if m2 and m2[0] == m1[0]:
+                to[m1[0]] = m1[1]
+            elif m2:
+                to[m2[0]] = _prev_ts(srcs[m2[0]], m2[1])
+            for mv in mvs.values():
+                mv.refresh(to=to)
+        for mv in mvs.values():
+            mv.refresh()
+        _check_all()
     shutil.rmtree(d, ignore_errors=True)
 
 
