@@ -481,6 +481,11 @@ def _classify_aggregate(plan, src_ids, refs, snapshots, quals=frozenset()) -> di
                 )
             name, sql = hits[0].name(), _strip_quals(e.sql(), quals)
         group.append((name, sql))
+    if not group:
+        # GLOBAL aggregates (grand totals): a hidden constant group key
+        # gives the merge/dead/recount machinery a join key and the
+        # stored table a record key; serve() strips it from the output
+        group = [("__mv_all", "1")]
     group_names = {n for n, _ in group}
     for e in _seq(plan.aggregateExpressions()):
         if _cls(e) == "AttributeReference" and e.name() in group_names:
@@ -567,8 +572,39 @@ def _classify_aggregate(plan, src_ids, refs, snapshots, quals=frozenset()) -> di
 
 
 # inner-aggregate outputs whose serve expression is a plain SQL string —
-# the set an auto-staged outer aggregate can consume
-_STAGE_SERVE_FNS = ("count", "sum", "avg", "min", "max", "count_distinct")
+# the set an auto-staged outer aggregate can consume (every supported
+# aggregate: the moment formula and the sketch estimate are spelled as
+# the SAME expression trees serve() builds, so the stage CDC's preimage
+# rows reproduce previously-asserted values exactly)
+_STAGE_SERVE_FNS = (
+    "count", "sum", "avg", "min", "max", "count_distinct",
+    "approx_count_distinct",
+) + tuple(sorted(_MOMENT_FNS))
+
+
+def _stage_serve_sql(alias: str, fn: str) -> str:
+    """The plain-SQL twin of serve()'s expression for one inner-
+    aggregate output over the stage table's stored columns."""
+    if fn == "sum":
+        return f"CASE WHEN `__nn_{alias}` > 0 THEN `{alias}` END"
+    if fn == "avg":
+        return (
+            f"CASE WHEN `__avg_cnt_{alias}` > 0 THEN "
+            f"CAST(`__avg_sum_{alias}` AS DOUBLE) / `__avg_cnt_{alias}` END"
+        )
+    if fn in _MOMENT_FNS:
+        n = f"`__mc_{alias}`"
+        s1 = f"CAST(`__m1_{alias}` AS DOUBLE)"
+        s2 = f"CAST(`__m2_{alias}` AS DOUBLE)"
+        css = f"greatest({s2} - {s1} * {s1} / {n}, 0.0D)"
+        if fn in _MOMENT_POP:
+            v = f"CASE WHEN {n} > 0 THEN {css} / {n} END"
+        else:
+            v = f"CASE WHEN {n} > 1 THEN {css} / ({n} - 1) END"
+        return f"sqrt({v})" if fn in _MOMENT_SQRT else v
+    if fn == "approx_count_distinct":
+        return f"hll_sketch_estimate(`{alias}`)"
+    return f"`{alias}`"  # count / count_distinct / min / max
 
 
 def _compose_agg_stage(group, aggs, mid_nodes, inner, quals) -> dict:
@@ -592,23 +628,10 @@ def _compose_agg_stage(group, aggs, mid_nodes, inner, quals) -> dict:
     for alias, fn, _arg in inner["aggs"]:
         if fn not in _STAGE_SERVE_FNS:
             raise UnsupportedViewError(
-                f"inner aggregate output {alias} ({fn}): auto-staging "
-                f"serves {_STAGE_SERVE_FNS} — stage views with "
-                "variance-family or sketch inners manually"
+                f"inner aggregate output {alias} ({fn}) has no plain-SQL "
+                "serve projection — stage manually"
             )
-        if fn == "sum":
-            items.append(
-                (alias, f"CASE WHEN `__nn_{alias}` > 0 THEN `{alias}` END")
-            )
-        elif fn == "avg":
-            items.append((
-                alias,
-                f"CASE WHEN `__avg_cnt_{alias}` > 0 THEN "
-                f"CAST(`__avg_sum_{alias}` AS DOUBLE) / "
-                f"`__avg_cnt_{alias}` END",
-            ))
-        else:
-            items.append((alias, f"`{alias}`"))
+        items.append((alias, _stage_serve_sql(alias, fn)))
     return {
         "kind": "agg_stage",
         "group": group,
@@ -1841,7 +1864,9 @@ class AutoMaterializedView:
                                 "agg_tree"):
             keep = [c for c in snap.columns if c not in META_FIELDS]
             return snap.select(*keep)
-        cols = [F.col(n) for n, _ in spec["group"]]
+        cols = [
+            F.col(n) for n, _ in spec["group"] if not n.startswith("__mv_")
+        ]
         for alias, fn, _arg in spec["aggs"]:
             if fn == "sum":
                 # SQL semantics: SUM over zero non-null inputs is NULL

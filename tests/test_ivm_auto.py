@@ -2191,12 +2191,24 @@ def test_aggregate_over_aggregate_autostaged(spark, scratch):
         mv.refresh()
     mv.reseed()
     check()
-    # refusals: variance-family inner, inner over a join
-    bad1 = (li.snapshot().groupBy("order_id")
-            .agg(F.stddev("v").alias("sd"))
-            .groupBy().agg(F.sum("sd").alias("s")))
-    with pytest.raises(UnsupportedViewError, match="variance"):
-        classify_view(bad1, {"li": li.snapshot()})
+    # variance-family and sketch inner outputs stage too: their serve
+    # projections are the same expression trees serve() builds, so the
+    # stage CDC's preimage rows reproduce previously-asserted values
+    # exactly and retraction cancels
+    def vplan(t):
+        po = (t["li"].groupBy("order_id")
+              .agg(F.stddev("v").alias("sd"),
+                   F.approx_count_distinct("cust").alias("ad")))
+        return po.groupBy().agg(F.sum("sd").alias("ssd"),
+                                F.sum("ad").alias("sad"))
+
+    vmv = AutoMaterializedView(spark, os.path.join(scratch, "aa_vmv"),
+                               {"li": li}, vplan)
+    assert vmv.spec().get("staged") is True
+    vmv.refresh()
+    li.delete(spark.createDataFrame([("l6",)], "k string"), "20260106000000")
+    vmv.refresh()
+    assert _rows_ns(vmv.serve()) == _rows_ns(vplan({"li": li.snapshot()}))
 
 
 def test_aggregate_over_distinct(spark, scratch, tables):
@@ -2258,6 +2270,48 @@ def test_aggregate_over_agg_join_autostaged(spark, scratch, tree_tables):
              "20260103000000")
     mv.refresh(); check()
     assert mv.refresh()["advanced"] is False
+
+
+def test_global_aggregates(spark, scratch, tables):
+    """GLOBAL aggregates (groupBy() grand totals) maintain through a
+    hidden constant group key — the merge/dead/recount machinery gets
+    a join key and the stored table a record key, serve() strips it —
+    across the plain, join, and union algebras."""
+    fact, dim = tables
+
+    def g_agg(t):
+        return t["fact"].groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+            F.min("v").alias("mn"), F.count_distinct("nv").alias("nd"))
+
+    def g_join(t):
+        return (t["fact"].select("g", "v")
+                .join(t["dim"].select("gk", "gname"),
+                      F.col("g") == F.col("gk"))
+                .groupBy().agg(F.sum("v").alias("sv"),
+                               F.count(F.lit(1)).alias("n")))
+
+    def g_union(t):
+        return (t["fact"].select("v")
+                .unionByName(t["fact"].filter("g = 1").select("v"))
+                .groupBy().agg(F.sum("v").alias("sv")))
+
+    cases = {"agg": g_agg, "join": g_join, "union": g_union}
+    mvs = {n: AutoMaterializedView(spark, os.path.join(scratch, f"gl_{n}"),
+                                   {"fact": fact, "dim": dim}, f)
+           for n, f in cases.items()}
+    for mv in mvs.values():
+        mv.refresh()
+    fact.delete(spark.createDataFrame([("k6",)], "k string"),
+                "20260108000000")
+    dim.upsert(spark.createDataFrame([(1, "Y")], "gk long, gname string"),
+               "20260108000000")
+    for n, mv in mvs.items():
+        mv.refresh()
+        assert mv.serve().columns[0] != "__mv_all"  # hidden key stripped
+        assert _rows_ns(mv.serve()) == _rows_ns(
+            cases[n]({"fact": fact.snapshot(), "dim": dim.snapshot()}))
+        assert mv.refresh()["advanced"] is False
 
 
 def test_distinct_over_aggregate(spark, scratch, tables):
