@@ -1836,13 +1836,28 @@ class AutoMaterializedView:
             except OSError:
                 pass
 
+    def drop(self) -> None:
+        """Remove ALL on-disk state for this view: the backing table
+        (anchor sidecar lives inside it), the refresh lock, and —
+        recursively — every auto-staged hidden child view
+        (``<path>.stage0``, ``<path>.stage0.stage0`` for stacked
+        rollups) with ITS lock. The full-cleanup contract
+        ``sql.drop_materialized_view`` documents."""
+        if self._stage is not None:
+            self._stage.drop()
+        shutil.rmtree(self.path, ignore_errors=True)
+        try:
+            os.remove(self.path.rstrip("/") + ".refresh_lock")
+        except OSError:
+            pass
+
     def reseed(self) -> dict:
         """Rebuild the view from the CURRENT source snapshots — the
         recovery for ViewHistoryLostError (source rolled back past the
         anchor, or timeline archived beyond it).  Explicit by design:
         reseeding discards the view's own commit history."""
         if self._stage is not None:
-            shutil.rmtree(self._stage.path, ignore_errors=True)
+            self._stage.drop()
         shutil.rmtree(self.path, ignore_errors=True)
         try:
             os.remove(self._anchor_path)

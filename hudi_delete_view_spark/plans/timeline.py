@@ -59,12 +59,19 @@ class Timeline:
         if not os.path.isdir(self.meta_dir):
             return []
         out = []
-        for name in sorted(os.listdir(self.meta_dir)):
-            m = _TS_RE.match(name)
-            if m:
-                out.append(
-                    Instant(m.group(1), "completed", os.path.join(self.meta_dir, name))
-                )
+        names = [n for n in sorted(os.listdir(self.meta_dir)) if _TS_RE.match(n)]
+        # crash healing: archive() publishes its checkpoint (os.replace)
+        # and THEN removes the archived .commit files — a crash between
+        # the two leaves timestamps both archived and active. The archive
+        # copy wins (the checkpoint is the durable record); surfacing the
+        # stale active file would double-count it in all_timestamps()
+        # and re-archive it into a second batch.
+        boundary = self.archive_boundary() if names else None
+        for name in names:
+            ts = _TS_RE.match(name).group(1)
+            if boundary is not None and ts <= boundary:
+                continue
+            out.append(Instant(ts, "completed", os.path.join(self.meta_dir, name)))
         return out
 
     def timestamps(self) -> list[str]:
@@ -248,6 +255,15 @@ class Timeline:
 
         if keep_last_n < 1:
             raise TimelineError("archive must keep at least 1 active instant")
+        # finish a crashed prior archive: .commit files at or before the
+        # boundary are already in the archive (instants() hides them);
+        # remove the leftovers so they don't linger forever
+        stale_boundary = self.archive_boundary()
+        if stale_boundary is not None and os.path.isdir(self.meta_dir):
+            for name in os.listdir(self.meta_dir):
+                m = _TS_RE.match(name)
+                if m and m.group(1) <= stale_boundary:
+                    os.remove(os.path.join(self.meta_dir, name))
         active = self.timestamps()
         to_archive = active[:-keep_last_n]
         if not to_archive:

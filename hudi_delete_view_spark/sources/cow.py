@@ -185,12 +185,20 @@ def footer_column_stats(path: str, cols: list[str]) -> dict[str, list]:
         mn = mx = None
         ok = True
         for rg in range(md.num_row_groups):
-            s = md.row_group(rg).column(idx[c]).statistics
-            if s is None or not s.has_min_max:
+            # pyarrow can't decode min/max for every physical type
+            # (e.g. decimal raises ArrowNotImplementedError): treat as
+            # stats-absent — pruning stays conservative for the column
+            try:
+                s = md.row_group(rg).column(idx[c]).statistics
+                has = s is not None and s.has_min_max
+                lo_rg, hi_rg = (s.min, s.max) if has else (None, None)
+            except Exception:
+                has = False
+            if not has:
                 ok = False
                 break
-            mn = s.min if mn is None else min(mn, s.min)
-            mx = s.max if mx is None else max(mx, s.max)
+            mn = lo_rg if mn is None else min(mn, lo_rg)
+            mx = hi_rg if mx is None else max(mx, hi_rg)
         if ok:
             lo, hi = _json_safe_stat(mn), _json_safe_stat(mx)
             if lo is not None and hi is not None:
@@ -1275,14 +1283,44 @@ class CowTable:
             )
         return self.timeline.archive(keep_last_n)
 
+    def _stream_epoch_ledger_path(self) -> str:
+        return os.path.join(self.base_path, ".hoodie", "stream_epochs.jsonl")
+
+    def _stream_epoch_ledger(self) -> dict:
+        """identity ``writer_id:batch_id`` → assigned commit ts (append-only
+        jsonl; last write wins, though identities are written once)."""
+        import json
+
+        ledger: dict[str, str] = {}
+        try:
+            with open(self._stream_epoch_ledger_path()) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        rec = json.loads(line)
+                        ledger[rec["id"]] = rec["ts"]
+        except OSError:
+            pass
+        return ledger
+
     def absorb_stream_epochs(self) -> list[str]:
         """Publish pending stream-writer epochs (sources/pyds.py
-        ``LakeviewStreamWriter``): each ``.stream-pending/<ts>.manifest``
-        is applied in epoch order through the real keyed upsert — one
-        table commit per micro-batch. Exactly-once: an epoch whose
-        timestamp is already on the timeline (a replayed micro-batch) is
-        dropped without rereading its data. Staged files and manifests
-        are removed after publishing. Returns the commit timestamps
+        ``LakeviewStreamWriter``): each ``.stream-pending/<ts>.<writer>
+        .manifest.json`` is applied in epoch order through the real keyed
+        upsert — one table commit per micro-batch.
+
+        Exactly-once is keyed on the epoch IDENTITY ``(writer_id,
+        batch_id)``, not the timestamp: a restart with a fresh checkpoint
+        resets batchId, so two distinct epochs can prefer the same
+        ``base_ts + batchId`` timestamp — the second gets the next free
+        monotonic timestamp instead of being misread as a replay (and
+        silently dropped). Identities live in an append-only ledger
+        (``.hoodie/stream_epochs.jsonl``) written BEFORE the commit
+        publishes; a crash between ledger-append and commit re-applies at
+        the ledger's recorded timestamp on the next absorb (staged files
+        are only removed after the commit exists). Replay detection
+        checks the FULL timeline (archived + active) so an epoch whose
+        commit was archived still dedupes. Returns the commit timestamps
         published by this call."""
         import json
 
@@ -1293,14 +1331,34 @@ class CowTable:
             )
         except OSError:
             return []
+        if not manifests:
+            return []
+        ledger = self._stream_epoch_ledger()
         published = []
         for name in manifests:
             mp = os.path.join(pending, name)
             with open(mp) as f:
                 m = json.load(f)
-            ts = m["ts"]
+            identity = f"{m.get('writer_id', 'legacy')}:{m.get('batch_id', m['ts'])}"
             paths = [os.path.join(self.base_path, p) for p in m["paths"]]
-            if ts not in self.timeline.timestamps():
+            all_ts = set(self.timeline.all_timestamps())
+            if identity in ledger:
+                ts = ledger[identity]
+                apply_it = ts not in all_ts  # crashed between ledger and commit
+            else:
+                ts = m["ts"]
+                latest = max(all_ts) if all_ts else None
+                if ts in all_ts or (latest is not None and ts <= latest):
+                    ts = f"{int(latest) + 1:014d}"
+                os.makedirs(os.path.dirname(self._stream_epoch_ledger_path()),
+                            exist_ok=True)
+                with open(self._stream_epoch_ledger_path(), "a") as f:
+                    f.write(json.dumps({"id": identity, "ts": ts}) + "\n")
+                    f.flush()
+                    os.fsync(f.fileno())
+                ledger[identity] = ts
+                apply_it = True
+            if apply_it:
                 df = self.spark.read.parquet(*paths)
                 if self.timeline.latest_timestamp() is None:
                     self.bulk_insert(df, ts)

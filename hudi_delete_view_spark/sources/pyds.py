@@ -159,14 +159,30 @@ class LakeviewReader(DataSourceReader):
         for f in filters:
             attr = getattr(f, "attribute", None)
             col = attr[0] if attr and len(attr) == 1 else None
-            if col is not None:
+            # Only int/str probe values participate in pruning (bool
+            # excluded), mirroring _stat_passes' probe_ok guard: stats
+            # are published as JSON, so a date/datetime/Decimal value
+            # Spark pushes would hit Python's cross-type comparison
+            # TypeError at PLANNING time — failing a scan that works
+            # fine without pushdown. Those filters still flow back to
+            # Spark for row-level evaluation; only file pruning is
+            # skipped.
+            v = getattr(f, "value", None)
+            prunable = isinstance(v, (int, str)) and not isinstance(v, bool)
+            if col is not None and prunable:
                 lo, hi = self.bounds.get(col, [None, None])
+                same_type = (lo is None or type(lo) is type(v)) and (
+                    hi is None or type(hi) is type(v)
+                )
+                if not same_type:
+                    yield f
+                    continue
                 if isinstance(f, EqualTo):
-                    lo = hi = f.value
+                    lo = hi = v
                 elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
-                    lo = f.value if lo is None else max(lo, f.value)
+                    lo = v if lo is None else max(lo, v)
                 elif isinstance(f, (LessThan, LessThanOrEqual)):
-                    hi = f.value if hi is None else min(hi, f.value)
+                    hi = v if hi is None else min(hi, v)
                 else:
                     yield f
                     continue
@@ -349,9 +365,25 @@ class LakeviewStreamWriter(DataSourceStreamArrowWriter):
 
     Options: ``path`` (table base), ``keys`` (comma-separated key
     fields), ``partition_field`` (optional), ``base_ts`` (optional
-    numeric base for epoch commit timestamps, default 20300101000000)."""
+    numeric base for epoch commit timestamps, default 20300101000000),
+    ``writer_id`` (optional stable identity for exactly-once dedupe —
+    defaults to a hash of ``checkpointLocation``, the identity Spark's
+    replay contract is actually keyed on).
+
+    Exactly-once identity: an epoch is ``(writer_id, batchId)``, NOT the
+    commit timestamp — a stream restart with a FRESH checkpoint resets
+    batchId to 0, and a second writer on the same table reuses the same
+    ``base_ts + batchId`` arithmetic, so timestamps alone collide and a
+    collision misread as a replay would silently drop data.  The
+    manifest name carries the writer_id so two writers never race one
+    ``os.replace`` target, and ``absorb_stream_epochs`` dedupes on the
+    identity via a ledger, assigning a fresh commit timestamp when the
+    preferred one is taken."""
 
     def __init__(self, options: dict, schema: StructType):
+        import hashlib
+        import uuid
+
         self.path = options["path"]
         self.keys = [k for k in options.get("keys", "").split(",") if k]
         if not self.keys:
@@ -362,6 +394,16 @@ class LakeviewStreamWriter(DataSourceStreamArrowWriter):
         self.partition_field = options.get("partition_field") or None
         self.num_file_groups = int(options.get("num_file_groups", "4"))
         self.base_ts = int(options.get("base_ts", "20300101000000"))
+        ckpt = options.get("checkpointlocation") or options.get("checkpointLocation")
+        if options.get("writer_id"):
+            self.writer_id = options["writer_id"]
+        elif ckpt:
+            # checkpoint-stable: a restart of the SAME checkpoint (which
+            # may replay its last batch) dedupes, a fresh checkpoint
+            # (batchId reset) gets a new identity
+            self.writer_id = hashlib.sha1(ckpt.encode()).hexdigest()[:12]
+        else:
+            self.writer_id = uuid.uuid4().hex[:12]
         self.staging = os.path.join(self.path, ".stream-staging")
 
     def write(self, iterator) -> _StagedFiles:
@@ -388,17 +430,31 @@ class LakeviewStreamWriter(DataSourceStreamArrowWriter):
         pending = os.path.join(self.path, ".stream-pending")
         os.makedirs(pending, exist_ok=True)
         ts = self._epoch_ts(batchId)
+        final = os.path.join(pending, f"{ts}.{self.writer_id}.manifest.json")
+        if os.path.exists(final):
+            # same-identity replay (driver re-ran a batch whose manifest
+            # already published): Spark's contract says the data is
+            # equivalent — keep the first publication, drop the re-staged
+            # copies so nothing leaks
+            for p in paths:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            return
         manifest = {
             "ts": ts,
+            "writer_id": self.writer_id,
+            "batch_id": batchId,
             "paths": [os.path.relpath(p, self.path) for p in paths],
             "keys": self.keys,
             "partition_field": self.partition_field,
             "num_file_groups": self.num_file_groups,
         }
-        tmp = os.path.join(pending, f"{ts}.manifest.json.tmp")
+        tmp = final + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, os.path.join(pending, f"{ts}.manifest.json"))
+        os.replace(tmp, final)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

@@ -99,15 +99,10 @@ def drop_materialized_view(
     spark: SparkSession, name: str, mv: AutoMaterializedView
 ) -> None:
     """``DROP MATERIALIZED VIEW``: unbind the temp view and remove the
-    backing table, its aux tables, anchor sidecar, and refresh lock."""
-    import shutil
-
+    backing table, its aux tables, anchor sidecar, refresh lock, and
+    (recursively) any auto-staged hidden child views with their locks."""
     spark.catalog.dropTempView(name)
-    shutil.rmtree(mv.path, ignore_errors=True)
-    try:
-        os.remove(mv.path.rstrip("/") + ".refresh_lock")
-    except OSError:
-        pass
+    mv.drop()
 
 
 # -- DDL dialect + session catalog -----------------------------------------

@@ -1231,6 +1231,48 @@ def test_timeline_archive_checkpoint(spark, scratch):
     )
 
 
+def test_archive_crash_between_checkpoint_and_removal(spark, scratch):
+    """archive() publishes the checkpoint, THEN removes the archived
+    .commit files. A crash between the two must not double-count: the
+    archive copy wins — the stale active file is hidden from
+    timestamps()/all_timestamps(), and the next archive() removes it
+    instead of rolling it into a second batch."""
+    import shutil as _sh
+
+    from hudi_delete_view_spark.plans.timeline import COMMIT_SUFFIX
+
+    t = CowTable(spark, os.path.join(scratch, "acr"), key_fields=["k"],
+                 partition_field=None, num_file_groups=1)
+    for i, ts in enumerate(["20250101000000", "20250102000000",
+                            "20250103000000"]):
+        (t.bulk_insert if i == 0 else t.upsert)(
+            spark.createDataFrame([(i, i)], "k long, v long"), ts)
+    # stash a pre-archive copy of the oldest commit file
+    oldest = os.path.join(t.base_path, ".hoodie",
+                          "20250101000000" + COMMIT_SUFFIX)
+    stash = oldest + ".stash"
+    _sh.copyfile(oldest, stash)
+    t.archive_timeline(keep_last_n=2)
+    # simulate the crash: the archived commit's active file reappears
+    _sh.copyfile(stash, oldest)
+    os.remove(stash)
+    t.timeline.refresh()
+    assert t.timeline.timestamps() == ["20250102000000", "20250103000000"]
+    assert t.timeline.all_timestamps() == [
+        "20250101000000", "20250102000000", "20250103000000"]
+    assert t.snapshot().count() == 3  # reads unaffected
+    # the next archive removes the leftover instead of re-archiving it
+    t.archive_timeline(keep_last_n=1)
+    assert not os.path.exists(oldest)
+    assert t.timeline.all_timestamps() == [
+        "20250101000000", "20250102000000", "20250103000000"]
+    batches = t.timeline._archive_batches()
+    assert [(f, l) for f, l, _p in batches] == [
+        ("20250101000000", "20250101000000"),
+        ("20250102000000", "20250102000000"),
+    ]
+
+
 def test_ivm_view_table_service(spark, sf_dir):
     """The materialized join view is a REAL lake table: maintenance writes
     one delete + one upsert commit, the view's OWN delete view reconstructs

@@ -2379,6 +2379,34 @@ def test_three_level_rollup_stages_recursively(spark, scratch):
     assert mv.refresh()["advanced"] is False
 
 
+def test_drop_removes_staged_children(spark, scratch):
+    """drop() walks the hidden stage chain: a stacked rollup leaves NO
+    .stage0 / .stage0.stage0 dirs or refresh locks behind — the full
+    cleanup DROP MATERIALIZED VIEW documents."""
+    li = CowTable(spark, os.path.join(scratch, "dr_li"), key_fields=["k"],
+                  partition_field=None, num_file_groups=1)
+    li.bulk_insert(spark.range(12).selectExpr(
+        "concat('l', id) as k", "cast(id % 4 as long) as oid",
+        "cast(id % 2 as long) as seg", "cast(id as double) as v"),
+        "20260101000000")
+
+    def plan(t):
+        per_order = t["li"].groupBy("oid", "seg").agg(F.sum("v").alias("ot"))
+        per_seg = per_order.groupBy("seg").agg(F.sum("ot").alias("st"),
+                                               F.count(F.lit(1)).alias("no"))
+        return per_seg.groupBy().agg(F.sum("st").alias("grand"),
+                                     F.count(F.lit(1)).alias("nseg"))
+
+    base = os.path.join(scratch, "dr_mv")
+    mv = AutoMaterializedView(spark, base, {"li": li}, plan)
+    mv.refresh()
+    assert os.path.isdir(base + ".stage0")  # the hidden child exists
+    mv.drop()
+    leftovers = [n for n in os.listdir(scratch)
+                 if n.startswith("dr_mv")]
+    assert leftovers == []
+
+
 def test_aggregate_over_aggregate_sql(spark, scratch, tables):
     """The SQL subquery form: GROUP BY over a GROUP BY subquery
     classifies and maintains through the DDL dialect."""

@@ -84,6 +84,44 @@ def test_pyds_pushdown_prunes_slices(spark, scratch):
     assert got == 150
 
 
+def test_pyds_pushdown_nonscalar_probe_types_safe(spark, scratch):
+    """Probe types outside int/str (date, datetime, Decimal — which
+    Spark DOES push) must not fail planning: stats are JSON-published,
+    so cross-type comparison would TypeError. Those filters skip file
+    pruning and flow back to Spark for row-level evaluation."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    t = CowTable(spark, os.path.join(scratch, "pd"), key_fields=["k"],
+                 partition_field=None, num_file_groups=2,
+                 stats_columns=["k", "d", "amt"])
+    rows = [(k, datetime.date(2025, 1, 1 + k % 20), Decimal(k) / 4)
+            for k in range(100)]
+    t.bulk_insert(
+        spark.createDataFrame(rows, "k long, d date, amt decimal(10,2)"),
+        "20250101000000")
+
+    # planning-time safety: pushing date/Decimal probes must not raise
+    r = pyds.LakeviewReader({"path": t.base_path})
+    leftover = list(r.pushFilters([
+        EqualTo(("d",), datetime.date(2025, 1, 5)),
+        GreaterThan(("amt",), Decimal("10.00")),
+        EqualTo(("k",), 7),
+    ]))
+    assert len(leftover) == 3  # everything re-checked row-level
+    parts = r.partitions()  # must not TypeError
+    assert 1 <= len(parts) <= 2  # int probe on k still prunes
+
+    # end-to-end: correct answers with the filters active
+    df = _lv(spark, t.base_path)
+    assert df.filter(F.col("d") == F.lit(datetime.date(2025, 1, 5))).count() \
+        == sum(1 for _k, d, _a in rows if d == datetime.date(2025, 1, 5))
+    assert df.filter("amt > 10.00").count() == sum(
+        1 for _k, _d, a in rows if a > Decimal("10.00"))
+
+
 def test_pyds_stream_tails_commits(spark, scratch):
     """Streaming source: offset = commit timestamp; batches emit exactly
     the rows stamped by each commit; a restart from the checkpoint
@@ -226,6 +264,49 @@ def test_pyds_stream_writer_ingest(spark, scratch):
     assert not os.path.isdir(staged) or not os.listdir(staged)
     pending = os.path.join(tbl_path, ".stream-pending")
     assert not os.path.isdir(pending) or not os.listdir(pending)
+
+
+def test_pyds_stream_fresh_checkpoint_no_loss(spark, scratch):
+    """A stream restart with a FRESH checkpoint resets batchId to 0, so
+    its epochs prefer already-published commit timestamps. That must NOT
+    be misread as a replay (which would delete the staged data without
+    ingesting): identity is (writer_id, batchId), and the colliding epoch
+    publishes under the next free monotonic timestamp."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in1 = os.path.join(scratch, "in1")
+    in2 = os.path.join(scratch, "in2")
+    for d, rows in ((in1, {"k": [1, 2], "v": [10, 20]}),
+                    (in2, {"k": [2, 3], "v": [222, 30]})):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table(rows), os.path.join(d, "f.parquet"))
+
+    tbl_path = os.path.join(scratch, "tbl")
+
+    def run(in_dir, ckpt):
+        q = (
+            spark.readStream.schema("k long, v long").parquet(in_dir)
+            .writeStream.format("lakeview")
+            .option("path", tbl_path).option("keys", "k")
+            .option("checkpointLocation", os.path.join(scratch, ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run(in1, "ckpt1")
+    t = CowTable(spark, tbl_path, key_fields=["k"])
+    assert t.absorb_stream_epochs() == ["20300101000000"]
+    # second run, FRESH checkpoint: batchId 0 again -> same preferred ts
+    run(in2, "ckpt2")
+    pub2 = t.absorb_stream_epochs()
+    assert pub2 == ["20300101000001"]  # bumped, not dropped
+    snap = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+    assert snap == {1: 10, 2: 222, 3: 30}
+    # replaying run 2's checkpoint adds nothing (identity dedupe)
+    run(in2, "ckpt2")
+    assert t.absorb_stream_epochs() == []
+    assert t.timeline.timestamps() == ["20300101000000", "20300101000001"]
 
 
 def test_pyds_schema_evolution_read(spark, scratch):
