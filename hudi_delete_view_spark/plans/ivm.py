@@ -329,7 +329,7 @@ def classify_view(df: DataFrame, snapshots: dict[str, DataFrame]) -> dict:
     find(plan)
     out_ids = _out_ids(df)
     if joins:
-        return _classify_join(df, joins, src_ids, refs, out_ids)
+        return _classify_join(df, joins, src_ids, refs, out_ids, quals)
 
     # select view: single source project/filter
     if len(snapshots) != 1:
@@ -368,14 +368,20 @@ def _find_view_key(
 def _descend_chain(node, snapshots: dict[str, DataFrame]) -> tuple[list, tuple]:
     """Descend a linear Project/Filter chain from ``node``; returns
     (top-down chain nodes, terminal) where terminal is ``("source",
-    name)`` when the chain bottoms out on a source snapshot's own plan
-    root, or ``("node", n)`` at the first non-Project/Filter node."""
+    name, terminal_node)`` when the chain bottoms out on a source
+    snapshot's own plan root, or ``("node", n)`` at the first
+    non-Project/Filter node.  The terminal node matters because the
+    analyzer DEDUPLICATES attribute ids when a plan reads the same
+    source twice (self-joins, two union branches over one table): the
+    terminal's output attrs may carry fresh exprIds absent from the
+    snapshot's own output — ``_source_local_ids`` maps them back
+    positionally."""
     snap_plans = {n: s._jdf.queryExecution().analyzed() for n, s in snapshots.items()}
     chain = []
     while True:
         for name, sp in snap_plans.items():
             if node.sameResult(sp):
-                return chain, ("source", name)
+                return chain, ("source", name, node)
         if _cls(node) == "SubqueryAlias":  # qualifier wrapper: transparent
             node = _children(node)[0]
             continue
@@ -383,6 +389,18 @@ def _descend_chain(node, snapshots: dict[str, DataFrame]) -> tuple[list, tuple]:
             return chain, ("node", node)
         chain.append(node)
         node = _children(node)[0]
+
+
+def _source_local_ids(term, snapshots: dict[str, DataFrame]) -> dict[int, str]:
+    """exprId -> source column name for a ``("source", name, node)``
+    terminal, keyed on the TERMINAL node's (possibly deduplicated)
+    output attrs — positional against the snapshot's schema, which
+    ``sameResult`` guarantees matches."""
+    _kind, name, node = term
+    cols = snapshots[name].columns
+    return {
+        a.exprId().id(): cols[i] for i, a in enumerate(_seq(node.output()))
+    }
 
 
 def _collect_qualifiers(plan) -> set[str]:
@@ -728,11 +746,14 @@ def _classify_union(plan, src_ids, refs, snapshots, quals=frozenset()) -> dict:
                 "must be a Project/Filter chain over one source — stage "
                 "joins/aggregates below a union as view-over-view"
             )
+        # resolve against the branch's TERMINAL attrs (deduplicated ids
+        # when several branches read one source), not the global ids
+        local = {term[1]: _source_local_ids(term, snapshots)}
         child_out = _seq(child.output())
         k_idx = None
         for i, a in enumerate(child_out):
-            hit = _resolve_to_source(a.exprId().id(), refs, src_ids)
-            if hit and hit[0] == term[1] and hit[1] == RECORD_KEY_FIELD:
+            hit = _resolve_to_source(a.exprId().id(), refs, local)
+            if hit and hit[1] == RECORD_KEY_FIELD:
                 k_idx = i
         if k_idx is None:
             raise UnsupportedViewError(
@@ -781,7 +802,9 @@ def _classify_union(plan, src_ids, refs, snapshots, quals=frozenset()) -> dict:
         "kind": "union",
         "branches": branches,
         "key": {"name": out_names[key_idx]},
+        "key_pos": key_idx,
         "tag_col": out_names[tag_idx],
+        "tag_pos": tag_idx,
         "out_names": out_names,
     }
 
@@ -1318,6 +1341,25 @@ def _classify_window(win_node, src_ids, refs, out_ids, snapshots,
     function is supported because the user's own plan recomputes."""
     _nodes, term = _descend_chain(_children(win_node)[0], snapshots)
     if term[0] != "source":
+        if _cls(term[1]) == "Union":
+            # UNION ALL below the window — rank across merged feeds.
+            # The analyzer routinely inserts pass-through Projects here
+            # (withColumn re-projection); those preserve exprIds and are
+            # transparent. Anything computing or filtering between the
+            # window and the union is not — fold it into the branches.
+            for n in _nodes:
+                if _cls(n) != "Project" or any(
+                    _cls(p) != "AttributeReference"
+                    for p in _seq(n.projectList())
+                ):
+                    raise UnsupportedViewError(
+                        "projections/filters between the window and the "
+                        "UNION are not maintainable — fold them into each "
+                        "union branch so the branch chains carry them"
+                    )
+            return _classify_window_union(
+                win_node, term[1], src_ids, refs, out_ids, snapshots, quals
+            )
         # joins below the window — the multi-source composition
         return _classify_window_tree(
             win_node, src_ids, refs, out_ids, snapshots, quals
@@ -1481,14 +1523,144 @@ def _classify_window_tree(
     }
 
 
-def _classify_one_join(join_node, fact, anchored, src_ids, refs, out_ids):
+def _plain_chain_col(eid: int, nodes: list, src_cols: dict[int, str]) -> str | None:
+    """Follow an output exprId top-down through a Project/Filter chain;
+    returns the SOURCE column name when every hop is a pass-through or a
+    pure rename (Alias of a bare AttributeReference), else None — an
+    expression hop means the value is derived and cannot restrict the
+    source input by simple column equality."""
+    for n in nodes:
+        if _cls(n) != "Project":
+            continue  # Filter: attributes pass through unchanged
+        nxt = None
+        for p in _seq(n.projectList()):
+            if p.exprId().id() != eid:
+                continue
+            if _cls(p) == "Alias":
+                ch = p.child()
+                if _cls(ch) != "AttributeReference":
+                    return None  # derived value
+                nxt = ch.exprId().id()
+            else:
+                nxt = eid  # pass-through
+            break
+        if nxt is None:
+            return None  # not produced by this project at all
+        eid = nxt
+    return src_cols.get(eid)
+
+
+def _classify_window_union(
+    win_node, union_node, src_ids, refs, out_ids, snapshots, quals=frozenset()
+) -> dict:
+    """Window views over UNION ALL inputs (rank across merged ingest
+    feeds): the composition of the union and window algebras — SURVEY
+    §12 lead 1, the last cell of the IVM composition lattice.
+
+    Detection is per-branch image replay: each changed source's keys
+    name the partitions their rows ENTER through that branch's chain
+    after-image, and the partitions they LEAVE through the stored view's
+    (tag, key) rows — union is a multiset sum, so branches never
+    interact at detection time.  Re-derivation re-runs the user's OWN
+    plan (any window function) with each SOURCE input restricted to
+    rows some branch maps into a touched partition; the partition
+    column maps per-branch to possibly-different source columns, and a
+    source feeding several branches gets the OR of its branches'
+    restrictions — superset-safe only because the output post-trims to
+    exactly the touched partition tuples.  A branch whose partition
+    output is a derived expression disables input restriction for its
+    source (full-input pass, still output-exact via the post-trim).
+    Row identity is the union contract's (tag, key)."""
+    uspec = _classify_union(union_node, src_ids, refs, snapshots, quals)
+    union_out = _seq(union_node.output())
+    union_names = uspec["out_names"]
+    pos_of = {a.exprId().id(): i for i, a in enumerate(union_out)}
+
+    def final_name(tid):
+        return next(
+            (n for eid, n in out_ids.items() if eid == tid), None
+        ) or next(
+            (n for eid, n in out_ids.items() if refs.get(eid) == [tid]), None
+        )
+
+    pspec = _seq(win_node.partitionSpec())
+    if not pspec:
+        raise UnsupportedViewError(
+            "window without PARTITION BY: every change would re-derive "
+            "the whole table — give the window a partition"
+        )
+    parts = []  # (final output name, union column name, union position)
+    for e in pspec:
+        if _cls(e) != "AttributeReference":
+            raise UnsupportedViewError(
+                f"window partition expression {e.sql()} must be a plain "
+                "column (pre-compute derived partitions inside the union "
+                "branches)"
+            )
+        tid = e.exprId().id()
+        if tid not in pos_of:
+            raise UnsupportedViewError(
+                f"window partition column {e.sql()} must be a UNION "
+                "output column"
+            )
+        oname = final_name(tid)
+        if oname is None:
+            raise UnsupportedViewError(
+                f"window partition column {e.sql()} must be projected "
+                "into the view output — it maps stored rows to their "
+                "partitions"
+            )
+        parts.append((oname, union_names[pos_of[tid]], pos_of[tid]))
+
+    key_tid = union_out[uspec["key_pos"]].exprId().id()
+    tag_tid = union_out[uspec["tag_pos"]].exprId().id()
+    key_final, tag_final = final_name(key_tid), final_name(tag_tid)
+    if key_final is None or tag_final is None:
+        raise UnsupportedViewError(
+            "a window-over-union view must project the union's record-key "
+            "and tag columns into its output — (tag, key) is the row "
+            "identity"
+        )
+
+    # per-branch partition-to-source-column mapping for input restriction
+    for child, br in zip(_children(union_node), uspec["branches"]):
+        nodes, term = _descend_chain(child, snapshots)
+        local = _source_local_ids(term, snapshots)
+        child_out = _seq(child.output())
+        cols = [
+            _plain_chain_col(child_out[pidx].exprId().id(), nodes, local)
+            for _o, _u, pidx in parts
+        ]
+        br["part_src_cols"] = cols if all(c is not None for c in cols) else None
+
+    return {
+        "kind": "window_union",
+        "branches": uspec["branches"],
+        "key": {"name": key_final},
+        "tag_col": tag_final,
+        "union_out_names": union_names,
+        "parts": [(o, u) for o, u, _p in parts],
+    }
+
+
+def _classify_one_join(join_node, fact, anchored, src_ids, refs, out_ids,
+                       quals=frozenset()):
     """Classify ONE equi-join node against the set of already-anchored
     sources.  Returns a dim probe spec when exactly one end of the
     join is anchored (the other is the new arm), ``None`` when neither
     end is anchored yet (the caller defers the node until the arm it
     hangs off is attached — bushy snowflake plans join arms together
     before reaching the fact tree), and raises for shapes the
-    change-key algebra cannot maintain."""
+    change-key algebra cannot maintain.
+
+    Join-key ends may be EXPRESSIONS over one source's raw columns
+    (``f.l_orderkey % 10 == d.bucket``): the arm side computes over the
+    arm's CDC frame, and a tree-side expression (or a plain column not
+    projected into the view output) probes SOURCE-SIDE — changed arm
+    values map to affected fact record keys through the fact snapshot's
+    own expression value — as long as the tree side is the FACT itself
+    (a snowflake arm's tree-side values live mid-plan, reachable only
+    through a projected output column)."""
     jt = join_node.joinType().sql()
     if jt not in ("INNER", "LEFT OUTER"):
         raise UnsupportedViewError(
@@ -1512,7 +1684,7 @@ def _classify_one_join(join_node, fact, anchored, src_ids, refs, out_ids):
         else:
             raise UnsupportedViewError(
                 f"join condition {c.sql()} must be a conjunction of "
-                "plain-column equalities"
+                "column / one-sided-expression equalities"
             )
 
     def _unwrap_cast(e):
@@ -1520,24 +1692,50 @@ def _classify_one_join(join_node, fact, anchored, src_ids, refs, out_ids):
             e = e.child()
         return e
 
-    _walk_cond(cond)
-    pairs = []  # per equality: {source: {src_col, expr_id}}
-    for e in eqs:
-        ends = {}
-        for attr in (_unwrap_cast(e.left()), _unwrap_cast(e.right())):
-            if _cls(attr) != "AttributeReference":
-                raise UnsupportedViewError(
-                    f"join key {e.sql()} must equate plain columns"
-                )
+    def _end(e):
+        """One side of an equality -> {src, src_col|None, expr_id|None,
+        expr_sql|None}."""
+        attr = _unwrap_cast(e)
+        if _cls(attr) == "AttributeReference":
             hit = _resolve_to_source(attr.exprId().id(), refs, src_ids)
             if hit is None:
                 raise UnsupportedViewError(
                     f"join key {attr.sql()} does not resolve to a "
                     "source column"
                 )
-            ends[hit[0]] = {
-                "src_col": hit[1], "expr_id": attr.exprId().id()
-            }
+            return {"src": hit[0], "src_col": hit[1],
+                    "expr_id": attr.exprId().id(), "expr_sql": None}
+        # expression end: every referenced attr must sit DIRECTLY in one
+        # source's output (raw source columns), so the printed SQL
+        # replays over that source's snapshot / CDC frame verbatim
+        ref_ids = [a.exprId().id() for a in _seq(e.references().toSeq())]
+        owners = set()
+        for rid in ref_ids:
+            owner = next(
+                (n for n, ids in src_ids.items() if rid in ids), None
+            )
+            if owner is None:
+                raise UnsupportedViewError(
+                    f"expression join key {e.sql()} references renamed/"
+                    "derived columns — write it over the source's raw "
+                    "columns, or pre-project it and join on the column"
+                )
+            owners.add(owner)
+        if len(owners) != 1:
+            raise UnsupportedViewError(
+                f"expression join key {e.sql()} mixes columns of "
+                f"{sorted(owners)} — each end must use ONE source"
+            )
+        return {"src": owners.pop(), "src_col": None, "expr_id": None,
+                "expr_sql": _strip_quals(e.sql(), quals)}
+
+    _walk_cond(cond)
+    pairs = []  # per equality: {source: end-dict}
+    for e in eqs:
+        ends = {}
+        for side in (e.left(), e.right()):
+            d = _end(side)
+            ends[d["src"]] = d
         if len(ends) != 2:
             raise UnsupportedViewError(
                 f"join equality {e.sql()} resolves to one source; "
@@ -1567,36 +1765,69 @@ def _classify_one_join(join_node, fact, anchored, src_ids, refs, out_ids):
         left_ids = {
             a.exprId().id() for a in _seq(join_node.left().output())
         }
-        if pairs[0][probe_src]["expr_id"] not in left_ids:
+        probe_end = pairs[0][probe_src]
+        on_left = (
+            probe_end["expr_id"] in left_ids
+            if probe_end["expr_id"] is not None
+            # expression end: resolve by which side's output carries the
+            # arm's attrs instead (the arm end is always a whole side)
+            else pairs[0][arm].get("expr_id") not in left_ids
+        )
+        if not on_left:
             raise UnsupportedViewError(
                 "LEFT OUTER view: the left (preserved) side must carry "
                 f"the fact tree (here: {probe_src}); a preserved "
                 f"'{arm}' row has no row identity"
             )
-    # the anchored-side join keys must ride in the view OUTPUT (same
-    # exprIds): the probe maps a changed arm key to affected stored
-    # rows through the output column, so it does not care whether the
-    # column came from the fact or an earlier-attached dim — this is
-    # what makes SNOWFLAKE arms maintainable without staging
-    probe_out, arm_src = [], []
+    # tree-side mapping: an end projected into the view OUTPUT probes
+    # through the stored column (works for fact AND snowflake arms); an
+    # expression / unprojected end probes through the FACT SNAPSHOT's
+    # own value — fact-only, all-or-nothing per dim (the two probe
+    # frames cannot share a conjunction)
+    probe_out, fact_exprs, arm_sqls = [], [], []
     for p in pairs:
-        out = out_ids.get(p[probe_src]["expr_id"])
-        if out is None:
-            raise UnsupportedViewError(
-                f"the tree-side join column ({probe_src}."
-                f"{p[probe_src]['src_col']}) must be projected into the "
-                "view output — it maps arm changes to affected rows"
+        tree_end, arm_end = p[probe_src], p[arm]
+        arm_sqls.append(
+            arm_end["expr_sql"]
+            if arm_end["expr_sql"] is not None
+            else arm_end["src_col"]
+        )
+        out = (
+            out_ids.get(tree_end["expr_id"])
+            if tree_end["expr_id"] is not None
+            else None
+        )
+        if out is not None:
+            probe_out.append(out)
+        else:
+            fact_exprs.append(
+                tree_end["expr_sql"]
+                if tree_end["expr_sql"] is not None
+                else tree_end["src_col"]
             )
-        probe_out.append(out)
-        arm_src.append(p[arm]["src_col"])
+    if probe_out and fact_exprs:
+        raise UnsupportedViewError(
+            f"join onto '{arm}' mixes output-projected and expression/"
+            "unprojected tree-side keys — project every tree-side key "
+            "into the view output, or none"
+        )
+    if fact_exprs and probe_src != fact:
+        raise UnsupportedViewError(
+            f"the tree-side join key of '{arm}' is an expression / not "
+            f"projected, and its source ('{probe_src}') is not the fact "
+            "— snowflake arms need their tree-side keys projected into "
+            "the view output"
+        )
     return {
         "name": arm,
         "probe_out_cols": probe_out,
-        "dim_join_cols": arm_src,
+        "probe_fact_exprs": fact_exprs,
+        "dim_join_cols": arm_sqls,
     }
 
 
-def _classify_join(df, join_nodes, src_ids, refs, out_ids) -> dict:
+def _classify_join(df, join_nodes, src_ids, refs, out_ids,
+                   quals=frozenset()) -> dict:
     """One or more equi-joins onto ONE fact — STAR and SNOWFLAKE
     shapes: every join pairs a new source (the "arm") with one source
     already anchored to the fact tree (the fact itself, or a
@@ -1617,7 +1848,7 @@ def _classify_join(df, join_nodes, src_ids, refs, out_ids) -> dict:
         progressed, deferred = False, []
         for join_node in pending:
             res = _classify_one_join(
-                join_node, fact, anchored, src_ids, refs, out_ids
+                join_node, fact, anchored, src_ids, refs, out_ids, quals
             )
             if res is None:
                 deferred.append(join_node)
@@ -1722,7 +1953,7 @@ class AutoMaterializedView:
         spec = self.spec()
         if spec["kind"] in ("aggregate", "agg_join", "agg_union", "agg_tree"):
             return [n for n, _ in spec["group"]]
-        if spec["kind"] == "union":
+        if spec["kind"] in ("union", "window_union"):
             return [spec["tag_col"], spec["key"]["name"]]
         return [spec["key"]["name"]]
 
@@ -2211,6 +2442,8 @@ class AutoMaterializedView:
             self._advance_window(spec, anchor, latest)
         elif spec["kind"] == "window_tree":
             self._advance_window_tree(spec, anchor, latest)
+        elif spec["kind"] == "window_union":
+            self._advance_window_union(spec, anchor, latest)
         elif spec["kind"] == "union":
             self._advance_union(spec, anchor, latest)
         else:
@@ -3342,6 +3575,120 @@ class AutoMaterializedView:
         if rederived.count() > 0:
             self.table.upsert(rederived, f"{base + 2:014d}")
 
+    def _advance_window_union(self, spec, anchor, latest) -> None:
+        """Re-rank exactly the touched partitions of a window-over-
+        UNION-ALL view: per-branch image replay names the partitions
+        each changed source's rows enter (branch chain after-image) and
+        leave (stored view rows under that branch's (tag, key)), the
+        user's OWN plan re-runs with each source restricted to the OR
+        of its branches' partition-column restrictions (broadcast
+        semi-join; a branch with a derived partition column falls back
+        to full input for its source), and the output post-trims to
+        exactly the touched tuples — which is what makes the per-source
+        OR superset-safe.  Deletes are (tag, key) rows of touched
+        partitions absent from the re-derivation."""
+        from functools import reduce
+
+        key = spec["key"]["name"]
+        tag = spec["tag_col"]
+        out_parts = [o for o, _u in spec["parts"]]
+        view_snap = self.table.snapshot()
+        pieces = []
+        for br in spec["branches"]:
+            s = br["source"]
+            if anchor[s] == latest[s]:
+                continue
+            src = self.sources[s]
+            d_keys = self._changed_keys_of(
+                src, anchor[s], latest[s]
+            ).localCheckpoint(eager=True)
+            after = src.snapshot(latest[s]).join(
+                F.broadcast(d_keys), RECORD_KEY_FIELD, "left_semi"
+            )
+            red = _replay_spec(br["chain"], after).toDF(
+                *spec["union_out_names"]
+            )
+            pieces.append(
+                red.select(*[F.col(u).alias(o) for o, u in spec["parts"]])
+            )
+            pieces.append(
+                view_snap.filter(F.col(tag) == F.expr(br["tag_sql"]))
+                .join(
+                    F.broadcast(
+                        d_keys.select(F.col(RECORD_KEY_FIELD).alias(key))
+                    ),
+                    key,
+                    "left_semi",
+                )
+                .select(*out_parts)
+            )
+        if not pieces:
+            return
+        touched = (
+            reduce(lambda a, b: a.unionByName(b), pieces)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if touched.count() == 0:
+            return
+        snaps = {}
+        for name, src in self.sources.items():
+            snap = src.snapshot(latest[name])
+            brs = [b for b in spec["branches"] if b["source"] == name]
+            if brs and all(b.get("part_src_cols") for b in brs):
+                conds = [
+                    reduce(
+                        lambda x, y: x & y,
+                        [
+                            F.col(f"__s.{sc}").eqNullSafe(F.col(f"__t.{o}"))
+                            for sc, (o, _u) in zip(
+                                b["part_src_cols"], spec["parts"]
+                            )
+                        ],
+                    )
+                    for b in brs
+                ]
+                snap = (
+                    snap.alias("__s")
+                    .join(
+                        F.broadcast(touched.alias("__t")),
+                        reduce(lambda x, y: x | y, conds),
+                        "left_semi",
+                    )
+                )
+            snaps[name] = snap
+        rederived = self.plan_fn(snaps)
+
+        def part_cond(a, b):
+            return reduce(
+                lambda x, y: x & y,
+                [
+                    F.col(f"{a}.{p}").eqNullSafe(F.col(f"{b}.{p}"))
+                    for p in out_parts
+                ],
+            )
+
+        rederived = (
+            rederived.alias("r")
+            .join(F.broadcast(touched.alias("t")), part_cond("r", "t"),
+                  "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        dead = (
+            view_snap.select(tag, key, *out_parts)
+            .alias("v")
+            .join(F.broadcast(touched.alias("t")), part_cond("v", "t"),
+                  "left_semi")
+            .select(tag, key)
+            .join(rederived.select(tag, key), [tag, key], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        base = self._commit_base(latest)
+        if dead.count() > 0:
+            self.table.delete(dead, f"{base + 1:014d}")
+        if rederived.count() > 0:
+            self.table.upsert(rederived, f"{base + 2:014d}")
+
     # -- algebra: per-branch change-key re-derivation (union views) ------
     def _advance_union(self, spec, anchor, latest) -> None:
         """Each branch advances independently: the branch source's
@@ -3454,13 +3801,51 @@ class AutoMaterializedView:
                     )
                     .select(
                         *[
-                            F.col(c).alias(f"__d_dim_key{i}")
+                            F.expr(c).alias(f"__d_dim_key{i}")
                             for i, c in enumerate(dspec["dim_join_cols"])
                         ]
                     )
                     .distinct()
                 )
                 fjcs = dspec["probe_out_cols"]
+                if not fjcs:
+                    # expression / unprojected tree-side keys: map the
+                    # changed arm values to affected fact RECORD KEYS
+                    # through the fact snapshot's own expression value
+                    # (the fact rows involved are unchanged in this
+                    # window — changed ones already ride in d_fact — so
+                    # snapshot values equal stored values), then fold
+                    # the keys into the ordinary change-key machinery
+                    exprs = dspec["probe_fact_exprs"]
+                    probe = reduce(
+                        lambda a, b: a & b,
+                        [
+                            F.col(f"__probe{i}") == F.col(f"__d_dim_key{i}")
+                            for i in range(len(exprs))
+                        ],
+                    )
+                    extra = (
+                        snaps[spec["fact"]]
+                        .select(
+                            F.col(RECORD_KEY_FIELD).alias(key),
+                            *[
+                                F.expr(sql).alias(f"__probe{i}")
+                                for i, sql in enumerate(exprs)
+                            ],
+                        )
+                        .join(F.broadcast(d_dim), probe, "left_semi")
+                        .select(key)
+                    )
+                    touched = touched.unionByName(
+                        full.join(d_fact, key, "left_anti")
+                        .join(extra, key, "left_semi")
+                    )
+                    affected = affected.unionByName(
+                        view_snap.select(key)
+                        .join(d_fact, key, "left_anti")
+                        .join(extra, key, "left_semi")
+                    )
+                    continue
                 probe = reduce(
                     lambda a, b: a & b,
                     [

@@ -141,16 +141,18 @@ class CommitMetadata:
         )
 
     def write(self, meta_dir: str) -> str:
-        """Atomically publish this commit: write tmp then rename.
+        """Atomically publish this commit: write tmp then rename, through
+        the FS seam (plans/fs.py) so URI-rooted tables publish the same
+        way.
 
         The rename is the commit point (mirrors Hudi's
         inflight->completed transition); readers only ever see completed
         ``<ts>.commit`` files.
         """
-        os.makedirs(meta_dir, exist_ok=True)
+        from .fs import fs_for
+
+        fs = fs_for(meta_dir)
+        fs.makedirs(meta_dir)
         final = os.path.join(meta_dir, f"{self.commit_ts}.commit")
-        tmp = os.path.join(meta_dir, f".{self.commit_ts}.commit.inflight")
-        with open(tmp, "w") as f:
-            f.write(self.to_json())
-        os.replace(tmp, final)
+        fs.write_text_atomic(final, self.to_json())
         return final

@@ -21,6 +21,7 @@ import re
 from dataclasses import dataclass
 from functools import lru_cache
 
+from .fs import fs_for
 from .metadata import CommitMetadata
 
 META_DIR_NAME = ".hoodie"
@@ -47,6 +48,10 @@ class Timeline:
 
     def __init__(self, base_path: str):
         self.base_path = base_path
+        # one FS seam for every metadata byte this class touches: local
+        # paths stay on os, URI paths (hdfs://, s3a://, mem://) route
+        # through plans/fs.py — the reference's Hadoop FileSystem layer
+        self.fs = fs_for(base_path)
         self.meta_dir = os.path.join(base_path, META_DIR_NAME)
         self.archive_dir = os.path.join(self.meta_dir, ARCHIVE_DIR_NAME)
         # lru_cache per-instance: metadata memo-cache (reference A17)
@@ -56,10 +61,10 @@ class Timeline:
 
     # -- listing ---------------------------------------------------------
     def instants(self) -> list[Instant]:
-        if not os.path.isdir(self.meta_dir):
+        if not self.fs.isdir(self.meta_dir):
             return []
         out = []
-        names = [n for n in sorted(os.listdir(self.meta_dir)) if _TS_RE.match(n)]
+        names = [n for n in sorted(self.fs.listdir(self.meta_dir)) if _TS_RE.match(n)]
         # crash healing: archive() publishes its checkpoint (os.replace)
         # and THEN removes the archived .commit files — a crash between
         # the two leaves timestamps both archived and active. The archive
@@ -129,8 +134,7 @@ class Timeline:
     def _load_metadata_uncached(self, timestamp: str) -> CommitMetadata:
         for inst in self.instants():
             if inst.timestamp == timestamp:
-                with open(inst.path) as f:
-                    return CommitMetadata.from_json(f.read())
+                return CommitMetadata.from_json(self.fs.read_text(inst.path))
         # archived commit metadata stays queryable (history, per-slice
         # pruning stats of checkpoint slices) — the covering BATCH loads
         # lazily; the rest of the archive is never read
@@ -172,8 +176,7 @@ class Timeline:
         if self._checkpoint is False:
             path = os.path.join(self.archive_dir, ARCHIVE_CHECKPOINT)
             try:
-                with open(path) as f:
-                    self._checkpoint = json.load(f)
+                self._checkpoint = json.loads(self.fs.read_text(path))
             except OSError:
                 self._checkpoint = None
         return self._checkpoint
@@ -189,7 +192,7 @@ class Timeline:
         covering everything."""
         out = []
         try:
-            names = os.listdir(self.archive_dir)
+            names = self.fs.listdir(self.archive_dir)
         except OSError:
             return []
         for n in names:
@@ -210,14 +213,13 @@ class Timeline:
         if path not in self._archived:
             batch: dict[str, CommitMetadata] = {}
             try:
-                with open(path) as f:
-                    for line in f:
-                        if not line.strip():
-                            continue
-                        rec = json.loads(line)
-                        batch[rec["ts"]] = CommitMetadata.from_json(
-                            json.dumps(rec["metadata"])
-                        )
+                for line in self.fs.read_text(path).splitlines():
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    batch[rec["ts"]] = CommitMetadata.from_json(
+                        json.dumps(rec["metadata"])
+                    )
             except OSError:
                 pass
             self._archived[path] = batch
@@ -259,11 +261,11 @@ class Timeline:
         # boundary are already in the archive (instants() hides them);
         # remove the leftovers so they don't linger forever
         stale_boundary = self.archive_boundary()
-        if stale_boundary is not None and os.path.isdir(self.meta_dir):
-            for name in os.listdir(self.meta_dir):
+        if stale_boundary is not None and self.fs.isdir(self.meta_dir):
+            for name in self.fs.listdir(self.meta_dir):
                 m = _TS_RE.match(name)
                 if m and m.group(1) <= stale_boundary:
-                    os.remove(os.path.join(self.meta_dir, name))
+                    self.fs.remove(os.path.join(self.meta_dir, name))
         active = self.timestamps()
         to_archive = active[:-keep_last_n]
         if not to_archive:
@@ -292,22 +294,23 @@ class Timeline:
             # no-filesystem-stat contract intact (merged across archives)
             "path_bytes": dict(prev_cp.get("path_bytes", {})),
         }
-        os.makedirs(self.archive_dir, exist_ok=True)
+        self.fs.makedirs(self.archive_dir)
         batch_name = f"instants-{to_archive[0]}-{to_archive[-1]}.jsonl"
-        with open(os.path.join(self.archive_dir, batch_name), "w") as f:
-            for ts in to_archive:
-                meta = self.commit_metadata(ts)
-                for _p, stat in meta.all_stats():
-                    cp["path_bytes"][stat.path] = stat.file_size_bytes
-                f.write(
-                    json.dumps({"ts": ts, "metadata": json.loads(meta.to_json())})
-                    + "\n"
-                )
-        tmp = os.path.join(self.archive_dir, ARCHIVE_CHECKPOINT + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(cp, f)
-        os.replace(tmp, os.path.join(self.archive_dir, ARCHIVE_CHECKPOINT))
+        lines = []
         for ts in to_archive:
-            os.remove(os.path.join(self.meta_dir, f"{ts}{COMMIT_SUFFIX}"))
+            meta = self.commit_metadata(ts)
+            for _p, stat in meta.all_stats():
+                cp["path_bytes"][stat.path] = stat.file_size_bytes
+            lines.append(
+                json.dumps({"ts": ts, "metadata": json.loads(meta.to_json())})
+            )
+        self.fs.write_text_atomic(
+            os.path.join(self.archive_dir, batch_name), "\n".join(lines) + "\n"
+        )
+        self.fs.write_text_atomic(
+            os.path.join(self.archive_dir, ARCHIVE_CHECKPOINT), json.dumps(cp)
+        )
+        for ts in to_archive:
+            self.fs.remove(os.path.join(self.meta_dir, f"{ts}{COMMIT_SUFFIX}"))
         self.refresh()
         return to_archive

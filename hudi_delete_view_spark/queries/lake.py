@@ -2107,6 +2107,70 @@ def lake_mv_auto_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_mv_auto_window_union",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT 'li' AS src, {_KEY_SQL} AS vk, l_returnflag AS part,
+         l_extendedprice AS val
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT 'om' AS src, CAST(o_orderkey AS VARCHAR) AS vk, o_orderstatus AS part,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS val
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+),
+u AS (SELECT * FROM l2 UNION ALL SELECT * FROM o2),
+r AS (
+  SELECT src, vk, part, val,
+         ROW_NUMBER() OVER (PARTITION BY part ORDER BY val DESC, src, vk) AS rn
+  FROM u
+)
+SELECT src, vk, part, val, rn FROM r WHERE rn <= 10
+""",
+)
+def lake_mv_auto_window_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WINDOW over a UNION ALL of two ingest feeds (COW lineitem +
+    MOR orders) — the union × window composition closing the IVM
+    lattice (SURVEY §12 lead 1): rank across merged feeds, partitioned
+    by a column that maps to DIFFERENT source columns per branch
+    (l_returnflag vs o_orderstatus).  Maintained by per-branch image
+    replay (each branch's changed keys name the partitions its rows
+    enter and leave) + whole-partition re-derivation with each source
+    input restricted to its branches' touched partitions, post-trimmed
+    to exactly those partitions; identity is the union's (tag, key).
+    Deterministic rank: value desc, then tag, then key — identical in
+    DuckDB's ROW_NUMBER.  Oracle recomputes both feeds and the rank
+    from scratch."""
+    from pyspark.sql import Window as W
+
+    from ..sources.fixtures import build_orders_mor
+
+    def plan(t):
+        a = t["li"].select(
+            F.lit("li").alias("src"),
+            F.col(RECORD_KEY_FIELD).alias("vk"),
+            F.col("l_returnflag").alias("part"),
+            F.col("l_extendedprice").alias("val"))
+        b = t["om"].select(
+            F.lit("om").alias("src"),
+            F.col(RECORD_KEY_FIELD).alias("vk"),
+            F.col("o_orderstatus").alias("part"),
+            F.col("o_totalprice").alias("val"))
+        w = W.partitionBy("part").orderBy(
+            F.desc("val"), F.asc("src"), F.asc("vk"))
+        return (a.unionByName(b)
+                .withColumn("rn", F.row_number().over(w))
+                .filter("rn <= 10"))
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_window_union",
+                  {"li": build_lineitem_cow(spark, sf_dir),
+                   "om": build_orders_mor(spark, sf_dir)}, plan)
+    return mv.serve()
+
+
+@query(
     "lake_mv_auto_snowflake",
     late=True,  # IVM family windowed via lake_ivm_aggregate
     oracle=f"""

@@ -251,6 +251,9 @@ class CowTable:
         # wrong answer
         self.index_bits = 16384
         self.timeline = Timeline(base_path)
+        # metadata/writer-side FS seam (plans/fs.py): local paths on os,
+        # URI paths through Hadoop FileSystem — shared with the timeline
+        self.fs = self.timeline.fs
 
     # ------------------------------------------------------------------
     # meta-column derivation (all JVM-side expressions)
@@ -345,7 +348,7 @@ class CowTable:
         FIXTURES.md edge case; the reference reads such slices fine).
         """
         staging = os.path.join(self.base_path, f".staging-{commit_ts}")
-        shutil.rmtree(staging, ignore_errors=True)
+        self.fs.rmtree(staging)
         shuffled = df.repartition(F.col(_PP), F.col(_FID))
         if sort_cols:
             # group cols lead the sort so each leaf file comes out ordered
@@ -373,22 +376,22 @@ class CowTable:
         writer.parquet(staging)
 
         written: dict[tuple[str, str], tuple[str, int]] = {}
-        for pp_dir in os.listdir(staging):
+        for pp_dir in self.fs.listdir(staging):
             if not pp_dir.startswith(f"{_PP}="):
                 continue
             partition = unquote(pp_dir.split("=", 1)[1])
-            for fid_dir in os.listdir(os.path.join(staging, pp_dir)):
+            for fid_dir in self.fs.listdir(os.path.join(staging, pp_dir)):
                 if not fid_dir.startswith(f"{_FID}="):
                     continue
                 file_id = unquote(fid_dir.split("=", 1)[1])
                 leaf = os.path.join(staging, pp_dir, fid_dir)
-                parts = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+                parts = [f for f in self.fs.listdir(leaf) if f.endswith(".parquet")]
                 assert len(parts) == 1, f"file group {file_id} split across {len(parts)} files"
                 target_dir = os.path.join(self.base_path, partition)
-                os.makedirs(target_dir, exist_ok=True)
+                self.fs.makedirs(target_dir)
                 fname = f"{file_id}_{WRITE_TOKEN}_{commit_ts}{suffix}"
                 target = os.path.join(target_dir, fname)
-                os.replace(os.path.join(leaf, parts[0]), target)
+                self.fs.replace(os.path.join(leaf, parts[0]), target)
                 written[(partition, file_id)] = (
                     os.path.join(partition, fname),
                     _footer_row_count(target),
@@ -401,16 +404,18 @@ class CowTable:
             tmp = os.path.join(staging, "_empty")
             empty.coalesce(1).write.mode("overwrite").parquet(tmp)
             src = next(
-                os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".parquet")
+                os.path.join(tmp, f)
+                for f in self.fs.listdir(tmp)
+                if f.endswith(".parquet")
             )
             for partition, file_id in missing:
                 target_dir = os.path.join(self.base_path, partition)
-                os.makedirs(target_dir, exist_ok=True)
+                self.fs.makedirs(target_dir)
                 fname = f"{file_id}_{WRITE_TOKEN}_{commit_ts}{suffix}"
-                shutil.copyfile(src, os.path.join(target_dir, fname))
+                self.fs.copy(src, os.path.join(target_dir, fname))
                 written[(partition, file_id)] = (os.path.join(partition, fname), 0)
 
-        shutil.rmtree(staging, ignore_errors=True)
+        self.fs.rmtree(staging)
         return written
 
     def _value_index_bitmaps(
@@ -607,8 +612,10 @@ class CowTable:
         total_deleted = 0
         for (partition, file_id), (rel_path, new_rows) in sorted(written.items()):
             prev = prev_slices.get((partition, file_id))
+            # prev.base_path is already table-rooted (resolve_slices); a
+            # second join is a local no-op but DOUBLES a URI base path
             prev_rows = (
-                _footer_row_count(os.path.join(self.base_path, prev.base_path))
+                _footer_row_count(prev.base_path)
                 if prev and prev.base_path
                 else 0
             )
@@ -646,7 +653,7 @@ class CowTable:
                     num_update_writes=updates,
                     num_deletes=deletes,
                     num_inserts=inserts,
-                    file_size_bytes=os.path.getsize(abs_path),
+                    file_size_bytes=self.fs.size(abs_path),
                     column_stats=footer_column_stats(abs_path, stats_cols),
                     value_index=vix.get(rel_path, {}),
                 )
@@ -992,17 +999,17 @@ class CowTable:
         removed = []
         for _p, stat in meta.all_stats():
             p = os.path.join(self.base_path, stat.path)
-            if os.path.exists(p):
-                os.remove(p)
+            if self.fs.exists(p):
+                self.fs.remove(p)
                 removed.append(p)
         meta_dir = os.path.join(self.base_path, ".hoodie")
-        os.replace(
+        self.fs.replace(
             os.path.join(meta_dir, f"{commit_ts}.commit"),
             os.path.join(meta_dir, f"{commit_ts}.commit.rolledback"),
         )
         # drop any materialized delete view of the retired commit
-        shutil.rmtree(
-            os.path.join(self.base_path, ".delete", commit_ts), ignore_errors=True
+        self.fs.rmtree(
+            os.path.join(self.base_path, ".delete", commit_ts)
         )
         self.timeline.refresh()
         return removed
@@ -1293,12 +1300,13 @@ class CowTable:
 
         ledger: dict[str, str] = {}
         try:
-            with open(self._stream_epoch_ledger_path()) as f:
-                for line in f:
-                    line = line.strip()
-                    if line:
-                        rec = json.loads(line)
-                        ledger[rec["id"]] = rec["ts"]
+            for line in self.fs.read_text(
+                self._stream_epoch_ledger_path()
+            ).splitlines():
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    ledger[rec["id"]] = rec["ts"]
         except OSError:
             pass
         return ledger
@@ -1327,7 +1335,7 @@ class CowTable:
         pending = os.path.join(self.base_path, ".stream-pending")
         try:
             manifests = sorted(
-                n for n in os.listdir(pending) if n.endswith(".manifest.json")
+                n for n in self.fs.listdir(pending) if n.endswith(".manifest.json")
             )
         except OSError:
             return []
@@ -1337,8 +1345,7 @@ class CowTable:
         published = []
         for name in manifests:
             mp = os.path.join(pending, name)
-            with open(mp) as f:
-                m = json.load(f)
+            m = json.loads(self.fs.read_text(mp))
             identity = f"{m.get('writer_id', 'legacy')}:{m.get('batch_id', m['ts'])}"
             paths = [os.path.join(self.base_path, p) for p in m["paths"]]
             all_ts = set(self.timeline.all_timestamps())
@@ -1350,12 +1357,10 @@ class CowTable:
                 latest = max(all_ts) if all_ts else None
                 if ts in all_ts or (latest is not None and ts <= latest):
                     ts = f"{int(latest) + 1:014d}"
-                os.makedirs(os.path.dirname(self._stream_epoch_ledger_path()),
-                            exist_ok=True)
-                with open(self._stream_epoch_ledger_path(), "a") as f:
-                    f.write(json.dumps({"id": identity, "ts": ts}) + "\n")
-                    f.flush()
-                    os.fsync(f.fileno())
+                self.fs.append_line(
+                    self._stream_epoch_ledger_path(),
+                    json.dumps({"id": identity, "ts": ts}) + "\n",
+                )
                 ledger[identity] = ts
                 apply_it = True
             if apply_it:
@@ -1367,10 +1372,10 @@ class CowTable:
                 published.append(ts)
             for p in paths:
                 try:
-                    os.remove(p)
+                    self.fs.remove(p)
                 except OSError:
                     pass
-            os.remove(mp)
+            self.fs.remove(mp)
         return published
 
     def clean(self, retain_last_n: int = 2, dry_run: bool = False) -> list[str]:
@@ -1413,8 +1418,8 @@ class CowTable:
         doomed = sorted(all_files - referenced)
         if not dry_run:
             for p in doomed:
-                if os.path.exists(p):
-                    os.remove(p)
+                if self.fs.exists(p):
+                    self.fs.remove(p)
         return doomed
 
     def find_orphans(self, remove: bool = False) -> list[str]:
@@ -1432,13 +1437,13 @@ class CowTable:
             for _p, stat in self.timeline.commit_metadata(t).all_stats():
                 known.add(os.path.abspath(os.path.join(self.base_path, stat.path)))
         orphans: list[str] = []
-        for entry in sorted(os.listdir(self.base_path)):
+        for entry in sorted(self.fs.listdir(self.base_path)):
             if entry.startswith("."):
                 continue  # .hoodie / .delete / .staging-*
             pdir = os.path.join(self.base_path, entry)
-            if not os.path.isdir(pdir):
+            if not self.fs.isdir(pdir):
                 continue
-            for fname in sorted(os.listdir(pdir)):
+            for fname in sorted(self.fs.listdir(pdir)):
                 if not fname.endswith(".parquet"):
                     continue
                 ap = os.path.abspath(os.path.join(pdir, fname))
@@ -1446,7 +1451,7 @@ class CowTable:
                     orphans.append(ap)
         if remove:
             for p in orphans:
-                os.remove(p)
+                self.fs.remove(p)
         return orphans
 
     # -- savepoints (Hudi savepoint analogue) ------------------------------
@@ -1456,9 +1461,9 @@ class CowTable:
     def savepoints(self) -> set[str]:
         """Commit timestamps pinned against the cleaner."""
         d = self._savepoint_dir()
-        if not os.path.isdir(d):
+        if not self.fs.isdir(d):
             return set()
-        return {f for f in os.listdir(d) if not f.startswith(".")}
+        return {f for f in self.fs.listdir(d) if not f.startswith(".")}
 
     def savepoint(self, commit_ts: str) -> None:
         """Pin ``commit_ts``: its snapshot's files survive any ``clean``
@@ -1476,21 +1481,22 @@ class CowTable:
             p
             for s in resolve_slices(self.timeline, commit_ts).values()
             for p in ([s.base_path] if s.base_path else []) + list(s.log_paths)
-            if not os.path.exists(p)
+            if not self.fs.exists(p)
         ]
         if missing:
             raise TimelineError(
                 f"cannot savepoint {commit_ts}: {len(missing)} slice file(s) "
                 f"already cleaned (first: {missing[0]})"
             )
-        os.makedirs(self._savepoint_dir(), exist_ok=True)
-        with open(os.path.join(self._savepoint_dir(), commit_ts), "w") as f:
-            f.write("savepoint")
+        self.fs.makedirs(self._savepoint_dir())
+        self.fs.write_text_atomic(
+            os.path.join(self._savepoint_dir(), commit_ts), "savepoint"
+        )
 
     def release_savepoint(self, commit_ts: str) -> None:
         """Unpin; the next ``clean`` may reclaim the commit's files."""
         try:
-            os.remove(os.path.join(self._savepoint_dir(), commit_ts))
+            self.fs.remove(os.path.join(self._savepoint_dir(), commit_ts))
         except FileNotFoundError:
             raise TimelineError(f"no savepoint at {commit_ts}") from None
 
@@ -1629,7 +1635,7 @@ class CowTable:
         mirror_dir = os.path.join(self.base_path, ".mirror", tbl)
         stamp = os.path.join(mirror_dir, "_mirror_commit")
         try:
-            with open(stamp) as f:
+            with open(stamp) as f:  # local session-cache stamp, not table state
                 fresh = f.read().strip() == latest
         except OSError:
             fresh = False

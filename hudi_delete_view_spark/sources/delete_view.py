@@ -144,9 +144,10 @@ class DeleteView:
         """Cache-validity: dir exists, non-empty, footer count matches
         ``totalRecordsDeleted`` (``DeleteView.java:178-190``)."""
         path = self.view_path()
-        if not os.path.isdir(path):
+        fs = self.timeline.fs
+        if not fs.isdir(path):
             return False
-        if not any(f.endswith(".parquet") for f in os.listdir(path)):
+        if not any(f.endswith(".parquet") for f in fs.listdir(path)):
             return False
         expected = self.timeline.commit_metadata(self.timestamp).total_records_deleted
         return footer_row_count_dir(path) == expected
@@ -158,7 +159,7 @@ class DeleteView:
         df = self._compute()
         if df is None:
             # empty view: publish an empty parquet dir with the table schema
-            shutil.rmtree(path, ignore_errors=True)
+            self.timeline.fs.rmtree(path)
             meta = self.timeline.commit_metadata(self.timestamp)
             if meta.schema_json:
                 import json as _json
@@ -170,7 +171,7 @@ class DeleteView:
                 )
                 empty.write.mode("overwrite").parquet(path)
             else:
-                os.makedirs(path, exist_ok=True)
+                self.timeline.fs.makedirs(path)
             return path
         df.write.mode("overwrite").parquet(path)
         return path

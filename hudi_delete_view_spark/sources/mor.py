@@ -262,34 +262,55 @@ class MorTable(CowTable):
         """Merged view over a slice subset: latest version per key wins;
         tombstones drop rows. base ∪ logs → window rank on (file_id, key)
         by (commit_time, seqno) desc → keep rank 1 → drop deleted. One
-        shuffle, group-co-located. None when the subset has no files."""
-        base_paths = [s.base_path for s in slices.values() if s.base_path]
-        log_paths = [p for s in slices.values() for p in s.log_paths]
-        if not base_paths and not log_paths:
-            return None
-        parts = []
-        if base_paths:
-            base = self.spark.read.parquet(*base_paths)
-            if DELETED_FIELD not in base.columns:
-                base = base.withColumn(DELETED_FIELD, F.lit(False))
-            parts.append(base)
-        if log_paths:
+        shuffle, group-co-located — and ONLY over groups that actually
+        carry logs: a log-free group's base file already holds exactly
+        one live version per key, so those files union AROUND the merge
+        window untouched. On a mostly-compacted table this turns the
+        snapshot into a near-pure scan (the shuffle covers just the
+        logged tail); a fully-compacted table plans with no window at
+        all. None when the subset has no files."""
+        logged = {g: s for g, s in slices.items() if s.log_paths}
+        free_bases = [
+            s.base_path
+            for s in slices.values()
+            if not s.log_paths and s.base_path
+        ]
+        merged = None
+        if logged:
+            base_paths = [s.base_path for s in logged.values() if s.base_path]
+            log_paths = [p for s in logged.values() for p in s.log_paths]
+            parts = []
+            if base_paths:
+                base = self.spark.read.parquet(*base_paths)
+                if DELETED_FIELD not in base.columns:
+                    base = base.withColumn(DELETED_FIELD, F.lit(False))
+                parts.append(base)
             parts.append(self.spark.read.parquet(*log_paths))
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p, allowMissingColumns=True)
-        if DELETED_FIELD not in df.columns:
-            return df
-        w = Window.partitionBy(
-            file_id_expr(F.col(FILE_NAME_FIELD)), F.col(RECORD_KEY_FIELD)
-        ).orderBy(F.desc(COMMIT_TIME_FIELD), F.desc(COMMIT_SEQNO_FIELD))
-        return (
-            df.withColumn("__rank", F.row_number().over(w))
-            .filter(F.col("__rank") == 1)
-            .drop("__rank")
-            .filter(~F.coalesce(F.col(DELETED_FIELD), F.lit(False)))
-            .drop(DELETED_FIELD)
-        )
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+            w = Window.partitionBy(
+                file_id_expr(F.col(FILE_NAME_FIELD)), F.col(RECORD_KEY_FIELD)
+            ).orderBy(F.desc(COMMIT_TIME_FIELD), F.desc(COMMIT_SEQNO_FIELD))
+            merged = (
+                df.withColumn("__rank", F.row_number().over(w))
+                .filter(F.col("__rank") == 1)
+                .drop("__rank")
+                .filter(~F.coalesce(F.col(DELETED_FIELD), F.lit(False)))
+                .drop(DELETED_FIELD)
+            )
+        if free_bases:
+            free = self.spark.read.parquet(*free_bases)
+            if DELETED_FIELD in free.columns:
+                free = free.filter(
+                    ~F.coalesce(F.col(DELETED_FIELD), F.lit(False))
+                ).drop(DELETED_FIELD)
+            merged = (
+                free
+                if merged is None
+                else merged.unionByName(free, allowMissingColumns=True)
+            )
+        return merged
 
     def _read_groups(self, slices: dict, groups: set) -> DataFrame | None:
         """Live rows of a group subset — read THROUGH the merge.

@@ -1250,6 +1250,198 @@ def test_union_view(spark, scratch, tables):
     assert mv.refresh()["advanced"] is False
 
 
+def test_join_view_expression_keys(spark, scratch, tables):
+    """Change-key JOIN view with EXPRESSION join keys (SURVEY §12 lead
+    3): the fact side is an unprojected expression ((g + 1)), the arm
+    side an expression over the dim's raw columns ((bucket * 1)) — no
+    pre-projection, no schema-visible extra column.  Arm changes probe
+    SOURCE-SIDE: changed arm values map to affected fact record keys
+    through the fact snapshot's own expression value, then ride the
+    ordinary change-key machinery."""
+    fact, _ = tables
+    dim2 = CowTable(spark, os.path.join(scratch, "dimx"), key_fields=["gk"],
+                    partition_field=None, num_file_groups=1)
+    dim2.bulk_insert(spark.range(6).selectExpr(
+        "cast(id as long) as gk", "cast(id as long) as bucket",
+        "concat('b', id) as bname"), "20260101000000")
+
+    def plan(t):
+        f = t["fact"].select(
+            F.col("_hoodie_record_key").alias("vk"), "g", "v")
+        d = t["dim2"].select("bucket", "bname")
+        return f.join(
+            d, (F.col("g") + F.lit(1)) == (F.col("bucket") * F.lit(1))
+        ).select("vk", "v", "bname")
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvxk"),
+                              {"fact": fact, "dim2": dim2}, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "join"
+    (d,) = spec["dims"]
+    assert d["probe_out_cols"] == [] and len(d["probe_fact_exprs"]) == 1
+    seed = {"fact": "20260101000000", "dim2": "20260101000000"}
+    mv.refresh(seed_as_of=seed, to=seed)
+
+    def expect():
+        return _rows(plan({"fact": fact.snapshot(),
+                           "dim2": dim2.snapshot()}))
+
+    # fact-side advance (C2 updates, C3 deletes, C4 insert g=9: no match)
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    # arm-side: value change (same bucket), bucket MOVE (3 -> 30: its
+    # fact rows lose the match), delete (bucket 1: g=0 rows go dead),
+    # insert (bucket 10: the C4 g=9 row gains a match)
+    dim2.upsert(spark.createDataFrame(
+        [(2, 2, "RENAMED"), (3, 30, "b3")],
+        "gk long, bucket long, bname string"), "20260105000000")
+    dim2.delete(spark.createDataFrame([(1,)], "gk long"), "20260106000000")
+    dim2.upsert(spark.createDataFrame([(10, 10, "b10")],
+                                      "gk long, bucket long, bname string"),
+                "20260107000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    served = {(r["vk"], r["bname"]) for r in mv.serve().collect()}
+    assert ("k99", "b10") in served  # insert matched the g=9 row
+    assert not any(b == "b1" for _v, b in served)  # deleted arm rows gone
+    assert mv.refresh()["advanced"] is False
+
+
+def test_join_view_snowflake_expression_key_refused(spark, scratch, tables):
+    """A snowflake arm whose tree-side key is an expression has no
+    fact-snapshot probe (its values live mid-plan) — refuse with the
+    projection contract named."""
+    fact, dim = tables
+    dim_b = CowTable(spark, os.path.join(scratch, "dimsx"), key_fields=["pk"],
+                     partition_field=None, num_file_groups=1)
+    dim_b.bulk_insert(spark.range(4).selectExpr(
+        "cast(id as long) as pk", "concat('p', id) as pname"),
+        "20260101000000")
+    fs, ds, bs = fact.snapshot(), dim.snapshot(), dim_b.snapshot()
+
+    f = fs.select(F.col("_hoodie_record_key").alias("vk"), "g", "v")
+    d = ds.select("gk", "gname")
+    b = bs.select("pk", "pname")
+    view = (f.join(d, F.col("g") == F.col("gk"))
+            .join(b, (F.col("gk") % 4) == F.col("pk"))
+            .select("vk", "v", "g", "gname", "pname"))
+    with pytest.raises(UnsupportedViewError, match="snowflake|projected"):
+        classify_view(view, {"fact": fs, "dim": ds, "dimb": bs})
+
+
+def test_window_over_union_view(spark, scratch, tables):
+    """Top-k-per-partition WINDOW over a UNION ALL of three branches —
+    the union × window composition (SURVEY §12 lead 1).  One source
+    feeds TWO branches whose partition columns map to DIFFERENT source
+    columns (the OR-of-restrictions case), record keys collide across
+    sources (the (tag, key) identity case), and the fixture's deletes
+    promote previously-hidden rows into the top-k (the displacement
+    case row-granular maintenance cannot see)."""
+    from pyspark.sql import Window as W
+
+    fact, _ = tables
+    other = CowTable(spark, os.path.join(scratch, "wother"), key_fields=["k"],
+                     partition_field=None, num_file_groups=2)
+    # colliding record keys (k0..k11) with their own partition columns
+    other.bulk_insert(spark.range(12).selectExpr(
+        "concat('k', id) as k", "cast(id % 3 as long) as grp",
+        "cast(id % 2 as long) as grp2", "cast(id * 7 as double) as w"),
+        "20260101000000")
+
+    def plan(t):
+        a = t["fact"].select(
+            F.lit("f").alias("src"),
+            F.col("_hoodie_record_key").alias("vk"),
+            F.col("g").alias("part"), F.col("v").alias("val"))
+        b = t["other"].select(
+            F.lit("o").alias("src"),
+            F.col("_hoodie_record_key").alias("vk"),
+            F.col("grp").alias("part"), F.col("w").alias("val"))
+        c = t["other"].select(
+            F.lit("o2").alias("src"),
+            F.col("_hoodie_record_key").alias("vk"),
+            F.col("grp2").alias("part"), (F.col("w") * 2).alias("val"))
+        w = W.partitionBy("part").orderBy(
+            F.desc("val"), F.asc("src"), F.asc("vk"))
+        return (a.unionByName(b).unionByName(c)
+                .withColumn("rn", F.row_number().over(w))
+                .filter("rn <= 3"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvwu"),
+                              {"fact": fact, "other": other}, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "window_union"
+    assert spec["tag_col"] == "src" and spec["key"]["name"] == "vk"
+    assert spec["parts"] == [("part", "part")]
+    # per-branch partition mapping: three different source columns
+    assert [b["part_src_cols"] for b in spec["branches"]] == [
+        ["g"], ["grp"], ["grp2"]]
+
+    seed = {"fact": "20260101000000", "other": "20260101000000"}
+    mv.refresh(seed_as_of=seed, to=seed)
+
+    def expect():
+        return _rows(plan({"fact": fact.snapshot(),
+                           "other": other.snapshot()}))
+
+    # seed state serves the C1-as-of plan exactly
+    assert _rows(mv.serve()) == _rows(plan(
+        {"fact": fact.snapshot("20260101000000"),
+         "other": other.snapshot("20260101000000")}))
+    # fact advance C1→C4: updates re-rank, deletes PROMOTE hidden rows,
+    # k99 opens a brand-new partition (g=9)
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    # other-side advance touches BOTH its branches at once: the update
+    # moves k4 between grp partitions AND re-ranks its grp2 partition
+    other.upsert(spark.createDataFrame([("k4", 1, 0, 999.0)],
+                 "k string, grp long, grp2 long, w double"),
+                 "20260105000000")
+    other.delete(spark.createDataFrame([("k11",)], "k string"),
+                 "20260106000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    # colliding keys stay distinct under their tags
+    tags = {(r["src"], r["vk"]) for r in mv.serve().collect()}
+    assert len(tags) == mv.serve().count()
+    assert mv.refresh()["advanced"] is False
+
+
+def test_window_over_union_derived_partition(spark, scratch, tables):
+    """A branch whose partition output is a DERIVED expression disables
+    input restriction for its source (part_src_cols None) but stays
+    output-exact through the post-trim."""
+    from pyspark.sql import Window as W
+
+    fact, _ = tables
+
+    def plan(t):
+        a = t["fact"].select(
+            F.lit("lo").alias("src"),
+            F.col("_hoodie_record_key").alias("vk"),
+            F.col("g").alias("part"), F.col("v").alias("val"))
+        b = t["fact"].select(
+            F.lit("hi").alias("src"),
+            F.col("_hoodie_record_key").alias("vk"),
+            (F.col("g") + 100).alias("part"), F.col("v").alias("val"))
+        w = W.partitionBy("part").orderBy(
+            F.desc("val"), F.asc("src"), F.asc("vk"))
+        return (a.unionByName(b)
+                .withColumn("rn", F.row_number().over(w))
+                .filter("rn <= 2"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvwud"),
+                              {"fact": fact}, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "window_union"
+    assert [b["part_src_cols"] for b in spec["branches"]] == [["g"], None]
+    seed = {"fact": "20260101000000"}
+    mv.refresh(seed_as_of=seed, to=seed)
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    assert mv.refresh()["advanced"] is False
+
+
 def test_union_refusals(spark, scratch, tables):
     """Unions without a distinct literal tag, or without per-branch
     record keys, refuse with the contract spelled out."""

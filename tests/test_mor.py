@@ -102,6 +102,37 @@ def test_compaction_preserves_merged_view(table, orders):
         table.compact("20260105000000")
 
 
+def test_log_free_groups_bypass_merge_window(spark, scratch):
+    """The merge window covers ONLY groups carrying logs: a delta that
+    touches one key puts one group through the (file_id, key) shuffle
+    while every log-free group's base file unions around it untouched,
+    and a fully-compacted table plans with NO window at all — the
+    mostly-compacted-table scan cost the routing exists for."""
+    t = MorTable(spark, os.path.join(scratch, "lf"), key_fields=["k"],
+                 partition_field=None, num_file_groups=8)
+    t.bulk_insert(spark.range(400).selectExpr(
+        "cast(id as long) as k", "cast(id as double) as v"), C1)
+    # one key's worth of logs: exactly one group is logged
+    t.upsert_delta(spark.createDataFrame([(7, 777.0)], "k long, v double"), C2)
+    t.delete_delta(spark.createDataFrame([(8,)], "k long"), C3)
+    logged = sum(1 for s in resolve_slices(t.timeline).values() if s.log_paths)
+    assert 1 <= logged <= 2  # k=7 and k=8 hash to at most two groups
+
+    snap = t.snapshot()
+    plan_str = snap._jdf.queryExecution().analyzed().treeString()
+    assert plan_str.count("row_number()") == 1  # ONE window...
+    assert "Union" in plan_str  # ...with log-free bases around it
+    rows = {r["k"]: r["v"] for r in snap.collect()}
+    assert len(rows) == 399 and rows[7] == 777.0 and 8 not in rows
+    assert rows[100] == 100.0  # log-free group row served raw
+
+    t.compact(C4)
+    plan_str2 = t.snapshot()._jdf.queryExecution().analyzed().treeString()
+    assert "row_number()" not in plan_str2  # pure scan, zero shuffle
+    rows2 = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert rows2 == rows
+
+
 def test_mor_delete_view(table, orders):
     victims = orders.filter("o_orderkey % 11 = 0")
     n = victims.count()
