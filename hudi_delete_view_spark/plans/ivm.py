@@ -1523,12 +1523,15 @@ def _classify_window_tree(
     }
 
 
-def _plain_chain_col(eid: int, nodes: list, src_cols: dict[int, str]) -> str | None:
+def _chain_col_sql(eid: int, nodes: list, src_cols: dict[int, str],
+                   quals=frozenset()) -> str | None:
     """Follow an output exprId top-down through a Project/Filter chain;
-    returns the SOURCE column name when every hop is a pass-through or a
-    pure rename (Alias of a bare AttributeReference), else None — an
-    expression hop means the value is derived and cannot restrict the
-    source input by simple column equality."""
+    returns SQL over the SOURCE's raw columns — the column name for
+    pass-through/rename hops, or the printed expression for a DERIVED
+    hop whose references all land directly in the source's output (so
+    the SQL replays verbatim over the source snapshot).  None when the
+    value is derived from renamed/derived intermediates (restriction
+    then falls back to a full-input pass for that source)."""
     for n in nodes:
         if _cls(n) != "Project":
             continue  # Filter: attributes pass through unchanged
@@ -1538,11 +1541,15 @@ def _plain_chain_col(eid: int, nodes: list, src_cols: dict[int, str]) -> str | N
                 continue
             if _cls(p) == "Alias":
                 ch = p.child()
-                if _cls(ch) != "AttributeReference":
-                    return None  # derived value
-                nxt = ch.exprId().id()
-            else:
-                nxt = eid  # pass-through
+                if _cls(ch) == "AttributeReference":
+                    nxt = ch.exprId().id()
+                    break
+                ok = all(
+                    a.exprId().id() in src_cols
+                    for a in _seq(ch.references().toSeq())
+                )
+                return _strip_quals(ch.sql(), quals) if ok else None
+            nxt = eid  # pass-through
             break
         if nxt is None:
             return None  # not produced by this project at all
@@ -1628,7 +1635,7 @@ def _classify_window_union(
         local = _source_local_ids(term, snapshots)
         child_out = _seq(child.output())
         cols = [
-            _plain_chain_col(child_out[pidx].exprId().id(), nodes, local)
+            _chain_col_sql(child_out[pidx].exprId().id(), nodes, local, quals)
             for _o, _u, pidx in parts
         ]
         br["part_src_cols"] = cols if all(c is not None for c in cols) else None
@@ -3636,18 +3643,29 @@ class AutoMaterializedView:
             snap = src.snapshot(latest[name])
             brs = [b for b in spec["branches"] if b["source"] == name]
             if brs and all(b.get("part_src_cols") for b in brs):
-                conds = [
-                    reduce(
-                        lambda x, y: x & y,
-                        [
-                            F.col(f"__s.{sc}").eqNullSafe(F.col(f"__t.{o}"))
-                            for sc, (o, _u) in zip(
-                                b["part_src_cols"], spec["parts"]
-                            )
-                        ],
+                # partition values computed on the UNALIASED snapshot
+                # (derived-partition SQL must resolve against source
+                # columns, not the join's ambiguous namespace), then the
+                # OR-of-branches semi-join against the touched tuples
+                helpers, conds = [], []
+                for bi, b in enumerate(brs):
+                    cols = []
+                    for i, sql in enumerate(b["part_src_cols"]):
+                        cname = f"__mv_wu_p{bi}_{i}"
+                        snap = snap.withColumn(cname, F.expr(sql))
+                        helpers.append(cname)
+                        cols.append(cname)
+                    conds.append(
+                        reduce(
+                            lambda x, y: x & y,
+                            [
+                                F.col(f"__s.{c}").eqNullSafe(
+                                    F.col(f"__t.{o}")
+                                )
+                                for c, (o, _u) in zip(cols, spec["parts"])
+                            ],
+                        )
                     )
-                    for b in brs
-                ]
                 snap = (
                     snap.alias("__s")
                     .join(
@@ -3655,6 +3673,7 @@ class AutoMaterializedView:
                         reduce(lambda x, y: x | y, conds),
                         "left_semi",
                     )
+                    .drop(*helpers)
                 )
             snaps[name] = snap
         rederived = self.plan_fn(snaps)

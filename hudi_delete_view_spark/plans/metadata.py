@@ -62,10 +62,16 @@ class WriteStat:
 
     @classmethod
     def from_dict(cls, d: dict) -> WriteStat:
+        # Hudi serializes a bootstrap predecessor as the STRING "null"
+        # (HoodieWriteStat.NULL_COMMIT); normalize to real None so
+        # predecessor pairing never chases a phantom instant
+        prev = d.get("prevCommit")
+        if prev == "null":
+            prev = None
         return cls(
             file_id=d["fileId"],
             path=d["path"],
-            prev_commit=d.get("prevCommit"),
+            prev_commit=prev,
             num_writes=int(d.get("numWrites", 0)),
             num_update_writes=int(d.get("numUpdateWrites", 0)),
             num_deletes=int(d.get("numDeletes", 0)),
@@ -126,18 +132,34 @@ class CommitMetadata:
         )
 
     @classmethod
-    def from_json(cls, text: str) -> CommitMetadata:
+    def from_json(cls, text: str, commit_ts: str | None = None) -> CommitMetadata:
+        """Parse native commit JSON — AND genuine Hudi 0.x
+        ``HoodieCommitMetadata`` files (interop): the write-stat keys are
+        already Hudi's own camelCase, so the deltas are commit-file
+        framing — Hudi embeds no ``commitTs`` (the instant time is the
+        FILENAME; pass it via ``commit_ts``), spells the operation
+        ``operationType: "UPSERT"``, nests extras under
+        ``extraMetadata`` (where the Avro schema lives — kept in
+        ``extra``, never mistaken for our Spark StructType
+        ``schema``), and serializes no ``totalRecordsDeleted`` (the
+        reference computes it by summing ``numDeletes``,
+        ``DeleteView.java:186`` via ``getTotalRecordsDeleted``)."""
         d = json.loads(text)
+        stats = {
+            p: [WriteStat.from_dict(s) for s in sl]
+            for p, sl in d.get("partitionToWriteStats", {}).items()
+        }
+        total = d.get("totalRecordsDeleted")
+        if total is None:
+            total = sum(s.num_deletes for sl in stats.values() for s in sl)
         return cls(
-            commit_ts=d["commitTs"],
-            operation=d.get("operation", "upsert"),
-            partition_to_write_stats={
-                p: [WriteStat.from_dict(s) for s in stats]
-                for p, stats in d.get("partitionToWriteStats", {}).items()
-            },
-            total_records_deleted=int(d.get("totalRecordsDeleted", 0)),
+            commit_ts=d.get("commitTs") or commit_ts or "",
+            operation=d.get("operation")
+            or (d.get("operationType") or "upsert").lower(),
+            partition_to_write_stats=stats,
+            total_records_deleted=int(total),
             schema_json=d.get("schema"),
-            extra=d.get("extra", {}),
+            extra=d.get("extra") or d.get("extraMetadata") or {},
         )
 
     def write(self, meta_dir: str) -> str:

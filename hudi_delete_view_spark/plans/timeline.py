@@ -134,7 +134,11 @@ class Timeline:
     def _load_metadata_uncached(self, timestamp: str) -> CommitMetadata:
         for inst in self.instants():
             if inst.timestamp == timestamp:
-                return CommitMetadata.from_json(self.fs.read_text(inst.path))
+                # instant time rides in the FILENAME (genuine Hudi commit
+                # JSON embeds no commitTs — interop)
+                return CommitMetadata.from_json(
+                    self.fs.read_text(inst.path), commit_ts=inst.timestamp
+                )
         # archived commit metadata stays queryable (history, per-slice
         # pruning stats of checkpoint slices) — the covering BATCH loads
         # lazily; the rest of the archive is never read

@@ -2106,6 +2106,54 @@ def lake_mv_auto_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv.serve()
 
 
+import os as _hudi_os
+
+_HUDI_FIXTURE = _hudi_os.path.abspath(_hudi_os.path.join(
+    _hudi_os.path.dirname(__file__), "..", "..", "tests", "fixtures",
+    "hudi_cow"))
+
+
+@query(
+    "lake_hudi_interop",
+    late=True,  # format-interop sibling of the windowed lake_delete_view
+    oracle=f"""
+WITH old AS (
+  SELECT * FROM read_parquet('{_HUDI_FIXTURE}/2020/12/12/*_20201212121212.parquet')
+),
+new AS (
+  SELECT _hoodie_record_key
+  FROM read_parquet('{_HUDI_FIXTURE}/2020/12/12/*_20201213101010.parquet')
+)
+SELECT old.id, old.name, old.value
+FROM old
+WHERE old._hoodie_record_key NOT IN (SELECT _hoodie_record_key FROM new)
+""",
+)
+def lake_hudi_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-view over a FOREIGN-layout table: tests/fixtures/hudi_cow
+    is a genuine Apache Hudi 0.x COW layout (hand-authored to the public
+    0.6 format — HoodieCommitMetadata JSON framing, prevCommit "null",
+    operationType, extraMetadata Avro schema, nested date partitions)
+    that this repo's writers did NOT produce.  The reader stack —
+    timeline, commit metadata, fileId/prevCommit pairing
+    (DeleteView.java:112-163), anti-join reconstruction — answers the
+    reference's headline question over it; the oracle recomputes the
+    anti-join straight off the fixture's parquet files."""
+    import shutil
+
+    from ..sources.fixtures import SCRATCH_ROOT, scratch_tag
+
+    import os
+
+    dst = os.path.join(SCRATCH_ROOT, "lake", scratch_tag(sf_dir),
+                       "hudi_interop")
+    if not os.path.isdir(os.path.join(dst, ".hoodie")):
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(_HUDI_FIXTURE, dst)
+    return delete_view(spark, dst, "20201213101010").select(
+        "id", "name", "value")
+
+
 @query(
     "lake_mv_auto_window_union",
     late=True,  # IVM family windowed via lake_ivm_aggregate

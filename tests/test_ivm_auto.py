@@ -1408,9 +1408,12 @@ def test_window_over_union_view(spark, scratch, tables):
 
 
 def test_window_over_union_derived_partition(spark, scratch, tables):
-    """A branch whose partition output is a DERIVED expression disables
-    input restriction for its source (part_src_cols None) but stays
-    output-exact through the post-trim."""
+    """A branch whose partition output is a DERIVED expression over the
+    source's raw columns still restricts its input: the expression
+    replays over the source snapshot at probe time (the same trick
+    expression join keys use).  A branch derived from RENAMED
+    intermediates falls back to full input (None), still output-exact
+    through the post-trim."""
     from pyspark.sql import Window as W
 
     fact, _ = tables
@@ -1434,12 +1437,52 @@ def test_window_over_union_derived_partition(spark, scratch, tables):
                               {"fact": fact}, plan)
     spec = mv.spec()
     assert spec["kind"] == "window_union"
-    assert [b["part_src_cols"] for b in spec["branches"]] == [["g"], None]
+    srcs = [b["part_src_cols"] for b in spec["branches"]]
+    assert srcs[0] == ["g"]
+    assert srcs[1] is not None and "100" in srcs[1][0]  # derived, restricted
     seed = {"fact": "20260101000000"}
     mv.refresh(seed_as_of=seed, to=seed)
     mv.refresh()
     assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
     assert mv.refresh()["advanced"] is False
+
+
+def test_window_over_union_renamed_intermediate_falls_back(spark, scratch,
+                                                           tables):
+    """Derived-from-renamed partition: the branch projects g AS gg below
+    and partitions by (gg + 100) above — the SQL cannot replay over the
+    raw source, so the source takes the full-input pass (None) and the
+    post-trim keeps the output exact."""
+    from pyspark.sql import Window as W
+
+    fact, _ = tables
+
+    def plan(t):
+        a = t["fact"].select(
+            F.lit("lo").alias("src"),
+            F.col("_hoodie_record_key").alias("vk"),
+            F.col("g").alias("part"), F.col("v").alias("val"))
+        mid = t["fact"].select(
+            F.col("_hoodie_record_key").alias("vk"),
+            F.col("g").alias("gg"), F.col("v").alias("val"))
+        b = mid.select(
+            F.lit("hi").alias("src"), "vk",
+            (F.col("gg") + 100).alias("part"), "val")
+        w = W.partitionBy("part").orderBy(
+            F.desc("val"), F.asc("src"), F.asc("vk"))
+        return (a.unionByName(b)
+                .withColumn("rn", F.row_number().over(w))
+                .filter("rn <= 2"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvwur"),
+                              {"fact": fact}, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "window_union"
+    assert [b["part_src_cols"] for b in spec["branches"]][1] is None
+    seed = {"fact": "20260101000000"}
+    mv.refresh(seed_as_of=seed, to=seed)
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
 
 
 def test_union_refusals(spark, scratch, tables):
