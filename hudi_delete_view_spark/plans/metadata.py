@@ -162,6 +162,60 @@ class CommitMetadata:
             extra=d.get("extra") or d.get("extraMetadata") or {},
         )
 
+    # our operation vocabulary -> Hudi's WriteOperationType spelling
+    _HUDI_OPS = {
+        "bulk_insert": "BULK_INSERT",
+        "upsert": "UPSERT",
+        "delete": "DELETE",
+        "delta_commit": "UPSERT",  # Hudi delta commits carry UPSERT
+        "compaction": "COMPACT",
+        "clustering": "CLUSTER",
+        "merge": "UPSERT",
+    }
+
+    def to_hudi_json(self) -> str:
+        """Serialize in genuine Hudi 0.x ``HoodieCommitMetadata`` framing
+        — the WRITE half of the interop contract (``from_json`` is the
+        read half): no embedded commitTs (the instant time is the
+        filename), the operation spelled ``operationType`` in Hudi's
+        upper-case vocabulary (unmapped maintenance ops fall back to
+        ``UNKNOWN``, a real enum member), extras under ``extraMetadata``,
+        bootstrap prevCommit as the STRING "null", no serialized
+        totalRecordsDeleted (a Hudi reader computes it by summing
+        numDeletes), and only the ``HoodieWriteStat`` field set — the
+        native side indexes (columnStats / valueIndex) stay out of the
+        foreign framing by design."""
+        stats = {}
+        for partition, sl in self.partition_to_write_stats.items():
+            stats[partition] = [
+                {
+                    "fileId": s.file_id,
+                    "path": s.path,
+                    "prevCommit": s.prev_commit if s.prev_commit else "null",
+                    "numWrites": s.num_writes,
+                    "numDeletes": s.num_deletes,
+                    "numUpdateWrites": s.num_update_writes,
+                    "numInserts": s.num_inserts,
+                    "totalWriteBytes": s.file_size_bytes,
+                    "totalWriteErrors": 0,
+                    "partitionPath": partition,
+                    "fileSizeInBytes": s.file_size_bytes,
+                }
+                for s in sl
+            ]
+        extra = {k: v for k, v in (self.extra or {}).items()}
+        return json.dumps(
+            {
+                "partitionToWriteStats": stats,
+                "compacted": self.operation == "compaction",
+                "extraMetadata": extra,
+                "operationType": self._HUDI_OPS.get(
+                    self.operation, "UNKNOWN"
+                ),
+            },
+            indent=2,
+        )
+
     def write(self, meta_dir: str) -> str:
         """Atomically publish this commit: write tmp then rename, through
         the FS seam (plans/fs.py) so URI-rooted tables publish the same

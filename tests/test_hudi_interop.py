@@ -82,6 +82,60 @@ def test_foreign_delete_view_reconstruction(spark, hudi_table):
     assert v.dataset().count() == 2
 
 
+def test_hudi_framing_round_trip(spark, scratch):
+    """Write direction: a NATIVE table's commits re-exported in genuine
+    Hudi framing (to_hudi_json) and republished as a clone table must
+    read back identically — snapshot, time travel, and the flagship
+    delete view all agree. This is our-writer → Hudi-framing →
+    our-foreign-reader, the strongest round-trip verifiable without a
+    real Hudi installation."""
+    import json
+
+    src = CowTable(spark, os.path.join(scratch, "native"), key_fields=["k"],
+                   partition_field="p", num_file_groups=2)
+    src.bulk_insert(spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i * 10) for i in range(30)],
+        "k long, p string, v long"), "20250101000000")
+    src.upsert(spark.createDataFrame([(3, "a", 333)], "k long, p string, v long"),
+               "20250102000000")
+    src.delete(spark.createDataFrame([(4, "b"), (5, "a")], "k long, p string"),
+               "20250103000000")
+
+    # clone: same data files, commits re-framed through to_hudi_json
+    clone = os.path.join(scratch, "clone")
+    shutil.copytree(src.base_path, clone)
+    shutil.rmtree(os.path.join(clone, ".hoodie"))
+    os.makedirs(os.path.join(clone, ".hoodie"))
+    for ts in src.timeline.timestamps():
+        text = src.timeline.commit_metadata(ts).to_hudi_json()
+        d = json.loads(text)
+        # strict foreign framing: none of our native keys leak
+        assert set(d) == {"partitionToWriteStats", "compacted",
+                          "extraMetadata", "operationType"}
+        for _p, sl in d["partitionToWriteStats"].items():
+            for s in sl:
+                assert "columnStats" not in s and "logFile" not in s
+                assert s["prevCommit"] != ""  # "null" or a real instant
+        with open(os.path.join(clone, ".hoodie", f"{ts}.commit"), "w") as f:
+            f.write(text)
+
+    t2 = CowTable(spark, clone, key_fields=["k"])
+    assert t2.timeline.timestamps() == src.timeline.timestamps()
+    for ts in src.timeline.timestamps():
+        assert sorted(
+            tuple(r) for r in
+            t2.snapshot(as_of=ts).select("k", "v").collect()
+        ) == sorted(
+            tuple(r) for r in
+            src.snapshot(as_of=ts).select("k", "v").collect()
+        )
+    # delete reconstruction over the re-framed metadata
+    dv_clone = delete_view(spark, clone, "20250103000000")
+    dv_native = delete_view(spark, src.base_path, "20250103000000")
+    assert sorted(r["k"] for r in dv_clone.select("k").collect()) == \
+        sorted(r["k"] for r in dv_native.select("k").collect()) == [4, 5]
+
+
 def test_foreign_commit_history(spark, hudi_table):
     t = CowTable(spark, hudi_table, key_fields=["id"])
     hist = {r["commit_ts"]: r for r in t.commit_history().collect()}

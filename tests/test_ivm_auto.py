@@ -1485,6 +1485,36 @@ def test_window_over_union_renamed_intermediate_falls_back(spark, scratch,
     assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
 
 
+def test_union_view_same_source_branches(spark, scratch, tables):
+    """TWO branches over ONE source (self-union with different
+    projections): the analyzer deduplicates the second branch's
+    attribute ids, which used to break record-key lineage — the
+    positional terminal-node map resolves them, and each branch
+    advances independently under its own tag."""
+    fact, _ = tables
+
+    def plan(t):
+        a = t["fact"].filter("g < 2").select(
+            F.lit("low").alias("src"),
+            F.col("_hoodie_record_key").alias("vk"), "v")
+        b = t["fact"].filter("g >= 2").select(
+            F.lit("high").alias("src"),
+            F.col("_hoodie_record_key").alias("vk"),
+            (F.col("v") * 10).alias("v"))
+        return a.unionByName(b)
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvuss"),
+                              {"fact": fact}, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "union"
+    assert [b["source"] for b in spec["branches"]] == ["fact", "fact"]
+    seed = {"fact": "20260101000000"}
+    mv.refresh(seed_as_of=seed, to=seed)
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
+    assert mv.refresh()["advanced"] is False
+
+
 def test_union_refusals(spark, scratch, tables):
     """Unions without a distinct literal tag, or without per-branch
     record keys, refuse with the contract spelled out."""

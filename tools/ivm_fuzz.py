@@ -113,6 +113,36 @@ def _plans():
         return (j.withColumn("rn", F.row_number().over(w)).filter("rn <= 2")
                 .select("vk", "g", "v", "region", "rn"))
 
+    def window_union(t):
+        # three branches, two over the FACT (one with a DERIVED partition
+        # expression), one over the DIM with a different partition source
+        # column — the union x window composition + OR-of-restrictions
+        a = t["fact"].select(
+            F.lit("f").alias("src"),
+            F.col("_hoodie_record_key").alias("vk"),
+            F.col("g").alias("part"), F.col("v").alias("val"))
+        b = t["dim"].select(
+            F.lit("d").alias("src"),
+            F.col("_hoodie_record_key").alias("vk"),
+            F.col("region").alias("part"),
+            F.col("gk").cast("double").alias("val"))
+        c = t["fact"].select(
+            F.lit("f2").alias("src"),
+            F.col("_hoodie_record_key").alias("vk"),
+            (F.col("g") % 3).alias("part"), (F.col("v") * 2).alias("val"))
+        w = W.partitionBy("part").orderBy(
+            F.desc("val"), F.asc("src"), F.asc("vk"))
+        return (a.unionByName(b).unionByName(c)
+                .withColumn("rn", F.row_number().over(w)).filter("rn <= 3"))
+
+    def join_exprkey(t):
+        # expression join keys: fact side unprojected (g % 6), arm side
+        # an expression over the dim's raw column — the source-side probe
+        f = t["fact"].selectExpr("_hoodie_record_key as vk", "g", "v")
+        d = t["dim"].select("gk", "gname")
+        return (f.join(d, (F.col("g") % 6) == (F.col("gk") * F.lit(1)))
+                .select("vk", "v", "gname"))
+
     def distinct(t):
         return t["fact"].select("g", (F.col("v") % 2).alias("p")).distinct()
 
@@ -126,7 +156,8 @@ def _plans():
         "snowflake": snowflake, "agg_join": agg_join,
         "agg_union": agg_union, "agg_tree": agg_tree,
         "agg_tree_left": agg_tree_left, "window": window,
-        "window_tree": window_tree, "distinct": distinct, "stage": stage,
+        "window_tree": window_tree, "window_union": window_union,
+        "join_exprkey": join_exprkey, "distinct": distinct, "stage": stage,
     }
 
 

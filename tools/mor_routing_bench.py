@@ -84,11 +84,16 @@ def main() -> None:
             "concat('payload-', id) as s"),
         "20250101000000",
     )
-    # mostly compacted: deltas touch ~1/GROUPS of the keyspace
+    # mostly compacted: the delta touches keys of ONE file group (keys
+    # are hash-routed, so "every 32nd id" would hit all groups — take a
+    # group's actual members instead)
+    from hudi_delete_view_spark.sources.cow import FILE_NAME_FIELD as FNF
+
+    snap = t.snapshot()
+    one_fid = next(iter(sorted(resolve_slices(t.timeline))))[1]
     t.upsert_delta(
-        spark.range(ROWS // GROUPS).selectExpr(
-            f"cast(id * {GROUPS} as long) as k",
-            "cast(-1 as double) as v", "'upd' as s"),
+        snap.filter(file_id_expr(F.col(FNF)) == one_fid)
+        .select("k", F.lit(-1.0).alias("v"), F.lit("upd").alias("s")),
         "20250102000000",
     )
     logged = sum(1 for s in resolve_slices(t.timeline).values() if s.log_paths)

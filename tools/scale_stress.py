@@ -165,8 +165,8 @@ def ivm_advance_soak() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="ivm_soak_")
     print("| fact rows | window advance s | agg_join advance s "
-          "| agg_tree advance s |")
-    print("|---|---|---|---|")
+          "| agg_tree advance s | window_union advance s |")
+    print("|---|---|---|---|---|")
     try:
         for n in (50_000, 400_000):
             d = os.path.join(root, str(n))
@@ -219,6 +219,30 @@ def ivm_advance_soak() -> None:
                         .agg(F.sum("v").alias("sv"),
                              F.count(F.lit(1)).alias("n")))
 
+            def wuplan(t):
+                # union x window: two fact branches (one DERIVED
+                # partition) + a dim branch with a different partition
+                # source column — the round-6 window_union algebra
+                a = t["fact"].select(
+                    F.lit("f").alias("src"),
+                    F.col("_hoodie_record_key").alias("vk"),
+                    F.col("g").alias("part"), F.col("v").alias("val"))
+                b = t["dim"].select(
+                    F.lit("d").alias("src"),
+                    F.col("_hoodie_record_key").alias("vk"),
+                    F.col("gk").alias("part"),
+                    F.col("rk2").cast("double").alias("val"))
+                c = t["fact"].select(
+                    F.lit("f2").alias("src"),
+                    F.col("_hoodie_record_key").alias("vk"),
+                    (F.col("g") % 1000).alias("part"),
+                    (F.col("v") * 2).alias("val"))
+                w = W.partitionBy("part").orderBy(
+                    F.desc("val"), F.asc("src"), F.asc("vk"))
+                return (a.unionByName(b).unionByName(c)
+                        .withColumn("rn", F.row_number().over(w))
+                        .filter("rn <= 3"))
+
             wmv = AutoMaterializedView(spark, os.path.join(d, "wmv"),
                                        {"fact": fact}, wplan)
             jmv = AutoMaterializedView(spark, os.path.join(d, "jmv"),
@@ -227,9 +251,12 @@ def ivm_advance_soak() -> None:
             tmv = AutoMaterializedView(spark, os.path.join(d, "tmv"),
                                        {"fact": fact, "dim": dim,
                                         "sub": sub}, tplan)
+            wumv = AutoMaterializedView(spark, os.path.join(d, "wumv"),
+                                        {"fact": fact, "dim": dim}, wuplan)
             wmv.refresh()
             jmv.refresh()
             tmv.refresh()
+            wumv.refresh()
             # fixed change: 50 fact upserts across ~50 partitions
             fact.upsert(
                 spark.range(50).selectExpr(
@@ -246,7 +273,11 @@ def ivm_advance_soak() -> None:
             t0 = time.monotonic()
             tmv.refresh()
             tt = time.monotonic() - t0
-            print(f"| {n} | {wt:.2f} | {jt:.2f} | {tt:.2f} |", flush=True)
+            t0 = time.monotonic()
+            wumv.refresh()
+            wut = time.monotonic() - t0
+            print(f"| {n} | {wt:.2f} | {jt:.2f} | {tt:.2f} | {wut:.2f} |",
+                  flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
