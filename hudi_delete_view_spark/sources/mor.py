@@ -224,7 +224,7 @@ class MorTable(CowTable):
                     num_update_writes=0,  # delta appends can't know update counts without a read
                     num_deletes=deletes,
                     num_inserts=0,
-                    file_size_bytes=os.path.getsize(os.path.join(self.base_path, rel_path)),
+                    file_size_bytes=self.fs.size(os.path.join(self.base_path, rel_path)),
                     log_file=True,
                     column_stats=footer_column_stats(
                         os.path.join(self.base_path, rel_path), stats_cols

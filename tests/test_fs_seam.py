@@ -83,6 +83,33 @@ def test_memory_fs_timeline_lifecycle():
         f"f0_{tss[0]}.parquet"
 
 
+def test_mor_table_on_hadoop_fs(spark, scratch):
+    """MERGE-ON-READ over a file:// URI: delta log commits, the merged
+    snapshot, tombstones, and compaction all publish and read through
+    the Hadoop FileSystem seam."""
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    base = "file://" + os.path.join(scratch, "urimor")
+    t = MorTable(spark, base, key_fields=["k"], partition_field=None,
+                 num_file_groups=2)
+    assert isinstance(t.fs, HadoopFS)
+    t.bulk_insert(spark.createDataFrame(
+        [(i, i * 10) for i in range(30)], "k long, v long"),
+        "20250101000000")
+    t.upsert_delta(spark.createDataFrame([(7, 777)], "k long, v long"),
+                   "20250102000000")
+    t.delete_delta(spark.createDataFrame([(9,)], "k long"),
+                   "20250103000000")
+    snap = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+    assert len(snap) == 29 and snap[7] == 777 and 9 not in snap
+    t.compact("20250104000000")
+    snap2 = {r["k"]: r["v"] for r in t.snapshot().select("k", "v").collect()}
+    assert snap2 == snap
+    # log-resident delete view across the URI metadata
+    dv = t.delete_view("20250103000000")
+    assert [r["k"] for r in dv.select("k").collect()] == [9]
+
+
 def test_cow_table_end_to_end_on_hadoop_fs(spark, scratch):
     """A full table lifecycle rooted at a file:// URI: every metadata
     byte and writer-side rename rides Hadoop's FileSystem via the JVM

@@ -1485,6 +1485,112 @@ def test_window_over_union_renamed_intermediate_falls_back(spark, scratch,
     assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
 
 
+def test_window_over_union_sql_ddl(spark, scratch, tables):
+    """The SQL-declared form of the union x window composition: UNION ALL
+    subquery under ROW_NUMBER with a top-k outer filter classifies as
+    window_union through the DDL dialect (SubqueryAlias wrappers and
+    qualifiers transparent) and maintains through refresh-by-name."""
+    from hudi_delete_view_spark.sql import (
+        create_materialized_view,
+        refresh_materialized_view,
+    )
+
+    fact, dim = tables
+    name, mv = create_materialized_view(
+        spark, os.path.join(scratch, "wu_sql"),
+        {"f_tbl": fact, "d_tbl": dim},
+        """CREATE MATERIALIZED VIEW merged_topk AS
+           SELECT * FROM (
+             SELECT src, vk, part, val,
+                    ROW_NUMBER() OVER (PARTITION BY part
+                                       ORDER BY val DESC, src, vk) AS rn
+             FROM (
+               SELECT 'f' AS src, _hoodie_record_key AS vk,
+                      g AS part, v AS val
+               FROM f_tbl
+               UNION ALL
+               SELECT 'd' AS src, _hoodie_record_key AS vk,
+                      gk AS part, CAST(gk AS DOUBLE) * 7 AS val
+               FROM d_tbl
+             )
+           ) WHERE rn <= 3""",
+    )
+    assert mv.spec()["kind"] == "window_union"
+    refresh_materialized_view(name, mv)
+
+    def want():
+        fact.snapshot().createOrReplaceTempView("f_tbl")
+        dim.snapshot().createOrReplaceTempView("d_tbl")
+        return _rows(spark.sql(
+            """SELECT * FROM (
+                 SELECT src, vk, part, val,
+                        ROW_NUMBER() OVER (PARTITION BY part
+                                           ORDER BY val DESC, src, vk) AS rn
+                 FROM (
+                   SELECT 'f' AS src, _hoodie_record_key AS vk,
+                          g AS part, v AS val FROM f_tbl
+                   UNION ALL
+                   SELECT 'd' AS src, _hoodie_record_key AS vk,
+                          gk AS part, CAST(gk AS DOUBLE) * 7 AS val
+                   FROM d_tbl
+                 )
+               ) WHERE rn <= 3"""))
+
+    assert _rows(spark.sql("SELECT * FROM merged_topk")) == want()
+    dim.upsert(spark.createDataFrame([(2, "MOVED")], "gk long, gname string"),
+               "20260105000000")
+    refresh_materialized_view(name, mv)
+    assert _rows(spark.sql("SELECT * FROM merged_topk")) == want()
+
+
+def test_views_across_source_schema_evolution(spark, scratch):
+    """Views keep maintaining across a SOURCE schema evolution: a view
+    anchored pre-evolution advances through the widening commit (old
+    files surface the new column as NULL via mergeSchema), and a fresh
+    view whose plan USES the evolved column classifies and maintains —
+    including an aggregate whose argument is the new column (NULLs from
+    pre-evolution rows behave as SQL COUNT/SUM semantics demand)."""
+    fact = CowTable(spark, os.path.join(scratch, "evof"), key_fields=["k"],
+                    partition_field=None, num_file_groups=2)
+    fact.bulk_insert(spark.range(10).selectExpr(
+        "concat('k', id) as k", "cast(id % 3 as long) as g",
+        "cast(id as double) as v"), "20260101000000")
+
+    def sel(t):
+        return t["fact"].filter("v >= 0").select(
+            F.col("_hoodie_record_key").alias("vk"), "g", "v")
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "evmv"),
+                              {"fact": fact}, sel)
+    mv.refresh()
+    # the widening commit: one upsert carries a NEW column
+    fact.upsert(spark.createDataFrame(
+        [("k3", 1, 99.0, 7)], "k string, g long, v double, w long"),
+        "20260102000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(sel({"fact": fact.snapshot()}))
+
+    def agg(t):
+        return t["fact"].groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("w").alias("n_w"),  # NULL for pre-evolution rows
+            F.sum("w").alias("sw"))
+
+    amv = AutoMaterializedView(spark, os.path.join(scratch, "evamv"),
+                               {"fact": fact}, agg)
+    amv.refresh()
+    fact.upsert(spark.createDataFrame(
+        [("k5", 2, 55.0, 3), ("k20", 0, 1.0, 4)],
+        "k string, g long, v double, w long"), "20260103000000")
+    fact.delete(spark.createDataFrame([("k1",)], "k string"),
+                "20260104000000")
+    amv.refresh()
+    assert _rows_ns(amv.serve()) == _rows_ns(agg({"fact": fact.snapshot()}))
+    # the pre-evolution view keeps advancing through the later commits
+    mv.refresh()
+    assert _rows(mv.serve()) == _rows(sel({"fact": fact.snapshot()}))
+
+
 def test_union_view_same_source_branches(spark, scratch, tables):
     """TWO branches over ONE source (self-union with different
     projections): the analyzer deduplicates the second branch's
