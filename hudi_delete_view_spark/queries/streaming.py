@@ -804,3 +804,80 @@ def stream_pyds_auto_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_keys"),
         F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("total_cents"),
     )
+
+
+@query(
+    "stream_pyds_live_view",
+    late=True,  # composition of windowed families (stream sink + IVM)
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY event_type
+""",
+)
+def stream_pyds_live_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MATERIALIZED VIEW: writeStream lakeview → absorber
+    publishes keyed commits → the absorber's ``on_publish`` hook
+    advances an AutoMaterializedView over the table, so the maintained
+    aggregate tracks the stream with zero orchestration beyond the
+    listener (the Spark-first continuous-rollup deployment: executors
+    land data, ONE driver-side service publishes and maintains).  The
+    served state after drain must hash-match the from-scratch oracle —
+    proving the per-epoch signed-retraction advances converged, not
+    just that ingest was lossless."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..plans.ivm import AutoMaterializedView
+    from ..sources import pyds
+    from ..sources.cow import CowTable
+    from ..sources.fixtures import SCRATCH_ROOT, scratch_tag
+    from ..sources.pyds import LakeviewAbsorber
+
+    pyds.register(spark)
+    root = os.path.join(SCRATCH_ROOT, "stream", scratch_tag(sf_dir),
+                        "pyds_live_view")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl_path = os.path.join(root, "tbl")
+    state = {"mv": None}
+
+    def plan(t):
+        return t["tbl"].groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)"))
+            .alias("total_cents"),
+        )
+
+    def on_publish(_done):
+        if state["mv"] is None:
+            state["mv"] = AutoMaterializedView(
+                spark, os.path.join(root, "mv"),
+                {"tbl": CowTable(spark, tbl_path, key_fields=["event_id"],
+                                 partition_field="event_type",
+                                 num_file_groups=4)},
+                plan,
+            )
+        state["mv"].refresh()
+
+    absorber = LakeviewAbsorber(spark, tbl_path, min_pending=1,
+                                on_publish=on_publish)
+    spark.streams.addListener(absorber.listener())
+    try:
+        stream = events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        q = (
+            stream.writeStream.format("lakeview")
+            .option("path", tbl_path).option("keys", "event_id")
+            .option("partition_field", "event_type")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        absorber.drain()
+    finally:
+        spark.streams.removeListener(absorber._listener)
+    return state["mv"].serve()

@@ -495,16 +495,15 @@ class CowTable:
         collision that slipped past the pre-flight must never delete a
         committed file; readers' metadata still points at it)."""
         referenced = {
-            os.path.abspath(os.path.join(self.base_path, s.path))
+            s.path
             for t in self.timeline.timestamps()
             for _p, s in self.timeline.commit_metadata(t).all_stats()
         }
         for (_g, (rel_path, _rows)) in written.items():
-            p = os.path.abspath(os.path.join(self.base_path, rel_path))
-            if p in referenced:
+            if rel_path in referenced:
                 continue
             try:
-                os.remove(p)
+                self.fs.remove(os.path.join(self.base_path, rel_path))
             except OSError:
                 pass
 

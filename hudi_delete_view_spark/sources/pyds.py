@@ -494,13 +494,20 @@ class LakeviewAbsorber:
     split: executors land data with zero coordination, ONE driver-side
     service publishes keyed commits at its own cadence."""
 
-    def __init__(self, spark, table_path: str, min_pending: int = 1):
+    def __init__(self, spark, table_path: str, min_pending: int = 1,
+                 on_publish=None):
         import threading
 
         self.spark = spark
         self.path = table_path
         self.min_pending = max(1, int(min_pending))
         self.published: list[str] = []
+        # hook fired (inside the absorb lock) with the list of commit
+        # timestamps just published — the composition point for
+        # STREAMING MATERIALIZED VIEWS: pass a callback that refreshes
+        # registered AutoMaterializedViews over this table and every
+        # landed micro-batch advances them with no extra orchestration
+        self.on_publish = on_publish
         self._lock = threading.Lock()
 
     # -- pending-manifest introspection ---------------------------------
@@ -545,6 +552,8 @@ class LakeviewAbsorber:
             table = self._table()
             done = table.absorb_stream_epochs() if table is not None else []
             self.published.extend(done)
+            if done and self.on_publish is not None:
+                self.on_publish(done)
             return done
 
     def drain(self) -> list[str]:

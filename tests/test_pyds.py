@@ -309,6 +309,71 @@ def test_pyds_stream_fresh_checkpoint_no_loss(spark, scratch):
     assert t.timeline.timestamps() == ["20300101000000", "20300101000001"]
 
 
+def test_pyds_streaming_materialized_view(spark, scratch):
+    """STREAMING MATERIALIZED VIEW composition: writeStream lakeview →
+    absorber publishes keyed commits → the on_publish hook refreshes an
+    AutoMaterializedView over the same table, so the maintained
+    aggregate tracks the stream with no orchestration beyond the
+    listener. After drain, the view equals a from-scratch recompute."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hudi_delete_view_spark.plans.ivm import AutoMaterializedView
+    from hudi_delete_view_spark.sources.pyds import LakeviewAbsorber
+
+    in_dir = os.path.join(scratch, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    for i in range(3):
+        p = os.path.join(in_dir, f"f{i}.parquet")
+        pq.write_table(pa.table(
+            {"k": [i * 10 + j for j in range(6)],
+             "g": [(i * 10 + j) % 3 for j in range(6)],
+             "v": [float(i * 100 + j) for j in range(6)]}), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    tbl_path = os.path.join(scratch, "tbl")
+    state = {"mv": None, "advances": 0}
+
+    def plan(t):
+        return t["tbl"].groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+
+    def on_publish(done):
+        from hudi_delete_view_spark.sources.cow import CowTable
+
+        if state["mv"] is None:
+            state["mv"] = AutoMaterializedView(
+                spark, os.path.join(scratch, "mv"),
+                {"tbl": CowTable(spark, tbl_path, key_fields=["k"])}, plan)
+        state["mv"].refresh()
+        state["advances"] += 1
+
+    absorber = LakeviewAbsorber(spark, tbl_path, min_pending=1,
+                                on_publish=on_publish)
+    spark.streams.addListener(absorber.listener())
+    try:
+        q = (
+            spark.readStream.schema("k long, g long, v double")
+            .option("maxFilesPerTrigger", "1").parquet(in_dir)
+            .writeStream.format("lakeview")
+            .option("path", tbl_path).option("keys", "k")
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        absorber.drain()
+    finally:
+        spark.streams.removeListener(absorber._listener)
+    from hudi_delete_view_spark.sources.cow import CowTable
+
+    t = CowTable(spark, tbl_path, key_fields=["k"])
+    assert len(t.timeline.timestamps()) == 3
+    assert state["advances"] >= 1
+    got = sorted(tuple(r) for r in state["mv"].serve().collect())
+    want = sorted(tuple(r) for r in plan({"tbl": t.snapshot()}).collect())
+    assert got == want
+
+
 def test_pyds_schema_evolution_read(spark, scratch):
     """Batch read of an EVOLVED table: files written before a column
     existed surface it as null — never a positionally-aliased wrong
