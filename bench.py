@@ -32,6 +32,8 @@ HEADLINE = [
     "lake_mv_auto_agg_join",   # auto-IVM: aggregate-over-join, delta-join feed
     "lake_mv_auto_union",      # auto-IVM: UNION ALL feeds, per-branch keys
     "lake_mv_auto_agg_tree",   # auto-IVM: Q5 rollup tree, telescoping deltas
+    "lake_mv_auto_window_union",  # auto-IVM: rank across merged feeds (round 6)
+    "lake_hudi_interop",       # foreign-layout Hudi delete view (round 6)
     "lake_partition_evolution",  # repartition commit: snapshot + travel + delete view
     "mor_snapshot",            # B4 merge-on-read latest-per-key window
     "stream_mor_ingest",       # B13->B4 delta-commit streaming ingest (merged read)
