@@ -1020,11 +1020,15 @@ def _classify_agg_join(
             "join_cols": jcols[pos],
             "drop": drop_l if pos == "left" else drop_r,
         }
-    if sides["left"]["source"] == sides["right"]["source"]:
-        raise UnsupportedViewError(
-            "aggregate-over-join self-joins are not maintainable (one "
-            "source's change dirties through both sides at once)"
-        )
+    # SELF-joins (both sides over one source) are maintainable here: the
+    # telescoping identity is OCCURRENCE-based, not source-based —
+    # A_t⋈B_t − A_a⋈B_a = ΔA⋈B_a + A_t⋈ΔB holds with A and B replaying
+    # the SAME table's CDC through their own chains, and the delta feed
+    # below is side-gated (each side contributes its own term), so one
+    # source's change correctly produces BOTH terms.  The dirty-group
+    # fallback unions both sides' probes over the same CDC.  (The
+    # N-source TREE algebra stays leaf-keyed by source name and still
+    # refuses duplicates — _build_join_tree.)
     mid_spec = _chain_to_spec(mid_nodes, quals)
     # when every group key is a plain column of ONE side (and the mid
     # chain doesn't rename anything), re-derivation can restrict that
@@ -1088,8 +1092,10 @@ def _build_join_tree(node, snapshots, quals, needed_ids, seen):
         if term[1] in seen:
             raise UnsupportedViewError(
                 f"source '{term[1]}' appears twice in one aggregate-"
-                "over-join tree — self-joins are not maintainable "
-                "(alias the table as two sources)"
+                "over-join TREE (the N-source algebra is leaf-keyed by "
+                "source name) — two-side self-join aggregates ARE "
+                "maintainable: restructure as one join, or stage the "
+                "subtree as a view-over-view"
             )
         seen.add(term[1])
         return {

@@ -2106,6 +2106,48 @@ def lake_mv_auto_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv.serve()
 
 
+@query(
+    "lake_mv_auto_self_join",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+s AS (
+  SELECT l_orderkey, l_returnflag, {_QTY_SQL} AS qty
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+)
+SELECT a.l_returnflag,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(round(b.qty * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_cents
+FROM s a JOIN s b ON a.l_orderkey = b.l_orderkey
+GROUP BY a.l_returnflag
+""",
+)
+def lake_mv_auto_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a SELF-join (line-pair rollup per return flag —
+    the same-table correlation shape): one source on BOTH join sides,
+    maintained by the occurrence-based telescoping identity
+    Δ(A⋈B) = ΔA⋈B_anchor + A_target⋈ΔB, where A and B replay the SAME
+    table's CDC through their own side chains — one commit correctly
+    produces BOTH terms (a changed row re-pairs with every line of its
+    order, including itself).  Sums ride as integer cents; the oracle
+    recomputes the self-join from scratch."""
+
+    def plan(t):
+        a = t["li"].select("l_orderkey", "l_returnflag")
+        b = t["li"].select(F.col("l_orderkey").alias("ok_b"),
+                           F.col("l_quantity").alias("qty_b"))
+        return (a.join(b, F.col("l_orderkey") == F.col("ok_b"))
+                .groupBy("l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n_pairs"),
+                     F.sum(F.expr("cast(round(qty_b * 100) as bigint)"))
+                     .alias("sum_qty_cents")))
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_self_join",
+                  {"li": build_lineitem_cow(spark, sf_dir)}, plan)
+    return mv.serve()
+
+
 import os as _hudi_os
 
 _HUDI_FIXTURE = _hudi_os.path.abspath(_hudi_os.path.join(

@@ -1485,6 +1485,64 @@ def test_window_over_union_renamed_intermediate_falls_back(spark, scratch,
     assert _rows(mv.serve()) == _rows(plan({"fact": fact.snapshot()}))
 
 
+def test_self_join_aggregate_view(spark, scratch):
+    """Aggregate over a SELF-join (one table on both sides): the
+    telescoping delta identity is occurrence-based, so one source's
+    change correctly produces BOTH terms (ΔA⋈B_anchor + A_target⋈ΔB),
+    and the dirty-group fallback (min) unions both sides' probes over
+    the same CDC. Updates, deletes, inserts, LEFT preservation, and
+    zero-write idempotence all converge."""
+    t = CowTable(spark, os.path.join(scratch, "sj"), key_fields=["k"],
+                 partition_field=None, num_file_groups=2)
+    t.bulk_insert(spark.range(12).selectExpr(
+        "concat('k', id) as k", "cast(id % 4 as long) as g",
+        "cast(id % 3 as long) as parent", "cast(id as double) as v"),
+        "20260101000000")
+
+    def plan(s):
+        a = s["t"].select("g", "parent", "v")
+        b = s["t"].select(F.col("g").alias("g2"), F.col("v").alias("pv"))
+        return (a.join(b, F.col("parent") == F.col("g2"))
+                .groupBy("g").agg(F.count(F.lit(1)).alias("n"),
+                                  F.sum("pv").alias("spv"),
+                                  F.min("pv").alias("mpv")))
+
+    def lplan(s):
+        a = s["t"].select("g", "parent", "v")
+        b = s["t"].filter("v < 100").select(
+            F.col("g").alias("g2"), F.col("v").alias("pv"))
+        return (a.join(b, F.col("parent") == F.col("g2"), "left")
+                .groupBy("g").agg(F.count(F.lit(1)).alias("n"),
+                                  F.sum("pv").alias("spv")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "sjmv"),
+                              {"t": t}, plan)
+    lmv = AutoMaterializedView(spark, os.path.join(scratch, "sjlmv"),
+                               {"t": t}, lplan)
+    assert mv.spec()["kind"] == "agg_join"
+    assert lmv.spec()["join_type"] == "left"
+    mv.refresh()
+    lmv.refresh()
+
+    def check():
+        assert _rows_ns(mv.serve()) == _rows_ns(plan({"t": t.snapshot()}))
+        assert _rows_ns(lmv.serve()) == _rows_ns(lplan({"t": t.snapshot()}))
+
+    check()
+    t.upsert(spark.createDataFrame(
+        [("k2", 1, 0, 99.0), ("k7", 3, 2, 500.0)],
+        "k string, g long, parent long, v double"), "20260102000000")
+    mv.refresh(); lmv.refresh(); check()
+    t.delete(spark.createDataFrame([("k5",), ("k0",)], "k string"),
+             "20260103000000")
+    mv.refresh(); lmv.refresh(); check()
+    t.upsert(spark.createDataFrame([("k20", 0, 1, 7.0)],
+                                   "k string, g long, parent long, v double"),
+             "20260104000000")
+    mv.refresh(); lmv.refresh(); check()
+    assert mv.refresh()["advanced"] is False
+
+
 def test_window_over_union_sql_ddl(spark, scratch, tables):
     """The SQL-declared form of the union x window composition: UNION ALL
     subquery under ROW_NUMBER with a top-k outer filter classifies as

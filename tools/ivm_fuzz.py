@@ -143,6 +143,15 @@ def _plans():
         return (f.join(d, (F.col("g") % 6) == (F.col("gk") * F.lit(1)))
                 .select("vk", "v", "gname"))
 
+    def self_join_agg(t):
+        # aggregate over a SELF-join: occurrence-based telescoping terms
+        a = t["fact"].select("g", "nv", "v")
+        b = t["fact"].select(F.col("g").alias("g2"),
+                             F.col("v").alias("pv"))
+        return (a.join(b, F.col("nv") == F.col("g2"))
+                .groupBy("g").agg(F.count(F.lit(1)).alias("n"),
+                                  F.sum("pv").alias("spv")))
+
     def distinct(t):
         return t["fact"].select("g", (F.col("v") % 2).alias("p")).distinct()
 
@@ -157,7 +166,8 @@ def _plans():
         "agg_union": agg_union, "agg_tree": agg_tree,
         "agg_tree_left": agg_tree_left, "window": window,
         "window_tree": window_tree, "window_union": window_union,
-        "join_exprkey": join_exprkey, "distinct": distinct, "stage": stage,
+        "join_exprkey": join_exprkey, "self_join_agg": self_join_agg,
+        "distinct": distinct, "stage": stage,
     }
 
 
