@@ -163,6 +163,7 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     "lake_mv_auto_union": ([], ["Join", "CartesianProduct", "Exchange"]),
     "lake_mv_auto_distinct": ([], ["Join", "CartesianProduct", "Exchange"]),
     "lake_mv_auto_window_union": ([], ["Join", "CartesianProduct", "Exchange"]),
+    "lake_mv_auto_self_join": ([], ["Join", "CartesianProduct", "Exchange"]),
     # foreign-layout Hudi fixture delete view: same anti-join shape as the
     # flagship, materialized then served as a parquet scan
     "lake_hudi_interop": ([], ["CartesianProduct"]),
