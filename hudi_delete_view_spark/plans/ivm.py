@@ -1089,20 +1089,25 @@ def _build_join_tree(node, snapshots, quals, needed_ids, seen):
     replay-time hidden columns."""
     nodes, term = _descend_chain(node, snapshots)
     if term[0] == "source":
-        if term[1] in seen:
-            raise UnsupportedViewError(
-                f"source '{term[1]}' appears twice in one aggregate-"
-                "over-join TREE (the N-source algebra is leaf-keyed by "
-                "source name) — two-side self-join aggregates ARE "
-                "maintainable: restructure as one join, or stage the "
-                "subtree as a view-over-view"
-            )
-        seen.add(term[1])
+        # SELF-JOIN leaves: a source appearing at several leaves gets an
+        # occurrence-unique pseudo name — the telescoping identity is
+        # occurrence-based, so every leaf is its own delta term; the
+        # view registers each pseudo name as an alias of the real table
+        # (same timeline, same anchors) at spec-setup time
+        real = term[1]
+        leaf = real
+        if leaf in seen:
+            occ = 2
+            while f"{real}__occ{occ}" in seen:
+                occ += 1
+            leaf = f"{real}__occ{occ}"
+        seen.add(leaf)
         return {
-            "src": term[1],
+            "src": leaf,
+            "real_src": real,
             "chain": _chain_to_spec(nodes, quals),
             "out_names": [a.name() for a in _seq(node.output())],
-            "srcs": [term[1]],
+            "srcs": [leaf],
         }
     jn = term[1]
     if _cls(jn) != "Join":
@@ -1509,6 +1514,24 @@ def _classify_window_tree(
     _collect_conds(term[1])
     tree = _build_join_tree(term[1], snapshots, quals, needed_ids, set())
 
+    def _dup_leaves(n):
+        if "src" in n:
+            return [n["real_src"]] if n.get("real_src") != n["src"] else []
+        return _dup_leaves(n["left"]) + _dup_leaves(n["right"])
+
+    dups = _dup_leaves(tree)
+    if dups:
+        # aggregates over self-joins are fine (identity = group keys);
+        # a WINDOW view's rows are identified by the fact record key,
+        # and a self-join emits several rows per fact key — the stored
+        # (key)-keyed state would collapse them
+        raise UnsupportedViewError(
+            f"window view over a self-join tree ({sorted(set(dups))} "
+            "appears at two leaves): the fact record key is not unique "
+            "per output row — aggregate the pairs, or pre-stage the "
+            "self-join as a view with its own composite key"
+        )
+
     def _null_extended(n):
         if "src" in n:
             return set()
@@ -1912,8 +1935,45 @@ class AutoMaterializedView:
             spec = classify_view(self.plan_fn(snaps), snaps)
             if spec["kind"] == "agg_stage":
                 spec = self._setup_stage(spec)
+            self._extend_leaf_aliases(spec)
             self._spec = spec
         return self._spec
+
+    def _extend_leaf_aliases(self, spec: dict) -> None:
+        """SELF-JOIN trees: duplicate leaves carry occurrence-unique
+        pseudo names (``<src>__occN``, _build_join_tree); register each
+        as an alias of its REAL table so every name-keyed surface —
+        snapshots, anchors, CDC feeds, input restriction — works
+        unchanged (same table, same timeline, identical anchor
+        values)."""
+        self._leaf_alias: dict[str, str] = {}
+        tree = spec.get("tree")
+        if not tree:
+            return
+
+        def walk(n):
+            if "src" in n:
+                real = n.get("real_src", n["src"])
+                if n["src"] != real:
+                    self._leaf_alias[n["src"]] = real
+                    self.sources.setdefault(n["src"], self.sources[real])
+                return
+            walk(n["left"])
+            walk(n["right"])
+
+        walk(tree)
+
+    def _fill_leaf_aliases(self, d: dict | None) -> dict | None:
+        """Mirror real-source entries of a caller-supplied per-source
+        dict (seed_as_of / to) onto the pseudo leaf names."""
+        alias = getattr(self, "_leaf_alias", None)
+        if d is None or not alias:
+            return d
+        d = dict(d)
+        for pseudo, real in alias.items():
+            if pseudo not in d and real in d:
+                d[pseudo] = d[real]
+        return d
 
     def _setup_stage(self, spec: dict) -> dict:
         """Materialize an auto-staged plan: the inner aggregate becomes
@@ -2011,6 +2071,8 @@ class AutoMaterializedView:
         advances would race the anchor sidecar and double-apply deltas,
         so the second caller gets ConcurrentRefreshError instead."""
         spec = self.spec()
+        seed_as_of = self._fill_leaf_aliases(seed_as_of)
+        to = self._fill_leaf_aliases(to)
         if self._stage is not None:
             # advance the hidden child first (bounded targets pass
             # through in the ORIGINAL source names), then aim the outer

@@ -1543,6 +1543,80 @@ def test_self_join_aggregate_view(spark, scratch):
     assert mv.refresh()["advanced"] is False
 
 
+def test_self_join_tree_aggregate(spark, scratch):
+    """Aggregate over a 3-leaf tree with ONE table at TWO leaves
+    (t ⋈ t ⋈ dim): duplicate leaves get occurrence-unique pseudo names
+    ('t', 't__occ2'), registered as aliases of the real table, so the
+    telescoping delta feed emits one term per LEAF — the occurrence-
+    based identity extended to N-source trees.  A WINDOW view over the
+    same self-join tree refuses: its fact-record-key row identity is
+    not unique per output row."""
+    from pyspark.sql import Window as W
+
+    t = CowTable(spark, os.path.join(scratch, "sjt"), key_fields=["k"],
+                 partition_field=None, num_file_groups=2)
+    t.bulk_insert(spark.range(14).selectExpr(
+        "concat('k', id) as k", "cast(id % 4 as long) as g",
+        "cast(id % 3 as long) as parent", "cast(id as double) as v"),
+        "20260101000000")
+    d = CowTable(spark, os.path.join(scratch, "sjd"), key_fields=["gk"],
+                 partition_field=None, num_file_groups=1)
+    d.bulk_insert(spark.range(4).selectExpr(
+        "cast(id as long) as gk", "concat('n', id) as nm"),
+        "20260101000000")
+
+    def plan(s):
+        a = s["t"].select("g", "parent", "v")
+        b = s["t"].select(F.col("g").alias("g2"), F.col("v").alias("pv"))
+        dd = s["d"].select("gk", "nm")
+        return (a.join(b, F.col("parent") == F.col("g2"))
+                .join(dd, F.col("g") == F.col("gk"))
+                .groupBy("nm").agg(F.count(F.lit(1)).alias("n"),
+                                   F.sum("pv").alias("spv")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "sjtmv"),
+                              {"t": t, "d": d}, plan)
+    spec = mv.spec()
+    assert spec["kind"] == "agg_tree"
+    assert spec["sources"] == ["t", "t__occ2", "d"]
+    mv.refresh()
+
+    def check():
+        assert _rows_ns(mv.serve()) == _rows_ns(
+            plan({"t": t.snapshot(), "d": d.snapshot()}))
+
+    check()
+    t.upsert(spark.createDataFrame([("k2", 1, 0, 99.0)],
+                                   "k string, g long, parent long, v double"),
+             "20260102000000")
+    mv.refresh(); check()
+    t.delete(spark.createDataFrame([("k5",), ("k0",)], "k string"),
+             "20260103000000")
+    mv.refresh(); check()
+    d.upsert(spark.createDataFrame([(1, "RENAMED")], "gk long, nm string"),
+             "20260104000000")
+    d.delete(spark.createDataFrame([(2,)], "gk long"), "20260105000000")
+    mv.refresh(); check()
+    assert mv.refresh()["advanced"] is False
+
+    # the WINDOW shape over the same self-join refuses with the
+    # identity problem named
+    def wplan(s):
+        a = s["t"].select(F.col("_hoodie_record_key").alias("vk"),
+                          "g", "parent", "v")
+        b = s["t"].select(F.col("g").alias("g2"), F.col("v").alias("pv"),
+                          F.col("k").alias("pk"))
+        w = W.partitionBy("g").orderBy(F.desc("pv"), F.asc("vk"),
+                                       F.asc("pk"))
+        return (a.join(b, F.col("parent") == F.col("g2"))
+                .withColumn("rn", F.row_number().over(w)).filter("rn <= 2")
+                .select("vk", "g", "pv", "pk", "rn"))
+
+    snap = t.snapshot()
+    with pytest.raises(UnsupportedViewError, match="self-join tree"):
+        classify_view(wplan({"t": snap}), {"t": snap})
+
+
 def test_window_over_union_sql_ddl(spark, scratch, tables):
     """The SQL-declared form of the union x window composition: UNION ALL
     subquery under ROW_NUMBER with a top-k outer filter classifies as
@@ -3038,9 +3112,9 @@ def test_new_kinds_compose_with_mor_and_sql(spark, scratch):
 
 def test_agg_tree_refusals(spark, tree_tables):
     """Tree refusals: FULL OUTER inside a tree (both sides null-extend
-    — the preserved-side detection restriction holds for neither) and
-    a source appearing twice (self-join: one change dirties through
-    two leaves at once)."""
+    — the preserved-side detection restriction holds for neither).
+    A source appearing TWICE is no longer a refusal: duplicate leaves
+    classify under occurrence-unique pseudo names (round 6, F15)."""
     srcs = tree_tables
     snaps = {n: t.snapshot() for n, t in srcs.items()}
     full = (snaps["li"].select("ok", "qty")
@@ -3057,8 +3131,9 @@ def test_agg_tree_refusals(spark, tree_tables):
                                       F.col("ok").alias("ok2")),
                    F.col("ck") == F.col("ok2"))
              .groupBy("ck").agg(F.sum("qty").alias("sq")))
-    with pytest.raises(UnsupportedViewError, match="twice"):
-        classify_view(twice, snaps)
+    spec = classify_view(twice, snaps)
+    assert spec["kind"] == "agg_tree"
+    assert sorted(spec["sources"]) == ["li", "li__occ2", "o"]
 
 
 def test_agg_tree_cross_feature(spark, scratch, tree_tables):

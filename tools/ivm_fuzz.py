@@ -152,6 +152,17 @@ def _plans():
                 .groupBy("g").agg(F.count(F.lit(1)).alias("n"),
                                   F.sum("pv").alias("spv")))
 
+    def self_join_tree(t):
+        # one table at TWO leaves of a 3-leaf tree (occurrence-keyed
+        # telescoping terms) + a dim leaf
+        a = t["fact"].select("g", "nv", "v")
+        b = t["fact"].select(F.col("g").alias("g2"), F.col("v").alias("pv"))
+        dd = t["dim"].select("gk", "gname")
+        return (a.join(b, F.col("nv") == F.col("g2"))
+                .join(dd, F.col("g") == F.col("gk"))
+                .groupBy("gname").agg(F.count(F.lit(1)).alias("n"),
+                                      F.sum("pv").alias("spv")))
+
     def distinct(t):
         return t["fact"].select("g", (F.col("v") % 2).alias("p")).distinct()
 
@@ -167,7 +178,8 @@ def _plans():
         "agg_tree_left": agg_tree_left, "window": window,
         "window_tree": window_tree, "window_union": window_union,
         "join_exprkey": join_exprkey, "self_join_agg": self_join_agg,
-        "distinct": distinct, "stage": stage,
+        "self_join_tree": self_join_tree, "distinct": distinct,
+        "stage": stage,
     }
 
 
