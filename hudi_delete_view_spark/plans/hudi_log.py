@@ -1,0 +1,329 @@
+"""Genuine Apache Hudi MOR log-file reader: ``HoodieLogFormat`` block
+framing + a minimal pure-Python Avro binary decoder.
+
+This is the READ half of the MOR interop contract; the fixture at
+``tests/fixtures/hudi_mor`` is authored by an INDEPENDENT writer
+(``tools/make_hudi_mor_fixture.py``) so the parser is proven against
+bytes this module did not produce.
+
+Format implemented (all public, from the Apache Hudi source tree —
+the reference repo itself is COW-only, ``/root/reference/README.md:5``,
+so this is parity-plus):
+
+- Block framing: ``HoodieLogFormatWriter.appendBlocks`` /
+  ``HoodieLogFileReader`` (hudi-common) — per block:
+  ``#HUDI#`` magic (6 bytes), block size (int64 BE, everything after
+  this field), log-format version (int32 BE, =1), block-type ordinal
+  (int32 BE), header map, content length (int64 BE), content bytes,
+  footer map, total block length (int64 BE, incl. magic — used for
+  reverse traversal; we validate it forward).
+- Header/footer maps: ``HoodieLogBlock.getLogMetadataBytes`` —
+  int32 entry count, then per entry int32 key ordinal
+  (``HeaderMetadataType``: INSTANT_TIME=0, TARGET_INSTANT_TIME=1,
+  SCHEMA=2, COMMAND_BLOCK_TYPE=3), int32 byte length, UTF-8 value.
+- Block types: ``HoodieLogBlockType`` ordinals — COMMAND_BLOCK=0,
+  DELETE_BLOCK=1, CORRUPT_BLOCK=2, AVRO_DATA_BLOCK=3.
+- Avro data block content: ``HoodieAvroDataBlock.serializeRecords`` —
+  int32 content-format version, int32 record count, then per record
+  int32 length + Avro-binary record bytes (writer schema in the
+  SCHEMA header).
+- Delete block content: ``HoodieDeleteBlock`` (Hudi 0.14+, table
+  version 6) — int32 content-format version, int32 byte length, then
+  an Avro-binary ``HoodieDeleteRecordList``
+  (``hudi-common/src/main/avro/HoodieDeleteRecordList.avsc``:
+  array of {recordKey, partitionPath, orderingVal} with nullable
+  unions). Hudi ≤0.13 Kryo-serialized delete keys — a JVM-private
+  framing no non-Java reader can speak; the Avro framing is the
+  stable public format and is what we implement.
+- Command block: empty content; ``COMMAND_BLOCK_TYPE`` header "0"
+  (= ROLLBACK_BLOCK ordinal) + ``TARGET_INSTANT_TIME`` header names
+  the instant whose earlier blocks in this log file are void
+  (``AbstractHoodieLogRecordReader`` rollback semantics).
+
+Everything in this module is bytes-in, rows-out and runs EXECUTOR-side
+(one task per log file via ``mapInPandas`` in ``sources/hudi.py``);
+nothing here touches Spark or the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from dataclasses import dataclass
+
+MAGIC = b"#HUDI#"
+
+# HoodieLogBlockType ordinals (hudi-common HoodieLogBlock.java)
+COMMAND_BLOCK = 0
+DELETE_BLOCK = 1
+CORRUPT_BLOCK = 2
+AVRO_DATA_BLOCK = 3
+
+# HeaderMetadataType ordinals
+H_INSTANT_TIME = 0
+H_TARGET_INSTANT_TIME = 1
+H_SCHEMA = 2
+H_COMMAND_BLOCK_TYPE = 3
+
+_HEADER_NAMES = {
+    H_INSTANT_TIME: "INSTANT_TIME",
+    H_TARGET_INSTANT_TIME: "TARGET_INSTANT_TIME",
+    H_SCHEMA: "SCHEMA",
+    H_COMMAND_BLOCK_TYPE: "COMMAND_BLOCK_TYPE",
+}
+
+# HoodieDeleteRecordList.avsc (bundled: the delete block carries no
+# schema header; readers know this specific schema)
+DELETE_RECORD_LIST_SCHEMA = {
+    "type": "record",
+    "name": "HoodieDeleteRecordList",
+    "fields": [
+        {
+            "name": "deleteRecordList",
+            "type": {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "HoodieDeleteRecord",
+                    "fields": [
+                        {"name": "recordKey", "type": ["null", "string"]},
+                        {"name": "partitionPath", "type": ["null", "string"]},
+                        {
+                            "name": "orderingVal",
+                            "type": [
+                                "null", "boolean", "int", "long",
+                                "float", "double", "bytes", "string",
+                            ],
+                        },
+                    ],
+                },
+            },
+        }
+    ],
+}
+
+
+class HudiLogFormatError(ValueError):
+    """Structurally invalid log file (bad magic / truncated block)."""
+
+
+@dataclass
+class LogBlock:
+    block_type: int
+    headers: dict[str, str]
+    content: bytes
+    footers: dict[str, str]
+
+
+# -- Avro binary decoding (Avro 1.x spec, the subset Hudi log blocks use) --
+
+
+class _Cursor:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def take(self, n: int) -> bytes:
+        b = self.buf[self.pos:self.pos + n]
+        if len(b) != n:
+            raise HudiLogFormatError("truncated Avro payload")
+        self.pos += n
+        return b
+
+
+def _zigzag(cur: _Cursor) -> int:
+    """Avro int/long: little-endian base-128 varint, zigzag-encoded."""
+    shift, acc = 0, 0
+    while True:
+        byte = cur.take(1)[0]
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def avro_decode(schema, cur: _Cursor):
+    """Decode one value of ``schema`` (parsed Avro JSON) at the cursor.
+
+    Supports the types Hudi record payloads use: primitives, record,
+    union, array, map, enum, fixed. Logical types decode as their base
+    primitive (timestamps stay long, decimals stay bytes) — the Spark
+    side casts by column type.
+    """
+    if isinstance(schema, list):  # union: long index, then that branch
+        idx = _zigzag(cur)
+        if not 0 <= idx < len(schema):
+            raise HudiLogFormatError(f"union index {idx} out of range")
+        return avro_decode(schema[idx], cur)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return {
+                f["name"]: avro_decode(f["type"], cur)
+                for f in schema["fields"]
+            }
+        if t == "array":
+            out = []
+            while True:
+                n = _zigzag(cur)
+                if n == 0:
+                    return out
+                if n < 0:  # negative count: abs(count) items + block size
+                    n = -n
+                    _zigzag(cur)
+                for _ in range(n):
+                    out.append(avro_decode(schema["items"], cur))
+        if t == "map":
+            out = {}
+            while True:
+                n = _zigzag(cur)
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    _zigzag(cur)
+                for _ in range(n):
+                    k = avro_decode("string", cur)
+                    out[k] = avro_decode(schema["values"], cur)
+        if t == "enum":
+            return schema["symbols"][_zigzag(cur)]
+        if t == "fixed":
+            return cur.take(schema["size"])
+        return avro_decode(t, cur)  # {"type": "string", ...} wrapper
+    # primitive names
+    if schema == "null":
+        return None
+    if schema == "boolean":
+        return cur.take(1) == b"\x01"
+    if schema in ("int", "long"):
+        return _zigzag(cur)
+    if schema == "float":
+        return struct.unpack("<f", cur.take(4))[0]
+    if schema == "double":
+        return struct.unpack("<d", cur.take(8))[0]
+    if schema == "bytes":
+        return bytes(cur.take(_zigzag(cur)))
+    if schema == "string":
+        return cur.take(_zigzag(cur)).decode("utf-8")
+    raise HudiLogFormatError(f"unsupported Avro type: {schema!r}")
+
+
+# -- block framing ---------------------------------------------------------
+
+
+def _read_meta_map(cur: _Cursor) -> dict[str, str]:
+    count = struct.unpack(">i", cur.take(4))[0]
+    out = {}
+    for _ in range(count):
+        ordinal = struct.unpack(">i", cur.take(4))[0]
+        length = struct.unpack(">i", cur.take(4))[0]
+        value = cur.take(length).decode("utf-8")
+        out[_HEADER_NAMES.get(ordinal, f"UNKNOWN_{ordinal}")] = value
+    return out
+
+
+def parse_log_file(data: bytes) -> list[LogBlock]:
+    """Parse every block of one log file, forward scan.
+
+    A block whose framing is inconsistent (size field disagreeing with
+    the next magic position / truncation at EOF) is surfaced as a
+    CORRUPT_BLOCK carrying the raw bytes up to the next magic — the
+    same recovery ``HoodieLogFileReader`` performs by scanning for the
+    next magic — so one torn append never hides later blocks.
+    """
+    blocks: list[LogBlock] = []
+    cur = _Cursor(data)
+    while cur.pos < len(data):
+        start = cur.pos
+        if data[cur.pos:cur.pos + 6] != MAGIC:
+            raise HudiLogFormatError(
+                f"bad magic at offset {cur.pos} (want {MAGIC!r})"
+            )
+        try:
+            cur.pos += 6
+            block_size = struct.unpack(">q", cur.take(8))[0]
+            struct.unpack(">i", cur.take(4))  # log-format version (=1)
+            btype = struct.unpack(">i", cur.take(4))[0]
+            headers = _read_meta_map(cur)
+            content_len = struct.unpack(">q", cur.take(8))[0]
+            content = bytes(cur.take(content_len))
+            footers = _read_meta_map(cur)
+            total_len = struct.unpack(">q", cur.take(8))[0]
+            # forward validation of the reverse-traversal fields: the
+            # size field covers everything after itself; the trailing
+            # total covers the whole block including magic
+            if (cur.pos - start - 14) != block_size or (cur.pos - start) != total_len:
+                raise HudiLogFormatError("block size fields inconsistent")
+            nxt = data.find(MAGIC, cur.pos)
+            if cur.pos != len(data) and cur.pos != nxt:
+                raise HudiLogFormatError("block does not land on next magic")
+        except HudiLogFormatError:
+            # torn/corrupt append: skip to the next magic, keep reading
+            nxt = data.find(MAGIC, start + 6)
+            end = nxt if nxt != -1 else len(data)
+            blocks.append(LogBlock(CORRUPT_BLOCK, {}, bytes(data[start:end]), {}))
+            cur.pos = end
+            continue
+        blocks.append(LogBlock(btype, headers, content, footers))
+    return blocks
+
+
+def apply_rollbacks(blocks: list[LogBlock]) -> list[LogBlock]:
+    """Drop blocks voided by ROLLBACK command blocks.
+
+    ``AbstractHoodieLogRecordReader`` semantics: a command block whose
+    ``COMMAND_BLOCK_TYPE`` is ROLLBACK (ordinal 0) voids every EARLIER
+    block in the same log file whose ``INSTANT_TIME`` equals the
+    command's ``TARGET_INSTANT_TIME`` (a failed write's blocks, before
+    the retry appends under a fresh instant)."""
+    out: list[LogBlock] = []
+    for b in blocks:
+        if b.block_type == COMMAND_BLOCK:
+            if b.headers.get("COMMAND_BLOCK_TYPE", "0") == "0":
+                target = b.headers.get("TARGET_INSTANT_TIME")
+                out = [
+                    x for x in out
+                    if x.headers.get("INSTANT_TIME") != target
+                ]
+            continue  # command blocks carry no data themselves
+        out.append(b)
+    return out
+
+
+def data_block_records(block: LogBlock) -> list[dict]:
+    """Decode an AVRO_DATA_BLOCK's records using its SCHEMA header.
+
+    Content framing (``HoodieAvroDataBlock.serializeRecords``): int32
+    content-format version, int32 record count, then per record int32
+    byte length + Avro binary."""
+    if block.block_type != AVRO_DATA_BLOCK:
+        raise HudiLogFormatError("not an Avro data block")
+    schema = json.loads(block.headers["SCHEMA"])
+    cur = _Cursor(block.content)
+    struct.unpack(">i", cur.take(4))  # content-format version
+    count = struct.unpack(">i", cur.take(4))[0]
+    records = []
+    for _ in range(count):
+        rec_len = struct.unpack(">i", cur.take(4))[0]
+        rec_cur = _Cursor(cur.take(rec_len))
+        records.append(avro_decode(schema, rec_cur))
+    return records
+
+
+def delete_block_keys(block: LogBlock) -> list[dict]:
+    """Decode a DELETE_BLOCK into delete records.
+
+    Content framing (``HoodieDeleteBlock``, Hudi 0.14+): int32
+    content-format version, int32 byte length, Avro-binary
+    ``HoodieDeleteRecordList``."""
+    if block.block_type != DELETE_BLOCK:
+        raise HudiLogFormatError("not a delete block")
+    cur = _Cursor(block.content)
+    struct.unpack(">i", cur.take(4))  # content-format version
+    length = struct.unpack(">i", cur.take(4))[0]
+    payload = _Cursor(cur.take(length))
+    decoded = avro_decode(DELETE_RECORD_LIST_SCHEMA, payload)
+    return decoded["deleteRecordList"]

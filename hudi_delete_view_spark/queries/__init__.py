@@ -15,6 +15,72 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 _LATE: set[str] = set()
 
+# The driver's correctness harness oracle-checks the FIRST 50 entries of
+# ``ordered_queries()``. Rounds 1-4 earned their green driver rows in
+# CORRECTNESS_r01-r06; this window now rotates onto the newest, riskiest
+# surface — the IVM view lattice, the Python DataSource connector, Hudi
+# interop (COW + MOR log-blocks), and ``rel_approx_sketches`` (which failed
+# its only driver check in r1, was fixed, and needs a green row). Names
+# listed here are pulled to the very front of the registry in this order;
+# everything else follows in registration order (``late`` still at the back).
+_WINDOW: tuple[str, ...] = (
+    # flagship + interop
+    "lake_delete_view",
+    "lake_hudi_interop",
+    "mor_hudi_interop",
+    "rel_approx_sketches",
+    # IVM view lattice (rounds 5-6, plus round-7 shapes)
+    "lake_mv_auto_agg",
+    "lake_mv_auto_join",
+    "lake_mv_auto_select",
+    "lake_mv_auto_minmax",
+    "lake_mv_auto_variance",
+    "lake_mv_auto_count_distinct",
+    "lake_mv_auto_having",
+    "lake_mv_auto_staged",
+    "lake_mv_auto_left_join",
+    "lake_mv_auto_window",
+    "lake_mv_auto_agg_join",
+    "lake_mv_auto_agg_left_join",
+    "lake_mv_auto_agg_full_join",
+    "lake_mv_auto_approx_distinct",
+    "lake_mv_auto_distinct",
+    "lake_mv_auto_union",
+    "lake_mv_auto_agg_union",
+    "lake_mv_auto_self_join",
+    "lake_mv_auto_window_union",
+    "lake_mv_auto_window_tree",
+    "lake_mv_auto_agg_tree",
+    "lake_mv_auto_agg_stage",
+    "lake_mv_auto_star",
+    "lake_mv_auto_snowflake",
+    "lake_mv_sql_ddl",
+    # IVM view tables + stream-driven maintenance
+    "lake_ivm_join",
+    "lake_ivm_view_table",
+    "lake_ivm_agg_table",
+    "stream_ivm_view",
+    "stream_ivm_view_multi",
+    # Python DataSource connector
+    "lake_pyds_scan",
+    "lake_pyds_stream",
+    "stream_pyds_sink",
+    "stream_pyds_auto_absorb",
+    "stream_pyds_live_view",
+    # rounds-5/6 queries without a driver row yet
+    "lake_colocated_join",
+    "lake_sql_surface",
+    "lake_indexed_lookup",
+    "lake_time_travel",
+    "mor_incremental",
+    "sim_semantic_dedup",
+    "sim_semantic_dedup_incremental",
+    "sim_vector_store",
+    "stream_incremental_dedup",
+    "dedup_remove_boilerplate",
+    "stream_signature_store",
+)
+
 
 def query(name: str, oracle: str | None = None, late: bool = False):
     """Register a query; ``oracle`` is the DuckDB-equivalent ANSI SQL.
@@ -38,11 +104,12 @@ def query(name: str, oracle: str | None = None, late: bool = False):
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry in driver order: registration order with ``late`` entries
-    moved to the back (stable within each group)."""
-    head = {n: f for n, f in QUERIES.items() if n not in _LATE}
-    tail = {n: f for n, f in QUERIES.items() if n in _LATE}
-    return {**head, **tail}
+    """Registry in driver order: ``_WINDOW`` names first (in window order),
+    then registration order, with ``late`` entries at the back."""
+    window = {n: QUERIES[n] for n in _WINDOW if n in QUERIES}
+    head = {n: f for n, f in QUERIES.items() if n not in window and n not in _LATE}
+    tail = {n: f for n, f in QUERIES.items() if n in _LATE and n not in window}
+    return {**window, **head, **tail}
 
 
 def load_all() -> None:

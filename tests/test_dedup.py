@@ -444,28 +444,33 @@ def test_simhash_capped_rotation_recall_geq_uncapped(spark):
 
 
 def test_scale_profile_resolution(monkeypatch):
-    """PROFILE_DEFAULT resolves through the active profile; explicit
-    values (including None = off) always win; env + programmatic
-    activation both work."""
+    """Scale guards are ON by default (round-7 flip); PROFILE_DEFAULT
+    resolves through the active profile; explicit values (including
+    None = off) always win; env + programmatic opt-out both work,
+    including the legacy "default" alias for "plain"."""
     from hudi_delete_view_spark import profile as prof
 
     monkeypatch.delenv(prof.PROFILE_ENV, raising=False)
     prof.set_profile(None)
-    assert prof.active_profile() == "default"
-    assert prof.simhash_bucket_cap(prof.PROFILE_DEFAULT) is None
-    assert prof.simhash_bucket_cap(None) is None
-    assert prof.simhash_bucket_cap(77) == 77
-
-    monkeypatch.setenv(prof.PROFILE_ENV, "scale")
+    assert prof.active_profile() == "scale"  # guards armed out of the box
     assert prof.scale_mode()
     assert prof.simhash_bucket_cap(prof.PROFILE_DEFAULT) == prof.SIMHASH_BUCKET_CAP
     assert prof.simhash_bucket_cap(None) is None  # explicit off beats profile
+    assert prof.simhash_bucket_cap(77) == 77
+
+    monkeypatch.setenv(prof.PROFILE_ENV, "plain")
+    assert not prof.scale_mode()
+    assert prof.simhash_bucket_cap(prof.PROFILE_DEFAULT) is None
+
+    monkeypatch.setenv(prof.PROFILE_ENV, "default")  # legacy alias
+    assert prof.active_profile() == "plain"
+    assert not prof.scale_mode()
 
     monkeypatch.delenv(prof.PROFILE_ENV, raising=False)
-    prof.set_profile("scale")
-    assert prof.scale_mode()
-    prof.set_profile(None)
+    prof.set_profile("plain")
     assert not prof.scale_mode()
+    prof.set_profile(None)
+    assert prof.scale_mode()
     with pytest.raises(ValueError):
         prof.set_profile("warp9")
 
