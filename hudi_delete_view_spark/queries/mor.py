@@ -292,3 +292,84 @@ def mor_merge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority"),
     )
     return post.unionByName(dv)
+
+
+import os as _hmor_os
+
+_HUDI_MOR_FIXTURE = _hmor_os.path.abspath(_hmor_os.path.join(
+    _hmor_os.path.dirname(__file__), "..", "..", "tests", "fixtures",
+    "hudi_mor"))
+
+# The authored log-block operations of tests/fixtures/hudi_mor (the same
+# constants tools/make_hudi_mor_fixture.py serializes into binary
+# HoodieLogFormat blocks): DuckDB cannot parse the binary log files, so
+# the oracle re-states the authored ops as literals and independently
+# recomputes the MERGE SEMANTICS (last-write-wins window + tombstone
+# filtering) against the fixture's base parquet. The uncommitted block
+# (id1 -> 999) and the rolled-back block (id6 -> 600) are deliberately
+# NOT in this list — the Spark side must drop both to hash-match.
+_HUDI_MOR_LOG_OPS_SQL = """
+    SELECT * FROM (VALUES
+      ('id3', 'id3', 'charlie', CAST(333 AS BIGINT), '20210301100000', 1, FALSE),
+      ('id7', 'id7', 'golf',    CAST(70  AS BIGINT), '20210301100000', 2, FALSE),
+      ('id2', NULL, NULL, CAST(NULL AS BIGINT),      '20210301100000', 3, TRUE),
+      ('id5', NULL, NULL, CAST(NULL AS BIGINT),      '20210301100000', 1, TRUE),
+      ('id3', 'id3', 'charlie', CAST(444 AS BIGINT), '20210301110000', 1, FALSE),
+      ('id6', 'id6', 'foxtrot', CAST(666 AS BIGINT), '20210301110000', 1, FALSE)
+    ) AS t(k, id, name, value, ord_instant, ord_sub, is_del)
+"""
+
+
+@query(
+    "mor_hudi_interop",
+    oracle=f"""
+WITH base AS (
+  SELECT _hoodie_record_key AS k, id, name, value,
+         '20210301090000' AS ord_instant, -1 AS ord_sub, FALSE AS is_del
+  FROM read_parquet('{_HUDI_MOR_FIXTURE}/2021/03/01/*_20210301090000.parquet')
+),
+log AS ({_HUDI_MOR_LOG_OPS_SQL}),
+merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM log
+),
+snap AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY k ORDER BY ord_instant DESC, ord_sub DESC) AS rn
+  FROM merged
+),
+snap_c2 AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY k ORDER BY ord_instant DESC, ord_sub DESC) AS rn
+  FROM merged WHERE ord_instant <= '20210301100000'
+)
+SELECT 'snapshot' AS section, id, name, value FROM snap
+WHERE rn = 1 AND NOT is_del
+UNION ALL
+SELECT 'time_travel' AS section, id, name, value FROM snap_c2
+WHERE rn = 1 AND NOT is_del
+""",
+)
+def mor_hudi_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot + time travel over a FOREIGN genuine-format Hudi MOR
+    table: tests/fixtures/hudi_mor carries base parquet plus binary
+    ``HoodieLogFormat`` ``.log`` files (Avro data blocks, an Avro
+    HoodieDeleteRecordList delete block, a rollback command block, and
+    an uncommitted block) authored by an INDEPENDENT writer
+    (tools/make_hudi_mor_fixture.py) — bytes the package reader
+    (plans/hudi_log.py + sources/hudi.py) did not produce.
+
+    Two sections under one driver row: the latest merged snapshot
+    (updates + log-borne insert + both tombstone forms resolved, the
+    uncommitted and rolled-back blocks dropped) and time travel to the
+    middle delta commit. The oracle recomputes the merge window in
+    DuckDB from the fixture's base parquet + the authored log ops as
+    literals (binary log blocks are not DuckDB-readable)."""
+    from ..sources.hudi import read_hudi_mor_snapshot
+
+    cols = [F.col("id"), F.col("name"), F.col("value")]
+    snap = read_hudi_mor_snapshot(spark, _HUDI_MOR_FIXTURE).select(
+        F.lit("snapshot").alias("section"), *cols)
+    tt = read_hudi_mor_snapshot(
+        spark, _HUDI_MOR_FIXTURE, as_of="20210301100000"
+    ).select(F.lit("time_travel").alias("section"), *cols)
+    return snap.unionByName(tt)

@@ -1,0 +1,253 @@
+"""Read GENUINE Apache Hudi MERGE_ON_READ tables: base parquet + binary
+``HoodieLogFormat`` ``.log`` files, merged to a snapshot DataFrame.
+
+Scope: the foreign-format read path (interop). The repo's own MOR tables
+(``sources/mor.py``) keep their native parquet delta representation; this
+module is what a user points at a table some OTHER Hudi writer produced.
+The reference is COW-only (``/root/reference/README.md:5``), so this is
+parity-plus; the COW half of interop reads via the native timeline
+(``plans/metadata.py:134`` parses real HoodieCommitMetadata JSON).
+
+Execution model (100 TB posture):
+
+- The DRIVER touches only metadata: the ``.hoodie`` timeline listing and
+  the data-file NAME list (both KB-to-MB scale — the same listing Hudi's
+  own file-system view performs). No data bytes on the driver.
+- Log-file BYTES are parsed EXECUTOR-side: the driver parallelizes the
+  (path, file group, version) list into a DataFrame and a ``mapInPandas``
+  stage opens + parses each log file where the task runs (one task per
+  log file; ``plans/hudi_log.py`` is pure bytes-in/rows-out). Arrow
+  carries the decoded rows back as columnar batches.
+- The base files are ONE vectorized parquet scan (column pruning and
+  predicate pushdown apply as usual).
+- The merge is a window over ``(partition_path, record_key)`` ordered by
+  (instant, log version, block, record) — per-file-group locality keeps
+  the shuffle partitionable; skewed groups split under AQE. Uncommitted
+  log blocks are dropped by timeline membership (the block's
+  ``INSTANT_TIME`` header must name a completed instant — the same check
+  ``AbstractHoodieLogRecordReader`` performs), and rollback command
+  blocks void their target instant's earlier blocks per log file.
+
+Merge semantics: OverwriteWithLatestAvroPayload — last write per key
+wins; a ``_hoodie_is_deleted=true`` record or a DELETE_BLOCK entry
+tombstones the key.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.fs import fs_for
+
+_BASE_RE = re.compile(
+    r"^(?P<fid>[A-Za-z0-9\-]+)_(?P<token>[0-9\-]+)_(?P<ts>\d{14})\.parquet$"
+)
+# Hudi log files are HIDDEN files: .<fileId>_<baseInstant>.log.<version>_<writeToken>
+_LOG_RE = re.compile(
+    r"^\.(?P<fid>[A-Za-z0-9\-]+)_(?P<base_ts>\d{14})\.log\.(?P<version>\d+)_(?P<token>[0-9\-]+)$"
+)
+_INSTANT_RE = re.compile(r"^(\d{14})\.(commit|deltacommit)$")
+
+_ORD_COLS = ("__ord_instant", "__ord_version", "__ord_block", "__ord_rec")
+
+
+@dataclass(frozen=True)
+class _Slice:
+    file_id: str
+    base_instant: str
+    base_path: str
+    log_paths: tuple[tuple[int, str], ...]  # (version, path), ascending
+
+
+def hudi_completed_instants(base_path: str) -> list[str]:
+    """Completed instants of a foreign Hudi table, ascending.
+
+    Hudi marks completion by the bare ``<ts>.commit`` /
+    ``<ts>.deltacommit`` filename (``.inflight`` / ``.requested``
+    suffixes are pending states and never listed here)."""
+    fs = fs_for(base_path)
+    meta = os.path.join(base_path, ".hoodie")
+    if not fs.isdir(meta):
+        return []
+    out = []
+    for name in fs.listdir(meta):
+        m = _INSTANT_RE.match(name)
+        if m:
+            out.append(m.group(1))
+    return sorted(out)
+
+
+def _list_slices(base_path: str, valid: set[str]) -> list[_Slice]:
+    """Latest committed base slice per file group + its log files.
+
+    Driver-side NAME listing only. A log file attaches to the slice
+    whose base instant its name carries; block-level commit filtering
+    happens executor-side against ``valid``."""
+    fs = fs_for(base_path)
+    bases: dict[str, tuple[str, str]] = {}  # fid -> (instant, path)
+    logs: dict[tuple[str, str], list[tuple[int, str]]] = {}
+
+    def walk(rel: str) -> None:
+        full = os.path.join(base_path, rel) if rel else base_path
+        for name in fs.listdir(full):
+            if rel == "" and name == ".hoodie":
+                continue
+            child = os.path.join(full, name)
+            if fs.isdir(child):
+                walk(os.path.join(rel, name) if rel else name)
+                continue
+            m = _BASE_RE.match(name)
+            if m and m.group("ts") in valid:
+                fid, ts = m.group("fid"), m.group("ts")
+                if fid not in bases or bases[fid][0] < ts:
+                    bases[fid] = (ts, child)
+                continue
+            m = _LOG_RE.match(name)
+            if m:
+                key = (m.group("fid"), m.group("base_ts"))
+                logs.setdefault(key, []).append(
+                    (int(m.group("version")), child))
+
+    walk("")
+    slices = []
+    for fid, (ts, path) in sorted(bases.items()):
+        lp = tuple(sorted(logs.get((fid, ts), [])))
+        slices.append(_Slice(fid, ts, path, lp))
+    return slices
+
+
+def _log_rows_df(
+    spark: SparkSession,
+    slices: list[_Slice],
+    data_schema: T.StructType,
+    valid: set[str],
+) -> DataFrame:
+    """Decode every committed log block into rows, executor-side.
+
+    One input row per log file -> ``mapInPandas`` parses it where the
+    task runs. Output schema = the base file's data schema + merge
+    bookkeeping (ordering tuple + delete marker)."""
+    files = [
+        (s.file_id, version, path)
+        for s in slices
+        for (version, path) in s.log_paths
+    ]
+    out_schema = T.StructType(
+        list(data_schema.fields)
+        + [
+            T.StructField("__ord_instant", T.StringType()),
+            T.StructField("__ord_version", T.IntegerType()),
+            T.StructField("__ord_block", T.IntegerType()),
+            T.StructField("__ord_rec", T.IntegerType()),
+            T.StructField("__is_delete", T.BooleanType()),
+        ]
+    )
+    col_names = [f.name for f in data_schema.fields]
+    valid_instants = frozenset(valid)
+
+    def parse(batches):
+        import pandas as pd
+
+        from ..plans import hudi_log as hl
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for fid, version, path in pdf.itertuples(index=False):
+                if "://" in path:  # URI-rooted foreign table
+                    import pyarrow.fs as pafs
+
+                    fsys, rel = pafs.FileSystem.from_uri(path)
+                    with fsys.open_input_stream(rel) as f:
+                        data = f.read()
+                else:
+                    with open(path, "rb") as f:
+                        data = f.read()
+                blocks = hl.apply_rollbacks(hl.parse_log_file(data))
+                for bi, block in enumerate(blocks):
+                    instant = block.headers.get("INSTANT_TIME", "")
+                    if instant not in valid_instants:
+                        continue  # uncommitted append: not on the timeline
+                    if block.block_type == hl.AVRO_DATA_BLOCK:
+                        for ri, rec in enumerate(hl.data_block_records(block)):
+                            row = {c: rec.get(c) for c in col_names}
+                            row.update(
+                                __ord_instant=instant, __ord_version=version,
+                                __ord_block=bi, __ord_rec=ri,
+                                __is_delete=False,
+                            )
+                            rows.append(row)
+                    elif block.block_type == hl.DELETE_BLOCK:
+                        for ri, d in enumerate(hl.delete_block_keys(block)):
+                            row = dict.fromkeys(col_names)
+                            row["_hoodie_record_key"] = d.get("recordKey")
+                            row["_hoodie_partition_path"] = d.get("partitionPath")
+                            row.update(
+                                __ord_instant=instant, __ord_version=version,
+                                __ord_block=bi, __ord_rec=ri,
+                                __is_delete=True,
+                            )
+                            rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    if not files:
+        return spark.createDataFrame([], out_schema)
+    src = spark.createDataFrame(
+        files, "file_id string, log_version int, path string"
+    ).repartition(min(len(files), 64))
+    return src.mapInPandas(parse, out_schema)
+
+
+def read_hudi_mor_snapshot(
+    spark: SparkSession, base_path: str, as_of: str | None = None
+) -> DataFrame:
+    """Snapshot view of a genuine Hudi MOR table at ``as_of`` (default:
+    latest completed instant): base parquet merged with committed log
+    blocks, last write per (partition, record key) wins, tombstones
+    (``_hoodie_is_deleted`` / DELETE_BLOCKs) filtered out."""
+    from pyspark.sql import Window as W
+
+    instants = hudi_completed_instants(base_path)
+    if not instants:
+        raise ValueError(f"no completed Hudi instants under {base_path!r}")
+    if as_of is None:
+        as_of = instants[-1]
+    valid = {ts for ts in instants if ts <= as_of}
+    if not valid:
+        raise ValueError(
+            f"as_of {as_of!r} precedes the first instant {instants[0]!r}"
+        )
+    slices = _list_slices(base_path, valid)
+    if not slices:
+        raise ValueError(f"no committed base files under {base_path!r}")
+
+    base = spark.read.parquet(*[s.base_path for s in slices])
+    base = (
+        base.withColumn("__ord_instant", F.col("_hoodie_commit_time"))
+        .withColumn("__ord_version", F.lit(-1))
+        .withColumn("__ord_block", F.lit(-1))
+        .withColumn("__ord_rec", F.lit(-1))
+        .withColumn("__is_delete", F.lit(False))
+    )
+    logs = _log_rows_df(spark, slices, base.drop(*_ORD_COLS, "__is_delete").schema, valid)
+    merged = base.unionByName(logs)
+
+    w = W.partitionBy("_hoodie_partition_path", "_hoodie_record_key").orderBy(
+        F.desc("__ord_instant"), F.desc("__ord_version"),
+        F.desc("__ord_block"), F.desc("__ord_rec"),
+    )
+    out = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(~F.col("__is_delete"))
+    )
+    if "_hoodie_is_deleted" in [f.name for f in base.schema.fields]:
+        out = out.filter(~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False)))
+    return out.drop("__rn", "__is_delete", *_ORD_COLS)

@@ -141,3 +141,134 @@ def test_foreign_commit_history(spark, hudi_table):
     hist = {r["commit_ts"]: r for r in t.commit_history().collect()}
     assert hist[C2]["total_records_deleted"] == 2
     assert hist[C1]["num_inserts"] == 6
+
+
+# -- MOR log-block interop (round 7) ----------------------------------------
+# tests/fixtures/hudi_mor: base parquet + BINARY HoodieLogFormat .log files
+# authored by tools/make_hudi_mor_fixture.py, an encoder independent of the
+# package parser (plans/hudi_log.py) — foreign bytes, mirror-image proof.
+
+MOR_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "hudi_mor")
+M1, M2, M3 = "20210301090000", "20210301100000", "20210301110000"
+
+
+def _mor_logs():
+    part = os.path.join(MOR_FIXTURE, "2021", "03", "01")
+    return {n: os.path.join(part, n) for n in os.listdir(part)
+            if ".log." in n}
+
+
+def test_mor_log_block_framing():
+    """Every fixture log file parses block-by-block: framing fields
+    (size / total-length / next-magic alignment) all consistent, header
+    maps decoded, no block surfaced as corrupt."""
+    from hudi_delete_view_spark.plans import hudi_log as hl
+
+    seen_types = set()
+    for name, path in _mor_logs().items():
+        with open(path, "rb") as f:
+            blocks = hl.parse_log_file(f.read())
+        assert blocks, name
+        for b in blocks:
+            assert b.block_type != hl.CORRUPT_BLOCK
+            seen_types.add(b.block_type)
+            if b.block_type != hl.COMMAND_BLOCK:
+                assert b.headers["INSTANT_TIME"]
+    # the fixture exercises data, delete AND command blocks
+    assert seen_types == {hl.AVRO_DATA_BLOCK, hl.DELETE_BLOCK,
+                          hl.COMMAND_BLOCK}
+
+
+def test_mor_log_rollback_semantics():
+    """A ROLLBACK command block voids earlier blocks of its target
+    instant in the same log file — the failed id6 -> 600 write
+    disappears; the committed retry (id6 -> 666) survives."""
+    from hudi_delete_view_spark.plans import hudi_log as hl
+
+    name = next(n for n in _mor_logs()
+                if n.startswith(".e3a8") and n.endswith(".log.2_0-20-77"))
+    with open(_mor_logs()[name], "rb") as f:
+        blocks = hl.parse_log_file(f.read())
+    assert len(blocks) == 3  # failed write, command, retry
+    live = hl.apply_rollbacks(blocks)
+    assert len(live) == 1
+    (rec,) = hl.data_block_records(live[0])
+    assert (rec["_hoodie_record_key"], rec["value"]) == ("id6", 666)
+
+
+def test_mor_delete_block_avro_payload():
+    """DELETE_BLOCK content decodes as an Avro HoodieDeleteRecordList
+    (Hudi 0.14+ framing): recordKey + partitionPath set, orderingVal
+    null."""
+    from hudi_delete_view_spark.plans import hudi_log as hl
+
+    name = next(n for n in _mor_logs() if n.startswith(".e3a8")
+                and n.endswith(".log.1_0-20-77"))
+    with open(_mor_logs()[name], "rb") as f:
+        (block,) = hl.parse_log_file(f.read())
+    assert block.block_type == hl.DELETE_BLOCK
+    (d,) = hl.delete_block_keys(block)
+    assert d == {"recordKey": "id5", "partitionPath": "2021/03/01",
+                 "orderingVal": None}
+
+
+def test_mor_log_corrupt_block_recovery():
+    """A torn append (truncated mid-block) surfaces as CORRUPT and does
+    NOT hide a later intact block — the reader scans to the next magic,
+    HoodieLogFileReader-style."""
+    from hudi_delete_view_spark.plans import hudi_log as hl
+
+    name = next(n for n in _mor_logs() if n.startswith(".7c2e")
+                and n.endswith(".log.1_0-20-77"))
+    with open(_mor_logs()[name], "rb") as f:
+        intact = f.read()
+    torn = intact[: len(intact) // 2] + intact  # half a block, then whole
+    blocks = hl.parse_log_file(torn)
+    assert [b.block_type for b in blocks] == [hl.CORRUPT_BLOCK,
+                                              hl.AVRO_DATA_BLOCK]
+    recs = hl.data_block_records(blocks[1])
+    assert {r["_hoodie_record_key"] for r in recs} == {"id2", "id3", "id7"}
+
+
+def test_mor_foreign_snapshot_merge(spark):
+    """End-to-end: latest snapshot resolves updates, the log-borne
+    insert, BOTH tombstone forms (_hoodie_is_deleted record + delete
+    block), drops the uncommitted block (instant not on the timeline)
+    and the rolled-back block."""
+    from hudi_delete_view_spark.sources.hudi import read_hudi_mor_snapshot
+
+    got = {
+        (r["id"], r["name"], r["value"])
+        for r in read_hudi_mor_snapshot(spark, MOR_FIXTURE)
+        .select("id", "name", "value").collect()
+    }
+    assert got == {("id1", "alpha", 10), ("id3", "charlie", 444),
+                   ("id4", "delta", 40), ("id6", "foxtrot", 666),
+                   ("id7", "golf", 70)}
+
+
+def test_mor_foreign_time_travel(spark):
+    """as_of filters instants AND log blocks: at M2 the C3 blocks are
+    invisible; at M1 (read-optimized point) only base rows serve."""
+    from hudi_delete_view_spark.sources.hudi import read_hudi_mor_snapshot
+
+    at_m2 = {
+        (r["id"], r["value"])
+        for r in read_hudi_mor_snapshot(spark, MOR_FIXTURE, as_of=M2)
+        .select("id", "value").collect()
+    }
+    assert at_m2 == {("id1", 10), ("id3", 333), ("id4", 40), ("id6", 60),
+                     ("id7", 70)}
+    at_m1 = {
+        (r["id"], r["value"])
+        for r in read_hudi_mor_snapshot(spark, MOR_FIXTURE, as_of=M1)
+        .select("id", "value").collect()
+    }
+    assert at_m1 == {(f"id{i}", i * 10) for i in range(1, 7)}
+
+
+def test_mor_foreign_bad_as_of(spark):
+    from hudi_delete_view_spark.sources.hudi import read_hudi_mor_snapshot
+
+    with pytest.raises(ValueError, match="precedes the first instant"):
+        read_hudi_mor_snapshot(spark, MOR_FIXTURE, as_of="19990101000000")

@@ -1,0 +1,333 @@
+"""Generate a tiny genuine-layout Apache Hudi MERGE_ON_READ table fixture
+at tests/fixtures/hudi_mor/ — base parquet + REAL binary ``.log`` files of
+``HoodieLogFormat`` blocks that this repo's reader code did NOT produce.
+
+This writer is deliberately INDEPENDENT of ``plans/hudi_log.py`` (no
+imports from the package): two separate implementations of the public
+format, so the package parser is proven against foreign bytes, exactly
+as ``make_hudi_fixture.py`` proves the COW commit-JSON reader.
+
+Format authored (public Apache Hudi on-disk format; the reference repo
+is COW-only — ``README.md:5`` — so MOR interop is parity-plus):
+
+- ``.hoodie/<instant>.deltacommit`` — completed delta commits
+  (HoodieCommitMetadata JSON, same framing as the COW fixture).
+- base files ``<fileId>_<writeToken>_<instant>.parquet`` with the five
+  Hudi meta columns (+ ``_hoodie_is_deleted`` false, the public
+  tombstone convention of OverwriteWithLatestAvroPayload).
+- log files ``.<fileId>_<baseInstant>.log.<version>_<writeToken>``
+  (note the leading dot: Hudi log files are hidden files) containing
+  HoodieLogFormat v1 blocks:
+  magic ``#HUDI#`` | int64 block size | int32 format version=1 |
+  int32 block-type ordinal | header map | int64 content length |
+  content | footer map | int64 total block length.
+  Header map: int32 count, then per entry int32 HeaderMetadataType
+  ordinal + int32 length + UTF-8 bytes.
+  - AVRO_DATA_BLOCK (ordinal 3): content = int32 content version +
+    int32 record count + per record int32 length + Avro-binary record
+    (writer schema in the SCHEMA header).
+  - DELETE_BLOCK (ordinal 1): content = int32 content version +
+    int32 length + Avro-binary HoodieDeleteRecordList
+    (Hudi 0.14+ framing; older Kryo framing is JVM-private).
+  - COMMAND_BLOCK (ordinal 0): empty content; COMMAND_BLOCK_TYPE "0"
+    (ROLLBACK) + TARGET_INSTANT_TIME header void earlier blocks of
+    that instant in the same log file.
+
+Commit history (two file groups, partition 2021/03/01):
+
+- C1 ``20210301090000.deltacommit``: base files — g1: id1/10 id2/20
+  id3/30; g2: id4/40 id5/50 id6/60.
+- C2 ``20210301100000.deltacommit``: g1 log.1 data block (id3 -> 333,
+  INSERT id7/70, id2 tombstoned via _hoodie_is_deleted); g2 log.1
+  DELETE_BLOCK (id5).
+- C3 ``20210301110000.deltacommit``: g1 log.2 data block (id3 -> 444)
+  PLUS a data block under instant 20210301120000 that never commits
+  (id1 -> 999 — a reader honoring timeline membership must drop it);
+  g2 log.2: failed-write data block (instant 20210301105500,
+  id6 -> 600), COMMAND rollback block targeting it, then the C3 retry
+  data block (id6 -> 666).
+
+Merged snapshot at C3: id1/10, id3/444, id4/40, id6/666, id7/70.
+Deterministic: re-running produces byte-identical files.
+"""
+
+import json
+import os
+import shutil
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
+                   "hudi_mor")
+C1, C2, C3 = "20210301090000", "20210301100000", "20210301110000"
+UNCOMMITTED = "20210301120000"   # block present, instant never completes
+FAILED = "20210301105500"        # rolled back by a command block
+PART = "2021/03/01"
+FG1 = "7c2e91d4-5a38-4f6b-b0c7-8e1f3a9d2c55-0"
+FG2 = "e3a8b7f1-9c24-4d5e-a6b3-0f7d8c1e4a92-0"
+TOKEN = "1-20-77"
+
+AVRO_SCHEMA = {
+    "type": "record", "name": "interop_mor_record",
+    "namespace": "hoodie.interop_mor",
+    "fields": [
+        {"name": "_hoodie_commit_time", "type": ["null", "string"]},
+        {"name": "_hoodie_commit_seqno", "type": ["null", "string"]},
+        {"name": "_hoodie_record_key", "type": ["null", "string"]},
+        {"name": "_hoodie_partition_path", "type": ["null", "string"]},
+        {"name": "_hoodie_file_name", "type": ["null", "string"]},
+        {"name": "id", "type": "string"},
+        {"name": "name", "type": "string"},
+        {"name": "value", "type": "long"},
+        {"name": "_hoodie_is_deleted", "type": "boolean", "default": False},
+    ],
+}
+
+MAGIC = b"#HUDI#"
+# HoodieLogBlockType ordinals
+T_COMMAND, T_DELETE, T_AVRO = 0, 1, 3
+# HeaderMetadataType ordinals
+H_INSTANT, H_TARGET, H_SCHEMA, H_CMDTYPE = 0, 1, 2, 3
+
+
+# -- Avro binary encoding (hand-rolled, spec-direct) ----------------------
+
+def _zz(n: int) -> bytes:
+    """Avro long: zigzag + little-endian base-128 varint."""
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _astr(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return _zz(len(b)) + b
+
+
+def _rec_bytes(ts, seqno, key, fname, id_, name, value, deleted=False):
+    """One interop_mor_record, field order per AVRO_SCHEMA: the five
+    nullable-string meta fields (union index 1 = string), then id,
+    name (string), value (long), _hoodie_is_deleted (boolean)."""
+    out = bytearray()
+    for v in (ts, seqno, key, PART, fname):
+        out += _zz(1) + _astr(v)     # union branch 1: string
+    out += _astr(id_) + _astr(name) + _zz(value)
+    out += b"\x01" if deleted else b"\x00"
+    return bytes(out)
+
+
+def _delete_list_bytes(keys):
+    """Avro-binary HoodieDeleteRecordList: one array field; items are
+    records of three nullable unions (recordKey, partitionPath set;
+    orderingVal null = union branch 0)."""
+    out = bytearray()
+    out += _zz(len(keys))            # array block count
+    for k in keys:
+        out += _zz(1) + _astr(k)     # recordKey: union 1 = string
+        out += _zz(1) + _astr(PART)  # partitionPath
+        out += _zz(0)                # orderingVal: union 0 = null
+    out += _zz(0)                    # array terminator
+    return bytes(out)
+
+
+# -- HoodieLogFormat block framing ----------------------------------------
+
+def _meta_map(entries: dict[int, str]) -> bytes:
+    out = struct.pack(">i", len(entries))
+    for ordinal, value in entries.items():
+        vb = value.encode("utf-8")
+        out += struct.pack(">i", ordinal) + struct.pack(">i", len(vb)) + vb
+    return out
+
+
+def _block(btype: int, headers: dict[int, str], content: bytes) -> bytes:
+    hb = _meta_map(headers)
+    fb = _meta_map({})
+    block_size = 4 + 4 + len(hb) + 8 + len(content) + len(fb) + 8
+    out = bytearray()
+    out += MAGIC
+    out += struct.pack(">q", block_size)
+    out += struct.pack(">i", 1)          # log format version
+    out += struct.pack(">i", btype)
+    out += hb
+    out += struct.pack(">q", len(content))
+    out += content
+    out += fb
+    out += struct.pack(">q", 14 + block_size)  # total incl. magic+size field
+    return bytes(out)
+
+
+def _data_block(instant: str, records: list[bytes]) -> bytes:
+    content = struct.pack(">i", 3) + struct.pack(">i", len(records))
+    for rb in records:
+        content += struct.pack(">i", len(rb)) + rb
+    return _block(T_AVRO, {H_INSTANT: instant,
+                           H_SCHEMA: json.dumps(AVRO_SCHEMA)}, content)
+
+
+def _delete_block(instant: str, keys: list[str]) -> bytes:
+    payload = _delete_list_bytes(keys)
+    content = struct.pack(">i", 3) + struct.pack(">i", len(payload)) + payload
+    return _block(T_DELETE, {H_INSTANT: instant}, content)
+
+
+def _command_block(instant: str, target: str) -> bytes:
+    return _block(T_COMMAND, {H_INSTANT: instant, H_TARGET: target,
+                              H_CMDTYPE: "0"}, b"")
+
+
+# -- table pieces ----------------------------------------------------------
+
+def _base_name(fid, ts):
+    return f"{fid}_{TOKEN}_{ts}.parquet"
+
+
+def _log_name(fid, base_ts, version):
+    return f".{fid}_{base_ts}.log.{version}_0-20-77"
+
+
+def _write_base(fid, ts, rows):
+    fname = _base_name(fid, ts)
+    pdir = os.path.join(OUT, PART)
+    os.makedirs(pdir, exist_ok=True)
+    tbl = pa.table({
+        "_hoodie_commit_time": [ts] * len(rows),
+        "_hoodie_commit_seqno": [f"{ts}_0_{i + 1}" for i in range(len(rows))],
+        "_hoodie_record_key": [r[0] for r in rows],
+        "_hoodie_partition_path": [PART] * len(rows),
+        "_hoodie_file_name": [fname] * len(rows),
+        "id": [r[0] for r in rows],
+        "name": [r[1] for r in rows],
+        "value": pa.array([r[2] for r in rows], type=pa.int64()),
+        "_hoodie_is_deleted": [False] * len(rows),
+    })
+    path = os.path.join(pdir, fname)
+    pq.write_table(tbl, path)
+    return os.path.join(PART, fname), path
+
+
+def _write_log(fid, base_ts, version, blocks: list[bytes]):
+    fname = _log_name(fid, base_ts, version)
+    path = os.path.join(OUT, PART, fname)
+    with open(path, "wb") as f:
+        for b in blocks:
+            f.write(b)
+    return os.path.join(PART, fname), path
+
+
+def _stat(fid, rel, size, prev, writes, deletes, updates, inserts,
+          log_version=0):
+    s = {
+        "fileId": fid,
+        "path": rel,
+        "prevCommit": prev,
+        "numWrites": writes,
+        "numDeletes": deletes,
+        "numUpdateWrites": updates,
+        "numInserts": inserts,
+        "totalWriteBytes": size,
+        "totalWriteErrors": 0,
+        "partitionPath": PART,
+        "fileSizeInBytes": size,
+    }
+    if log_version:
+        s["logVersion"] = log_version
+        s["logOffset"] = 0
+    return s
+
+
+def _commit(meta_dir, ts, stats, op):
+    doc = {
+        "partitionToWriteStats": {PART: stats},
+        "compacted": False,
+        "extraMetadata": {"schema": json.dumps(AVRO_SCHEMA)},
+        "operationType": op,
+    }
+    with open(os.path.join(meta_dir, f"{ts}.deltacommit"), "w") as f:
+        json.dump(doc, f, indent=2)
+
+
+def main() -> None:
+    shutil.rmtree(OUT, ignore_errors=True)
+    meta_dir = os.path.join(OUT, ".hoodie")
+    os.makedirs(meta_dir, exist_ok=True)
+    with open(os.path.join(meta_dir, "hoodie.properties"), "w") as f:
+        f.write(
+            "#Properties saved on Mon Mar 01 09:00:00 UTC 2021\n"
+            "hoodie.table.name=interop_mor\n"
+            "hoodie.table.type=MERGE_ON_READ\n"
+            "hoodie.table.version=6\n"
+            "hoodie.timeline.layout.version=1\n"
+            "hoodie.archivelog.folder=archived\n"
+            "hoodie.compaction.payload.class=org.apache.hudi.common.model.OverwriteWithLatestAvroPayload\n"
+        )
+
+    # C1: bootstrap base files
+    rel11, p11 = _write_base(FG1, C1, [("id1", "alpha", 10),
+                                       ("id2", "bravo", 20),
+                                       ("id3", "charlie", 30)])
+    rel21, p21 = _write_base(FG2, C1, [("id4", "delta", 40),
+                                       ("id5", "echo", 50),
+                                       ("id6", "foxtrot", 60)])
+    _commit(meta_dir, C1, [
+        _stat(FG1, rel11, os.path.getsize(p11), "null", 3, 0, 0, 3),
+        _stat(FG2, rel21, os.path.getsize(p21), "null", 3, 0, 0, 3),
+    ], "BULK_INSERT")
+
+    # C2: g1 data block (update + insert + tombstone), g2 delete block
+    g1_fname = _log_name(FG1, C1, 1)
+    b1 = _data_block(C2, [
+        _rec_bytes(C2, f"{C2}_0_1", "id3", g1_fname, "id3", "charlie", 333),
+        _rec_bytes(C2, f"{C2}_0_2", "id7", g1_fname, "id7", "golf", 70),
+        _rec_bytes(C2, f"{C2}_0_3", "id2", g1_fname, "id2", "bravo", 20,
+                   deleted=True),
+    ])
+    rel12, p12 = _write_log(FG1, C1, 1, [b1])
+    b2 = _delete_block(C2, ["id5"])
+    rel22, p22 = _write_log(FG2, C1, 1, [b2])
+    _commit(meta_dir, C2, [
+        _stat(FG1, rel12, os.path.getsize(p12), C1, 3, 1, 1, 1, log_version=1),
+        _stat(FG2, rel22, os.path.getsize(p22), C1, 0, 1, 0, 0, log_version=1),
+    ], "UPSERT")
+
+    # C3: g1 rollover log.2 — the C3 update, then an UNCOMMITTED block
+    # (instant 20210301120000 never completes; timeline-honoring readers
+    # must drop id1 -> 999)
+    g1_f2 = _log_name(FG1, C1, 2)
+    b3 = _data_block(C3, [
+        _rec_bytes(C3, f"{C3}_0_1", "id3", g1_f2, "id3", "charlie", 444),
+    ])
+    b_uncommitted = _data_block(UNCOMMITTED, [
+        _rec_bytes(UNCOMMITTED, f"{UNCOMMITTED}_0_1", "id1", g1_f2,
+                   "id1", "alpha", 999),
+    ])
+    rel13, p13 = _write_log(FG1, C1, 2, [b3, b_uncommitted])
+    # g2 rollover log.2 — failed write, rollback command, committed retry
+    g2_f2 = _log_name(FG2, C1, 2)
+    b_failed = _data_block(FAILED, [
+        _rec_bytes(FAILED, f"{FAILED}_0_1", "id6", g2_f2,
+                   "id6", "foxtrot", 600),
+    ])
+    b_rollback = _command_block(C3, FAILED)
+    b_retry = _data_block(C3, [
+        _rec_bytes(C3, f"{C3}_0_1", "id6", g2_f2, "id6", "foxtrot", 666),
+    ])
+    rel23, p23 = _write_log(FG2, C1, 2, [b_failed, b_rollback, b_retry])
+    _commit(meta_dir, C3, [
+        _stat(FG1, rel13, os.path.getsize(p13), C1, 1, 0, 1, 0, log_version=2),
+        _stat(FG2, rel23, os.path.getsize(p23), C1, 1, 0, 1, 0, log_version=2),
+    ], "UPSERT")
+    print(f"wrote genuine-layout Hudi MOR fixture at {os.path.abspath(OUT)}")
+
+
+if __name__ == "__main__":
+    main()
