@@ -1102,12 +1102,21 @@ def _build_join_tree(node, snapshots, quals, needed_ids, seen):
                 occ += 1
             leaf = f"{real}__occ{occ}"
         seen.add(leaf)
+        # this occurrence's record-key attr id (positional against the
+        # snapshot schema — sameResult guarantees alignment): lets
+        # window-over-self-join classification find the output column
+        # carrying EACH occurrence's record key (composite identity)
+        local = _source_local_ids(term, snapshots)
+        rk_id = next(
+            (i for i, c in local.items() if c == RECORD_KEY_FIELD), None
+        )
         return {
             "src": leaf,
             "real_src": real,
             "chain": _chain_to_spec(nodes, quals),
             "out_names": [a.name() for a in _seq(node.output())],
             "srcs": [leaf],
+            "rk_id": rk_id,
         }
     jn = term[1]
     if _cls(jn) != "Join":
@@ -1433,8 +1442,12 @@ def _classify_window_tree(
     post-trimmed to exactly the touched partitions, so a LEFT-extended
     partition source — where input restriction is unsound — falls back
     to a full-input pass that is still output-exact).  Row identity is
-    the fact's record key, like every join view."""
-    key = _find_view_key(out_ids, refs, src_ids)
+    the fact's record key, like every join view — except over a
+    SELF-JOIN tree (round 7, lifting the F15 refusal), where one fact
+    key names several output rows: there the identity is the COMPOSITE
+    tuple of every duplicate-leaf occurrence's record key (each
+    occurrence must project its own record key into the output) plus
+    the non-duplicated sources' view key if one is projected."""
     pspec = _seq(win_node.partitionSpec())
     if not pspec:
         raise UnsupportedViewError(
@@ -1520,17 +1533,64 @@ def _classify_window_tree(
         return _dup_leaves(n["left"]) + _dup_leaves(n["right"])
 
     dups = _dup_leaves(tree)
+    key_cols = None
     if dups:
-        # aggregates over self-joins are fine (identity = group keys);
-        # a WINDOW view's rows are identified by the fact record key,
-        # and a self-join emits several rows per fact key — the stored
-        # (key)-keyed state would collapse them
-        raise UnsupportedViewError(
-            f"window view over a self-join tree ({sorted(set(dups))} "
-            "appears at two leaves): the fact record key is not unique "
-            "per output row — aggregate the pairs, or pre-stage the "
-            "self-join as a view with its own composite key"
+        # a self-join emits several rows per fact record key, so the
+        # single-key identity would collapse them — switch to the
+        # COMPOSITE identity: one output column per duplicate-leaf
+        # occurrence, each carrying that occurrence's own record key
+        # (resolved through the leaf's positional rk attr id), plus the
+        # ordinary view key of the non-duplicated sources if projected
+        dup_set = set(dups)
+
+        def _leaves(n):
+            if "src" in n:
+                return [n]
+            return _leaves(n["left"]) + _leaves(n["right"])
+
+        occ_cols = []
+        for leaf in _leaves(tree):
+            real = leaf.get("real_src", leaf["src"])
+            if real not in dup_set:
+                continue
+            rk = leaf.get("rk_id")
+            names = [
+                name
+                for eid, name in out_ids.items()
+                if rk is not None and rk in _closure([eid])
+            ]
+            if len(names) != 1:
+                raise UnsupportedViewError(
+                    f"window view over a self-join tree: occurrence "
+                    f"'{leaf['src']}' of '{real}' must project its "
+                    f"{RECORD_KEY_FIELD} into the view output exactly "
+                    f"once (found {len(names)}) — the per-occurrence "
+                    "record keys form the composite row identity"
+                )
+            occ_cols.append(names[0])
+        nondup_hits = []
+        for eid, name in out_ids.items():
+            hit = _resolve_to_source(eid, refs, src_ids)
+            if (
+                hit
+                and hit[1] == RECORD_KEY_FIELD
+                and hit[0] not in dup_set
+            ):
+                nondup_hits.append({"name": name, "source": hit[0]})
+        if len(nondup_hits) > 1:
+            raise UnsupportedViewError(
+                "window view over a self-join tree: more than one "
+                "non-duplicated source projects a record key — exactly "
+                f"one may serve as the view key (found {nondup_hits})"
+            )
+        key_cols = [h["name"] for h in nondup_hits] + occ_cols
+        key = (
+            nondup_hits[0]
+            if nondup_hits
+            else {"name": occ_cols[0], "source": sorted(dup_set)[0]}
         )
+    else:
+        key = _find_view_key(out_ids, refs, src_ids)
 
     def _null_extended(n):
         if "src" in n:
@@ -1543,6 +1603,7 @@ def _classify_window_tree(
     return {
         "kind": "window_tree",
         "key": key,
+        "key_cols": key_cols,  # composite identity (self-join trees only)
         "parts": parts,
         "part_src": part_src,
         "restrict_ok": part_src not in _null_extended(tree),
@@ -1848,16 +1909,28 @@ def _classify_one_join(join_node, fact, anchored, src_ids, refs, out_ids,
             "into the view output, or none"
         )
     if fact_exprs and probe_src != fact:
-        raise UnsupportedViewError(
-            f"the tree-side join key of '{arm}' is an expression / not "
-            f"projected, and its source ('{probe_src}') is not the fact "
-            "— snowflake arms need their tree-side keys projected into "
-            "the view output"
-        )
+        # snowflake arm with MID-PLAN tree-side values (an expression
+        # over the parent dim, or a parent-dim column not projected
+        # into the output — SURVEY §12 lead 3): probe TRANSITIVELY.
+        # Changed arm values map to affected PARENT-dim rows through
+        # the parent's own snapshot expression values (sound by the
+        # same argument as the fact-expression route: parent rows
+        # changed in-window already ride the parent's OWN probe, so
+        # unchanged snapshot values equal stored-join-time values),
+        # then fold into the parent's probe route — recursively, until
+        # a projected column or the fact is reached.
+        return {
+            "name": arm,
+            "probe_out_cols": [],
+            "probe_fact_exprs": [],
+            "probe_via": {"parent": probe_src, "tree_exprs": fact_exprs},
+            "dim_join_cols": arm_sqls,
+        }
     return {
         "name": arm,
         "probe_out_cols": probe_out,
         "probe_fact_exprs": fact_exprs,
+        "probe_via": None,
         "dim_join_cols": arm_sqls,
     }
 
@@ -2028,6 +2101,8 @@ class AutoMaterializedView:
             return [n for n, _ in spec["group"]]
         if spec["kind"] in ("union", "window_union"):
             return [spec["tag_col"], spec["key"]["name"]]
+        if spec.get("key_cols"):  # window over a self-join tree
+            return spec["key_cols"]
         return [spec["key"]["name"]]
 
     @property
@@ -3248,6 +3323,125 @@ class AutoMaterializedView:
             )
         return out
 
+    def _tree_signed_delta(self, node, anchor, latest) -> DataFrame | None:
+        """Signed delta of a classified join SUBTREE between the anchor
+        and target states — the LEFT-OUTER-aware recursive delta-join
+        identity (SURVEY §12 lead 1; closes the round-6 member-sized
+        dirty-group fallback for LEFT-arm aggregate trees):
+
+          Δ(L ⟕ R) = (ΔL ⟕ R_t) ⊎ (L_a ⋈ ΔR) ⊎ (L_a ⋉ flip(R)) × null_R
+
+        Derivation: L⟕R = L⋈R ⊎ (L▷R)×null_R; the inner part telescopes
+        (ΔL⋈R_t + L_a⋈ΔR), the anti part splits as ΔL▷R_t (folded into
+        term 1, since ΔL⟕R_t = ΔL⋈R_t ⊎ ΔL▷R_t×null) plus
+        L_a▷R_t − L_a▷R_a — which is exactly L_a restricted to join
+        keys whose PRESENCE in R flipped: +1 where a key vanished from
+        R (rows re-enter the null-extension), −1 where one appeared
+        (rows leave it). INNER nodes take only the two inner terms.
+
+        Change-sized by construction: every flipped key carries at
+        least one ΔR row, so the flip candidates are ΔR's distinct join
+        keys (change-sized, broadcast); R's presence at each boundary
+        is probed with broadcast semi-joins against those candidates;
+        the static sides of the inner terms are semi-pruned to the
+        delta's keys the same way ``_tree_delta_term`` prunes siblings.
+        Returns None when no source under the subtree changed."""
+        from functools import reduce
+
+        sign = F.when(
+            F.col("op").isin("insert", "update"), F.lit(1)
+        ).otherwise(F.lit(-1))
+
+        def _synth(df, n):
+            items = n.get("synth", [])
+            if not items:
+                return df
+            return df.select(
+                "*", *[F.expr(sql).alias(nm) for nm, sql in items]
+            )
+
+        if "src" in node:
+            s = node["src"]
+            if anchor[s] == latest[s]:
+                return None
+            cdc = self.sources[s].cdc(
+                anchor[s], latest[s], include_update_preimages=True
+            ).withColumn("__mv_sign", sign)
+            return _synth(
+                _replay_spec(node["chain"], cdc, extra=("__mv_sign",)), node
+            )
+
+        dl = self._tree_signed_delta(node["left"], anchor, latest)
+        dr = self._tree_signed_delta(node["right"], anchor, latest)
+        if dl is None and dr is None:
+            return None
+        lcols = [lc for lc, _rc in node["pairs"]]
+        rcols = [rc for _lc, rc in node["pairs"]]
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(lc) == F.col(rc) for lc, rc in node["pairs"]],
+        )
+        snaps_a = {n: t.snapshot(anchor[n]) for n, t in self.sources.items()}
+        snaps_t = {n: t.snapshot(latest[n]) for n, t in self.sources.items()}
+        terms = []
+        if dl is not None:
+            dl = dl.drop(*node["drop_l"]).localCheckpoint(eager=True)
+            r_t = self._replay_tree(node["right"], snaps_t).drop(
+                *node["drop_r"]
+            )
+            r_t_pruned = r_t.join(
+                F.broadcast(_jk_frame(dl, lcols)),
+                _jk_cond(rcols, False),
+                "left_semi",
+            )
+            # ΔL ⟕ R_t: the left join folds the ΔL▷R_t anti term in —
+            # its unmatched rows null-extend natively with ΔL's signs
+            terms.append(dl.join(r_t_pruned, cond, node["jt"]))
+        if dr is not None:
+            dr = dr.drop(*node["drop_r"]).localCheckpoint(eager=True)
+            dr_keys = _jk_frame(dr, rcols)
+            l_a = self._replay_tree(node["left"], snaps_a).drop(
+                *node["drop_l"]
+            )
+            l_a_pruned = l_a.join(
+                F.broadcast(dr_keys), _jk_cond(lcols, False), "left_semi"
+            )
+            terms.append(l_a_pruned.join(dr, cond, "inner"))
+            if node["jt"] == "left":
+                # presence-flip correction: candidates = ΔR's keys
+                r_a = self._replay_tree(node["right"], snaps_a).drop(
+                    *node["drop_r"]
+                )
+                r_t = self._replay_tree(node["right"], snaps_t).drop(
+                    *node["drop_r"]
+                )
+                in_a = dr_keys.join(r_a, _jk_cond(rcols, False), "left_semi")
+                in_t = dr_keys.join(r_t, _jk_cond(rcols, False), "left_semi")
+                flips = (
+                    in_a.subtract(in_t).withColumn("__mv_sign", F.lit(1))
+                    .unionByName(
+                        in_t.subtract(in_a).withColumn("__mv_sign", F.lit(-1))
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                null_r = [
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in r_t.schema.fields
+                ]
+                jk_names = [f"__mv_jk{i}" for i in range(len(lcols))]
+                flip_rows = (
+                    l_a.join(
+                        F.broadcast(flips), _jk_cond(lcols, False), "inner"
+                    )
+                    .drop(*jk_names)
+                    .select("*", *null_r)
+                )
+                terms.append(flip_rows)
+        out = reduce(lambda a, b: a.unionByName(b), terms)
+        return _synth(
+            _replay_spec(node["mid"], out, extra=("__mv_sign",)), node
+        )
+
     def _agg_tree_delta_feed(self, spec, anchor, latest) -> DataFrame | None:
         """Signed pre-aggregate delta of an all-INNER join tree — the
         telescoping multiset identity
@@ -3376,132 +3570,47 @@ class AutoMaterializedView:
         )
 
     def _advance_agg_tree(self, spec, anchor, latest) -> None:
-        if spec.get("all_inner"):
-            feed = self._agg_tree_delta_feed(spec, anchor, latest)
-            if feed is None:
-                return
-            from functools import reduce
-
-            def full_feed(dirty_keys):
-                snaps = {
-                    n: t.snapshot(latest[n])
-                    for n, t in self.sources.items()
-                }
-                restrict = None
-                if spec.get("group_src") is not None and dirty_keys is not None:
-                    rcond = reduce(
-                        lambda a, b: a & b,
-                        [
-                            F.col(f"__s.{sql}").eqNullSafe(
-                                F.col(f"__dg.{name}")
-                            )
-                            for name, sql in spec["group"]
-                        ],
-                    )
-                    restrict = (spec["group_src"], dirty_keys, rcond)
-                return self._agg_tree_full_feed(spec, snaps, restrict=restrict)
-
-            self._merge_agg_delta(spec, feed, latest, full_feed)
-            return
-        self._advance_agg_tree_dirty(spec, anchor, latest)
-
-    def _advance_agg_tree_dirty(self, spec, anchor, latest) -> None:
-        """Advance an aggregate-over-multi-join view with OUTER arms:
-        image-replay detection names the dirty groups (each changed
-        source's CDC images run through the user's own tree at both
-        boundaries), then exactly those groups rebuild from the target
-        snapshots — the N-way generalization of the two-source
-        dirty-group algebra."""
+        """Advance an aggregate-over-multi-join view by a SIGNED feed:
+        all-INNER trees use the leaf-telescoping identity
+        (``_agg_tree_delta_feed``); trees with LEFT arms use the
+        recursive null-extension-aware identity
+        (``_tree_signed_delta`` — inner terms + presence-flip
+        correction), replacing the round-6 member-sized dirty-group
+        re-derivation. Both feeds merge through the shared retraction
+        engine; min/max/DISTINCT retractions re-derive their dirty
+        groups from ``full_feed`` (leaf-input-restricted when the
+        group keys live on one non-null-extended leaf)."""
         from functools import reduce
 
-        group_names = [n for n, _ in spec["group"]]
-        gk = [f"__mv_gk{i}" for i in range(len(group_names))]
-        key_exprs = [
-            F.expr(sql).alias(t) for t, (_n, sql) in zip(gk, spec["group"])
-        ]
-        dirty = self._tree_touched(spec, anchor, latest, key_exprs)
-        if dirty is None or dirty.count() == 0:
+        if spec.get("all_inner"):
+            feed = self._agg_tree_delta_feed(spec, anchor, latest)
+        else:
+            feed = self._tree_signed_delta(spec["tree"], anchor, latest)
+            if feed is not None:
+                feed = _replay_spec(spec["mid"], feed, extra=("__mv_sign",))
+        if feed is None:
             return
-        snaps = {n: t.snapshot(latest[n]) for n, t in self.sources.items()}
-        restrict = None
-        if spec.get("group_src") is not None:
-            rcond = reduce(
-                lambda a, b: a & b,
-                [
-                    F.col(f"__s.{sql}").eqNullSafe(F.col(f"__dg.{t}"))
-                    for t, (_n, sql) in zip(gk, spec["group"])
-                ],
-            )
-            restrict = (spec["group_src"], dirty, rcond)
-        pa = self._agg_tree_full_feed(spec, snaps, restrict=restrict)
-        pcond = reduce(
-            lambda a, b: a & b,
-            [
-                F.expr(sql).eqNullSafe(F.col(f"__dg.{t}"))
-                for t, (_n, sql) in zip(gk, spec["group"])
-            ],
-        )
-        feed = pa.join(F.broadcast(dirty.alias("__dg")), pcond, "left_semi")
-        state = self._agg_delta(spec, feed)
-        if "__mv_dirty" in state.columns:
-            state = state.drop("__mv_dirty")
-        state = state.localCheckpoint(eager=True)
-        scond = reduce(
-            lambda a, b: a & b,
-            [
-                F.col(f"__dg.{t}").eqNullSafe(F.col(f"__st.{n}"))
-                for t, n in zip(gk, group_names)
-            ],
-        )
-        dead = (
-            dirty.alias("__dg")
-            .join(state.select(*group_names).alias("__st"), scond, "left_anti")
-            .select(*[F.col(t).alias(n) for t, n in zip(gk, group_names)])
-            .localCheckpoint(eager=True)
-        )
-        base = self._commit_base(latest)
-        # per-value COUNT(DISTINCT) state: dirty groups' rows replaced
-        # wholesale, same as the two-source dirty path
-        for alias, arg in self._distinct_aliases(spec):
-            aux = self._aux_table(alias)
-            new_vals = self._value_state(spec, arg, feed).localCheckpoint(
-                eager=True
-            )
-            acond = reduce(
-                lambda a, b: a & b,
-                [
-                    F.col(f"__a.{n}").eqNullSafe(F.col(f"__dg.{t}"))
-                    for n, t in zip(group_names, gk)
-                ],
-            )
-            vcond = reduce(
-                lambda a, b: a & b,
-                [
-                    F.col(f"__a.{c}").eqNullSafe(F.col(f"__v.{c}"))
-                    for c in group_names + ["__mv_val"]
-                ],
-            )
-            dead_vals = (
-                aux.snapshot()
-                .select(*group_names, "__mv_val")
-                .alias("__a")
-                .join(F.broadcast(dirty.alias("__dg")), acond, "left_semi")
-                .join(new_vals.alias("__v"), vcond, "left_anti")
-                .select(
-                    *[
-                        F.col(f"__a.{c}").alias(c)
-                        for c in group_names + ["__mv_val"]
-                    ]
+
+        def full_feed(dirty_keys):
+            snaps = {
+                n: t.snapshot(latest[n])
+                for n, t in self.sources.items()
+            }
+            restrict = None
+            if spec.get("group_src") is not None and dirty_keys is not None:
+                rcond = reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"__s.{sql}").eqNullSafe(
+                            F.col(f"__dg.{name}")
+                        )
+                        for name, sql in spec["group"]
+                    ],
                 )
-            )
-            if dead_vals.count() > 0:
-                aux.delete(dead_vals, f"{base + 1:014d}")
-            if new_vals.count() > 0:
-                aux.upsert(new_vals, f"{base + 2:014d}")
-        if dead.count() > 0:
-            self.table.delete(dead, f"{base + 1:014d}")
-        if state.count() > 0:
-            self.table.upsert(state, f"{base + 2:014d}")
+                restrict = (spec["group_src"], dirty_keys, rcond)
+            return self._agg_tree_full_feed(spec, snaps, restrict=restrict)
+
+        self._merge_agg_delta(spec, feed, latest, full_feed)
 
     # -- algebra: whole-partition re-derivation (window views) -----------
     def _advance_window(self, spec, anchor, latest) -> None:
@@ -3597,7 +3706,7 @@ class AutoMaterializedView:
         partition source (full-input pass) stays output-exact."""
         from functools import reduce
 
-        key = spec["key"]["name"]
+        keys = spec.get("key_cols") or [spec["key"]["name"]]
         out_parts = [o for o, _w, _s in spec["parts"]]
         sel = [F.col(w).alias(o) for o, w, _s in spec["parts"]]
         touched = self._tree_touched(spec, anchor, latest, sel)
@@ -3636,12 +3745,12 @@ class AutoMaterializedView:
         )
         view_snap = self.table.snapshot()
         dead = (
-            view_snap.select(key, *out_parts)
+            view_snap.select(*keys, *out_parts)
             .alias("v")
             .join(F.broadcast(touched.alias("t")), part_cond("v", "t"),
                   "left_semi")
-            .select(key)
-            .join(rederived.select(key), key, "left_anti")
+            .select(*keys)
+            .join(rederived.select(*keys), keys, "left_anti")
             .localCheckpoint(eager=True)
         )
         base = self._commit_base(latest)
@@ -3859,6 +3968,113 @@ class AutoMaterializedView:
             fact, anchor[fact_name], latest[fact_name]
         ).select(F.col(RECORD_KEY_FIELD).alias(key_name))
 
+    def _probe_affected(
+        self, spec, dspec, d_vals, snaps, full, view_snap, d_fact, key
+    ):
+        """(touched_extra, affected_extra) for changed arm values
+        ``d_vals`` (columns ``__d_dim_key{i}``) probing through
+        ``dspec``'s tree-side route:
+
+        - projected output column(s): probe the stored/full rows
+          directly;
+        - fact-side expression / unprojected fact column: map to fact
+          RECORD KEYS through the fact snapshot's own expression value
+          (fact rows changed in-window already ride d_fact, so
+          snapshot values equal stored values);
+        - mid-plan snowflake values (``probe_via``): translate the
+          value set through the PARENT dim's snapshot — parent rows
+          whose tree-side expression matches a changed value yield the
+          parent's OWN arm-join values, which recurse into the
+          parent's probe route (parent rows changed in-window ride the
+          parent's own probe, same soundness argument)."""
+        from functools import reduce
+
+        fjcs = dspec["probe_out_cols"]
+        if fjcs:
+            probe = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(c) == F.col(f"__d_dim_key{i}")
+                    for i, c in enumerate(fjcs)
+                ],
+            )
+            touched_extra = full.join(d_fact, key, "left_anti").join(
+                F.broadcast(d_vals), probe, "left_semi"
+            )
+            affected_extra = (
+                view_snap.select(key, *fjcs)
+                .join(d_fact, key, "left_anti")
+                .join(F.broadcast(d_vals), probe, "left_semi")
+                .select(key)
+            )
+            return touched_extra, affected_extra
+        via = dspec.get("probe_via")
+        if via is not None:
+            parent = next(
+                d for d in spec["dims"] if d["name"] == via["parent"]
+            )
+            probe = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__p{i}") == F.col(f"__d_dim_key{i}")
+                    for i in range(len(via["tree_exprs"]))
+                ],
+            )
+            parent_vals = (
+                snaps[via["parent"]]
+                .select(
+                    *[
+                        F.expr(sql).alias(f"__p{i}")
+                        for i, sql in enumerate(via["tree_exprs"])
+                    ],
+                    *[
+                        F.expr(sql).alias(f"__pv{i}")
+                        for i, sql in enumerate(parent["dim_join_cols"])
+                    ],
+                )
+                .join(F.broadcast(d_vals), probe, "left_semi")
+                .select(
+                    *[
+                        F.col(f"__pv{i}").alias(f"__d_dim_key{i}")
+                        for i in range(len(parent["dim_join_cols"]))
+                    ]
+                )
+                .distinct()
+            )
+            return self._probe_affected(
+                spec, parent, parent_vals, snaps, full, view_snap,
+                d_fact, key,
+            )
+        exprs = dspec["probe_fact_exprs"]
+        probe = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__probe{i}") == F.col(f"__d_dim_key{i}")
+                for i in range(len(exprs))
+            ],
+        )
+        extra = (
+            snaps[spec["fact"]]
+            .select(
+                F.col(RECORD_KEY_FIELD).alias(key),
+                *[
+                    F.expr(sql).alias(f"__probe{i}")
+                    for i, sql in enumerate(exprs)
+                ],
+            )
+            .join(F.broadcast(d_vals), probe, "left_semi")
+            .select(key)
+        )
+        touched_extra = (
+            full.join(d_fact, key, "left_anti").join(extra, key, "left_semi")
+        )
+        affected_extra = (
+            view_snap.select(key)
+            .join(d_fact, key, "left_anti")
+            .join(extra, key, "left_semi")
+        )
+        return touched_extra, affected_extra
+
     def _advance_change_keys(self, spec, anchor, latest) -> None:
         key = spec["key"]["name"]
         d_fact = self._changed_fact_keys(spec, anchor, latest)
@@ -3894,63 +4110,11 @@ class AutoMaterializedView:
                     )
                     .distinct()
                 )
-                fjcs = dspec["probe_out_cols"]
-                if not fjcs:
-                    # expression / unprojected tree-side keys: map the
-                    # changed arm values to affected fact RECORD KEYS
-                    # through the fact snapshot's own expression value
-                    # (the fact rows involved are unchanged in this
-                    # window — changed ones already ride in d_fact — so
-                    # snapshot values equal stored values), then fold
-                    # the keys into the ordinary change-key machinery
-                    exprs = dspec["probe_fact_exprs"]
-                    probe = reduce(
-                        lambda a, b: a & b,
-                        [
-                            F.col(f"__probe{i}") == F.col(f"__d_dim_key{i}")
-                            for i in range(len(exprs))
-                        ],
-                    )
-                    extra = (
-                        snaps[spec["fact"]]
-                        .select(
-                            F.col(RECORD_KEY_FIELD).alias(key),
-                            *[
-                                F.expr(sql).alias(f"__probe{i}")
-                                for i, sql in enumerate(exprs)
-                            ],
-                        )
-                        .join(F.broadcast(d_dim), probe, "left_semi")
-                        .select(key)
-                    )
-                    touched = touched.unionByName(
-                        full.join(d_fact, key, "left_anti")
-                        .join(extra, key, "left_semi")
-                    )
-                    affected = affected.unionByName(
-                        view_snap.select(key)
-                        .join(d_fact, key, "left_anti")
-                        .join(extra, key, "left_semi")
-                    )
-                    continue
-                probe = reduce(
-                    lambda a, b: a & b,
-                    [
-                        F.col(c) == F.col(f"__d_dim_key{i}")
-                        for i, c in enumerate(fjcs)
-                    ],
+                t_x, a_x = self._probe_affected(
+                    spec, dspec, d_dim, snaps, full, view_snap, d_fact, key
                 )
-                touched = touched.unionByName(
-                    full.join(d_fact, key, "left_anti").join(
-                        F.broadcast(d_dim), probe, "left_semi"
-                    )
-                )
-                affected = affected.unionByName(
-                    view_snap.select(key, *fjcs)
-                    .join(d_fact, key, "left_anti")
-                    .join(F.broadcast(d_dim), probe, "left_semi")
-                    .select(key)
-                )
+                touched = touched.unionByName(t_x)
+                affected = affected.unionByName(a_x)
             # a row can be hit through TWO dims' probes — dedup by the
             # row identity before writing (rows are identical copies)
             touched = touched.dropDuplicates([key])

@@ -1307,26 +1307,64 @@ def test_join_view_expression_keys(spark, scratch, tables):
     assert mv.refresh()["advanced"] is False
 
 
-def test_join_view_snowflake_expression_key_refused(spark, scratch, tables):
-    """A snowflake arm whose tree-side key is an expression has no
-    fact-snapshot probe (its values live mid-plan) — refuse with the
-    projection contract named."""
+def test_join_view_snowflake_expression_key_maintains(spark, scratch,
+                                                      tables):
+    """A snowflake arm whose tree-side key is an EXPRESSION over the
+    parent dim (values live mid-plan, projected nowhere) maintains via
+    the TRANSITIVE probe (SURVEY §12 lead 3, round-7): changed arm
+    values map to affected parent-dim rows through the parent's own
+    snapshot expression values, then recurse into the parent's probe
+    route — no hidden stored column, no refusal."""
     fact, dim = tables
     dim_b = CowTable(spark, os.path.join(scratch, "dimsx"), key_fields=["pk"],
                      partition_field=None, num_file_groups=1)
     dim_b.bulk_insert(spark.range(4).selectExpr(
         "cast(id as long) as pk", "concat('p', id) as pname"),
         "20260101000000")
-    fs, ds, bs = fact.snapshot(), dim.snapshot(), dim_b.snapshot()
 
-    f = fs.select(F.col("_hoodie_record_key").alias("vk"), "g", "v")
-    d = ds.select("gk", "gname")
-    b = bs.select("pk", "pname")
-    view = (f.join(d, F.col("g") == F.col("gk"))
-            .join(b, (F.col("gk") % 4) == F.col("pk"))
-            .select("vk", "v", "g", "gname", "pname"))
-    with pytest.raises(UnsupportedViewError, match="snowflake|projected"):
-        classify_view(view, {"fact": fs, "dim": ds, "dimb": bs})
+    def plan(t):
+        f = t["fact"].select(F.col("_hoodie_record_key").alias("vk"),
+                             "g", "v")
+        d = t["dim"].select("gk", "gname")
+        b = t["dimb"].select("pk", "pname")
+        return (f.join(d, F.col("g") == F.col("gk"))
+                .join(b, (F.col("gk") % 4) == F.col("pk"))
+                .select("vk", "v", "g", "gname", "pname"))
+
+    srcs = {"fact": fact, "dim": dim, "dimb": dim_b}
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvsnx"),
+                              srcs, plan)
+    spec = mv.spec()
+    (dspec,) = [d for d in spec["dims"] if d["name"] == "dimb"]
+    assert dspec["probe_via"] == {"parent": "dim",
+                                  "tree_exprs": ["(gk % CAST(4 AS BIGINT))"]}
+    seed = {n: "20260101000000" for n in srcs}
+    mv.refresh(seed_as_of=seed, to=seed)
+
+    def expect():
+        return _rows(plan({n: t.snapshot() for n, t in srcs.items()}))
+
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    # arm rename: rows whose (gk % 4) matched pk=2 re-derive — probed
+    # through the parent dim, not a fact column
+    dim_b.upsert(spark.createDataFrame([(2, "P2!")],
+                                       "pk long, pname string"),
+                 "20260105000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    # arm delete: INNER join drops every (gk % 4) = 1 row
+    dim_b.delete(spark.createDataFrame([(1,)], "pk long"),
+                 "20260106000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    # arm re-insert brings them back
+    dim_b.upsert(spark.createDataFrame([(1, "p1b")],
+                                       "pk long, pname string"),
+                 "20260107000000")
+    mv.refresh()
+    assert _rows(mv.serve()) == expect()
+    assert mv.refresh()["advanced"] is False
 
 
 def test_window_over_union_view(spark, scratch, tables):
@@ -1599,9 +1637,11 @@ def test_self_join_tree_aggregate(spark, scratch):
     mv.refresh(); check()
     assert mv.refresh()["advanced"] is False
 
-    # the WINDOW shape over the same self-join refuses with the
-    # identity problem named
-    def wplan(s):
+    # the WINDOW shape over the same self-join: an occurrence that
+    # does NOT project its record key refuses with the composite-
+    # identity contract named (pk below is the business key column,
+    # not the occurrence's _hoodie_record_key)
+    def wplan_bad(s):
         a = s["t"].select(F.col("_hoodie_record_key").alias("vk"),
                           "g", "parent", "v")
         b = s["t"].select(F.col("g").alias("g2"), F.col("v").alias("pv"),
@@ -1613,8 +1653,64 @@ def test_self_join_tree_aggregate(spark, scratch):
                 .select("vk", "g", "pv", "pk", "rn"))
 
     snap = t.snapshot()
-    with pytest.raises(UnsupportedViewError, match="self-join tree"):
-        classify_view(wplan({"t": snap}), {"t": snap})
+    with pytest.raises(UnsupportedViewError, match="composite|record key"):
+        classify_view(wplan_bad({"t": snap}), {"t": snap})
+
+
+def test_window_over_self_join_tree_maintains(spark, scratch):
+    """WINDOW view over a SELF-JOIN tree (round 7, lifting the F15
+    refusal): top-2 parent rows per group over t ⋈ t pairs.  Each
+    occurrence projects its own record key, so the stored identity is
+    the COMPOSITE (vk, pk) tuple — several output rows per fact key no
+    longer collapse.  Converges through inserts, deletes, value updates
+    that re-rank, and a join-column move; whole-partition re-rank keyed
+    on the composite tuple."""
+    from pyspark.sql import Window as W
+
+    t = CowTable(spark, os.path.join(scratch, "wsjt"), key_fields=["k"],
+                 partition_field=None, num_file_groups=2)
+    t.bulk_insert(spark.range(14).selectExpr(
+        "concat('k', id) as k", "cast(id % 4 as long) as g",
+        "cast(id % 3 as long) as parent", "cast(id as double) as v"),
+        "20260101000000")
+
+    def wplan(s):
+        a = s["t"].select(F.col("_hoodie_record_key").alias("vk"),
+                          "g", "parent", "v")
+        b = s["t"].select(F.col("g").alias("g2"), F.col("v").alias("pv"),
+                          F.col("_hoodie_record_key").alias("pk"))
+        w = W.partitionBy("g").orderBy(F.desc("pv"), F.asc("vk"),
+                                       F.asc("pk"))
+        return (a.join(b, F.col("parent") == F.col("g2"))
+                .withColumn("rn", F.row_number().over(w)).filter("rn <= 2")
+                .select("vk", "g", "pv", "pk", "rn"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "wsjmv"),
+                              {"t": t}, wplan)
+    spec = mv.spec()
+    assert spec["kind"] == "window_tree"
+    assert spec["key_cols"] == ["vk", "pk"]
+    mv.refresh()
+
+    def check():
+        assert _rows(mv.serve()) == _rows(wplan({"t": t.snapshot()}))
+
+    check()
+    # value bump re-ranks partitions the row feeds as a PARENT
+    t.upsert(spark.createDataFrame(
+        [("k2", 1, 0, 99.0)], "k string, g long, parent long, v double"),
+        "20260102000000")
+    mv.refresh(); check()
+    # deletes: rows vanish both as fact rows and as partners
+    t.delete(spark.createDataFrame([("k5",), ("k0",)], "k string"),
+             "20260103000000")
+    mv.refresh(); check()
+    # join-column move: k7 re-parents, pairs regroup
+    t.upsert(spark.createDataFrame(
+        [("k7", 3, 2, 500.0), ("k20", 0, 1, 7.0)],
+        "k string, g long, parent long, v double"), "20260104000000")
+    mv.refresh(); check()
+    assert mv.refresh()["advanced"] is False
 
 
 def test_window_over_union_sql_ddl(spark, scratch, tables):
@@ -2580,12 +2676,13 @@ def test_expression_join_keys(spark, scratch, tree_tables):
 
 
 def test_agg_tree_inner_takes_delta_path(spark, scratch, tree_tables):
-    """All-INNER trees advance by the telescoping delta-join feed —
-    change-sized, never the dirty-group rebuild: the dirty path is
-    replaced with a raiser, and for a retraction-capable aggregate set
-    (sum/count, HLL via aux) the full-feed re-derivation hook is a
-    raiser too; the view still converges through changes at every
-    level."""
+    """All-INNER trees advance by the leaf-telescoping delta-join feed —
+    change-sized, never the recursive LEFT-arm identity (which costs
+    per-node boundary replays the telescoping avoids): the signed-tree
+    path is replaced with a raiser, and for a retraction-capable
+    aggregate set (sum/count, HLL via aux) the full-feed re-derivation
+    hook is a raiser too; the view still converges through changes at
+    every level."""
     srcs = tree_tables
     li, o, c = srcs["li"], srcs["o"], srcs["c"]
 
@@ -2603,10 +2700,11 @@ def test_agg_tree_inner_takes_delta_path(spark, scratch, tree_tables):
     assert mv.spec()["all_inner"] is True
     mv.refresh()
 
-    def boom_dirty(self, spec, anchor, latest):
-        raise AssertionError("all-INNER tree fell back to the dirty path")
+    def boom_signed(self, node, anchor, latest):
+        raise AssertionError("all-INNER tree took the LEFT-arm signed "
+                             "identity instead of the telescoping feed")
 
-    orig_dirty = AutoMaterializedView._advance_agg_tree_dirty
+    orig_signed = AutoMaterializedView._tree_signed_delta
     orig_merge = AutoMaterializedView._merge_agg_delta
 
     def no_full_feed(self, spec, feed, latest, full_feed_fn):
@@ -2615,7 +2713,7 @@ def test_agg_tree_inner_takes_delta_path(spark, scratch, tree_tables):
                                  "from the full feed")
         return orig_merge(self, spec, feed, latest, boom)
 
-    AutoMaterializedView._advance_agg_tree_dirty = boom_dirty
+    AutoMaterializedView._tree_signed_delta = boom_signed
     AutoMaterializedView._merge_agg_delta = no_full_feed
     try:
         li.delete(spark.createDataFrame([("l1",), ("l7",)], "k string"),
@@ -2629,7 +2727,7 @@ def test_agg_tree_inner_takes_delta_path(spark, scratch, tree_tables):
         assert _rows_ns(mv.serve()) == _rows_ns(
             plan({n: t.snapshot() for n, t in srcs.items()}))
     finally:
-        AutoMaterializedView._advance_agg_tree_dirty = orig_dirty
+        AutoMaterializedView._tree_signed_delta = orig_signed
         AutoMaterializedView._merge_agg_delta = orig_merge
     assert mv.refresh()["advanced"] is False
 
@@ -3270,3 +3368,83 @@ def test_join_view_dim_join_column_mutation(spark, scratch):
     mv.refresh()
     assert _rows(mv.serve()) == _rows(
         plan({"fact": fact.snapshot(), "dim": dim.snapshot()}))
+
+
+def test_agg_tree_left_arm_signed_identity_change_sized(spark, scratch,
+                                                        tree_tables):
+    """LEFT-arm trees advance by the recursive SIGNED identity
+    (Δ(L⟕R) = ΔL⟕R_t ⊎ L_a⋈ΔR ⊎ L_a⋉flip(R)×null), not by
+    member-sized dirty-group re-derivation: with sum/count-only
+    aggregates, BOTH the full-feed re-derivation hook and the
+    image-replay detector are raisers, and the view still converges
+    through every null-extension transition — a top-dim delete moving
+    rows INTO the null group (presence-flip +1), a re-insert moving
+    them out (flip −1), a mid-dim move, a fact delete, and a same-key
+    dim UPDATE that must NOT flip anything."""
+    srcs = tree_tables
+    li, o, c = srcs["li"], srcs["o"], srcs["c"]
+
+    def plan(t):
+        return (t["li"].select("ok", "qty")
+                .join(t["o"].select("okey", "ck"), F.col("ok") == F.col("okey"))
+                .join(t["c"].select("ckey", "region"),
+                      F.col("ck") == F.col("ckey"), "left")
+                .groupBy("region")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("sq")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvq5sg"),
+                              srcs, plan)
+    assert mv.spec()["all_inner"] is False
+    mv.refresh()
+
+    orig_merge = AutoMaterializedView._merge_agg_delta
+    orig_touched = AutoMaterializedView._tree_touched
+
+    def no_full_feed(self, spec, feed, latest, full_feed_fn):
+        def boom(_dirty):
+            raise AssertionError("LEFT-arm tree re-derived from full feed")
+        return orig_merge(self, spec, feed, latest, boom)
+
+    def no_detection(self, spec, anchor, latest, sel_exprs):
+        raise AssertionError("LEFT-arm tree ran image-replay detection")
+
+    AutoMaterializedView._merge_agg_delta = no_full_feed
+    AutoMaterializedView._tree_touched = no_detection
+
+    def check():
+        assert _rows_ns(mv.serve()) == _rows_ns(
+            plan({n: t.snapshot() for n, t in srcs.items()}))
+
+    try:
+        # top-dim delete: region EU vanishes -> its rows join the NULL
+        # group via the presence-flip (+1 null-extended) term
+        c.delete(spark.createDataFrame([(0,)], "ckey long"),
+                 "20260102000000")
+        mv.refresh(); check()
+        # re-insert under a new name: flip -1 pulls them back out
+        c.upsert(spark.createDataFrame([(0, "EU2")],
+                                       "ckey long, region string"),
+                 "20260103000000")
+        mv.refresh(); check()
+        # same-key dim UPDATE (region rename): presence unchanged ->
+        # flip term must contribute nothing; rows move EU2 -> EU3 via
+        # the plain inner terms
+        c.upsert(spark.createDataFrame([(0, "EU3")],
+                                       "ckey long, region string"),
+                 "20260104000000")
+        mv.refresh(); check()
+        # mid-dim move: order 1 re-points to a match-less customer key
+        o.upsert(spark.createDataFrame([(1, 9)], "okey long, ck long"),
+                 "20260105000000")
+        mv.refresh(); check()
+        # fact-side delete + insert in one advance
+        li.delete(spark.createDataFrame([("l1",)], "k string"),
+                  "20260106000000")
+        li.upsert(spark.createDataFrame([("l99", 3, 7.5)],
+                                        "k string, ok long, qty double"),
+                  "20260107000000")
+        mv.refresh(); check()
+        assert mv.refresh()["advanced"] is False
+    finally:
+        AutoMaterializedView._merge_agg_delta = orig_merge
+        AutoMaterializedView._tree_touched = orig_touched
