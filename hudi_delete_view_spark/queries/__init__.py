@@ -54,6 +54,8 @@ _WINDOW: tuple[str, ...] = (
     "lake_mv_auto_agg_stage",
     "lake_mv_auto_star",
     "lake_mv_auto_snowflake",
+    "lake_mv_auto_snowflake_expr",
+    "lake_mv_auto_window_self_join",
     "lake_mv_sql_ddl",
     # IVM view tables + stream-driven maintenance
     "lake_ivm_join",
@@ -69,7 +71,6 @@ _WINDOW: tuple[str, ...] = (
     "stream_pyds_live_view",
     # rounds-5/6 queries without a driver row yet
     "lake_colocated_join",
-    "lake_sql_surface",
     "lake_indexed_lookup",
     "lake_time_travel",
     "mor_incremental",
@@ -78,7 +79,6 @@ _WINDOW: tuple[str, ...] = (
     "sim_vector_store",
     "stream_incremental_dedup",
     "dedup_remove_boilerplate",
-    "stream_signature_store",
 )
 
 

@@ -2650,3 +2650,112 @@ def lake_mv_auto_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "om": build_orders_mor(spark, sf_dir),
                    "pt": build_part_cow(spark, sf_dir)}, plan)
     return mv.serve()
+
+
+@query(
+    "lake_mv_auto_snowflake_expr",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT {_KEY_SQL} AS vk, l_orderkey, {_QTY_SQL} AS l_quantity
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+),
+c2 AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1000.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE NOT (c_custkey % 19 = 0)
+)
+SELECT vk, l_orderkey, l_quantity, o_orderpriority,
+       c_mktsegment, c_acctbal
+FROM l2
+JOIN o2 ON l_orderkey = o_orderkey
+JOIN c2 ON (o_custkey % 800) + 1 = c_custkey
+""",
+)
+def lake_mv_auto_snowflake_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNOWFLAKE view whose customer arm joins on an EXPRESSION over
+    the mid dim ((o_custkey % 800) + 1 = c_custkey) that is projected
+    NOWHERE — the mid-plan join-key shape (SURVEY §12 lead 3, round
+    7): changed customer keys probe TRANSITIVELY — they map to
+    affected orders rows through the orders snapshot's own expression
+    values, then fold into the orders arm's ordinary probe route
+    (the projected l_orderkey column) — no hidden stored column.
+    The customer change script (C2 acctbal update, C3 delete) drives
+    that probe in the gate run.  Oracle recomputes the 3-way join from
+    scratch over all three change scripts."""
+    from ..sources.fixtures import build_customer_cow, build_orders_mor
+
+    def plan(t):
+        f = t["li"].select(
+            F.col(RECORD_KEY_FIELD).alias("vk"), "l_orderkey", "l_quantity")
+        o = t["ord"].select("o_orderkey", "o_custkey", "o_orderpriority")
+        c = t["cu"].select("c_custkey", "c_mktsegment", "c_acctbal")
+        return (
+            f.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.expr("o_custkey % 800 + 1") == F.col("c_custkey"))
+            .select("vk", "l_orderkey", "l_quantity",
+                    "o_orderpriority", "c_mktsegment", "c_acctbal")
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_snowflake_expr",
+                  {"li": build_lineitem_cow(spark, sf_dir),
+                   "ord": build_orders_mor(spark, sf_dir),
+                   "cu": build_customer_cow(spark, sf_dir)}, plan)
+    return mv.serve()
+
+
+@query(
+    "lake_mv_auto_window_self_join",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+s AS (
+  SELECT {_KEY_SQL} AS rk, l_orderkey, l_returnflag, {_QTY_SQL} AS qty
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+p AS (
+  SELECT a.rk AS vk, b.rk AS pk, a.l_returnflag, b.qty AS pv
+  FROM s a JOIN s b ON a.l_orderkey = b.l_orderkey
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+           ORDER BY pv DESC, vk, pk) AS rn
+  FROM p
+)
+SELECT vk, pk, l_returnflag, pv, rn FROM r WHERE rn <= 5
+""",
+)
+def lake_mv_auto_window_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WINDOW over a SELF-JOIN (round 7, lifting the F15
+    refusal): line pairs within each order, ranked per return flag.
+    Row identity is the COMPOSITE (vk, pk) tuple — each occurrence of
+    the self-joined table projects its own record key, so several
+    output rows per fact key no longer collapse in the stored state;
+    maintenance is whole-partition re-rank over the touched
+    partitions named by occurrence-keyed image replay.  Deterministic
+    rank: quantity desc, then both record keys.  Oracle recomputes the
+    pairs and the rank from scratch."""
+    from pyspark.sql import Window as W
+
+    def plan(t):
+        a = t["li"].select(F.col(RECORD_KEY_FIELD).alias("vk"),
+                           "l_orderkey", "l_returnflag")
+        b = t["li"].select(F.col("l_orderkey").alias("ok_b"),
+                           F.col("l_quantity").alias("pv"),
+                           F.col(RECORD_KEY_FIELD).alias("pk"))
+        w = W.partitionBy("l_returnflag").orderBy(
+            F.desc("pv"), F.asc("vk"), F.asc("pk"))
+        return (a.join(b, F.col("l_orderkey") == F.col("ok_b"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter("rn <= 5")
+                .select("vk", "pk", "l_returnflag", "pv", "rn"))
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_window_self_join",
+                  {"li": build_lineitem_cow(spark, sf_dir)}, plan)
+    return mv.serve()

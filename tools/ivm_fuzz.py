@@ -9,7 +9,8 @@ equals the from-scratch recompute, null-safe, after each advance.
 This is the adversarial net behind the targeted pytest pins: the plan
 pool covers every maintained kind (aggregate incl. min/max / COUNT
 DISTINCT / HLL, join, LEFT join, agg_join, agg_union with a self-union
-branch, agg_tree, window, window_tree, distinct, agg_stage), and the
+branch, agg_tree, window, window_tree, window self-join, snowflake
+expression keys, distinct, agg_stage), and the
 script generator favors the operations that broke algebras before
 (join-column mutations, NULL keys/values, group/partition moves, deletes
 of a combination's last row).
@@ -163,6 +164,32 @@ def _plans():
                 .groupBy("gname").agg(F.count(F.lit(1)).alias("n"),
                                       F.sum("pv").alias("spv")))
 
+    def snowflake_exprkey(t):
+        # round-7 transitive probe: the sub arm joins on an EXPRESSION
+        # over the MID dim (region % 2) projected nowhere — changed sub
+        # keys translate through the dim snapshot into the dim's own
+        # probe route
+        f = t["fact"].selectExpr("_hoodie_record_key as vk", "g", "v")
+        return (f.join(t["dim"].select("gk", "region"),
+                       F.col("g") == F.col("gk"))
+                .join(t["sub"].select("rk", "rname"),
+                      (F.col("region") % 2) == F.col("rk"))
+                .select("vk", "g", "v", "rname"))
+
+    def window_self_join(t):
+        # round-7 composite identity: top-k partner rows per group over
+        # a SELF-join; both occurrences project their record keys
+        a = t["fact"].select(F.col("_hoodie_record_key").alias("vk"),
+                             "g", "nv", "v")
+        b = t["fact"].select(F.col("g").alias("g2"),
+                             F.col("v").alias("pv"),
+                             F.col("_hoodie_record_key").alias("pk"))
+        w = W.partitionBy("g").orderBy(F.desc("pv"), F.asc("vk"),
+                                       F.asc("pk"))
+        return (a.join(b, F.col("nv") == F.col("g2"))
+                .withColumn("rn", F.row_number().over(w)).filter("rn <= 2")
+                .select("vk", "pk", "g", "pv", "rn"))
+
     def distinct(t):
         return t["fact"].select("g", (F.col("v") % 2).alias("p")).distinct()
 
@@ -179,7 +206,8 @@ def _plans():
         "window_tree": window_tree, "window_union": window_union,
         "join_exprkey": join_exprkey, "self_join_agg": self_join_agg,
         "self_join_tree": self_join_tree, "distinct": distinct,
-        "stage": stage,
+        "stage": stage, "snowflake_exprkey": snowflake_exprkey,
+        "window_self_join": window_self_join,
     }
 
 

@@ -165,8 +165,9 @@ def ivm_advance_soak() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="ivm_soak_")
     print("| fact rows | window advance s | agg_join advance s "
-          "| agg_tree advance s | window_union advance s |")
-    print("|---|---|---|---|---|")
+          "| agg_tree advance s | agg_tree_left advance s "
+          "| window_union advance s |")
+    print("|---|---|---|---|---|---|")
     try:
         for n in (50_000, 400_000):
             d = os.path.join(root, str(n))
@@ -219,6 +220,19 @@ def ivm_advance_soak() -> None:
                         .agg(F.sum("v").alias("sv"),
                              F.count(F.lit(1)).alias("n")))
 
+            def tplan_left(t):
+                # LEFT arm: sub null-extends — round 7's recursive
+                # signed identity (inner terms + presence-flip
+                # correction) must stay change-sized, not member-sized
+                f = t["fact"].select("g", "v")
+                dd = t["dim"].select("gk", "rk2")
+                ss = t["sub"].select("rk", "rname")
+                return (f.join(dd, F.col("g") == F.col("gk"))
+                        .join(ss, F.col("rk2") == F.col("rk"), "left")
+                        .groupBy("rname")
+                        .agg(F.sum("v").alias("sv"),
+                             F.count(F.lit(1)).alias("n")))
+
             def wuplan(t):
                 # union x window: two fact branches (one DERIVED
                 # partition) + a dim branch with a different partition
@@ -251,11 +265,15 @@ def ivm_advance_soak() -> None:
             tmv = AutoMaterializedView(spark, os.path.join(d, "tmv"),
                                        {"fact": fact, "dim": dim,
                                         "sub": sub}, tplan)
+            tlmv = AutoMaterializedView(spark, os.path.join(d, "tlmv"),
+                                        {"fact": fact, "dim": dim,
+                                         "sub": sub}, tplan_left)
             wumv = AutoMaterializedView(spark, os.path.join(d, "wumv"),
                                         {"fact": fact, "dim": dim}, wuplan)
             wmv.refresh()
             jmv.refresh()
             tmv.refresh()
+            tlmv.refresh()
             wumv.refresh()
             # fixed change: 50 fact upserts across ~50 partitions
             fact.upsert(
@@ -274,10 +292,13 @@ def ivm_advance_soak() -> None:
             tmv.refresh()
             tt = time.monotonic() - t0
             t0 = time.monotonic()
+            tlmv.refresh()
+            tlt = time.monotonic() - t0
+            t0 = time.monotonic()
             wumv.refresh()
             wut = time.monotonic() - t0
-            print(f"| {n} | {wt:.2f} | {jt:.2f} | {tt:.2f} | {wut:.2f} |",
-                  flush=True)
+            print(f"| {n} | {wt:.2f} | {jt:.2f} | {tt:.2f} | {tlt:.2f} "
+                  f"| {wut:.2f} |", flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
