@@ -327,3 +327,146 @@ def delete_block_keys(block: LogBlock) -> list[dict]:
     payload = _Cursor(cur.take(length))
     decoded = avro_decode(DELETE_RECORD_LIST_SCHEMA, payload)
     return decoded["deleteRecordList"]
+
+
+# -- write direction (round 7): encode blocks for MOR interop EXPORT -------
+# The committed fixture (tests/fixtures/hudi_mor) stays authored by the
+# INDEPENDENT encoder in tools/make_hudi_mor_fixture.py — these package
+# encoders exist for the export path (sources/hudi.py export_hudi_mor),
+# whose round-trip proof runs through the foreign READER, with the
+# fixture still proving that reader against bytes the package never
+# produced.
+
+_HEADER_ORDINALS = {v: k for k, v in _HEADER_NAMES.items()}
+
+
+def _zz_bytes(n: int) -> bytes:
+    """Avro long: zigzag + little-endian base-128 varint."""
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def avro_encode(schema, value, out: bytearray) -> None:
+    """Encode one value of ``schema`` (mirror of ``avro_decode``; the
+    subset the export emits: primitives, 2-branch nullable unions,
+    records, arrays). Timestamp-micros ride as their base long."""
+    if isinstance(schema, list):  # union: branch index, then the branch
+        if value is None:
+            idx = schema.index("null")
+            out += _zz_bytes(idx)
+            return
+        idx = next(i for i, b in enumerate(schema) if b != "null")
+        out += _zz_bytes(idx)
+        avro_encode(schema[idx], value, out)
+        return
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            for f in schema["fields"]:
+                avro_encode(f["type"], value.get(f["name"]), out)
+            return
+        if t == "array":
+            items = list(value)
+            if items:
+                out += _zz_bytes(len(items))
+                for it in items:
+                    avro_encode(schema["items"], it, out)
+            out += _zz_bytes(0)
+            return
+        avro_encode(t, value, out)  # {"type": "long", "logicalType": ...}
+        return
+    if schema == "null":
+        return
+    if schema == "boolean":
+        out += b"\x01" if value else b"\x00"
+        return
+    if schema in ("int", "long"):
+        out += _zz_bytes(int(value))
+        return
+    if schema == "float":
+        out += struct.pack("<f", float(value))
+        return
+    if schema == "double":
+        out += struct.pack("<d", float(value))
+        return
+    if schema == "bytes":
+        b = bytes(value)
+        out += _zz_bytes(len(b)) + b
+        return
+    if schema == "string":
+        b = str(value).encode("utf-8")
+        out += _zz_bytes(len(b)) + b
+        return
+    raise HudiLogFormatError(f"unsupported Avro type for encode: {schema!r}")
+
+
+def _meta_map_bytes(headers: dict[str, str]) -> bytes:
+    out = struct.pack(">i", len(headers))
+    for name, value in headers.items():
+        vb = value.encode("utf-8")
+        out += struct.pack(">i", _HEADER_ORDINALS[name])
+        out += struct.pack(">i", len(vb)) + vb
+    return out
+
+
+def frame_block(btype: int, headers: dict[str, str], content: bytes) -> bytes:
+    """One HoodieLogFormat v1 block, framed exactly as
+    ``HoodieLogFormatWriter.appendBlocks`` writes it (and as
+    ``parse_log_file`` validates it)."""
+    hb = _meta_map_bytes(headers)
+    fb = _meta_map_bytes({})
+    block_size = 4 + 4 + len(hb) + 8 + len(content) + len(fb) + 8
+    out = bytearray()
+    out += MAGIC
+    out += struct.pack(">q", block_size)
+    out += struct.pack(">i", 1)  # log format version
+    out += struct.pack(">i", btype)
+    out += hb
+    out += struct.pack(">q", len(content))
+    out += content
+    out += fb
+    out += struct.pack(">q", 14 + block_size)
+    return bytes(out)
+
+
+def data_block_bytes(instant: str, schema: dict, records: list[dict]) -> bytes:
+    """AVRO_DATA_BLOCK: int32 content version, int32 record count, per
+    record int32 length + Avro binary (writer schema in the header)."""
+    content = bytearray()
+    content += struct.pack(">i", 3)
+    content += struct.pack(">i", len(records))
+    for rec in records:
+        rb = bytearray()
+        avro_encode(schema, rec, rb)
+        content += struct.pack(">i", len(rb)) + rb
+    return frame_block(
+        AVRO_DATA_BLOCK,
+        {"INSTANT_TIME": instant, "SCHEMA": json.dumps(schema)},
+        bytes(content),
+    )
+
+
+def delete_block_bytes(instant: str, keys: list[tuple[str, str]]) -> bytes:
+    """DELETE_BLOCK: Avro HoodieDeleteRecordList of (recordKey,
+    partitionPath) pairs, orderingVal null."""
+    payload = bytearray()
+    avro_encode(
+        DELETE_RECORD_LIST_SCHEMA,
+        {
+            "deleteRecordList": [
+                {"recordKey": rk, "partitionPath": pp, "orderingVal": None}
+                for rk, pp in keys
+            ]
+        },
+        payload,
+    )
+    content = struct.pack(">i", 3) + struct.pack(">i", len(payload)) + bytes(payload)
+    return frame_block(DELETE_BLOCK, {"INSTANT_TIME": instant}, content)

@@ -193,9 +193,21 @@ def _log_rows_df(
                                 __is_delete=True,
                             )
                             rows.append(row)
-            yield pd.DataFrame(
+            pdf_out = pd.DataFrame(
                 rows, columns=[f.name for f in out_schema.fields]
             )
+            # Avro logical types ride as their base primitive: a
+            # timestamp-micros column arrives as int64 — convert by the
+            # declared Spark type so Arrow hands Spark real timestamps
+            if len(pdf_out):
+                for f in out_schema.fields:
+                    if isinstance(f.dataType, T.TimestampType) and any(
+                        isinstance(x, int) for x in pdf_out[f.name]
+                    ):
+                        pdf_out[f.name] = pd.to_datetime(
+                            pdf_out[f.name], unit="us"
+                        )
+            yield pdf_out
 
     if not files:
         return spark.createDataFrame([], out_schema)
@@ -251,3 +263,140 @@ def read_hudi_mor_snapshot(
     if "_hoodie_is_deleted" in [f.name for f in base.schema.fields]:
         out = out.filter(~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False)))
     return out.drop("__rn", "__is_delete", *_ORD_COLS)
+
+
+# -- write direction (round 7): export a native MOR table as genuine Hudi --
+
+_AVRO_PRIMS = {
+    "string": "string",
+    "long": "long",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+
+
+def _avro_schema_for(spark_schema: T.StructType, name: str) -> dict:
+    """Spark StructType -> Avro record schema for the export's data
+    blocks: scalars as nullable unions, timestamps as timestamp-micros
+    longs. Types outside the export contract raise."""
+    fields = []
+    for f in spark_schema.fields:
+        tn = f.dataType.typeName()
+        if tn in _AVRO_PRIMS:
+            base = _AVRO_PRIMS[tn]
+        elif tn == "timestamp":
+            base = {"type": "long", "logicalType": "timestamp-micros"}
+        else:
+            raise ValueError(
+                f"export_hudi_mor: column {f.name!r} has type {tn}, "
+                "outside the export contract (scalars + timestamp)"
+            )
+        if f.name == "_hoodie_is_deleted":
+            fields.append({"name": f.name, "type": "boolean",
+                           "default": False})
+        else:
+            fields.append({"name": f.name, "type": ["null", base],
+                           "default": None})
+    return {"type": "record", "name": name, "namespace": "hoodie.export",
+            "fields": fields}
+
+
+def _avro_value(v):
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    return v
+
+
+def export_hudi_mor(table, out_dir: str, table_name: str = "export_mor") -> str:
+    """Export a native MOR table as a GENUINE Apache Hudi MERGE_ON_READ
+    layout: base parquet with Hudi slice naming, delta commits as binary
+    ``HoodieLogFormat`` log files (Avro data blocks; tombstones ride as
+    ``_hoodie_is_deleted`` records, the OverwriteWithLatestAvroPayload
+    convention the native logs already use), and ``.deltacommit`` /
+    ``.commit`` metadata in Hudi JSON framing (``to_hudi_json``) — the
+    MOR mirror of the COW framing export (F13). The round-trip proof
+    reads the export back through the FOREIGN reader
+    (``read_hudi_mor_snapshot``) and matches the native snapshot.
+
+    Migration utility: per-commit delta slices are change-sized; each is
+    collected group-by-group on the driver to frame one log block —
+    bounded by the largest single delta slice, not the table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..plans import hudi_log as hl
+
+    os.makedirs(os.path.join(out_dir, ".hoodie"), exist_ok=True)
+    with open(os.path.join(out_dir, ".hoodie", "hoodie.properties"), "w") as f:
+        f.write(
+            f"hoodie.table.name={table_name}\n"
+            "hoodie.table.type=MERGE_ON_READ\n"
+            "hoodie.table.version=6\n"
+            "hoodie.timeline.layout.version=1\n"
+            "hoodie.archivelog.folder=archived\n"
+        )
+    token = "1-0-1"
+    base_instant: dict[str, str] = {}  # file_id -> its base slice instant
+    log_version: dict[tuple[str, str], int] = {}
+    avro_schema = None
+    for ts in table.timeline.timestamps():
+        meta = table.timeline.commit_metadata(ts)
+        for partition, stat in meta.all_stats():
+            src = os.path.join(table.base_path, stat.path)
+            pdir = os.path.join(out_dir, partition) if partition else out_dir
+            os.makedirs(pdir, exist_ok=True)
+            if not stat.log_file:
+                # base slice: rewrite with Hudi naming; ensure the
+                # tombstone column exists (the Avro schema carries it)
+                tbl = pq.read_table(src)
+                if "_hoodie_is_deleted" not in tbl.column_names:
+                    tbl = tbl.append_column(
+                        "_hoodie_is_deleted",
+                        pa.array([False] * tbl.num_rows, pa.bool_()),
+                    )
+                # drop carried-over footer metadata: the source file's
+                # embedded Spark schema (org.apache.spark.sql.parquet.
+                # row.metadata) predates the appended column, and a
+                # Spark reader TRUSTS that footer key over the physical
+                # schema — silently hiding the tombstone flag
+                tbl = tbl.replace_schema_metadata(None)
+                fname = f"{stat.file_id}_{token}_{ts}.parquet"
+                # native slices may carry TIMESTAMP(NANOS); Hudi's own
+                # writers emit micros — coerce so any Hudi reader (and
+                # our foreign reader) sees the standard unit
+                pq.write_table(
+                    tbl, os.path.join(pdir, fname),
+                    coerce_timestamps="us",
+                    allow_truncated_timestamps=True,
+                )
+                base_instant[stat.file_id] = ts
+                continue
+            # delta slice -> one Avro data block appended to this
+            # group's current log file
+            df = table.spark.read.parquet(src)
+            if "_hoodie_is_deleted" not in df.columns:
+                df = df.withColumn("_hoodie_is_deleted", F.lit(False))
+            avro_schema = _avro_schema_for(df.schema, f"{table_name}_record")
+            rows = [
+                {k: _avro_value(v) for k, v in r.asDict().items()}
+                for r in df.collect()
+            ]
+            b_ts = base_instant.get(stat.file_id, ts)
+            key = (stat.file_id, b_ts)
+            log_version[key] = log_version.get(key, 0) + 1
+            fname = (
+                f".{stat.file_id}_{b_ts}.log."
+                f"{log_version[key]}_{token}"
+            )
+            with open(os.path.join(pdir, fname), "ab") as f:
+                f.write(hl.data_block_bytes(ts, avro_schema, rows))
+        suffix = ".commit" if meta.operation == "compaction" else ".deltacommit"
+        with open(os.path.join(out_dir, ".hoodie", f"{ts}{suffix}"), "w") as f:
+            f.write(meta.to_hudi_json())
+    return out_dir

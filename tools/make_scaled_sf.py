@@ -59,9 +59,25 @@ def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
+    def _single_file(df, dst: str) -> None:
+        """The driver testdata tables are SINGLE parquet files (several
+        readers open them with pyarrow directly) — mirror that layout:
+        write coalesced, move the one part file over dst."""
+        import glob
+        import shutil
+
+        tmp = dst + ".tmp_dir"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.replace(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+
     def replicate(name: str, make_replica) -> None:
         dst = os.path.join(out, f"{name}.parquet")
-        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+        if os.path.isfile(dst):
             print(f"{name}: exists, skipping")
             return
         base = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
@@ -69,15 +85,15 @@ def main() -> None:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        df.write.mode("overwrite").parquet(dst)
+        _single_file(df, dst)
         print(f"{name}: {factor}x written")
 
     def copy(name: str) -> None:
         dst = os.path.join(out, f"{name}.parquet")
-        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+        if os.path.isfile(dst):
             return
-        spark.read.parquet(os.path.join(src, f"{name}.parquet")) \
-            .write.mode("overwrite").parquet(dst)
+        _single_file(
+            spark.read.parquet(os.path.join(src, f"{name}.parquet")), dst)
         print(f"{name}: copied")
 
     def shift(df, cols: dict[str, int], i: int):
@@ -116,9 +132,19 @@ def main() -> None:
     def emb_replica(d, i):
         if i == 0:
             return d
+        # cyclic shift by i positions (norm-preserving, decorrelating:
+        # a vector and its rotation have low cosine for non-degenerate
+        # vectors) + a tiny deterministic perturbation to break exact
+        # ties. A plain ±1e-3 perturbation measured 60x super-linear on
+        # the sign-LSH soak — every replica was a near-copy, so bucket
+        # occupancy grew 10x and the within-bucket work 100x; that
+        # measures the corpus (10 genuine near-dups per vector), not
+        # the engine. Rotation keeps the corpus near-dup density at the
+        # original's level so the soak measures throughput.
         pert = F.expr(
-            "transform(embedding, (x, j) -> cast(x + "
-            f"(( ({i} * 37 + j * 13) % 21 ) - 10) * 1e-3 as float))"
+            f"transform(concat(slice(embedding, {i + 1}, 1000000), "
+            f"slice(embedding, 1, {i})), (x, j) -> cast(x + "
+            f"(( ({i} * 37 + j * 13) % 21 ) - 10) * 1e-4 as float))"
         )
         return (
             d.withColumn("vec_id", F.col("vec_id") + F.lit(i * STRIDE))
