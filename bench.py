@@ -34,6 +34,9 @@ HEADLINE = [
     "lake_mv_auto_agg_tree",   # auto-IVM: Q5 rollup tree, telescoping deltas
     "lake_mv_auto_window_union",  # auto-IVM: rank across merged feeds (round 6)
     "lake_hudi_interop",       # foreign-layout Hudi delete view (round 6)
+    "mor_hudi_interop",        # binary HoodieLogFormat merge (round 7)
+    "lake_mv_auto_window_self_join",  # composite-identity window (round 7)
+    "lake_mv_auto_snowflake_expr",    # transitive mid-plan probe (round 7)
     "lake_partition_evolution",  # repartition commit: snapshot + travel + delete view
     "mor_snapshot",            # B4 merge-on-read latest-per-key window
     "stream_mor_ingest",       # B13->B4 delta-commit streaming ingest (merged read)

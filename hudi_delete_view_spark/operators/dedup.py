@@ -626,7 +626,7 @@ def embedding_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    bucket_bits: int = 0,
+    bucket_bits: int | None = 0,
     tables: int = 8,
     dim: int = 64,
     seed: int = 42,
@@ -643,7 +643,26 @@ def embedding_neardup_pairs(
     pairs, not 0.5 KB vectors), then the exact cosine filter verifies.
     For cosine >= 0.95 (theta <= 18 deg) P(bit agree) ~ 1 - theta/pi ~ 0.9,
     so recall = 1 - (1 - 0.9^bits)^tables ~ 0.99 at (8 bits, 8 tables);
-    the pytest suite measures recall against the exact form."""
+    the pytest suite measures recall against the exact form.
+
+    ``bucket_bits`` = None: AUTO-SIZE from the corpus (round 7, caught by
+    the sf1 decade-up soak: fixed 8 bits means bucket occupancy grows
+    linearly with n and within-bucket work QUADRATICALLY — 60x at 10x
+    data). bits = log2(n / 16) clamped to [8, 16] holds per-bucket
+    occupancy ~constant across four decades of n; ``tables`` then grows
+    to hold recall at ~0.99 for the requested threshold
+    (ceil(ln .01 / ln(1 - p^bits)), p the per-bit agreement at the
+    threshold angle) — table count rises sub-linearly in n (9 at 4k
+    vectors, 14 at 40k) while within-bucket work stays ~flat; the
+    sizing costs one count() of the input."""
+    import math
+
+    if bucket_bits is None:
+        n = max(df.count(), 2)
+        bucket_bits = min(16, max(8, math.ceil(math.log2(max(n / 16, 2)))))
+        p_bit = 1 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        hit = max(min(p_bit**bucket_bits, 1 - 1e-12), 1e-12)
+        tables = max(tables, math.ceil(math.log(0.01) / math.log(1 - hit)))
     from .similarity import (
         _hyperplanes,
         as_double_array,

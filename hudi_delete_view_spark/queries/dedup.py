@@ -383,7 +383,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = base.unionByName(copies)
     return embedding_neardup_pairs(
-        aug, "vec_id", "embedding", threshold=0.95, bucket_bits=8, tables=8
+        aug, "vec_id", "embedding", threshold=0.95, bucket_bits=None,
+        tables=8,
     )
 
 
