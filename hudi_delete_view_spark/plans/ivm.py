@@ -1606,7 +1606,16 @@ def _classify_window_tree(
         "key_cols": key_cols,  # composite identity (self-join trees only)
         "parts": parts,
         "part_src": part_src,
-        "restrict_ok": part_src not in _null_extended(tree),
+        # touched-partition INPUT restriction is patched into the
+        # partition source's snapshot and replayed through the USER's
+        # plan — which reads a self-joined table once per occurrence
+        # from the same snapshot, so restricting it would also filter
+        # the PARTNER occurrences and silently drop cross-partition
+        # pairs (fuzz seed 3). A duplicated partition source therefore
+        # falls back to the full-input pass (output-exact via the
+        # post-trim), same as a null-extended one.
+        "restrict_ok": part_src not in _null_extended(tree)
+        and not (dups and part_src in set(dups)),
         "tree": tree,
         "sources": tree["srcs"],
         "mid": _chain_to_spec(nodes, quals),

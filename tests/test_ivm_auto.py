@@ -1690,6 +1690,11 @@ def test_window_over_self_join_tree_maintains(spark, scratch):
     spec = mv.spec()
     assert spec["kind"] == "window_tree"
     assert spec["key_cols"] == ["vk", "pk"]
+    # the touched-partition input restriction must be OFF: the plan
+    # reads t twice from one snapshot, so restricting it would also
+    # filter PARTNER occurrences and drop cross-partition pairs (the
+    # fuzz-seed-3 bug); the full-input pass stays output-exact
+    assert spec["restrict_ok"] is False
     mv.refresh()
 
     def check():
