@@ -3453,3 +3453,139 @@ def test_agg_tree_left_arm_signed_identity_change_sized(spark, scratch,
     finally:
         AutoMaterializedView._merge_agg_delta = orig_merge
         AutoMaterializedView._tree_touched = orig_touched
+
+
+def test_agg_tree_nested_left_arms(spark, scratch, tree_tables):
+    """LEFT-over-LEFT: the mid dim itself LEFT-joins the top dim, and
+    the fact LEFT-joins that whole arm — null-extension cascades, so
+    the recursive signed identity must thread flip-null rows THROUGH a
+    parent LEFT term (ΔR of the outer node contains the inner node's
+    flip rows). Converges through top-dim deletes (inner flip), mid-dim
+    deletes (outer flip), re-inserts, and fact changes — all with the
+    full-feed and detection hooks as raisers (sum/count only)."""
+    srcs = tree_tables
+    li, o, c = srcs["li"], srcs["o"], srcs["c"]
+
+    def plan(t):
+        arm = (t["o"].select("okey", "ck")
+               .join(t["c"].select("ckey", "region"),
+                     F.col("ck") == F.col("ckey"), "left"))
+        return (t["li"].select("ok", "qty")
+                .join(arm, F.col("ok") == F.col("okey"), "left")
+                .groupBy("region")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("sq")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvq5nl"),
+                              srcs, plan)
+    assert mv.spec()["all_inner"] is False
+    mv.refresh()
+
+    orig_merge = AutoMaterializedView._merge_agg_delta
+    orig_touched = AutoMaterializedView._tree_touched
+
+    def no_full_feed(self, spec, feed, latest, full_feed_fn):
+        def boom(_dirty):
+            raise AssertionError("nested-LEFT tree re-derived from full feed")
+        return orig_merge(self, spec, feed, latest, boom)
+
+    def no_detection(self, spec, anchor, latest, sel_exprs):
+        raise AssertionError("nested-LEFT tree ran image-replay detection")
+
+    AutoMaterializedView._merge_agg_delta = no_full_feed
+    AutoMaterializedView._tree_touched = no_detection
+
+    def check():
+        assert _rows_ns(mv.serve()) == _rows_ns(
+            plan({n: t.snapshot() for n, t in srcs.items()}))
+
+    try:
+        # inner flip: top dim row vanishes -> its orders' rows move to
+        # the NULL region but stay order-matched
+        c.delete(spark.createDataFrame([(0,)], "ckey long"),
+                 "20260102000000")
+        mv.refresh(); check()
+        # outer flip: a whole order vanishes -> its lines null-extend at
+        # the OUTER join (okey/region both null)
+        o.delete(spark.createDataFrame([(2,)], "okey long"),
+                 "20260103000000")
+        mv.refresh(); check()
+        # re-inserts pull rows back out of both null-extensions
+        c.upsert(spark.createDataFrame([(0, "EU2")],
+                                       "ckey long, region string"),
+                 "20260104000000")
+        o.upsert(spark.createDataFrame([(2, 1)], "okey long, ck long"),
+                 "20260105000000")
+        mv.refresh(); check()
+        # fact delete + insert across the same advance
+        li.delete(spark.createDataFrame([("l1",)], "k string"),
+                  "20260106000000")
+        li.upsert(spark.createDataFrame([("l99", 2, 7.5)],
+                                        "k string, ok long, qty double"),
+                  "20260107000000")
+        mv.refresh(); check()
+        assert mv.refresh()["advanced"] is False
+    finally:
+        AutoMaterializedView._merge_agg_delta = orig_merge
+        AutoMaterializedView._tree_touched = orig_touched
+
+
+def test_window_over_self_join_with_dim_partition(spark, scratch):
+    """Self-join window PARTITIONED BY A NON-DUPLICATED DIM column:
+    the composite identity still comes from the two fact occurrences,
+    but the partition source (dim) appears at ONE leaf — so the
+    touched-partition input restriction stays ON for it (restricting
+    the dim cannot filter fact partners). Converges through dim
+    renames (whole-partition re-rank), fact changes, and a dim delete
+    (INNER join drops the partition)."""
+    from pyspark.sql import Window as W
+
+    t = CowTable(spark, os.path.join(scratch, "wsjd_t"), key_fields=["k"],
+                 partition_field=None, num_file_groups=2)
+    t.bulk_insert(spark.range(14).selectExpr(
+        "concat('k', id) as k", "cast(id % 4 as long) as g",
+        "cast(id % 3 as long) as parent", "cast(id as double) as v"),
+        "20260101000000")
+    d = CowTable(spark, os.path.join(scratch, "wsjd_d"), key_fields=["gk"],
+                 partition_field=None, num_file_groups=1)
+    d.bulk_insert(spark.range(4).selectExpr(
+        "cast(id as long) as gk", "concat('n', id) as nm"),
+        "20260101000000")
+
+    def wplan(s):
+        a = s["t"].select(F.col("_hoodie_record_key").alias("vk"),
+                          "g", "parent", "v")
+        b = s["t"].select(F.col("g").alias("g2"), F.col("v").alias("pv"),
+                          F.col("_hoodie_record_key").alias("pk"))
+        dd = s["d"].select("gk", "nm")
+        w = W.partitionBy("nm").orderBy(F.desc("pv"), F.asc("vk"),
+                                        F.asc("pk"))
+        return (a.join(b, F.col("parent") == F.col("g2"))
+                .join(dd, F.col("g") == F.col("gk"))
+                .withColumn("rn", F.row_number().over(w)).filter("rn <= 2")
+                .select("vk", "pk", "nm", "pv", "rn"))
+
+    srcs = {"t": t, "d": d}
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "wsjdmv"),
+                              srcs, wplan)
+    spec = mv.spec()
+    assert spec["kind"] == "window_tree"
+    assert spec["key_cols"] == ["vk", "pk"]
+    assert spec["part_src"] == "d"
+    assert spec["restrict_ok"] is True  # dim is single-occurrence
+    mv.refresh()
+
+    def check():
+        assert _rows(mv.serve()) == _rows(
+            wplan({n: s.snapshot() for n, s in srcs.items()}))
+
+    check()
+    d.upsert(spark.createDataFrame([(1, "N1!")], "gk long, nm string"),
+             "20260102000000")
+    mv.refresh(); check()
+    t.upsert(spark.createDataFrame(
+        [("k2", 1, 0, 99.0)], "k string, g long, parent long, v double"),
+        "20260103000000")
+    mv.refresh(); check()
+    d.delete(spark.createDataFrame([(2,)], "gk long"), "20260104000000")
+    mv.refresh(); check()
+    assert mv.refresh()["advanced"] is False

@@ -164,6 +164,17 @@ def _plans():
                 .groupBy("gname").agg(F.count(F.lit(1)).alias("n"),
                                       F.sum("pv").alias("spv")))
 
+    def agg_tree_left_nested(t):
+        # LEFT-over-LEFT: null-extension cascades through a parent LEFT
+        # term of the recursive signed identity
+        arm = (t["dim"].select("gk", "region")
+               .join(t["sub"].select("rk", "rname"),
+                     F.col("region") == F.col("rk"), "left"))
+        return (t["fact"].select("g", "v")
+                .join(arm, F.col("g") == F.col("gk"), "left")
+                .groupBy("rname")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")))
+
     def snowflake_exprkey(t):
         # round-7 transitive probe: the sub arm joins on an EXPRESSION
         # over the MID dim (region % 2) projected nowhere — changed sub
@@ -208,6 +219,7 @@ def _plans():
         "self_join_tree": self_join_tree, "distinct": distinct,
         "stage": stage, "snowflake_exprkey": snowflake_exprkey,
         "window_self_join": window_self_join,
+        "agg_tree_left_nested": agg_tree_left_nested,
     }
 
 
