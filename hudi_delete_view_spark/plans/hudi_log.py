@@ -58,6 +58,8 @@ COMMAND_BLOCK = 0
 DELETE_BLOCK = 1
 CORRUPT_BLOCK = 2
 AVRO_DATA_BLOCK = 3
+HFILE_DATA_BLOCK = 4
+PARQUET_DATA_BLOCK = 5
 
 # HeaderMetadataType ordinals
 H_INSTANT_TIME = 0
@@ -311,6 +313,23 @@ def data_block_records(block: LogBlock) -> list[dict]:
         rec_cur = _Cursor(cur.take(rec_len))
         records.append(avro_decode(schema, rec_cur))
     return records
+
+
+def parquet_block_records(block: LogBlock) -> list[dict]:
+    """Decode a PARQUET_DATA_BLOCK's records.
+
+    Content framing (``HoodieParquetDataBlock.serializeRecords``): the
+    content IS a complete parquet file image — no version prefix; the
+    writer schema travels in the parquet footer itself (the SCHEMA
+    header carries the Avro twin, unused here)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    if block.block_type != PARQUET_DATA_BLOCK:
+        raise HudiLogFormatError("not a parquet data block")
+    table = pq.read_table(io.BytesIO(block.content))
+    return table.to_pylist()
 
 
 def delete_block_keys(block: LogBlock) -> list[dict]:

@@ -307,7 +307,8 @@ _HUDI_MOR_FIXTURE = _hmor_os.path.abspath(_hmor_os.path.join(
 # recomputes the MERGE SEMANTICS (last-write-wins window + tombstone
 # filtering) against the fixture's base parquet. The uncommitted block
 # (id1 -> 999) and the rolled-back block (id6 -> 600) are deliberately
-# NOT in this list — the Spark side must drop both to hash-match.
+# NOT in this list — the Spark side must drop both to hash-match. The
+# C4 op (id4 -> 440) rides in a PARQUET_DATA_BLOCK in the fixture.
 _HUDI_MOR_LOG_OPS_SQL = """
     SELECT * FROM (VALUES
       ('id3', 'id3', 'charlie', CAST(333 AS BIGINT), '20210301100000', 1, FALSE),
@@ -315,7 +316,8 @@ _HUDI_MOR_LOG_OPS_SQL = """
       ('id2', NULL, NULL, CAST(NULL AS BIGINT),      '20210301100000', 3, TRUE),
       ('id5', NULL, NULL, CAST(NULL AS BIGINT),      '20210301100000', 1, TRUE),
       ('id3', 'id3', 'charlie', CAST(444 AS BIGINT), '20210301110000', 1, FALSE),
-      ('id6', 'id6', 'foxtrot', CAST(666 AS BIGINT), '20210301110000', 1, FALSE)
+      ('id6', 'id6', 'foxtrot', CAST(666 AS BIGINT), '20210301110000', 1, FALSE),
+      ('id4', 'id4', 'delta',   CAST(440 AS BIGINT), '20210301130000', 1, FALSE)
     ) AS t(k, id, name, value, ord_instant, ord_sub, is_del)
 """
 
@@ -353,8 +355,9 @@ def mor_hudi_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot + time travel over a FOREIGN genuine-format Hudi MOR
     table: tests/fixtures/hudi_mor carries base parquet plus binary
     ``HoodieLogFormat`` ``.log`` files (Avro data blocks, an Avro
-    HoodieDeleteRecordList delete block, a rollback command block, and
-    an uncommitted block) authored by an INDEPENDENT writer
+    HoodieDeleteRecordList delete block, a PARQUET_DATA_BLOCK, a
+    rollback command block, and an uncommitted block) authored by an
+    INDEPENDENT writer
     (tools/make_hudi_mor_fixture.py) — bytes the package reader
     (plans/hudi_log.py + sources/hudi.py) did not produce.
 

@@ -173,8 +173,14 @@ def _log_rows_df(
                     instant = block.headers.get("INSTANT_TIME", "")
                     if instant not in valid_instants:
                         continue  # uncommitted append: not on the timeline
-                    if block.block_type == hl.AVRO_DATA_BLOCK:
-                        for ri, rec in enumerate(hl.data_block_records(block)):
+                    if block.block_type in (hl.AVRO_DATA_BLOCK,
+                                            hl.PARQUET_DATA_BLOCK):
+                        recs = (
+                            hl.data_block_records(block)
+                            if block.block_type == hl.AVRO_DATA_BLOCK
+                            else hl.parquet_block_records(block)
+                        )
+                        for ri, rec in enumerate(recs):
                             row = {c: rec.get(c) for c in col_names}
                             row.update(
                                 __ord_instant=instant, __ord_version=version,

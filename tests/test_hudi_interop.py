@@ -174,9 +174,9 @@ def test_mor_log_block_framing():
             seen_types.add(b.block_type)
             if b.block_type != hl.COMMAND_BLOCK:
                 assert b.headers["INSTANT_TIME"]
-    # the fixture exercises data, delete AND command blocks
+    # the fixture exercises data, delete, command AND parquet blocks
     assert seen_types == {hl.AVRO_DATA_BLOCK, hl.DELETE_BLOCK,
-                          hl.COMMAND_BLOCK}
+                          hl.COMMAND_BLOCK, hl.PARQUET_DATA_BLOCK}
 
 
 def test_mor_log_rollback_semantics():
@@ -243,8 +243,23 @@ def test_mor_foreign_snapshot_merge(spark):
         .select("id", "name", "value").collect()
     }
     assert got == {("id1", "alpha", 10), ("id3", "charlie", 444),
-                   ("id4", "delta", 40), ("id6", "foxtrot", 666),
+                   ("id4", "delta", 440), ("id6", "foxtrot", 666),
                    ("id7", "golf", 70)}
+
+
+def test_mor_parquet_data_block():
+    """PARQUET_DATA_BLOCK (ordinal 5): content is a complete parquet
+    file image — decodes through pyarrow with the same record dict
+    shape as Avro blocks."""
+    from hudi_delete_view_spark.plans import hudi_log as hl
+
+    name = next(n for n in _mor_logs() if n.endswith(".log.3_0-20-77"))
+    with open(_mor_logs()[name], "rb") as f:
+        (block,) = hl.parse_log_file(f.read())
+    assert block.block_type == hl.PARQUET_DATA_BLOCK
+    (rec,) = hl.parquet_block_records(block)
+    assert (rec["_hoodie_record_key"], rec["value"],
+            rec["_hoodie_is_deleted"]) == ("id4", 440, False)
 
 
 def test_mor_foreign_time_travel(spark):

@@ -47,7 +47,11 @@ Commit history (two file groups, partition 2021/03/01):
   id6 -> 600), COMMAND rollback block targeting it, then the C3 retry
   data block (id6 -> 666).
 
-Merged snapshot at C3: id1/10, id3/444, id4/40, id6/666, id7/70.
+- C4 ``20210301130000.deltacommit``: g2 log.3 — a PARQUET_DATA_BLOCK
+  (the alternative block codec; content = a complete parquet file
+  image) updating id4 -> 440.
+
+Merged snapshot at C4: id1/10, id3/444, id4/440, id6/666, id7/70.
 Deterministic: re-running produces byte-identical files.
 """
 
@@ -62,6 +66,7 @@ import pyarrow.parquet as pq
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
                    "hudi_mor")
 C1, C2, C3 = "20210301090000", "20210301100000", "20210301110000"
+C4 = "20210301130000"  # PARQUET_DATA_BLOCK delta (alt block codec)
 UNCOMMITTED = "20210301120000"   # block present, instant never completes
 FAILED = "20210301105500"        # rolled back by a command block
 PART = "2021/03/01"
@@ -87,7 +92,7 @@ AVRO_SCHEMA = {
 
 MAGIC = b"#HUDI#"
 # HoodieLogBlockType ordinals
-T_COMMAND, T_DELETE, T_AVRO = 0, 1, 3
+T_COMMAND, T_DELETE, T_AVRO, T_PARQUET = 0, 1, 3, 5
 # HeaderMetadataType ordinals
 H_INSTANT, H_TARGET, H_SCHEMA, H_CMDTYPE = 0, 1, 2, 3
 
@@ -178,6 +183,31 @@ def _delete_block(instant: str, keys: list[str]) -> bytes:
     payload = _delete_list_bytes(keys)
     content = struct.pack(">i", 3) + struct.pack(">i", len(payload)) + payload
     return _block(T_DELETE, {H_INSTANT: instant}, content)
+
+
+def _parquet_block(instant: str, rows, fname: str) -> bytes:
+    """PARQUET_DATA_BLOCK: content is a complete parquet file image
+    (HoodieParquetDataBlock framing — no version prefix; schema in the
+    parquet footer)."""
+    import io
+
+    buf = io.BytesIO()
+    tbl = pa.table({
+        "_hoodie_commit_time": [instant] * len(rows),
+        "_hoodie_commit_seqno": [f"{instant}_0_{i + 1}"
+                                 for i in range(len(rows))],
+        "_hoodie_record_key": [r[0] for r in rows],
+        "_hoodie_partition_path": [PART] * len(rows),
+        "_hoodie_file_name": [fname] * len(rows),
+        "id": [r[0] for r in rows],
+        "name": [r[1] for r in rows],
+        "value": pa.array([r[2] for r in rows], type=pa.int64()),
+        "_hoodie_is_deleted": [r[3] for r in rows],
+    })
+    pq.write_table(tbl, buf)
+    return _block(T_PARQUET, {H_INSTANT: instant,
+                              H_SCHEMA: json.dumps(AVRO_SCHEMA)},
+                  buf.getvalue())
 
 
 def _command_block(instant: str, target: str) -> bytes:
@@ -325,6 +355,15 @@ def main() -> None:
     _commit(meta_dir, C3, [
         _stat(FG1, rel13, os.path.getsize(p13), C1, 1, 0, 1, 0, log_version=2),
         _stat(FG2, rel23, os.path.getsize(p23), C1, 1, 0, 1, 0, log_version=2),
+    ], "UPSERT")
+
+    # C4: g2 rollover log.3 — a PARQUET_DATA_BLOCK (the alternative
+    # block codec real Hudi writers can emit) updating id4 -> 440
+    g2_f3 = _log_name(FG2, C1, 3)
+    b_pq = _parquet_block(C4, [("id4", "delta", 440, False)], g2_f3)
+    rel24, p24 = _write_log(FG2, C1, 3, [b_pq])
+    _commit(meta_dir, C4, [
+        _stat(FG2, rel24, os.path.getsize(p24), C1, 1, 0, 1, 0, log_version=3),
     ], "UPSERT")
     print(f"wrote genuine-layout Hudi MOR fixture at {os.path.abspath(OUT)}")
 
