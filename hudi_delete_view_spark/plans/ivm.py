@@ -1129,11 +1129,10 @@ def _build_join_tree(node, snapshots, quals, needed_ids, seen):
     swap = jt == "RIGHT OUTER"
     if swap:
         jt = "LEFT OUTER"  # normalize: A right-join B == B left-join A
-    if jt not in ("INNER", "LEFT OUTER"):
+    if jt not in ("INNER", "LEFT OUTER", "FULL OUTER"):
         raise UnsupportedViewError(
-            f"{jt} join inside an aggregate-over-join tree: INNER and "
-            "LEFT OUTER compose; FULL OUTER needs the two-source "
-            "agg_join algebra"
+            f"{jt} join inside an aggregate-over-join tree: INNER, "
+            "LEFT OUTER and FULL OUTER compose"
         )
     cond = jn.condition()
     if cond.isEmpty():
@@ -1200,7 +1199,8 @@ def _build_join_tree(node, snapshots, quals, needed_ids, seen):
             # collision drops survive inside the subtree
             side_spec.setdefault("synth", []).extend(items)
     return {
-        "jt": "inner" if jt == "INNER" else "left",
+        "jt": {"INNER": "inner", "LEFT OUTER": "left",
+               "FULL OUTER": "full"}[jt],
         "pairs": pairs,
         "left": lspec,
         "right": rspec,
@@ -1236,10 +1236,10 @@ def _classify_agg_tree(
     the group-carrying leaf's INPUT to the dirty groups when every
     group key is a plain column of one leaf (the other leaves prune
     through the equi-join build), falling back to one full tree pass
-    for expression/mixed group keys.  FULL OUTER inside a tree refuses
-    (both sides null-extend, so detection restriction holds for
-    neither); two-source aggregates take the delta-join / agg_join
-    algebras instead."""
+    for expression/mixed group keys.  FULL OUTER composes too (round
+    7): the signed identity decomposes T = (L LEFT R) ⊎ (R ANTI L)
+    x null_L, each part carrying its own exact delta — see
+    ``_tree_signed_delta``."""
     # names consumed ABOVE any join: the aggregate, the mid chain, and
     # every join condition in the tree — collision drops keep exactly
     # these and refuse genuinely ambiguous ones
@@ -1287,8 +1287,10 @@ def _classify_agg_tree(
         if "src" in n:
             return set()
         out = _null_extended(n["left"]) | _null_extended(n["right"])
-        if n["jt"] == "left":
+        if n["jt"] in ("left", "full"):
             out |= set(n["right_srcs"])
+        if n["jt"] == "full":
+            out |= set(n["srcs"]) - set(n["right_srcs"])
         return out
 
     if group_src is not None and group_src in _null_extended(tree):
@@ -1526,6 +1528,19 @@ def _classify_window_tree(
         needed_ids |= {a.exprId().id() for a in _seq(n.references().toSeq())}
     _collect_conds(term[1])
     tree = _build_join_tree(term[1], snapshots, quals, needed_ids, set())
+
+    def _has_full(n):
+        if "src" in n:
+            return False
+        return (n["jt"] == "full" or _has_full(n["left"])
+                or _has_full(n["right"]))
+
+    if _has_full(tree):
+        raise UnsupportedViewError(
+            "window view over a FULL OUTER join tree: touched-partition "
+            "detection's preserved-side pass assumes one null-extending "
+            "side — aggregate the tree, or split the view"
+        )
 
     def _dup_leaves(n):
         if "src" in n:
@@ -3347,6 +3362,11 @@ class AutoMaterializedView:
         keys whose PRESENCE in R flipped: +1 where a key vanished from
         R (rows re-enter the null-extension), −1 where one appeared
         (rows leave it). INNER nodes take only the two inner terms.
+        FULL OUTER nodes (round 7) decompose as
+        T = (L ⟕ R) ⊎ (R ▷ L) × null_L — the left-join part takes the
+        identity above, and the R-anti summand its own symmetric
+        delta: ΔR ▷ L_t (null_L-extended, keeping ΔR's signs) plus
+        R_a ⋉ flip(L) × null_L with ΔL's keys as flip candidates.
 
         Change-sized by construction: every flipped key carries at
         least one ΔR row, so the flip candidates are ΔR's distinct join
@@ -3392,20 +3412,71 @@ class AutoMaterializedView:
         )
         snaps_a = {n: t.snapshot(anchor[n]) for n, t in self.sources.items()}
         snaps_t = {n: t.snapshot(latest[n]) for n, t in self.sources.items()}
+        jk_names = [f"__mv_jk{i}" for i in range(len(lcols))]
+
+        def _flip_rows(d_keys, probe_side, probe_cols, keep_side,
+                       keep_cols, null_side_schema):
+            """Presence-flip correction term: among ``d_keys`` (the
+            changed side's distinct join keys), keys that vanished from
+            ``probe_side`` between the boundaries (+1) re-enter the
+            null-extension of ``keep_side``'s anchor rows; gained keys
+            (−1) leave it. Change-sized: probes and the keep-side scan
+            are broadcast-semi-pruned to the candidates."""
+            p_a = self._replay_tree(probe_side["node"], snaps_a).drop(
+                *probe_side["drop"]
+            )
+            p_t = self._replay_tree(probe_side["node"], snaps_t).drop(
+                *probe_side["drop"]
+            )
+            in_a = d_keys.join(p_a, _jk_cond(probe_cols, False), "left_semi")
+            in_t = d_keys.join(p_t, _jk_cond(probe_cols, False), "left_semi")
+            flips = (
+                in_a.subtract(in_t).withColumn("__mv_sign", F.lit(1))
+                .unionByName(
+                    in_t.subtract(in_a).withColumn("__mv_sign", F.lit(-1))
+                )
+                .localCheckpoint(eager=True)
+            )
+            nulls = [
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in null_side_schema.fields
+            ]
+            keep = self._replay_tree(keep_side["node"], snaps_a).drop(
+                *keep_side["drop"]
+            )
+            return (
+                keep.join(F.broadcast(flips), _jk_cond(keep_cols, False),
+                          "inner")
+                .drop(*jk_names)
+                .select("*", *nulls)
+            )
+
+        lspec = {"node": node["left"], "drop": node["drop_l"]}
+        rspec = {"node": node["right"], "drop": node["drop_r"]}
         terms = []
         if dl is not None:
             dl = dl.drop(*node["drop_l"]).localCheckpoint(eager=True)
+            dl_keys = _jk_frame(dl, lcols)
             r_t = self._replay_tree(node["right"], snaps_t).drop(
                 *node["drop_r"]
             )
             r_t_pruned = r_t.join(
-                F.broadcast(_jk_frame(dl, lcols)),
-                _jk_cond(rcols, False),
-                "left_semi",
+                F.broadcast(dl_keys), _jk_cond(rcols, False), "left_semi"
             )
             # ΔL ⟕ R_t: the left join folds the ΔL▷R_t anti term in —
-            # its unmatched rows null-extend natively with ΔL's signs
-            terms.append(dl.join(r_t_pruned, cond, node["jt"]))
+            # its unmatched rows null-extend natively with ΔL's signs.
+            # A FULL node takes "left" here too: its R-anti part is a
+            # separate summand with its own delta below
+            terms.append(dl.join(
+                r_t_pruned, cond, "inner" if node["jt"] == "inner" else "left"
+            ))
+            if node["jt"] == "full":
+                # Δ of (R ▷ L) × null_L w.r.t. L's changes: L-key flips
+                terms.append(_flip_rows(
+                    dl_keys, lspec, lcols, rspec, rcols,
+                    self._replay_tree(node["left"], snaps_t)
+                    .drop(*node["drop_l"]).schema,
+                ))
         if dr is not None:
             dr = dr.drop(*node["drop_r"]).localCheckpoint(eager=True)
             dr_keys = _jk_frame(dr, rcols)
@@ -3416,36 +3487,31 @@ class AutoMaterializedView:
                 F.broadcast(dr_keys), _jk_cond(lcols, False), "left_semi"
             )
             terms.append(l_a_pruned.join(dr, cond, "inner"))
-            if node["jt"] == "left":
+            if node["jt"] in ("left", "full"):
                 # presence-flip correction: candidates = ΔR's keys
-                r_a = self._replay_tree(node["right"], snaps_a).drop(
-                    *node["drop_r"]
+                terms.append(_flip_rows(
+                    dr_keys, rspec, rcols, lspec, lcols,
+                    self._replay_tree(node["right"], snaps_t)
+                    .drop(*node["drop_r"]).schema,
+                ))
+            if node["jt"] == "full":
+                # ΔR ▷ L_t × null_L (the R-anti summand's delta-side
+                # term; L_t pruned to ΔR's keys — pruning cannot change
+                # an anti verdict against keys outside the probe set)
+                l_t = self._replay_tree(node["left"], snaps_t).drop(
+                    *node["drop_l"]
                 )
-                r_t = self._replay_tree(node["right"], snaps_t).drop(
-                    *node["drop_r"]
+                l_t_pruned = l_t.join(
+                    F.broadcast(dr_keys), _jk_cond(lcols, False), "left_semi"
                 )
-                in_a = dr_keys.join(r_a, _jk_cond(rcols, False), "left_semi")
-                in_t = dr_keys.join(r_t, _jk_cond(rcols, False), "left_semi")
-                flips = (
-                    in_a.subtract(in_t).withColumn("__mv_sign", F.lit(1))
-                    .unionByName(
-                        in_t.subtract(in_a).withColumn("__mv_sign", F.lit(-1))
-                    )
-                    .localCheckpoint(eager=True)
-                )
-                null_r = [
+                null_l = [
                     F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in r_t.schema.fields
+                    for f in l_t.schema.fields
                 ]
-                jk_names = [f"__mv_jk{i}" for i in range(len(lcols))]
-                flip_rows = (
-                    l_a.join(
-                        F.broadcast(flips), _jk_cond(lcols, False), "inner"
-                    )
-                    .drop(*jk_names)
-                    .select("*", *null_r)
+                terms.append(
+                    dr.join(l_t_pruned, cond, "left_anti")
+                    .select("*", *null_l)
                 )
-                terms.append(flip_rows)
         out = reduce(lambda a, b: a.unionByName(b), terms)
         return _synth(
             _replay_spec(node["mid"], out, extra=("__mv_sign",)), node

@@ -47,6 +47,7 @@ _WINDOW: tuple[str, ...] = (
     "lake_mv_auto_distinct",
     "lake_mv_auto_union",
     "lake_mv_auto_agg_union",
+    "lake_mv_auto_agg_full_tree",
     "lake_mv_auto_self_join",
     "lake_mv_auto_window_union",
     "lake_mv_auto_window_tree",
@@ -78,7 +79,6 @@ _WINDOW: tuple[str, ...] = (
     "sim_semantic_dedup_incremental",
     "sim_vector_store",
     "stream_incremental_dedup",
-    "dedup_remove_boilerplate",
 )
 
 

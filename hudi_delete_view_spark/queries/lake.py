@@ -2759,3 +2759,61 @@ def lake_mv_auto_window_self_join(spark: SparkSession, sf_dir: str) -> DataFrame
     mv = _auto_mv(spark, sf_dir, "mv_auto_window_self_join",
                   {"li": build_lineitem_cow(spark, sf_dir)}, plan)
     return mv.serve()
+
+
+@query(
+    "lake_mv_auto_agg_full_tree",
+    late=True,  # IVM family windowed via lake_ivm_aggregate
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE}),
+l2 AS (
+  SELECT l_orderkey, CAST(round(({_QTY_SQL}) * 100) AS BIGINT) AS qty_c
+  FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+),
+o2 AS (
+  SELECT o_orderkey, o_custkey
+  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+),
+c2 AS (
+  SELECT c_custkey, c_mktsegment
+  FROM customer WHERE NOT (c_custkey % 19 = 0)
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(qty_c) AS BIGINT) AS sum_qty_cents
+FROM (SELECT l2.l_orderkey, l2.qty_c, o2.o_custkey
+      FROM l2 JOIN o2 ON l_orderkey = o_orderkey)
+FULL JOIN c2 ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def lake_mv_auto_agg_full_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a tree whose customer arm is a FULL OUTER join
+    (round 7, closing the last composition gap): customers with no
+    surviving orders form dim-only groups (zero fact rows), fact rows
+    whose customer was deleted (the C3 script) land in the NULL
+    segment, and every advance rides the signed identity — the
+    left-join part plus the R-anti summand's own delta plus BOTH
+    presence-flip corrections.  Sum/count only, so no full-feed
+    re-derivation is ever triggered.  Oracle recomputes the FULL join
+    rollup from scratch over all three change scripts."""
+    from ..sources.fixtures import build_customer_cow, build_orders_mor
+
+    def plan(t):
+        f = t["li"].select(
+            "l_orderkey",
+            F.expr("cast(round(l_quantity * 100) as bigint)").alias("qty_c"))
+        o = t["ord"].select("o_orderkey", "o_custkey")
+        c = t["cu"].select("c_custkey", "c_mktsegment")
+        return (
+            f.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"), "full")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("qty_c").alias("sum_qty_cents"))
+        )
+
+    mv = _auto_mv(spark, sf_dir, "mv_auto_agg_full_tree",
+                  {"li": build_lineitem_cow(spark, sf_dir),
+                   "ord": build_orders_mor(spark, sf_dir),
+                   "cu": build_customer_cow(spark, sf_dir)}, plan)
+    return mv.serve()

@@ -3589,3 +3589,97 @@ def test_window_over_self_join_with_dim_partition(spark, scratch):
     d.delete(spark.createDataFrame([(2,)], "gk long"), "20260104000000")
     mv.refresh(); check()
     assert mv.refresh()["advanced"] is False
+
+
+def test_agg_tree_full_outer_arm(spark, scratch, tree_tables):
+    """FULL OUTER inside an aggregate TREE (round 7, closing the last
+    §12 composition gap): li ⋈ o FULL JOIN c GROUP BY region — dim-only
+    regions appear with zero fact rows, fact rows without a region land
+    in the NULL group, and changes on EITHER side move rows across the
+    two null-extensions. Sum/count-only, so the full-feed and detection
+    hooks are raisers: every transition must ride the signed identity
+    (left part + R-anti summand + both flip corrections)."""
+    srcs = tree_tables
+    li, o, c = srcs["li"], srcs["o"], srcs["c"]
+
+    def plan(t):
+        return (t["li"].select("ok", "qty")
+                .join(t["o"].select("okey", "ck"), F.col("ok") == F.col("okey"))
+                .join(t["c"].select("ckey", "region"),
+                      F.col("ck") == F.col("ckey"), "full")
+                .groupBy("region")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("sq")))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "mvq5f"),
+                              srcs, plan)
+    assert mv.spec()["all_inner"] is False
+    assert mv.spec()["group_src"] is None  # both sides null-extend
+    mv.refresh()
+
+    orig_merge = AutoMaterializedView._merge_agg_delta
+    orig_touched = AutoMaterializedView._tree_touched
+
+    def no_full_feed(self, spec, feed, latest, full_feed_fn):
+        def boom(_dirty):
+            raise AssertionError("FULL tree re-derived from full feed")
+        return orig_merge(self, spec, feed, latest, boom)
+
+    def no_detection(self, spec, anchor, latest, sel_exprs):
+        raise AssertionError("FULL tree ran image-replay detection")
+
+    AutoMaterializedView._merge_agg_delta = no_full_feed
+    AutoMaterializedView._tree_touched = no_detection
+
+    def check():
+        assert _rows_ns(mv.serve()) == _rows_ns(
+            plan({n: t.snapshot() for n, t in srcs.items()}))
+
+    try:
+        # dim-only group appears: a customer key no order points at
+        c.upsert(spark.createDataFrame([(9, "MOON")],
+                                       "ckey long, region string"),
+                 "20260102000000")
+        mv.refresh(); check()
+        # dim delete: its fact rows flip into the NULL group AND its
+        # dim-only row (if any) vanishes from the R-anti summand
+        c.delete(spark.createDataFrame([(0,)], "ckey long"),
+                 "20260103000000")
+        mv.refresh(); check()
+        # re-insert pulls them back; MOON gains a matching order ->
+        # leaves the dim-only anti set (L-key flip, -1)
+        c.upsert(spark.createDataFrame([(0, "EU2")],
+                                       "ckey long, region string"),
+                 "20260104000000")
+        o.upsert(spark.createDataFrame([(9, 9)], "okey long, ck long"),
+                 "20260105000000")
+        mv.refresh(); check()
+        # fact churn across the same advance
+        li.delete(spark.createDataFrame([("l1",)], "k string"),
+                  "20260106000000")
+        li.upsert(spark.createDataFrame([("l99", 9, 7.5)],
+                                        "k string, ok long, qty double"),
+                  "20260107000000")
+        mv.refresh(); check()
+        assert mv.refresh()["advanced"] is False
+    finally:
+        AutoMaterializedView._merge_agg_delta = orig_merge
+        AutoMaterializedView._tree_touched = orig_touched
+
+
+def test_window_over_full_tree_refused(spark, scratch, tree_tables):
+    """Window views over FULL OUTER trees refuse with the detection
+    limit named (both sides null-extend; the preserved-side pass
+    assumes one)."""
+    from pyspark.sql import Window as W
+
+    srcs = tree_tables
+    snaps = {n: t.snapshot() for n, t in srcs.items()}
+    f = snaps["li"].selectExpr("_hoodie_record_key as vk", "ok", "qty")
+    j = (f.join(snaps["o"].select("okey", "ck"), F.col("ok") == F.col("okey"))
+         .join(snaps["c"].select("ckey", "region"),
+               F.col("ck") == F.col("ckey"), "full"))
+    w = W.partitionBy("region").orderBy(F.desc("qty"), F.asc("vk"))
+    view = (j.withColumn("rn", F.row_number().over(w)).filter("rn <= 2")
+            .select("vk", "region", "qty", "rn"))
+    with pytest.raises(UnsupportedViewError, match="FULL OUTER"):
+        classify_view(view, snaps)

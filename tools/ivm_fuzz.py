@@ -175,6 +175,16 @@ def _plans():
                 .groupBy("rname")
                 .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")))
 
+    def agg_tree_full(t):
+        # FULL OUTER arm: both null-extensions live (round 7)
+        return (t["fact"].select("g", "v")
+                .join(t["dim"].select("gk", "region"),
+                      F.col("g") == F.col("gk"))
+                .join(t["sub"].select("rk", "rname"),
+                      F.col("region") == F.col("rk"), "full")
+                .groupBy("rname")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")))
+
     def snowflake_exprkey(t):
         # round-7 transitive probe: the sub arm joins on an EXPRESSION
         # over the MID dim (region % 2) projected nowhere — changed sub
@@ -220,6 +230,7 @@ def _plans():
         "stage": stage, "snowflake_exprkey": snowflake_exprkey,
         "window_self_join": window_self_join,
         "agg_tree_left_nested": agg_tree_left_nested,
+        "agg_tree_full": agg_tree_full,
     }
 
 
