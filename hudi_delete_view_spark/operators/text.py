@@ -378,3 +378,79 @@ def quality_filter_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     for r in rules:
         verdict = F.col(r) if verdict is None else (verdict & F.col(r))
     return out.withColumn("qf_pass", verdict)
+
+
+def ngram_lm_cross_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Corpus-trained bigram-LM cross-entropy per document — the
+    perplexity-based quality signal training-data pipelines use (the
+    CCNet / Gopher "perplexity filter" family, here with the corpus as
+    its own LM instead of an external KenLM, so the operator is
+    self-contained and exactly reproducible).
+
+    Model: interpolated bigram with add-one-smoothed unigram backoff,
+      p(w2 | w1) = lam * c(w1,w2)/c(w1) + (1-lam) * (c(w2)+1)/(N+V).
+    Per-token costs ride as ROUND(-ln p * 1e6) BIGINT micro-nats, so
+    the per-document SUM is summation-order-free and hash-comparable
+    across engines (the rel_scalar_math precedent); consumers divide
+    ``xent_micro / n_bigrams`` for the mean and threshold on it.
+
+    Scale shape: two token-level aggregations build the LM (vocabulary-
+    sized outputs, tiny next to the corpus), one bigram-count join +
+    two vocabulary joins score every token — all JVM expressions, no
+    Python in the hot path; docs with fewer than two tokens carry no
+    bigram and are not scored.
+
+    Returns (id_col, n_bigrams, xent_micro)."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda w: w != F.lit("")
+    )
+    d = docs.select(F.col(id_col), arr.alias("__arr"))
+    uni = (
+        d.select(F.explode("__arr").alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot = uni.agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    bge = (
+        d.filter(F.size("__arr") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(__arr, 1, size(__arr) - 1), "
+                    "(w, i) -> struct(w AS w1, element_at(__arr, i + 2) AS w2))"
+                )
+            ).alias("__b"),
+        )
+        .select(F.col(id_col), F.col("__b.w1").alias("__w1"),
+                F.col("__b.w2").alias("__w2"))
+    )
+    bic = bge.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+    u1 = uni.select(F.col("__w").alias("__w1"), F.col("__c").alias("__c1"))
+    u2 = uni.select(F.col("__w").alias("__w2"), F.col("__c").alias("__c2"))
+    p = (
+        F.lit(lam) * F.col("__c12") / F.col("__c1")
+        + F.lit(1 - lam) * (F.col("__c2") + 1) / (F.col("__n") + F.col("__v"))
+    )
+    return (
+        bge.join(bic, ["__w1", "__w2"])
+        .join(u1, "__w1")
+        .join(u2, "__w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__xm",
+            F.round(-F.log(p) * 1000000, 0).cast("long"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__xm").alias("xent_micro"),
+        )
+    )

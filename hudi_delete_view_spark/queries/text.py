@@ -515,3 +515,47 @@ def text_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qf_dup3_ratio", "r_word_count", "r_mean_word_len", "r_symbol_ratio",
         "r_stopwords", "r_blacklist", "r_repetition", "qf_pass",
     )
+
+
+@query(
+    "text_perplexity",
+    late=True,  # text family windowed via the stream/text slots
+    oracle="""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w != '') AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS w FROM d),
+uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM uni),
+bge AS (
+  SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_zip(array_pop_back(arr), array_pop_front(arr))) AS b
+    FROM d WHERE len(arr) >= 2
+  )
+),
+bic AS (SELECT w1, w2, COUNT(*) AS c12 FROM bge GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND(-LN(0.7 * bic.c12 / u1.c
+                        + 0.3 * (u2.c + 1) / (tot.n + tot.v)) * 1000000)
+              AS BIGINT) AS xm
+  FROM bge
+  JOIN bic USING (w1, w2)
+  JOIN uni u1 ON u1.w = bge.w1
+  JOIN uni u2 ON u2.w = bge.w2, tot
+)
+SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(xm) AS BIGINT) AS xent_micro
+FROM scored GROUP BY doc_id
+""",
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scores (round 7): corpus-trained
+    interpolated bigram LM, per-document cross-entropy in
+    summation-order-free micro-nat integers — the CCNet/Gopher
+    perplexity-filter signal without an external LM dependency.
+    Oracle rebuilds the identical LM and scoring in DuckDB."""
+    from ..operators.text import ngram_lm_cross_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_lm_cross_entropy(docs, "doc_id", "text", lam=0.7)

@@ -346,3 +346,33 @@ def test_quality_filter_repetition_rule(spark):
     assert out[2]["r_repetition"] is True
     assert out[3]["qf_dup3_ratio"] == 0.0 and out[3]["r_repetition"] is True
     assert out[1]["qf_pass"] is False
+
+
+def test_ngram_lm_cross_entropy_hand_computed(spark):
+    """Two-doc corpus, hand-computed interpolated bigram probabilities:
+    'a b a b', 'a c', and the unscored single-token 'x'. Unigrams:
+    a=3, b=2, c=1, x=1 (N=7, V=4); bigrams: (a,b)=2, (b,a)=1,
+    (a,c)=1. Checks exact micro-nat sums and the repeated-bigram
+    case."""
+    import math
+
+    from hudi_delete_view_spark.operators.text import ngram_lm_cross_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "x")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["xent_micro"])
+           for r in ngram_lm_cross_entropy(docs).collect()}
+
+    def p(c12, c1, c2):
+        return 0.7 * c12 / c1 + 0.3 * (c2 + 1) / (7 + 4)
+
+    def xm(c12, c1, c2):
+        return round(-math.log(p(c12, c1, c2)) * 1_000_000)
+
+    # doc 1 bigrams: (a,b) x2, (b,a) x1
+    want1 = 2 * xm(2, 3, 2) + xm(1, 2, 3)  # c(a)=3, c(b)=2
+    # doc 2: (a,c) x1
+    want2 = xm(1, 3, 1)
+    assert got[1] == (3, want1)
+    assert got[2] == (1, want2)
+    assert 3 not in got  # single-token doc carries no bigram
