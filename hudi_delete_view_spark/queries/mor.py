@@ -349,6 +349,14 @@ WHERE rn = 1 AND NOT is_del
 UNION ALL
 SELECT 'time_travel' AS section, id, name, value FROM snap_c2
 WHERE rn = 1 AND NOT is_del
+UNION ALL
+SELECT 'delete_view' AS section, id, name, value FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY k ORDER BY ord_instant DESC, ord_sub DESC) AS rn
+  FROM merged WHERE ord_instant < '20210301100000'
+) pre
+WHERE rn = 1 AND NOT is_del AND k IN (
+  SELECT k FROM log WHERE is_del AND ord_instant = '20210301100000')
 """,
 )
 def mor_hudi_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,12 +369,15 @@ def mor_hudi_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tools/make_hudi_mor_fixture.py) — bytes the package reader
     (plans/hudi_log.py + sources/hudi.py) did not produce.
 
-    Two sections under one driver row: the latest merged snapshot
+    THREE sections under one driver row: the latest merged snapshot
     (updates + log-borne insert + both tombstone forms resolved, the
-    uncommitted and rolled-back blocks dropped) and time travel to the
-    middle delta commit. The oracle recomputes the merge window in
-    DuckDB from the fixture's base parquet + the authored log ops as
-    literals (binary log blocks are not DuckDB-readable)."""
+    uncommitted and rolled-back blocks dropped), time travel to the
+    middle delta commit, and the FLAGSHIP question asked of the
+    foreign table — the delete view of the tombstoning commit (both
+    tombstone forms reconstructed to their pre-delete images). The
+    oracle recomputes the merge window in DuckDB from the fixture's
+    base parquet + the authored log ops as literals (binary log blocks
+    are not DuckDB-readable)."""
     from ..sources.hudi import read_hudi_mor_snapshot
 
     cols = [F.col("id"), F.col("name"), F.col("value")]
@@ -375,4 +386,9 @@ def mor_hudi_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt = read_hudi_mor_snapshot(
         spark, _HUDI_MOR_FIXTURE, as_of="20210301100000"
     ).select(F.lit("time_travel").alias("section"), *cols)
-    return snap.unionByName(tt)
+    from ..sources.hudi import read_hudi_mor_delete_view
+
+    dv = read_hudi_mor_delete_view(
+        spark, _HUDI_MOR_FIXTURE, "20210301100000"
+    ).select(F.lit("delete_view").alias("section"), *cols)
+    return snap.unionByName(tt).unionByName(dv)

@@ -406,3 +406,51 @@ def export_hudi_mor(table, out_dir: str, table_name: str = "export_mor") -> str:
         with open(os.path.join(out_dir, ".hoodie", f"{ts}{suffix}"), "w") as f:
             f.write(meta.to_hudi_json())
     return out_dir
+
+
+def read_hudi_mor_delete_view(
+    spark: SparkSession, base_path: str, timestamp: str
+) -> DataFrame:
+    """The reference's flagship question asked of a FOREIGN Hudi MOR
+    table: reconstruct the rows DELETED by delta commit ``timestamp`` —
+    their last pre-delete images, stamped with the delete commit time
+    (``HudiDeleteHandle.java:73-74`` semantics).
+
+    MOR deletes live in LOG BLOCKS, not rewritten base files, so the
+    reconstruction differs from the COW path: the commit's tombstoned
+    keys (DELETE_BLOCK entries + ``_hoodie_is_deleted`` data-block
+    records whose ``INSTANT_TIME`` header equals the commit) semi-select
+    the merged snapshot AS OF the preceding instant. Key extraction
+    rides the same executor-side ``mapInPandas`` parse as the snapshot
+    reader; the pre-image read is the ordinary time-travel merge."""
+    instants = hudi_completed_instants(base_path)
+    if timestamp not in instants:
+        raise ValueError(
+            f"no completed Hudi instant {timestamp!r} under {base_path!r} "
+            f"(have: {instants})"
+        )
+    idx = instants.index(timestamp)
+    if idx == 0:
+        raise ValueError(
+            f"{timestamp!r} is the bootstrap instant: nothing precedes it"
+        )
+    prev = instants[idx - 1]
+    valid = {ts for ts in instants if ts <= timestamp}
+    slices = _list_slices(base_path, valid)
+    base = spark.read.parquet(*[s.base_path for s in slices])
+    logs = _log_rows_df(spark, slices, base.schema, valid)
+    tomb = F.col("__is_delete") | F.coalesce(
+        F.col("_hoodie_is_deleted"), F.lit(False)
+    ) if "_hoodie_is_deleted" in base.columns else F.col("__is_delete")
+    deleted_keys = (
+        logs.filter(F.col("__ord_instant") == timestamp)
+        .filter(tomb)
+        .select("_hoodie_partition_path", "_hoodie_record_key")
+        .distinct()
+    )
+    pre = read_hudi_mor_snapshot(spark, base_path, as_of=prev)
+    return pre.join(
+        F.broadcast(deleted_keys),
+        ["_hoodie_partition_path", "_hoodie_record_key"],
+        "left_semi",
+    ).withColumn("_hoodie_commit_time", F.lit(timestamp))

@@ -343,3 +343,24 @@ def test_mor_export_round_trip(spark, scratch):
     assert foreign_rows() == native_rows()
     for ts in ("20260101000000", "20260102000000", "20260103000000"):
         assert foreign_rows(as_of=ts) == native_rows(as_of=ts), ts
+
+
+def test_mor_foreign_delete_view(spark):
+    """The flagship question asked of the FOREIGN MOR table: rows
+    deleted by the tombstoning delta commit (both forms — the
+    _hoodie_is_deleted record for id2, the DELETE_BLOCK entry for id5)
+    reconstruct to their pre-delete images, stamped with the delete
+    commit time; a non-deleting commit yields zero rows; the bootstrap
+    instant and unknown instants raise."""
+    from hudi_delete_view_spark.sources.hudi import read_hudi_mor_delete_view
+
+    dv = read_hudi_mor_delete_view(spark, MOR_FIXTURE, M2)
+    got = {(r["id"], r["name"], r["value"], r["_hoodie_commit_time"])
+           for r in dv.select("id", "name", "value",
+                              "_hoodie_commit_time").collect()}
+    assert got == {("id2", "bravo", 20, M2), ("id5", "echo", 50, M2)}
+    assert read_hudi_mor_delete_view(spark, MOR_FIXTURE, M3).count() == 0
+    with pytest.raises(ValueError, match="bootstrap"):
+        read_hudi_mor_delete_view(spark, MOR_FIXTURE, M1)
+    with pytest.raises(ValueError, match="no completed Hudi instant"):
+        read_hudi_mor_delete_view(spark, MOR_FIXTURE, "20210301105500")
