@@ -630,6 +630,8 @@ def embedding_neardup_pairs(
     tables: int = 8,
     dim: int = 64,
     seed: int = 42,
+    bucket_cap=None,
+    reserve_bits: int = 16,
 ) -> DataFrame:
     """Pairs of vectors with cosine >= threshold.
 
@@ -648,18 +650,57 @@ def embedding_neardup_pairs(
     ``bucket_bits`` = None: AUTO-SIZE from the corpus (round 7, caught by
     the sf1 decade-up soak: fixed 8 bits means bucket occupancy grows
     linearly with n and within-bucket work QUADRATICALLY — 60x at 10x
-    data). bits = log2(n / 16) clamped to [8, 16] holds per-bucket
-    occupancy ~constant across four decades of n; ``tables`` then grows
-    to hold recall at ~0.99 for the requested threshold
+    data). bits = log2(n / 2) clamped to [8, 24] targets ~2 members per
+    bucket — the E2LSH-style geometry where expected candidates are
+    ~n/2 per table, so the candidate set (the rows that later re-attach
+    full-width vectors for the exact verify) stays O(n * tables) rather
+    than O(n * occupancy * tables). The first 250k/1M measured soaks
+    used occupancy 16 (bits = log2(n/16), cap 16): at 1M vectors that
+    made ~350M candidate pairs whose vector re-attach join spilled >75
+    GB of shuffle and died — occupancy ~2 with more tables cuts
+    candidates ~20x for the same recall. ``tables`` grows to hold
+    recall at ~0.99 for the requested threshold
     (ceil(ln .01 / ln(1 - p^bits)), p the per-bit agreement at the
-    threshold angle) — table count rises sub-linearly in n (9 at 4k
-    vectors, 14 at 40k) while within-bucket work stays ~flat; the
-    sizing costs one count() of the input."""
+    threshold angle); past n = 2 * 2^24 the global geometry is capped
+    and the occupancy guard below carries the rest (local splitting is
+    exactly "more bits, only where needed"). Sizing costs one count()
+    of the input.
+
+    ``bucket_cap`` (None = off, keeping bit-exact full-pair semantics;
+    ``profile.PROFILE_DEFAULT`` = let the active profile decide) is the
+    past-1M-vectors geometry guard (SURVEY §13 lead 2, measured on the
+    250k/1M soak corpora: the global 16-bit cap means occupancy — and
+    within-bucket work quadratically — grows linearly with n again once
+    n >> 2^16). Two stages, both local to hot buckets:
+
+    1. RESERVE-BIT SPLITTING — every vector also hashes ``reserve_bits``
+       extra hyperplanes (same single matmul); a bucket whose occupancy
+       exceeds the cap is subdivided on the next ceil(log2(occ/cap)) of
+       them, so its self-join cost returns to ~cap^2/2 regardless of how
+       far n grows past 2^bucket_bits * cap (local geometry refinement —
+       the hot bucket gets the extra bits a bigger corpus would need,
+       cold buckets keep full recall). A pair in a split bucket must
+       agree on the extra bits too (p^lvl per table, p the per-bit
+       agreement); multi-table redundancy absorbs the loss for
+       same-direction duplicates (scaled copies agree on EVERY
+       hyperplane, so their recall stays exactly 1).
+    2. RESIDUAL STAR PAIRING — a bucket still over the cap after its
+       split (the ceil is sized for uniform reserve bits; a mass of
+       (near-)identical vectors agrees on every extra sign, so no number
+       of hyperplanes subdivides it). Emitting its full quadratic pair
+       set is the
+       scale-killer, so each member instead pairs with the bucket's
+       min-id member (a spanning star: linear, same connected component
+       for the dedup/survivor consumers downstream). Star candidates
+       pass through the SAME exact-cosine verify as everything else, so
+       precision stays 1; the documented trade is pair-level recall
+       inside residual buckets (member-member pairs are represented
+       through the center)."""
     import math
 
     if bucket_bits is None:
         n = max(df.count(), 2)
-        bucket_bits = min(16, max(8, math.ceil(math.log2(max(n / 16, 2)))))
+        bucket_bits = min(24, max(8, math.ceil(math.log2(max(n / 2, 2)))))
         p_bit = 1 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
         hit = max(min(p_bit**bucket_bits, 1 - 1e-12), 1e-12)
         tables = max(tables, math.ceil(math.log(0.01) / math.log(1 - hit)))
@@ -682,19 +723,87 @@ def embedding_neardup_pairs(
             .select("id_a", "id_b", "cosine")
         )
 
-    planes = _hyperplanes(dim, bucket_bits, tables, seed)
-    # one Arrow-batched matmul computes every table's bucket; posexplode
-    # fans out to (table, bucket) rows without a tables-way union of the scan
+    from ..profile import PROFILE_DEFAULT, embedding_bucket_cap
+
+    if bucket_cap is PROFILE_DEFAULT:
+        bucket_cap = embedding_bucket_cap(PROFILE_DEFAULT)
+    extra = reserve_bits if bucket_cap else 0
+    planes = _hyperplanes(dim, bucket_bits + extra, tables, seed)
+    # one Arrow-batched matmul computes every table's bucket (reserve bits
+    # included when the occupancy guard is armed); posexplode fans out to
+    # (table, bucket) rows without a tables-way union of the scan
     bucket_udf = sign_buckets_pandas(planes)
-    vb = v.select("__vid", F.posexplode(bucket_udf(F.col("__v"))).alias("__t", "__b"))
-    left = vb.select(F.col("__vid").alias("id_a"), "__t", "__b")
-    right = vb.select(F.col("__vid").alias("id_b"), "__t", "__b")
-    cand = (
-        left.join(right, ["__t", "__b"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()  # a pair may collide in several tables
+    vb = v.select("__vid", F.posexplode(bucket_udf(F.col("__v"))).alias("__t", "__bfull"))
+    if not bucket_cap:
+        vb = vb.withColumn("__key", F.col("__bfull"))
+        star_pairs = None
+    else:
+        lo = (1 << bucket_bits) - 1
+        vb = vb.select(
+            "__vid",
+            "__t",
+            (F.col("__bfull").bitwiseAND(F.lit(lo))).alias("__b"),
+            F.expr(f"shiftrightunsigned(__bfull, {bucket_bits})").alias("__r"),
+        )
+        # stage 1: occupancy count per primary bucket; hot buckets (the
+        # skew tail — small by construction) broadcast back and split on
+        # ceil(log2(occ/cap)) reserve bits. Key packing is collision-free
+        # across split depths: ext | 2^lvl occupies [2^lvl, 2^(lvl+1)),
+        # so (lvl, ext) pairs never alias (unsplit rows take lvl=0 -> +1).
+        hot = (
+            vb.groupBy("__t", "__b")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > bucket_cap)
+            .withColumn(
+                "__lvl",
+                F.least(
+                    F.lit(reserve_bits),
+                    F.ceil(F.log2(F.col("__n") / F.lit(float(bucket_cap)))).cast("int"),
+                ),
+            )
+            .select("__t", "__b", "__lvl")
+        )
+        vb = (
+            vb.join(F.broadcast(hot), ["__t", "__b"], "left")
+            .withColumn("__lvl", F.coalesce(F.col("__lvl"), F.lit(0)))
+            .withColumn(
+                "__key",
+                F.expr(
+                    "__b + shiftleft("
+                    "(__r & (shiftleft(1L, __lvl) - 1)) | shiftleft(1L, __lvl), "
+                    f"{bucket_bits})"
+                ),
+            )
+        )
+        # stage 2: residual buckets (over cap even after every reserve
+        # bit — (near-)identical vectors) switch to star pairing. Only
+        # rows from split (lvl>0) buckets can be residual — an unsplit
+        # bucket holds <= cap by definition — so the recount runs over
+        # that small subset, not the full corpus.
+        hot2 = (
+            vb.filter(F.col("__lvl") > 0)
+            .groupBy("__t", "__key")
+            .agg(F.count("*").alias("__n2"))
+            .filter(F.col("__n2") > bucket_cap)
+            .select("__t", "__key")
+        )
+        vb = vb.select("__vid", "__t", "__key")
+        members = vb.join(F.broadcast(hot2), ["__t", "__key"])
+        centers = members.groupBy("__t", "__key").agg(F.min("__vid").alias("id_a"))
+        star_pairs = (
+            members.join(F.broadcast(centers), ["__t", "__key"])
+            .filter(F.col("__vid") != F.col("id_a"))
+            .select("id_a", F.col("__vid").alias("id_b"))
+        )
+        vb = vb.join(F.broadcast(hot2), ["__t", "__key"], "left_anti")
+    left = vb.select(F.col("__vid").alias("id_a"), "__t", "__key")
+    right = vb.select(F.col("__vid").alias("id_b"), "__t", "__key")
+    cand = left.join(right, ["__t", "__key"]).filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
     )
+    if star_pairs is not None:
+        cand = cand.unionByName(star_pairs)
+    cand = cand.distinct()  # a pair may collide in several tables
     va = v.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va"))
     vb2 = v.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"))
     cos_udf = cosine_pandas()

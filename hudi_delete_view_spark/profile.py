@@ -39,6 +39,20 @@ _override: str | None = None
 # 200k-doc pathological corpus 14.9s -> 1.0s with a cap of this class).
 SIMHASH_BUCKET_CAP = 1000
 
+# Embedding sign-LSH bucket-occupancy cap under the scale profile.
+# Buckets past the cap split on RESERVE hyperplane bits (local geometry
+# refinement: a hot bucket gets ceil(log2(occ/cap)) extra bits, so the
+# within-bucket self-join stays ~cap^2/2 per bucket no matter how far n
+# grows past 2^bucket_bits * cap); buckets still over the cap after the
+# reserve bits (identical/near-identical vectors agree on EVERY
+# hyperplane, so no amount of bits splits them) fall back to star
+# pairing — each member pairs with the bucket's min id instead of all
+# pairs. Sized an order above the gate corpora's max occupancy (the
+# 250k-vector soak's ordinary buckets peak ~100; only the planted
+# identical block crosses 1000), so the guard restructures PLANS, not
+# ANSWERS, everywhere the full pair set is the contract.
+EMBEDDING_BUCKET_CAP = 1000
+
 # AQE skew handling: always-on basics live in session.py; the scale
 # profile additionally forces skew-join splitting even when Spark would
 # skip it to avoid an extra shuffle — at 1000 executors an extra shuffle
@@ -74,6 +88,15 @@ def simhash_bucket_cap(explicit) -> int | None:
     if explicit is not PROFILE_DEFAULT:
         return explicit
     return SIMHASH_BUCKET_CAP if scale_mode() else None
+
+
+def embedding_bucket_cap(explicit) -> int | None:
+    """Resolve the embedding sign-LSH ``bucket_cap``: explicit value
+    (including None = guard off) wins; ``PROFILE_DEFAULT`` takes the
+    profile's answer."""
+    if explicit is not PROFILE_DEFAULT:
+        return explicit
+    return EMBEDDING_BUCKET_CAP if scale_mode() else None
 
 
 class _ProfileDefault:

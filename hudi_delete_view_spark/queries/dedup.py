@@ -374,6 +374,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket self-join on (table, bucket), id-pair dedup before vectors are
     re-attached, exact cosine verify on candidates only. Duplicates are
     planted as x2-scaled copies of every vector (see oracle comment)."""
+    from ..profile import PROFILE_DEFAULT
+
     base = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
     )
@@ -384,7 +386,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = base.unionByName(copies)
     return embedding_neardup_pairs(
         aug, "vec_id", "embedding", threshold=0.95, bucket_bits=None,
-        tables=8,
+        tables=8, bucket_cap=PROFILE_DEFAULT,
     )
 
 
