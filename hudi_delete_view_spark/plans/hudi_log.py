@@ -332,6 +332,26 @@ def parquet_block_records(block: LogBlock) -> list[dict]:
     return table.to_pylist()
 
 
+def hfile_block_records(block: LogBlock) -> list[dict]:
+    """Decode an HFILE_DATA_BLOCK's records.
+
+    Content framing (``HoodieHFileDataBlock.serializeRecords``): the
+    content is a complete in-memory HBase HFile image — each cell's row
+    is the record key, its value the Avro-binary record in the SCHEMA
+    header's writer schema (records are key-sorted, an HFile invariant).
+    The HFile container itself (blocks, index, trailer, GZ/NONE
+    compression, checksums) is parsed by ``plans/hfile.py``."""
+    from .hfile import read_hfile_cells
+
+    if block.block_type != HFILE_DATA_BLOCK:
+        raise HudiLogFormatError("not an HFile data block")
+    schema = json.loads(block.headers["SCHEMA"])
+    return [
+        avro_decode(schema, _Cursor(value))
+        for _row, value in read_hfile_cells(block.content)
+    ]
+
+
 def delete_block_keys(block: LogBlock) -> list[dict]:
     """Decode a DELETE_BLOCK into delete records.
 
@@ -470,6 +490,31 @@ def data_block_bytes(instant: str, schema: dict, records: list[dict]) -> bytes:
         AVRO_DATA_BLOCK,
         {"INSTANT_TIME": instant, "SCHEMA": json.dumps(schema)},
         bytes(content),
+    )
+
+
+def hfile_block_bytes(
+    instant: str,
+    schema: dict,
+    records: list[dict],
+    key_field: str = "_hoodie_record_key",
+    compression: str = "gz",
+) -> bytes:
+    """HFILE_DATA_BLOCK: content = an HFile image of (recordKey ->
+    Avro-binary record) cells, key-sorted (``HoodieHFileDataBlock``
+    sorts before writing; HFiles require ascending rows)."""
+    from .hfile import write_hfile
+
+    cells = []
+    for rec in records:
+        rb = bytearray()
+        avro_encode(schema, rec, rb)
+        cells.append((str(rec[key_field]).encode("utf-8"), bytes(rb)))
+    cells.sort(key=lambda kv: kv[0])
+    return frame_block(
+        HFILE_DATA_BLOCK,
+        {"INSTANT_TIME": instant, "SCHEMA": json.dumps(schema)},
+        write_hfile(cells, compression=compression),
     )
 
 

@@ -308,7 +308,10 @@ _HUDI_MOR_FIXTURE = _hmor_os.path.abspath(_hmor_os.path.join(
 # filtering) against the fixture's base parquet. The uncommitted block
 # (id1 -> 999) and the rolled-back block (id6 -> 600) are deliberately
 # NOT in this list — the Spark side must drop both to hash-match. The
-# C4 op (id4 -> 440) rides in a PARQUET_DATA_BLOCK in the fixture.
+# C4 op (id4 -> 440) rides in a PARQUET_DATA_BLOCK in the fixture; the
+# C5 ops (id7 -> 77, insert id8) ride in an HFILE_DATA_BLOCK (a complete
+# HBase HFile v3 image — GZ blocks, CRC32 checksums, protobuf trailer —
+# parsed by plans/hfile.py).
 _HUDI_MOR_LOG_OPS_SQL = """
     SELECT * FROM (VALUES
       ('id3', 'id3', 'charlie', CAST(333 AS BIGINT), '20210301100000', 1, FALSE),
@@ -317,7 +320,9 @@ _HUDI_MOR_LOG_OPS_SQL = """
       ('id5', NULL, NULL, CAST(NULL AS BIGINT),      '20210301100000', 1, TRUE),
       ('id3', 'id3', 'charlie', CAST(444 AS BIGINT), '20210301110000', 1, FALSE),
       ('id6', 'id6', 'foxtrot', CAST(666 AS BIGINT), '20210301110000', 1, FALSE),
-      ('id4', 'id4', 'delta',   CAST(440 AS BIGINT), '20210301130000', 1, FALSE)
+      ('id4', 'id4', 'delta',   CAST(440 AS BIGINT), '20210301130000', 1, FALSE),
+      ('id7', 'id7', 'golf',    CAST(77  AS BIGINT), '20210301140000', 1, FALSE),
+      ('id8', 'id8', 'hotel',   CAST(80  AS BIGINT), '20210301140000', 2, FALSE)
     ) AS t(k, id, name, value, ord_instant, ord_sub, is_del)
 """
 
@@ -363,7 +368,8 @@ def mor_hudi_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot + time travel over a FOREIGN genuine-format Hudi MOR
     table: tests/fixtures/hudi_mor carries base parquet plus binary
     ``HoodieLogFormat`` ``.log`` files (Avro data blocks, an Avro
-    HoodieDeleteRecordList delete block, a PARQUET_DATA_BLOCK, a
+    HoodieDeleteRecordList delete block, a PARQUET_DATA_BLOCK, an
+    HFILE_DATA_BLOCK — a full HBase HFile v3 image, plans/hfile.py — a
     rollback command block, and an uncommitted block) authored by an
     INDEPENDENT writer
     (tools/make_hudi_mor_fixture.py) — bytes the package reader

@@ -174,12 +174,13 @@ def _log_rows_df(
                     if instant not in valid_instants:
                         continue  # uncommitted append: not on the timeline
                     if block.block_type in (hl.AVRO_DATA_BLOCK,
-                                            hl.PARQUET_DATA_BLOCK):
-                        recs = (
-                            hl.data_block_records(block)
-                            if block.block_type == hl.AVRO_DATA_BLOCK
-                            else hl.parquet_block_records(block)
-                        )
+                                            hl.PARQUET_DATA_BLOCK,
+                                            hl.HFILE_DATA_BLOCK):
+                        recs = {
+                            hl.AVRO_DATA_BLOCK: hl.data_block_records,
+                            hl.PARQUET_DATA_BLOCK: hl.parquet_block_records,
+                            hl.HFILE_DATA_BLOCK: hl.hfile_block_records,
+                        }[block.block_type](block)
                         for ri, rec in enumerate(recs):
                             row = {c: rec.get(c) for c in col_names}
                             row.update(

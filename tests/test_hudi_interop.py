@@ -174,9 +174,10 @@ def test_mor_log_block_framing():
             seen_types.add(b.block_type)
             if b.block_type != hl.COMMAND_BLOCK:
                 assert b.headers["INSTANT_TIME"]
-    # the fixture exercises data, delete, command AND parquet blocks
+    # the fixture exercises data, delete, command, parquet AND hfile blocks
     assert seen_types == {hl.AVRO_DATA_BLOCK, hl.DELETE_BLOCK,
-                          hl.COMMAND_BLOCK, hl.PARQUET_DATA_BLOCK}
+                          hl.COMMAND_BLOCK, hl.PARQUET_DATA_BLOCK,
+                          hl.HFILE_DATA_BLOCK}
 
 
 def test_mor_log_rollback_semantics():
@@ -244,7 +245,7 @@ def test_mor_foreign_snapshot_merge(spark):
     }
     assert got == {("id1", "alpha", 10), ("id3", "charlie", 444),
                    ("id4", "delta", 440), ("id6", "foxtrot", 666),
-                   ("id7", "golf", 70)}
+                   ("id7", "golf", 77), ("id8", "hotel", 80)}
 
 
 def test_mor_parquet_data_block():
@@ -253,13 +254,84 @@ def test_mor_parquet_data_block():
     shape as Avro blocks."""
     from hudi_delete_view_spark.plans import hudi_log as hl
 
-    name = next(n for n in _mor_logs() if n.endswith(".log.3_0-20-77"))
+    name = next(n for n in _mor_logs()
+                if n.startswith(".e3a8b7f1") and n.endswith(".log.3_0-20-77"))
     with open(_mor_logs()[name], "rb") as f:
         (block,) = hl.parse_log_file(f.read())
     assert block.block_type == hl.PARQUET_DATA_BLOCK
     (rec,) = hl.parquet_block_records(block)
     assert (rec["_hoodie_record_key"], rec["value"],
             rec["_hoodie_is_deleted"]) == ("id4", 440, False)
+
+
+def test_mor_hfile_data_block():
+    """HFILE_DATA_BLOCK (ordinal 4): content is a complete HBase HFile
+    v3 image — GZ-compressed blocks, CRC32 checksums, protobuf trailer,
+    PBUF file info — authored by the fixture tool's INDEPENDENT
+    clean-room encoder; the package reader (plans/hfile.py via
+    plans/hudi_log.hfile_block_records) must decode it into the same
+    record-dict shape as Avro blocks, in key order."""
+    from hudi_delete_view_spark.plans import hudi_log as hl
+    from hudi_delete_view_spark.plans.hfile import read_hfile_info
+
+    name = next(n for n in _mor_logs()
+                if n.startswith(".7c2e") and n.endswith(".log.3_0-20-77"))
+    with open(_mor_logs()[name], "rb") as f:
+        (block,) = hl.parse_log_file(f.read())
+    assert block.block_type == hl.HFILE_DATA_BLOCK
+    info = read_hfile_info(block.content)
+    assert info["codec"] == 1  # GZ
+    assert info["entry_count"] == 2 and info["with_mvcc"]
+    recs = hl.hfile_block_records(block)
+    assert [(r["_hoodie_record_key"], r["name"], r["value"]) for r in recs] \
+        == [("id7", "golf", 77), ("id8", "hotel", 80)]
+
+
+def test_hfile_codec_round_trip():
+    """plans/hfile.py writer -> reader round trip across compression
+    codecs and block splits, with checksum verification: a flipped byte
+    in a data block must raise, and multi-level index files must refuse
+    with the limitation named."""
+    import pytest as _pytest
+
+    from hudi_delete_view_spark.plans.hfile import (
+        HFileFormatError,
+        read_hfile_cells,
+        read_hfile_info,
+        write_hfile,
+    )
+
+    cells = [(f"key{i:05d}".encode(), f"payload-{i}".encode() * 4)
+             for i in range(1000)]
+    for comp in ("gz", "none"):
+        img = write_hfile(cells, compression=comp, block_size=1024)
+        assert read_hfile_cells(img) == cells
+        assert read_hfile_info(img)["data_index_count"] > 1  # multi-block
+    assert write_hfile(cells) == write_hfile(cells)  # deterministic
+    corrupt = bytearray(write_hfile(cells, compression="none"))
+    corrupt[40] ^= 0xFF  # inside the first data block's payload
+    with _pytest.raises(HFileFormatError, match="checksum"):
+        read_hfile_cells(bytes(corrupt))
+
+
+def test_hfile_log_block_round_trip():
+    """WRITE direction: hudi_log.hfile_block_bytes frames records as an
+    HFILE_DATA_BLOCK (key-sorted cells, GZ HFile image) that the block
+    reader decodes back identically — the export path's codec option."""
+    from hudi_delete_view_spark.plans import hudi_log as hl
+
+    schema = {
+        "type": "record", "name": "rt", "fields": [
+            {"name": "_hoodie_record_key", "type": ["null", "string"]},
+            {"name": "v", "type": "long"},
+        ],
+    }
+    recs = [{"_hoodie_record_key": f"k{i:03d}", "v": i * 7} for i in range(50)]
+    blob = hl.hfile_block_bytes("20260816000000", schema, list(reversed(recs)))
+    (block,) = hl.parse_log_file(blob)
+    assert block.block_type == hl.HFILE_DATA_BLOCK
+    assert block.headers["INSTANT_TIME"] == "20260816000000"
+    assert hl.hfile_block_records(block) == recs  # sorted by key
 
 
 def test_mor_foreign_time_travel(spark):

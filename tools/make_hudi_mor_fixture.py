@@ -51,8 +51,16 @@ Commit history (two file groups, partition 2021/03/01):
   (the alternative block codec; content = a complete parquet file
   image) updating id4 -> 440.
 
-Merged snapshot at C4: id1/10, id3/444, id4/440, id6/666, id7/70.
-Deterministic: re-running produces byte-identical files.
+- C5 ``20210301140000.deltacommit``: g1 log.3 — an HFILE_DATA_BLOCK
+  (the metadata-table block codec; content = a complete HBase HFile v3
+  image, GZ-compressed blocks, CRC32 checksums, protobuf trailer;
+  cells = recordKey -> Avro-binary record, key-sorted) updating
+  id7 -> 77 and inserting id8/hotel/80. The HFile encoder below is a
+  from-spec clean-room implementation independent of
+  ``plans/hfile.py``.
+
+Merged snapshot at C5: id1/10, id3/444, id4/440, id6/666, id7/77,
+id8/80. Deterministic: re-running produces byte-identical files.
 """
 
 import json
@@ -67,6 +75,7 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
                    "hudi_mor")
 C1, C2, C3 = "20210301090000", "20210301100000", "20210301110000"
 C4 = "20210301130000"  # PARQUET_DATA_BLOCK delta (alt block codec)
+C5 = "20210301140000"  # HFILE_DATA_BLOCK delta (metadata-table codec)
 UNCOMMITTED = "20210301120000"   # block present, instant never completes
 FAILED = "20210301105500"        # rolled back by a command block
 PART = "2021/03/01"
@@ -92,7 +101,7 @@ AVRO_SCHEMA = {
 
 MAGIC = b"#HUDI#"
 # HoodieLogBlockType ordinals
-T_COMMAND, T_DELETE, T_AVRO, T_PARQUET = 0, 1, 3, 5
+T_COMMAND, T_DELETE, T_AVRO, T_PARQUET, T_HFILE = 0, 1, 3, 5, 4
 # HeaderMetadataType ordinals
 H_INSTANT, H_TARGET, H_SCHEMA, H_CMDTYPE = 0, 1, 2, 3
 
@@ -208,6 +217,117 @@ def _parquet_block(instant: str, rows, fname: str) -> bytes:
     return _block(T_PARQUET, {H_INSTANT: instant,
                               H_SCHEMA: json.dumps(AVRO_SCHEMA)},
                   buf.getvalue())
+
+
+# -- HBase HFile v3 encoding (clean-room, spec-direct: FixedFileTrailer/
+# -- HFileBlock/HFileWriterImpl in the Apache HBase tree; independent of
+# -- the package's plans/hfile.py so the reader is proven on foreign bytes)
+
+def _pbv(n: int) -> bytes:
+    """Protobuf varint."""
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _pbf(num: int, wire: int, val) -> bytes:
+    tag = _pbv((num << 3) | wire)
+    return tag + (_pbv(val) if wire == 0 else _pbv(len(val)) + val)
+
+
+def _hvint(n: int) -> bytes:
+    """Hadoop WritableUtils vint (non-negative, multi-byte form only
+    needed past 127; fixture keys are short)."""
+    if n <= 127:
+        return struct.pack("b", n)
+    size, tmp = 0, n
+    while tmp:
+        size += 1
+        tmp >>= 8
+    out = bytearray(struct.pack("b", -112 - size))
+    for i in range(size - 1, -1, -1):
+        out.append((n >> (8 * i)) & 0xFF)
+    return bytes(out)
+
+
+def _hfile_hblock(file_out: bytearray, magic: bytes, payload: bytes,
+                  prev: int) -> tuple[int, int]:
+    """One GZ-compressed HFile block with CRC32 checksums; returns
+    (offset, on-disk size incl. header)."""
+    import zlib
+
+    offset = len(file_out)
+    comp = zlib.compressobj(9, zlib.DEFLATED, 16 + 15)
+    gz = comp.compress(payload) + comp.flush()
+    on_disk_data_with_header = 33 + len(gz)
+    bpc = 16384
+    n_chunks = -(-on_disk_data_with_header // bpc)
+    on_disk_without_header = len(gz) + 4 * n_chunks
+    header = (magic + struct.pack(">ii", on_disk_without_header, len(payload))
+              + struct.pack(">q", prev) + b"\x01"       # CRC32
+              + struct.pack(">i", bpc)
+              + struct.pack(">i", on_disk_data_with_header))
+    body = header + gz
+    file_out += body
+    for i in range(0, len(body), bpc):
+        file_out += struct.pack(">I", zlib.crc32(body[i:i + bpc]) & 0xFFFFFFFF)
+    return offset, 33 + on_disk_without_header
+
+
+def _hfile_image(cells: list[tuple[bytes, bytes]]) -> bytes:
+    """A single-data-block HFile v3 image of key-sorted (row, value)
+    cells. Cell = int32 keyLen/valueLen, key (int16 rowLen, row, int8
+    famLen=0, int64 ts=0, int8 type=Put), value, vlong mvcc=0 (the file
+    declares KEY_VALUE_VERSION=2)."""
+    out = bytearray()
+    block = bytearray()
+    first_key = None
+    for row, value in sorted(cells):
+        key = (struct.pack(">H", len(row)) + row + b"\x00"
+               + struct.pack(">q", 0) + b"\x04")
+        if first_key is None:
+            first_key = bytes(key)
+        block += struct.pack(">ii", len(key), len(value)) + key + value
+        block += b"\x00"  # vlong mvcc = 0
+    d_off, d_size = _hfile_hblock(out, b"DATABLK*", bytes(block), -1)
+
+    load_on_open = len(out)
+    root = struct.pack(">qi", d_off, d_size) + _hvint(len(first_key)) + first_key
+    _hfile_hblock(out, b"ROOTIDX*", root, -1)
+
+    info_entries = {
+        b"KEY_VALUE_VERSION": struct.pack(">i", 2),
+        b"MAX_MEMSTORE_TS_KEY": struct.pack(">q", 0),
+    }
+    pairs = b"".join(_pbf(1, 2, _pbf(1, 2, k) + _pbf(2, 2, v))
+                     for k, v in sorted(info_entries.items()))
+    info_off = len(out)
+    _hfile_hblock(out, b"FILEINF2", b"PBUF" + _pbv(len(pairs)) + pairs, -1)
+
+    trailer_pb = (_pbf(1, 0, info_off) + _pbf(2, 0, load_on_open)
+                  + _pbf(3, 0, len(root)) + _pbf(4, 0, 33 + len(block))
+                  + _pbf(5, 0, 1) + _pbf(6, 0, 0) + _pbf(7, 0, len(cells))
+                  + _pbf(8, 0, 1) + _pbf(9, 0, d_off) + _pbf(10, 0, d_off)
+                  + _pbf(11, 2, b"org.apache.hadoop.hbase.CellComparatorImpl")
+                  + _pbf(12, 0, 1))                      # codec GZ
+    trailer = b'TRABLK"$' + _pbv(len(trailer_pb)) + trailer_pb
+    trailer += b"\x00" * (4096 - len(trailer) - 4)
+    trailer += struct.pack(">i", (3 << 24) | 3)          # minor 3, major 3
+    out += trailer
+    return bytes(out)
+
+
+def _hfile_block(instant: str, records: list[bytes], keys: list[str]) -> bytes:
+    """HFILE_DATA_BLOCK: content = an HFile image with recordKey ->
+    Avro-binary record cells (HoodieHFileDataBlock framing)."""
+    cells = [(k.encode(), rb) for k, rb in zip(keys, records)]
+    return _block(T_HFILE, {H_INSTANT: instant,
+                            H_SCHEMA: json.dumps(AVRO_SCHEMA)},
+                  _hfile_image(cells))
 
 
 def _command_block(instant: str, target: str) -> bytes:
@@ -364,6 +484,18 @@ def main() -> None:
     rel24, p24 = _write_log(FG2, C1, 3, [b_pq])
     _commit(meta_dir, C4, [
         _stat(FG2, rel24, os.path.getsize(p24), C1, 1, 0, 1, 0, log_version=3),
+    ], "UPSERT")
+
+    # C5: g1 rollover log.3 — an HFILE_DATA_BLOCK (the metadata-table
+    # block codec) updating id7 -> 77 and inserting id8
+    g1_f3 = _log_name(FG1, C1, 3)
+    b_hf = _hfile_block(C5, [
+        _rec_bytes(C5, f"{C5}_0_1", "id7", g1_f3, "id7", "golf", 77),
+        _rec_bytes(C5, f"{C5}_0_2", "id8", g1_f3, "id8", "hotel", 80),
+    ], ["id7", "id8"])
+    rel15, p15 = _write_log(FG1, C1, 3, [b_hf])
+    _commit(meta_dir, C5, [
+        _stat(FG1, rel15, os.path.getsize(p15), C1, 2, 0, 1, 1, log_version=3),
     ], "UPSERT")
     print(f"wrote genuine-layout Hudi MOR fixture at {os.path.abspath(OUT)}")
 
