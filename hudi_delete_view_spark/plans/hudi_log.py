@@ -216,6 +216,12 @@ def avro_decode(schema, cur: _Cursor):
 # -- block framing ---------------------------------------------------------
 
 
+def decode_avro_bytes(schema, data: bytes):
+    """Decode one Avro-binary value from a standalone byte string (e.g.
+    an HFile cell value or a metadata-table payload)."""
+    return avro_decode(schema, _Cursor(data))
+
+
 def _read_meta_map(cur: _Cursor) -> dict[str, str]:
     count = struct.unpack(">i", cur.take(4))[0]
     out = {}

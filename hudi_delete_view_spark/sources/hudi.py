@@ -83,6 +83,157 @@ def hudi_completed_instants(base_path: str) -> list[str]:
     return sorted(out)
 
 
+# -- Hudi metadata table (the 100 TB listing path) -------------------------
+
+# HoodieMetadataRecord, the files-partition subset (public schema:
+# hudi-common/src/main/avro/HoodieMetadata.avsc). Record types:
+# 1 = partition list (key "__all_partitions__"), 2 = partition file list.
+HOODIE_METADATA_SCHEMA = {
+    "type": "record",
+    "name": "HoodieMetadataRecord",
+    "namespace": "org.apache.hudi.avro.model",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "type", "type": "int"},
+        {
+            "name": "filesystemMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "map",
+                    "values": {
+                        "type": "record",
+                        "name": "HoodieMetadataFileInfo",
+                        "fields": [
+                            {"name": "size", "type": "long"},
+                            {"name": "isDeleted", "type": "boolean"},
+                        ],
+                    },
+                },
+            ],
+        },
+    ],
+}
+
+ALL_PARTITIONS_KEY = "__all_partitions__"
+_HFILE_BASE_RE = re.compile(
+    r"^(?P<fid>[A-Za-z0-9\-]+)_(?P<token>[0-9\-]+)_(?P<ts>\d{14,})\.hfile$"
+)
+
+
+def read_hudi_metadata_files(base_path: str) -> dict[str, dict[str, int]] | None:
+    """File listing from the Hudi METADATA TABLE's ``files`` partition:
+    ``{partition_rel_path: {filename: size}}``, or None when the table
+    has no metadata table.
+
+    Why: at 100 TB a Hudi table has tens of thousands of partitions —
+    Hudi ships the listing in an internal MOR table at
+    ``<base>/.hoodie/metadata`` (HFile base files + log blocks, its own
+    timeline) precisely so readers never recursively walk the
+    filesystem. This reads that table: base HFile cells + committed log
+    blocks (AVRO/HFILE/PARQUET codecs all accepted) decode as
+    ``HoodieMetadataRecord`` rows, fold last-write-wins per key with
+    per-filename map merge, and ``isDeleted`` entries drop the file
+    (``HoodieMetadataPayload.combineAndGetUpdateValue`` semantics).
+
+    Driver-side by design: the files partition is one record per data
+    partition plus the partition-list record — KB-to-MB scale, the same
+    class of metadata Hudi's own driver reads. (The record_index /
+    column_stats partitions, which DO scale with data, are not listed
+    here and would go through the executor-side block path instead.)"""
+    from ..plans import hudi_log as hl
+    from ..plans.hfile import read_hfile_cells
+
+    mt = os.path.join(base_path, ".hoodie", "metadata")
+    fs = fs_for(base_path)
+    files_dir = os.path.join(mt, "files")
+    if not (fs.isdir(os.path.join(mt, ".hoodie")) and fs.isdir(files_dir)):
+        return None
+    valid = set(hudi_completed_instants(mt))
+
+    # slices inside the single "files" partition
+    bases: dict[str, tuple[str, str]] = {}
+    logs: dict[str, list[tuple[int, str]]] = {}
+    for name in fs.listdir(files_dir):
+        m = _HFILE_BASE_RE.match(name)
+        if m and m.group("ts") in valid:
+            fid = m.group("fid")
+            if fid not in bases or bases[fid][0] < m.group("ts"):
+                bases[fid] = (m.group("ts"), os.path.join(files_dir, name))
+            continue
+        m = _LOG_RE.match(name)
+        if m:
+            logs.setdefault(m.group("fid"), []).append(
+                (int(m.group("version")), os.path.join(files_dir, name))
+            )
+
+    # fold records in write order: base cells, then committed log blocks
+    merged: dict[str, dict[str, dict]] = {}
+
+    def fold(rec: dict) -> None:
+        fsm = rec.get("filesystemMetadata") or {}
+        merged.setdefault(rec["key"], {}).update(fsm)
+
+    for fid, (_ts, path) in sorted(bases.items()):
+        with open(path, "rb") as f:
+            for _row, value in read_hfile_cells(f.read()):
+                fold(hl.decode_avro_bytes(HOODIE_METADATA_SCHEMA, value))
+        for _version, lpath in sorted(logs.get(fid, [])):
+            with open(lpath, "rb") as f:
+                blocks = hl.apply_rollbacks(hl.parse_log_file(f.read()))
+            for block in blocks:
+                if block.headers.get("INSTANT_TIME", "") not in valid:
+                    continue
+                if block.block_type == hl.AVRO_DATA_BLOCK:
+                    recs = hl.data_block_records(block)
+                elif block.block_type == hl.HFILE_DATA_BLOCK:
+                    recs = hl.hfile_block_records(block)
+                elif block.block_type == hl.PARQUET_DATA_BLOCK:
+                    recs = hl.parquet_block_records(block)
+                else:
+                    continue
+                for rec in recs:
+                    fold(rec)
+
+    partitions = sorted(merged.get(ALL_PARTITIONS_KEY, {}).keys())
+    out: dict[str, dict[str, int]] = {}
+    for part in partitions:
+        infos = merged.get(part, {})
+        out[part] = {
+            name: info["size"]
+            for name, info in sorted(infos.items())
+            if not info["isDeleted"]
+        }
+    return out
+
+
+def _slices_from_metadata(
+    base_path: str, valid: set[str], listing: dict[str, dict[str, int]]
+) -> list[_Slice]:
+    """Build the slice view from metadata-table file NAMES (no
+    filesystem walk — the listing is the metadata table's)."""
+    bases: dict[str, tuple[str, str]] = {}
+    logs: dict[tuple[str, str], list[tuple[int, str]]] = {}
+    for part, files in listing.items():
+        pdir = os.path.join(base_path, part) if part else base_path
+        for name in files:
+            m = _BASE_RE.match(name)
+            if m and m.group("ts") in valid:
+                fid, ts = m.group("fid"), m.group("ts")
+                if fid not in bases or bases[fid][0] < ts:
+                    bases[fid] = (ts, os.path.join(pdir, name))
+                continue
+            m = _LOG_RE.match(name)
+            if m:
+                logs.setdefault((m.group("fid"), m.group("base_ts")), []).append(
+                    (int(m.group("version")), os.path.join(pdir, name))
+                )
+    return [
+        _Slice(fid, ts, path, tuple(sorted(logs.get((fid, ts), []))))
+        for fid, (ts, path) in sorted(bases.items())
+    ]
+
+
 def _list_slices(base_path: str, valid: set[str]) -> list[_Slice]:
     """Latest committed base slice per file group + its log files.
 
@@ -225,14 +376,26 @@ def _log_rows_df(
 
 
 def read_hudi_mor_snapshot(
-    spark: SparkSession, base_path: str, as_of: str | None = None
+    spark: SparkSession, base_path: str, as_of: str | None = None,
+    listing: str = "auto",
 ) -> DataFrame:
     """Snapshot view of a genuine Hudi MOR table at ``as_of`` (default:
     latest completed instant): base parquet merged with committed log
     blocks, last write per (partition, record key) wins, tombstones
-    (``_hoodie_is_deleted`` / DELETE_BLOCKs) filtered out."""
+    (``_hoodie_is_deleted`` / DELETE_BLOCKs) filtered out.
+
+    ``listing`` picks how file names are discovered: ``"metadata"``
+    reads the Hudi metadata table's files partition (the scale path —
+    no recursive filesystem walk; raises if the table has none),
+    ``"walk"`` walks the directory tree, ``"auto"`` (default) prefers
+    the metadata table when present — the posture a 100 TB table
+    needs, where a walk over tens of thousands of partitions is the
+    dominant open cost and the listing a metadata-enabled Hudi writer
+    maintains is the source of truth."""
     from pyspark.sql import Window as W
 
+    if listing not in ("auto", "walk", "metadata"):
+        raise ValueError(f"unknown listing mode {listing!r}")
     instants = hudi_completed_instants(base_path)
     if not instants:
         raise ValueError(f"no completed Hudi instants under {base_path!r}")
@@ -243,7 +406,17 @@ def read_hudi_mor_snapshot(
         raise ValueError(
             f"as_of {as_of!r} precedes the first instant {instants[0]!r}"
         )
-    slices = _list_slices(base_path, valid)
+    md_listing = (
+        read_hudi_metadata_files(base_path) if listing in ("auto", "metadata")
+        else None
+    )
+    if listing == "metadata" and md_listing is None:
+        raise ValueError(f"no Hudi metadata table under {base_path!r}")
+    slices = (
+        _slices_from_metadata(base_path, valid, md_listing)
+        if md_listing is not None
+        else _list_slices(base_path, valid)
+    )
     if not slices:
         raise ValueError(f"no committed base files under {base_path!r}")
 

@@ -334,6 +334,67 @@ def test_hfile_log_block_round_trip():
     assert hl.hfile_block_records(block) == recs  # sorted by key
 
 
+def test_hudi_metadata_table_listing():
+    """The metadata table's files partition (HFile base + HFILE log
+    block, HoodieMetadataRecord payloads) folds to the exact live file
+    listing: the C4/C5 log-borne additions merged in, the GHOST base
+    file (present live in the base HFile, isDeleted in the log — a name
+    shaped like a real base file, so ignoring the tombstone would make
+    the reader open a nonexistent parquet) dropped."""
+    from hudi_delete_view_spark.sources.hudi import read_hudi_metadata_files
+
+    listing = read_hudi_metadata_files(MOR_FIXTURE)
+    assert listing is not None and set(listing) == {"2021/03/01"}
+    names = set(listing["2021/03/01"])
+    walked = {n for n in _mor_logs()} | {
+        n for n in os.listdir(os.path.join(MOR_FIXTURE, "2021/03/01"))
+        if n.endswith(".parquet")
+    }
+    assert names == walked  # metadata listing == filesystem truth
+    assert not any(n.startswith("aaaa1111") for n in names)  # ghost gone
+
+
+def test_mor_snapshot_listing_modes_agree(spark):
+    """walk / metadata / auto listings produce identical snapshots and
+    time travel; listing='metadata' on a table without a metadata table
+    raises naming it."""
+    from hudi_delete_view_spark.sources.hudi import read_hudi_mor_snapshot
+
+    def snap(**kw):
+        return sorted(
+            (r["id"], r["value"])
+            for r in read_hudi_mor_snapshot(spark, MOR_FIXTURE, **kw)
+            .select("id", "value").collect()
+        )
+
+    expect = snap(listing="walk")
+    assert snap(listing="metadata") == expect
+    assert snap(listing="auto") == expect
+    assert (snap(listing="metadata", as_of=M2)
+            == snap(listing="walk", as_of=M2))
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        bare = os.path.join(tmp, "bare")
+        shutil.copytree(MOR_FIXTURE, bare)
+        shutil.rmtree(os.path.join(bare, ".hoodie", "metadata"))
+        from hudi_delete_view_spark.sources.hudi import (
+            read_hudi_metadata_files,
+        )
+
+        assert read_hudi_metadata_files(bare) is None
+        with pytest.raises(ValueError, match="no Hudi metadata table"):
+            read_hudi_mor_snapshot(spark, bare, listing="metadata")
+        # auto silently falls back to the walk
+        got = sorted(
+            (r["id"], r["value"])
+            for r in read_hudi_mor_snapshot(spark, bare, listing="auto")
+            .select("id", "value").collect()
+        )
+        assert got == expect
+
+
 def test_mor_foreign_time_travel(spark):
     """as_of filters instants AND log blocks: at M2 the C3 blocks are
     invisible; at M1 (read-optimized point) only base rows serve."""

@@ -59,6 +59,13 @@ Commit history (two file groups, partition 2021/03/01):
   from-spec clean-room implementation independent of
   ``plans/hfile.py``.
 
+- ``.hoodie/metadata/`` — a Hudi METADATA TABLE mirroring the commit
+  history: its own timeline, a ``files`` partition with an HFile base
+  file (state as of C3 plus a GHOST base-file entry) and a log whose
+  HFILE_DATA_BLOCK appends the C4/C5 files and tombstones the ghost
+  (``isDeleted`` = true) — the no-filesystem-walk listing path real
+  Hudi readers use at scale.
+
 Merged snapshot at C5: id1/10, id3/444, id4/440, id6/666, id7/77,
 id8/80. Deterministic: re-running produces byte-identical files.
 """
@@ -335,6 +342,82 @@ def _command_block(instant: str, target: str) -> bytes:
                               H_CMDTYPE: "0"}, b"")
 
 
+# -- Hudi metadata table (files partition) ----------------------------------
+
+METADATA_SCHEMA = {
+    "type": "record", "name": "HoodieMetadataRecord",
+    "namespace": "org.apache.hudi.avro.model",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "type", "type": "int"},
+        {"name": "filesystemMetadata", "type": ["null", {
+            "type": "map", "values": {
+                "type": "record", "name": "HoodieMetadataFileInfo",
+                "fields": [{"name": "size", "type": "long"},
+                           {"name": "isDeleted", "type": "boolean"}]}}]},
+    ],
+}
+
+# a file-group id that LOOKS like a real base file: if a reader ignores
+# the metadata log's isDeleted tombstone it will try to open this
+# nonexistent parquet and fail loudly
+GHOST = "aaaa1111-2222-3333-4444-555566667777-0"
+
+
+def _md_record(key: str, rtype: int, files: dict[str, tuple[int, bool]]) -> bytes:
+    """Avro-binary HoodieMetadataRecord: key, type, filesystemMetadata
+    union branch 1 = map of name -> (size long, isDeleted bool)."""
+    out = bytearray()
+    out += _astr(key)
+    out += _zz(rtype)
+    out += _zz(1)                      # union branch 1: map
+    out += _zz(len(files))             # map block count
+    for name, (size, deleted) in sorted(files.items()):
+        out += _astr(name) + _zz(size) + (b"\x01" if deleted else b"\x00")
+    out += _zz(0)                      # map terminator
+    return bytes(out)
+
+
+def _write_metadata_table(data_files_by_commit: dict[str, list[str]]) -> None:
+    """Author <OUT>/.hoodie/metadata: its own timeline, one HFile base
+    file in the files partition (state as of C3, PLUS a ghost base-file
+    entry), and one log file whose HFILE_DATA_BLOCK appends the C4/C5
+    files and tombstones the ghost (isDeleted=true) — so a reader that
+    honors HoodieMetadataPayload merge semantics lists exactly the real
+    files, and one that ignores the tombstone trips over the ghost."""
+    mt = os.path.join(OUT, ".hoodie", "metadata")
+    mt_meta = os.path.join(mt, ".hoodie")
+    files_dir = os.path.join(mt, "files")
+    os.makedirs(mt_meta, exist_ok=True)
+    os.makedirs(files_dir, exist_ok=True)
+    for ts in (C1, C2, C3, C4, C5):
+        with open(os.path.join(mt_meta, f"{ts}.deltacommit"), "w") as f:
+            json.dump({"operationType": "UPSERT"}, f)
+
+    upto_c3 = {n: (100, False) for c in (C1, C2, C3)
+               for n in data_files_by_commit[c]}
+    upto_c3[f"{GHOST}_{TOKEN}_{C1}.parquet"] = (100, False)
+    base_cells = [
+        (PART.encode(), _md_record(PART, 2, upto_c3)),
+        (b"__all_partitions__", _md_record("__all_partitions__", 1,
+                                           {PART: (0, False)})),
+    ]
+    with open(os.path.join(files_dir, f"files-0000_0-0-0_{C3}.hfile"),
+              "wb") as f:
+        f.write(_hfile_image(base_cells))
+
+    delta = {n: (100, False) for c in (C4, C5)
+             for n in data_files_by_commit[c]}
+    delta[f"{GHOST}_{TOKEN}_{C1}.parquet"] = (0, True)
+    log_block = _block(T_HFILE,
+                       {H_INSTANT: C5, H_SCHEMA: json.dumps(METADATA_SCHEMA)},
+                       _hfile_image([(PART.encode(),
+                                      _md_record(PART, 2, delta))]))
+    with open(os.path.join(files_dir, f".files-0000_{C3}.log.1_0-0-0"),
+              "wb") as f:
+        f.write(log_block)
+
+
 # -- table pieces ----------------------------------------------------------
 
 def _base_name(fid, ts):
@@ -497,6 +580,16 @@ def main() -> None:
     _commit(meta_dir, C5, [
         _stat(FG1, rel15, os.path.getsize(p15), C1, 2, 0, 1, 1, log_version=3),
     ], "UPSERT")
+
+    # the metadata table mirrors the commit history's file additions
+    bn = os.path.basename
+    _write_metadata_table({
+        C1: [bn(rel11), bn(rel21)],
+        C2: [bn(rel12), bn(rel22)],
+        C3: [bn(rel13), bn(rel23)],
+        C4: [bn(rel24)],
+        C5: [bn(rel15)],
+    })
     print(f"wrote genuine-layout Hudi MOR fixture at {os.path.abspath(OUT)}")
 
 
