@@ -402,7 +402,7 @@ def _zz_bytes(n: int) -> bytes:
 def avro_encode(schema, value, out: bytearray) -> None:
     """Encode one value of ``schema`` (mirror of ``avro_decode``; the
     subset the export emits: primitives, 2-branch nullable unions,
-    records, arrays). Timestamp-micros ride as their base long."""
+    records, arrays, maps). Timestamp-micros ride as their base long."""
     if isinstance(schema, list):  # union: branch index, then the branch
         if value is None:
             idx = schema.index("null")
@@ -424,6 +424,15 @@ def avro_encode(schema, value, out: bytearray) -> None:
                 out += _zz_bytes(len(items))
                 for it in items:
                     avro_encode(schema["items"], it, out)
+            out += _zz_bytes(0)
+            return
+        if t == "map":
+            entries = dict(value)
+            if entries:
+                out += _zz_bytes(len(entries))
+                for k in sorted(entries):
+                    avro_encode("string", k, out)
+                    avro_encode(schema["values"], entries[k], out)
             out += _zz_bytes(0)
             return
         avro_encode(t, value, out)  # {"type": "long", "logicalType": ...}

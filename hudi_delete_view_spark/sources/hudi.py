@@ -525,6 +525,14 @@ def export_hudi_mor(table, out_dir: str, table_name: str = "export_mor") -> str:
     base_instant: dict[str, str] = {}  # file_id -> its base slice instant
     log_version: dict[tuple[str, str], int] = {}
     avro_schema = None
+    # ts -> partition -> {filename: size}, feeds the metadata table
+    md_files: dict[str, dict[str, dict[str, int]]] = {}
+
+    def md_add(ts: str, partition: str, path: str) -> None:
+        md_files.setdefault(ts, {}).setdefault(partition, {})[
+            os.path.basename(path)
+        ] = os.path.getsize(path)
+
     for ts in table.timeline.timestamps():
         meta = table.timeline.commit_metadata(ts)
         for partition, stat in meta.all_stats():
@@ -556,6 +564,7 @@ def export_hudi_mor(table, out_dir: str, table_name: str = "export_mor") -> str:
                     allow_truncated_timestamps=True,
                 )
                 base_instant[stat.file_id] = ts
+                md_add(ts, partition, os.path.join(pdir, fname))
                 continue
             # delta slice -> one Avro data block appended to this
             # group's current log file
@@ -576,10 +585,87 @@ def export_hudi_mor(table, out_dir: str, table_name: str = "export_mor") -> str:
             )
             with open(os.path.join(pdir, fname), "ab") as f:
                 f.write(hl.data_block_bytes(ts, avro_schema, rows))
+            md_add(ts, partition, os.path.join(pdir, fname))
         suffix = ".commit" if meta.operation == "compaction" else ".deltacommit"
         with open(os.path.join(out_dir, ".hoodie", f"{ts}{suffix}"), "w") as f:
             f.write(meta.to_hudi_json())
+    _export_metadata_table(out_dir, md_files)
     return out_dir
+
+
+def _export_metadata_table(
+    out_dir: str, md_files: dict[str, dict[str, dict[str, int]]]
+) -> None:
+    """Write the export's Hudi METADATA TABLE (files partition): the
+    first data instant's listing as an HFile base file, each later
+    instant's additions as one HFILE_DATA_BLOCK in the files log —
+    mirroring how a metadata-enabled Hudi writer maintains the listing
+    commit by commit. Makes the export scale-ready: readers (ours via
+    ``listing="auto"``, real Hudi with ``hoodie.metadata.enable``) list
+    files without a recursive walk."""
+    import json as _json
+
+    from ..plans import hudi_log as hl
+    from ..plans.hfile import write_hfile
+
+    if not md_files:
+        return
+    mt = os.path.join(out_dir, ".hoodie", "metadata")
+    mt_meta = os.path.join(mt, ".hoodie")
+    files_dir = os.path.join(mt, "files")
+    os.makedirs(mt_meta, exist_ok=True)
+    os.makedirs(files_dir, exist_ok=True)
+
+    def records_for(ts: str) -> list[dict]:
+        parts = md_files[ts]
+        recs = [
+            {
+                "key": ALL_PARTITIONS_KEY,
+                "type": 1,
+                "filesystemMetadata": {
+                    p: {"size": 0, "isDeleted": False} for p in parts
+                },
+            }
+        ]
+        for p, files in sorted(parts.items()):
+            recs.append(
+                {
+                    "key": p,
+                    "type": 2,
+                    "filesystemMetadata": {
+                        n: {"size": s, "isDeleted": False}
+                        for n, s in files.items()
+                    },
+                }
+            )
+        return recs
+
+    instants = sorted(md_files)
+    for ts in instants:
+        with open(os.path.join(mt_meta, f"{ts}.deltacommit"), "w") as f:
+            _json.dump({"operationType": "UPSERT"}, f)
+    first = instants[0]
+    cells = []
+    for rec in records_for(first):
+        rb = bytearray()
+        hl.avro_encode(HOODIE_METADATA_SCHEMA, rec, rb)
+        cells.append((rec["key"].encode("utf-8"), bytes(rb)))
+    cells.sort(key=lambda kv: kv[0])
+    with open(
+        os.path.join(files_dir, f"files-0000_0-0-0_{first}.hfile"), "wb"
+    ) as f:
+        f.write(write_hfile(cells))
+    if len(instants) > 1:
+        with open(
+            os.path.join(files_dir, f".files-0000_{first}.log.1_0-0-0"), "wb"
+        ) as f:
+            for ts in instants[1:]:
+                f.write(
+                    hl.hfile_block_bytes(
+                        ts, HOODIE_METADATA_SCHEMA, records_for(ts),
+                        key_field="key",
+                    )
+                )
 
 
 def read_hudi_mor_delete_view(

@@ -477,6 +477,26 @@ def test_mor_export_round_trip(spark, scratch):
     for ts in ("20260101000000", "20260102000000", "20260103000000"):
         assert foreign_rows(as_of=ts) == native_rows(as_of=ts), ts
 
+    # the export also carries a metadata table (files partition: HFile
+    # base + HFILE_DATA_BLOCK log, one record per instant) — the
+    # foreign reader's no-walk listing path reproduces the walk exactly
+    from hudi_delete_view_spark.sources.hudi import read_hudi_metadata_files
+
+    listing = read_hudi_metadata_files(out)
+    assert listing is not None
+    walked = {
+        f for _r, _d, fs in os.walk(out) for f in fs
+        if (f.endswith(".parquet") or ".log." in f)
+        and ".hoodie" not in _r.replace(out, "")
+    }
+    assert {n for files in listing.values() for n in files} == walked
+    md_rows = {
+        (r["k"], r["v"])
+        for r in read_hudi_mor_snapshot(spark, out, listing="metadata")
+        .select("k", "v").collect()
+    }
+    assert md_rows == {(k, v) for k, v, _d, _ts in native_rows()}
+
 
 def test_mor_foreign_delete_view(spark):
     """The flagship question asked of the FOREIGN MOR table: rows
