@@ -448,6 +448,51 @@ def read_hfile_info(data: bytes) -> dict:
     }
 
 
+def lookup_hfile_cells(data: bytes, rows: set[bytes]) -> dict[bytes, bytes]:
+    """Point lookups: {row: value} for the requested rows, reading ONLY
+    the data blocks the root index says can hold them (binary search on
+    each block's first key) — the access pattern HBase serves gets; a
+    full-file scan would defeat the point of an indexed format. Rows
+    not present are absent from the result."""
+    meta = read_hfile_info(data)
+    codec = meta["codec"]
+    if meta["index_levels"] != 1:
+        raise HFileFormatError(
+            f"multi-level data index (levels={meta['index_levels']}) not supported"
+        )
+    magic, payload, _ = _read_block(data, meta["load_on_open_offset"])
+    if magic != MAGIC_ROOT_INDEX:
+        raise HFileFormatError(f"expected ROOTIDX* block, got {magic!r}")
+    root = _decompress(payload, codec)
+    entries: list[tuple[bytes, int]] = []  # (first row, offset)
+    pos = 0
+    for _ in range(meta["data_index_count"]):
+        offset, _size = struct.unpack_from(">qi", root, pos)
+        pos += 12
+        key_len, pos = _read_hadoop_vlong(root, pos)
+        entries.append((cell_key_row(root[pos : pos + key_len]), offset))
+        pos += key_len
+    import bisect
+
+    first_rows = [e[0] for e in entries]
+    wanted_blocks: dict[int, set[bytes]] = {}
+    for row in rows:
+        i = bisect.bisect_right(first_rows, row) - 1
+        if i >= 0:
+            wanted_blocks.setdefault(entries[i][1], set()).add(row)
+    out: dict[bytes, bytes] = {}
+    for offset, targets in sorted(wanted_blocks.items()):
+        bmagic, body, _ = _read_block(data, offset)
+        if bmagic != MAGIC_DATA:
+            raise HFileFormatError(f"index points at non-data block {bmagic!r}")
+        for row, value in _iter_cells(
+            _decompress(body, codec), meta["with_mvcc"], meta["with_tags"]
+        ):
+            if row in targets:
+                out[row] = value
+    return out
+
+
 def read_hfile_cells(data: bytes) -> list[tuple[bytes, bytes]]:
     """All (row, value) cells of a single-level HFile, in file order."""
     meta = read_hfile_info(data)

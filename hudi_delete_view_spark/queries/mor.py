@@ -398,3 +398,43 @@ def mor_hudi_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _HUDI_MOR_FIXTURE, "20210301100000"
     ).select(F.lit("delete_view").alias("section"), *cols)
     return snap.unionByName(tt).unionByName(dv)
+
+
+@query(
+    "mor_hudi_point_lookup",
+    oracle=f"""
+WITH base AS (
+  SELECT _hoodie_record_key AS k, id, name, value,
+         '20210301090000' AS ord_instant, -1 AS ord_sub, FALSE AS is_del
+  FROM read_parquet('{_HUDI_MOR_FIXTURE}/2021/03/01/*_20210301090000.parquet')
+),
+log AS ({_HUDI_MOR_LOG_OPS_SQL}),
+merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM log
+),
+snap AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY k ORDER BY ord_instant DESC, ord_sub DESC) AS rn
+  FROM merged
+)
+SELECT id, name, value FROM snap
+WHERE rn = 1 AND NOT is_del AND k IN ('id3', 'id4', 'id8')
+""",
+)
+def mor_hudi_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-index point lookup on the FOREIGN Hudi MOR table: the
+    metadata table's ``record_index`` partition (HFile cells decoded
+    through both HoodieRecordIndexInfo fileId encodings — UUID
+    high/low-bits packing and the raw-string escape hatch, schema taken
+    from the commit's extraMetadata) names each key's file group, and
+    the merge window runs over ONLY those slices — at 100 TB a handful
+    of files instead of the table, with base-HFile reads served through
+    the root-index single-block path rather than a scan. id3 exercises
+    a log-updated key (encoding 0), id4 a PARQUET-block-updated key
+    (encoding 1), id8 an HFILE-block-born insert; the oracle recomputes
+    the same keys' merge results from the authored ops."""
+    from ..sources.hudi import read_hudi_mor_point_lookup
+
+    return read_hudi_mor_point_lookup(
+        spark, _HUDI_MOR_FIXTURE, ["id3", "id4", "id8"]
+    ).select("id", "name", "value")

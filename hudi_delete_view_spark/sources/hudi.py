@@ -121,6 +121,106 @@ _HFILE_BASE_RE = re.compile(
 )
 
 
+def _metadata_decode_schema(mt_path: str) -> dict:
+    """Writer schema for metadata-table HFile cells.
+
+    HFile cells carry no per-record schema (unlike log blocks, whose
+    SCHEMA header travels with the block), and HoodieMetadataRecord has
+    GROWN across Hudi versions (bloom/column-stats/record-index fields
+    appended) — decoding a newer table with an older positional schema
+    would misread every record. Real Hudi embeds the table schema in
+    each commit's ``extraMetadata.schema``; honor it when present, fall
+    back to the files-partition subset this package's own writers
+    emit."""
+    import json as _json
+
+    fs = fs_for(mt_path)
+    meta_dir = os.path.join(mt_path, ".hoodie")
+    latest = None
+    for name in sorted(fs.listdir(meta_dir)):
+        if _INSTANT_RE.match(name):
+            latest = os.path.join(meta_dir, name)
+    if latest:
+        try:
+            with open(latest) as f:
+                doc = _json.load(f)
+            schema = (doc.get("extraMetadata") or {}).get("schema")
+            if schema:
+                return _json.loads(schema)
+        except (OSError, ValueError):
+            pass
+    return HOODIE_METADATA_SCHEMA
+
+
+def _walk_metadata_partition(
+    base_path: str,
+    partition: str,
+    fold,
+    keys: set[str] | None = None,
+) -> bool:
+    """Drive ``fold(record)`` over a metadata-table partition's records
+    in write order (base HFile cells, then committed log blocks per
+    slice). Returns False when the table has no such partition.
+
+    ``keys``: point-lookup mode — base HFiles are read via the indexed
+    single-block path (``lookup_hfile_cells``), not a full scan; log
+    blocks (small deltas) are scanned and filtered."""
+    from ..plans import hudi_log as hl
+    from ..plans.hfile import lookup_hfile_cells, read_hfile_cells
+
+    mt = os.path.join(base_path, ".hoodie", "metadata")
+    fs = fs_for(base_path)
+    part_dir = os.path.join(mt, partition)
+    if not (fs.isdir(os.path.join(mt, ".hoodie")) and fs.isdir(part_dir)):
+        return False
+    valid = set(hudi_completed_instants(mt))
+    schema = _metadata_decode_schema(mt)
+
+    bases: dict[str, tuple[str, str]] = {}
+    logs: dict[str, list[tuple[int, str]]] = {}
+    for name in fs.listdir(part_dir):
+        m = _HFILE_BASE_RE.match(name)
+        if m and m.group("ts") in valid:
+            fid = m.group("fid")
+            if fid not in bases or bases[fid][0] < m.group("ts"):
+                bases[fid] = (m.group("ts"), os.path.join(part_dir, name))
+            continue
+        m = _LOG_RE.match(name)
+        if m:
+            logs.setdefault(m.group("fid"), []).append(
+                (int(m.group("version")), os.path.join(part_dir, name))
+            )
+
+    for fid, (_ts, path) in sorted(bases.items()):
+        with open(path, "rb") as f:
+            data = f.read()
+        if keys is None:
+            for _row, value in read_hfile_cells(data):
+                fold(hl.decode_avro_bytes(schema, value))
+        else:
+            hits = lookup_hfile_cells(data, {k.encode("utf-8") for k in keys})
+            for _row, value in sorted(hits.items()):
+                fold(hl.decode_avro_bytes(schema, value))
+        for _version, lpath in sorted(logs.get(fid, [])):
+            with open(lpath, "rb") as f:
+                blocks = hl.apply_rollbacks(hl.parse_log_file(f.read()))
+            for block in blocks:
+                if block.headers.get("INSTANT_TIME", "") not in valid:
+                    continue
+                if block.block_type == hl.AVRO_DATA_BLOCK:
+                    recs = hl.data_block_records(block)
+                elif block.block_type == hl.HFILE_DATA_BLOCK:
+                    recs = hl.hfile_block_records(block)
+                elif block.block_type == hl.PARQUET_DATA_BLOCK:
+                    recs = hl.parquet_block_records(block)
+                else:
+                    continue
+                for rec in recs:
+                    if keys is None or rec.get("key") in keys:
+                        fold(rec)
+    return True
+
+
 def read_hudi_metadata_files(base_path: str) -> dict[str, dict[str, int]] | None:
     """File listing from the Hudi METADATA TABLE's ``files`` partition:
     ``{partition_rel_path: {filename: size}}``, or None when the table
@@ -141,59 +241,15 @@ def read_hudi_metadata_files(base_path: str) -> dict[str, dict[str, int]] | None
     class of metadata Hudi's own driver reads. (The record_index /
     column_stats partitions, which DO scale with data, are not listed
     here and would go through the executor-side block path instead.)"""
-    from ..plans import hudi_log as hl
-    from ..plans.hfile import read_hfile_cells
-
-    mt = os.path.join(base_path, ".hoodie", "metadata")
-    fs = fs_for(base_path)
-    files_dir = os.path.join(mt, "files")
-    if not (fs.isdir(os.path.join(mt, ".hoodie")) and fs.isdir(files_dir)):
-        return None
-    valid = set(hudi_completed_instants(mt))
-
-    # slices inside the single "files" partition
-    bases: dict[str, tuple[str, str]] = {}
-    logs: dict[str, list[tuple[int, str]]] = {}
-    for name in fs.listdir(files_dir):
-        m = _HFILE_BASE_RE.match(name)
-        if m and m.group("ts") in valid:
-            fid = m.group("fid")
-            if fid not in bases or bases[fid][0] < m.group("ts"):
-                bases[fid] = (m.group("ts"), os.path.join(files_dir, name))
-            continue
-        m = _LOG_RE.match(name)
-        if m:
-            logs.setdefault(m.group("fid"), []).append(
-                (int(m.group("version")), os.path.join(files_dir, name))
-            )
-
-    # fold records in write order: base cells, then committed log blocks
     merged: dict[str, dict[str, dict]] = {}
 
     def fold(rec: dict) -> None:
         fsm = rec.get("filesystemMetadata") or {}
         merged.setdefault(rec["key"], {}).update(fsm)
 
-    for fid, (_ts, path) in sorted(bases.items()):
-        with open(path, "rb") as f:
-            for _row, value in read_hfile_cells(f.read()):
-                fold(hl.decode_avro_bytes(HOODIE_METADATA_SCHEMA, value))
-        for _version, lpath in sorted(logs.get(fid, [])):
-            with open(lpath, "rb") as f:
-                blocks = hl.apply_rollbacks(hl.parse_log_file(f.read()))
-            for block in blocks:
-                if block.headers.get("INSTANT_TIME", "") not in valid:
-                    continue
-                if block.block_type == hl.AVRO_DATA_BLOCK:
-                    recs = hl.data_block_records(block)
-                elif block.block_type == hl.HFILE_DATA_BLOCK:
-                    recs = hl.hfile_block_records(block)
-                elif block.block_type == hl.PARQUET_DATA_BLOCK:
-                    recs = hl.parquet_block_records(block)
-                else:
-                    continue
-                for rec in recs:
-                    fold(rec)
+    found = _walk_metadata_partition(base_path, "files", fold)
+    if not found:
+        return None
 
     partitions = sorted(merged.get(ALL_PARTITIONS_KEY, {}).keys())
     out: dict[str, dict[str, int]] = {}
@@ -232,6 +288,67 @@ def _slices_from_metadata(
         _Slice(fid, ts, path, tuple(sorted(logs.get((fid, ts), []))))
         for fid, (ts, path) in sorted(bases.items())
     ]
+
+
+def read_hudi_record_index(
+    base_path: str, keys: list[str]
+) -> dict[str, tuple[str, str]] | None:
+    """Point lookups in the metadata table's ``record_index`` partition:
+    ``{record_key: (partition_path, file_id)}`` for the keys found, or
+    None when the table has no record index.
+
+    ``HoodieRecordIndexInfo`` supports two file-id encodings: 0 — the
+    UUID packed into (fileIdHighBits, fileIdLowBits) plus a numeric
+    fileIndex suffix (Hudi's compact form for its standard UUID-based
+    file groups); 1 — the raw ``fileId`` string (the escape hatch for
+    non-UUID ids). Both decode here. Base HFiles are read through the
+    indexed single-block path (root-index binary search), NOT a scan —
+    at 100 TB the record index is billions of cells and a per-key read
+    must touch one block per HFile, exactly the access HBase serves."""
+    import uuid as _uuid
+
+    out: dict[str, tuple[str, str]] = {}
+    wanted = set(keys)
+
+    def fold(rec: dict) -> None:
+        ri = rec.get("recordIndexMetadata")
+        if ri is None:
+            return
+        if ri.get("fileIdEncoding") == 1 or ri.get("fileIdHighBits") is None:
+            fid = ri.get("fileId")
+        else:
+            hi = ri["fileIdHighBits"] & 0xFFFFFFFFFFFFFFFF
+            lo = ri["fileIdLowBits"] & 0xFFFFFFFFFFFFFFFF
+            fid = f"{_uuid.UUID(int=(hi << 64) | lo)}-{ri.get('fileIndex', 0)}"
+        out[rec["key"]] = (ri.get("partitionName") or "", fid)
+
+    found = _walk_metadata_partition(base_path, "record_index", fold, keys=wanted)
+    return out if found else None
+
+
+def read_hudi_mor_point_lookup(
+    spark: SparkSession, base_path: str, keys: list[str],
+    as_of: str | None = None,
+) -> DataFrame:
+    """Key lookups on a foreign Hudi MOR table WITHOUT scanning it: the
+    metadata table's record index names each key's file group, so the
+    merge window runs over only those slices (base file + its logs) —
+    at 100 TB that is a handful of files instead of the table. Keys the
+    index doesn't know are absent from the result (a deleted or
+    never-written key reads as no row, same as a filtered snapshot).
+    Raises when the table has no record index."""
+    locations = read_hudi_record_index(base_path, keys)
+    if locations is None:
+        raise ValueError(f"no record_index partition under {base_path!r}")
+    fids = {fid for (_p, fid) in locations.values()}
+    if not fids:
+        return read_hudi_mor_snapshot(spark, base_path, as_of=as_of).filter(
+            F.lit(False)
+        )
+    full = read_hudi_mor_snapshot(
+        spark, base_path, as_of=as_of, file_ids=fids
+    )
+    return full.filter(F.col("_hoodie_record_key").isin(list(keys)))
 
 
 def _list_slices(base_path: str, valid: set[str]) -> list[_Slice]:
@@ -377,7 +494,7 @@ def _log_rows_df(
 
 def read_hudi_mor_snapshot(
     spark: SparkSession, base_path: str, as_of: str | None = None,
-    listing: str = "auto",
+    listing: str = "auto", file_ids: set[str] | None = None,
 ) -> DataFrame:
     """Snapshot view of a genuine Hudi MOR table at ``as_of`` (default:
     latest completed instant): base parquet merged with committed log
@@ -417,6 +534,10 @@ def read_hudi_mor_snapshot(
         if md_listing is not None
         else _list_slices(base_path, valid)
     )
+    if file_ids is not None:
+        # point-lookup restriction (record-index callers): merge only
+        # the named file groups' slices
+        slices = [s for s in slices if s.file_id in file_ids]
     if not slices:
         raise ValueError(f"no committed base files under {base_path!r}")
 

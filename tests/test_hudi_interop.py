@@ -301,12 +301,21 @@ def test_hfile_codec_round_trip():
         write_hfile,
     )
 
+    from hudi_delete_view_spark.plans.hfile import lookup_hfile_cells
+
     cells = [(f"key{i:05d}".encode(), f"payload-{i}".encode() * 4)
              for i in range(1000)]
     for comp in ("gz", "none"):
         img = write_hfile(cells, compression=comp, block_size=1024)
         assert read_hfile_cells(img) == cells
         assert read_hfile_info(img)["data_index_count"] > 1  # multi-block
+        # indexed point lookup: present keys found, absent keys absent,
+        # across block boundaries and below the first key
+        got = lookup_hfile_cells(
+            img, {b"key00000", b"key00500", b"key00999", b"absent", b"aaa"}
+        )
+        assert got == {k: v for k, v in cells
+                       if k in {b"key00000", b"key00500", b"key00999"}}
     assert write_hfile(cells) == write_hfile(cells)  # deterministic
     corrupt = bytearray(write_hfile(cells, compression="none"))
     corrupt[40] ^= 0xFF  # inside the first data block's payload
@@ -393,6 +402,59 @@ def test_mor_snapshot_listing_modes_agree(spark):
             .select("id", "value").collect()
         )
         assert got == expect
+
+
+def test_hudi_record_index():
+    """The metadata table's record_index partition resolves record keys
+    to their file groups through BOTH HoodieRecordIndexInfo encodings:
+    0 (UUID packed in high/low longs + fileIndex — FG1's keys) and 1
+    (raw fileId string — FG2's keys). Unknown keys are absent. The
+    decode schema comes from the commit's extraMetadata (the fixture's
+    schema is deliberately wider than the package fallback, so a
+    positional misread would corrupt every field)."""
+    from hudi_delete_view_spark.sources.hudi import read_hudi_record_index
+
+    idx = read_hudi_record_index(
+        MOR_FIXTURE, ["id1", "id3", "id4", "id6", "id8", "nope"])
+    fg1 = "7c2e91d4-5a38-4f6b-b0c7-8e1f3a9d2c55-0"
+    fg2 = "e3a8b7f1-9c24-4d5e-a6b3-0f7d8c1e4a92-0"
+    assert idx == {
+        "id1": ("2021/03/01", fg1), "id3": ("2021/03/01", fg1),
+        "id8": ("2021/03/01", fg1),
+        "id4": ("2021/03/01", fg2), "id6": ("2021/03/01", fg2),
+    }
+
+
+def test_mor_foreign_point_lookup(spark):
+    """Record-index point lookup: merge window restricted to the named
+    keys' file groups only (no table scan), full merge semantics (log
+    updates, HFile-block updates), tombstoned/unknown keys read as no
+    row, time travel composes, tables without a record index raise."""
+    import shutil
+    import tempfile
+
+    from hudi_delete_view_spark.sources.hudi import read_hudi_mor_point_lookup
+
+    got = sorted(
+        (r["id"], r["name"], r["value"])
+        for r in read_hudi_mor_point_lookup(
+            spark, MOR_FIXTURE, ["id3", "id4", "id999"])
+        .select("id", "name", "value").collect()
+    )
+    assert got == [("id3", "charlie", 444), ("id4", "delta", 440)]
+    assert read_hudi_mor_point_lookup(spark, MOR_FIXTURE, ["id5"]).count() == 0
+    tt = [
+        (r["id"], r["value"])
+        for r in read_hudi_mor_point_lookup(
+            spark, MOR_FIXTURE, ["id3"], as_of=M2).select("id", "value").collect()
+    ]
+    assert tt == [("id3", 333)]
+    with tempfile.TemporaryDirectory() as tmp:
+        bare = os.path.join(tmp, "bare")
+        shutil.copytree(MOR_FIXTURE, bare)
+        shutil.rmtree(os.path.join(bare, ".hoodie", "metadata", "record_index"))
+        with pytest.raises(ValueError, match="record_index"):
+            read_hudi_mor_point_lookup(spark, bare, ["id3"])
 
 
 def test_mor_foreign_time_travel(spark):

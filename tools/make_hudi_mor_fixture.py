@@ -60,11 +60,16 @@ Commit history (two file groups, partition 2021/03/01):
   ``plans/hfile.py``.
 
 - ``.hoodie/metadata/`` — a Hudi METADATA TABLE mirroring the commit
-  history: its own timeline, a ``files`` partition with an HFile base
-  file (state as of C3 plus a GHOST base-file entry) and a log whose
-  HFILE_DATA_BLOCK appends the C4/C5 files and tombstones the ghost
-  (``isDeleted`` = true) — the no-filesystem-walk listing path real
-  Hudi readers use at scale.
+  history: its own timeline (schema embedded in each deltacommit's
+  extraMetadata — deliberately WIDER than the package's fallback
+  subset, so the reader must honor it), a ``files`` partition with an
+  HFile base file (state as of C3 plus a GHOST base-file entry) and a
+  log whose HFILE_DATA_BLOCK appends the C4/C5 files and tombstones
+  the ghost (``isDeleted`` = true) — the no-filesystem-walk listing
+  path real Hudi readers use at scale — and a ``record_index``
+  partition mapping every live key to its file group through BOTH
+  HoodieRecordIndexInfo encodings (FG1 keys: UUID packed into
+  high/low longs + fileIndex; FG2 keys: raw fileId string).
 
 Merged snapshot at C5: id1/10, id3/444, id4/440, id6/666, id7/77,
 id8/80. Deterministic: re-running produces byte-identical files.
@@ -344,6 +349,11 @@ def _command_block(instant: str, target: str) -> bytes:
 
 # -- Hudi metadata table (files partition) ----------------------------------
 
+# DELIBERATELY WIDER than the package's fallback subset (extra
+# recordIndexMetadata field): HFile cells carry no schema, so the
+# package reader must honor the schema embedded in this table's commit
+# extraMetadata — decoding positionally with its own subset would
+# misread every record, and the fixture proves it doesn't.
 METADATA_SCHEMA = {
     "type": "record", "name": "HoodieMetadataRecord",
     "namespace": "org.apache.hudi.avro.model",
@@ -355,6 +365,16 @@ METADATA_SCHEMA = {
                 "type": "record", "name": "HoodieMetadataFileInfo",
                 "fields": [{"name": "size", "type": "long"},
                            {"name": "isDeleted", "type": "boolean"}]}}]},
+        {"name": "recordIndexMetadata", "type": ["null", {
+            "type": "record", "name": "HoodieRecordIndexInfo",
+            "fields": [
+                {"name": "partitionName", "type": ["null", "string"]},
+                {"name": "fileIdHighBits", "type": ["null", "long"]},
+                {"name": "fileIdLowBits", "type": ["null", "long"]},
+                {"name": "fileIndex", "type": ["null", "int"]},
+                {"name": "fileId", "type": ["null", "string"]},
+                {"name": "instantTime", "type": ["null", "long"]},
+                {"name": "fileIdEncoding", "type": ["null", "int"]}]}]},
     ],
 }
 
@@ -366,7 +386,8 @@ GHOST = "aaaa1111-2222-3333-4444-555566667777-0"
 
 def _md_record(key: str, rtype: int, files: dict[str, tuple[int, bool]]) -> bytes:
     """Avro-binary HoodieMetadataRecord: key, type, filesystemMetadata
-    union branch 1 = map of name -> (size long, isDeleted bool)."""
+    union branch 1 = map of name -> (size long, isDeleted bool),
+    recordIndexMetadata null."""
     out = bytearray()
     out += _astr(key)
     out += _zz(rtype)
@@ -375,6 +396,39 @@ def _md_record(key: str, rtype: int, files: dict[str, tuple[int, bool]]) -> byte
     for name, (size, deleted) in sorted(files.items()):
         out += _astr(name) + _zz(size) + (b"\x01" if deleted else b"\x00")
     out += _zz(0)                      # map terminator
+    out += _zz(0)                      # recordIndexMetadata: null
+    return bytes(out)
+
+
+def _signed64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _ri_record(key: str, fid: str, encoding: int) -> bytes:
+    """Avro-binary HoodieMetadataRecord for the record index (type 5):
+    filesystemMetadata null; recordIndexMetadata with the requested
+    fileId encoding — 0 packs the UUID into (high, low) longs + the
+    numeric suffix as fileIndex, 1 carries the raw fileId string."""
+    import uuid
+
+    out = bytearray()
+    out += _astr(key)
+    out += _zz(5)
+    out += _zz(0)                      # filesystemMetadata: null
+    out += _zz(1)                      # recordIndexMetadata: branch 1
+    out += _zz(1) + _astr(PART)        # partitionName
+    if encoding == 0:
+        u, idx = fid.rsplit("-", 1)
+        val = uuid.UUID(u).int
+        out += _zz(1) + _zz(_signed64(val >> 64))          # fileIdHighBits
+        out += _zz(1) + _zz(_signed64(val & ((1 << 64) - 1)))  # fileIdLowBits
+        out += _zz(1) + _zz(int(idx))  # fileIndex
+        out += _zz(0)                  # fileId: null
+    else:
+        out += _zz(0) + _zz(0) + _zz(0)  # high/low/index: null
+        out += _zz(1) + _astr(fid)     # fileId
+    out += _zz(1) + _zz(int(C5))       # instantTime
+    out += _zz(1) + _zz(encoding)      # fileIdEncoding
     return bytes(out)
 
 
@@ -392,7 +446,9 @@ def _write_metadata_table(data_files_by_commit: dict[str, list[str]]) -> None:
     os.makedirs(files_dir, exist_ok=True)
     for ts in (C1, C2, C3, C4, C5):
         with open(os.path.join(mt_meta, f"{ts}.deltacommit"), "w") as f:
-            json.dump({"operationType": "UPSERT"}, f)
+            json.dump({"operationType": "UPSERT",
+                       "extraMetadata": {
+                           "schema": json.dumps(METADATA_SCHEMA)}}, f)
 
     upto_c3 = {n: (100, False) for c in (C1, C2, C3)
                for n in data_files_by_commit[c]}
@@ -416,6 +472,20 @@ def _write_metadata_table(data_files_by_commit: dict[str, list[str]]) -> None:
     with open(os.path.join(files_dir, f".files-0000_{C3}.log.1_0-0-0"),
               "wb") as f:
         f.write(log_block)
+
+    # record_index partition: every live key's file group — FG1 keys
+    # via encoding 0 (UUID packed into high/low longs + fileIndex),
+    # FG2 keys via encoding 1 (raw fileId string)
+    ri_dir = os.path.join(mt, "record_index")
+    os.makedirs(ri_dir, exist_ok=True)
+    ri_cells = sorted(
+        [(k.encode(), _ri_record(k, FG1, 0))
+         for k in ("id1", "id3", "id7", "id8")]
+        + [(k.encode(), _ri_record(k, FG2, 1)) for k in ("id4", "id6")]
+    )
+    with open(os.path.join(ri_dir, f"record-index-0000_0-0-0_{C5}.hfile"),
+              "wb") as f:
+        f.write(_hfile_image(ri_cells))
 
 
 # -- table pieces ----------------------------------------------------------
