@@ -216,10 +216,88 @@ def avro_decode(schema, cur: _Cursor):
 # -- block framing ---------------------------------------------------------
 
 
+_AVRO_PRIMITIVES = frozenset(
+    {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+)
+
+
+def resolve_named_types(schema):
+    """Expand Avro NAMED-TYPE REFERENCES into their definitions.
+
+    Real Avro schemas define a record/enum/fixed once and reference it
+    by name afterwards — e.g. Hudi's HoodieMetadataColumnStats defines
+    the min/max value-wrapper records inside ``minValue``'s union and
+    ``maxValue``'s union just says ``["null", "IntWrapper", ...]``. The
+    positional decoder needs the full definition at every use site, so
+    this pre-pass collects named definitions (bare and
+    namespace-qualified) and substitutes references. Recursive types
+    raise (no Hudi payload is recursive; silently looping would be
+    worse)."""
+    defs: dict[str, dict] = {}
+
+    def collect(s) -> None:
+        if isinstance(s, list):
+            for b in s:
+                collect(b)
+            return
+        if not isinstance(s, dict):
+            return
+        t = s.get("type")
+        if t in ("record", "enum", "fixed") and "name" in s:
+            defs[s["name"]] = s
+            if s.get("namespace"):
+                defs[f"{s['namespace']}.{s['name']}"] = s
+        if t == "record":
+            for f in s.get("fields", ()):
+                collect(f["type"])
+        elif t == "array":
+            collect(s.get("items"))
+        elif t == "map":
+            collect(s.get("values"))
+        elif isinstance(t, (dict, list)):
+            collect(t)
+
+    collect(schema)
+    if not defs:
+        return schema
+
+    def subst(s, stack: frozenset):
+        if isinstance(s, str):
+            if s in _AVRO_PRIMITIVES or s not in defs:
+                return s
+            if s in stack:
+                raise HudiLogFormatError(f"recursive Avro type: {s}")
+            return subst(defs[s], stack | {s})
+        if isinstance(s, list):
+            return [subst(b, stack) for b in s]
+        if not isinstance(s, dict):
+            return s
+        t = s.get("type")
+        out = dict(s)
+        if t == "record":
+            inner = stack | {s["name"]} if "name" in s else stack
+            out["fields"] = [
+                {**f, "type": subst(f["type"], inner)} for f in s.get("fields", ())
+            ]
+        elif t == "array":
+            out["items"] = subst(s.get("items"), stack)
+        elif t == "map":
+            out["values"] = subst(s.get("values"), stack)
+        elif isinstance(t, (dict, list)) or (
+            isinstance(t, str) and t not in _AVRO_PRIMITIVES
+            and t not in ("record", "enum", "fixed")
+        ):
+            out["type"] = subst(t, stack)
+        return out
+
+    return subst(schema, frozenset())
+
+
 def decode_avro_bytes(schema, data: bytes):
     """Decode one Avro-binary value from a standalone byte string (e.g.
-    an HFile cell value or a metadata-table payload)."""
-    return avro_decode(schema, _Cursor(data))
+    an HFile cell value or a metadata-table payload). Named-type
+    references in the schema are resolved first."""
+    return avro_decode(resolve_named_types(schema), _Cursor(data))
 
 
 def _read_meta_map(cur: _Cursor) -> dict[str, str]:
@@ -309,7 +387,7 @@ def data_block_records(block: LogBlock) -> list[dict]:
     byte length + Avro binary."""
     if block.block_type != AVRO_DATA_BLOCK:
         raise HudiLogFormatError("not an Avro data block")
-    schema = json.loads(block.headers["SCHEMA"])
+    schema = resolve_named_types(json.loads(block.headers["SCHEMA"]))
     cur = _Cursor(block.content)
     struct.unpack(">i", cur.take(4))  # content-format version
     count = struct.unpack(">i", cur.take(4))[0]
@@ -351,7 +429,7 @@ def hfile_block_records(block: LogBlock) -> list[dict]:
 
     if block.block_type != HFILE_DATA_BLOCK:
         raise HudiLogFormatError("not an HFile data block")
-    schema = json.loads(block.headers["SCHEMA"])
+    schema = resolve_named_types(json.loads(block.headers["SCHEMA"]))
     return [
         avro_decode(schema, _Cursor(value))
         for _row, value in read_hfile_cells(block.content)

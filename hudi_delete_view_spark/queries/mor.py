@@ -438,3 +438,42 @@ def mor_hudi_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_hudi_mor_point_lookup(
         spark, _HUDI_MOR_FIXTURE, ["id3", "id4", "id8"]
     ).select("id", "name", "value")
+
+
+@query(
+    "mor_hudi_data_skipping",
+    oracle=f"""
+WITH base AS (
+  SELECT _hoodie_record_key AS k, id, name, value,
+         '20210301090000' AS ord_instant, -1 AS ord_sub, FALSE AS is_del
+  FROM read_parquet('{_HUDI_MOR_FIXTURE}/2021/03/01/*_20210301090000.parquet')
+),
+log AS ({_HUDI_MOR_LOG_OPS_SQL}),
+merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM log
+),
+snap AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY k ORDER BY ord_instant DESC, ord_sub DESC) AS rn
+  FROM merged
+)
+SELECT id, name, value FROM snap
+WHERE rn = 1 AND NOT is_del AND value BETWEEN 70 AND 100
+""",
+)
+def mor_hudi_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats data skipping on the FOREIGN Hudi MOR table: the
+    metadata table's ``column_stats`` partition (HoodieMetadataColumnStats
+    with min/max through the NAMED-REFERENCE wrapper union the public
+    avsc declares — resolved by the Avro layer) prunes file groups whose
+    every file provably excludes the range [70, 100] — here file group 2
+    entirely (its delete-only log carries valueCount=0: no values, still
+    skippable), so the merge scans ONE group. Sound because Hudi keys
+    never migrate between file groups; the residual row filter applies
+    on top (stats are file-granular). The oracle recomputes the merge in
+    DuckDB and filters by the same range."""
+    from ..sources.hudi import read_hudi_mor_snapshot
+
+    return read_hudi_mor_snapshot(
+        spark, _HUDI_MOR_FIXTURE, column_range=("value", 70, 100)
+    ).select("id", "name", "value")

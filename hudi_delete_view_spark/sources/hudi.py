@@ -290,6 +290,66 @@ def _slices_from_metadata(
     ]
 
 
+def read_hudi_column_stats(
+    base_path: str, column: str
+) -> dict[str, dict] | None:
+    """Per-file stats for ``column`` from the metadata table's
+    ``column_stats`` partition: ``{fileName: {"min", "max",
+    "value_count"}}``, or None when the table has no column-stats
+    index. Min/max arrive through the wrapper-record union
+    (IntWrapper/LongWrapper/...) the public HoodieMetadataColumnStats
+    schema declares by NAMED REFERENCE — resolved by the Avro layer."""
+    out: dict[str, dict] = {}
+
+    def fold(rec: dict) -> None:
+        cs = rec.get("ColumnStatsMetadata")
+        if not cs or cs.get("columnName") != column or cs.get("isDeleted"):
+            return
+        def unwrap(v):
+            return v.get("value") if isinstance(v, dict) else v
+        out[cs["fileName"]] = {
+            "min": unwrap(cs.get("minValue")),
+            "max": unwrap(cs.get("maxValue")),
+            "value_count": cs.get("valueCount"),
+        }
+
+    found = _walk_metadata_partition(base_path, "column_stats", fold)
+    return out if found else None
+
+
+def _prune_slices_by_stats(
+    slices: list[_Slice], stats: dict[str, dict], lo, hi
+) -> list[_Slice]:
+    """Drop file groups whose EVERY file provably excludes [lo, hi].
+
+    Sound for MOR because a record key never migrates between file
+    groups: a key's whole version history lives in one group, so if no
+    file of the group can hold a value in range, neither can any key's
+    LATEST value. A file excludes the range when its stats say
+    value_count == 0 (delete-only logs) or its [min, max] is disjoint;
+    a file with NO stats row makes its group unprunable (unknown ≠
+    excluded)."""
+
+    def file_excludes(name: str) -> bool:
+        s = stats.get(name)
+        if s is None:
+            return False
+        if s.get("value_count") == 0:
+            return True
+        mn, mx = s.get("min"), s.get("max")
+        if mn is None or mx is None:
+            return False
+        return mx < lo or mn > hi
+
+    return [
+        s for s in slices
+        if not (
+            file_excludes(os.path.basename(s.base_path))
+            and all(file_excludes(os.path.basename(p)) for _v, p in s.log_paths)
+        )
+    ]
+
+
 def read_hudi_record_index(
     base_path: str, keys: list[str]
 ) -> dict[str, tuple[str, str]] | None:
@@ -495,6 +555,7 @@ def _log_rows_df(
 def read_hudi_mor_snapshot(
     spark: SparkSession, base_path: str, as_of: str | None = None,
     listing: str = "auto", file_ids: set[str] | None = None,
+    column_range: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Snapshot view of a genuine Hudi MOR table at ``as_of`` (default:
     latest completed instant): base parquet merged with committed log
@@ -508,7 +569,17 @@ def read_hudi_mor_snapshot(
     the metadata table when present — the posture a 100 TB table
     needs, where a walk over tens of thousands of partitions is the
     dominant open cost and the listing a metadata-enabled Hudi writer
-    maintains is the source of truth."""
+    maintains is the source of truth.
+
+    ``column_range=(col, lo, hi)``: data skipping through the metadata
+    table's column_stats index — file groups whose every file provably
+    excludes [lo, hi] never enter the scan (sound because keys never
+    migrate between Hudi file groups), and the row filter is applied
+    on top (stats are file-granular). Without a column_stats partition
+    the range degrades to a plain post-merge filter.
+
+    ``file_ids``: restrict the merge to the named file groups (the
+    record-index point-lookup path)."""
     from pyspark.sql import Window as W
 
     if listing not in ("auto", "walk", "metadata"):
@@ -538,6 +609,21 @@ def read_hudi_mor_snapshot(
         # point-lookup restriction (record-index callers): merge only
         # the named file groups' slices
         slices = [s for s in slices if s.file_id in file_ids]
+    residual = None
+    if column_range is not None:
+        # data skipping via the metadata table's column_stats index:
+        # drop file groups every file of which excludes [lo, hi], then
+        # apply the residual row filter (stats are file-granular)
+        col, lo, hi = column_range
+        stats = read_hudi_column_stats(base_path, col)
+        if stats:
+            slices = _prune_slices_by_stats(slices, stats, lo, hi)
+        residual = F.col(col).between(F.lit(lo), F.lit(hi))
+        if not slices:
+            empty = read_hudi_mor_snapshot(
+                spark, base_path, as_of=as_of, listing=listing
+            )
+            return empty.filter(F.lit(False))
     if not slices:
         raise ValueError(f"no committed base files under {base_path!r}")
 
@@ -563,6 +649,8 @@ def read_hudi_mor_snapshot(
     )
     if "_hoodie_is_deleted" in [f.name for f in base.schema.fields]:
         out = out.filter(~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False)))
+    if residual is not None:
+        out = out.filter(residual)
     return out.drop("__rn", "__is_delete", *_ORD_COLS)
 
 

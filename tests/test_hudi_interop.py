@@ -457,6 +457,88 @@ def test_mor_foreign_point_lookup(spark):
             read_hudi_mor_point_lookup(spark, bare, ["id3"])
 
 
+def test_hudi_column_stats_skipping(spark):
+    """column_stats data skipping: stats decode through the
+    named-reference wrapper union, group-level pruning drops FG2 for
+    [70, 100] (its delete-only log has valueCount=0 — no values, still
+    skippable), the pruned result equals filter-after-full-merge, and a
+    table WITHOUT a column_stats partition degrades to the plain
+    filter."""
+    import shutil
+    import tempfile
+
+    from hudi_delete_view_spark.sources.hudi import (
+        _list_slices,
+        _prune_slices_by_stats,
+        hudi_completed_instants,
+        read_hudi_column_stats,
+        read_hudi_mor_snapshot,
+    )
+
+    stats = read_hudi_column_stats(MOR_FIXTURE, "value")
+    assert stats is not None and len(stats) == 8
+    delete_only = next(v for k, v in stats.items()
+                       if k.startswith(".e3a8") and ".log.1" in k)
+    assert delete_only == {"min": None, "max": None, "value_count": 0}
+
+    valid = set(hudi_completed_instants(MOR_FIXTURE))
+    slices = _list_slices(MOR_FIXTURE, valid)
+    pruned = _prune_slices_by_stats(slices, stats, 70, 100)
+    assert [s.file_id[:4] for s in pruned] == ["7c2e"]  # FG2 gone
+
+    def rows(**kw):
+        return sorted(
+            (r["id"], r["value"])
+            for r in read_hudi_mor_snapshot(spark, MOR_FIXTURE, **kw)
+            .select("id", "value").collect()
+        )
+
+    full_filtered = [(i, v) for i, v in rows() if 70 <= v <= 100]
+    assert rows(column_range=("value", 70, 100)) == full_filtered == [
+        ("id7", 77), ("id8", 80)]
+    assert rows(column_range=("value", 5000, 6000)) == []
+    with tempfile.TemporaryDirectory() as tmp:
+        bare = os.path.join(tmp, "bare")
+        shutil.copytree(MOR_FIXTURE, bare)
+        shutil.rmtree(os.path.join(bare, ".hoodie", "metadata", "column_stats"))
+        assert read_hudi_column_stats(bare, "value") is None
+        got = sorted(
+            (r["id"], r["value"])
+            for r in read_hudi_mor_snapshot(
+                spark, bare, column_range=("value", 70, 100))
+            .select("id", "value").collect()
+        )
+        assert got == full_filtered  # degrades to the plain filter
+
+
+def test_avro_named_type_resolution():
+    """resolve_named_types: a union that references records by NAME
+    (the real HoodieMetadataColumnStats shape) decodes identically to
+    the inline form; recursive references raise instead of looping."""
+    import pytest as _pytest
+
+    from hudi_delete_view_spark.plans import hudi_log as hl
+
+    wrapper = {"type": "record", "name": "LongWrapper",
+               "fields": [{"name": "value", "type": "long"}]}
+    schema = {
+        "type": "record", "name": "Outer",
+        "fields": [
+            {"name": "a", "type": ["null", wrapper]},
+            {"name": "b", "type": ["null", "LongWrapper"]},  # by name
+        ],
+    }
+    payload = bytearray()
+    hl.avro_encode(hl.resolve_named_types(schema),
+                   {"a": {"value": 7}, "b": {"value": -9}}, payload)
+    rec = hl.decode_avro_bytes(schema, bytes(payload))
+    assert rec == {"a": {"value": 7}, "b": {"value": -9}}
+    loop = {"type": "record", "name": "Node",
+            "fields": [{"name": "next", "type": ["null", "Node"]}]}
+    with _pytest.raises(hl.HudiLogFormatError, match="recursive"):
+        hl.resolve_named_types(loop)
+
+
 def test_mor_foreign_time_travel(spark):
     """as_of filters instants AND log blocks: at M2 the C3 blocks are
     invisible; at M1 (read-optimized point) only base rows serve."""

@@ -375,6 +375,25 @@ METADATA_SCHEMA = {
                 {"name": "fileId", "type": ["null", "string"]},
                 {"name": "instantTime", "type": ["null", "long"]},
                 {"name": "fileIdEncoding", "type": ["null", "int"]}]}]},
+        {"name": "ColumnStatsMetadata", "type": ["null", {
+            "type": "record", "name": "HoodieMetadataColumnStats",
+            "fields": [
+                {"name": "fileName", "type": ["null", "string"]},
+                {"name": "columnName", "type": ["null", "string"]},
+                {"name": "minValue", "type": ["null",
+                    {"type": "record", "name": "IntWrapper",
+                     "fields": [{"name": "value", "type": "int"}]},
+                    {"type": "record", "name": "LongWrapper",
+                     "fields": [{"name": "value", "type": "long"}]},
+                    {"type": "record", "name": "StringWrapper",
+                     "fields": [{"name": "value", "type": "string"}]}]},
+                {"name": "maxValue", "type": ["null", "IntWrapper",
+                                              "LongWrapper", "StringWrapper"]},
+                {"name": "valueCount", "type": ["null", "long"]},
+                {"name": "nullCount", "type": ["null", "long"]},
+                {"name": "totalSize", "type": ["null", "long"]},
+                {"name": "totalUncompressedSize", "type": ["null", "long"]},
+                {"name": "isDeleted", "type": "boolean"}]}]},
     ],
 }
 
@@ -397,6 +416,33 @@ def _md_record(key: str, rtype: int, files: dict[str, tuple[int, bool]]) -> byte
         out += _astr(name) + _zz(size) + (b"\x01" if deleted else b"\x00")
     out += _zz(0)                      # map terminator
     out += _zz(0)                      # recordIndexMetadata: null
+    out += _zz(0)                      # ColumnStatsMetadata: null
+    return bytes(out)
+
+
+def _cs_record(file_name: str, column: str, mn, mx, count: int) -> bytes:
+    """Avro-binary HoodieMetadataRecord for column stats (type 3):
+    filesystemMetadata/recordIndexMetadata null; ColumnStatsMetadata
+    with LONG min/max through the named-reference wrapper union
+    (branch 2 = LongWrapper; null min/max for value-free files)."""
+    out = bytearray()
+    out += _astr(f"cstats-{column}-{file_name}")
+    out += _zz(3)
+    out += _zz(0)                      # filesystemMetadata: null
+    out += _zz(0)                      # recordIndexMetadata: null
+    out += _zz(1)                      # ColumnStatsMetadata: branch 1
+    out += _zz(1) + _astr(file_name)   # fileName
+    out += _zz(1) + _astr(column)      # columnName
+    for v in (mn, mx):
+        if v is None:
+            out += _zz(0)              # null
+        else:
+            out += _zz(2) + _zz(v)     # LongWrapper
+    out += _zz(1) + _zz(count)         # valueCount
+    out += _zz(1) + _zz(0)             # nullCount
+    out += _zz(1) + _zz(0)             # totalSize
+    out += _zz(1) + _zz(0)             # totalUncompressedSize
+    out += b"\x00"                     # isDeleted
     return bytes(out)
 
 
@@ -429,6 +475,7 @@ def _ri_record(key: str, fid: str, encoding: int) -> bytes:
         out += _zz(1) + _astr(fid)     # fileId
     out += _zz(1) + _zz(int(C5))       # instantTime
     out += _zz(1) + _zz(encoding)      # fileIdEncoding
+    out += _zz(0)                      # ColumnStatsMetadata: null
     return bytes(out)
 
 
@@ -486,6 +533,31 @@ def _write_metadata_table(data_files_by_commit: dict[str, list[str]]) -> None:
     with open(os.path.join(ri_dir, f"record-index-0000_0-0-0_{C5}.hfile"),
               "wb") as f:
         f.write(_hfile_image(ri_cells))
+
+    # column_stats partition: per-file min/max/count of "value" — the
+    # data-skipping index (g2's delete-only log carries valueCount=0
+    # with null min/max: no values, still skippable)
+    cs_dir = os.path.join(mt, "column_stats")
+    os.makedirs(cs_dir, exist_ok=True)
+    g1b = f"{FG1}_{TOKEN}_{C1}.parquet"
+    g2b = f"{FG2}_{TOKEN}_{C1}.parquet"
+    stats = {
+        g1b: (10, 30, 3),
+        g2b: (40, 60, 3),
+        _log_name(FG1, C1, 1): (20, 333, 3),
+        _log_name(FG2, C1, 1): (None, None, 0),   # delete block only
+        _log_name(FG1, C1, 2): (444, 999, 2),
+        _log_name(FG2, C1, 2): (600, 666, 2),
+        _log_name(FG2, C1, 3): (440, 440, 1),
+        _log_name(FG1, C1, 3): (77, 80, 2),
+    }
+    cs_cells = sorted(
+        (f"cstats-value-{n}".encode(), _cs_record(n, "value", mn, mx, c))
+        for n, (mn, mx, c) in stats.items()
+    )
+    with open(os.path.join(cs_dir, f"col-stats-0000_0-0-0_{C5}.hfile"),
+              "wb") as f:
+        f.write(_hfile_image(cs_cells))
 
 
 # -- table pieces ----------------------------------------------------------
