@@ -386,29 +386,86 @@ def read_hudi_record_index(
     return out if found else None
 
 
+def _footer_bloom(path: str):
+    """The per-file record-key bloom a bloom-indexed Hudi writer stores
+    in the parquet footer (key ``org.apache.hudi.bloomfilter``, Base64
+    SIMPLE Hadoop BloomFilter) — a FOOTER read, no data pages."""
+    import pyarrow.parquet as pq
+
+    from ..plans.bloom import parse_hudi_bloom_string
+
+    meta = pq.read_schema(path).metadata or {}
+    raw = meta.get(b"org.apache.hudi.bloomfilter")
+    return parse_hudi_bloom_string(raw.decode()) if raw else None
+
+
 def read_hudi_mor_point_lookup(
     spark: SparkSession, base_path: str, keys: list[str],
-    as_of: str | None = None,
+    as_of: str | None = None, index: str = "auto",
 ) -> DataFrame:
-    """Key lookups on a foreign Hudi MOR table WITHOUT scanning it: the
-    metadata table's record index names each key's file group, so the
-    merge window runs over only those slices (base file + its logs) —
-    at 100 TB that is a handful of files instead of the table. Keys the
-    index doesn't know are absent from the result (a deleted or
+    """Key lookups on a foreign Hudi MOR table WITHOUT scanning it.
+
+    ``index="record_index"``: the metadata table's record index names
+    each key's file group, so the merge window runs over only those
+    slices — at 100 TB a handful of files instead of the table. Keys
+    the index doesn't know are absent from the result (a deleted or
     never-written key reads as no row, same as a filtered snapshot).
-    Raises when the table has no record index."""
-    locations = read_hudi_record_index(base_path, keys)
-    if locations is None:
-        raise ValueError(f"no record_index partition under {base_path!r}")
-    fids = {fid for (_p, fid) in locations.values()}
+
+    ``index="bloom"``: the older, footer-resident index most Hudi
+    deployments carry (HoodieBloomIndex semantics): a LOG-FREE file
+    group whose base-file bloom says every requested key is definitely
+    absent is pruned; groups with logs can hold any key (a log can
+    insert keys the base bloom never saw) and always scan — which is
+    why bloom pruning bites on mostly-compacted tables, the steady
+    state at scale. False positives cost a scan, never a wrong answer.
+
+    ``index="auto"`` (default): record index when the table has one,
+    else bloom footers. Raises only when an explicitly requested index
+    is missing."""
+    if index not in ("auto", "record_index", "bloom"):
+        raise ValueError(f"unknown index mode {index!r}")
+    if index in ("auto", "record_index"):
+        locations = read_hudi_record_index(base_path, keys)
+        if locations is None and index == "record_index":
+            raise ValueError(f"no record_index partition under {base_path!r}")
+        if locations is not None:
+            fids = {fid for (_p, fid) in locations.values()}
+            if not fids:
+                return read_hudi_mor_snapshot(
+                    spark, base_path, as_of=as_of
+                ).filter(F.lit(False))
+            return read_hudi_mor_snapshot(
+                spark, base_path, as_of=as_of, file_ids=fids
+            ).filter(F.col("_hoodie_record_key").isin(list(keys)))
+
+    # bloom-footer fallback
+    instants = hudi_completed_instants(base_path)
+    if not instants:
+        raise ValueError(f"no completed Hudi instants under {base_path!r}")
+    upto = as_of if as_of is not None else instants[-1]
+    valid = {ts for ts in instants if ts <= upto}
+    md = read_hudi_metadata_files(base_path)
+    slices = (
+        _slices_from_metadata(base_path, valid, md)
+        if md is not None
+        else _list_slices(base_path, valid)
+    )
+    kb = [k.encode("utf-8") for k in keys]
+    fids = set()
+    for s in slices:
+        if s.log_paths:
+            fids.add(s.file_id)
+            continue
+        bloom = _footer_bloom(s.base_path)
+        if bloom is None or any(bloom.might_contain(k) for k in kb):
+            fids.add(s.file_id)
     if not fids:
         return read_hudi_mor_snapshot(spark, base_path, as_of=as_of).filter(
             F.lit(False)
         )
-    full = read_hudi_mor_snapshot(
+    return read_hudi_mor_snapshot(
         spark, base_path, as_of=as_of, file_ids=fids
-    )
-    return full.filter(F.col("_hoodie_record_key").isin(list(keys)))
+    ).filter(F.col("_hoodie_record_key").isin(list(keys)))
 
 
 def _list_slices(base_path: str, valid: set[str]) -> list[_Slice]:

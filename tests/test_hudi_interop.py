@@ -245,7 +245,8 @@ def test_mor_foreign_snapshot_merge(spark):
     }
     assert got == {("id1", "alpha", 10), ("id3", "charlie", 444),
                    ("id4", "delta", 440), ("id6", "foxtrot", 666),
-                   ("id7", "golf", 77), ("id8", "hotel", 80)}
+                   ("id7", "golf", 77), ("id8", "hotel", 80),
+                   ("id9", "india", 900), ("id10", "juliet", 1000)}
 
 
 def test_mor_parquet_data_block():
@@ -454,7 +455,8 @@ def test_mor_foreign_point_lookup(spark):
         shutil.copytree(MOR_FIXTURE, bare)
         shutil.rmtree(os.path.join(bare, ".hoodie", "metadata", "record_index"))
         with pytest.raises(ValueError, match="record_index"):
-            read_hudi_mor_point_lookup(spark, bare, ["id3"])
+            read_hudi_mor_point_lookup(spark, bare, ["id3"],
+                                       index="record_index")
 
 
 def test_hudi_column_stats_skipping(spark):
@@ -476,7 +478,7 @@ def test_hudi_column_stats_skipping(spark):
     )
 
     stats = read_hudi_column_stats(MOR_FIXTURE, "value")
-    assert stats is not None and len(stats) == 8
+    assert stats is not None and len(stats) == 9
     delete_only = next(v for k, v in stats.items()
                        if k.startswith(".e3a8") and ".log.1" in k)
     assert delete_only == {"min": None, "max": None, "value_count": 0}
@@ -539,6 +541,55 @@ def test_avro_named_type_resolution():
         hl.resolve_named_types(loop)
 
 
+def test_mor_foreign_bloom_point_lookup(spark):
+    """The footer-bloom index (the older index most Hudi tables carry):
+    parquet footers hold a Base64 SIMPLE Hadoop BloomFilter
+    (org.apache.hudi.bloomfilter) over the file's record keys —
+    Hadoop-MurmurHash probes must match the fixture's clean-room
+    encoder bit-for-bit. Pruning only ever drops LOG-FREE groups whose
+    bloom excludes every requested key (a log can insert keys the base
+    bloom never saw), false positives cost a scan never an answer, and
+    with the record_index removed index='auto' falls back to bloom with
+    identical results."""
+    import shutil
+    import tempfile
+
+    from hudi_delete_view_spark.sources.hudi import (
+        _footer_bloom,
+        read_hudi_mor_point_lookup,
+    )
+
+    g3_base = os.path.join(
+        MOR_FIXTURE, "2021/03/01",
+        "b5c6d7e8-1111-2222-3333-94a5b6c7d8e9-0_1-20-77_20210301090000.parquet")
+    bloom = _footer_bloom(g3_base)
+    assert bloom is not None
+    assert bloom.might_contain(b"id9") and bloom.might_contain(b"id10")
+    assert not bloom.might_contain(b"id1")  # definitely-absent guarantee
+
+    def rows(base, **kw):
+        return sorted(
+            (r["id"], r["value"])
+            for r in read_hudi_mor_point_lookup(spark, base, **kw)
+            .select("id", "value").collect()
+        )
+
+    # bloom path == record-index path on every shape: log-borne update,
+    # log-free group hit, tombstoned key, unknown key
+    for keys, expect in (
+        (["id3", "id9"], [("id3", 444), ("id9", 900)]),
+        (["id5", "nope"], []),
+        (["id10"], [("id10", 1000)]),
+    ):
+        assert rows(MOR_FIXTURE, keys=keys, index="bloom") == expect
+        assert rows(MOR_FIXTURE, keys=keys, index="record_index") == expect
+    with tempfile.TemporaryDirectory() as tmp:
+        bare = os.path.join(tmp, "bare")
+        shutil.copytree(MOR_FIXTURE, bare)
+        shutil.rmtree(os.path.join(bare, ".hoodie", "metadata", "record_index"))
+        assert rows(bare, keys=["id3", "id9"]) == [("id3", 444), ("id9", 900)]
+
+
 def test_mor_foreign_time_travel(spark):
     """as_of filters instants AND log blocks: at M2 the C3 blocks are
     invisible; at M1 (read-optimized point) only base rows serve."""
@@ -550,13 +601,14 @@ def test_mor_foreign_time_travel(spark):
         .select("id", "value").collect()
     }
     assert at_m2 == {("id1", 10), ("id3", 333), ("id4", 40), ("id6", 60),
-                     ("id7", 70)}
+                     ("id7", 70), ("id9", 900), ("id10", 1000)}
     at_m1 = {
         (r["id"], r["value"])
         for r in read_hudi_mor_snapshot(spark, MOR_FIXTURE, as_of=M1)
         .select("id", "value").collect()
     }
-    assert at_m1 == {(f"id{i}", i * 10) for i in range(1, 7)}
+    assert at_m1 == ({(f"id{i}", i * 10) for i in range(1, 7)}
+                     | {("id9", 900), ("id10", 1000)})
 
 
 def test_mor_foreign_bad_as_of(spark):

@@ -33,10 +33,15 @@ is COW-only — ``README.md:5`` — so MOR interop is parity-plus):
     (ROLLBACK) + TARGET_INSTANT_TIME header void earlier blocks of
     that instant in the same log file.
 
-Commit history (two file groups, partition 2021/03/01):
+Commit history (three file groups, partition 2021/03/01; every base
+parquet footer carries ``org.apache.hudi.bloomfilter`` — a Base64
+SIMPLE Hadoop BloomFilter over the file's record keys, built by the
+clean-room MurmurHash encoder below):
 
 - C1 ``20210301090000.deltacommit``: base files — g1: id1/10 id2/20
-  id3/30; g2: id4/40 id5/50 id6/60.
+  id3/30; g2: id4/40 id5/50 id6/60; g3: id9/900 id10/1000 (g3 stays
+  LOG-FREE forever — the shape footer-bloom point-lookup pruning can
+  act on).
 - C2 ``20210301100000.deltacommit``: g1 log.1 data block (id3 -> 333,
   INSERT id7/70, id2 tombstoned via _hoodie_is_deleted); g2 log.1
   DELETE_BLOCK (id5).
@@ -66,13 +71,17 @@ Commit history (two file groups, partition 2021/03/01):
   HFile base file (state as of C3 plus a GHOST base-file entry) and a
   log whose HFILE_DATA_BLOCK appends the C4/C5 files and tombstones
   the ghost (``isDeleted`` = true) — the no-filesystem-walk listing
-  path real Hudi readers use at scale — and a ``record_index``
-  partition mapping every live key to its file group through BOTH
-  HoodieRecordIndexInfo encodings (FG1 keys: UUID packed into
-  high/low longs + fileIndex; FG2 keys: raw fileId string).
+  path real Hudi readers use at scale — a ``record_index`` partition
+  mapping every live key to its file group through BOTH
+  HoodieRecordIndexInfo encodings (FG1/FG3 keys: UUID packed into
+  high/low longs + fileIndex; FG2 keys: raw fileId string), and a
+  ``column_stats`` partition with per-file min/max/valueCount of
+  ``value`` (the data-skipping index; min/max travel through the
+  NAMED-REFERENCE wrapper union of the public avsc).
 
 Merged snapshot at C5: id1/10, id3/444, id4/440, id6/666, id7/77,
-id8/80. Deterministic: re-running produces byte-identical files.
+id8/80, id9/900, id10/1000. Deterministic: re-running produces
+byte-identical files.
 """
 
 import json
@@ -93,6 +102,7 @@ FAILED = "20210301105500"        # rolled back by a command block
 PART = "2021/03/01"
 FG1 = "7c2e91d4-5a38-4f6b-b0c7-8e1f3a9d2c55-0"
 FG2 = "e3a8b7f1-9c24-4d5e-a6b3-0f7d8c1e4a92-0"
+FG3 = "b5c6d7e8-1111-2222-3333-94a5b6c7d8e9-0"  # log-free group (bloom demo)
 TOKEN = "1-20-77"
 
 AVRO_SCHEMA = {
@@ -529,6 +539,7 @@ def _write_metadata_table(data_files_by_commit: dict[str, list[str]]) -> None:
         [(k.encode(), _ri_record(k, FG1, 0))
          for k in ("id1", "id3", "id7", "id8")]
         + [(k.encode(), _ri_record(k, FG2, 1)) for k in ("id4", "id6")]
+        + [(k.encode(), _ri_record(k, FG3, 0)) for k in ("id9", "id10")]
     )
     with open(os.path.join(ri_dir, f"record-index-0000_0-0-0_{C5}.hfile"),
               "wb") as f:
@@ -541,9 +552,11 @@ def _write_metadata_table(data_files_by_commit: dict[str, list[str]]) -> None:
     os.makedirs(cs_dir, exist_ok=True)
     g1b = f"{FG1}_{TOKEN}_{C1}.parquet"
     g2b = f"{FG2}_{TOKEN}_{C1}.parquet"
+    g3b = f"{FG3}_{TOKEN}_{C1}.parquet"
     stats = {
         g1b: (10, 30, 3),
         g2b: (40, 60, 3),
+        g3b: (900, 1000, 2),
         _log_name(FG1, C1, 1): (20, 333, 3),
         _log_name(FG2, C1, 1): (None, None, 0),   # delete block only
         _log_name(FG1, C1, 2): (444, 999, 2),
@@ -570,6 +583,52 @@ def _log_name(fid, base_ts, version):
     return f".{fid}_{base_ts}.log.{version}_0-20-77"
 
 
+# -- Hadoop bloom filter (clean-room: org.apache.hadoop.util.bloom) --------
+
+def _murmur2(data: bytes, seed: int) -> int:
+    """Hadoop MurmurHash (32-bit MurmurHash2, Java signed ints)."""
+    M32, m, r = 0xFFFFFFFF, 0x5BD1E995, 24
+    h = (seed ^ len(data)) & M32
+    n4 = len(data) // 4
+    for i in range(n4):
+        (k,) = struct.unpack_from("<i", data, i * 4)
+        k &= M32
+        k = (k * m) & M32
+        k ^= k >> r
+        k = (k * m) & M32
+        h = (h * m) & M32
+        h ^= k
+    left, base_i = len(data) % 4, n4 * 4
+    if left == 3:
+        h = (h ^ (data[base_i + 2] << 16)) & M32
+    if left >= 2:
+        h = (h ^ (data[base_i + 1] << 8)) & M32
+    if left >= 1:
+        h = ((h ^ data[base_i]) * m) & M32
+    h ^= h >> 13
+    h = (h * m) & M32
+    h ^= h >> 15
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _bloom_b64(keys, vector_size=2048, nb_hash=3) -> str:
+    """Base64 SIMPLE bloom image, the org.apache.hudi.bloomfilter footer
+    form: int32 -1, int32 nbHash, int8 hashType MURMUR=1, int32 bits,
+    packed bit vector (bit i at byte i/8, mask 0x80 >> i%8)."""
+    import base64
+
+    bits = bytearray(-(-vector_size // 8))
+    for key in keys:
+        h = 0
+        for i in range(nb_hash):
+            h = _murmur2(key.encode(), 0 if i == 0 else h)
+            bit = abs(h % vector_size)
+            bits[bit // 8] |= 0x80 >> (bit % 8)
+    img = struct.pack(">ii", -1, nb_hash) + b"\x01"
+    img += struct.pack(">i", vector_size) + bytes(bits)
+    return base64.b64encode(img).decode()
+
+
 def _write_base(fid, ts, rows):
     fname = _base_name(fid, ts)
     pdir = os.path.join(OUT, PART)
@@ -585,6 +644,11 @@ def _write_base(fid, ts, rows):
         "value": pa.array([r[2] for r in rows], type=pa.int64()),
         "_hoodie_is_deleted": [False] * len(rows),
     })
+    # the per-file record-key bloom every bloom-indexed Hudi writer
+    # stores in the footer (HoodieBloomIndex reads it to prune files)
+    tbl = tbl.replace_schema_metadata(
+        {"org.apache.hudi.bloomfilter": _bloom_b64([r[0] for r in rows])}
+    )
     path = os.path.join(pdir, fname)
     pq.write_table(tbl, path)
     return os.path.join(PART, fname), path
@@ -653,9 +717,15 @@ def main() -> None:
     rel21, p21 = _write_base(FG2, C1, [("id4", "delta", 40),
                                        ("id5", "echo", 50),
                                        ("id6", "foxtrot", 60)])
+    # g3 stays LOG-FREE across the whole history: the shape footer-bloom
+    # point-lookup pruning can act on (a group with logs may hold any
+    # key, so only log-free groups are bloom-prunable)
+    rel31, p31 = _write_base(FG3, C1, [("id9", "india", 900),
+                                       ("id10", "juliet", 1000)])
     _commit(meta_dir, C1, [
         _stat(FG1, rel11, os.path.getsize(p11), "null", 3, 0, 0, 3),
         _stat(FG2, rel21, os.path.getsize(p21), "null", 3, 0, 0, 3),
+        _stat(FG3, rel31, os.path.getsize(p31), "null", 2, 0, 0, 2),
     ], "BULK_INSERT")
 
     # C2: g1 data block (update + insert + tombstone), g2 delete block
@@ -726,7 +796,7 @@ def main() -> None:
     # the metadata table mirrors the commit history's file additions
     bn = os.path.basename
     _write_metadata_table({
-        C1: [bn(rel11), bn(rel21)],
+        C1: [bn(rel11), bn(rel21), bn(rel31)],
         C2: [bn(rel12), bn(rel22)],
         C3: [bn(rel13), bn(rel23)],
         C4: [bn(rel24)],
