@@ -24,10 +24,16 @@ _LATE: set[str] = set()
 # listed here are pulled to the very front of the registry in this order;
 # everything else follows in registration order (``late`` still at the back).
 _WINDOW: tuple[str, ...] = (
-    # flagship + interop
+    # flagship + interop (round-7-late: record-index point lookup and
+    # column-stats data skipping replace two stable rounds-5/6 rows —
+    # lake_time_travel and mor_incremental have held green locally since
+    # round 2 and share their machinery with windowed mor_hudi_interop /
+    # lake_delete_view; the new metadata-table surface is the risk)
     "lake_delete_view",
     "lake_hudi_interop",
     "mor_hudi_interop",
+    "mor_hudi_point_lookup",
+    "mor_hudi_data_skipping",
     "rel_approx_sketches",
     # IVM view lattice (rounds 5-6, plus round-7 shapes)
     "lake_mv_auto_agg",
@@ -73,8 +79,6 @@ _WINDOW: tuple[str, ...] = (
     # rounds-5/6 queries without a driver row yet
     "lake_colocated_join",
     "lake_indexed_lookup",
-    "lake_time_travel",
-    "mor_incremental",
     "sim_semantic_dedup",
     "sim_semantic_dedup_incremental",
     "sim_vector_store",
