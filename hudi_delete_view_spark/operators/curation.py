@@ -347,3 +347,31 @@ def assign_split(
     for n, bound in reversed(conds):
         expr = F.when(frac < F.lit(bound), F.lit(n)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """Per-domain document cap — the over-representation guard of
+    C4/RefinedWeb-style pipelines: no single domain (site, source feed,
+    crawl host) may contribute more than ``cap`` documents to the
+    corpus, and WHICH documents survive is deterministic (``order_by``,
+    default quality-proxy ``n_chars`` desc with ``doc_id`` as the
+    total-order tiebreak) so reruns and the SQL oracle agree exactly.
+
+    Scale shape: one rank window partitioned by the domain — a single
+    hash shuffle on the domain key, no collects. A pathologically hot
+    domain makes one big partition, but the window only needs the top
+    ``cap`` rows per partition, so Spark's WindowGroupLimit pushes the
+    rank filter below the sort at the partition level (rank <= cap is
+    recognized as a group limit); AQE skew handling covers the rest."""
+    order = order_by or [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )

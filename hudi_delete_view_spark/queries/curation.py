@@ -386,3 +386,27 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "source")
         .agg(F.count("*").alias("n_docs"), F.sum("__nt").cast("long").alias("total_tokens"))
     )
+
+
+@query(
+    "curate_domain_cap",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM ranked WHERE rk <= 10
+""",
+)
+def curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (C4/RefinedWeb over-representation guard): each
+    source contributes at most its 10 longest documents (n_chars desc,
+    doc_id tiebreak — deterministic survivors). One rank window hashed
+    on source; Spark's WindowGroupLimit turns rank <= cap into a
+    partition-level top-k, so a hot domain never sorts its full tail."""
+    from ..operators.curation import domain_cap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return domain_cap(docs, "source", cap=10)

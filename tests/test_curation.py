@@ -314,3 +314,33 @@ def test_assign_split_disjoint_exhaustive(spark, sf_dir):
     import pytest as _pt
     with _pt.raises(ValueError):
         assign_split(docs, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_domain_cap(spark):
+    """Per-domain cap: no domain exceeds the cap, under-cap domains pass
+    through whole, survivors are the deterministic top-by-order set, and
+    the physical plan carries WindowGroupLimit (partition-level top-k —
+    a hot domain never sorts its full tail)."""
+    from hudi_delete_view_spark.operators.curation import domain_cap
+
+    rows = [(i, f"d{i % 3}", (i * 37) % 100) for i in range(30)]
+    rows += [(100 + i, "rare", i) for i in range(2)]  # under cap
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = domain_cap(df, "source", cap=5)
+    got = {(r["source"], r["doc_id"]) for r in out.collect()}
+    by_src = {}
+    for s, d in got:
+        by_src.setdefault(s, []).append(d)
+    assert all(len(v) <= 5 for v in by_src.values())
+    assert len(by_src["rare"]) == 2  # under-cap domain untouched
+    # survivors = top-5 by (n_chars desc, doc_id asc) per domain, exactly
+    import collections
+
+    expect = collections.defaultdict(list)
+    for i, s, n in rows:
+        expect[s].append((-n, i))
+    for s, v in expect.items():
+        top = {i for _n, i in sorted(v)[:5]}
+        assert {d for ss, d in got if ss == s} == top
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
