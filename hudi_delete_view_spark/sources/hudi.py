@@ -116,6 +116,8 @@ HOODIE_METADATA_SCHEMA = {
 }
 
 ALL_PARTITIONS_KEY = "__all_partitions__"
+# (base_path, completed-instant tuple) -> folded files listing
+_MD_FILES_CACHE: dict[tuple, dict[str, dict[str, int]]] = {}
 _HFILE_BASE_RE = re.compile(
     r"^(?P<fid>[A-Za-z0-9\-]+)_(?P<token>[0-9\-]+)_(?P<ts>\d{14,})\.hfile$"
 )
@@ -241,6 +243,20 @@ def read_hudi_metadata_files(base_path: str) -> dict[str, dict[str, int]] | None
     class of metadata Hudi's own driver reads. (The record_index /
     column_stats partitions, which DO scale with data, are not listed
     here and would go through the executor-side block path instead.)"""
+    # memo keyed by the metadata table's completed-instant list: a new
+    # metadata commit invalidates; otherwise repeated snapshots (every
+    # listing="auto" read) serve the fold from memory instead of
+    # re-reading HFiles + logs — one listdir per call, same cache class
+    # as the timeline metadata memo (SURVEY §2 A17)
+    mt = os.path.join(base_path, ".hoodie", "metadata")
+    fs = fs_for(base_path)
+    if not fs.isdir(os.path.join(mt, ".hoodie")):
+        return None
+    cache_key = (base_path, tuple(hudi_completed_instants(mt)))
+    hit = _MD_FILES_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+
     merged: dict[str, dict[str, dict]] = {}
 
     def fold(rec: dict) -> None:
@@ -260,6 +276,7 @@ def read_hudi_metadata_files(base_path: str) -> dict[str, dict[str, int]] | None
             for name, info in sorted(infos.items())
             if not info["isDeleted"]
         }
+    _MD_FILES_CACHE[cache_key] = out
     return out
 
 
