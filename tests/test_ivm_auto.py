@@ -3214,10 +3214,13 @@ def test_new_kinds_compose_with_mor_and_sql(spark, scratch):
 
 
 def test_agg_tree_refusals(spark, tree_tables):
-    """Tree refusals: FULL OUTER inside a tree (both sides null-extend
-    — the preserved-side detection restriction holds for neither).
-    A source appearing TWICE is no longer a refusal: duplicate leaves
-    classify under occurrence-unique pseudo names (round 6, F15)."""
+    """Former tree refusals, tracked as they lift: FULL OUTER inside an
+    aggregate tree classified as a refusal through round 6; the late
+    round-7 signed identity (test_agg_tree_full_outer_arm) supports it,
+    so the shape must now CLASSIFY as a non-all-inner agg_tree with no
+    single group source (both sides null-extend). A source appearing
+    TWICE lifted in round 6 (F15): duplicate leaves classify under
+    occurrence-unique pseudo names."""
     srcs = tree_tables
     snaps = {n: t.snapshot() for n, t in srcs.items()}
     full = (snaps["li"].select("ok", "qty")
@@ -3225,8 +3228,10 @@ def test_agg_tree_refusals(spark, tree_tables):
             .join(snaps["c"].select("ckey", "region"),
                   F.col("ck") == F.col("ckey"), "full")
             .groupBy("region").agg(F.sum("qty").alias("sq")))
-    with pytest.raises(UnsupportedViewError, match="FULL OUTER"):
-        classify_view(full, snaps)
+    spec_full = classify_view(full, snaps)
+    assert spec_full["kind"] == "agg_tree"
+    assert spec_full["all_inner"] is False
+    assert spec_full["group_src"] is None  # both sides null-extend
     twice = (snaps["li"].select("ok", "qty")
              .join(snaps["o"].select("okey", "ck"),
                    F.col("ok") == F.col("okey"))
