@@ -167,6 +167,21 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # foreign-layout Hudi fixture delete view: same anti-join shape as the
     # flagship, materialized then served as a parquet scan
     "lake_hudi_interop": ([], ["CartesianProduct"]),
+    # foreign MOR merge: base parquet scan unioned with the mapInPandas
+    # log decode, one row_number window on (partition, key) — no joins
+    "mor_hudi_interop": (["Window", "MapInPandas"], ["CartesianProduct"]),
+    # record-index point lookup: the merge window runs over ONE file
+    # group's slices (index resolution is driver-side metadata, not in
+    # the plan); key filter on top
+    "mor_hudi_point_lookup": (["Window"], ["CartesianProduct", "Join"]),
+    # column-stats skipping: pruned groups never enter the scan (the
+    # sound early filter is GROUP-level — a pre-merge row filter would
+    # let an older in-range version win over a newer out-of-range one,
+    # so the residual range filter stays post-window by design)
+    "mor_hudi_data_skipping": (["Window", "Filter"], ["CartesianProduct", "Join"]),
+    # per-domain cap: rank window rewritten to a partition-level top-k
+    # (partial map-side + final) — a hot domain never sorts its tail
+    "curate_domain_cap": (["WindowGroupLimit"], ["Join", "CartesianProduct"]),
 }
 
 # per-query session confs applied while building the audited plan
