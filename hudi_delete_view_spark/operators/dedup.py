@@ -804,11 +804,33 @@ def embedding_neardup_pairs(
     if star_pairs is not None:
         cand = cand.unionByName(star_pairs)
     cand = cand.distinct()  # a pair may collide in several tables
+    # TWO-STAGE VERIFY (round 7, after the 4M soak died on DISK, not
+    # memory: re-attaching 512-byte vectors to every candidate pair
+    # spilled >66 GB). Stage 1 re-attaches 72-byte int8 sketches and
+    # discards pairs whose sketch cosine is PROVABLY below threshold
+    # (INT8_COS_EPS is a hard quantization bound, so the discard is
+    # exact, not approximate); only the near-threshold band — genuine
+    # near-dups plus a vanishing tail — re-attaches full vectors for
+    # the exact cosine. Output is bit-identical to the single-stage
+    # verify; the heavy candidate shuffle is ~8x narrower.
+    from .similarity import INT8_COS_EPS, int8_cosine_pandas, int8_sketch_pandas
+
+    sketch_udf = int8_sketch_pandas()
+    qv = v.select("__vid", sketch_udf(F.col("__v")).alias("__q"))
+    qa = qv.select(F.col("__vid").alias("id_a"), F.col("__q").alias("__qa"))
+    qb = qv.select(F.col("__vid").alias("id_b"), F.col("__q").alias("__qb"))
+    approx_udf = int8_cosine_pandas()
+    band = (
+        cand.join(qa, "id_a")
+        .join(qb, "id_b")
+        .filter(approx_udf(F.col("__qa"), F.col("__qb")) >= threshold - INT8_COS_EPS)
+        .select("id_a", "id_b")
+    )
     va = v.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va"))
     vb2 = v.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"))
     cos_udf = cosine_pandas()
     return (
-        cand.join(va, "id_a")
+        band.join(va, "id_a")
         .join(vb2, "id_b")
         .withColumn("cosine", F.round(cos_udf(F.col("__va"), F.col("__vb")), 6))
         .filter(F.col("cosine") >= threshold)

@@ -61,6 +61,65 @@ def cosine_pandas():
     return _cos
 
 
+# Provable per-pair cosine error bound of the int8 sketch below: with
+# per-vector scale s = max|x|/127, component error <= s/2, so
+# ||e|| <= sqrt(d)*s/2 <= sqrt(d)*||x||/254 and
+# |cos(a,b) - cos_int8(a,b)| <= ||e_a||/||a|| + ||e_b||/||b|| + tiny
+# = 2*sqrt(d)/254 (= 0.063 at d=64). EPS below is that bound padded to
+# the next round number — pairs whose sketch cosine falls below
+# threshold - EPS are PROVABLY below threshold and safe to discard
+# before full vectors are ever attached.
+INT8_COS_EPS = 0.08
+
+
+def int8_sketch_pandas():
+    """Arrow-batched int8 vector sketch: per-vector symmetric scale
+    quantization packed as (bytes, norm) — 64 bytes + 8 instead of 512
+    for a 64-dim double vector. The narrow form candidate pairs
+    re-attach for the verify PREFILTER (the full-width re-attach of
+    every candidate is what exhausted local disk at 4M vectors)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<q: binary, s: double, n: double>")
+    def _sketch(v: pd.Series) -> pd.DataFrame:
+        X = np.vstack(v.to_numpy())
+        mx = np.abs(X).max(axis=1)
+        scale = np.where(mx > 0, mx / 127.0, 1.0)
+        Q = np.rint(X / scale[:, None]).astype(np.int8)
+        return pd.DataFrame(
+            {
+                "q": [q.tobytes() for q in Q],
+                "s": scale,
+                "n": np.sqrt((X * X).sum(axis=1)),
+            }
+        )
+
+    return _sketch
+
+
+def int8_cosine_pandas():
+    """Sketch-pair approximate cosine: dot(int8, int8)*s_a*s_b /
+    (n_a*n_b) — within INT8_COS_EPS of the exact cosine (bound above)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.DataFrame, b: pd.DataFrame) -> pd.Series:
+        # struct-typed args arrive as pd.DataFrames with the fields as
+        # columns (Arrow struct -> pandas)
+        A = np.vstack(
+            [np.frombuffer(x, dtype=np.int8) for x in a["q"]]
+        ).astype(np.float64)
+        B = np.vstack(
+            [np.frombuffer(x, dtype=np.int8) for x in b["q"]]
+        ).astype(np.float64)
+        num = (A * B).sum(axis=1)
+        den = a["n"].to_numpy() * b["n"].to_numpy()
+        den = np.where(den > 0, den, 1.0)
+        return pd.Series(num * a["s"].to_numpy() * b["s"].to_numpy() / den)
+
+    return _cos
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,

@@ -270,6 +270,48 @@ def test_embedding_bucket_cap_split_bounds_occupancy(spark):
     assert pairs.count() < 100
 
 
+def test_embedding_two_stage_verify_exact_at_boundary(spark):
+    """The int8 sketch prefilter must be invisible in the output: pairs
+    engineered with exact cosines densely straddling the threshold
+    (within the INT8_COS_EPS margin band on both sides) classify
+    identically to the exact all-pairs baseline — the prefilter only
+    discards pairs PROVABLY below threshold, never borderline ones."""
+    import numpy as np
+
+    from hudi_delete_view_spark.operators.similarity import INT8_COS_EPS
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    base /= np.linalg.norm(base)
+    rows = [(0, [float(x) for x in base])]
+    # partners at controlled angles: cos in [thr - eps - .02, thr + .02]
+    thr = 0.9
+    ortho = rng.standard_normal(16)
+    ortho -= ortho @ base * base
+    ortho /= np.linalg.norm(ortho)
+    for i, c in enumerate(np.linspace(thr - INT8_COS_EPS - 0.02, thr + 0.06, 60)):
+        v = c * base + np.sqrt(1 - c * c) * ortho
+        rows.append((i + 1, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=thr, dim=16
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=thr, dim=16,
+            bucket_bits=1, tables=8,  # 1 bit: near-total collision -> the
+            # prefilter, not the bucketing, does the work here
+        ).collect()
+    }
+    pairs_with_0 = {p: c for p, c in exact.items() if p[0] == 0}
+    assert len(pairs_with_0) >= 10  # boundary pairs really exist
+    assert {p: c for p, c in lsh.items() if p[0] == 0} == pairs_with_0
+
+
 # --------------------------------------------------------------------------
 # SimHash bucket-occupancy cap (skew guard)
 # --------------------------------------------------------------------------
