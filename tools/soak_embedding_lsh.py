@@ -30,24 +30,27 @@ runs) and prints one line per n: wall seconds, pair count, auto geometry,
 and the per-(table,bucket) occupancy p99/max that drives within-bucket
 quadratic work.
 
-Measured (local[32], SPARK_DRIVER_MEMORY=48g, 2026-08-16):
+Measured (local[32], SPARK_DRIVER_MEMORY=64g, 2026-08-16, final:
+occupancy-2 auto geometry + bucket guard + two-stage int8 verify):
 
-======  ==============  ========  =========  ===========================
-n       uncapped        guarded   pairs      notes
-======  ==============  ========  =========  ===========================
-250k    241.8s (2.11M   143.8s    114,499    guard kills the dup block's
-        pairs)                               2M-pair quadratic: 112,500
-                                             cluster + 1,999 star pairs
-1M      DIED (spill     239.1s    451,999    uncapped: >75 GB shuffle
-        > 75 GB)                             spill re-attaching vectors
-                                             to ~350M candidates under
-                                             the OLD occupancy-16 auto
-                                             geometry; the occupancy-2
-                                             resize (bits = log2(n/2),
-                                             cap 24) plus the guard
-                                             brings 4x data to ~1.7x
-                                             wall
-======  ==============  ========  =========  ===========================
+======  ========  ==========  ====  ======  =======
+n       wall      pairs       bits  tables  occ p50
+======  ========  ==========  ====  ======  =======
+250k    58.3s     114,499     17    26      2
+1M      168.7s    451,999     19    33      2
+2M      408.2s    901,999     20    37      2
+4M      859.1s    1,801,999   21    41      2
+======  ========  ==========  ====  ======  =======
+
+16x data = 14.7x wall (tables grow 26 -> 41 over the range, so the
+per-(n*tables) cost actually FALLS). Earlier states of the operator on
+the same corpora: occupancy-16 geometry DIED at 1M (>75 GB shuffle
+spill re-attaching 512-byte vectors to ~350M candidates); occupancy-2
+with the single-stage verify passed 1M (239s) but DIED on disk at 2M —
+the two-stage int8 prefilter (INT8_COS_EPS-bounded, output-exact) is
+what carries 2M/4M. Every pair count is exactly cluster pairs +
+(n_dupes - 1) star pairs: the guard's output algebra, not an
+approximation drift.
 """
 
 from __future__ import annotations
