@@ -477,3 +477,40 @@ def mor_hudi_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_hudi_mor_snapshot(
         spark, _HUDI_MOR_FIXTURE, column_range=("value", 70, 100)
     ).select("id", "name", "value")
+
+
+@query(
+    "mor_hudi_incremental",
+    oracle=f"""
+WITH base AS (
+  SELECT _hoodie_record_key AS k, id, name, value,
+         '20210301090000' AS ord_instant, -1 AS ord_sub, FALSE AS is_del
+  FROM read_parquet('{_HUDI_MOR_FIXTURE}/2021/03/01/*_20210301090000.parquet')
+),
+log AS ({_HUDI_MOR_LOG_OPS_SQL}),
+merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM log
+  -- incremental as of C4: C5 ops are beyond the end boundary
+),
+snap AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY k ORDER BY ord_instant DESC, ord_sub DESC) AS rn
+  FROM merged WHERE ord_instant <= '20210301130000'
+)
+SELECT id, name, value FROM snap
+WHERE rn = 1 AND NOT is_del AND ord_instant > '20210301100000'
+""",
+)
+def mor_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental pull on the FOREIGN Hudi MOR table (the downstream-
+    sync contract, native B3 parity): rows whose latest version as of
+    C4 was written in (C2, C4] — the C3 log updates and the C4
+    parquet-block update, tombstoned keys absent. Commit metadata names
+    the touched file groups, so the merge runs over only those groups
+    (the day's slices, not the table); the oracle recomputes the merge
+    at C4 and filters the winning row's instant into the window."""
+    from ..sources.hudi import read_hudi_mor_incremental
+
+    return read_hudi_mor_incremental(
+        spark, _HUDI_MOR_FIXTURE, "20210301100000", "20210301130000"
+    ).select("id", "name", "value")

@@ -590,6 +590,34 @@ def test_mor_foreign_bloom_point_lookup(spark):
         assert rows(bare, keys=["id3", "id9"]) == [("id3", 444), ("id9", 900)]
 
 
+def test_mor_foreign_incremental(spark):
+    """Incremental pull windows: (C2, C4] = the C3 log updates + the C4
+    parquet-block update; (C4, C5] = the HFile-block ops only; an empty
+    window returns no rows with the snapshot schema; group pruning from
+    commit metadata excludes untouched groups (FG3 is never touched
+    after C1)."""
+    from hudi_delete_view_spark.sources.hudi import (
+        hudi_touched_file_ids,
+        read_hudi_mor_incremental,
+    )
+
+    def rows(b, e):
+        return sorted(
+            (r["id"], r["value"])
+            for r in read_hudi_mor_incremental(spark, MOR_FIXTURE, b, e)
+            .select("id", "value").collect()
+        )
+
+    assert rows(M2, "20210301130000") == [
+        ("id3", 444), ("id4", 440), ("id6", 666)]
+    assert rows("20210301130000", "20210301140000") == [
+        ("id7", 77), ("id8", 80)]
+    assert rows("20210301140000", "20210301140000") == []
+    touched = hudi_touched_file_ids(MOR_FIXTURE, M2, "20210301130000")
+    assert not any(f.startswith("b5c6") for f in touched)  # FG3 quiet
+    assert len(touched) == 2
+
+
 def test_mor_foreign_time_travel(spark):
     """as_of filters instants AND log blocks: at M2 the C3 blocks are
     invisible; at M1 (read-optimized point) only base rows serve."""
