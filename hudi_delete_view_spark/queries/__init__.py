@@ -34,6 +34,7 @@ _WINDOW: tuple[str, ...] = (
     "mor_hudi_interop",
     "mor_hudi_point_lookup",
     "mor_hudi_data_skipping",
+    "mor_hudi_incremental",
     "rel_approx_sketches",
     # IVM view lattice (rounds 5-6, plus round-7 shapes)
     "lake_mv_auto_agg",
@@ -78,7 +79,6 @@ _WINDOW: tuple[str, ...] = (
     "stream_pyds_live_view",
     # rounds-5/6 queries without a driver row yet
     "lake_colocated_join",
-    "lake_indexed_lookup",
     "sim_semantic_dedup",
     "sim_semantic_dedup_incremental",
     "sim_vector_store",
