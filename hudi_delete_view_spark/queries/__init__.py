@@ -24,11 +24,12 @@ _LATE: set[str] = set()
 # listed here are pulled to the very front of the registry in this order;
 # everything else follows in registration order (``late`` still at the back).
 _WINDOW: tuple[str, ...] = (
-    # flagship + interop (round-7-late: record-index point lookup and
-    # column-stats data skipping replace two stable rounds-5/6 rows —
-    # lake_time_travel and mor_incremental have held green locally since
-    # round 2 and share their machinery with windowed mor_hudi_interop /
-    # lake_delete_view; the new metadata-table surface is the risk)
+    # flagship + interop (round-7-late: record-index point lookup,
+    # column-stats data skipping, and the foreign incremental pull
+    # replace three stable rows — lake_time_travel, mor_incremental and
+    # lake_indexed_lookup have held green locally since rounds 2-4 and
+    # share machinery with queries that stay windowed; the new
+    # metadata-table surface is the risk)
     "lake_delete_view",
     "lake_hudi_interop",
     "mor_hudi_interop",
