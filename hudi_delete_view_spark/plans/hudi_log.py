@@ -22,7 +22,11 @@ so this is parity-plus):
   (``HeaderMetadataType``: INSTANT_TIME=0, TARGET_INSTANT_TIME=1,
   SCHEMA=2, COMMAND_BLOCK_TYPE=3), int32 byte length, UTF-8 value.
 - Block types: ``HoodieLogBlockType`` ordinals — COMMAND_BLOCK=0,
-  DELETE_BLOCK=1, CORRUPT_BLOCK=2, AVRO_DATA_BLOCK=3.
+  DELETE_BLOCK=1, CORRUPT_BLOCK=2, AVRO_DATA_BLOCK=3,
+  HFILE_DATA_BLOCK=4 (content = a complete HBase HFile v3 image,
+  ``plans/hfile.py``), PARQUET_DATA_BLOCK=5 (content = a complete
+  parquet file image). All three data codecs decode to the same
+  record-dict shape; encode halves exist for Avro and HFile.
 - Avro data block content: ``HoodieAvroDataBlock.serializeRecords`` —
   int32 content-format version, int32 record count, then per record
   int32 length + Avro-binary record bytes (writer schema in the
