@@ -514,3 +514,62 @@ def mor_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_hudi_mor_incremental(
         spark, _HUDI_MOR_FIXTURE, "20210301100000", "20210301130000"
     ).select("id", "name", "value")
+
+
+@query(
+    "mor_hudi_cdc",
+    oracle=f"""
+WITH base AS (
+  SELECT _hoodie_record_key AS k, id, name, value,
+         '20210301090000' AS ord_instant, -1 AS ord_sub, FALSE AS is_del
+  FROM read_parquet('{_HUDI_MOR_FIXTURE}/2021/03/01/*_20210301090000.parquet')
+),
+log AS ({_HUDI_MOR_LOG_OPS_SQL}),
+merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM log
+),
+alive_b AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY k ORDER BY ord_instant DESC, ord_sub DESC) AS rn
+    FROM merged WHERE ord_instant <= '20210301090000')
+  WHERE rn = 1 AND NOT is_del
+),
+alive_e AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY k ORDER BY ord_instant DESC, ord_sub DESC) AS rn
+    FROM merged)
+  WHERE rn = 1 AND NOT is_del
+)
+SELECT 'insert' AS op, k AS _hoodie_record_key, ord_instant AS change_commit,
+       id, name, value
+FROM alive_e WHERE k NOT IN (SELECT k FROM alive_b)
+UNION ALL
+SELECT 'update', e.k, e.ord_instant, e.id, e.name, e.value
+FROM alive_e e JOIN alive_b b ON e.k = b.k
+WHERE e.ord_instant > '20210301090000'
+UNION ALL
+SELECT 'delete', b.k,
+       (SELECT MAX(ord_instant) FROM log
+        WHERE is_del AND k = b.k AND ord_instant > '20210301090000'),
+       b.id, b.name, b.value
+FROM alive_b b WHERE b.k NOT IN (SELECT k FROM alive_e)
+""",
+)
+def mor_hudi_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-effect CDC on the FOREIGN Hudi MOR table over (C1, C5] —
+    native cdc parity: inserts (the log-borne id7 and the
+    HFile-block-born id8, after-images at their latest commits),
+    updates (id3/id4/id6 through three different block codecs,
+    after-images), deletes (id2/id5 — BOTH tombstone forms — as
+    before-images stamped with the tombstoning commit scanned from the
+    window's logs). Commit metadata prunes both boundary snapshots to
+    touched file groups (FG3 never appears in the diff); the oracle
+    recomputes both boundary merges and the tombstone stamps from the
+    authored ops."""
+    from ..sources.hudi import read_hudi_mor_cdc
+
+    return read_hudi_mor_cdc(
+        spark, _HUDI_MOR_FIXTURE, "20210301090000"
+    ).select("op", "_hoodie_record_key", "change_commit", "id", "name", "value")

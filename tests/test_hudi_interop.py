@@ -618,6 +618,42 @@ def test_mor_foreign_incremental(spark):
     assert len(touched) == 2
 
 
+def test_mor_foreign_cdc(spark):
+    """Net-effect CDC windows on the foreign table: full history gives
+    inserts/updates/deletes with correct stamps and before-images; a
+    mid-history window nets multi-step changes (id3 touched at C2 AND
+    C3 emits ONE update at its latest in-window commit); the before
+    boundary excludes keys dead at begin; untouched FG3 keys never
+    appear."""
+    from hudi_delete_view_spark.sources.hudi import read_hudi_mor_cdc
+
+    def rows(b, e=None):
+        return sorted(
+            (r["op"], r["_hoodie_record_key"], r["change_commit"], r["value"])
+            for r in read_hudi_mor_cdc(spark, MOR_FIXTURE, b, e)
+            .select("op", "_hoodie_record_key", "change_commit", "value")
+            .collect()
+        )
+
+    assert rows(M1) == [
+        ("delete", "id2", M2, 20), ("delete", "id5", M2, 50),
+        ("insert", "id7", "20210301140000", 77),
+        ("insert", "id8", "20210301140000", 80),
+        ("update", "id3", M3, 444),
+        ("update", "id4", "20210301130000", 440),
+        ("update", "id6", M3, 666),
+    ]
+    # (C2, C4]: id3 nets to its C3 image; id7 (inserted at C2, alive at
+    # both boundaries, untouched in window at its winning commit C2)
+    # absent; deletes already effective at begin absent
+    assert rows(M2, "20210301130000") == [
+        ("update", "id3", M3, 444),
+        ("update", "id4", "20210301130000", 440),
+        ("update", "id6", M3, 666),
+    ]
+    assert not any(k in ("id9", "id10") for _o, k, _c, _v in rows(M1))
+
+
 def test_mor_foreign_time_travel(spark):
     """as_of filters instants AND log blocks: at M2 the C3 blocks are
     invisible; at M1 (read-optimized point) only base rows serve."""
