@@ -8,14 +8,18 @@ Format (public, from the Apache Hadoop source —
 ``org.apache.hadoop.util.bloom.Filter.write`` /
 ``BloomFilter.write``): int32 VERSION (-1), int32 nbHash, int8 hashType
 (0 = Jenkins, 1 = Murmur), int32 vectorSize (bits), then
-ceil(vectorSize/8) bytes of bit vector (MSB-first within each byte —
-java.util.BitSet semantics via Hadoop's byte packing: bit i lives at
-byte i/8, mask 0x80 >> (i % 8)).
+ceil(vectorSize/8) bytes of bit vector, LSB-first within each byte
+(java.util.BitSet semantics: bit i lives at byte i/8, mask
+1 << (i % 8) — verified against a genuine Hadoop BloomFilter image;
+see the golden vector in tests/test_format.py).
 
 Membership test (``org.apache.hadoop.util.bloom.HashFunction.hash``):
 h_0 = murmur(key, seed=0); h_i = murmur(key, seed=h_{i-1}); probe bit
-``abs(h_i % vectorSize)`` for each of nbHash rounds. The Murmur variant
-is Hadoop's ``MurmurHash`` (32-bit MurmurHash2, signed-int semantics);
+``Math.abs(h_i % vectorSize)`` — which under Java's TRUNCATED modulo
+equals ``abs(h_i) % vectorSize`` (NOT Python's ``abs(h % vs)``) — for
+each of nbHash rounds. The Murmur variant
+is Hadoop's ``MurmurHash`` (32-bit MurmurHash2, signed-int semantics
+including sign-extended tail bytes);
 Jenkins is not implemented (Hudi writes MURMUR) and raises with the
 type named.
 
@@ -59,15 +63,21 @@ def _murmur2_signed(data: bytes, seed: int) -> int:
         h = (h * m) & M32
         h ^= k
     left = length % 4
-    base_i = n4 * 4
-    if left == 3:
-        h ^= (data[base_i + 2] << 16)
-        h &= M32
-    if left >= 2:
-        h ^= (data[base_i + 1] << 8)
-        h &= M32
-    if left >= 1:
-        h ^= data[base_i]
+    # Hadoop's tail differs from the classic murmur2 reference in TWO
+    # Java-isms: (1) bytes are indexed from the END (data[length-3]<<16,
+    # data[length-2]<<8, data[length-1]) — byte-REVERSED vs the C
+    # reference's data[base+2]<<16 — and (2) each byte is SIGN-EXTENDED
+    # (byte -> int widening), so a tail byte >= 0x80 flips every bit
+    # above its shift. Both verified against a genuine
+    # org.apache.hadoop.util.bloom.BloomFilter image (see
+    # tests/test_format.py golden vector).
+    if left:
+        _s = lambda b: b - 256 if b >= 128 else b  # noqa: E731
+        if left >= 3:
+            h = (h ^ ((_s(data[length - 3]) << 16) & M32)) & M32
+        if left >= 2:
+            h = (h ^ ((_s(data[length - 2]) << 8) & M32)) & M32
+        h = (h ^ (_s(data[length - 1]) & M32)) & M32
         h = (h * m) & M32
     h ^= h >> 13
     h = (h * m) & M32
@@ -94,8 +104,11 @@ class HadoopBloomFilter:
         h = 0
         for i in range(self.nb_hash):
             h = _murmur2_signed(key, 0 if i == 0 else h)
-            bit = abs(h % self.vector_size)
-            if not self.bits[bit // 8] & (0x80 >> (bit % 8)):
+            # Java Math.abs(h % vectorSize) with TRUNCATED modulo equals
+            # abs(h) % vectorSize; Python's floor modulo makes
+            # abs(h % vs) land on a DIFFERENT bit for every negative h.
+            bit = abs(h) % self.vector_size
+            if not self.bits[bit // 8] & (1 << (bit % 8)):
                 return False
         return True
 
@@ -138,6 +151,6 @@ def build_hadoop_bloom(keys: list[bytes], vector_size: int = 4096,
         h = 0
         for i in range(nb_hash):
             h = _murmur2_signed(key, 0 if i == 0 else h)
-            bit = abs(h % vector_size)
-            bits[bit // 8] |= 0x80 >> (bit % 8)
+            bit = abs(h) % vector_size
+            bits[bit // 8] |= 1 << (bit % 8)
     return HadoopBloomFilter(nb_hash, HASH_MURMUR, vector_size, bytes(bits))

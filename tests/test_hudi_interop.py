@@ -541,6 +541,74 @@ def test_avro_named_type_resolution():
         hl.resolve_named_types(loop)
 
 
+# Golden image written by a REAL org.apache.hadoop.util.bloom.BloomFilter
+# (4096 bits, 3 hashes, MURMUR) via the Spark JVM: keys "alpha", "beta",
+# "éclair-漢" (UTF-8). A shared-convention round trip between our reader
+# and our writer cannot catch Java-vs-Python divergences — this vector
+# pinned and killed three of them at once (truncated-vs-floor modulo in
+# the probe, END-indexed sign-extended tail bytes in Hadoop's MurmurHash,
+# and LSB-first java.util.BitSet bit packing).
+_HADOOP_BLOOM_B64 = (
+    "/////wAAAAMBAAAQAAAAAAAAAAIAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAABAAAAAAAAAAAEAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAEAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAgAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAQAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAACAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAIAAAAAAAAAAAAAAAAAAAAAAAAAAAAAEAAAAAAAAAAAAAAAAAAA"
+)
+
+# Hadoop MurmurHash.hash(data, len, seed) outputs from the same JVM —
+# pins the hash itself (incl. sub-4-byte tails and a negative seed chain).
+_HADOOP_MURMUR_VECTORS = [
+    (b"alpha", 0, 753762770),
+    (b"beta", 0, 163585932),
+    (b"a", 0, -1838653602),
+    (b"ab", 0, 1525573013),
+    (b"abc", 0, 1775488903),
+    (b"abcd", 0, 646393889),
+    (b"abcde", 0, 1594468574),
+    (b"\xc3\xa9clair-\xe6\xbc\xa2", 0, 1745762840),
+    (b"alpha", -123456789, -1987543922),
+    (b"\xff\xfe\xfd", 7, 169310697),
+]
+
+
+def test_hadoop_bloom_golden_vector():
+    """Interop pinned against a genuine Hadoop BloomFilter image, not a
+    shared-convention round trip (ADVICE r7: the clean-room encoder and
+    the reader shared the same modulo/tail/packing mistakes, so
+    round-trip tests could never catch them)."""
+    import base64
+
+    from hudi_delete_view_spark.plans.bloom import (
+        _murmur2_signed,
+        build_hadoop_bloom,
+        parse_hadoop_bloom,
+        serialize_hadoop_bloom,
+    )
+
+    for data, seed, want in _HADOOP_MURMUR_VECTORS:
+        assert _murmur2_signed(data, seed) == want, (data, seed)
+
+    img = base64.b64decode(_HADOOP_BLOOM_B64)
+    f = parse_hadoop_bloom(img)
+    assert (f.nb_hash, f.hash_type, f.vector_size) == (3, 1, 4096)
+    present = [b"alpha", b"beta", b"\xc3\xa9clair-\xe6\xbc\xa2"]
+    for k in present:
+        assert f.might_contain(k), k
+    for k in (b"gamma", b"delta", b"\xc3\xa9clair"):
+        assert not f.might_contain(k), k  # matches the JVM's own answers
+
+    # writer half: re-encoding the same keys reproduces Hadoop's image
+    # byte for byte
+    ours = build_hadoop_bloom(present, vector_size=4096, nb_hash=3)
+    assert serialize_hadoop_bloom(ours) == img
+
+
 def test_mor_foreign_bloom_point_lookup(spark):
     """The footer-bloom index (the older index most Hudi tables carry):
     parquet footers hold a Base64 SIMPLE Hadoop BloomFilter

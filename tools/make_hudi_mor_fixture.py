@@ -598,13 +598,17 @@ def _murmur2(data: bytes, seed: int) -> int:
         k = (k * m) & M32
         h = (h * m) & M32
         h ^= k
-    left, base_i = len(data) % 4, n4 * 4
-    if left == 3:
-        h = (h ^ (data[base_i + 2] << 16)) & M32
-    if left >= 2:
-        h = (h ^ (data[base_i + 1] << 8)) & M32
-    if left >= 1:
-        h = ((h ^ data[base_i]) * m) & M32
+    left, length = len(data) % 4, len(data)
+    # Hadoop tail: indexed from the END (data[length-3]<<16 ...) and
+    # sign-extended bytes — see plans/bloom.py for the golden-vector
+    # derivation against a real org.apache.hadoop BloomFilter image.
+    _s = lambda b: b - 256 if b >= 128 else b  # noqa: E731
+    if left:
+        if left >= 3:
+            h = (h ^ ((_s(data[length - 3]) << 16) & M32)) & M32
+        if left >= 2:
+            h = (h ^ ((_s(data[length - 2]) << 8) & M32)) & M32
+        h = (((h ^ (_s(data[length - 1]) & M32)) & M32) * m) & M32
     h ^= h >> 13
     h = (h * m) & M32
     h ^= h >> 15
@@ -614,7 +618,8 @@ def _murmur2(data: bytes, seed: int) -> int:
 def _bloom_b64(keys, vector_size=2048, nb_hash=3) -> str:
     """Base64 SIMPLE bloom image, the org.apache.hudi.bloomfilter footer
     form: int32 -1, int32 nbHash, int8 hashType MURMUR=1, int32 bits,
-    packed bit vector (bit i at byte i/8, mask 0x80 >> i%8)."""
+    packed bit vector (java.util.BitSet: bit i at byte i/8, LSB-first
+    mask 1 << i%8 — golden-vector-verified in plans/bloom.py)."""
     import base64
 
     bits = bytearray(-(-vector_size // 8))
@@ -622,8 +627,9 @@ def _bloom_b64(keys, vector_size=2048, nb_hash=3) -> str:
         h = 0
         for i in range(nb_hash):
             h = _murmur2(key.encode(), 0 if i == 0 else h)
-            bit = abs(h % vector_size)
-            bits[bit // 8] |= 0x80 >> (bit % 8)
+            # Java Math.abs(h % vs) == abs(h) % vs (truncated modulo)
+            bit = abs(h) % vector_size
+            bits[bit // 8] |= 1 << (bit % 8)
     img = struct.pack(">ii", -1, nb_hash) + b"\x01"
     img += struct.pack(">i", vector_size) + bytes(bits)
     return base64.b64encode(img).decode()
