@@ -215,7 +215,8 @@ WITH a AS (
 )
 SELECT media_id, CAST(n AS BIGINT) AS n_samples,
   CAST((n - 32) // 16 + 1 AS BIGINT) AS n_windows,
-  list_transform(generate_series(0, (n - 32) // 16), i -> CAST(i * 16 AS BIGINT))
+  array_to_string(list_transform(generate_series(0, (n - 32) // 16),
+                                 i -> CAST(i * 16 AS BIGINT)), ',')
     AS window_offsets
 FROM a
 """,
@@ -223,11 +224,17 @@ FROM a
 def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio windowing plan from decoded WAV headers (window 32 samples,
     hop 16): the planning pass that lets the expensive decode run only on
-    the windows a downstream extractor needs."""
+    the windows a downstream extractor needs. Offsets serialize to a CSV
+    string in the query output (raw array columns break generic
+    sort-then-hash harnesses — the r07 driver err class)."""
     from ..operators.multimodal import audio_window_plan
 
     docs = _t(spark, sf_dir, "documents").filter("doc_id < 200")
     decoded = extract_features(attach_synthetic_media(docs, "doc_id")).withColumn(
         "duration_s", F.element_at("feature", 1).cast("double")
     )
-    return audio_window_plan(decoded, window=32, hop=16)
+    out = audio_window_plan(decoded, window=32, hop=16)
+    return out.withColumn(
+        "window_offsets",
+        F.concat_ws(",", F.col("window_offsets").cast("array<string>")),
+    )

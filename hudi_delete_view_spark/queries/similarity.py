@@ -516,7 +516,8 @@ q AS (
         floor(x / scale + 0.5))) AS INT)) AS qvec
   FROM s
 )
-SELECT vec_id, ROUND(scale, 6) AS scale, qvec,
+SELECT vec_id, ROUND(scale, 6) AS scale,
+  array_to_string(qvec, ',') AS qvec,
   ROUND(CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0 THEN 1.0
         ELSE list_cosine_similarity(v, list_transform(qvec, qq -> qq * scale))
         END, 6) AS recon_cosine
@@ -527,11 +528,16 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding corpus with
     per-vector reconstruction cosine — the 4x storage/bandwidth lever for
     an ANN tier, quality-monitored in the same narrow pass (no shuffle,
-    no Python)."""
+    no Python). The int8 codes serialize to a CSV string in the QUERY
+    output only (raw array columns break generic sort-then-hash
+    harnesses — the r07 sim_vector_store driver err class)."""
     from ..operators.similarity import quantize_int8
 
     emb = _t(spark, sf_dir, "embeddings")
-    return quantize_int8(emb, "vec_id", "embedding")
+    out = quantize_int8(emb, "vec_id", "embedding")
+    return out.withColumn(
+        "qvec", F.concat_ws(",", F.col("qvec").cast("array<string>"))
+    )
 
 
 def _semantic_dedup_sql(nlist: int = 16, iters: int = 2, dim: int = 64,
@@ -647,8 +653,8 @@ q AS (
   FROM e2
 )
 SELECT m.section, m.vec_id, m.cid, ROUND(q.scale0, 6) AS scale,
-  list_transform(q.v, x -> CAST(greatest(-127.0, least(127.0,
-      floor(x / q.scale0 + 0.5))) AS INT)) AS qvec
+  array_to_string(list_transform(q.v, x -> CAST(greatest(-127.0, least(127.0,
+      floor(x / q.scale0 + 0.5))) AS INT)), ',') AS qvec
 FROM members m JOIN q ON m.vec_id = q.vec_id
 """
 
@@ -673,7 +679,14 @@ def sim_vector_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.fixtures import C1, build_vector_store
 
     store, _cents = build_vector_store(spark, sf_dir)
-    cols = ["vec_id", "cid", "scale", "qvec"]
+    # qvec serializes to a CSV string: a raw array<int> output column is
+    # un-canonicalizable by a generic pandas sort-then-hash harness
+    # (unhashable list — the r07 driver err), and the stringified form
+    # hashes identically on both sides.
+    cols = [
+        F.col("vec_id"), F.col("cid"), F.col("scale"),
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec"),
+    ]
     base = store.snapshot(as_of=C1).select(F.lit("base").alias("section"), *cols)
     added = store.incremental(C1).select(F.lit("added").alias("section"), *cols)
     return base.unionByName(added)

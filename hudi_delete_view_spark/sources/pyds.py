@@ -328,9 +328,45 @@ class LakeviewDataSource(DataSource):
         return LakeviewStreamWriter(dict(self.options), schema)
 
 
+class LakeviewReaderNoPushdown(LakeviewReader):
+    """Fallback reader for sessions where Python-source filter pushdown
+    is disabled: Spark hard-fails any reader that OVERRIDES
+    ``pushFilters`` when ``spark.sql.python.filterPushdown.enabled`` is
+    false (DATA_SOURCE_PUSHDOWN_DISABLED), so this subclass restores the
+    base-class method — the scan still answers (every filter evaluates
+    row-level in Spark), only commit-stat file pruning is lost."""
+
+    pushFilters = DataSourceReader.pushFilters
+
+
+class LakeviewDataSourceNoPushdown(LakeviewDataSource):
+    def reader(self, schema: StructType) -> LakeviewReader:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        r = LakeviewReaderNoPushdown(dict(self.options))
+        r.schema_names = [f.name for f in schema.fields]
+        r.arrow_schema = to_arrow_schema(schema)
+        return r
+
+
 def register(spark) -> None:
-    """Idempotently register the connector with a session."""
-    spark.dataSource.register(LakeviewDataSource)
+    """Idempotently register the connector with a session.
+
+    A stock session (driver harness, notebook) won't have
+    ``spark.sql.python.filterPushdown.enabled`` set, and Spark REFUSES to
+    plan a Python reader implementing ``pushFilters`` while it's off —
+    so enable it here (it's a runtime SQL conf). If the session rejects
+    the set (future static conf, locked-down deployment), degrade to the
+    no-pushFilters reader: correctness kept, slice pruning lost."""
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    try:
+        spark.conf.set(conf_key, "true")
+        enabled = (spark.conf.get(conf_key) or "").lower() == "true"
+    except Exception:
+        enabled = False
+    spark.dataSource.register(
+        LakeviewDataSource if enabled else LakeviewDataSourceNoPushdown
+    )
 
 
 class _StagedFiles(WriterCommitMessage):

@@ -450,3 +450,36 @@ def test_pyds_auto_absorb_listener(spark, scratch):
     assert t.snapshot().count() == 15
     # the listener did real MID-STREAM work before drain() ran
     assert len(listener_published) >= 1
+
+
+def test_pyds_register_on_stock_session(spark, scratch):
+    """Driver-harness portability (CORRECTNESS_r07 lake_pyds_scan err):
+    a stock session has spark.sql.python.filterPushdown.enabled unset
+    (default false), and Spark refuses to plan a reader that overrides
+    pushFilters under it (DATA_SOURCE_PUSHDOWN_DISABLED). register()
+    must flip the runtime conf itself; if a deployment rejects the set,
+    the no-pushFilters fallback reader keeps the scan answering."""
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    t = CowTable(spark, os.path.join(scratch, "stock"), key_fields=["k"],
+                 partition_field=None, num_file_groups=2, stats_columns=["k"])
+    t.bulk_insert(spark.createDataFrame([(i, i * 10) for i in range(50)],
+                                        "k long, v long"), "20250101000000")
+    old = spark.conf.get(conf_key, None)
+    try:
+        # stock-session shape: conf explicitly off, then register()
+        spark.conf.set(conf_key, "false")
+        pyds.register(spark)
+        assert spark.conf.get(conf_key) == "true"  # register enabled it
+        got = _lv(spark, t.base_path).select("k", "v").orderBy("k").collect()
+        assert [(r.k, r.v) for r in got] == [(i, i * 10) for i in range(50)]
+
+        # locked-down shape: conf pinned off, fallback source must still
+        # answer (row-level filters in Spark, no slice pruning)
+        spark.conf.set(conf_key, "false")
+        spark.dataSource.register(pyds.LakeviewDataSourceNoPushdown)
+        got = (_lv(spark, t.base_path).filter("k >= 48")
+               .select("k", "v").orderBy("k").collect())
+        assert [(r.k, r.v) for r in got] == [(48, 480), (49, 490)]
+    finally:
+        spark.conf.set(conf_key, old if old is not None else "true")
+        pyds.register(spark)
