@@ -180,19 +180,42 @@ def _walk_metadata_partition(
     schema = _metadata_decode_schema(mt)
 
     bases: dict[str, tuple[str, str]] = {}
-    logs: dict[str, list[tuple[int, str]]] = {}
+    # logs key on (fid, base_ts) — the base-instant in the log filename
+    # binds each log to ONE base slice. Keying by fid alone replays
+    # stale pre-compaction logs (version numbers restart per base, so
+    # ordering interleaves) over the post-compaction base and corrupts
+    # the fold — exactly what a real metadata-table compaction with
+    # not-yet-cleaned older logs produces (ADVICE r7).
+    logs: dict[tuple[str, str], list[tuple[int, str]]] = {}
+    on_disk_fids: set[str] = set()
     for name in fs.listdir(part_dir):
         m = _HFILE_BASE_RE.match(name)
-        if m and m.group("ts") in valid:
+        if m:
             fid = m.group("fid")
-            if fid not in bases or bases[fid][0] < m.group("ts"):
+            on_disk_fids.add(fid)
+            if m.group("ts") in valid and (
+                fid not in bases or bases[fid][0] < m.group("ts")
+            ):
                 bases[fid] = (m.group("ts"), os.path.join(part_dir, name))
             continue
         m = _LOG_RE.match(name)
         if m:
-            logs.setdefault(m.group("fid"), []).append(
+            logs.setdefault((m.group("fid"), m.group("base_ts")), []).append(
                 (int(m.group("version")), os.path.join(part_dir, name))
             )
+    orphans = sorted(k for k in logs if k[0] not in on_disk_fids)
+    if orphans:
+        # logs for a file group with NO base HFile at all (committed or
+        # in-flight) mean the base this log replays over is gone —
+        # silently skipping them would serve a silently-stale listing.
+        # (A base present but its instant still in-flight is the normal
+        # mid-write shape: those groups are simply not visible yet.)
+        from ..plans.hudi_log import HudiLogFormatError
+
+        raise HudiLogFormatError(
+            f"metadata partition {partition!r}: log files for file group(s) "
+            f"{[f'{fid}@{ts}' for fid, ts in orphans]} have no base HFile"
+        )
 
     for fid, (_ts, path) in sorted(bases.items()):
         with open(path, "rb") as f:
@@ -204,7 +227,7 @@ def _walk_metadata_partition(
             hits = lookup_hfile_cells(data, {k.encode("utf-8") for k in keys})
             for _row, value in sorted(hits.items()):
                 fold(hl.decode_avro_bytes(schema, value))
-        for _version, lpath in sorted(logs.get(fid, [])):
+        for _version, lpath in sorted(logs.get((fid, _ts), [])):
             with open(lpath, "rb") as f:
                 blocks = hl.apply_rollbacks(hl.parse_log_file(f.read()))
             for block in blocks:
@@ -486,13 +509,17 @@ def read_hudi_mor_cdc(
     touched = hudi_touched_file_ids(base_path, begin_exclusive, end)
     key = [PARTITION_PATH_FIELD, RECORD_KEY_FIELD]
     if not touched:
+        # same projection as the non-empty path: op, key, change_commit,
+        # then payload columns EXCLUDING the key — re-selecting the key
+        # via *empty.columns would produce a duplicate column name that
+        # breaks unionByName/parquet downstream (ADVICE r7)
         empty = read_hudi_mor_snapshot(spark, base_path, as_of=end,
                                        listing=listing).filter(F.lit(False))
         return empty.select(
             F.lit("insert").alias("op"),
             F.col(RECORD_KEY_FIELD),
             F.col("_hoodie_commit_time").alias("change_commit"),
-            *[c for c in empty.columns],
+            *[c for c in empty.columns if c != RECORD_KEY_FIELD],
         )
     before = read_hudi_mor_snapshot(
         spark, base_path, as_of=begin_exclusive, listing=listing,
@@ -605,7 +632,28 @@ def read_hudi_mor_point_lookup(
     if index not in ("auto", "record_index", "bloom"):
         raise ValueError(f"unknown index mode {index!r}")
     if index in ("auto", "record_index"):
-        locations = read_hudi_record_index(base_path, keys)
+        # The record index reflects the table's CURRENT state: a key
+        # alive at as_of but deleted (and purged from the index) since
+        # would silently read as no row. Time travel therefore routes
+        # auto -> bloom/scan (historically sound: pruning decisions come
+        # from as_of-filtered slices) and refuses an EXPLICIT
+        # record_index request rather than miss rows (ADVICE r7).
+        latest = None
+        if as_of is not None:
+            ins = hudi_completed_instants(base_path)
+            latest = ins[-1] if ins else None
+        if as_of is not None and latest is not None and as_of < latest:
+            if index == "record_index":
+                raise ValueError(
+                    f"record_index point lookups are latest-state only: "
+                    f"as_of={as_of!r} predates the latest instant "
+                    f"{latest!r} and keys deleted after as_of may have "
+                    f"been purged from the index; use index='bloom' or "
+                    f"index='auto'"
+                )
+            locations = None  # auto: fall through to bloom/scan
+        else:
+            locations = read_hudi_record_index(base_path, keys)
         if locations is None and index == "record_index":
             raise ValueError(f"no record_index partition under {base_path!r}")
         if locations is not None:

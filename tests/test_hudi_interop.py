@@ -845,3 +845,84 @@ def test_mor_foreign_delete_view(spark):
         read_hudi_mor_delete_view(spark, MOR_FIXTURE, M1)
     with pytest.raises(ValueError, match="no completed Hudi instant"):
         read_hudi_mor_delete_view(spark, MOR_FIXTURE, "20210301105500")
+
+
+def test_metadata_logs_keyed_by_base_instant(tmp_path):
+    """Metadata-partition logs bind to the base slice named in their
+    filename (ADVICE r7): after a metadata-table compaction with
+    not-yet-cleaned older logs, a stale pre-compaction log keyed by fid
+    alone would replay over the NEWER base and corrupt the listing. A
+    log under an older base_ts must be ignored entirely (never opened:
+    this one is garbage bytes), and logs for a file group with no base
+    HFile at all must raise, not silently skip."""
+    from hudi_delete_view_spark.plans.hudi_log import HudiLogFormatError
+    from hudi_delete_view_spark.sources.hudi import read_hudi_metadata_files
+
+    pristine = read_hudi_metadata_files(MOR_FIXTURE)
+    assert pristine
+
+    stale = os.path.join(tmp_path, "stale")
+    shutil.copytree(MOR_FIXTURE, stale)
+    files_dir = os.path.join(stale, ".hoodie", "metadata", "files")
+    # base HFile in the fixture is at 20210301110000; this log claims the
+    # (hypothetical, already-compacted-away) 20210301100000 base
+    with open(os.path.join(files_dir,
+                           ".files-0000_20210301100000.log.1_0-0-0"), "wb") as f:
+        f.write(b"not a log file at all")
+    assert read_hudi_metadata_files(stale) == pristine
+
+    orphan = os.path.join(tmp_path, "orphan")
+    shutil.copytree(MOR_FIXTURE, orphan)
+    files_dir = os.path.join(orphan, ".hoodie", "metadata", "files")
+    with open(os.path.join(files_dir,
+                           ".files-9999_20210301110000.log.1_0-0-0"), "wb") as f:
+        f.write(b"whatever")
+    with pytest.raises(HudiLogFormatError, match="no base HFile"):
+        read_hudi_metadata_files(orphan)
+
+
+def test_mor_cdc_empty_window_schema_matches(spark):
+    """An empty CDC window projects exactly like the non-empty path — a
+    duplicate _hoodie_record_key column (ADVICE r7) breaks unionByName
+    and parquet writes downstream."""
+    from hudi_delete_view_spark.sources.hudi import (
+        hudi_completed_instants,
+        read_hudi_mor_cdc,
+    )
+
+    last = hudi_completed_instants(MOR_FIXTURE)[-1]
+    empty = read_hudi_mor_cdc(spark, MOR_FIXTURE, last)
+    assert len(empty.columns) == len(set(empty.columns))
+    assert empty.count() == 0
+    nonempty = read_hudi_mor_cdc(spark, MOR_FIXTURE, "20210301090000")
+    assert empty.columns == nonempty.columns
+    # the two must compose — this is where a duplicate name explodes
+    assert nonempty.unionByName(empty).count() == nonempty.count()
+
+
+def test_mor_point_lookup_as_of_record_index_guard(spark):
+    """Time travel + record index (ADVICE r7): the index reflects
+    CURRENT state, so a key alive at as_of but deleted since (id5:
+    inserted at C1, tombstoned at C2) could silently miss. Explicit
+    index='record_index' with a stale as_of must refuse; index='auto'
+    must route to the historically-sound bloom/scan path and return the
+    row."""
+    from hudi_delete_view_spark.sources.hudi import read_hudi_mor_point_lookup
+
+    c1 = "20210301090000"
+    with pytest.raises(ValueError, match="latest-state only"):
+        read_hudi_mor_point_lookup(spark, MOR_FIXTURE, keys=["id5"],
+                                   as_of=c1, index="record_index")
+    got = (read_hudi_mor_point_lookup(spark, MOR_FIXTURE, keys=["id5"],
+                                      as_of=c1, index="auto")
+           .select("id", "value").collect())
+    assert [(r.id, r.value) for r in got] == [("id5", 50)]
+    # at latest state the key is tombstoned: auto uses the index, no row
+    assert read_hudi_mor_point_lookup(
+        spark, MOR_FIXTURE, keys=["id5"], index="auto").count() == 0
+    # as_of == latest instant: the index is current, record_index allowed
+    from hudi_delete_view_spark.sources.hudi import hudi_completed_instants
+    last = hudi_completed_instants(MOR_FIXTURE)[-1]
+    assert read_hudi_mor_point_lookup(
+        spark, MOR_FIXTURE, keys=["id5"], as_of=last,
+        index="record_index").count() == 0
