@@ -926,3 +926,52 @@ def test_mor_point_lookup_as_of_record_index_guard(spark):
     assert read_hudi_mor_point_lookup(
         spark, MOR_FIXTURE, keys=["id5"], as_of=last,
         index="record_index").count() == 0
+
+
+def test_mor_export_no_data_row_collects(spark, scratch, monkeypatch):
+    """Job audit for the export path (r7 verdict item 2): every data
+    byte must move executor-side — the driver may collect only
+    file-level metadata (one row per OUTPUT FILE: names + sizes for the
+    metadata table). Pin: total rows ever collect()ed during an export
+    stays bounded by the file count, orders of magnitude under the data
+    row count."""
+    from pyspark.sql import DataFrame
+
+    from hudi_delete_view_spark.sources.hudi import (
+        export_hudi_mor,
+        read_hudi_mor_snapshot,
+    )
+    from hudi_delete_view_spark.sources.mor import MorTable
+
+    t = MorTable(spark, os.path.join(scratch, "audit_src"), key_fields=["k"],
+                 partition_field=None, num_file_groups=2)
+    t.bulk_insert(spark.range(5000).selectExpr(
+        "concat('k', id) as k", "cast(id as long) as v"), "20260101000000")
+    t.upsert_delta(spark.range(1000).selectExpr(
+        "concat('k', id) as k", "cast(id + 7 as long) as v"),
+        "20260102000000")
+
+    collected = []
+    real_collect = DataFrame.collect
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    out = export_hudi_mor(t, os.path.join(scratch, "audit_exp"))
+    monkeypatch.undo()
+
+    n_files = sum(
+        1 for _r, _d, fs in os.walk(out) for f in fs
+        if (f.endswith(".parquet") or ".log." in f)
+        and ".hoodie" not in _r.replace(out, "")
+    )
+    assert sum(collected) <= n_files  # metadata rows only, never data
+    assert sum(collected) < 6000  # and nowhere near the 6k data rows
+    # and the export is still a faithful round trip
+    got = {(r.k, r.v) for r in read_hudi_mor_snapshot(spark, out)
+           .select("k", "v").collect()}
+    want = {(r.k, r.v) for r in t.snapshot().select("k", "v").collect()}
+    assert got == want
