@@ -16,74 +16,67 @@ ORACLES: dict[str, str] = {}
 _LATE: set[str] = set()
 
 # The driver's correctness harness oracle-checks the FIRST 50 entries of
-# ``ordered_queries()``. Rounds 1-4 earned their green driver rows in
-# CORRECTNESS_r01-r06; this window now rotates onto the newest, riskiest
-# surface — the IVM view lattice, the Python DataSource connector, Hudi
-# interop (COW + MOR log-blocks), and ``rel_approx_sketches`` (which failed
-# its only driver check in r1, was fixed, and needs a green row). Names
-# listed here are pulled to the very front of the registry in this order;
-# everything else follows in registration order (``late`` still at the back).
+# ``ordered_queries()``. Round-8 rotation (r7 verdict item 3): the 30
+# registry queries that have NEVER earned a green driver row across
+# r01-r07 take the front — including the two r07 ``err`` rows
+# (``lake_pyds_scan``: connector conf portability, ``sim_vector_store``:
+# array output column), both fixed this round and kept windowed so the
+# fixes earn their green rows. The remaining slots re-check the flagship
+# and every surface whose CODE changed this round (foreign-Hudi bloom
+# golden-vector rewrite, metadata-log keying, as_of index guard, CDC
+# empty-window projection, executor-side export, connector register()).
+# Names listed here are pulled to the very front of the registry in this
+# order; everything else follows in registration order (``late`` still at
+# the back).
 _WINDOW: tuple[str, ...] = (
-    # flagship + interop (round-7-late: record-index point lookup,
-    # column-stats data skipping, and the foreign incremental pull
-    # replace three stable rows — lake_time_travel, mor_incremental and
-    # lake_indexed_lookup have held green locally since rounds 2-4 and
-    # share machinery with queries that stay windowed; the new
-    # metadata-table surface is the risk)
+    # -- never driver-checked (30): curation family
+    "curate_chunk_manifest",
+    "curate_contamination_provenance",
+    "curate_contamination_report",
+    "curate_domain_cap",
+    "curate_length_histogram",
+    "curate_split_assignment",
+    # dedup tail
+    "dedup_lsh_candidates",
+    "dedup_minhash_clusters",
+    "dedup_remove_boilerplate",
+    "dedup_simhash_pairs",
+    # lake tail
+    "lake_cdc_replay",
+    "lake_commit_history",
+    "lake_indexed_lookup",
+    "lake_partition_scan",
+    "lake_pyds_scan",  # r07 err #1: fixed (register() sets pushdown conf)
+    "lake_sql_surface",
+    # multimodal tail
+    "mm_audio_windows",  # array column stringified this round
+    "mm_extract_features",
+    # foreign-Hudi CDC (landed after the r07 snapshot — riskiest unwindowed)
+    "mor_hudi_cdc",
+    "mor_ivm_aggregate",
+    "pipeline_chunk_dedup",
+    # similarity tail
+    "sim_quantize_int8",  # array column stringified this round
+    "sim_recall_report",
+    "sim_topk_ivf",
+    "sim_topk_ivf_label",
+    "sim_vector_store",  # r07 err #2: fixed (qvec -> CSV string)
+    "stream_decontaminate",
+    # text tail
+    "text_perplexity",
+    "text_repetition",
+    "text_winnowing",
+    # -- re-checks: flagship + every surface with round-8 code changes
     "lake_delete_view",
     "lake_hudi_interop",
-    "mor_hudi_interop",
-    "mor_hudi_point_lookup",
-    "mor_hudi_data_skipping",
+    "mor_hudi_interop",        # metadata-log keying + bloom rewrite
+    "mor_hudi_point_lookup",   # as_of guard + golden-vector bloom
+    "mor_hudi_data_skipping",  # metadata partition walk changed
     "mor_hudi_incremental",
-    "rel_approx_sketches",
-    # IVM view lattice (rounds 5-6, plus round-7 shapes)
-    "lake_mv_auto_agg",
-    "lake_mv_auto_join",
-    "lake_mv_auto_select",
-    "lake_mv_auto_minmax",
-    "lake_mv_auto_variance",
-    "lake_mv_auto_count_distinct",
-    "lake_mv_auto_having",
-    "lake_mv_auto_staged",
-    "lake_mv_auto_left_join",
-    "lake_mv_auto_window",
-    "lake_mv_auto_agg_join",
-    "lake_mv_auto_agg_left_join",
-    "lake_mv_auto_agg_full_join",
-    "lake_mv_auto_approx_distinct",
-    "lake_mv_auto_distinct",
-    "lake_mv_auto_union",
-    "lake_mv_auto_agg_union",
-    "lake_mv_auto_agg_full_tree",
-    "lake_mv_auto_self_join",
-    "lake_mv_auto_window_union",
-    "lake_mv_auto_window_tree",
-    "lake_mv_auto_agg_tree",
-    "lake_mv_auto_agg_stage",
-    "lake_mv_auto_star",
-    "lake_mv_auto_snowflake",
-    "lake_mv_auto_snowflake_expr",
-    "lake_mv_auto_window_self_join",
-    "lake_mv_sql_ddl",
-    # IVM view tables + stream-driven maintenance
-    "lake_ivm_join",
-    "lake_ivm_view_table",
-    "lake_ivm_agg_table",
-    "stream_ivm_view",
-    "stream_ivm_view_multi",
-    # Python DataSource connector
-    "lake_pyds_scan",
-    "lake_pyds_stream",
+    "lake_pyds_stream",        # register() changed for all pyds paths
     "stream_pyds_sink",
     "stream_pyds_auto_absorb",
     "stream_pyds_live_view",
-    # rounds-5/6 queries without a driver row yet
-    "lake_colocated_join",
-    "sim_semantic_dedup",
-    "sim_semantic_dedup_incremental",
-    "sim_vector_store",
-    "stream_incremental_dedup",
 )
 
 
