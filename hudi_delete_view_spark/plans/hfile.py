@@ -30,11 +30,19 @@ HFile.proto``):
   the file includes tags], [Hadoop-vlong mvcc when the file's
   KEY_VALUE_VERSION = 2]. Cell key = int16 rowLen, row, int8 famLen,
   family, qualifier, int64 timestamp, int8 type.
-- **Root index block** (``ROOTIDX*``): per data block — int64 offset,
-  int32 onDiskSize, Hadoop-vint-prefixed first key. Single-level
-  indexes only (``num_data_index_levels`` must be 1 — Hudi HFile data
-  blocks and small metadata files are single-level; deeper trees raise
-  a clear error).
+- **Root index block** (``IDXROOT2`` — HBase ``BlockType.ROOT_INDEX``;
+  ``ROOTIDX*`` is also accepted on read for images written by this
+  package before round 8, which used that incorrect magic): per child —
+  int64 offset, int32 onDiskSize, Hadoop-vint-prefixed first key.
+- **Multi-level indexes** (``num_data_index_levels`` > 1): root entries
+  point at ``IDXLEAF2`` / ``IDXINTE2`` index blocks in the NON-root
+  layout (``HFileBlockIndex.BlockIndexReader``): int32 entryCount,
+  int32 secondaryIndexOffsets[entryCount + 1] (relative to the entries
+  area; the last one is its total size), then packed entries of
+  int64 offset, int32 onDiskSize, raw key bytes (length derived from
+  the secondary index). The reader walks however many levels the
+  trailer declares — full scans descend everything in key order, point
+  lookups binary-search one branch per level.
 - **File info block** (``FILEINF2``): ``PBUF`` magic + varint-delimited
   ``FileInfoProto`` (repeated BytesBytesPair). Read for the two cell
   framing flags: ``KEY_VALUE_VERSION`` == 2 -> cells carry an mvcc
@@ -63,7 +71,12 @@ import struct
 import zlib
 
 MAGIC_DATA = b"DATABLK*"
-MAGIC_ROOT_INDEX = b"ROOTIDX*"
+MAGIC_ROOT_INDEX = b"IDXROOT2"  # HBase BlockType.ROOT_INDEX
+# images this package wrote before round 8 used a magic that appears in
+# no HBase source; accepted on read so old exports stay readable
+MAGIC_ROOT_INDEX_LEGACY = b"ROOTIDX*"
+MAGIC_LEAF_INDEX = b"IDXLEAF2"  # BlockType.LEAF_INDEX
+MAGIC_INTERMEDIATE_INDEX = b"IDXINTE2"  # BlockType.INTERMEDIATE_INDEX
 MAGIC_FILE_INFO = b"FILEINF2"
 MAGIC_TRAILER = b'TRABLK"$'
 PB_MAGIC = b"PBUF"
@@ -448,23 +461,13 @@ def read_hfile_info(data: bytes) -> dict:
     }
 
 
-def lookup_hfile_cells(data: bytes, rows: set[bytes]) -> dict[bytes, bytes]:
-    """Point lookups: {row: value} for the requested rows, reading ONLY
-    the data blocks the root index says can hold them (binary search on
-    each block's first key) — the access pattern HBase serves gets; a
-    full-file scan would defeat the point of an indexed format. Rows
-    not present are absent from the result."""
-    meta = read_hfile_info(data)
-    codec = meta["codec"]
-    if meta["index_levels"] != 1:
-        raise HFileFormatError(
-            f"multi-level data index (levels={meta['index_levels']}) not supported"
-        )
+def _root_index_entries(data: bytes, meta: dict) -> list[tuple[bytes, int]]:
+    """(first row, child offset) pairs from the root index block."""
     magic, payload, _ = _read_block(data, meta["load_on_open_offset"])
-    if magic != MAGIC_ROOT_INDEX:
-        raise HFileFormatError(f"expected ROOTIDX* block, got {magic!r}")
-    root = _decompress(payload, codec)
-    entries: list[tuple[bytes, int]] = []  # (first row, offset)
+    if magic not in (MAGIC_ROOT_INDEX, MAGIC_ROOT_INDEX_LEGACY):
+        raise HFileFormatError(f"expected IDXROOT2 block, got {magic!r}")
+    root = _decompress(payload, meta["codec"])
+    entries: list[tuple[bytes, int]] = []
     pos = 0
     for _ in range(meta["data_index_count"]):
         offset, _size = struct.unpack_from(">qi", root, pos)
@@ -472,8 +475,61 @@ def lookup_hfile_cells(data: bytes, rows: set[bytes]) -> dict[bytes, bytes]:
         key_len, pos = _read_hadoop_vlong(root, pos)
         entries.append((cell_key_row(root[pos : pos + key_len]), offset))
         pos += key_len
+    return entries
+
+
+def _nonroot_index_entries(block: bytes) -> list[tuple[bytes, int]]:
+    """(first row, child offset) pairs from a leaf/intermediate index
+    block (``HFileBlockIndex.BlockIndexReader`` non-root layout:
+    entryCount, secondary index of entryCount+1 relative int32 offsets,
+    then packed [int64 offset, int32 onDiskSize, raw key] entries)."""
+    (n,) = struct.unpack_from(">i", block, 0)
+    sec = struct.unpack_from(f">{n + 1}i", block, 4)
+    base = 4 + 4 * (n + 1)
+    entries: list[tuple[bytes, int]] = []
+    for i in range(n):
+        at = base + sec[i]
+        offset, _size = struct.unpack_from(">qi", block, at)
+        key = block[at + 12 : base + sec[i + 1]]
+        entries.append((cell_key_row(key), offset))
+    return entries
+
+
+def _descend_index(data: bytes, meta: dict, offset: int) -> list[tuple[bytes, int]]:
+    m, body, _ = _read_block(data, offset)
+    if m not in (MAGIC_LEAF_INDEX, MAGIC_INTERMEDIATE_INDEX):
+        raise HFileFormatError(
+            f"multi-level index points at non-index block {m!r}"
+        )
+    return _nonroot_index_entries(_decompress(body, meta["codec"]))
+
+
+def lookup_hfile_cells(data: bytes, rows: set[bytes]) -> dict[bytes, bytes]:
+    """Point lookups: {row: value} for the requested rows, reading ONLY
+    the blocks the index says can hold them — one binary-searched branch
+    per level, however many levels the trailer declares (the access
+    pattern HBase serves gets; a full-file scan would defeat the point
+    of an indexed format). Rows not present are absent from the
+    result."""
     import bisect
 
+    meta = read_hfile_info(data)
+    codec = meta["codec"]
+    entries = _root_index_entries(data, meta)
+    # descend index levels, opening only branches a requested row maps to
+    for _level in range(meta["index_levels"] - 1):
+        entries.sort(key=lambda e: e[0])
+        first_rows = [e[0] for e in entries]
+        branch_offsets = sorted({
+            entries[i][1]
+            for row in rows
+            if (i := bisect.bisect_right(first_rows, row) - 1) >= 0
+        })
+        nxt: list[tuple[bytes, int]] = []
+        for off in branch_offsets:
+            nxt.extend(_descend_index(data, meta, off))
+        entries = nxt
+    entries.sort(key=lambda e: e[0])
     first_rows = [e[0] for e in entries]
     wanted_blocks: dict[int, set[bytes]] = {}
     for row in rows:
@@ -494,24 +550,18 @@ def lookup_hfile_cells(data: bytes, rows: set[bytes]) -> dict[bytes, bytes]:
 
 
 def read_hfile_cells(data: bytes) -> list[tuple[bytes, bytes]]:
-    """All (row, value) cells of a single-level HFile, in file order."""
+    """All (row, value) cells in file order, walking however many index
+    levels the trailer declares."""
     meta = read_hfile_info(data)
     codec = meta["codec"]
-    if meta["index_levels"] != 1:
-        raise HFileFormatError(
-            f"multi-level data index (levels={meta['index_levels']}) not supported"
-        )
-    magic, payload, _ = _read_block(data, meta["load_on_open_offset"])
-    if magic != MAGIC_ROOT_INDEX:
-        raise HFileFormatError(f"expected ROOTIDX* block, got {magic!r}")
-    root = _decompress(payload, codec)
+    entries = _root_index_entries(data, meta)
+    for _level in range(meta["index_levels"] - 1):
+        nxt: list[tuple[bytes, int]] = []
+        for _row, off in entries:
+            nxt.extend(_descend_index(data, meta, off))
+        entries = nxt
     cells: list[tuple[bytes, bytes]] = []
-    pos = 0
-    for _ in range(meta["data_index_count"]):
-        offset, _size = struct.unpack_from(">qi", root, pos)
-        pos += 12
-        key_len, pos = _read_hadoop_vlong(root, pos)
-        pos += key_len
+    for _row, offset in entries:
         bmagic, body, _ = _read_block(data, offset)
         if bmagic != MAGIC_DATA:
             raise HFileFormatError(f"index points at non-data block {bmagic!r}")

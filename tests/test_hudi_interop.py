@@ -291,8 +291,7 @@ def test_mor_hfile_data_block():
 def test_hfile_codec_round_trip():
     """plans/hfile.py writer -> reader round trip across compression
     codecs and block splits, with checksum verification: a flipped byte
-    in a data block must raise, and multi-level index files must refuse
-    with the limitation named."""
+    in a data block must raise."""
     import pytest as _pytest
 
     from hudi_delete_view_spark.plans.hfile import (
@@ -975,3 +974,46 @@ def test_mor_export_no_data_row_collects(spark, scratch, monkeypatch):
            .select("k", "v").collect()}
     want = {(r.k, r.v) for r in t.snapshot().select("k", "v").collect()}
     assert got == want
+
+
+def _fixture_tool():
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "make_hudi_mor_fixture.py")
+    spec = importlib.util.spec_from_file_location("mor_fixture_tool", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_hfile_multi_level_index():
+    """Multi-level HFile block indexes (r7 verdict item 6): a >GB real
+    Hudi metadata table grows root->leaf (and root->intermediate->leaf)
+    index trees that single-block fixtures never exercise. Images come
+    from the INDEPENDENT clean-room encoder (forced tiny fanout); the
+    package reader must walk every declared level — full scan in key
+    order, and point lookups opening only one binary-searched branch per
+    level."""
+    from hudi_delete_view_spark.plans.hfile import (
+        lookup_hfile_cells,
+        read_hfile_cells,
+        read_hfile_info,
+    )
+
+    tool = _fixture_tool()
+    cells = [(f"rk{i:05d}".encode(), f"val-{i}".encode()) for i in range(200)]
+    for levels in (2, 3):
+        img = tool._hfile_image_multi(cells, rows_per_block=4, fanout=4,
+                                      levels=levels)
+        meta = read_hfile_info(img)
+        assert meta["index_levels"] == levels
+        assert read_hfile_cells(img) == cells
+        want = {b"rk00000", b"rk00007", b"rk00123", b"rk00199"}
+        got = lookup_hfile_cells(img, want | {b"absent", b"aa"})
+        assert got == {k: v for k, v in cells if k in want}
+    # single-level images from both encoders still read (incl. the
+    # pre-round-8 legacy root magic accepted for old exports)
+    single = tool._hfile_image(cells[:10])
+    assert read_hfile_info(single)["index_levels"] == 1
+    assert read_hfile_cells(single) == sorted(cells[:10])

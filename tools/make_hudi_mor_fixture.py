@@ -319,7 +319,7 @@ def _hfile_image(cells: list[tuple[bytes, bytes]]) -> bytes:
 
     load_on_open = len(out)
     root = struct.pack(">qi", d_off, d_size) + _hvint(len(first_key)) + first_key
-    _hfile_hblock(out, b"ROOTIDX*", root, -1)
+    _hfile_hblock(out, b"IDXROOT2", root, -1)  # BlockType.ROOT_INDEX
 
     info_entries = {
         b"KEY_VALUE_VERSION": struct.pack(">i", 2),
@@ -334,6 +334,96 @@ def _hfile_image(cells: list[tuple[bytes, bytes]]) -> bytes:
                   + _pbf(3, 0, len(root)) + _pbf(4, 0, 33 + len(block))
                   + _pbf(5, 0, 1) + _pbf(6, 0, 0) + _pbf(7, 0, len(cells))
                   + _pbf(8, 0, 1) + _pbf(9, 0, d_off) + _pbf(10, 0, d_off)
+                  + _pbf(11, 2, b"org.apache.hadoop.hbase.CellComparatorImpl")
+                  + _pbf(12, 0, 1))                      # codec GZ
+    trailer = b'TRABLK"$' + _pbv(len(trailer_pb)) + trailer_pb
+    trailer += b"\x00" * (4096 - len(trailer) - 4)
+    trailer += struct.pack(">i", (3 << 24) | 3)          # minor 3, major 3
+    out += trailer
+    return bytes(out)
+
+
+def _hfile_cell_key(row: bytes) -> bytes:
+    return (struct.pack(">H", len(row)) + row + b"\x00"
+            + struct.pack(">q", 0) + b"\x04")
+
+
+def _hfile_nonroot_block(entries: list[tuple[int, int, bytes]]) -> bytes:
+    """HBase non-root index block layout (HFileBlockIndex): entryCount,
+    secondary index of entryCount+1 relative offsets, packed entries of
+    int64 offset / int32 onDiskSize / raw key."""
+    sec, body = [], bytearray()
+    for off, size, key in entries:
+        sec.append(len(body))
+        body += struct.pack(">qi", off, size) + key
+    sec.append(len(body))
+    return (struct.pack(">i", len(entries))
+            + b"".join(struct.pack(">i", s) for s in sec) + bytes(body))
+
+
+def _hfile_image_multi(cells: list[tuple[bytes, bytes]],
+                       rows_per_block: int = 4, fanout: int = 4,
+                       levels: int = 2) -> bytes:
+    """FORCED multi-level HFile v3 image (levels=2: root->leaf->data;
+    levels=3: root->intermediate->leaf->data) — the index shape a >GB
+    real-Hudi metadata table grows, which single-block fixtures never
+    exercise. Same clean-room block/trailer encoding as _hfile_image."""
+    assert levels in (2, 3)
+    out = bytearray()
+    cells = sorted(cells)
+    data_entries = []  # (off, size, first cell key)
+    total_uncompressed = 0
+    first_d = last_d = 0
+    for i in range(0, len(cells), rows_per_block):
+        block = bytearray()
+        first_key = None
+        for row, value in cells[i:i + rows_per_block]:
+            key = _hfile_cell_key(row)
+            if first_key is None:
+                first_key = bytes(key)
+            block += struct.pack(">ii", len(key), len(value)) + key + value
+            block += b"\x00"  # vlong mvcc = 0
+        off, size = _hfile_hblock(out, b"DATABLK*", bytes(block), -1)
+        if not data_entries:
+            first_d = off
+        last_d = off
+        total_uncompressed += 33 + len(block)
+        data_entries.append((off, size, first_key))
+
+    def index_level(children, magic):
+        parents = []
+        for i in range(0, len(children), fanout):
+            group = children[i:i + fanout]
+            payload = _hfile_nonroot_block(group)
+            off, size = _hfile_hblock(out, magic, payload, -1)
+            parents.append((off, size, group[0][2]))
+        return parents
+
+    tier = index_level(data_entries, b"IDXLEAF2")
+    if levels == 3:
+        tier = index_level(tier, b"IDXINTE2")
+
+    load_on_open = len(out)
+    root = bytearray()
+    for off, size, key in tier:
+        root += struct.pack(">qi", off, size) + _hvint(len(key)) + key
+    _hfile_hblock(out, b"IDXROOT2", bytes(root), -1)
+
+    info_entries = {
+        b"KEY_VALUE_VERSION": struct.pack(">i", 2),
+        b"MAX_MEMSTORE_TS_KEY": struct.pack(">q", 0),
+    }
+    pairs = b"".join(_pbf(1, 2, _pbf(1, 2, k) + _pbf(2, 2, v))
+                     for k, v in sorted(info_entries.items()))
+    info_off = len(out)
+    _hfile_hblock(out, b"FILEINF2", b"PBUF" + _pbv(len(pairs)) + pairs, -1)
+
+    trailer_pb = (_pbf(1, 0, info_off) + _pbf(2, 0, load_on_open)
+                  + _pbf(3, 0, len(root)) + _pbf(4, 0, total_uncompressed)
+                  + _pbf(5, 0, len(tier)) + _pbf(6, 0, 0)
+                  + _pbf(7, 0, len(cells))
+                  + _pbf(8, 0, levels) + _pbf(9, 0, first_d)
+                  + _pbf(10, 0, last_d)
                   + _pbf(11, 2, b"org.apache.hadoop.hbase.CellComparatorImpl")
                   + _pbf(12, 0, 1))                      # codec GZ
     trailer = b'TRABLK"$' + _pbv(len(trailer_pb)) + trailer_pb
