@@ -66,6 +66,11 @@ _WINDOW: tuple[str, ...] = (
     "text_perplexity",
     "text_repetition",
     "text_winnowing",
+    # -- round-8 NEW surface: foreign Delta Lake (sources/delta.py)
+    "delta_interop",
+    "delta_incremental",
+    "delta_cdc",
+    "delta_data_skipping",
     # -- re-checks: flagship + every surface with round-8 code changes
     "lake_delete_view",
     "lake_hudi_interop",
@@ -122,6 +127,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         lake,
         mor,
+        delta,
         dedup,
         similarity,
         text,

@@ -1,0 +1,652 @@
+"""Foreign **Delta Lake** table reader — the second open table format
+(after genuine Apache Hudi COW/MOR, ``sources/hudi.py``) this engine
+answers its queries over, including the reference's flagship question
+(which rows did commit V delete? — ``DeleteView.java:112-163`` asked of
+a table the reference cannot read at all).
+
+Format implemented (public — the Delta Transaction Log Protocol,
+https://github.com/delta-io/delta/blob/master/PROTOCOL.md):
+
+- ``_delta_log/<version>.json``: newline-delimited action JSON per
+  commit — ``metaData`` (id, schemaString = Spark StructType JSON,
+  partitionColumns, configuration), ``add`` (path, partitionValues,
+  size, dataChange, stats JSON), ``remove`` (path, dataChange),
+  ``protocol`` (minReaderVersion, readerFeatures), ``commitInfo``
+  (timestamp ms).
+- ``_delta_log/<version>.checkpoint.parquet`` (+ multi-part
+  ``.checkpoint.<i>.<n>.parquet``) with ``_last_checkpoint``: the
+  compacted state at a version — replay starts from the newest eligible
+  checkpoint and applies only the JSON deltas after it, so a
+  100k-commit table costs one parquet read + a handful of JSONs, not
+  100k JSON parses. Older JSONs may be vacuumed; requesting a version
+  below the earliest reconstructable one raises with the available
+  range named.
+- **Snapshot semantics**: replay actions in version order; last
+  ``metaData`` wins; an ``add`` for a path supersedes earlier actions
+  for that path; a ``remove`` drops it. Partition column VALUES live in
+  ``add.partitionValues`` (string-encoded), not in the data files.
+- **Protocol gating**: ``minReaderVersion`` 1/2 read directly; 3 reads
+  only when every ``readerFeatures`` entry is supported here.
+  ``deletionVectors`` and ``columnMapping`` (mode != none) are refused
+  BY NAME — silently ignoring a DV would resurrect deleted rows.
+
+Scale shape: the driver touches only the log (KB-scale JSON + one
+checkpoint parquet footer/read — the same class of planning work Delta's
+own driver does); all data moves through ``spark.read.parquet`` over the
+resolved live files. When every file path carries hive-style partition
+dirs (``part=a/...``, the layout Delta writers produce), one
+``basePath``-rooted scan serves the whole snapshot and Spark's partition
+pruning + parquet pushdown apply untouched; otherwise files group by
+partition value tuple and each group scans once with its partition
+columns attached as literals. ``add.stats`` min/max prune files under
+point/range predicates before any scan (the column-stats data-skipping
+mirror of ``sources/hudi.py``'s G14)."""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.fs import fs_for
+
+LOG_DIR = "_delta_log"
+
+# reader features this implementation actually honors (PROTOCOL.md
+# "reader features"); anything else refuses by name
+_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+
+
+class DeltaFormatError(ValueError):
+    """Structurally invalid or unsupported Delta table."""
+
+
+@dataclass
+class DeltaState:
+    """Replayed log state at one version."""
+
+    version: int
+    schema: T.StructType
+    partition_columns: list[str]
+    adds: dict[str, dict]  # path -> add action (live files)
+    commit_ts: dict[int, int] = field(default_factory=dict)  # version -> ms
+
+
+def _log_path(base_path: str) -> str:
+    return os.path.join(base_path, LOG_DIR)
+
+
+def _list_versions(base_path: str) -> list[int]:
+    fs = fs_for(base_path)
+    out = []
+    for name in fs.listdir(_log_path(base_path)):
+        stem, ext = os.path.splitext(name)
+        if ext == ".json" and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def _last_checkpoint(base_path: str):
+    p = os.path.join(_log_path(base_path), "_last_checkpoint")
+    fs = fs_for(base_path)
+    if not fs.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _checkpoint_files(base_path: str, version: int, parts: int | None) -> list[str]:
+    d = _log_path(base_path)
+    if not parts:
+        return [os.path.join(d, f"{version:020d}.checkpoint.parquet")]
+    return [
+        os.path.join(
+            d, f"{version:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+        )
+        for i in range(1, parts + 1)
+    ]
+
+
+def _check_protocol(p: dict) -> None:
+    reader = p.get("minReaderVersion", 1)
+    if reader <= 2:
+        return
+    feats = set(p.get("readerFeatures") or [])
+    unsupported = sorted(feats - _SUPPORTED_READER_FEATURES)
+    if unsupported:
+        raise DeltaFormatError(
+            f"unsupported Delta reader feature(s) {unsupported}: this "
+            "reader honors only "
+            f"{sorted(_SUPPORTED_READER_FEATURES)}; refusing rather than "
+            "misread (e.g. ignoring deletionVectors would resurrect "
+            "deleted rows)"
+        )
+
+
+def _check_metadata(md: dict) -> None:
+    fmt = (md.get("format") or {}).get("provider", "parquet")
+    if fmt != "parquet":
+        raise DeltaFormatError(f"unsupported Delta data format {fmt!r}")
+    conf = md.get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode != "none":
+        raise DeltaFormatError(
+            f"delta.columnMapping.mode={mode!r} not supported (physical "
+            "column names diverge from the logical schema); only mode "
+            "'none' reads correctly"
+        )
+
+
+def _check_add(add: dict) -> None:
+    if add.get("deletionVector"):
+        raise DeltaFormatError(
+            f"data file {add.get('path')!r} carries a deletion vector; "
+            "reading it without applying the DV would resurrect deleted "
+            "rows — refused"
+        )
+
+
+def _apply_action(state: dict, action: dict) -> None:
+    if "metaData" in action:
+        _check_metadata(action["metaData"])
+        state["metaData"] = action["metaData"]
+    elif "protocol" in action:
+        _check_protocol(action["protocol"])
+    elif "add" in action:
+        add = action["add"]
+        _check_add(add)
+        state["adds"][add["path"]] = add
+    elif "remove" in action:
+        state["adds"].pop(action["remove"]["path"], None)
+
+
+def resolve_delta_state(base_path: str, version: int | None = None) -> DeltaState:
+    """Replay the transaction log to ``version`` (default: latest).
+
+    Starts from the newest checkpoint at or below the target when one
+    exists (``_last_checkpoint`` → checkpoint parquet via pyarrow,
+    driver-side, metadata-scale) and applies only the JSON commits
+    after it."""
+    versions = _list_versions(base_path)
+    cp = _last_checkpoint(base_path)
+    latest = max(versions) if versions else (cp or {}).get("version")
+    if latest is None:
+        raise DeltaFormatError(f"no Delta log under {base_path!r}")
+    target = latest if version is None else version
+    if target > latest:
+        raise DeltaFormatError(
+            f"version {target} beyond latest {latest} at {base_path!r}"
+        )
+
+    state = {"metaData": None, "adds": {}}
+    commit_ts: dict[int, int] = {}
+    start = 0
+    if cp is not None and cp["version"] <= target:
+        import pyarrow.parquet as pq
+
+        def _norm_maps(d: dict) -> dict:
+            # checkpoint parquet encodes partitionValues/configuration as
+            # MAP<string,string>; pyarrow's to_pylist yields them as
+            # key/value pair lists — normalize back to dicts
+            for k in ("partitionValues", "configuration", "tags"):
+                v = d.get(k)
+                if isinstance(v, list):
+                    d[k] = dict(v)
+            return d
+
+        for path in _checkpoint_files(base_path, cp["version"], cp.get("parts")):
+            tbl = pq.read_table(path)
+            for rec in tbl.to_pylist():
+                for kind in ("protocol", "metaData", "add", "remove"):
+                    if rec.get(kind) is not None:
+                        _apply_action(state, {kind: _norm_maps(rec[kind])})
+        start = cp["version"] + 1
+
+    replay = [v for v in versions if start <= v <= target]
+    if start == 0:
+        # no checkpoint below target: replay must begin at version 0 —
+        # vacuumed logs make older versions unreconstructable
+        if not replay or replay[0] != 0:
+            lo = min(versions) if versions else None
+            raise DeltaFormatError(
+                f"cannot reconstruct version {target}: log begins at "
+                f"{lo} and no checkpoint at or below the target exists"
+            )
+    expect = start
+    for v in replay:
+        if v != expect:
+            raise DeltaFormatError(
+                f"Delta log gap: expected version {expect}, found {v}"
+            )
+        expect += 1
+        with open(os.path.join(_log_path(base_path), f"{v:020d}.json")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    ts = action["commitInfo"].get("timestamp")
+                    if ts is not None:
+                        commit_ts[v] = ts
+                    continue
+                _apply_action(state, action)
+
+    md = state["metaData"]
+    if md is None:
+        raise DeltaFormatError(f"no metaData action replayed at {base_path!r}")
+    schema = T.StructType.fromJson(json.loads(md["schemaString"]))
+    return DeltaState(
+        version=target,
+        schema=schema,
+        partition_columns=list(md.get("partitionColumns") or []),
+        adds=state["adds"],
+        commit_ts=commit_ts,
+    )
+
+
+def _version_actions(base_path: str, version: int) -> list[dict]:
+    """The raw actions of ONE commit (for incremental / CDC / the
+    delete view — per-commit change feeds never need full replay)."""
+    p = os.path.join(_log_path(base_path), f"{version:020d}.json")
+    fs = fs_for(base_path)
+    if not fs.exists(p):
+        raise DeltaFormatError(
+            f"commit {version} not present in the log (vacuumed?)"
+        )
+    out = []
+    with open(p) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def version_for_timestamp(base_path: str, ts_ms: int) -> int:
+    """Latest version whose commitInfo timestamp <= ts_ms (Delta's
+    timestamp time travel)."""
+    best = None
+    for v in _list_versions(base_path):
+        for a in _version_actions(base_path, v):
+            if "commitInfo" in a and a["commitInfo"].get("timestamp") is not None:
+                if a["commitInfo"]["timestamp"] <= ts_ms:
+                    best = v
+                break
+    if best is None:
+        raise DeltaFormatError(
+            f"no Delta commit at or before timestamp {ts_ms}"
+        )
+    return best
+
+
+def _partition_value_expr(raw: str | None, dtype: T.DataType):
+    if raw is None:
+        return F.lit(None).cast(dtype)
+    return F.lit(raw).cast(dtype)
+
+
+def _hive_segment(col: str, raw: str | None) -> str:
+    # PROTOCOL.md partitionValues are plain strings; Delta writers
+    # hive-encode them in paths with __HIVE_DEFAULT_PARTITION__ for null
+    if raw is None:
+        return f"{col}=__HIVE_DEFAULT_PARTITION__"
+    return f"{col}={raw}"
+
+
+def _read_adds(
+    spark: SparkSession, base_path: str, state: DeltaState, adds: list[dict]
+) -> DataFrame:
+    """Scan a set of live files with partition columns attached.
+
+    Fast path: every path carries hive-style ``col=value`` dirs in
+    partition-column order → ONE ``basePath``-rooted scan (user schema
+    pinned, so partition columns keep their DECLARED types and Spark's
+    partition pruning / parquet pushdown apply). Fallback: group by
+    partition tuple, one scan per group with literal partition columns."""
+    if not adds:
+        return spark.createDataFrame([], state.schema)
+    pcols = state.partition_columns
+    if not pcols:
+        return spark.read.schema(state.schema).parquet(
+            *[os.path.join(base_path, a["path"]) for a in adds]
+        )
+    hive = all(
+        all(
+            _hive_segment(c, (a.get("partitionValues") or {}).get(c))
+            in a["path"].split("/")
+            for c in pcols
+        )
+        for a in adds
+    )
+    if hive:
+        return (
+            spark.read.schema(state.schema)
+            .option("basePath", base_path)
+            .parquet(*[os.path.join(base_path, a["path"]) for a in adds])
+            .select(*[f.name for f in state.schema.fields])
+        )
+    by_tuple: dict[tuple, list[dict]] = {}
+    for a in adds:
+        pv = a.get("partitionValues") or {}
+        by_tuple.setdefault(tuple(pv.get(c) for c in pcols), []).append(a)
+    data_schema = T.StructType(
+        [f for f in state.schema.fields if f.name not in pcols]
+    )
+    types = {f.name: f.dataType for f in state.schema.fields}
+    parts = []
+    for tup, group in sorted(by_tuple.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(
+            *[os.path.join(base_path, a["path"]) for a in group]
+        )
+        for c, raw in zip(pcols, tup):
+            df = df.withColumn(c, _partition_value_expr(raw, types[c]))
+        parts.append(df.select(*[f.name for f in state.schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _stats_pass(add: dict, bounds: dict[str, tuple]) -> bool:
+    """File-skipping on add.stats minValues/maxValues: False only when
+    the stats PROVE no row can satisfy the bounds (missing stats always
+    pass — skipping is an optimization, never a filter)."""
+    raw = add.get("stats")
+    if not raw:
+        return True
+    try:
+        stats = json.loads(raw) if isinstance(raw, str) else raw
+    except (TypeError, ValueError):
+        return True
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    for col, (lo, hi) in bounds.items():
+        fmin, fmax = mins.get(col), maxs.get(col)
+        try:
+            if lo is not None and fmax is not None and fmax < lo:
+                return False
+            if hi is not None and fmin is not None and fmin > hi:
+                return False
+        except TypeError:
+            continue  # cross-type comparison: stats unusable, keep file
+    return True
+
+
+def read_delta_snapshot(
+    spark: SparkSession,
+    base_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+    bounds: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Snapshot of a foreign Delta table at a version (or at a
+    timestamp, Delta-style time travel). ``bounds`` ({col: (lo, hi)})
+    prunes files by ``add.stats`` before any scan; Spark still
+    evaluates predicates row-level — pruning is never a filter."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_for_timestamp(base_path, timestamp_ms)
+    state = resolve_delta_state(base_path, version)
+    adds = sorted(state.adds.values(), key=lambda a: a["path"])
+    # partition-value pruning first (free), then stats
+    if bounds:
+        pcols = set(state.partition_columns)
+        types = {f.name: f.dataType for f in state.schema.fields}
+
+        def part_pass(a: dict) -> bool:
+            pv = a.get("partitionValues") or {}
+            for col, (lo, hi) in bounds.items():
+                if col not in pcols or pv.get(col) is None:
+                    continue
+                v = pv[col]
+                t = types.get(col)
+                if isinstance(t, (T.IntegerType, T.LongType, T.ShortType)):
+                    try:
+                        v = int(v)
+                    except ValueError:
+                        continue
+                if lo is not None and v < lo:
+                    return False
+                if hi is not None and v > hi:
+                    return False
+            return True
+
+        adds = [a for a in adds if part_pass(a) and _stats_pass(a, bounds)]
+    return _read_adds(spark, base_path, state, adds)
+
+
+def read_delta_incremental(
+    spark: SparkSession,
+    base_path: str,
+    begin_version_exclusive: int,
+    end_version_inclusive: int | None = None,
+) -> DataFrame:
+    """Change feed of APPENDED rows in (begin, end]: the rows of every
+    ``add`` with ``dataChange=true`` in the window, stamped with
+    ``_commit_version`` — the semantics of Delta's own streaming source
+    (an OPTIMIZE rewrite, dataChange=false, emits nothing)."""
+    state = resolve_delta_state(base_path)
+    end = state.version if end_version_inclusive is None else end_version_inclusive
+    parts = []
+    for v in _list_versions(base_path):
+        if not (begin_version_exclusive < v <= end):
+            continue
+        adds = [
+            a["add"]
+            for a in _version_actions(base_path, v)
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        for a in adds:
+            _check_add(a)
+        if adds:
+            parts.append(
+                _read_adds(spark, base_path, state, adds).withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+            )
+    if not parts:
+        return (
+            spark.createDataFrame([], state.schema)
+            .withColumn("_commit_version", F.lit(None).cast("long"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _window_file_events(base_path: str, begin_exclusive: int, end: int):
+    """Per-version file movements in (begin, end]: {version: (added
+    paths, removed paths)} split by dataChange, plus the union of ALL
+    moved paths. Pruning must include dataChange=false movements — an
+    OPTIMIZE migrates rows between files without changing them, and a
+    prune that ignores the new file would misread those rows as
+    deleted."""
+    per_version: dict[int, tuple[list[str], list[str]]] = {}
+    all_paths: set[str] = set()
+    for v in _list_versions(base_path):
+        if not (begin_exclusive < v <= end):
+            continue
+        adds_v: list[str] = []
+        rms_v: list[str] = []
+        for a in _version_actions(base_path, v):
+            if "add" in a:
+                all_paths.add(a["add"]["path"])
+                if a["add"].get("dataChange", True):
+                    adds_v.append(a["add"]["path"])
+            elif "remove" in a:
+                all_paths.add(a["remove"]["path"])
+                if a["remove"].get("dataChange", True):
+                    rms_v.append(a["remove"]["path"])
+        if adds_v or rms_v:
+            per_version[v] = (adds_v, rms_v)
+    return per_version, all_paths
+
+
+def read_delta_cdc(
+    spark: SparkSession,
+    base_path: str,
+    key_cols: list[str],
+    begin_version_exclusive: int,
+    end_version_inclusive: int | None = None,
+) -> DataFrame:
+    """Net-effect CDC over (begin, end] keyed on ``key_cols`` — the
+    Delta mirror of the foreign-Hudi net-effect CDC (G18): one row per
+    net-changed key, op in insert/update (after-image) / delete
+    (BEFORE-image), ``change_version`` = the last version in the window
+    that actually changed the key (not merely the last file rewrite —
+    an OPTIMIZE migration neither surfaces a change nor moves a stamp).
+
+    Scale shape: Delta files are immutable, so rows in files untouched
+    by the window CANNOT change — both boundary snapshots prune to the
+    window's moved paths (dataChange=false movements included, see
+    ``_window_file_events``) before the one full-outer diff on the key.
+    Precise stamps come from per-version mini-diffs, each pruned to THAT
+    version's data-changing files — total bytes read ≈ the window's
+    change history, the same work profile as decoding a Hudi log
+    window."""
+    latest = resolve_delta_state(base_path)
+    end = latest.version if end_version_inclusive is None else end_version_inclusive
+    per_version, moved = _window_file_events(
+        base_path, begin_version_exclusive, end
+    )
+    state_b = resolve_delta_state(base_path, begin_version_exclusive)
+    state_e = resolve_delta_state(base_path, end)
+    payload = [f.name for f in state_e.schema.fields]
+    non_key = [c for c in payload if c not in key_cols]
+
+    def keyed(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.struct(*[F.col(c) for c in payload]).alias(tag),
+        )
+
+    before = keyed(
+        _read_adds(
+            spark, base_path, state_b,
+            [a for p, a in state_b.adds.items() if p in moved],
+        ),
+        "__b",
+    )
+    after = keyed(
+        _read_adds(
+            spark, base_path, state_e,
+            [a for p, a in state_e.adds.items() if p in moved],
+        ),
+        "__a",
+    )
+    j = before.join(after, key_cols, "full")
+
+    def differs() -> F.Column:
+        clause = F.lit(False)
+        for c in non_key:
+            clause = clause | ~F.col(f"__a.{c}").eqNullSafe(F.col(f"__b.{c}"))
+        return clause
+
+    net = j.filter(
+        F.col("__b").isNull() | F.col("__a").isNull() | differs()
+    )
+
+    # precise per-key change stamps: for each window version, diff the
+    # rows its data-changing commits removed vs added (files immutable,
+    # so this pair IS the version's change set); a key's stamp is the
+    # max version at which its value moved
+    events = []
+    for v, (adds_v, rms_v) in sorted(per_version.items()):
+        st_prev = resolve_delta_state(base_path, v - 1)
+        rm_adds = [st_prev.adds[p] for p in rms_v if p in st_prev.adds]
+        st_v = resolve_delta_state(base_path, v)
+        ad_adds = [st_v.adds[p] for p in adds_v if p in st_v.adds]
+        bv = keyed(_read_adds(spark, base_path, st_prev, rm_adds), "__b")
+        av = keyed(_read_adds(spark, base_path, st_v, ad_adds), "__a")
+        dv = bv.join(av, key_cols, "full").filter(
+            F.col("__b").isNull() | F.col("__a").isNull() | differs()
+        )
+        events.append(dv.select(*key_cols, F.lit(v).alias("__v")))
+    if events:
+        ev = events[0]
+        for e in events[1:]:
+            ev = ev.unionByName(e)
+        stamps = ev.groupBy(*key_cols).agg(
+            F.max("__v").cast("long").alias("change_version")
+        )
+        net = net.join(stamps, key_cols, "left")
+    else:
+        net = net.withColumn("change_version", F.lit(None).cast("long"))
+
+    inserts = net.filter(F.col("__b").isNull()).select(
+        F.lit("insert").alias("op"), "change_version",
+        *[F.col(f"__a.{c}").alias(c) for c in payload],
+    )
+    updates = net.filter(
+        F.col("__b").isNotNull() & F.col("__a").isNotNull()
+    ).select(
+        F.lit("update").alias("op"), "change_version",
+        *[F.col(f"__a.{c}").alias(c) for c in payload],
+    )
+    deletes = net.filter(F.col("__a").isNull()).select(
+        F.lit("delete").alias("op"), "change_version",
+        *[F.col(f"__b.{c}").alias(c) for c in payload],
+    )
+    return inserts.unionByName(updates).unionByName(deletes)
+
+
+def read_delta_delete_view(
+    spark: SparkSession, base_path: str, version: int, key_cols: list[str]
+) -> DataFrame:
+    """THE FLAGSHIP question asked of a foreign Delta table: which rows
+    did commit ``version`` delete? Reconstructed the same way the
+    reference does for Hudi (DeleteView.java:112-163 semantics,
+    commit-metadata-pruned): candidates = rows of the files the commit
+    REMOVED (dataChange only — an OPTIMIZE removes files without
+    deleting rows), survivors = keys of the files it ADDED; deleted =
+    one keyed anti-join, stamped with the deleting commit's version and
+    timestamp. Never reads an untouched file."""
+    actions = _version_actions(base_path, version)
+    removed = [
+        a["remove"] for a in actions
+        if "remove" in a and a["remove"].get("dataChange", True)
+    ]
+    added = [
+        a["add"] for a in actions
+        if "add" in a and a["add"].get("dataChange", True)
+    ]
+    commit_ms = next(
+        (
+            a["commitInfo"].get("timestamp")
+            for a in actions
+            if "commitInfo" in a
+        ),
+        None,
+    )
+    # the removed files' CONTENT lives in the pre-commit state
+    state_prev = resolve_delta_state(base_path, version - 1)
+    removed_adds = [
+        state_prev.adds[r["path"]]
+        for r in removed
+        if r["path"] in state_prev.adds
+    ]
+    candidates = _read_adds(spark, base_path, state_prev, removed_adds)
+    out = candidates
+    if added:
+        state_now = resolve_delta_state(base_path, version)
+        survivor_adds = [
+            state_now.adds[a["path"]]
+            for a in added
+            if a["path"] in state_now.adds
+        ]
+        survivors = _read_adds(
+            spark, base_path, state_now, survivor_adds
+        ).select(*key_cols)
+        out = candidates.join(survivors, key_cols, "left_anti")
+    return out.withColumn(
+        "_deleted_by_version", F.lit(version).cast("long")
+    ).withColumn(
+        "_deleted_at_ts", F.lit(commit_ms).cast("long")
+    )

@@ -1,0 +1,223 @@
+"""Foreign Delta Lake reader (sources/delta.py) against the committed
+genuine-layout fixture tests/fixtures/delta_tbl (authored by the
+independent encoder tools/make_delta_fixture.py — log JSON, checkpoint
+parquet, hive-partitioned data files this reader did not produce).
+
+The oracle queries (queries/delta.py) hash-verify snapshot / travel /
+incremental / CDC / delete-view values; these tests pin the structural
+behaviors a value hash can't see: checkpoint-only replay after log
+vacuum, named protocol refusals (deletion vectors, column mapping,
+unknown reader features), stats-based file pruning (which files are
+NEVER read), log-gap detection, and the non-hive fallback path."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from hudi_delete_view_spark.sources.delta import (
+    DeltaFormatError,
+    read_delta_cdc,
+    read_delta_delete_view,
+    read_delta_incremental,
+    read_delta_snapshot,
+    resolve_delta_state,
+    version_for_timestamp,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "delta_tbl")
+TS0 = 1700000000000
+
+
+def test_delta_snapshot_and_travel(spark):
+    snap = {r.id: (r.value, r.part)
+            for r in read_delta_snapshot(spark, FIXTURE).collect()}
+    assert snap == {"id1": (10, "a"), "id3": (333, "a"), "id4": (40, "b"),
+                    "id6": (60, "b"), "id7": (70, "a")}
+    v0 = {r.id: r.value
+          for r in read_delta_snapshot(spark, FIXTURE, version=0).collect()}
+    assert v0 == {f"id{i}": i * 10 for i in range(1, 7)}
+    # timestamp travel: the UPDATE commit's wall clock resolves to v1
+    assert version_for_timestamp(FIXTURE, TS0 + 60_000) == 1
+    ts_snap = {r.id: r.value for r in read_delta_snapshot(
+        spark, FIXTURE, timestamp_ms=TS0 + 60_000).collect()}
+    assert ts_snap["id3"] == 333 and "id5" in ts_snap
+    with pytest.raises(DeltaFormatError, match="beyond latest"):
+        read_delta_snapshot(spark, FIXTURE, version=99)
+
+
+def test_delta_flagship_delete_view(spark):
+    """The reference's headline question asked of a Delta table."""
+    dv = read_delta_delete_view(spark, FIXTURE, 2, ["id"])
+    rows = {r.id: (r.name, r.value, r._deleted_by_version, r._deleted_at_ts)
+            for r in dv.collect()}
+    assert rows == {
+        "id2": ("bravo", 20, 2, TS0 + 120_000),
+        "id5": ("echo", 50, 2, TS0 + 120_000),
+    }
+    # a pure-insert commit deletes nothing; an OPTIMIZE (dataChange
+    # false) is invisible to the flagship question
+    assert read_delta_delete_view(spark, FIXTURE, 4, ["id"]).count() == 0
+    assert read_delta_delete_view(spark, FIXTURE, 3, ["id"]).count() == 0
+
+
+def test_delta_checkpoint_only_replay(spark, tmp_path):
+    """After log vacuum (v0-v2 JSONs gone) the checkpoint carries the
+    state: latest snapshot works through checkpoint + post-delta JSON;
+    versions below the checkpoint are gone and must refuse by name."""
+    vac = os.path.join(tmp_path, "vacuumed")
+    shutil.copytree(FIXTURE, vac)
+    for v in (0, 1, 2):
+        os.remove(os.path.join(vac, "_delta_log", f"{v:020d}.json"))
+    snap = {r.id: r.value for r in read_delta_snapshot(spark, vac).collect()}
+    assert snap == {"id1": 10, "id3": 333, "id4": 40, "id6": 60, "id7": 70}
+    with pytest.raises(DeltaFormatError, match="cannot reconstruct"):
+        read_delta_snapshot(spark, vac, version=1)
+    # no checkpoint at all + missing v0 -> unreconstructable, named
+    bare = os.path.join(tmp_path, "bare")
+    shutil.copytree(vac, bare)
+    os.remove(os.path.join(bare, "_delta_log", "_last_checkpoint"))
+    os.remove(os.path.join(
+        bare, "_delta_log", f"{3:020d}.checkpoint.parquet"))
+    with pytest.raises(DeltaFormatError, match="cannot reconstruct"):
+        read_delta_snapshot(spark, bare)
+
+
+def test_delta_log_gap_detection(spark, tmp_path):
+    gap = os.path.join(tmp_path, "gap")
+    shutil.copytree(FIXTURE, gap)
+    os.remove(os.path.join(gap, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(DeltaFormatError, match="gap"):
+        read_delta_snapshot(spark, gap, version=2)
+    # targets the checkpoint can serve are unaffected by the gap below it
+    assert read_delta_snapshot(spark, gap).count() == 5
+
+
+def _append_commit(base, version, actions, ts):
+    lines = [json.dumps({"commitInfo": {"timestamp": ts, "operation": "X"}})]
+    lines += [json.dumps(a) for a in actions]
+    with open(os.path.join(base, "_delta_log", f"{version:020d}.json"),
+              "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_delta_protocol_refusals(spark, tmp_path):
+    """Unsupported surfaces refuse BY NAME instead of misreading:
+    deletion vectors (ignoring one would resurrect deleted rows),
+    column mapping (physical names diverge), unknown reader features."""
+    # deletion vector on an add
+    dv = os.path.join(tmp_path, "dv")
+    shutil.copytree(FIXTURE, dv)
+    _append_commit(dv, 5, [{"add": {
+        "path": "part=a/part-00000-0f3a0000-0000-4000-8000-000000000003-c000.parquet",
+        "partitionValues": {"part": "a"}, "size": 1, "dataChange": True,
+        "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                           "offset": 1, "sizeInBytes": 40, "cardinality": 1},
+    }}], TS0 + 300_000)
+    with pytest.raises(DeltaFormatError, match="deletion vector"):
+        read_delta_snapshot(spark, dv)
+    # time travel BELOW the DV commit still reads
+    assert read_delta_snapshot(spark, dv, version=4).count() == 5
+
+    # column mapping mode
+    cm = os.path.join(tmp_path, "cm")
+    shutil.copytree(FIXTURE, cm)
+    with open(os.path.join(cm, "_delta_log", f"{0:020d}.json")) as f:
+        actions = [json.loads(x) for x in f.read().splitlines()]
+    for a in actions:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "name"}
+    with open(os.path.join(cm, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    with pytest.raises(DeltaFormatError, match="columnMapping"):
+        read_delta_snapshot(spark, cm, version=0)
+
+    # reader feature gate: vacuumProtocolCheck alone must not block
+    # (it's not in our allowlist -> named refusal), timestampNtz passes
+    rf = os.path.join(tmp_path, "rf")
+    shutil.copytree(FIXTURE, rf)
+    _append_commit(rf, 5, [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"]}}], TS0 + 300_000)
+    with pytest.raises(DeltaFormatError, match="deletionVectors"):
+        read_delta_snapshot(spark, rf)
+
+
+def test_delta_stats_pruning_never_reads_excluded_files(spark):
+    """File-skipping pin: under value-bounds [35, 65] the resolver's
+    file list excludes F6 (stats: min=max=70) BEFORE any scan, and the
+    bounded read equals the unbounded read filtered row-level (pruning
+    is an optimization, never a filter)."""
+    from hudi_delete_view_spark.sources.delta import _stats_pass
+
+    state = resolve_delta_state(FIXTURE)
+    kept = sorted(p for p, a in state.adds.items()
+                  if _stats_pass(a, {"value": (35, 65)}))
+    assert kept == [
+        "part=a/part-00000-0f3a0000-0000-4000-8000-000000000003-c000.parquet",
+        "part=b/part-00001-0f5b0000-0000-4000-8000-000000000005-c000.parquet",
+    ]
+    bounded = read_delta_snapshot(spark, FIXTURE, bounds={"value": (35, 65)})
+    full = read_delta_snapshot(spark, FIXTURE)
+    assert sorted((r.id, r.value) for r in
+                  bounded.filter("value between 35 and 65").collect()) == \
+        sorted((r.id, r.value) for r in
+               full.filter("value between 35 and 65").collect())
+    # partition-value pruning composes: part='b' bounds drop part=a files
+    state2 = resolve_delta_state(FIXTURE)
+    got = read_delta_snapshot(spark, FIXTURE, bounds={"part": ("b", "b")})
+    assert {r.part for r in got.collect()} == {"b"}
+    assert state2.partition_columns == ["part"]
+
+
+def test_delta_non_hive_layout_fallback(spark, tmp_path):
+    """add.path need not be hive-style: a flat layout routes through the
+    per-partition-group fallback (literal partition columns) and must
+    read identically."""
+    flat = os.path.join(tmp_path, "flat")
+    os.makedirs(os.path.join(flat, "_delta_log"))
+    # copy v0's two data files to FLAT names
+    for src, dst in [
+        ("part=a/part-00000-0f0a0000-0000-4000-8000-000000000000-c000.parquet",
+         "f0.parquet"),
+        ("part=b/part-00001-0f1b0000-0000-4000-8000-000000000001-c000.parquet",
+         "f1.parquet"),
+    ]:
+        shutil.copy(os.path.join(FIXTURE, src), os.path.join(flat, dst))
+    with open(os.path.join(FIXTURE, "_delta_log", f"{0:020d}.json")) as f:
+        actions = [json.loads(x) for x in f.read().splitlines()]
+    for a in actions:
+        if "add" in a:
+            a["add"]["path"] = ("f0.parquet" if "0f0a0000" in a["add"]["path"]
+                                else "f1.parquet")
+    with open(os.path.join(flat, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    got = {r.id: (r.value, r.part)
+           for r in read_delta_snapshot(spark, flat).collect()}
+    want = {r.id: (r.value, r.part)
+            for r in read_delta_snapshot(spark, FIXTURE, version=0).collect()}
+    assert got == want
+
+
+def test_delta_cdc_optimize_traps(spark):
+    """The two OPTIMIZE traps the fixture pins: rows migrated by the
+    dataChange=false rewrite never surface as deletes, and a key's
+    change_version is the version its VALUE changed, not the version an
+    unrelated commit last rewrote its file (id3: updated at v1, file
+    rewritten by the v2 DELETE of id2 — stamp must stay 1)."""
+    got = sorted(
+        (r.op, r.id, r.value, r.change_version)
+        for r in read_delta_cdc(spark, FIXTURE, ["id"], 0, 4).collect()
+    )
+    assert got == [
+        ("delete", "id2", 20, 2),
+        ("delete", "id5", 50, 2),
+        ("insert", "id7", 70, 4),
+        ("update", "id3", 333, 1),
+    ]
+    # the OPTIMIZE-only window nets to nothing
+    assert read_delta_cdc(spark, FIXTURE, ["id"], 2, 3).count() == 0
+    inc = read_delta_incremental(spark, FIXTURE, 2, 3)
+    assert inc.count() == 0  # dataChange=false adds emit nothing
