@@ -597,6 +597,245 @@ def read_delta_cdc(
     return inserts.unionByName(updates).unionByName(deletes)
 
 
+_HOODIE_META_COLS = (
+    "_hoodie_commit_time", "_hoodie_commit_seqno", "_hoodie_record_key",
+    "_hoodie_partition_path", "_hoodie_file_name",
+)
+
+
+def _delta_export_work(batches):
+    """Executor half of ``export_delta``: one input row = one data-file
+    rewrite (drop the _hoodie_* meta columns and the PHYSICAL partition
+    column — per PROTOCOL.md partition values ride in
+    add.partitionValues, not in the file). Emits per-file stats
+    (numRecords + min/max of every scalar column, computed from the
+    Arrow table in hand) so every add carries real file-skipping
+    stats."""
+    import json as _json
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    for pdf in batches:
+        out = []
+        for src, dst, version, pcol in pdf.itertuples(index=False):
+            tbl = pq.read_table(src)
+            drop = [c for c in tbl.column_names
+                    if c in _HOODIE_META_COLS or (pcol and c == pcol)]
+            if drop:
+                tbl = tbl.drop_columns(drop)
+            mins: dict = {}
+            maxs: dict = {}
+            nulls: dict = {}
+            for name in tbl.column_names:
+                col = tbl.column(name)
+                nulls[name] = col.null_count
+                try:
+                    mm = pc.min_max(col)
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                except Exception:
+                    continue
+                if lo is not None and isinstance(lo, (int, float, str)):
+                    mins[name], maxs[name] = lo, hi
+            tbl = tbl.replace_schema_metadata(None)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            pq.write_table(tbl, dst, coerce_timestamps="us",
+                           allow_truncated_timestamps=True)
+            stats = _json.dumps({
+                "numRecords": tbl.num_rows, "minValues": mins,
+                "maxValues": maxs, "nullCount": nulls,
+            })
+            out.append((int(version), os.path.basename(dst),
+                        os.path.getsize(dst), stats))
+        yield pd.DataFrame(
+            out, columns=["version", "filename", "size", "stats"]
+        )
+
+
+def _instant_to_ms(ts: str) -> int:
+    """Deterministic commitInfo timestamp from a 14-digit instant."""
+    import calendar
+
+    return calendar.timegm((
+        int(ts[0:4]), int(ts[4:6]), int(ts[6:8]),
+        int(ts[8:10]), int(ts[10:12]), int(ts[12:14]), 0, 0, 0,
+    )) * 1000
+
+
+def export_delta(table, out_dir: str, table_name: str = "export_delta") -> str:
+    """Export a native COW table as a GENUINE Delta Lake layout: one
+    log version per native commit (adds with real stats + removes from
+    the slice-predecessor pairing), hive-partitioned data files without
+    meta/partition columns, a classic checkpoint parquet at the final
+    version + ``_last_checkpoint`` — the Delta mirror of the Hudi
+    framing export (F13/G8). Round-trip proof reads the export back
+    through ``read_delta_snapshot`` / ``read_delta_delete_view`` at
+    every version.
+
+    Scale shape (same contract as ``export_hudi_mor``): the driver
+    walks only the timeline and assigns names/versions; every data byte
+    moves in one Spark job, one task per output file
+    (``_delta_export_work``); the log publishes only after all files
+    land. MOR tables must compact first — Delta has no log-file
+    concept, and silently merging here would hide that cost."""
+    if any(
+        stat.log_file
+        for ts in table.timeline.timestamps()
+        for _p, stat in table.timeline.commit_metadata(ts).all_stats()
+    ):
+        raise DeltaFormatError(
+            "export_delta supports COW tables only: MOR delta-log slices "
+            "have no Delta equivalent — compact first"
+        )
+    import pyarrow.parquet as pq
+
+    pf = getattr(table, "partition_field", None)
+    os.makedirs(os.path.join(out_dir, LOG_DIR), exist_ok=True)
+    timestamps = table.timeline.timestamps()
+
+    # driver planning pass: work units + per-version add/remove skeletons
+    work: list[tuple[str, str, int, str]] = []
+    versions: list[dict] = []  # {version, ts, adds:[(rel, pv)], removes:[rel], schema_json}
+    fid_path: dict[str, str] = {}
+    for v, ts in enumerate(timestamps):
+        meta = table.timeline.commit_metadata(ts)
+        adds, removes = [], []
+        for partition, stat in meta.all_stats():
+            pv = partition if pf else None
+            seg = _hive_segment(pf, pv) if pf else ""
+            fname = f"part-{v:05d}-{stat.file_id}-c000.parquet"
+            rel = f"{seg}/{fname}" if seg else fname
+            work.append((
+                os.path.join(table.base_path, stat.path),
+                os.path.join(out_dir, rel), v, pf or "",
+            ))
+            adds.append((rel, pv))
+            prev = fid_path.get(stat.file_id)
+            if prev is not None:
+                removes.append(prev)
+            fid_path[stat.file_id] = rel
+        versions.append({
+            "version": v, "ts": ts, "adds": adds, "removes": removes,
+            "schema_json": meta.schema_json,
+        })
+
+    results: dict[str, tuple[int, str]] = {}  # filename -> (size, stats)
+    if work:
+        for r in (
+            table.spark.createDataFrame(
+                work, "src string, dst string, version long, pv string"
+            )
+            .repartition(min(len(work), 256))
+            .mapInPandas(
+                _delta_export_work,
+                "version long, filename string, size long, stats string",
+            )
+            .collect()  # one row per FILE, never data rows
+        ):
+            results[r.filename] = (r.size, r.stats)
+
+    # schema for metaData: the export drops meta + physical partition
+    # column from files; the DECLARED schema keeps the partition column
+    last_schema: str | None = None
+    meta_id = "00000000-0000-4000-8000-%012d" % (len(timestamps),)
+    live: dict[str, dict] = {}
+    for ventry in versions:
+        v, ts = ventry["version"], ventry["ts"]
+        ts_ms = _instant_to_ms(ts)
+        lines = [json.dumps({"commitInfo": {
+            "timestamp": ts_ms, "operation": "WRITE",
+            "engineInfo": f"hudi-delete-view-spark export/{table_name}",
+        }})]
+        if v == 0:
+            lines.append(json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 2}}))
+        schema_json = ventry["schema_json"]
+        if schema_json and schema_json != last_schema:
+            st = T.StructType.fromJson(json.loads(schema_json))
+            fields = [
+                f for f in st.fields if f.name not in _HOODIE_META_COLS
+            ]
+            schema_string = json.dumps(
+                {"type": "struct",
+                 "fields": [json.loads(f.json()) for f in fields]}
+            )
+            lines.append(json.dumps({"metaData": {
+                "id": meta_id, "name": table_name,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [pf] if pf else [],
+                "configuration": {}, "createdTime": ts_ms,
+            }}))
+            last_schema = schema_json
+        for rel in ventry["removes"]:
+            rm = {"path": rel, "deletionTimestamp": ts_ms,
+                  "dataChange": True}
+            lines.append(json.dumps({"remove": rm}))
+            live.pop(rel, None)
+        for rel, pv in ventry["adds"]:
+            size, stats = results[os.path.basename(rel)]
+            add = {
+                "path": rel,
+                "partitionValues": ({pf: pv} if pf else {}),
+                "size": size, "modificationTime": ts_ms,
+                "dataChange": True, "stats": stats,
+            }
+            lines.append(json.dumps({"add": add}))
+            live[rel] = add
+        with open(os.path.join(out_dir, LOG_DIR, f"{v:020d}.json"),
+                  "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    # classic checkpoint at the final version (map-typed partitionValues)
+    import pyarrow as pa
+
+    final_v = len(timestamps) - 1
+    map_t = pa.map_(pa.string(), pa.string())
+    cp_schema = pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32())])),
+        ("metaData", pa.struct([
+            ("id", pa.string()), ("name", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", map_t), ("createdTime", pa.int64()),
+        ])),
+        ("add", pa.struct([
+            ("path", pa.string()), ("partitionValues", map_t),
+            ("size", pa.int64()), ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()), ("stats", pa.string()),
+        ])),
+    ])
+    st = T.StructType.fromJson(json.loads(last_schema)) if last_schema else None
+    fields = [f for f in (st.fields if st else [])
+              if f.name not in _HOODIE_META_COLS]
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None},
+        {"protocol": None, "metaData": {
+            "id": meta_id, "name": table_name,
+            "schemaString": json.dumps(
+                {"type": "struct",
+                 "fields": [json.loads(f.json()) for f in fields]}),
+            "partitionColumns": [pf] if pf else [],
+            "configuration": [],
+            "createdTime": _instant_to_ms(timestamps[0]),
+        }, "add": None},
+    ] + [
+        {"protocol": None, "metaData": None,
+         "add": {**a, "partitionValues": list(a["partitionValues"].items())}}
+        for a in live.values()
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=cp_schema),
+        os.path.join(out_dir, LOG_DIR, f"{final_v:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(out_dir, LOG_DIR, "_last_checkpoint"), "w") as f:
+        json.dump({"version": final_v, "size": len(rows)}, f)
+    return out_dir
+
+
 def read_delta_delete_view(
     spark: SparkSession, base_path: str, version: int, key_cols: list[str]
 ) -> DataFrame:
