@@ -66,11 +66,14 @@ _WINDOW: tuple[str, ...] = (
     "text_perplexity",
     "text_repetition",
     "text_winnowing",
-    # -- round-8 NEW surface: foreign Delta Lake (sources/delta.py)
+    # -- round-8 NEW surfaces: foreign Delta Lake (sources/delta.py)
+    # and foreign Apache Iceberg v2 (sources/iceberg.py)
     "delta_interop",
     "delta_incremental",
     "delta_cdc",
     "delta_data_skipping",
+    "iceberg_interop",
+    "iceberg_incremental",
     # -- re-checks: flagship + every surface with round-8 code changes
     "lake_delete_view",
     "lake_hudi_interop",
@@ -128,6 +131,7 @@ def load_all() -> None:
         lake,
         mor,
         delta,
+        iceberg,
         dedup,
         similarity,
         text,

@@ -1,0 +1,447 @@
+"""Foreign **Apache Iceberg v1/v2** table reader — the third open table
+format this engine answers its queries over (after genuine Apache Hudi
+and Delta Lake), including the reference's flagship question (which
+rows did snapshot S delete? — DeleteView.java:112-163 asked of a format
+the reference cannot read), answered EXACTLY on merge-on-read deletes:
+an Iceberg position delete names (file, row ordinal), so the deleted
+row images reconstruct without any user-supplied key.
+
+Format implemented (public — the Apache Iceberg Table Spec,
+https://iceberg.apache.org/spec/):
+
+- ``metadata/v<N>.metadata.json`` (+ ``version-hint.text``): schemas,
+  partition specs, snapshots (id, timestamp, sequence number, manifest
+  list), snapshot log.
+- **Manifest list** (Avro OCF, ``plans/avro_ocf.py``): one record per
+  manifest — path, content (0 data / 1 deletes), sequence numbers.
+- **Manifest** (Avro OCF): entries — status (0 existing / 1 added /
+  2 deleted), snapshot_id, sequence numbers, and the ``data_file``
+  struct (content 0 data / 1 position deletes / 2 equality deletes,
+  file_path, record_count, ...).
+- **Row-level deletes (v2)**: POSITION deletes apply as an anti-join of
+  data rows on (recorded file path, ``_metadata.row_index``) against
+  the delete files' (file_path, pos) pairs — exact by construction, no
+  sequence-number reasoning needed because position deletes name their
+  target file explicitly. EQUALITY deletes are refused BY NAME
+  (applying them needs sequence-ordered predicate evaluation; silently
+  skipping one would resurrect deleted rows). format-version 3 refuses.
+
+Relocation: ``file_path`` entries are full URIs under the table's
+recorded ``location``; when the directory moves (this fixture is a
+committed test artifact), paths re-root by prefix — comparisons (e.g.
+position-delete targets) always use the RECORDED path, so relocation
+cannot desynchronize them.
+
+Scale shape: the driver reads metadata only (the JSON + OCF manifests —
+the same planning bytes Iceberg's own drivers read); data moves through
+``spark.read.parquet`` over the resolved files, position deletes apply
+as one broadcast-able anti-join keyed on (path, row ordinal), and the
+flagship view never touches a file the target snapshot didn't."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.avro_ocf import read_ocf
+from ..plans.fs import fs_for
+
+EXISTING, ADDED, DELETED = 0, 1, 2
+DATA, POSITION_DELETES, EQUALITY_DELETES = 0, 1, 2
+
+_VMETA_RE = re.compile(r"^v(\d+)\.metadata\.json$")
+
+
+class IcebergFormatError(ValueError):
+    """Structurally invalid or unsupported Iceberg table."""
+
+
+def _load_metadata(base_path: str) -> dict:
+    md_dir = os.path.join(base_path, "metadata")
+    fs = fs_for(base_path)
+    if not fs.isdir(md_dir):
+        raise IcebergFormatError(f"no Iceberg metadata dir under {base_path!r}")
+    hint = os.path.join(md_dir, "version-hint.text")
+    name = None
+    if fs.exists(hint):
+        with open(hint) as f:
+            name = f"v{f.read().strip()}.metadata.json"
+    if name is None or not fs.exists(os.path.join(md_dir, name)):
+        versions = sorted(
+            (int(m.group(1)), n)
+            for n in fs.listdir(md_dir)
+            if (m := _VMETA_RE.match(n))
+        )
+        if not versions:
+            raise IcebergFormatError(
+                f"no v*.metadata.json under {md_dir!r}"
+            )
+        name = versions[-1][1]
+    with open(os.path.join(md_dir, name)) as f:
+        meta = json.load(f)
+    fv = meta.get("format-version", 1)
+    if fv not in (1, 2):
+        raise IcebergFormatError(
+            f"unsupported Iceberg format-version {fv} (v1/v2 only)"
+        )
+    return meta
+
+
+def _relocate(recorded: str, location: str, base_path: str) -> str:
+    """Re-root a recorded file URI under the actual table directory —
+    committed fixtures and copied tables move; the log's ``location``
+    prefix identifies the table-relative remainder."""
+    for prefix in (location, location.rstrip("/")):
+        if recorded.startswith(prefix + "/"):
+            return os.path.join(base_path, recorded[len(prefix) + 1:])
+    if recorded.startswith("file://"):
+        return recorded[len("file://"):]
+    if recorded.startswith("/"):
+        return recorded
+    return os.path.join(base_path, recorded)
+
+
+_ICEBERG_TO_SPARK = {
+    "string": T.StringType(), "long": T.LongType(), "int": T.IntegerType(),
+    "integer": T.IntegerType(), "double": T.DoubleType(),
+    "float": T.FloatType(), "boolean": T.BooleanType(),
+    "date": T.DateType(), "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(), "binary": T.BinaryType(),
+    "uuid": T.StringType(),
+}
+
+
+def _schema_for(meta: dict) -> T.StructType:
+    sid = meta.get("current-schema-id", 0)
+    schemas = meta.get("schemas") or []
+    schema = next((s for s in schemas if s.get("schema-id") == sid), None)
+    if schema is None:
+        schema = meta.get("schema")  # v1 single-schema layout
+    if schema is None:
+        raise IcebergFormatError("no schema in table metadata")
+    fields = []
+    for f in schema["fields"]:
+        t = f["type"]
+        if isinstance(t, str) and t.startswith("decimal"):
+            m = re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+            st: T.DataType = T.DecimalType(int(m.group(1)), int(m.group(2)))
+        elif isinstance(t, str) and t in _ICEBERG_TO_SPARK:
+            st = _ICEBERG_TO_SPARK[t]
+        else:
+            raise IcebergFormatError(
+                f"unsupported Iceberg column type {t!r} for field "
+                f"{f['name']!r}"
+            )
+        fields.append(T.StructField(f["name"], st, not f.get("required")))
+    return T.StructType(fields)
+
+
+def _select_snapshot(meta: dict, snapshot_id: int | None,
+                     timestamp_ms: int | None) -> dict:
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    if not snaps:
+        raise IcebergFormatError("table has no snapshots")
+    if snapshot_id is not None and timestamp_ms is not None:
+        raise ValueError("pass snapshot_id OR timestamp_ms, not both")
+    if snapshot_id is not None:
+        if snapshot_id not in snaps:
+            raise IcebergFormatError(
+                f"snapshot {snapshot_id} not in table (have "
+                f"{sorted(snaps)})"
+            )
+        return snaps[snapshot_id]
+    if timestamp_ms is not None:
+        best = None
+        for entry in meta.get("snapshot-log") or []:
+            if entry["timestamp-ms"] <= timestamp_ms:
+                best = entry["snapshot-id"]
+        if best is None:
+            raise IcebergFormatError(
+                f"no snapshot at or before timestamp {timestamp_ms}"
+            )
+        return snaps[best]
+    cur = meta.get("current-snapshot-id")
+    if cur is None or cur not in snaps:
+        raise IcebergFormatError("no current snapshot")
+    return snaps[cur]
+
+
+def _manifest_entries(base_path: str, meta: dict, snapshot: dict):
+    """Flattened (manifest content, entry) pairs of one snapshot's
+    manifest list — driver-side OCF reads, metadata-scale."""
+    location = meta.get("location", "")
+    ml_path = _relocate(snapshot["manifest-list"], location, base_path)
+    with open(ml_path, "rb") as f:
+        _m, manifests = read_ocf(f.read())
+    out = []
+    for mf in manifests:
+        mp = _relocate(mf["manifest_path"], location, base_path)
+        with open(mp, "rb") as f:
+            _m2, entries = read_ocf(f.read())
+        for e in entries:
+            out.append((mf.get("content", 0), e))
+    return out
+
+
+def _live_files(base_path: str, meta: dict, snapshot: dict):
+    """(data adds, position-delete adds) live at a snapshot; equality
+    deletes refuse by name."""
+    data, pos = [], []
+    for _mcontent, e in _manifest_entries(base_path, meta, snapshot):
+        if e["status"] == DELETED:
+            continue
+        df = e["data_file"]
+        c = df.get("content", DATA)
+        if c == DATA:
+            data.append(df)
+        elif c == POSITION_DELETES:
+            pos.append(df)
+        else:
+            raise IcebergFormatError(
+                f"equality delete file {df.get('file_path')!r} present: "
+                "applying equality deletes needs sequence-ordered "
+                "predicate evaluation, not implemented — refused rather "
+                "than resurrect deleted rows"
+            )
+    return data, pos
+
+
+def _read_data_files(
+    spark: SparkSession, base_path: str, meta: dict,
+    schema: T.StructType, files: list[dict], with_ordinal: bool = False,
+) -> DataFrame:
+    """Scan data files; optionally attach the RECORDED path + row
+    ordinal (for position-delete application and the flagship view).
+    Recorded paths re-attach by basename (unique per Iceberg table —
+    UUID-suffixed naming), so relocation never desynchronizes the
+    delete-file references."""
+    if not files:
+        df = spark.createDataFrame([], schema)
+        if with_ordinal:
+            df = (df.withColumn("__path", F.lit(None).cast("string"))
+                    .withColumn("__pos", F.lit(None).cast("long")))
+        return df
+    location = meta.get("location", "")
+    paths = [_relocate(f["file_path"], location, base_path) for f in files]
+    df = spark.read.schema(schema).parquet(*paths)
+    if with_ordinal:
+        mapping = [
+            (os.path.basename(f["file_path"]), f["file_path"]) for f in files
+        ]
+        m = F.create_map(
+            *[x for bn, rec in mapping for x in (F.lit(bn), F.lit(rec))]
+        )
+        df = df.select(
+            *[F.col(f.name) for f in schema.fields],
+            m[F.col("_metadata.file_name")].alias("__path"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+    return df
+
+
+def _read_pos_deletes(
+    spark: SparkSession, base_path: str, meta: dict, files: list[dict]
+) -> DataFrame:
+    location = meta.get("location", "")
+    pd_schema = T.StructType([
+        T.StructField("file_path", T.StringType()),
+        T.StructField("pos", T.LongType()),
+    ])
+    if not files:
+        return spark.createDataFrame([], pd_schema)
+    paths = [_relocate(f["file_path"], location, base_path) for f in files]
+    return spark.read.schema(pd_schema).parquet(*paths)
+
+
+def read_iceberg_snapshot(
+    spark: SparkSession,
+    base_path: str,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Snapshot of a foreign Iceberg table (current, by snapshot id, or
+    by timestamp). Position deletes apply as one anti-join on
+    (recorded path, row ordinal)."""
+    meta = _load_metadata(base_path)
+    snap = _select_snapshot(meta, snapshot_id, timestamp_ms)
+    schema = _schema_for(meta)
+    data, pos = _live_files(base_path, meta, snap)
+    if not pos:
+        return _read_data_files(spark, base_path, meta, schema, data)
+    rows = _read_data_files(
+        spark, base_path, meta, schema, data, with_ordinal=True
+    )
+    dels = _read_pos_deletes(spark, base_path, meta, pos).select(
+        F.col("file_path").alias("__path"), F.col("pos").alias("__pos")
+    )
+    return rows.join(dels, ["__path", "__pos"], "left_anti").select(
+        *[f.name for f in schema.fields]
+    )
+
+
+def read_iceberg_incremental(
+    spark: SparkSession,
+    base_path: str,
+    begin_snapshot_id_exclusive: int,
+    end_snapshot_id_inclusive: int | None = None,
+) -> DataFrame:
+    """Appended rows per snapshot in (begin, end] (sequence-number
+    order): the rows of every data file ADDED by each snapshot, stamped
+    with ``_snapshot_id`` — Iceberg's incremental-append scan semantics
+    (a delete snapshot adds no data files and emits nothing)."""
+    meta = _load_metadata(base_path)
+    schema = _schema_for(meta)
+    snaps = sorted(
+        meta.get("snapshots") or [], key=lambda s: s["sequence-number"]
+    )
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if begin_snapshot_id_exclusive not in by_id:
+        raise IcebergFormatError(
+            f"begin snapshot {begin_snapshot_id_exclusive} not in table"
+        )
+    begin_seq = by_id[begin_snapshot_id_exclusive]["sequence-number"]
+    end_seq = (
+        by_id[end_snapshot_id_inclusive]["sequence-number"]
+        if end_snapshot_id_inclusive is not None
+        else snaps[-1]["sequence-number"]
+    )
+    parts = []
+    for s in snaps:
+        if not (begin_seq < s["sequence-number"] <= end_seq):
+            continue
+        adds = [
+            e["data_file"]
+            for _c, e in _manifest_entries(base_path, meta, s)
+            if e["status"] == ADDED
+            and e.get("snapshot_id") in (None, s["snapshot-id"])
+            and e["data_file"].get("content", DATA) == DATA
+        ]
+        if adds:
+            parts.append(
+                _read_data_files(spark, base_path, meta, schema, adds)
+                .withColumn(
+                    "_snapshot_id", F.lit(s["snapshot-id"]).cast("long")
+                )
+            )
+    if not parts:
+        return spark.createDataFrame([], schema).withColumn(
+            "_snapshot_id", F.lit(None).cast("long")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_iceberg_delete_view(
+    spark: SparkSession,
+    base_path: str,
+    snapshot_id: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """THE FLAGSHIP question asked of a foreign Iceberg table: which
+    rows did snapshot S delete?
+
+    Two delete shapes, both reconstructed from S's own manifests —
+    never an untouched file:
+
+    - **Merge-on-read** (position delete files ADDED by S): exact by
+      construction — the delete file names (target file, row ordinal),
+      so the deleted images come from one join on (path, ordinal). No
+      user key needed.
+    - **Copy-on-write** (data files REMOVED by S): candidates = the
+      removed files' rows (minus rows position-deleted BEFORE S — those
+      were already dead), survivors = rows of the files S ADDED;
+      deleted = one keyed anti-join (``key_cols`` required for this
+      shape; raised by name when absent)."""
+    meta = _load_metadata(base_path)
+    schema = _schema_for(meta)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    if snapshot_id not in snaps:
+        raise IcebergFormatError(f"snapshot {snapshot_id} not in table")
+    snap = snaps[snapshot_id]
+    entries = _manifest_entries(base_path, meta, snap)
+
+    def dfiles(status, content):
+        return [
+            e["data_file"] for _c, e in entries
+            if e["status"] == status
+            and e["data_file"].get("content", DATA) == content
+        ]
+
+    for _c, e in entries:
+        if e["data_file"].get("content", DATA) == EQUALITY_DELETES:
+            raise IcebergFormatError(
+                "equality delete files present — refused (see module doc)"
+            )
+
+    pos_added = dfiles(ADDED, POSITION_DELETES)
+    pos_prior = dfiles(EXISTING, POSITION_DELETES)
+    removed_data = dfiles(DELETED, DATA)
+    added_data = dfiles(ADDED, DATA)
+    live_data = dfiles(EXISTING, DATA) + added_data
+
+    parts = []
+    if pos_added:
+        # exact MOR reconstruction: only the files the new deletes name
+        dels = _read_pos_deletes(spark, base_path, meta, pos_added).select(
+            F.col("file_path").alias("__path"), F.col("pos").alias("__pos")
+        )
+        targets = {
+            os.path.basename(r["__path"])
+            for r in dels.select("__path").distinct().collect()
+        }  # KB-scale: delete files name few targets
+        target_files = [
+            f for f in live_data + removed_data
+            if os.path.basename(f["file_path"]) in targets
+        ]
+        rows = _read_data_files(
+            spark, base_path, meta, schema, target_files, with_ordinal=True
+        )
+        parts.append(
+            rows.join(dels, ["__path", "__pos"], "inner").select(
+                *[f.name for f in schema.fields]
+            )
+        )
+    if removed_data:
+        if not key_cols:
+            raise IcebergFormatError(
+                f"snapshot {snapshot_id} removed data files (copy-on-write "
+                "shape): pass key_cols to reconstruct which of their rows "
+                "did not survive"
+            )
+        cand = _read_data_files(
+            spark, base_path, meta, schema, removed_data, with_ordinal=True
+        )
+        if pos_prior:
+            prior = _read_pos_deletes(
+                spark, base_path, meta, pos_prior
+            ).select(
+                F.col("file_path").alias("__path"),
+                F.col("pos").alias("__pos"),
+            )
+            cand = cand.join(prior, ["__path", "__pos"], "left_anti")
+        cand = cand.select(*[f.name for f in schema.fields])
+        if added_data:
+            survivors = _read_data_files(
+                spark, base_path, meta, schema, added_data
+            ).select(*key_cols)
+            cand = cand.join(survivors, key_cols, "left_anti")
+        parts.append(cand)
+
+    if not parts:
+        out = spark.createDataFrame([], schema)
+    else:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    return out.withColumn(
+        "_deleted_by_snapshot", F.lit(snapshot_id).cast("long")
+    ).withColumn(
+        "_deleted_at_ts", F.lit(snap.get("timestamp-ms")).cast("long")
+    )

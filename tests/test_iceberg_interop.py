@@ -1,0 +1,161 @@
+"""Foreign Apache Iceberg v2 reader (sources/iceberg.py +
+plans/avro_ocf.py) against the committed genuine-layout fixture
+tests/fixtures/iceberg_tbl (authored by the independent encoder
+tools/make_iceberg_fixture.py — metadata JSON + Avro OCF manifest
+lists/manifests + position-delete parquet this reader did not produce).
+
+The oracle queries (queries/iceberg.py) hash-verify values; these tests
+pin the structural behaviors: OCF codec handling, relocation (the
+fixture's recorded file:// URIs re-root when the table directory
+moves), both flagship delete shapes, named refusals (equality deletes,
+format-version 3, missing key for the COW shape), and that position
+deletes never leak into other snapshots."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from hudi_delete_view_spark.sources.iceberg import (
+    IcebergFormatError,
+    read_iceberg_delete_view,
+    read_iceberg_incremental,
+    read_iceberg_snapshot,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "iceberg_tbl")
+TS0 = 1710000000000
+S1, S2, S3, S4, S5 = (9111111111111111101, 9111111111111111102,
+                      9111111111111111103, 9111111111111111104,
+                      9111111111111111105)
+
+
+def test_iceberg_snapshots_and_travel(spark):
+    cur = {r.id: r.value for r in read_iceberg_snapshot(spark, FIXTURE).collect()}
+    assert cur == {"id1": 10, "id2": 20, "id3": 333, "id4": 40, "id6": 60}
+    s1 = {r.id: r.value
+          for r in read_iceberg_snapshot(spark, FIXTURE, snapshot_id=S1).collect()}
+    assert s1 == {f"id{i}": i * 10 for i in range(1, 7)}
+    s4 = {r.id: r.value
+          for r in read_iceberg_snapshot(spark, FIXTURE, snapshot_id=S4).collect()}
+    assert "id7" in s4 and "id5" not in s4  # pos delete applied, append seen
+    ts = {r.id: r.value for r in read_iceberg_snapshot(
+        spark, FIXTURE, timestamp_ms=TS0 + 180_000).collect()}
+    assert "id5" not in ts and "id7" not in ts  # timestamp -> s3
+    with pytest.raises(IcebergFormatError, match="not in table"):
+        read_iceberg_snapshot(spark, FIXTURE, snapshot_id=12345)
+
+
+def test_iceberg_flagship_both_delete_shapes(spark):
+    """The reference's headline question in BOTH Iceberg delete shapes:
+    the s3 MERGE-ON-READ position delete reconstructs EXACTLY with no
+    user key (the delete file names its target file + row ordinal); the
+    s5 COPY-ON-WRITE file drop reconstructs through the keyed
+    anti-join; and the COW shape without a key refuses by name."""
+    mor = read_iceberg_delete_view(spark, FIXTURE, S3)
+    rows = {r.id: (r.name, r.value, r._deleted_by_snapshot, r._deleted_at_ts)
+            for r in mor.collect()}
+    assert rows == {"id5": ("echo", 50, S3, TS0 + 180_000)}
+
+    cow = read_iceberg_delete_view(spark, FIXTURE, S5, key_cols=["id"])
+    assert {r.id: r.value for r in cow.collect()} == {"id7": 70}
+    with pytest.raises(IcebergFormatError, match="key_cols"):
+        read_iceberg_delete_view(spark, FIXTURE, S5)
+
+    # an update snapshot (all rows survive the rewrite) deletes nothing;
+    # an append deletes nothing
+    assert read_iceberg_delete_view(spark, FIXTURE, S2,
+                                    key_cols=["id"]).count() == 0
+    assert read_iceberg_delete_view(spark, FIXTURE, S4).count() == 0
+
+
+def test_iceberg_incremental_appends(spark):
+    inc = read_iceberg_incremental(spark, FIXTURE, S1)
+    got = sorted((r.id, r.value, r._snapshot_id) for r in inc.collect())
+    assert got == [("id1", 10, S2), ("id2", 20, S2), ("id3", 333, S2),
+                   ("id7", 70, S4)]
+    # the MOR delete snapshot adds only a delete file: emits nothing
+    assert read_iceberg_incremental(spark, FIXTURE, S2, S3).count() == 0
+
+
+def test_iceberg_relocation(spark, tmp_path):
+    """file_path entries are full URIs under the RECORDED location; a
+    moved table (this is a committed fixture — it moves with the repo)
+    re-roots them by prefix, and the position-delete comparison keeps
+    using recorded paths so relocation cannot desynchronize it."""
+    moved = os.path.join(tmp_path, "relocated")
+    shutil.copytree(FIXTURE, moved)
+    cur = {r.id: r.value for r in read_iceberg_snapshot(spark, moved).collect()}
+    assert cur == {"id1": 10, "id2": 20, "id3": 333, "id4": 40, "id6": 60}
+    mor = read_iceberg_delete_view(spark, moved, S3)
+    assert {r.id for r in mor.collect()} == {"id5"}
+
+
+def test_iceberg_refusals(spark, tmp_path):
+    """format-version 3 and equality deletes refuse BY NAME."""
+    v3 = os.path.join(tmp_path, "v3")
+    shutil.copytree(FIXTURE, v3)
+    mp = os.path.join(v3, "metadata", "v5.metadata.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    meta["format-version"] = 3
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(IcebergFormatError, match="format-version 3"):
+        read_iceberg_snapshot(spark, v3)
+
+    # equality delete: flip the fixture's pos-delete manifest entry
+    # content to 2 via a re-encoded manifest (independent encoder)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ice_tool", os.path.join(os.path.dirname(__file__), "..", "tools",
+                                 "make_iceberg_fixture.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    eq = os.path.join(tmp_path, "eq")
+    shutil.copytree(FIXTURE, eq)
+    pd_uri = f"{tool.LOCATION}/data/pd1-delete-00001.parquet"
+    entry = tool._entry(1, S3, 3, pd_uri, 1, 100, content=2)
+    img = tool._ocf(tool.MANIFEST_ENTRY_T, [entry])
+    with open(os.path.join(eq, "metadata", "m5-deletes.avro"), "wb") as f:
+        f.write(img)
+    with pytest.raises(IcebergFormatError, match="equality delete"):
+        read_iceberg_snapshot(spark, eq)
+
+
+def test_ocf_reader_codecs():
+    """plans/avro_ocf.py: null + deflate codecs decode identically;
+    unknown codec and bad magic refuse by name; block sync mismatch is
+    detected."""
+    import importlib.util
+
+    from hudi_delete_view_spark.plans.avro_ocf import read_ocf
+    from hudi_delete_view_spark.plans.hudi_log import HudiLogFormatError
+
+    spec = importlib.util.spec_from_file_location(
+        "ice_tool2", os.path.join(os.path.dirname(__file__), "..", "tools",
+                                  "make_iceberg_fixture.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"]},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ]}
+    recs = [{"a": i, "b": None if i % 2 else f"s{i}", "m": {"k": i}}
+            for i in range(50)]
+    for codec in ("null", "deflate"):
+        img = tool._ocf(schema, recs, codec=codec)
+        _meta, got = read_ocf(img)
+        assert got == recs, codec
+    with pytest.raises(HudiLogFormatError, match="codec"):
+        read_ocf(tool._ocf(schema, recs, codec="snappy"))
+    with pytest.raises(HudiLogFormatError, match="magic"):
+        read_ocf(b"nope" + tool._ocf(schema, recs)[4:])
+    img = bytearray(tool._ocf(schema, recs, codec="null"))
+    img[-1] ^= 0xFF  # corrupt the trailing block sync
+    with pytest.raises(HudiLogFormatError, match="sync"):
+        read_ocf(bytes(img))
