@@ -35,6 +35,8 @@ HEADLINE = [
     "lake_mv_auto_window_union",  # auto-IVM: rank across merged feeds (round 6)
     "lake_hudi_interop",       # foreign-layout Hudi delete view (round 6)
     "mor_hudi_interop",        # binary HoodieLogFormat merge (round 7)
+    "delta_interop",           # foreign Delta Lake log replay (round 8)
+    "iceberg_interop",         # foreign Iceberg v2 manifests + pos-deletes (round 8)
     "lake_mv_auto_window_self_join",  # composite-identity window (round 7)
     "lake_mv_auto_snowflake_expr",    # transitive mid-plan probe (round 7)
     "lake_partition_evolution",  # repartition commit: snapshot + travel + delete view
