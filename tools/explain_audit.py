@@ -170,6 +170,18 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # foreign MOR merge: base parquet scan unioned with the mapInPandas
     # log decode, one row_number window on (partition, key) — no joins
     "mor_hudi_interop": (["Window", "MapInPandas"], ["CartesianProduct"]),
+    # foreign Delta: snapshot sections are pure parquet scans (log
+    # replay is driver-side metadata); the flagship section is the one
+    # keyed anti-join over the deleting commit's own files
+    "delta_interop": (["LeftAnti"], ["CartesianProduct"]),
+    # foreign Delta net-effect CDC: ONE full-outer boundary diff on the
+    # key (pruned to the window's moved files) + per-version mini-diffs
+    # for stamps — equi-joins only
+    "delta_cdc": (["FullOuter"], ["CartesianProduct"]),
+    # foreign Iceberg: position deletes apply as an anti-join on
+    # (recorded path, _metadata.row_index); the COW flagship section is
+    # the keyed anti-join; manifest decode is driver-side metadata
+    "iceberg_interop": (["LeftAnti"], ["CartesianProduct"]),
     # record-index point lookup: the merge window runs over ONE file
     # group's slices (index resolution is driver-side metadata, not in
     # the plan); key filter on top
