@@ -72,6 +72,7 @@ _WINDOW: tuple[str, ...] = (
     "delta_incremental",
     "delta_cdc",
     "delta_data_skipping",
+    "delta_dv_delete_view",
     "iceberg_interop",
     "iceberg_incremental",
     # -- re-checks: flagship + every surface with round-8 code changes

@@ -27,7 +27,9 @@ _DELTA_FIXTURE = _os.path.abspath(_os.path.join(
 # the authored per-version file lists (mirrors tools/make_delta_fixture):
 # v0 adds F0(part=a: id1-3) F1(part=b: id4-6); v1 removes F0 adds F2
 # (id3 -> 333); v2 removes F2,F1 adds F3,F4 (DELETE id2,id5); v3 removes
-# F4 adds F5 with dataChange=false (OPTIMIZE); v4 adds F6 (insert id7)
+# F4 adds F5 with dataChange=false (OPTIMIZE); v4 adds F6 (insert id7);
+# v5 re-adds F5 with an INLINE deletion vector {0} (DV DELETE id4);
+# v6 re-adds F5 with an on-disk 'u' DV {0,1} (DV DELETE id6 — cumulative)
 _F = {
     0: "part=a/part-00000-0f0a0000-0000-4000-8000-000000000000-c000.parquet",
     1: "part=b/part-00001-0f1b0000-0000-4000-8000-000000000001-c000.parquet",
@@ -50,7 +52,12 @@ def _rp(*file_nums: int) -> str:
     "delta_interop",
     oracle=f"""
 SELECT 'snapshot' AS section, id, name, value, CAST(part AS VARCHAR) AS part
-FROM {_rp(3, 5, 6)}
+FROM {_rp(3, 6)}
+UNION ALL
+SELECT 'snapshot' AS section, id, name, value, CAST(part AS VARCHAR) AS part
+FROM read_parquet('{_DELTA_FIXTURE}/{_F[5]}', hive_partitioning = true,
+                  file_row_number = true)
+WHERE file_row_number NOT IN (0, 1)
 UNION ALL
 SELECT 'time_travel' AS section, id, name, value, CAST(part AS VARCHAR) AS part
 FROM {_rp(2, 1)}
@@ -69,14 +76,16 @@ def delta_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     change).
 
     Three sections under one driver row: the latest snapshot (update +
-    delete + compaction + post-checkpoint insert all resolved), time
-    travel to version 1 (pre-delete), and the reference's headline
-    question asked of a table the reference cannot read — which rows
-    did the DELETE commit (v2) remove? Reconstructed
-    DeleteView.java:112-163-style: candidates = the commit's removed
-    files, survivors = its added files, one keyed anti-join, never an
-    untouched file. The oracle restates the authored per-version file
-    lists and recomputes each section from raw parquet."""
+    delete + compaction + post-checkpoint insert + BOTH deletion-vector
+    commits all resolved — v5/v6's cumulative DV on F5 applies as a
+    (file, row-ordinal) anti-join), time travel to version 1
+    (pre-delete), and the reference's headline question asked of a
+    table the reference cannot read — which rows did the DELETE commit
+    (v2) remove? Reconstructed DeleteView.java:112-163-style:
+    candidates = the commit's removed files, survivors = its added
+    files, one keyed anti-join, never an untouched file. The oracle
+    restates the authored per-version file lists and recomputes each
+    section from raw parquet (the DV via file_row_number)."""
     from ..sources.delta import read_delta_delete_view, read_delta_snapshot
 
     cols = ["id", "name", "value", "part"]
@@ -103,14 +112,15 @@ SELECT id, name, value, CAST(part AS VARCHAR) AS part,
 """,
 )
 def delta_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental pull (0, latest] on the foreign Delta table: every
+    """Incremental pull (0, 4] on the foreign Delta table: every
     dataChange add stamped with its commit version — Delta streaming
     source semantics, so the v3 OPTIMIZE rewrite (dataChange=false)
     emits NOTHING even though it added a file. The oracle restates the
-    authored dataChange adds per version."""
+    authored dataChange adds per version. (Window pinned below the
+    v5/v6 DV commits, whose feed is covered by delta_dv_delete_view.)"""
     from ..sources.delta import read_delta_incremental
 
-    return read_delta_incremental(spark, _DELTA_FIXTURE, 0).select(
+    return read_delta_incremental(spark, _DELTA_FIXTURE, 0, 4).select(
         "id", "name", "value", "part",
         F.col("_commit_version").alias("commit_version"),
     )
@@ -179,16 +189,50 @@ FROM {_rp(3, 5, 6)} WHERE value BETWEEN 35 AND 65
 """,
 )
 def delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """add.stats file skipping on the foreign Delta table: min/max
-    bounds prune files whose stats provably exclude [35, 65] before any
-    scan (F6 — minValues=maxValues=70 — never reads; the pruning pin
-    lives in the pytest), with the residual row filter on top. The
-    oracle scans the full snapshot and filters."""
+    """add.stats file skipping on the foreign Delta table (at version
+    4, where F5's rows are all alive): min/max bounds prune files whose
+    stats provably exclude [35, 65] before any scan (F6 —
+    minValues=maxValues=70 — never reads; the pruning pin lives in the
+    pytest), with the residual row filter on top. The oracle scans the
+    full snapshot and filters."""
     from ..sources.delta import read_delta_snapshot
 
     return (
-        read_delta_snapshot(spark, _DELTA_FIXTURE,
+        read_delta_snapshot(spark, _DELTA_FIXTURE, version=4,
                             bounds={"value": (35, 65)})
         .filter(F.col("value").between(35, 65))
         .select("id", "name", "value", "part")
     )
+
+
+@query(
+    "delta_dv_delete_view",
+    oracle=f"""
+SELECT 'v5' AS section, id, name, value, CAST(part AS VARCHAR) AS part
+FROM read_parquet('{_DELTA_FIXTURE}/{_F[5]}', hive_partitioning = true,
+                  file_row_number = true)
+WHERE file_row_number = 0
+UNION ALL
+SELECT 'v6' AS section, id, name, value, CAST(part AS VARCHAR) AS part
+FROM read_parquet('{_DELTA_FIXTURE}/{_F[5]}', hive_partitioning = true,
+                  file_row_number = true)
+WHERE file_row_number = 1
+""",
+)
+def delta_dv_delete_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FLAGSHIP question asked of DELETION-VECTOR commits — EXACT
+    and KEYLESS: a DV commit re-adds the same file with a new
+    (cumulative) vector, so the deleted rows are precisely (new DV
+    minus old DV) read back by row ordinal. v5 carries an INLINE (z85)
+    vector, v6 an on-disk z85-uuid-named DV file with CRC-verified
+    framing; both roaring layers are golden-vector-pinned against the
+    real org.roaringbitmap. The oracle re-derives each commit's victim
+    ordinals via file_row_number."""
+    from ..sources.delta import read_delta_delete_view
+
+    cols = ["id", "name", "value", "part"]
+    v5 = read_delta_delete_view(spark, _DELTA_FIXTURE, 5).select(
+        F.lit("v5").alias("section"), *cols)
+    v6 = read_delta_delete_view(spark, _DELTA_FIXTURE, 6).select(
+        F.lit("v6").alias("section"), *cols)
+    return v5.unionByName(v6)

@@ -26,9 +26,16 @@ https://github.com/delta-io/delta/blob/master/PROTOCOL.md):
   for that path; a ``remove`` drops it. Partition column VALUES live in
   ``add.partitionValues`` (string-encoded), not in the data files.
 - **Protocol gating**: ``minReaderVersion`` 1/2 read directly; 3 reads
-  only when every ``readerFeatures`` entry is supported here.
-  ``deletionVectors`` and ``columnMapping`` (mode != none) are refused
-  BY NAME — silently ignoring a DV would resurrect deleted rows.
+  only when every ``readerFeatures`` entry is supported here
+  (``deletionVectors`` IS supported — see below); ``columnMapping``
+  (mode != none) and unknown features refuse BY NAME.
+- **Deletion vectors (round 8)**: an add's DV (inline z85, on-disk
+  'u' z85-uuid-named file, or absolute-path 'p'; RoaringBitmapArray
+  portable serialization, ``plans/roaring.py`` — the 32-bit roaring
+  layer golden-vector-pinned against the real org.roaringbitmap)
+  parses EXECUTOR-side into (file, row ordinal) rows and applies as an
+  anti-join on ``_metadata.row_index``. A DV commit's delete view is
+  EXACT and keyless: deleted rows = (new DV minus old DV) by ordinal.
 
 Scale shape: the driver touches only the log (KB-scale JSON + one
 checkpoint parquet footer/read — the same class of planning work Delta's
@@ -58,7 +65,7 @@ LOG_DIR = "_delta_log"
 
 # reader features this implementation actually honors (PROTOCOL.md
 # "reader features"); anything else refuses by name
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
 
 
 class DeltaFormatError(ValueError):
@@ -141,13 +148,93 @@ def _check_metadata(md: dict) -> None:
         )
 
 
+_DV_STORAGE_TYPES = {"i", "u", "p"}
+
+
 def _check_add(add: dict) -> None:
-    if add.get("deletionVector"):
+    dv = add.get("deletionVector")
+    if dv and dv.get("storageType") not in _DV_STORAGE_TYPES:
         raise DeltaFormatError(
-            f"data file {add.get('path')!r} carries a deletion vector; "
+            f"data file {add.get('path')!r} carries a deletion vector "
+            f"with unknown storageType {dv.get('storageType')!r}; "
             "reading it without applying the DV would resurrect deleted "
             "rows — refused"
         )
+
+
+def _dv_descriptor(base_path: str, add: dict) -> tuple | None:
+    """Normalize an add's deletionVector into a picklable work tuple
+    (kind, payload, offset, size) the executor parser consumes —
+    PROTOCOL.md storage types: 'i' inline (Z85 blob), 'u' UUID file
+    (pathOrInlineDv = <optional prefix><20-char Z85 uuid>, file
+    <prefix>/deletion_vector_<uuid>.bin under the table), 'p' absolute
+    path."""
+    import uuid as _uuid
+
+    dv = add.get("deletionVector")
+    if not dv:
+        return None
+    st = dv["storageType"]
+    if st == "i":
+        return ("inline", dv["pathOrInlineDv"], 0, int(dv["sizeInBytes"]))
+    if st == "p":
+        return ("file", dv["pathOrInlineDv"], int(dv.get("offset", 1)),
+                int(dv["sizeInBytes"]))
+    # 'u': the uuid is ALWAYS the final 20 z85 characters; anything
+    # before it is a relative prefix directory
+    from ..plans.roaring import z85_decode
+
+    raw = dv["pathOrInlineDv"]
+    prefix, z = raw[:-20], raw[-20:]
+    u = _uuid.UUID(bytes=z85_decode(z))
+    rel = f"deletion_vector_{u}.bin"
+    if prefix:
+        rel = f"{prefix}/{rel}"
+    return ("file", os.path.join(base_path, rel),
+            int(dv.get("offset", 1)), int(dv["sizeInBytes"]))
+
+
+def _dv_positions_df(spark: SparkSession, base_path: str,
+                     adds: list[dict]) -> DataFrame:
+    """(file basename, deleted row ordinal) rows for every add carrying
+    a deletion vector — DV blobs parse EXECUTOR-side (one task per DV;
+    a day's DVs across 10k files never transit the driver), mirroring
+    the Iceberg position-delete shape."""
+    work = []
+    for a in adds:
+        d = _dv_descriptor(base_path, a)
+        if d is not None:
+            work.append((os.path.basename(a["path"]),) + d)
+    schema = "fname string, pos long"
+    if not work:
+        return spark.createDataFrame([], schema)
+
+    def parse(batches):
+        import pandas as pd
+
+        from ..plans.roaring import parse_dv_blob, read_dv_from_file, z85_decode
+
+        for pdf in batches:
+            rows = []
+            for fname, kind, payload, offset, size in pdf.itertuples(
+                index=False
+            ):
+                if kind == "inline":
+                    positions = parse_dv_blob(z85_decode(payload))
+                else:
+                    with open(payload, "rb") as f:
+                        data = f.read()
+                    positions = read_dv_from_file(data, offset, size)
+                rows.extend((fname, p) for p in positions)
+            yield pd.DataFrame(rows, columns=["fname", "pos"])
+
+    return (
+        spark.createDataFrame(
+            work, "fname string, kind string, payload string, "
+                  "offset long, size long")
+        .repartition(min(len(work), 64))
+        .mapInPandas(parse, schema)
+    )
 
 
 def _apply_action(state: dict, action: dict) -> None:
@@ -299,7 +386,8 @@ def _hive_segment(col: str, raw: str | None) -> str:
 
 
 def _read_adds(
-    spark: SparkSession, base_path: str, state: DeltaState, adds: list[dict]
+    spark: SparkSession, base_path: str, state: DeltaState,
+    adds: list[dict], with_ordinal: bool = False,
 ) -> DataFrame:
     """Scan a set of live files with partition columns attached.
 
@@ -307,14 +395,32 @@ def _read_adds(
     partition-column order → ONE ``basePath``-rooted scan (user schema
     pinned, so partition columns keep their DECLARED types and Spark's
     partition pruning / parquet pushdown apply). Fallback: group by
-    partition tuple, one scan per group with literal partition columns."""
+    partition tuple, one scan per group with literal partition columns.
+
+    ``with_ordinal`` appends ``__fname`` / ``__pos`` (file basename +
+    ``_metadata.row_index``) — the join surface deletion vectors apply
+    on."""
+    names = [f.name for f in state.schema.fields]
+    ord_cols = (
+        [F.col("_metadata.file_name").alias("__fname"),
+         F.col("_metadata.row_index").alias("__pos")]
+        if with_ordinal else []
+    )
+
+    def finish(df: DataFrame) -> DataFrame:
+        return df.select(*[F.col(n) for n in names], *ord_cols)
+
     if not adds:
-        return spark.createDataFrame([], state.schema)
+        df = spark.createDataFrame([], state.schema)
+        if with_ordinal:
+            df = (df.withColumn("__fname", F.lit(None).cast("string"))
+                    .withColumn("__pos", F.lit(None).cast("long")))
+        return df
     pcols = state.partition_columns
     if not pcols:
-        return spark.read.schema(state.schema).parquet(
+        return finish(spark.read.schema(state.schema).parquet(
             *[os.path.join(base_path, a["path"]) for a in adds]
-        )
+        ))
     hive = all(
         all(
             _hive_segment(c, (a.get("partitionValues") or {}).get(c))
@@ -324,11 +430,10 @@ def _read_adds(
         for a in adds
     )
     if hive:
-        return (
+        return finish(
             spark.read.schema(state.schema)
             .option("basePath", base_path)
             .parquet(*[os.path.join(base_path, a["path"]) for a in adds])
-            .select(*[f.name for f in state.schema.fields])
         )
     by_tuple: dict[tuple, list[dict]] = {}
     for a in adds:
@@ -345,11 +450,31 @@ def _read_adds(
         )
         for c, raw in zip(pcols, tup):
             df = df.withColumn(c, _partition_value_expr(raw, types[c]))
-        parts.append(df.select(*[f.name for f in state.schema.fields]))
+        parts.append(finish(df))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _read_adds_live(
+    spark: SparkSession, base_path: str, state: DeltaState, adds: list[dict]
+) -> DataFrame:
+    """LIVE rows of a set of adds: each add's deletion vector (if any)
+    applied as an anti-join on (file basename, row ordinal) — the
+    PROTOCOL.md contract that an add's DV marks its dead rows."""
+    names = [f.name for f in state.schema.fields]
+    with_dv = [a for a in adds if a.get("deletionVector")]
+    plain = [a for a in adds if not a.get("deletionVector")]
+    out = _read_adds(spark, base_path, state, plain)
+    if not with_dv:
+        return out
+    rows = _read_adds(spark, base_path, state, with_dv, with_ordinal=True)
+    dels = _dv_positions_df(spark, base_path, with_dv).select(
+        F.col("fname").alias("__fname"), F.col("pos").alias("__pos")
+    )
+    live = rows.join(dels, ["__fname", "__pos"], "left_anti").select(*names)
+    return out.unionByName(live) if plain else live
 
 
 def _stats_pass(add: dict, bounds: dict[str, tuple]) -> bool:
@@ -418,7 +543,7 @@ def read_delta_snapshot(
             return True
 
         adds = [a for a in adds if part_pass(a) and _stats_pass(a, bounds)]
-    return _read_adds(spark, base_path, state, adds)
+    return _read_adds_live(spark, base_path, state, adds)
 
 
 def read_delta_incremental(
@@ -446,7 +571,7 @@ def read_delta_incremental(
             _check_add(a)
         if adds:
             parts.append(
-                _read_adds(spark, base_path, state, adds).withColumn(
+                _read_adds_live(spark, base_path, state, adds).withColumn(
                     "_commit_version", F.lit(v).cast("long")
                 )
             )
@@ -528,14 +653,14 @@ def read_delta_cdc(
         )
 
     before = keyed(
-        _read_adds(
+        _read_adds_live(
             spark, base_path, state_b,
             [a for p, a in state_b.adds.items() if p in moved],
         ),
         "__b",
     )
     after = keyed(
-        _read_adds(
+        _read_adds_live(
             spark, base_path, state_e,
             [a for p, a in state_e.adds.items() if p in moved],
         ),
@@ -563,8 +688,8 @@ def read_delta_cdc(
         rm_adds = [st_prev.adds[p] for p in rms_v if p in st_prev.adds]
         st_v = resolve_delta_state(base_path, v)
         ad_adds = [st_v.adds[p] for p in adds_v if p in st_v.adds]
-        bv = keyed(_read_adds(spark, base_path, st_prev, rm_adds), "__b")
-        av = keyed(_read_adds(spark, base_path, st_v, ad_adds), "__a")
+        bv = keyed(_read_adds_live(spark, base_path, st_prev, rm_adds), "__b")
+        av = keyed(_read_adds_live(spark, base_path, st_v, ad_adds), "__a")
         dv = bv.join(av, key_cols, "full").filter(
             F.col("__b").isNull() | F.col("__a").isNull() | differs()
         )
@@ -837,16 +962,24 @@ def export_delta(table, out_dir: str, table_name: str = "export_delta") -> str:
 
 
 def read_delta_delete_view(
-    spark: SparkSession, base_path: str, version: int, key_cols: list[str]
+    spark: SparkSession, base_path: str, version: int,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """THE FLAGSHIP question asked of a foreign Delta table: which rows
-    did commit ``version`` delete? Reconstructed the same way the
-    reference does for Hudi (DeleteView.java:112-163 semantics,
-    commit-metadata-pruned): candidates = rows of the files the commit
-    REMOVED (dataChange only — an OPTIMIZE removes files without
-    deleting rows), survivors = keys of the files it ADDED; deleted =
-    one keyed anti-join, stamped with the deleting commit's version and
-    timestamp. Never reads an untouched file."""
+    did commit ``version`` delete? Two shapes, both reconstructed from
+    the commit's own actions — never an untouched file:
+
+    - **Deletion-vector commits** (a path re-added with a new DV):
+      EXACT and keyless — the deleted ordinals are (new DV minus old
+      DV), read back as one inner join on (file basename, row ordinal).
+    - **Copy-on-write rewrites** (paths removed, others added):
+      candidates = the removed files' LIVE rows at version-1 (their old
+      DVs applied — rows already dead cannot be deleted again),
+      survivors = the added files' live rows; one keyed anti-join
+      (``key_cols`` required for this shape; raised by name when
+      absent). dataChange=false movements (OPTIMIZE) never count.
+
+    Stamped with the deleting commit's version and timestamp."""
     actions = _version_actions(base_path, version)
     removed = [
         a["remove"] for a in actions
@@ -866,24 +999,78 @@ def read_delta_delete_view(
     )
     # the removed files' CONTENT lives in the pre-commit state
     state_prev = resolve_delta_state(base_path, version - 1)
-    removed_adds = [
-        state_prev.adds[r["path"]]
-        for r in removed
-        if r["path"] in state_prev.adds
+    schema_names = [f.name for f in state_prev.schema.fields]
+
+    # split the DV shape out: same path removed AND re-added with a DV
+    added_by_path = {a["path"]: a for a in added}
+    dv_pairs = []  # (old add at v-1, new add at v)
+    cow_removed = []
+    for r in removed:
+        old = state_prev.adds.get(r["path"])
+        if old is None:
+            continue
+        new = added_by_path.get(r["path"])
+        if new is not None and new.get("deletionVector"):
+            dv_pairs.append((old, new))
+        else:
+            cow_removed.append(old)
+    cow_added = [
+        a for a in added
+        if not (a.get("deletionVector") and a["path"] in state_prev.adds)
     ]
-    candidates = _read_adds(spark, base_path, state_prev, removed_adds)
-    out = candidates
-    if added:
-        state_now = resolve_delta_state(base_path, version)
-        survivor_adds = [
-            state_now.adds[a["path"]]
-            for a in added
-            if a["path"] in state_now.adds
-        ]
-        survivors = _read_adds(
-            spark, base_path, state_now, survivor_adds
-        ).select(*key_cols)
-        out = candidates.join(survivors, key_cols, "left_anti")
+
+    parts = []
+    if dv_pairs:
+        # exact: ordinals newly dead at this commit
+        new_pos = _dv_positions_df(
+            spark, base_path, [new for _old, new in dv_pairs]
+        )
+        olds_with_dv = [old for old, _new in dv_pairs
+                        if old.get("deletionVector")]
+        if olds_with_dv:
+            old_pos = _dv_positions_df(spark, base_path, olds_with_dv)
+            new_pos = new_pos.join(old_pos, ["fname", "pos"], "left_anti")
+        rows = _read_adds(
+            spark, base_path, state_prev,
+            [old for old, _new in dv_pairs], with_ordinal=True,
+        )
+        parts.append(
+            rows.join(
+                new_pos.select(F.col("fname").alias("__fname"),
+                               F.col("pos").alias("__pos")),
+                ["__fname", "__pos"], "inner",
+            ).select(*schema_names)
+        )
+    if cow_removed:
+        if not key_cols:
+            raise DeltaFormatError(
+                f"commit {version} removed data files (copy-on-write "
+                "shape): pass key_cols to reconstruct which of their "
+                "rows did not survive"
+            )
+        candidates = _read_adds_live(
+            spark, base_path, state_prev, cow_removed
+        )
+        out = candidates
+        if cow_added:
+            state_now = resolve_delta_state(base_path, version)
+            survivor_adds = [
+                state_now.adds[a["path"]]
+                for a in cow_added
+                if a["path"] in state_now.adds
+            ]
+            survivors = _read_adds_live(
+                spark, base_path, state_now, survivor_adds
+            ).select(*key_cols)
+            out = candidates.join(survivors, key_cols, "left_anti")
+        parts.append(out)
+
+    if not parts:
+        out = spark.createDataFrame([], state_prev.schema)
+    else:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
     return out.withColumn(
         "_deleted_by_version", F.lit(version).cast("long")
     ).withColumn(

@@ -31,10 +31,14 @@ TS0 = 1700000000000
 
 
 def test_delta_snapshot_and_travel(spark):
+    # current = v6: the cumulative deletion vector on F5 kills id4+id6
     snap = {r.id: (r.value, r.part)
             for r in read_delta_snapshot(spark, FIXTURE).collect()}
-    assert snap == {"id1": (10, "a"), "id3": (333, "a"), "id4": (40, "b"),
-                    "id6": (60, "b"), "id7": (70, "a")}
+    assert snap == {"id1": (10, "a"), "id3": (333, "a"), "id7": (70, "a")}
+    v4 = {r.id: (r.value, r.part)
+          for r in read_delta_snapshot(spark, FIXTURE, version=4).collect()}
+    assert v4 == {"id1": (10, "a"), "id3": (333, "a"), "id4": (40, "b"),
+                  "id6": (60, "b"), "id7": (70, "a")}
     v0 = {r.id: r.value
           for r in read_delta_snapshot(spark, FIXTURE, version=0).collect()}
     assert v0 == {f"id{i}": i * 10 for i in range(1, 7)}
@@ -71,7 +75,7 @@ def test_delta_checkpoint_only_replay(spark, tmp_path):
     for v in (0, 1, 2):
         os.remove(os.path.join(vac, "_delta_log", f"{v:020d}.json"))
     snap = {r.id: r.value for r in read_delta_snapshot(spark, vac).collect()}
-    assert snap == {"id1": 10, "id3": 333, "id4": 40, "id6": 60, "id7": 70}
+    assert snap == {"id1": 10, "id3": 333, "id7": 70}
     with pytest.raises(DeltaFormatError, match="cannot reconstruct"):
         read_delta_snapshot(spark, vac, version=1)
     # no checkpoint at all + missing v0 -> unreconstructable, named
@@ -91,7 +95,7 @@ def test_delta_log_gap_detection(spark, tmp_path):
     with pytest.raises(DeltaFormatError, match="gap"):
         read_delta_snapshot(spark, gap, version=2)
     # targets the checkpoint can serve are unaffected by the gap below it
-    assert read_delta_snapshot(spark, gap).count() == 5
+    assert read_delta_snapshot(spark, gap).count() == 3
 
 
 def _append_commit(base, version, actions, ts):
@@ -103,22 +107,24 @@ def _append_commit(base, version, actions, ts):
 
 
 def test_delta_protocol_refusals(spark, tmp_path):
-    """Unsupported surfaces refuse BY NAME instead of misreading:
-    deletion vectors (ignoring one would resurrect deleted rows),
-    column mapping (physical names diverge), unknown reader features."""
-    # deletion vector on an add
+    """Unsupported surfaces refuse BY NAME instead of misreading: an
+    UNKNOWN deletion-vector storage type (a silently-skipped DV would
+    resurrect deleted rows), column mapping (physical names diverge),
+    unknown reader features. deletionVectors itself is a SUPPORTED
+    reader feature since round 8."""
+    # unknown DV storage type on an add
     dv = os.path.join(tmp_path, "dv")
     shutil.copytree(FIXTURE, dv)
-    _append_commit(dv, 5, [{"add": {
+    _append_commit(dv, 7, [{"add": {
         "path": "part=a/part-00000-0f3a0000-0000-4000-8000-000000000003-c000.parquet",
         "partitionValues": {"part": "a"}, "size": 1, "dataChange": True,
-        "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+        "deletionVector": {"storageType": "x", "pathOrInlineDv": "x",
                            "offset": 1, "sizeInBytes": 40, "cardinality": 1},
-    }}], TS0 + 300_000)
-    with pytest.raises(DeltaFormatError, match="deletion vector"):
+    }}], TS0 + 420_000)
+    with pytest.raises(DeltaFormatError, match="storageType"):
         read_delta_snapshot(spark, dv)
-    # time travel BELOW the DV commit still reads
-    assert read_delta_snapshot(spark, dv, version=4).count() == 5
+    # time travel BELOW the bad commit still reads (v6 state: 3 live)
+    assert read_delta_snapshot(spark, dv, version=6).count() == 3
 
     # column mapping mode
     cm = os.path.join(tmp_path, "cm")
@@ -134,14 +140,15 @@ def test_delta_protocol_refusals(spark, tmp_path):
     with pytest.raises(DeltaFormatError, match="columnMapping"):
         read_delta_snapshot(spark, cm, version=0)
 
-    # reader feature gate: vacuumProtocolCheck alone must not block
-    # (it's not in our allowlist -> named refusal), timestampNtz passes
+    # reader feature gate: deletionVectors/timestampNtz pass, anything
+    # else refuses with the feature named
     rf = os.path.join(tmp_path, "rf")
     shutil.copytree(FIXTURE, rf)
-    _append_commit(rf, 5, [{"protocol": {
+    _append_commit(rf, 7, [{"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"]}}], TS0 + 300_000)
-    with pytest.raises(DeltaFormatError, match="deletionVectors"):
+        "readerFeatures": ["deletionVectors", "v2Checkpoint"]}}],
+        TS0 + 420_000)
+    with pytest.raises(DeltaFormatError, match="v2Checkpoint"):
         read_delta_snapshot(spark, rf)
 
 
@@ -159,15 +166,17 @@ def test_delta_stats_pruning_never_reads_excluded_files(spark):
         "part=a/part-00000-0f3a0000-0000-4000-8000-000000000003-c000.parquet",
         "part=b/part-00001-0f5b0000-0000-4000-8000-000000000005-c000.parquet",
     ]
-    bounded = read_delta_snapshot(spark, FIXTURE, bounds={"value": (35, 65)})
-    full = read_delta_snapshot(spark, FIXTURE)
+    bounded = read_delta_snapshot(spark, FIXTURE, version=4,
+                                  bounds={"value": (35, 65)})
+    full = read_delta_snapshot(spark, FIXTURE, version=4)
     assert sorted((r.id, r.value) for r in
                   bounded.filter("value between 35 and 65").collect()) == \
         sorted((r.id, r.value) for r in
                full.filter("value between 35 and 65").collect())
     # partition-value pruning composes: part='b' bounds drop part=a files
     state2 = resolve_delta_state(FIXTURE)
-    got = read_delta_snapshot(spark, FIXTURE, bounds={"part": ("b", "b")})
+    got = read_delta_snapshot(spark, FIXTURE, version=4,
+                              bounds={"part": ("b", "b")})
     assert {r.part for r in got.collect()} == {"b"}
     assert state2.partition_columns == ["part"]
 
@@ -292,3 +301,75 @@ def test_export_delta_round_trip(spark, scratch):
     for a in state.adds.values():
         s = json.loads(a["stats"])
         assert s["numRecords"] > 0 and "k" in s["minValues"]
+
+
+# Images written by the REAL org.roaringbitmap (Spark-bundled jar) via
+# the JVM: array containers (one and three keys), a run container, and
+# the no-runOptimize small case. A shared-convention round trip between
+# our parser and the fixture tool's encoder cannot catch Java-side
+# layout facts; these can.
+_ROARING_GOLDEN = {
+    "small_array": ("OjAAAAEAAAAAAAQAEAAAAAEABQAHAGQA//8=",
+                    [1, 5, 7, 100, 65535]),
+    "two_keys": ("OjAAAAMAAAAAAAAAAQABAAIAAAAgAAAAIgAAACYAAAADAAoACwAHAA==",
+                 [3, 65536 + 10, 65536 + 11, 2 * 65536 + 7]),
+    "run_container": ("OzAAAAEAACMTAQBkACMT", list(range(100, 5000))),
+    "norun_small": ("OjAAAAEAAAAAAAIAEAAAAAEABQAHAA==", [1, 5, 7]),
+}
+
+
+def test_roaring_golden_vectors():
+    import base64
+
+    from hudi_delete_view_spark.plans.roaring import (
+        parse_roaring32,
+        z85_decode,
+        z85_encode,
+    )
+
+    for name, (b64, want) in _ROARING_GOLDEN.items():
+        got, _pos = parse_roaring32(base64.b64decode(b64))
+        assert got == sorted(want), name
+    # Z85 pinned to the ZeroMQ spec test vector
+    assert z85_decode("HelloWorld") == bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+
+
+def test_delta_deletion_vectors(spark):
+    """v5 (inline z85 DV) and v6 (on-disk z85-uuid 'u' DV, cumulative
+    {0,1}) apply at scan time, and the flagship question over a DV
+    commit is EXACT and keyless: deleted rows = (new DV minus old DV)
+    by row ordinal — id4 at v5, id6 ALONE at v6 (a cumulative vector
+    naively re-read would claim id4 again)."""
+    assert {r.id for r in read_delta_snapshot(
+        spark, FIXTURE, version=5).collect()} == {"id1", "id3", "id6", "id7"}
+    assert {r.id for r in read_delta_snapshot(
+        spark, FIXTURE, version=6).collect()} == {"id1", "id3", "id7"}
+    v5 = read_delta_delete_view(spark, FIXTURE, 5)
+    assert [(r.id, r.value, r._deleted_by_version)
+            for r in v5.collect()] == [("id4", 40, 5)]
+    v6 = read_delta_delete_view(spark, FIXTURE, 6)
+    assert [(r.id, r.value, r._deleted_by_version)
+            for r in v6.collect()] == [("id6", 60, 6)]
+    # CDC stamps stay per-key precise through DV commits
+    cdc = read_delta_cdc(spark, FIXTURE, ["id"], 4, 6)
+    assert sorted((r.op, r.id, r.change_version) for r in cdc.collect()) == [
+        ("delete", "id4", 5), ("delete", "id6", 6)]
+
+
+def test_delta_dv_crc_corruption_detected(spark, tmp_path):
+    """A flipped byte inside the on-disk DV blob must fail the CRC
+    check, not silently mis-delete rows."""
+    import glob
+
+    bad = os.path.join(tmp_path, "bad")
+    shutil.copytree(FIXTURE, bad)
+    (dv_file,) = glob.glob(os.path.join(bad, "deletion_vector_*.bin"))
+    data = bytearray(open(dv_file, "rb").read())
+    data[7] ^= 0xFF  # inside the blob (after version byte + size)
+    with open(dv_file, "wb") as f:
+        f.write(bytes(data))
+    with pytest.raises(Exception, match="CRC32|RoaringFormat|cookie|magic"):
+        read_delta_snapshot(spark, bad).collect()

@@ -13,13 +13,23 @@ History (partition column ``part``, schema id/name/value/part):
   v3  OPTIMIZE part=b: f4 -> f5, dataChange=FALSE (no logical change)
       + checkpoint parquet at v3 + _last_checkpoint
   v4  insert id7: part=a -> f6 (proves checkpoint + post-delta replay)
+  v5  DV DELETE id4: f5 re-added with an INLINE deletion vector {0}
+  v6  DV DELETE id6: f5 re-added with an on-disk 'u' (z85-uuid-named)
+      deletion vector {0, 1} — cumulative per the protocol, so the
+      commit's own delta is {1}
 
 Every add carries stats (numRecords, minValues/maxValues) so the
-column-stats file-skipping path has something real to prune on.
+column-stats file-skipping path has something real to prune on. The
+deletion vectors use this tool's OWN roaring/z85/DV-file encoder
+(independent of the package; the 32-bit roaring layer of BOTH sides is
+pinned against images from the real org.roaringbitmap — see
+tests/test_delta_interop.py golden vectors).
 """
 
 import json
 import os
+import struct
+import zlib
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -90,6 +100,79 @@ def _remove(relpath: str, part: str, ts: int, data_change: bool = True) -> dict:
         "extendedFileMetadata": True,
         "partitionValues": {"part": part},
     }
+
+
+# -- independent deletion-vector encoder (roaring + z85 + DV framing) ------
+
+_Z85 = ("0123456789abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+
+
+def _z85e(b: bytes) -> str:
+    out = []
+    for i in range(0, len(b), 4):
+        acc = int.from_bytes(b[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            acc, r = divmod(acc, 85)
+            chunk.append(_Z85[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _roaring32(values: list[int]) -> bytes:
+    """Portable 32-bit roaring, array containers only (cookie 12346 —
+    layout confirmed by the org.roaringbitmap golden vectors)."""
+    by_key: dict[int, list[int]] = {}
+    for v in sorted(values):
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    out = struct.pack("<i", 12346) + struct.pack("<i", len(by_key))
+    for key, vals in sorted(by_key.items()):
+        out += struct.pack("<HH", key, len(vals) - 1)
+    # container offsets (always present for cookie 12346)
+    off = len(out) + 4 * len(by_key)
+    for _key, vals in sorted(by_key.items()):
+        out += struct.pack("<i", off)
+        off += 2 * len(vals)
+    for _key, vals in sorted(by_key.items()):
+        out += struct.pack(f"<{len(vals)}H", *vals)
+    return out
+
+
+def _dv_blob(positions: list[int]) -> bytes:
+    """RoaringBitmapArray portable: LE magic 1681511377, int64 count,
+    per bitmap int32 key + 32-bit serialization."""
+    by_high: dict[int, list[int]] = {}
+    for p in sorted(positions):
+        by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    out = struct.pack("<i", 1681511377) + struct.pack("<q", len(by_high))
+    for high, vals in sorted(by_high.items()):
+        out += struct.pack("<i", high) + _roaring32(vals)
+    return out
+
+
+def _dv_inline(positions: list[int]) -> dict:
+    blob = _dv_blob(positions)
+    return {"storageType": "i", "pathOrInlineDv": _z85e(blob),
+            "offset": None, "sizeInBytes": len(blob),
+            "cardinality": len(positions)}
+
+
+def _dv_ufile(positions: list[int], uuid_bytes: bytes) -> dict:
+    """On-disk DV: file deletion_vector_<uuid>.bin = [version byte 1]
+    [int32 BE size][blob][int32 BE CRC32-of-blob]."""
+    import uuid as _uuid
+
+    blob = _dv_blob(positions)
+    u = _uuid.UUID(bytes=uuid_bytes)
+    fname = f"deletion_vector_{u}.bin"
+    body = (b"\x01" + struct.pack(">i", len(blob)) + blob
+            + struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
+    with open(os.path.join(OUT, fname), "wb") as f:
+        f.write(body)
+    return {"storageType": "u", "pathOrInlineDv": _z85e(uuid_bytes),
+            "offset": 1, "sizeInBytes": len(blob),
+            "cardinality": len(positions)}
 
 
 def _commit(version: int, actions: list[dict], op: str, ts: int) -> None:
@@ -198,6 +281,26 @@ def main() -> None:
     ts4 = TS0 + 240_000
     a6 = _add(F6, "a", [("id7", "golf", 70)], ts4)
     _commit(4, [{"add": a6}], "WRITE", ts4)
+
+    # v5: DV DELETE id4 (f5 pos 0) — INLINE deletion vector; a DV
+    # commit re-adds the SAME path carrying the vector
+    ts5 = TS0 + 300_000
+    a5_dv = dict(a5)
+    a5_dv["dataChange"] = True
+    a5_dv["modificationTime"] = ts5
+    a5_dv["deletionVector"] = _dv_inline([0])
+    _commit(5, [{"remove": _remove(F5, "b", ts5)}, {"add": a5_dv}],
+            "DELETE", ts5)
+
+    # v6: DV DELETE id6 (f5 pos 1) — on-disk 'u' storage; the new DV is
+    # CUMULATIVE ({0, 1}), so this commit's own delta is {1}
+    ts6 = TS0 + 360_000
+    a5_dv2 = dict(a5_dv)
+    a5_dv2["modificationTime"] = ts6
+    a5_dv2["deletionVector"] = _dv_ufile(
+        [0, 1], bytes(range(0xA0, 0xB0)))
+    _commit(6, [{"remove": _remove(F5, "b", ts6)}, {"add": a5_dv2}],
+            "DELETE", ts6)
 
     print(f"wrote genuine-layout Delta fixture at {os.path.abspath(OUT)}")
 
