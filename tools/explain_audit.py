@@ -182,6 +182,10 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # (recorded path, _metadata.row_index); the COW flagship section is
     # the keyed anti-join; manifest decode is driver-side metadata
     "iceberg_interop": (["LeftAnti"], ["CartesianProduct"]),
+    # Delta deletion-vector delete view: DV blobs parse executor-side
+    # (MapInPandas) and the victims come back by row ordinal — equi-join
+    # on (file, ordinal), never a cartesian
+    "delta_dv_delete_view": (["MapInPandas"], ["CartesianProduct"]),
     # record-index point lookup: the merge window runs over ONE file
     # group's slices (index resolution is driver-side metadata, not in
     # the plan); key filter on top
