@@ -23,24 +23,28 @@ _ICE_FIXTURE = _os.path.abspath(_os.path.join(
     _os.path.dirname(__file__), "..", "..", "tests", "fixtures",
     "iceberg_tbl"))
 
-_S1, _S2, _S3, _S4, _S5 = (9111111111111111101, 9111111111111111102,
-                           9111111111111111103, 9111111111111111104,
-                           9111111111111111105)
+_S1, _S2, _S3, _S4, _S5, _S6 = (
+    9111111111111111101, 9111111111111111102, 9111111111111111103,
+    9111111111111111104, 9111111111111111105, 9111111111111111106)
 
 _DA2 = f"{_ICE_FIXTURE}/data/da2-00003.parquet"
 _DB = f"{_ICE_FIXTURE}/data/db-00002.parquet"
 _DC = f"{_ICE_FIXTURE}/data/dc-00004.parquet"
+_DD = f"{_ICE_FIXTURE}/data/dd-00005.parquet"
 
 
 @query(
     "iceberg_interop",
     oracle=f"""
 SELECT 'snapshot' AS section, id, name, value, part
-FROM read_parquet('{_DA2}')
+FROM read_parquet('{_DA2}') WHERE id != 'id2'
 UNION ALL
 SELECT 'snapshot' AS section, id, name, value, part
 FROM read_parquet('{_DB}', file_row_number = true)
 WHERE file_row_number != 1
+UNION ALL
+SELECT 'snapshot' AS section, id, name, value, part
+FROM read_parquet('{_DD}')
 UNION ALL
 SELECT 'time_travel' AS section, id, name, value, part
 FROM read_parquet(['{_DA2}', '{_DB}'])
@@ -51,6 +55,9 @@ WHERE file_row_number = 1
 UNION ALL
 SELECT 'delete_view_cow' AS section, id, name, value, part
 FROM read_parquet('{_DC}')
+UNION ALL
+SELECT 'delete_view_eq' AS section, id, name, value, part
+FROM read_parquet('{_DA2}') WHERE id = 'id2'
 """,
 )
 def iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,15 +68,20 @@ def iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hudi log blocks, position-delete anti-join on (recorded path,
     _metadata.row_index)).
 
-    Four sections under one driver row: the current snapshot (COW
-    update + MOR position delete + append + COW file drop all
-    resolved), time travel to the pre-delete snapshot, and the
-    reference's headline question asked of a THIRD format it cannot
-    read — in BOTH Iceberg delete shapes: the s3 position delete
-    reconstructs EXACTLY (no user key: the delete file names its target
-    file and row ordinal), the s5 copy-on-write file drop reconstructs
-    through the keyed anti-join. The oracle recomputes every section
-    from raw parquet with DuckDB's file_row_number."""
+    Five sections under one driver row: the current snapshot (COW
+    update + MOR position delete + append + COW file drop + the s6
+    EQUALITY delete with its same-commit re-insert all resolved — the
+    strict data_seq < delete_seq rule kills da2's old id2 and spares
+    dd's new one, the Flink CDC upsert shape), time travel to the
+    pre-delete snapshot, and the reference's headline question asked of
+    a THIRD format it cannot read — in ALL THREE Iceberg delete shapes:
+    the s3 position delete reconstructs EXACTLY (no user key: the
+    delete file names its target file and row ordinal), the s5
+    copy-on-write file drop reconstructs through the keyed anti-join,
+    and the s6 equality delete reconstructs EXACTLY and keyless
+    (parent-live rows semi-joined to the delete rows on the
+    equality_ids columns). The oracle recomputes every section from raw
+    parquet with DuckDB's file_row_number."""
     from ..sources.iceberg import read_iceberg_delete_view, read_iceberg_snapshot
 
     cols = ["id", "name", "value", "part"]
@@ -82,7 +94,10 @@ def iceberg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv_cow = read_iceberg_delete_view(
         spark, _ICE_FIXTURE, _S5, key_cols=["id"]
     ).select(F.lit("delete_view_cow").alias("section"), *cols)
-    return snap.unionByName(tt).unionByName(dv_mor).unionByName(dv_cow)
+    dv_eq = read_iceberg_delete_view(spark, _ICE_FIXTURE, _S6).select(
+        F.lit("delete_view_eq").alias("section"), *cols)
+    return (snap.unionByName(tt).unionByName(dv_mor)
+            .unionByName(dv_cow).unionByName(dv_eq))
 
 
 @query(
@@ -93,14 +108,18 @@ FROM read_parquet('{_DA2}')
 UNION ALL
 SELECT id, name, value, part, CAST({_S4} AS BIGINT) AS snapshot_id
 FROM read_parquet('{_DC}')
+UNION ALL
+SELECT id, name, value, part, CAST({_S6} AS BIGINT) AS snapshot_id
+FROM read_parquet('{_DD}')
 """,
 )
 def iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental append scan (s1, s4] on the foreign Iceberg table:
-    each snapshot's ADDED data files stamped with the snapshot id, in
-    sequence-number order — the MOR delete snapshot (s3) adds only a
-    position-delete file and emits NOTHING. The oracle restates the
-    authored adds per snapshot."""
+    """Incremental append scan (s1, latest] on the foreign Iceberg
+    table: each snapshot's ADDED data files stamped with the snapshot
+    id, in sequence-number order — the MOR delete snapshot (s3) and the
+    COW file drop (s5) add no data files and emit NOTHING; the s6
+    upsert emits its re-insert. The oracle restates the authored adds
+    per snapshot."""
     from ..sources.iceberg import read_iceberg_incremental
 
     return read_iceberg_incremental(spark, _ICE_FIXTURE, _S1).select(

@@ -22,9 +22,13 @@ https://iceberg.apache.org/spec/):
   data rows on (recorded file path, ``_metadata.row_index``) against
   the delete files' (file_path, pos) pairs — exact by construction, no
   sequence-number reasoning needed because position deletes name their
-  target file explicitly. EQUALITY deletes are refused BY NAME
-  (applying them needs sequence-ordered predicate evaluation; silently
-  skipping one would resurrect deleted rows). format-version 3 refuses.
+  target file explicitly. EQUALITY deletes (the Flink CDC writer
+  shape) apply by the spec's sequence rule: a data row dies when some
+  equality-delete row matches all its ``equality_ids`` columns AND the
+  delete's sequence number is STRICTLY greater than the data file's —
+  one anti-join per distinct equality-column set, so a same-commit
+  re-insert of the key survives (the CDC upsert). Equality-delete
+  files naming no equality_ids refuse; format-version 3 refuses.
 
 Relocation: ``file_path`` entries are full URIs under the table's
 recorded ``location``; when the directory moves (this fixture is a
@@ -189,46 +193,116 @@ def _manifest_entries(base_path: str, meta: dict, snapshot: dict):
 
 
 def _live_files(base_path: str, meta: dict, snapshot: dict):
-    """(data adds, position-delete adds) live at a snapshot; equality
-    deletes refuse by name."""
-    data, pos = [], []
+    """(data adds, position-delete adds, equality-delete adds) live at
+    a snapshot. Each returned data_file dict carries its entry's
+    ``_seq`` (data sequence number) — the ordering equality deletes
+    apply by."""
+    data, pos, eq = [], [], []
     for _mcontent, e in _manifest_entries(base_path, meta, snapshot):
         if e["status"] == DELETED:
             continue
-        df = e["data_file"]
+        df = dict(e["data_file"])
+        df["_seq"] = e.get("sequence_number")
         c = df.get("content", DATA)
         if c == DATA:
             data.append(df)
         elif c == POSITION_DELETES:
             pos.append(df)
         else:
+            if not df.get("equality_ids"):
+                raise IcebergFormatError(
+                    f"equality delete file {df.get('file_path')!r} names "
+                    "no equality_ids — cannot apply; refused rather than "
+                    "resurrect deleted rows"
+                )
+            eq.append(df)
+    return data, pos, eq
+
+
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    sid = meta.get("current-schema-id", 0)
+    schemas = meta.get("schemas") or []
+    schema = next((s for s in schemas if s.get("schema-id") == sid), None)
+    if schema is None:
+        schema = meta.get("schema") or {"fields": []}
+    return {f["id"]: f["name"] for f in schema["fields"]}
+
+
+def _apply_eq_deletes(
+    spark: SparkSession, base_path: str, meta: dict, schema: T.StructType,
+    rows_with_seq: DataFrame, eq_files: list[dict],
+) -> DataFrame:
+    """Equality deletes (spec v2): a data row dies when some equality
+    delete row matches ALL its equality columns AND the delete's
+    sequence number is STRICTLY greater than the data file's — so a
+    same-commit re-insert of the key survives (the Flink CDC upsert
+    shape). One anti-join per distinct equality-column set; delete rows
+    of a set union with per-row delete sequence numbers."""
+    by_id = _field_names_by_id(meta)
+    location = meta.get("location", "")
+    names = [f.name for f in schema.fields]
+    out = rows_with_seq
+    groups: dict[tuple, list[dict]] = {}
+    for f in eq_files:
+        try:
+            cols = tuple(by_id[i] for i in f["equality_ids"])
+        except KeyError as exc:
             raise IcebergFormatError(
-                f"equality delete file {df.get('file_path')!r} present: "
-                "applying equality deletes needs sequence-ordered "
-                "predicate evaluation, not implemented — refused rather "
-                "than resurrect deleted rows"
+                f"equality delete {f.get('file_path')!r} references "
+                f"unknown field id {exc}"
+            ) from None
+        groups.setdefault(cols, []).append(f)
+    for cols, files in sorted(groups.items()):
+        eq_schema = T.StructType(
+            [f for f in schema.fields if f.name in cols]
+        )
+        parts = []
+        for f in files:
+            p = _relocate(f["file_path"], location, base_path)
+            parts.append(
+                spark.read.schema(eq_schema).parquet(p).withColumn(
+                    "__eq_seq", F.lit(f.get("_seq")).cast("long")
+                )
             )
-    return data, pos
+        dels = parts[0]
+        for p in parts[1:]:
+            dels = dels.unionByName(p)
+        dels = dels.select(
+            *[F.col(c).alias(f"__eq_{c}") for c in cols], "__eq_seq"
+        )
+        cond = [
+            out[c].eqNullSafe(dels[f"__eq_{c}"]) for c in cols
+        ] + [out["__seq"] < dels["__eq_seq"]]
+        combined = cond[0]
+        for c in cond[1:]:
+            combined = combined & c
+        out = out.join(dels, combined, "left_anti")
+    return out.select(*names, "__seq")
 
 
 def _read_data_files(
     spark: SparkSession, base_path: str, meta: dict,
     schema: T.StructType, files: list[dict], with_ordinal: bool = False,
+    with_seq: bool = False,
 ) -> DataFrame:
     """Scan data files; optionally attach the RECORDED path + row
-    ordinal (for position-delete application and the flagship view).
-    Recorded paths re-attach by basename (unique per Iceberg table —
-    UUID-suffixed naming), so relocation never desynchronizes the
-    delete-file references."""
+    ordinal (for position-delete application and the flagship view)
+    and/or the file's data sequence number (``__seq``, the ordering
+    equality deletes apply by). Recorded paths re-attach by basename
+    (unique per Iceberg table — UUID-suffixed naming), so relocation
+    never desynchronizes the delete-file references."""
     if not files:
         df = spark.createDataFrame([], schema)
         if with_ordinal:
             df = (df.withColumn("__path", F.lit(None).cast("string"))
                     .withColumn("__pos", F.lit(None).cast("long")))
+        if with_seq:
+            df = df.withColumn("__seq", F.lit(None).cast("long"))
         return df
     location = meta.get("location", "")
     paths = [_relocate(f["file_path"], location, base_path) for f in files]
     df = spark.read.schema(schema).parquet(*paths)
+    extra = []
     if with_ordinal:
         mapping = [
             (os.path.basename(f["file_path"]), f["file_path"]) for f in files
@@ -236,11 +310,21 @@ def _read_data_files(
         m = F.create_map(
             *[x for bn, rec in mapping for x in (F.lit(bn), F.lit(rec))]
         )
-        df = df.select(
-            *[F.col(f.name) for f in schema.fields],
+        extra += [
             m[F.col("_metadata.file_name")].alias("__path"),
             F.col("_metadata.row_index").alias("__pos"),
+        ]
+    if with_seq:
+        sm = F.create_map(*[
+            x for f in files
+            for x in (F.lit(os.path.basename(f["file_path"])),
+                      F.lit(f.get("_seq")))
+        ])
+        extra.append(
+            sm[F.col("_metadata.file_name")].cast("long").alias("__seq")
         )
+    if extra:
+        df = df.select(*[F.col(f.name) for f in schema.fields], *extra)
     return df
 
 
@@ -270,18 +354,25 @@ def read_iceberg_snapshot(
     meta = _load_metadata(base_path)
     snap = _select_snapshot(meta, snapshot_id, timestamp_ms)
     schema = _schema_for(meta)
-    data, pos = _live_files(base_path, meta, snap)
-    if not pos:
+    data, pos, eq = _live_files(base_path, meta, snap)
+    names = [f.name for f in schema.fields]
+    if not pos and not eq:
         return _read_data_files(spark, base_path, meta, schema, data)
     rows = _read_data_files(
-        spark, base_path, meta, schema, data, with_ordinal=True
+        spark, base_path, meta, schema, data,
+        with_ordinal=bool(pos), with_seq=bool(eq),
     )
-    dels = _read_pos_deletes(spark, base_path, meta, pos).select(
-        F.col("file_path").alias("__path"), F.col("pos").alias("__pos")
-    )
-    return rows.join(dels, ["__path", "__pos"], "left_anti").select(
-        *[f.name for f in schema.fields]
-    )
+    if pos:
+        dels = _read_pos_deletes(spark, base_path, meta, pos).select(
+            F.col("file_path").alias("__path"), F.col("pos").alias("__pos")
+        )
+        rows = rows.join(dels, ["__path", "__pos"], "left_anti")
+    if eq:
+        rows = _apply_eq_deletes(
+            spark, base_path, meta, schema,
+            rows.select(*names, "__seq"), eq,
+        )
+    return rows.select(*names)
 
 
 def read_iceberg_incremental(
@@ -368,25 +459,52 @@ def read_iceberg_delete_view(
     entries = _manifest_entries(base_path, meta, snap)
 
     def dfiles(status, content):
-        return [
-            e["data_file"] for _c, e in entries
-            if e["status"] == status
-            and e["data_file"].get("content", DATA) == content
-        ]
-
-    for _c, e in entries:
-        if e["data_file"].get("content", DATA) == EQUALITY_DELETES:
-            raise IcebergFormatError(
-                "equality delete files present — refused (see module doc)"
-            )
+        out = []
+        for _c, e in entries:
+            if (e["status"] == status
+                    and e["data_file"].get("content", DATA) == content):
+                df = dict(e["data_file"])
+                df["_seq"] = e.get("sequence_number")
+                out.append(df)
+        return out
 
     pos_added = dfiles(ADDED, POSITION_DELETES)
     pos_prior = dfiles(EXISTING, POSITION_DELETES)
+    eq_added = dfiles(ADDED, EQUALITY_DELETES)
     removed_data = dfiles(DELETED, DATA)
     added_data = dfiles(ADDED, DATA)
     live_data = dfiles(EXISTING, DATA) + added_data
 
     parts = []
+    if eq_added:
+        # exact, keyless: equality-delete rows added by S name the dying
+        # keys; every row LIVE at the parent snapshot has data sequence
+        # < S's (same-commit re-inserts are not in the parent), so the
+        # spec's strict-inequality rule is satisfied by construction and
+        # the victims are parent-live SEMI JOIN eq rows on the equality
+        # columns
+        snaps_by_seq = sorted(
+            (meta.get("snapshots") or []), key=lambda s: s["sequence-number"]
+        )
+        prev = None
+        for s in snaps_by_seq:
+            if s["sequence-number"] < snap["sequence-number"]:
+                prev = s
+        if prev is not None:
+            prev_rows = read_iceberg_snapshot(
+                spark, base_path, snapshot_id=prev["snapshot-id"]
+            )
+            by_id = _field_names_by_id(meta)
+            location = meta.get("location", "")
+            for f in eq_added:
+                cols = [by_id[i] for i in f["equality_ids"]]
+                eq_schema = T.StructType(
+                    [fld for fld in schema.fields if fld.name in cols]
+                )
+                dels = spark.read.schema(eq_schema).parquet(
+                    _relocate(f["file_path"], location, base_path)
+                )
+                parts.append(prev_rows.join(dels, cols, "left_semi"))
     if pos_added:
         # exact MOR reconstruction: only the files the new deletes name
         dels = _read_pos_deletes(spark, base_path, meta, pos_added).select(

@@ -26,14 +26,19 @@ from hudi_delete_view_spark.sources.iceberg import (
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "iceberg_tbl")
 TS0 = 1710000000000
-S1, S2, S3, S4, S5 = (9111111111111111101, 9111111111111111102,
-                      9111111111111111103, 9111111111111111104,
-                      9111111111111111105)
+S1, S2, S3, S4, S5, S6 = (9111111111111111101, 9111111111111111102,
+                          9111111111111111103, 9111111111111111104,
+                          9111111111111111105, 9111111111111111106)
 
 
 def test_iceberg_snapshots_and_travel(spark):
+    # current = s6: the equality delete killed old id2 (seq 2), its
+    # same-commit re-insert (seq 6) survives the strict-inequality rule
     cur = {r.id: r.value for r in read_iceberg_snapshot(spark, FIXTURE).collect()}
-    assert cur == {"id1": 10, "id2": 20, "id3": 333, "id4": 40, "id6": 60}
+    assert cur == {"id1": 10, "id2": 222, "id3": 333, "id4": 40, "id6": 60}
+    s5 = {r.id: r.value for r in read_iceberg_snapshot(
+        spark, FIXTURE, snapshot_id=S5).collect()}
+    assert s5 == {"id1": 10, "id2": 20, "id3": 333, "id4": 40, "id6": 60}
     s1 = {r.id: r.value
           for r in read_iceberg_snapshot(spark, FIXTURE, snapshot_id=S1).collect()}
     assert s1 == {f"id{i}": i * 10 for i in range(1, 7)}
@@ -73,8 +78,8 @@ def test_iceberg_flagship_both_delete_shapes(spark):
 def test_iceberg_incremental_appends(spark):
     inc = read_iceberg_incremental(spark, FIXTURE, S1)
     got = sorted((r.id, r.value, r._snapshot_id) for r in inc.collect())
-    assert got == [("id1", 10, S2), ("id2", 20, S2), ("id3", 333, S2),
-                   ("id7", 70, S4)]
+    assert got == [("id1", 10, S2), ("id2", 20, S2), ("id2", 222, S6),
+                   ("id3", 333, S2), ("id7", 70, S4)]
     # the MOR delete snapshot adds only a delete file: emits nothing
     assert read_iceberg_incremental(spark, FIXTURE, S2, S3).count() == 0
 
@@ -87,7 +92,7 @@ def test_iceberg_relocation(spark, tmp_path):
     moved = os.path.join(tmp_path, "relocated")
     shutil.copytree(FIXTURE, moved)
     cur = {r.id: r.value for r in read_iceberg_snapshot(spark, moved).collect()}
-    assert cur == {"id1": 10, "id2": 20, "id3": 333, "id4": 40, "id6": 60}
+    assert cur == {"id1": 10, "id2": 222, "id3": 333, "id4": 40, "id6": 60}
     mor = read_iceberg_delete_view(spark, moved, S3)
     assert {r.id for r in mor.collect()} == {"id5"}
 
@@ -96,7 +101,7 @@ def test_iceberg_refusals(spark, tmp_path):
     """format-version 3 and equality deletes refuse BY NAME."""
     v3 = os.path.join(tmp_path, "v3")
     shutil.copytree(FIXTURE, v3)
-    mp = os.path.join(v3, "metadata", "v5.metadata.json")
+    mp = os.path.join(v3, "metadata", "v6.metadata.json")
     with open(mp) as f:
         meta = json.load(f)
     meta["format-version"] = 3
@@ -119,9 +124,10 @@ def test_iceberg_refusals(spark, tmp_path):
     pd_uri = f"{tool.LOCATION}/data/pd1-delete-00001.parquet"
     entry = tool._entry(1, S3, 3, pd_uri, 1, 100, content=2)
     img = tool._ocf(tool.MANIFEST_ENTRY_T, [entry])
-    with open(os.path.join(eq, "metadata", "m5-deletes.avro"), "wb") as f:
+    # m6-deletes feeds the CURRENT snapshot (s6)
+    with open(os.path.join(eq, "metadata", "m6-deletes.avro"), "wb") as f:
         f.write(img)
-    with pytest.raises(IcebergFormatError, match="equality delete"):
+    with pytest.raises(IcebergFormatError, match="equality_ids"):
         read_iceberg_snapshot(spark, eq)
 
 
@@ -159,3 +165,39 @@ def test_ocf_reader_codecs():
     img[-1] ^= 0xFF  # corrupt the trailing block sync
     with pytest.raises(HudiLogFormatError, match="sync"):
         read_ocf(bytes(img))
+
+
+def test_iceberg_equality_deletes(spark, tmp_path):
+    """The Flink CDC writer shape (s6): an equality delete {id=id2}
+    plus a same-snapshot re-insert. The spec's STRICT data_seq <
+    delete_seq rule must kill da2's old id2 (seq 2) and spare dd's new
+    one (seq 6); the flagship over the eq commit reconstructs the OLD
+    image exactly and keyless; an eq delete referencing an unknown
+    field id refuses by name."""
+    import importlib.util
+
+    cur = {r.id: (r.name, r.value)
+           for r in read_iceberg_snapshot(spark, FIXTURE).collect()}
+    assert cur["id2"] == ("bravo-reborn", 222)
+    dv = read_iceberg_delete_view(spark, FIXTURE, S6)
+    assert [(r.id, r.name, r.value, r._deleted_by_snapshot)
+            for r in dv.collect()] == [("id2", "bravo", 20, S6)]
+
+    # unknown equality field id -> named refusal
+    spec = importlib.util.spec_from_file_location(
+        "ice_tool3", os.path.join(os.path.dirname(__file__), "..", "tools",
+                                  "make_iceberg_fixture.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    bad = os.path.join(tmp_path, "badfid")
+    shutil.copytree(FIXTURE, bad)
+    ed_uri = f"{tool.LOCATION}/data/ed1-eqdelete-00001.parquet"
+    entry = tool._entry(1, S6, 6, ed_uri, 1, 100, content=2,
+                        equality_ids=[99])
+    pd_uri = f"{tool.LOCATION}/data/pd1-delete-00001.parquet"
+    keep = tool._entry(0, S3, 3, pd_uri, 1, 100, content=1)
+    img = tool._ocf(tool.MANIFEST_ENTRY_T, [keep, entry])
+    with open(os.path.join(bad, "metadata", "m6-deletes.avro"), "wb") as f:
+        f.write(img)
+    with pytest.raises(IcebergFormatError, match="field id"):
+        read_iceberg_snapshot(spark, bad).collect()

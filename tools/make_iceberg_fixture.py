@@ -12,6 +12,11 @@ History (unpartitioned, schema id/name/value/part — format-version 2):
   s3  delete   : POSITION delete pd1 -> (db, pos 1) = id5  [MOR delete]
   s4  append   : dc (id7)
   s5  delete   : dc removed, nothing added (id7)      [COW file drop]
+  s6  overwrite: EQUALITY delete {id=id2} (field-id 1, seq 6) + dd
+                 re-inserting id2 with value 222 AT THE SAME snapshot
+                 (seq 6) — the Flink CDC upsert shape: the strict
+                 data_seq < delete_seq rule must kill da2's old id2
+                 (seq 2) and spare dd's new one (seq 6)
 
 file_path entries are full file:// URIs under the table location (the
 layout real writers produce); the reader relocates them by prefix when
@@ -123,6 +128,9 @@ DATA_FILE_T = {
         {"name": "partition", "type": _PARTITION_T, "field-id": 102},
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int"}],
+         "field-id": 135},
     ],
 }
 
@@ -172,13 +180,15 @@ def _write_data(rel: str, rows) -> tuple[str, int, int]:
     return f"{LOCATION}/{rel}", len(rows), os.path.getsize(full)
 
 
-def _entry(status, snap, seq, path, nrec, size, content=DATA):
+def _entry(status, snap, seq, path, nrec, size, content=DATA,
+           equality_ids=None):
     return {"status": status, "snapshot_id": snap, "sequence_number": seq,
             "file_sequence_number": seq,
             "data_file": {"content": content, "file_path": path,
                           "file_format": "PARQUET", "partition": {},
                           "record_count": nrec,
-                          "file_size_in_bytes": size}}
+                          "file_size_in_bytes": size,
+                          "equality_ids": equality_ids}}
 
 
 def _write_manifest(name: str, entries: list[dict]) -> dict:
@@ -249,6 +259,24 @@ def main() -> None:
     m5x = _write_manifest("m5-deletes.avro", [
         _entry(EXISTING, S3, 3, pd1, 1, pd1_sz, content=1)])
 
+    # s6: equality delete {id = id2} + same-snapshot re-insert (dd)
+    dd, dd_n, dd_sz = _write_data("data/dd-00005.parquet", [
+        ("id2", "bravo-reborn", 222, "a")])
+    ed_rel = "data/ed1-eqdelete-00001.parquet"
+    pq.write_table(pa.table({"id": pa.array(["id2"], pa.string())}),
+                   os.path.join(OUT, ed_rel))
+    ed1 = f"{LOCATION}/{ed_rel}"
+    ed1_sz = os.path.getsize(os.path.join(OUT, ed_rel))
+    S6 = 9111111111111111106
+    m6d = _write_manifest("m6-data.avro", [
+        _entry(EXISTING, S2, 2, da2, da2_n, da2_sz),
+        _entry(EXISTING, S1, 1, db, db_n, db_sz),
+        _entry(ADDED, S6, 6, dd, dd_n, dd_sz)])
+    m6x = _write_manifest("m6-deletes.avro", [
+        _entry(EXISTING, S3, 3, pd1, 1, pd1_sz, content=1),
+        _entry(ADDED, S6, 6, ed1, 1, ed1_sz, content=2,
+               equality_ids=[1])])
+
     def mf(m, content, seq, minseq, snap, a, e, d, ar, er, dr):
         return {"manifest_path": m["path"], "manifest_length": m["length"],
                 "partition_spec_id": 0, "content": content,
@@ -267,6 +295,8 @@ def main() -> None:
              mf(m4x, DELETES, 4, 3, S4, 0, 1, 0, 0, 1, 0)],
         S5: [mf(m5d, DATA, 5, 1, S5, 0, 2, 1, 0, 6, 1),
              mf(m5x, DELETES, 5, 3, S5, 0, 1, 0, 0, 1, 0)],
+        S6: [mf(m6d, DATA, 6, 1, S6, 1, 2, 0, 1, 6, 0),
+             mf(m6x, DELETES, 6, 3, S6, 1, 1, 0, 1, 1, 0)],
     }
     snapshots = []
     snap_log = []
@@ -276,7 +306,7 @@ def main() -> None:
             f.write(_ocf(MANIFEST_FILE_T, entries))
         ts = TS0 + 60_000 * i
         op = {1: "append", 2: "overwrite", 3: "delete", 4: "append",
-              5: "delete"}[i]
+              5: "delete", 6: "overwrite"}[i]
         snapshots.append({
             "snapshot-id": sid, "timestamp-ms": ts, "sequence-number": i,
             "summary": {"operation": op},
@@ -286,7 +316,7 @@ def main() -> None:
 
     meta = {
         "format-version": 2, "table-uuid": UUID, "location": LOCATION,
-        "last-sequence-number": 5, "last-updated-ms": TS0 + 300_000,
+        "last-sequence-number": 6, "last-updated-ms": TS0 + 360_000,
         "last-column-id": 4, "current-schema-id": 0,
         "schemas": [{"schema-id": 0, "type": "struct", "fields": [
             {"id": 1, "name": "id", "required": False, "type": "string"},
@@ -300,15 +330,15 @@ def main() -> None:
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {},
-        "current-snapshot-id": S5,
+        "current-snapshot-id": S6,
         "snapshots": snapshots,
         "snapshot-log": snap_log,
         "metadata-log": [],
     }
-    with open(os.path.join(OUT, "metadata", "v5.metadata.json"), "w") as f:
+    with open(os.path.join(OUT, "metadata", "v6.metadata.json"), "w") as f:
         json.dump(meta, f, indent=2)
     with open(os.path.join(OUT, "metadata", "version-hint.text"), "w") as f:
-        f.write("5")
+        f.write("6")
     print(f"wrote genuine-layout Iceberg v2 fixture at {OUT}")
 
 
