@@ -438,13 +438,19 @@ def read_iceberg_delete_view(
     """THE FLAGSHIP question asked of a foreign Iceberg table: which
     rows did snapshot S delete?
 
-    Two delete shapes, both reconstructed from S's own manifests —
+    Three delete shapes, all reconstructed from S's own manifests —
     never an untouched file:
 
-    - **Merge-on-read** (position delete files ADDED by S): exact by
-      construction — the delete file names (target file, row ordinal),
-      so the deleted images come from one join on (path, ordinal). No
-      user key needed.
+    - **Merge-on-read, position** (position delete files ADDED by S):
+      exact by construction — the delete file names (target file, row
+      ordinal), so the deleted images come from one join on (path,
+      ordinal). No user key needed.
+    - **Merge-on-read, equality** (equality delete files ADDED by S):
+      exact and keyless — the victims are the PARENT snapshot's live
+      rows semi-joined to the delete rows on the equality_ids columns
+      (every parent-live data file has sequence < S's by construction,
+      so the spec's strict-inequality rule is satisfied; a same-commit
+      re-insert is not parent-live and correctly never appears).
     - **Copy-on-write** (data files REMOVED by S): candidates = the
       removed files' rows (minus rows position-deleted BEFORE S — those
       were already dead), survivors = rows of the files S ADDED;
