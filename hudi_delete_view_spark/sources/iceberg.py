@@ -342,19 +342,67 @@ def _read_pos_deletes(
     return spark.read.schema(pd_schema).parquet(*paths)
 
 
+def _identity_partition_names(meta: dict) -> dict[str, str]:
+    """{manifest partition-struct field name: table column name} for
+    IDENTITY-transform partition fields of the default spec — the only
+    transform whose recorded value equals the column value, so the only
+    one bounds can prune on directly (bucket/truncate/day values pass
+    untouched: pruning is an optimization, never a filter)."""
+    sid = meta.get("default-spec-id", 0)
+    specs = meta.get("partition-specs") or []
+    spec = next((s for s in specs if s.get("spec-id") == sid), None)
+    if spec is None:
+        return {}
+    by_id = _field_names_by_id(meta)
+    out = {}
+    for f in spec.get("fields") or []:
+        if f.get("transform") == "identity" and f.get("source-id") in by_id:
+            out[f["name"]] = by_id[f["source-id"]]
+    return out
+
+
+def _partition_pass(df_entry: dict, ident: dict[str, str],
+                    bounds: dict[str, tuple]) -> bool:
+    """False only when an identity partition value PROVES every row of
+    the file violates the bounds."""
+    pv = df_entry.get("partition") or {}
+    for pname, col in ident.items():
+        if col not in bounds or pname not in pv or pv[pname] is None:
+            continue
+        lo, hi = bounds[col]
+        v = pv[pname]
+        try:
+            if lo is not None and v < lo:
+                return False
+            if hi is not None and v > hi:
+                return False
+        except TypeError:
+            continue  # cross-type comparison: value unusable, keep file
+    return True
+
+
 def read_iceberg_snapshot(
     spark: SparkSession,
     base_path: str,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
+    bounds: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Snapshot of a foreign Iceberg table (current, by snapshot id, or
     by timestamp). Position deletes apply as one anti-join on
-    (recorded path, row ordinal)."""
+    (recorded path, row ordinal). ``bounds`` ({col: (lo, hi)}) prunes
+    data files whose IDENTITY partition values provably exclude the
+    range — the manifest-resident mirror of Delta's add.stats skipping
+    and Hudi's column_stats (Spark still evaluates predicates
+    row-level; pruning is never a filter)."""
     meta = _load_metadata(base_path)
     snap = _select_snapshot(meta, snapshot_id, timestamp_ms)
     schema = _schema_for(meta)
     data, pos, eq = _live_files(base_path, meta, snap)
+    if bounds:
+        ident = _identity_partition_names(meta)
+        if ident:
+            data = [f for f in data if _partition_pass(f, ident, bounds)]
     names = [f.name for f in schema.fields]
     if not pos and not eq:
         return _read_data_files(spark, base_path, meta, schema, data)

@@ -238,3 +238,107 @@ def test_iceberg_equality_delete_multi_column(spark, tmp_path):
     # re-roots it, so drop a copy where the recorded prefix resolves
     cur = {r.id: r.value for r in read_iceberg_snapshot(spark, mc).collect()}
     assert cur == {"id1": 10, "id2": 222, "id3": 333, "id6": 60}
+
+
+def test_iceberg_partition_value_pruning(spark, tmp_path):
+    """Identity partition values in the manifest's r102 struct prune
+    data files BEFORE any scan (the manifest-resident mirror of Delta's
+    add.stats skipping): bounds part=b never plans the part=a file, and
+    the bounded read equals the unbounded read filtered row-level.
+    Non-identity transforms never prune (pruning is an optimization,
+    never a filter)."""
+    import copy
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ice_tool5", os.path.join(os.path.dirname(__file__), "..", "tools",
+                                  "make_iceberg_fixture.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    base = os.path.join(tmp_path, "part_tbl")
+    os.makedirs(os.path.join(base, "metadata"))
+    tool.OUT = base
+    tool.LOCATION = f"file://{base}"
+
+    da, da_n, da_sz = tool._write_data(
+        "data/pa.parquet", [("id1", "alpha", 10, "a"), ("id2", "bravo", 20, "a")])
+    db, db_n, db_sz = tool._write_data(
+        "data/pb.parquet", [("id3", "charlie", 30, "b")])
+
+    entry_t = copy.deepcopy(tool.MANIFEST_ENTRY_T)
+    entry_t["fields"][4]["type"]["fields"][3]["type"] = {
+        "type": "record", "name": "r102", "fields": [
+            {"name": "part", "type": ["null", "string"], "field-id": 1000},
+        ],
+    }
+    SID = 7111111111111111101
+    ea = tool._entry(1, SID, 1, da, da_n, da_sz)
+    ea["data_file"]["partition"] = {"part": "a"}
+    eb = tool._entry(1, SID, 1, db, db_n, db_sz)
+    eb["data_file"]["partition"] = {"part": "b"}
+    m = tool._ocf(entry_t, [ea, eb])
+    with open(os.path.join(base, "metadata", "m1.avro"), "wb") as f:
+        f.write(m)
+    ml = tool._ocf(tool.MANIFEST_FILE_T, [{
+        "manifest_path": f"{tool.LOCATION}/metadata/m1.avro",
+        "manifest_length": len(m), "partition_spec_id": 0, "content": 0,
+        "sequence_number": 1, "min_sequence_number": 1,
+        "added_snapshot_id": SID, "added_files_count": 2,
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": 3, "existing_rows_count": 0,
+        "deleted_rows_count": 0}])
+    with open(os.path.join(base, "metadata", "ml1.avro"), "wb") as f:
+        f.write(ml)
+    meta = {
+        "format-version": 2, "table-uuid": "0" * 8, "location": tool.LOCATION,
+        "last-sequence-number": 1, "last-updated-ms": TS0,
+        "last-column-id": 4, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "string"},
+            {"id": 2, "name": "name", "required": False, "type": "string"},
+            {"id": 3, "name": "value", "required": False, "type": "long"},
+            {"id": 4, "name": "part", "required": False, "type": "string"},
+        ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "part", "transform": "identity", "source-id": 4,
+             "field-id": 1000}]}],
+        "last-partition-id": 1000, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}], "properties": {},
+        "current-snapshot-id": SID,
+        "snapshots": [{"snapshot-id": SID, "timestamp-ms": TS0,
+                       "sequence-number": 1,
+                       "summary": {"operation": "append"},
+                       "manifest-list": f"{tool.LOCATION}/metadata/ml1.avro",
+                       "schema-id": 0}],
+        "snapshot-log": [{"timestamp-ms": TS0, "snapshot-id": SID}],
+        "metadata-log": [],
+    }
+    with open(os.path.join(base, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(base, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+
+    from hudi_delete_view_spark.sources.iceberg import (
+        _identity_partition_names,
+        _live_files,
+        _load_metadata,
+        _partition_pass,
+        _select_snapshot,
+    )
+
+    md = _load_metadata(base)
+    snap = _select_snapshot(md, None, None)
+    data, _pos, _eq = _live_files(base, md, snap)
+    ident = _identity_partition_names(md)
+    assert ident == {"part": "part"}
+    kept = [os.path.basename(f["file_path"]) for f in data
+            if _partition_pass(f, ident, {"part": ("b", "b")})]
+    assert kept == ["pb.parquet"]  # part=a pruned BEFORE any scan
+
+    bounded = read_iceberg_snapshot(spark, base, bounds={"part": ("b", "b")})
+    assert sorted((r.id, r.value, r.part) for r in bounded.collect()) == \
+        [("id3", 30, "b")]
+    full = read_iceberg_snapshot(spark, base)
+    assert sorted((r.id, r.value) for r in full.collect()) == \
+        [("id1", 10), ("id2", 20), ("id3", 30)]
