@@ -632,8 +632,20 @@ def embedding_neardup_pairs(
     seed: int = 42,
     bucket_cap=None,
     reserve_bits: int = 16,
+    merge_slices=None,
 ) -> DataFrame:
     """Pairs of vectors with cosine >= threshold.
+
+    ``merge_slices`` (None/1 = single pass; ``profile.PROFILE_DEFAULT``
+    = auto-arm past ~4M vectors; an int forces a count) is the round-8
+    SHARD-AND-MERGE guard measured in by the 8M soak (SCALE.md): the
+    (table, bucket) space splits into hash slices processed as
+    SEQUENTIAL jobs, bounding per-job shuffle spill at ~1/slices of
+    the single pass. Output is IDENTICAL by construction — every
+    candidate pair belongs to exactly one (table, key); one final
+    distinct removes pairs that emerged from several tables in
+    different slices (pinned by the slices-vs-single equality
+    pytest).
 
     ``bucket_bits`` = 0: exact all-pairs crossJoin — the verification
     baseline, only for small bounded inputs.
@@ -796,14 +808,6 @@ def embedding_neardup_pairs(
             .select("id_a", F.col("__vid").alias("id_b"))
         )
         vb = vb.join(F.broadcast(hot2), ["__t", "__key"], "left_anti")
-    left = vb.select(F.col("__vid").alias("id_a"), "__t", "__key")
-    right = vb.select(F.col("__vid").alias("id_b"), "__t", "__key")
-    cand = left.join(right, ["__t", "__key"]).filter(F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b"
-    )
-    if star_pairs is not None:
-        cand = cand.unionByName(star_pairs)
-    cand = cand.distinct()  # a pair may collide in several tables
     # TWO-STAGE VERIFY (round 7, after the 4M soak died on DISK, not
     # memory: re-attaching 512-byte vectors to every candidate pair
     # spilled >66 GB). Stage 1 re-attaches 72-byte int8 sketches and
@@ -820,22 +824,84 @@ def embedding_neardup_pairs(
     qa = qv.select(F.col("__vid").alias("id_a"), F.col("__q").alias("__qa"))
     qb = qv.select(F.col("__vid").alias("id_b"), F.col("__q").alias("__qb"))
     approx_udf = int8_cosine_pandas()
-    band = (
-        cand.join(qa, "id_a")
-        .join(qb, "id_b")
-        .filter(approx_udf(F.col("__qa"), F.col("__qb")) >= threshold - INT8_COS_EPS)
-        .select("id_a", "id_b")
-    )
     va = v.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va"))
     vb2 = v.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"))
     cos_udf = cosine_pandas()
-    return (
-        band.join(va, "id_a")
-        .join(vb2, "id_b")
-        .withColumn("cosine", F.round(cos_udf(F.col("__va"), F.col("__vb")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+
+    def verify(cand: DataFrame) -> DataFrame:
+        band = (
+            cand.join(qa, "id_a")
+            .join(qb, "id_b")
+            .filter(
+                approx_udf(F.col("__qa"), F.col("__qb"))
+                >= threshold - INT8_COS_EPS
+            )
+            .select("id_a", "id_b")
+        )
+        return (
+            band.join(va, "id_a")
+            .join(vb2, "id_b")
+            .withColumn(
+                "cosine", F.round(cos_udf(F.col("__va"), F.col("__vb")), 6)
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+
+    def cand_from(vbk: DataFrame) -> DataFrame:
+        left = vbk.select(F.col("__vid").alias("id_a"), "__t", "__key")
+        right = vbk.select(F.col("__vid").alias("id_b"), "__t", "__key")
+        return (
+            left.join(right, ["__t", "__key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+
+    if merge_slices is PROFILE_DEFAULT:
+        from ..profile import embedding_merge_slices
+
+        merge_slices = embedding_merge_slices(df.count())
+    if not merge_slices or merge_slices <= 1:
+        cand = cand_from(vb)
+        if star_pairs is not None:
+            cand = cand.unionByName(star_pairs)
+        return verify(cand.distinct())
+
+    # SHARD-AND-MERGE (round 8, after the 8M soak died on spill with the
+    # single-pass pipeline — SCALE.md): the candidate volume, not the
+    # geometry, binds first. The (table, bucket) space splits into
+    # ``merge_slices`` hash slices processed as SEQUENTIAL jobs — every
+    # candidate pair belongs to exactly one (table, key), so the union
+    # of per-slice verified pairs equals the single-pass output after
+    # one final distinct (a pair colliding in several tables can emerge
+    # from several slices). Per-job shuffle/spill is ~1/slices of the
+    # single pass; wall-clock is the same total work, serialized. Each
+    # slice materializes via an EAGER localCheckpoint so its shuffle
+    # files can be reclaimed before the next slice runs.
+    spark = df.sparkSession
+    vb = vb.persist()
+    vb.count()  # materialize bucketing once (matmul + split detection)
+    slice_results = []
+    try:
+        for k in range(merge_slices):
+            vbk = vb.filter(
+                F.pmod(F.xxhash64("__t", "__key"), F.lit(merge_slices))
+                == F.lit(k)
+            )
+            out_k = verify(cand_from(vbk).distinct()).localCheckpoint(
+                eager=True
+            )
+            slice_results.append(out_k)
+            spark.sparkContext._jvm.System.gc()  # nudge shuffle cleanup
+        if star_pairs is not None:
+            slice_results.append(verify(star_pairs.distinct())
+                                 .localCheckpoint(eager=True))
+    finally:
+        vb.unpersist()
+    out = slice_results[0]
+    for r in slice_results[1:]:
+        out = out.unionByName(r)
+    return out.distinct()
 
 
 # --------------------------------------------------------------------------

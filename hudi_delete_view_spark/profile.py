@@ -99,6 +99,25 @@ def embedding_bucket_cap(explicit) -> int | None:
     return EMBEDDING_BUCKET_CAP if scale_mode() else None
 
 
+# Shard-and-merge threshold for the embedding sign-LSH candidate stage,
+# measured in round 8 (SCALE.md): the single-pass pipeline survives 4M
+# vectors on an ~80 GB-spill node and dies by 8M — the binding
+# constraint is per-job shuffle spill, not hash geometry. Slices of
+# ~4M vectors keep each sequential job inside the measured-survivable
+# budget; output is identical by construction (pair sets partition by
+# (table, bucket), one final distinct).
+EMBEDDING_MERGE_SLICE_ROWS = 4_000_000
+
+
+def embedding_merge_slices(n: int) -> int:
+    """Slices the scale profile runs the sign-LSH candidate stage in:
+    1 (single pass) up to the measured spill threshold, then one slice
+    per EMBEDDING_MERGE_SLICE_ROWS. Plain profile never slices."""
+    if not scale_mode():
+        return 1
+    return max(1, -(-n // EMBEDDING_MERGE_SLICE_ROWS))
+
+
 class _ProfileDefault:
     """Sentinel: 'let the active profile pick' (distinct from None=off)."""
 

@@ -637,3 +637,49 @@ def test_remove_boilerplate_spans_footer(spark):
         assert out[i]["n_tokens_removed"] == 9
     assert out[10]["cleaned_text"] == "" and out[10]["n_tokens_removed"] == 9
     assert out[11]["cleaned_text"] == "tiny doc" and out[11]["n_tokens_removed"] == 0
+
+
+def test_embedding_merge_slices_output_identical(spark, sf_dir):
+    """Round-8 shard-and-merge guard: slicing the (table, bucket) space
+    into sequential jobs must change PLANS, never ANSWERS — the sliced
+    pair set equals the single pass bit-exactly (incl. with the bucket
+    guard armed, where residual star pairs ride their own slice), and
+    the profile auto-arms only past the measured spill threshold."""
+    from hudi_delete_view_spark.profile import (
+        EMBEDDING_MERGE_SLICE_ROWS,
+        PROFILE_DEFAULT,
+        embedding_merge_slices,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def pairs(**kw):
+        return sorted(
+            (r.id_a, r.id_b, r.cosine)
+            for r in embedding_neardup_pairs(
+                emb, "vec_id", "embedding", threshold=0.35, **kw
+            ).collect()
+        )
+
+    single = pairs()
+    assert pairs(merge_slices=4) == single
+    # with the occupancy guard armed too (star pairs ride a slice)
+    guarded_single = pairs(bucket_cap=2, reserve_bits=4)
+    assert pairs(bucket_cap=2, reserve_bits=4, merge_slices=3) == \
+        guarded_single
+    assert single  # non-empty corpus: the equality proves something
+
+    # profile arming: off below the measured threshold, one slice per
+    # EMBEDDING_MERGE_SLICE_ROWS above it, plain profile never slices
+    assert embedding_merge_slices(EMBEDDING_MERGE_SLICE_ROWS) == 1
+    assert embedding_merge_slices(EMBEDDING_MERGE_SLICE_ROWS * 2) == 2
+    assert embedding_merge_slices(8_000_000) == 2
+    from hudi_delete_view_spark import profile as prof
+
+    prof.set_profile("plain")
+    try:
+        assert embedding_merge_slices(10**9) == 1
+    finally:
+        prof.set_profile(None)
+    # PROFILE_DEFAULT at gate scale resolves to a single pass
+    assert pairs(merge_slices=PROFILE_DEFAULT) == single

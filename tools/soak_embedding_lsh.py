@@ -127,10 +127,11 @@ def main() -> None:
         from hudi_delete_view_spark.profile import PROFILE_DEFAULT
 
         cap = None if uncapped else PROFILE_DEFAULT
+        slices = None if uncapped else PROFILE_DEFAULT
         t0 = time.time()
         pairs = embedding_neardup_pairs(
             df, "vec_id", "embedding", threshold=0.95, bucket_bits=None, dim=DIM,
-            bucket_cap=cap,
+            bucket_cap=cap, merge_slices=slices,
         )
         n_pairs = pairs.count()
         wall = time.time() - t0
