@@ -15,12 +15,48 @@ spec requires; anything else raises with the codec named."""
 
 from __future__ import annotations
 
+import hashlib
 import json
 import zlib
 
-from .hudi_log import HudiLogFormatError, _Cursor, avro_decode, resolve_named_types
+from .hudi_log import (
+    HudiLogFormatError,
+    _Cursor,
+    _zz_bytes,
+    avro_decode,
+    avro_encode,
+    resolve_named_types,
+)
 
 OCF_MAGIC = b"Obj\x01"
+
+
+def write_ocf(schema: dict, records: list, codec: str = "deflate") -> bytes:
+    """Author one OCF image (the inverse of ``read_ocf``): magic,
+    metadata map, sync marker, one block. The binary record layer is
+    ``hudi_log.avro_encode`` — byte-pinned against the real
+    ``org.apache.avro`` in ``tests/test_avro_golden.py``, which also
+    proves the real ``DataFileReader`` parses this framing. The sync
+    marker derives from the content (deterministic output for identical
+    input — exports are reproducible byte-for-byte)."""
+    if codec not in ("null", "deflate"):
+        raise HudiLogFormatError(f"unsupported OCF codec {codec!r}")
+    schema_b = json.dumps(schema).encode("utf-8")
+    payload = bytearray()
+    resolved = resolve_named_types(schema)
+    for rec in records:
+        avro_encode(resolved, rec, payload)
+    sync = hashlib.md5(schema_b + bytes(payload)).digest()
+    out = bytearray(OCF_MAGIC)
+    meta = {"avro.schema": schema_b, "avro.codec": codec.encode()}
+    avro_encode({"type": "map", "values": "bytes"}, meta, out)
+    out += sync
+    body = bytes(payload)
+    if codec == "deflate":
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        body = co.compress(body) + co.flush()
+    out += _zz_bytes(len(records)) + _zz_bytes(len(body)) + body + sync
+    return bytes(out)
 
 
 def read_ocf(data: bytes) -> tuple[dict, list]:

@@ -482,9 +482,12 @@ def _zz_bytes(n: int) -> bytes:
 
 
 def avro_encode(schema, value, out: bytearray) -> None:
-    """Encode one value of ``schema`` (mirror of ``avro_decode``; the
-    subset the export emits: primitives, 2-branch nullable unions,
-    records, arrays, maps). Timestamp-micros ride as their base long."""
+    """Encode one value of ``schema`` (mirror of ``avro_decode``:
+    primitives, 2-branch nullable unions, records, arrays, maps, enums,
+    fixed). Timestamp-micros ride as their base long. Byte-compatible
+    with ``org.apache.avro`` — pinned against the real library in
+    ``tests/test_avro_golden.py`` (maps sort keys; Avro readers don't
+    care about entry order)."""
     if isinstance(schema, list):  # union: branch index, then the branch
         if value is None:
             idx = schema.index("null")
@@ -516,6 +519,17 @@ def avro_encode(schema, value, out: bytearray) -> None:
                     avro_encode("string", k, out)
                     avro_encode(schema["values"], entries[k], out)
             out += _zz_bytes(0)
+            return
+        if t == "enum":
+            out += _zz_bytes(schema["symbols"].index(value))
+            return
+        if t == "fixed":
+            b = bytes(value)
+            if len(b) != schema["size"]:
+                raise HudiLogFormatError(
+                    f"fixed {schema.get('name')}: {len(b)} bytes != size {schema['size']}"
+                )
+            out += b
             return
         avro_encode(t, value, out)  # {"type": "long", "logicalType": ...}
         return

@@ -178,8 +178,9 @@ def _dv_descriptor(base_path: str, add: dict) -> tuple | None:
     if st == "i":
         return ("inline", dv["pathOrInlineDv"], 0, int(dv["sizeInBytes"]))
     if st == "p":
-        return ("file", dv["pathOrInlineDv"], int(dv.get("offset", 1)),
-                int(dv["sizeInBytes"]))
+        off = dv.get("offset")
+        return ("file", dv["pathOrInlineDv"],
+                1 if off is None else int(off), int(dv["sizeInBytes"]))
     # 'u': the uuid is ALWAYS the final 20 z85 characters; anything
     # before it is a relative prefix directory
     from ..plans.roaring import z85_decode
@@ -190,8 +191,9 @@ def _dv_descriptor(base_path: str, add: dict) -> tuple | None:
     rel = f"deletion_vector_{u}.bin"
     if prefix:
         rel = f"{prefix}/{rel}"
+    off = dv.get("offset")  # checkpoint structs carry an explicit null
     return ("file", os.path.join(base_path, rel),
-            int(dv.get("offset", 1)), int(dv["sizeInBytes"]))
+            1 if off is None else int(off), int(dv["sizeInBytes"]))
 
 
 def _dv_positions_df(spark: SparkSession, base_path: str,

@@ -47,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import struct
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -175,15 +176,26 @@ def _select_snapshot(meta: dict, snapshot_id: int | None,
     return snaps[cur]
 
 
-def _manifest_entries(base_path: str, meta: dict, snapshot: dict):
+def _manifest_entries(base_path: str, meta: dict, snapshot: dict,
+                      bounds: dict[str, tuple] | None = None):
     """Flattened (manifest content, entry) pairs of one snapshot's
-    manifest list — driver-side OCF reads, metadata-scale."""
+    manifest list — driver-side OCF reads, metadata-scale.
+
+    ``bounds`` arms manifest-LIST-level skipping: a DATA manifest whose
+    ``partitions`` field_summaries (manifest_file field 507) PROVE every
+    entry's identity partition value violates the bounds is never
+    opened — the level above per-file ``_partition_pass`` pruning, and
+    the one that matters for tables with thousands of manifests. Delete
+    manifests are never skipped (their files may apply to kept data
+    files whose partition values pruning could not read)."""
     location = meta.get("location", "")
     ml_path = _relocate(snapshot["manifest-list"], location, base_path)
     with open(ml_path, "rb") as f:
         _m, manifests = read_ocf(f.read())
     out = []
     for mf in manifests:
+        if bounds and _manifest_summary_skip(mf, meta, bounds):
+            continue
         mp = _relocate(mf["manifest_path"], location, base_path)
         with open(mp, "rb") as f:
             _m2, entries = read_ocf(f.read())
@@ -192,13 +204,97 @@ def _manifest_entries(base_path: str, meta: dict, snapshot: dict):
     return out
 
 
-def _live_files(base_path: str, meta: dict, snapshot: dict):
+def _field_types_by_id(meta: dict) -> dict[int, str]:
+    sid = meta.get("current-schema-id", 0)
+    schemas = meta.get("schemas") or []
+    schema = next((s for s in schemas if s.get("schema-id") == sid), None)
+    if schema is None:
+        schema = meta.get("schema") or {"fields": []}
+    return {
+        f["id"]: f["type"] for f in schema["fields"]
+        if isinstance(f.get("type"), str)
+    }
+
+
+def _decode_single_value(b, ice_type: str | None):
+    """Iceberg *binary single-value serialization* (spec appendix D) for
+    the primitive types an identity partition field can carry. None =
+    undecodable (unknown type / absent bytes): the caller must treat the
+    bound as unusable, never as proof."""
+    if b is None or ice_type is None:
+        return None
+    try:
+        if ice_type in ("int", "date"):
+            return struct.unpack("<i", b)[0]
+        if ice_type in ("long", "time", "timestamp", "timestamptz"):
+            return struct.unpack("<q", b)[0]
+        if ice_type == "float":
+            return struct.unpack("<f", b)[0]
+        if ice_type == "double":
+            return struct.unpack("<d", b)[0]
+        if ice_type == "string":
+            return bytes(b).decode("utf-8")
+        if ice_type == "boolean":
+            return bytes(b) != b"\x00"
+    except (struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+def _manifest_summary_skip(mf: dict, meta: dict,
+                           bounds: dict[str, tuple]) -> bool:
+    """True only when a DATA manifest's field_summaries prove every
+    entry's identity partition value lies outside ``bounds`` (and no
+    entry has a null partition value). Anything undecodable keeps the
+    manifest — skipping is an optimization, never a filter."""
+    if mf.get("content", 0) != 0:
+        return False
+    summaries = mf.get("partitions")
+    if not summaries:
+        return False
+    spec_id = mf.get("partition_spec_id", 0)
+    spec = next(
+        (s for s in meta.get("partition-specs") or []
+         if s.get("spec-id") == spec_id),
+        None,
+    )
+    if spec is None:
+        return False
+    by_id = _field_names_by_id(meta)
+    types = _field_types_by_id(meta)
+    for i, f in enumerate(spec.get("fields") or []):
+        if i >= len(summaries):
+            break
+        if f.get("transform") != "identity":
+            continue
+        col = by_id.get(f.get("source-id"))
+        if col not in bounds:
+            continue
+        s = summaries[i] or {}
+        if s.get("contains_null"):
+            continue  # a null partition value always passes file pruning
+        lo_q, hi_q = bounds[col]
+        t = types.get(f.get("source-id"))
+        m_lo = _decode_single_value(s.get("lower_bound"), t)
+        m_hi = _decode_single_value(s.get("upper_bound"), t)
+        try:
+            if hi_q is not None and m_lo is not None and m_lo > hi_q:
+                return True
+            if lo_q is not None and m_hi is not None and m_hi < lo_q:
+                return True
+        except TypeError:
+            continue  # cross-type comparison: summary unusable
+    return False
+
+
+def _live_files(base_path: str, meta: dict, snapshot: dict,
+                bounds: dict[str, tuple] | None = None):
     """(data adds, position-delete adds, equality-delete adds) live at
     a snapshot. Each returned data_file dict carries its entry's
     ``_seq`` (data sequence number) — the ordering equality deletes
     apply by."""
     data, pos, eq = [], [], []
-    for _mcontent, e in _manifest_entries(base_path, meta, snapshot):
+    for _mcontent, e in _manifest_entries(base_path, meta, snapshot, bounds):
         if e["status"] == DELETED:
             continue
         df = dict(e["data_file"])
@@ -398,7 +494,7 @@ def read_iceberg_snapshot(
     meta = _load_metadata(base_path)
     snap = _select_snapshot(meta, snapshot_id, timestamp_ms)
     schema = _schema_for(meta)
-    data, pos, eq = _live_files(base_path, meta, snap)
+    data, pos, eq = _live_files(base_path, meta, snap, bounds)
     if bounds:
         ident = _identity_partition_names(meta)
         if ident:
@@ -617,3 +713,374 @@ def read_iceberg_delete_view(
     ).withColumn(
         "_deleted_at_ts", F.lit(snap.get("timestamp-ms")).cast("long")
     )
+
+
+# -- export OUT: native COW table -> genuine Iceberg v2 layout --------------
+
+# manifest / manifest-list Avro schemas: the required v2 subset this
+# module's reader consumes, with the spec's field-ids (Iceberg spec
+# "Manifests" / "Snapshots" tables). The partition struct r102 is built
+# per-table from the partition spec.
+_FIELD_SUMMARY_SCHEMA = {
+    "type": "record", "name": "r508", "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": ["null", "boolean"], "field-id": 518},
+        {"name": "lower_bound", "type": ["null", "bytes"], "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"], "field-id": 511},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {"name": "partitions",
+         "type": ["null", {"type": "array", "items": _FIELD_SUMMARY_SCHEMA}],
+         "field-id": 507},
+    ],
+}
+
+
+def _manifest_entry_schema(partition_fields: list[tuple[str, str]]) -> dict:
+    """manifest_entry schema with the table's r102 partition struct
+    ([(name, avro primitive)] — empty for unpartitioned tables)."""
+    r102 = {
+        "type": "record", "name": "r102", "fields": [
+            {"name": n, "type": ["null", t], "field-id": 1000 + i}
+            for i, (n, t) in enumerate(partition_fields)
+        ],
+    }
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "field-id": 4},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string",
+                     "field-id": 101},
+                    {"name": "partition", "type": r102, "field-id": 102},
+                    {"name": "record_count", "type": "long",
+                     "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}],
+                     "field-id": 135},
+                ],
+            }, "field-id": 2},
+        ],
+    }
+
+
+_ICE_TYPES = {
+    "string": ("string", "string"),
+    "long": ("long", "long"),
+    "integer": ("int", "int"),
+    "date": ("date", "int"),
+}  # Spark typeName -> (iceberg type, avro primitive)
+
+
+def _encode_single_value(v, ice_type: str) -> bytes:
+    """Inverse of ``_decode_single_value`` for the types the export's
+    identity partitions can carry."""
+    if ice_type in ("int", "date"):
+        return struct.pack("<i", int(v))
+    if ice_type == "long":
+        return struct.pack("<q", int(v))
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    raise IcebergFormatError(f"no single-value encoding for {ice_type!r}")
+
+
+def _iceberg_export_work(batches):
+    """Executor half of ``export_iceberg``: one input row = one data-file
+    rewrite (drop the _hoodie_* meta columns; identity-partitioned
+    Iceberg files KEEP the source column — the transform records the
+    value in the manifest, the file stays self-describing)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    meta_cols = {
+        "_hoodie_commit_time", "_hoodie_commit_seqno", "_hoodie_record_key",
+        "_hoodie_partition_path", "_hoodie_file_name",
+    }
+    for pdf in batches:
+        out = []
+        for src, dst in pdf.itertuples(index=False):
+            tbl = pq.read_table(src)
+            drop = [c for c in tbl.column_names if c in meta_cols]
+            if drop:
+                tbl = tbl.drop_columns(drop)
+            tbl = tbl.replace_schema_metadata(None)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            pq.write_table(tbl, dst, coerce_timestamps="us",
+                           allow_truncated_timestamps=True)
+            out.append((os.path.basename(dst), tbl.num_rows,
+                        os.path.getsize(dst)))
+        yield pd.DataFrame(out, columns=["filename", "nrec", "size"])
+
+
+def export_iceberg(table, out_dir: str,
+                   table_name: str = "export_iceberg") -> str:
+    """Export a native COW table as a GENUINE Apache Iceberg v2 layout:
+    one snapshot per native commit, per-snapshot manifest (OCF) holding
+    the full live file set (ADDED this commit / EXISTING carried /
+    DELETED replaced), manifest list with identity-partition
+    field_summaries, one metadata JSON per version + version-hint —
+    completing the write half of the four-stack matrix (Hudi COW F13,
+    Hudi MOR G8, Delta H8). The manifests are written by the package's
+    own Avro encoder, byte-pinned against the real ``org.apache.avro``
+    (tests/test_avro_golden.py); the round trip reads back through this
+    module's own reader at every snapshot.
+
+    Scale shape (same contract as ``export_delta``): the driver walks
+    only the timeline; every data byte moves in ONE Spark job, one task
+    per output file (``_iceberg_export_work``); metadata publishes only
+    after all files land. MOR tables must compact first."""
+    if any(
+        stat.log_file
+        for ts in table.timeline.timestamps()
+        for _p, stat in table.timeline.commit_metadata(ts).all_stats()
+    ):
+        raise IcebergFormatError(
+            "export_iceberg supports COW tables only: MOR delta-log "
+            "slices have no Iceberg equivalent — compact first"
+        )
+
+    from ..plans.avro_ocf import write_ocf
+
+    location = f"file://{os.path.abspath(out_dir)}"
+    meta_dir = os.path.join(out_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    timestamps = table.timeline.timestamps()
+    pf = getattr(table, "partition_field", None)
+
+    # schema bookkeeping: one Iceberg schema per distinct native schema
+    meta_cols = {
+        "_hoodie_commit_time", "_hoodie_commit_seqno", "_hoodie_record_key",
+        "_hoodie_partition_path", "_hoodie_file_name",
+    }
+    schemas: list[dict] = []
+    schema_ids: dict[str, int] = {}  # native schema_json -> schema-id
+    field_ids: dict[str, int] = {}  # column name -> stable field id
+    ice_type_of: dict[str, str] = {}
+
+    def _ice_schema(schema_json: str) -> int:
+        if schema_json in schema_ids:
+            return schema_ids[schema_json]
+        st = T.StructType.fromJson(json.loads(schema_json))
+        fields = []
+        for f in st.fields:
+            if f.name in meta_cols:
+                continue
+            tn = f.dataType.typeName()
+            if tn in _ICE_TYPES:
+                it = _ICE_TYPES[tn][0]
+            elif tn in ("double", "float", "boolean", "timestamp"):
+                it = {"timestamp": "timestamptz"}.get(tn, tn)
+            elif tn == "decimal":
+                it = f"decimal({f.dataType.precision}, {f.dataType.scale})"
+            else:
+                raise IcebergFormatError(
+                    f"column {f.name!r}: no Iceberg mapping for Spark type "
+                    f"{tn!r}"
+                )
+            fid = field_ids.setdefault(f.name, len(field_ids) + 1)
+            ice_type_of[f.name] = it
+            fields.append({"id": fid, "name": f.name,
+                           "required": False, "type": it})
+        sid = len(schemas)
+        schemas.append({"schema-id": sid, "type": "struct",
+                        "fields": fields})
+        schema_ids[schema_json] = sid
+        return sid
+
+    # driver planning pass: work units + per-version manifest entries
+    work: list[tuple[str, str]] = []
+    plan: list[dict] = []
+    live: dict[str, dict] = {}  # file_id -> entry skeleton
+    snap_base = 8_200_000_000_000_000_000
+    for v, ts in enumerate(timestamps):
+        meta = table.timeline.commit_metadata(ts)
+        sid = _ice_schema(meta.schema_json) if meta.schema_json else 0
+        snap_id = snap_base + v + 1
+        seq = v + 1
+        added, deleted = [], []
+        for partition, stat in meta.all_stats():
+            seg = f"{pf}={partition}/" if pf else ""
+            fname = f"{v:05d}-{stat.file_id}.parquet"
+            rel = f"data/{seg}{fname}"
+            work.append((os.path.join(table.base_path, stat.path),
+                         os.path.join(out_dir, rel)))
+            old = live.pop(stat.file_id, None)
+            if old is not None:
+                deleted.append(old)
+            live[stat.file_id] = {
+                "rel": rel, "fname": fname, "snap": snap_id, "seq": seq,
+                "pv": partition if pf else None,
+            }
+            added.append(live[stat.file_id])
+        plan.append({"v": v, "ts": ts, "snap": snap_id, "seq": seq,
+                     "schema_id": sid, "added": added, "deleted": deleted,
+                     "live": list(live.values())})
+
+    results: dict[str, tuple[int, int]] = {}  # filename -> (nrec, size)
+    if work:
+        for r in (
+            table.spark.createDataFrame(work, "src string, dst string")
+            .repartition(min(len(work), 256))
+            .mapInPandas(_iceberg_export_work,
+                         "filename string, nrec long, size long")
+            .collect()  # one row per FILE, never data rows
+        ):
+            results[r.filename] = (r.nrec, r.size)
+
+    pf_ice = ice_type_of.get(pf) if pf else None
+    if pf and pf_ice not in ("string", "long", "int", "date"):
+        raise IcebergFormatError(
+            f"partition column {pf!r}: identity transform over "
+            f"{pf_ice!r} has no single-value bound encoding here"
+        )
+    entry_schema = _manifest_entry_schema(
+        [(pf, {"string": "string", "long": "long", "int": "int",
+               "date": "int"}[pf_ice])] if pf else []
+    )
+
+    def _typed_pv(v):
+        # timeline partition values are path strings; identity bounds
+        # and r102 values must carry the COLUMN type (lexical "10"<"9"
+        # would corrupt numeric summaries)
+        if v is None:
+            return None
+        return int(v) if pf_ice in ("long", "int", "date") else str(v)
+
+    def _entry(status, snap_for, e):
+        nrec, size = results[e["fname"]]
+        return {
+            "status": status, "snapshot_id": snap_for,
+            "sequence_number": e["seq"], "file_sequence_number": e["seq"],
+            "data_file": {
+                "content": DATA, "file_path": f"{location}/{e['rel']}",
+                "file_format": "PARQUET",
+                "partition": ({pf: _typed_pv(e["pv"])} if pf else {}),
+                "record_count": nrec, "file_size_in_bytes": size,
+                "equality_ids": None,
+            },
+        }
+
+    snapshots, snapshot_log, metadata_log = [], [], []
+    for p in plan:
+        entries = (
+            [_entry(ADDED, p["snap"], e) for e in p["added"]]
+            + [_entry(EXISTING, e["snap"], e) for e in p["live"]
+               if e not in p["added"]]
+            + [_entry(DELETED, p["snap"], e) for e in p["deleted"]]
+        )
+        m_img = write_ocf(entry_schema, entries)
+        m_name = f"m{p['v']:05d}.avro"
+        with open(os.path.join(meta_dir, m_name), "wb") as f:
+            f.write(m_img)
+
+        summary = None
+        if pf:
+            pvs = [_typed_pv(e["pv"]) for e in p["live"]
+                   if e["pv"] is not None]
+            if pvs:
+                summary = [{
+                    "contains_null": any(e["pv"] is None for e in p["live"]),
+                    "contains_nan": False,
+                    "lower_bound": _encode_single_value(min(pvs), pf_ice),
+                    "upper_bound": _encode_single_value(max(pvs), pf_ice),
+                }]
+        mf = {
+            "manifest_path": f"{location}/metadata/{m_name}",
+            "manifest_length": len(m_img), "partition_spec_id": 0,
+            "content": 0, "sequence_number": p["seq"],
+            "min_sequence_number": min(
+                (e["seq"] for e in p["live"]), default=p["seq"]),
+            "added_snapshot_id": p["snap"],
+            "added_files_count": len(p["added"]),
+            "existing_files_count": len(p["live"]) - len(p["added"]),
+            "deleted_files_count": len(p["deleted"]),
+            "added_rows_count": sum(
+                results[e["fname"]][0] for e in p["added"]),
+            "existing_rows_count": sum(
+                results[e["fname"]][0] for e in p["live"]
+                if e not in p["added"]),
+            "deleted_rows_count": sum(
+                results[e["fname"]][0] for e in p["deleted"]),
+            "partitions": summary,
+        }
+        ml_name = f"snap-{p['snap']}-manifest-list.avro"
+        with open(os.path.join(meta_dir, ml_name), "wb") as f:
+            f.write(write_ocf(_MANIFEST_FILE_SCHEMA, [mf]))
+
+        ts_ms = _instant_ms(p["ts"])
+        snapshots.append({
+            "snapshot-id": p["snap"], "timestamp-ms": ts_ms,
+            "sequence-number": p["seq"],
+            "summary": {"operation": "append" if not p["deleted"]
+                        else "overwrite"},
+            "manifest-list": f"{location}/metadata/{ml_name}",
+            "schema-id": p["schema_id"],
+        })
+        snapshot_log.append({"timestamp-ms": ts_ms,
+                             "snapshot-id": p["snap"]})
+
+        meta_json = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-4000-8000-%012d" % len(timestamps),
+            "location": location, "name": table_name,
+            "last-sequence-number": p["seq"], "last-updated-ms": ts_ms,
+            "last-column-id": len(field_ids),
+            "current-schema-id": p["schema_id"], "schemas": list(schemas),
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": (
+                [{"name": pf, "transform": "identity",
+                  "source-id": field_ids[pf], "field-id": 1000}]
+                if pf else [])}],
+            "last-partition-id": 1000 if pf else 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {"write.format.default": "parquet"},
+            "current-snapshot-id": p["snap"],
+            "snapshots": list(snapshots),
+            "snapshot-log": list(snapshot_log),
+            "metadata-log": list(metadata_log),
+        }
+        mfile = f"v{p['v'] + 1}.metadata.json"
+        with open(os.path.join(meta_dir, mfile), "w") as f:
+            json.dump(meta_json, f, indent=1)
+        metadata_log.append({"timestamp-ms": ts_ms,
+                             "metadata-file": f"{location}/metadata/{mfile}"})
+
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(len(timestamps)))
+    return out_dir
+
+
+def _instant_ms(ts: str) -> int:
+    """Deterministic timestamp-ms from a 14-digit native instant."""
+    import calendar
+
+    return calendar.timegm((
+        int(ts[0:4]), int(ts[4:6]), int(ts[6:8]),
+        int(ts[8:10]), int(ts[10:12]), int(ts[12:14]), 0, 0, 0,
+    )) * 1000

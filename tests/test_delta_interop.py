@@ -373,3 +373,105 @@ def test_delta_dv_crc_corruption_detected(spark, tmp_path):
         f.write(bytes(data))
     with pytest.raises(Exception, match="CRC32|RoaringFormat|cookie|magic"):
         read_delta_snapshot(spark, bad).collect()
+
+
+def test_delta_dv_through_checkpoint(spark, tmp_path):
+    """A deletionVector recorded in a CHECKPOINT PARQUET add struct (the
+    physical shape every real Delta writer checkpoints after a DV
+    delete — struct-typed, null fields explicit) survives replay: a
+    checkpoint at v6 carrying the 'u' DV add, every JSON log vacuumed,
+    must still exclude the DV-deleted rows."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = os.path.join(tmp_path, "dv_cp")
+    shutil.copytree(FIXTURE, base)
+    st = resolve_delta_state(base)  # live adds at v6, DV descriptors in
+    assert st.version == 6
+
+    map_t = pa.map_(pa.string(), pa.string())
+    dv_t = pa.struct([
+        ("storageType", pa.string()), ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()), ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+    ])
+    add_t = pa.struct([
+        ("path", pa.string()), ("partitionValues", map_t),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()), ("stats", pa.string()),
+        ("deletionVector", dv_t),
+    ])
+    meta_t = pa.struct([
+        ("id", pa.string()), ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", map_t), ("createdTime", pa.int64()),
+    ])
+    proto_t = pa.struct([
+        ("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
+    ])
+    log = os.path.join(base, "_delta_log")
+    with open(os.path.join(log, f"{0:020d}.json")) as f:
+        head = [_json.loads(ln) for ln in f if ln.strip()]
+    meta_act = next(a["metaData"] for a in head if "metaData" in a)
+
+    rows = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]},
+         "metaData": None, "add": None},
+        {"protocol": None,
+         "metaData": {"id": meta_act["id"],
+                      "schemaString": meta_act["schemaString"],
+                      "partitionColumns": meta_act["partitionColumns"],
+                      "configuration": [], "createdTime": TS0},
+         "add": None},
+    ]
+    for a in st.adds.values():
+        dv = a.get("deletionVector")
+        rows.append({"protocol": None, "metaData": None, "add": {
+            "path": a["path"],
+            "partitionValues": list(a["partitionValues"].items()),
+            "size": a["size"], "modificationTime": a["modificationTime"],
+            "dataChange": a["dataChange"], "stats": a.get("stats"),
+            # explicit None offset when absent — the struct null a real
+            # checkpoint carries
+            "deletionVector": None if not dv else {
+                "storageType": dv["storageType"],
+                "pathOrInlineDv": dv["pathOrInlineDv"],
+                "offset": dv.get("offset"),
+                "sizeInBytes": dv["sizeInBytes"],
+                "cardinality": dv["cardinality"]},
+        }})
+    cp_schema = pa.schema([
+        ("protocol", proto_t), ("metaData", meta_t), ("add", add_t),
+    ])
+    pq.write_table(pa.Table.from_pylist(rows, schema=cp_schema),
+                   os.path.join(log, f"{6:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        _json.dump({"version": 6, "size": len(rows)}, f)
+    for v in range(7):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    os.remove(os.path.join(log, f"{3:020d}.checkpoint.parquet"))
+
+    snap = read_delta_snapshot(spark, base)
+    assert {r.id for r in snap.collect()} == {"id1", "id3", "id7"}
+
+
+def test_dv_descriptor_null_offset():
+    """Checkpoint structs carry explicit nulls for unset DV fields —
+    offset=None must mean 'default 1' (version byte at 0), not crash."""
+    from hudi_delete_view_spark.sources.delta import _dv_descriptor
+
+    u20 = "0123456789abcdefghij"  # any 20 z85 chars decode to 16 bytes
+    kind, path, off, size = _dv_descriptor("/t", {"deletionVector": {
+        "storageType": "u", "pathOrInlineDv": u20,
+        "offset": None, "sizeInBytes": 9, "cardinality": 1}})
+    assert (kind, off, size) == ("file", 1, 9)
+    kind, path, off, size = _dv_descriptor("/t", {"deletionVector": {
+        "storageType": "p", "pathOrInlineDv": "/abs/dv.bin",
+        "offset": None, "sizeInBytes": 4, "cardinality": 1}})
+    assert (kind, path, off) == ("file", "/abs/dv.bin", 1)

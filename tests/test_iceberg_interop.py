@@ -342,3 +342,265 @@ def test_iceberg_partition_value_pruning(spark, tmp_path):
     full = read_iceberg_snapshot(spark, base)
     assert sorted((r.id, r.value) for r in full.collect()) == \
         [("id1", 10), ("id2", 20), ("id3", 30)]
+
+
+def test_iceberg_manifest_list_field_summary_skip(spark, tmp_path):
+    """Manifest-LIST-level pruning (manifest_file field 507
+    ``partitions`` field_summaries): a DATA manifest whose identity
+    partition summary provably excludes the bounds is never OPENED.
+    Proof: the pruned manifest file is DELETED from disk — the bounded
+    read still answers, the unbounded read fails trying to open it.
+    Delete manifests and contains_null summaries never skip."""
+    import copy
+    import importlib.util
+    import struct as pystruct
+
+    spec = importlib.util.spec_from_file_location(
+        "ice_tool6", os.path.join(os.path.dirname(__file__), "..", "tools",
+                                  "make_iceberg_fixture.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    base = os.path.join(tmp_path, "fs_tbl")
+    os.makedirs(os.path.join(base, "metadata"))
+    tool.OUT = base
+    tool.LOCATION = f"file://{base}"
+
+    da, da_n, da_sz = tool._write_data(
+        "data/pa.parquet", [("id1", "alpha", 10, "a"), ("id2", "bravo", 20, "a")])
+    db, db_n, db_sz = tool._write_data(
+        "data/pb.parquet", [("id3", "charlie", 30, "b")])
+
+    entry_t = copy.deepcopy(tool.MANIFEST_ENTRY_T)
+    entry_t["fields"][4]["type"]["fields"][3]["type"] = {
+        "type": "record", "name": "r102", "fields": [
+            {"name": "part", "type": ["null", "string"], "field-id": 1000},
+        ],
+    }
+    SID = 7111111111111111201
+    ea = tool._entry(1, SID, 1, da, da_n, da_sz)
+    ea["data_file"]["partition"] = {"part": "a"}
+    eb = tool._entry(1, SID, 1, db, db_n, db_sz)
+    eb["data_file"]["partition"] = {"part": "b"}
+    ma = tool._ocf(entry_t, [ea])
+    mb = tool._ocf(entry_t, [eb])
+    for name, img in (("ma.avro", ma), ("mb.avro", mb)):
+        with open(os.path.join(base, "metadata", name), "wb") as f:
+            f.write(img)
+
+    # manifest_file schema + the optional field_summaries (spec v2)
+    fsum_t = {"type": "record", "name": "r508", "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": ["null", "boolean"], "field-id": 518},
+        {"name": "lower_bound", "type": ["null", "bytes"], "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"], "field-id": 511},
+    ]}
+    mlf_t = copy.deepcopy(tool.MANIFEST_FILE_T)
+    mlf_t["fields"].append(
+        {"name": "partitions",
+         "type": ["null", {"type": "array", "items": fsum_t}],
+         "field-id": 507})
+
+    def mf(name, img, summary):
+        return {"manifest_path": f"{tool.LOCATION}/metadata/{name}",
+                "manifest_length": len(img), "partition_spec_id": 0,
+                "content": 0, "sequence_number": 1, "min_sequence_number": 1,
+                "added_snapshot_id": SID, "added_files_count": 1,
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": 2, "existing_rows_count": 0,
+                "deleted_rows_count": 0, "partitions": [summary]}
+
+    def summ(lo, hi, contains_null=False):
+        return {"contains_null": contains_null, "contains_nan": False,
+                "lower_bound": lo.encode(), "upper_bound": hi.encode()}
+
+    ml = tool._ocf(mlf_t, [mf("ma.avro", ma, summ("a", "a")),
+                           mf("mb.avro", mb, summ("b", "b"))])
+    with open(os.path.join(base, "metadata", "ml1.avro"), "wb") as f:
+        f.write(ml)
+    meta = {
+        "format-version": 2, "table-uuid": "1" * 8, "location": tool.LOCATION,
+        "last-sequence-number": 1, "last-updated-ms": TS0,
+        "last-column-id": 4, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "string"},
+            {"id": 2, "name": "name", "required": False, "type": "string"},
+            {"id": 3, "name": "value", "required": False, "type": "long"},
+            {"id": 4, "name": "part", "required": False, "type": "string"},
+        ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "part", "transform": "identity", "source-id": 4,
+             "field-id": 1000}]}],
+        "last-partition-id": 1000, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}], "properties": {},
+        "current-snapshot-id": SID,
+        "snapshots": [{"snapshot-id": SID, "timestamp-ms": TS0,
+                       "sequence-number": 1,
+                       "summary": {"operation": "append"},
+                       "manifest-list": f"{tool.LOCATION}/metadata/ml1.avro",
+                       "schema-id": 0}],
+        "snapshot-log": [{"timestamp-ms": TS0, "snapshot-id": SID}],
+        "metadata-log": [],
+    }
+    with open(os.path.join(base, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(base, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+
+    full = read_iceberg_snapshot(spark, base)
+    assert sorted(r.id for r in full.collect()) == ["id1", "id2", "id3"]
+
+    # delete the part=a manifest: only a true list-level skip can answer
+    os.remove(os.path.join(base, "metadata", "ma.avro"))
+    bounded = read_iceberg_snapshot(spark, base, bounds={"part": ("b", "b")})
+    assert sorted((r.id, r.value, r.part) for r in bounded.collect()) == \
+        [("id3", 30, "b")]
+    with pytest.raises(FileNotFoundError):
+        read_iceberg_snapshot(spark, base).collect()
+
+    # unit surface: the skip proof rules
+    from hudi_delete_view_spark.sources.iceberg import (
+        _decode_single_value,
+        _manifest_summary_skip,
+    )
+
+    md = json.loads(open(os.path.join(base, "metadata",
+                                      "v1.metadata.json")).read())
+    entry = mf("ma.avro", ma, summ("a", "a"))
+    assert _manifest_summary_skip(entry, md, {"part": ("b", "b")})
+    # contains_null: some entries pass file pruning -> never skip
+    entry_null = mf("ma.avro", ma, summ("a", "a", contains_null=True))
+    assert not _manifest_summary_skip(entry_null, md, {"part": ("b", "b")})
+    # delete manifests are never skipped
+    entry_del = dict(entry, content=1)
+    assert not _manifest_summary_skip(entry_del, md, {"part": ("b", "b")})
+    # bounds on an unsummarized column keep the manifest
+    assert not _manifest_summary_skip(entry, md, {"value": (1, 2)})
+    # overlapping range keeps it
+    assert not _manifest_summary_skip(entry, md, {"part": ("a", "b")})
+
+    # single-value serialization decodes (spec appendix D)
+    assert _decode_single_value(pystruct.pack("<i", -7), "int") == -7
+    assert _decode_single_value(pystruct.pack("<q", 2**40), "long") == 2**40
+    assert _decode_single_value(pystruct.pack("<d", 2.5), "double") == 2.5
+    assert _decode_single_value(b"caf\xc3\xa9", "string") == "café"
+    assert _decode_single_value(pystruct.pack("<i", 19000), "date") == 19000
+    assert _decode_single_value(b"\x01", "boolean") is True
+    assert _decode_single_value(None, "long") is None
+    assert _decode_single_value(b"xx", "decimal(9,2)") is None  # unusable
+
+
+def test_export_iceberg_round_trip(spark, scratch):
+    """WRITE direction: a native COW table (bulk insert, upsert, delete,
+    partitioned) exports as genuine Iceberg v2 layout — per-snapshot
+    manifests + manifest lists (OCF via the golden-pinned Avro encoder),
+    one metadata JSON per version — and reads back IDENTICALLY through
+    the foreign reader at every snapshot: snapshot, time travel by
+    timestamp, incremental, the flagship delete view of the deleting
+    snapshot, and manifest-list field_summary pruning over the export's
+    own summaries. Job audit: collected rows stay bounded by the output
+    file count (same no-data-collect contract as the other exports).
+    The REAL org.apache.avro must parse every exported OCF."""
+    from pyspark.sql import DataFrame
+
+    from hudi_delete_view_spark.sources.cow import CowTable
+    from hudi_delete_view_spark.sources.iceberg import export_iceberg
+
+    t = CowTable(spark, os.path.join(scratch, "isrc"), key_fields=["k"],
+                 partition_field="p", num_file_groups=2)
+    t.bulk_insert(spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i * 10) for i in range(40)],
+        "k long, p string, v long"), "20260101000000")
+    t.upsert(spark.createDataFrame([(3, "a", 333)],
+                                   "k long, p string, v long"),
+             "20260102000000")
+    t.delete(spark.createDataFrame([(4, "b"), (5, "a")], "k long, p string"),
+             "20260103000000")
+
+    collected = []
+    real_collect = DataFrame.collect
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        collected.append(len(rows))
+        return rows
+
+    DataFrame.collect = counting_collect
+    try:
+        out = export_iceberg(t, os.path.join(scratch, "iexp"))
+    finally:
+        DataFrame.collect = real_collect
+
+    n_files = sum(1 for _r, _d, fs in os.walk(out)
+                  for f in fs if f.endswith(".parquet"))
+    assert sum(collected) <= n_files
+
+    meta = json.load(open(os.path.join(out, "metadata",
+                                       "v3.metadata.json")))
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    assert len(snaps) == 3
+
+    # every snapshot reads back equal to the native snapshot
+    for s, ts in zip(snaps, t.timeline.timestamps()):
+        got = sorted((r.k, r.p, r.v) for r in read_iceberg_snapshot(
+            spark, out, snapshot_id=s["snapshot-id"])
+            .select("k", "p", "v").collect())
+        want = sorted((r.k, r.p, r.v) for r in t.snapshot(as_of=ts)
+                      .select("k", "p", "v").collect())
+        assert got == want, f"snapshot {s['snapshot-id']}"
+    # time travel by timestamp
+    assert read_iceberg_snapshot(
+        spark, out, timestamp_ms=snaps[0]["timestamp-ms"]).count() == 40
+    assert read_iceberg_snapshot(spark, out).count() == 38
+
+    # incremental: the upsert snapshot's appended rows
+    inc = read_iceberg_incremental(spark, out, snaps[0]["snapshot-id"],
+                                   snaps[1]["snapshot-id"])
+    inc_rows = {(r.k, r.v) for r in inc.collect()}
+    assert (3, 333) in inc_rows
+
+    # flagship: the deleting snapshot's delete view over the EXPORT
+    dv = read_iceberg_delete_view(spark, out, snaps[2]["snapshot-id"],
+                                  key_cols=["k"])
+    assert sorted(r.k for r in dv.collect()) == [4, 5]
+
+    # the export's own field_summaries prune at the manifest-list level
+    from hudi_delete_view_spark.sources.iceberg import (
+        _load_metadata,
+        _manifest_summary_skip,
+    )
+    md = _load_metadata(out)
+    from hudi_delete_view_spark.plans.avro_ocf import read_ocf
+    ml = [f for f in os.listdir(os.path.join(out, "metadata"))
+          if f.endswith("-manifest-list.avro")]
+    _m, mfs = read_ocf(open(os.path.join(out, "metadata",
+                                         sorted(ml)[0]), "rb").read())
+    assert mfs[0]["partitions"] is not None
+    assert _manifest_summary_skip(mfs[0], md, {"p": ("z", "zz")})
+    assert not _manifest_summary_skip(mfs[0], md, {"p": ("a", "a")})
+    bounded = read_iceberg_snapshot(spark, out, bounds={"p": ("a", "a")})
+    assert {r.p for r in bounded.collect()} == {"a"}
+
+    # exported files keep the partition column, drop meta columns
+    import pyarrow.parquet as pq
+    data_files = [os.path.join(r, f) for r, _d, fs in os.walk(out)
+                  for f in fs if f.endswith(".parquet")]
+    assert set(pq.read_schema(data_files[0]).names) == {"k", "p", "v"}
+
+    # the REAL org.apache.avro parses every exported OCF
+    jvm = spark._jvm
+    for name in os.listdir(os.path.join(out, "metadata")):
+        if not name.endswith(".avro"):
+            continue
+        path = os.path.join(out, "metadata", name)
+        dfr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.org.apache.avro.file.SeekableFileInput(
+                jvm.java.io.File(path)),
+            jvm.org.apache.avro.generic.GenericDatumReader())
+        n = 0
+        while dfr.hasNext():
+            dfr.next()
+            n += 1
+        dfr.close()
+        _m2, ours = read_ocf(open(path, "rb").read())
+        assert n == len(ours) and n > 0, name
