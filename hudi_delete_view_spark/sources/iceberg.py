@@ -987,10 +987,13 @@ def export_iceberg(table, out_dir: str,
 
     snapshots, snapshot_log, metadata_log = [], [], []
     for p in plan:
+        # an entry was added THIS commit iff its adding snapshot is this
+        # one — O(1) per entry (membership tests against the added list
+        # would be quadratic at real file counts)
+        carried = [e for e in p["live"] if e["snap"] != p["snap"]]
         entries = (
             [_entry(ADDED, p["snap"], e) for e in p["added"]]
-            + [_entry(EXISTING, e["snap"], e) for e in p["live"]
-               if e not in p["added"]]
+            + [_entry(EXISTING, e["snap"], e) for e in carried]
             + [_entry(DELETED, p["snap"], e) for e in p["deleted"]]
         )
         m_img = write_ocf(entry_schema, entries)
@@ -1017,13 +1020,12 @@ def export_iceberg(table, out_dir: str,
                 (e["seq"] for e in p["live"]), default=p["seq"]),
             "added_snapshot_id": p["snap"],
             "added_files_count": len(p["added"]),
-            "existing_files_count": len(p["live"]) - len(p["added"]),
+            "existing_files_count": len(carried),
             "deleted_files_count": len(p["deleted"]),
             "added_rows_count": sum(
                 results[e["fname"]][0] for e in p["added"]),
             "existing_rows_count": sum(
-                results[e["fname"]][0] for e in p["live"]
-                if e not in p["added"]),
+                results[e["fname"]][0] for e in carried),
             "deleted_rows_count": sum(
                 results[e["fname"]][0] for e in p["deleted"]),
             "partitions": summary,
