@@ -1627,8 +1627,11 @@ def _classify_window_tree(
         # from the same snapshot, so restricting it would also filter
         # the PARTNER occurrences and silently drop cross-partition
         # pairs (fuzz seed 3). A duplicated partition source therefore
-        # falls back to the full-input pass (output-exact via the
-        # post-trim), same as a null-extended one.
+        # cannot take snapshot-level restriction, same as a
+        # null-extended one — the advance instead applies the touched
+        # tuples as a literal predicate on the plan OUTPUT, which
+        # Catalyst pushes below the Window to exactly the producing
+        # occurrence (see _advance_window_tree).
         "restrict_ok": part_src not in _null_extended(tree)
         and not (dups and part_src in set(dups)),
         "tree": tree,
@@ -3778,14 +3781,30 @@ class AutoMaterializedView:
         OWN plan re-runs with the partition source's snapshot
         restricted to the touched tuples, and the output post-trims to
         exactly those partitions — so the fallback for a null-extended
-        partition source (full-input pass) stays output-exact."""
+        partition source (full-input pass) stays output-exact.
+
+        When source-level restriction is unsound (self-join trees —
+        restricting the shared snapshot would also filter PARTNER
+        occurrences; null-extended partition sources — restriction
+        fabricates null-extensions), the touched tuples instead become
+        a LITERAL predicate on the plan's OUTPUT partition columns:
+        Catalyst pushes a partitionSpec-column predicate through the
+        Window and down to exactly the occurrence that produces the
+        column, leaving partner occurrences full — the sound
+        restriction, derived by the optimizer instead of by snapshot
+        substitution (measured 2.6-3.6x refresh win at 0.1-1.6M rows,
+        SCALE.md round-8). Output unchanged: the predicate keeps whole
+        partitions and the post-trim below is identical."""
         from functools import reduce
 
         keys = spec.get("key_cols") or [spec["key"]["name"]]
         out_parts = [o for o, _w, _s in spec["parts"]]
         sel = [F.col(w).alias(o) for o, w, _s in spec["parts"]]
         touched = self._tree_touched(spec, anchor, latest, sel)
-        if touched is None or touched.count() == 0:
+        if touched is None:
+            return
+        n_touched = touched.count()
+        if n_touched == 0:
             return
         snaps = {n: t.snapshot(latest[n]) for n, t in self.sources.items()}
         if spec["restrict_ok"]:
@@ -3802,6 +3821,18 @@ class AutoMaterializedView:
                 .join(F.broadcast(touched.alias("__t")), scond, "left_semi")
             )
         rederived = self.plan_fn(snaps)
+        if not spec["restrict_ok"] and n_touched <= 1024:
+            # literal touched-partition predicate (bounded: a huge
+            # delta touching >1024 partitions re-derives full-input —
+            # at that point the window is mostly recomputed anyway)
+            cond = None
+            for row in touched.collect():
+                c = reduce(
+                    lambda x, y: x & y,
+                    [F.col(o).eqNullSafe(F.lit(row[o])) for o in out_parts],
+                )
+                cond = c if cond is None else (cond | c)
+            rederived = rederived.where(cond)
 
         def part_cond(a, b):
             return reduce(

@@ -3688,3 +3688,36 @@ def test_window_over_full_tree_refused(spark, scratch, tree_tables):
             .select("vk", "region", "qty", "rn"))
     with pytest.raises(UnsupportedViewError, match="FULL OUTER"):
         classify_view(view, snaps)
+
+
+def test_window_partition_predicate_pushes_below_window(spark):
+    """Catalyst pin for the self-join / null-extended window fallback
+    (_advance_window_tree): a literal eqNullSafe-OR predicate on the
+    window's PARTITION column, applied above the window, must optimize
+    to a Filter BELOW the Window (and below the join, on the producing
+    side only) — the property that makes the output-level touched-
+    partition restriction a real restriction rather than a post-trim.
+    If Spark ever stops pushing it, the advance silently degrades to
+    the full-input pass (still output-exact, 4x slower at 1.6M rows —
+    SCALE.md round-8)."""
+    from pyspark.sql import Window as W
+
+    a = spark.range(100).selectExpr("id as k", "id % 10 as g",
+                                    "cast(id as double) as v")
+    b = spark.range(100).selectExpr("id as k2", "cast(id % 7 as long) as h")
+    w = W.partitionBy("g").orderBy(F.desc("v"))
+    df = (
+        a.join(b, F.col("k") == F.col("k2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 2")
+        .where(F.col("g").eqNullSafe(F.lit(3)) | F.col("g").eqNullSafe(F.lit(5)))
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    win_i = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    filt_i = [i for i, ln in enumerate(lines)
+              if "Filter" in ln and "<=>" in ln]
+    assert filt_i and all(i > win_i for i in filt_i), plan
+    # and it reaches below the join: only one join side carries g
+    join_i = next(i for i, ln in enumerate(lines) if "Join" in ln)
+    assert any(i > join_i for i in filt_i), plan
