@@ -102,11 +102,17 @@ def embedding_bucket_cap(explicit) -> int | None:
 # Shard-and-merge threshold for the embedding sign-LSH candidate stage,
 # measured in round 8 (SCALE.md): the single-pass pipeline survives 4M
 # vectors on an ~80 GB-spill node and dies by 8M — the binding
-# constraint is per-job shuffle spill, not hash geometry. Slices of
-# ~4M vectors keep each sequential job inside the measured-survivable
-# budget; output is identical by construction (pair sets partition by
-# (table, bucket), one final distinct).
-EMBEDDING_MERGE_SLICE_ROWS = 4_000_000
+# constraint is per-job shuffle spill, not hash geometry. The first
+# 8M re-validation with ~4M-row slices ALSO died: per-slice spill
+# (~half the single pass) plus the persisted bucketing rows already
+# exceeded the budget — so the default slice is 2M rows (per-job spill
+# ~1/4 of single pass at 8M) and the bucketing spills to compressed
+# parquet instead of executor-disk persist (see
+# embedding_neardup_pairs' spill_dir). Env-tunable for other nodes'
+# disk budgets.
+EMBEDDING_MERGE_SLICE_ROWS = int(
+    os.environ.get("SPARK_GRAFT_EMB_SLICE_ROWS", 2_000_000)
+)
 
 
 def embedding_merge_slices(n: int) -> int:

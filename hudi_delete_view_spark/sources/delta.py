@@ -186,7 +186,9 @@ def _dv_descriptor(base_path: str, add: dict) -> tuple | None:
     from ..plans.roaring import z85_decode
 
     raw = dv["pathOrInlineDv"]
-    prefix, z = raw[:-20], raw[-20:]
+    # writers encode the random directory prefix with or without a
+    # trailing slash; both resolve to <prefix>/deletion_vector_<uuid>
+    prefix, z = raw[:-20].rstrip("/"), raw[-20:]
     u = _uuid.UUID(bytes=z85_decode(z))
     rel = f"deletion_vector_{u}.bin"
     if prefix:

@@ -941,6 +941,12 @@ def export_iceberg(table, out_dir: str,
                      "schema_id": sid, "added": added, "deleted": deleted,
                      "live": list(live.values())})
 
+    if not schemas:
+        raise IcebergFormatError(
+            "table records no schema in any commit — cannot author "
+            "Iceberg metadata"
+        )
+
     results: dict[str, tuple[int, int]] = {}  # filename -> (nrec, size)
     if work:
         for r in (

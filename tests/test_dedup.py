@@ -668,12 +668,22 @@ def test_embedding_merge_slices_output_identical(spark, sf_dir):
     assert pairs(bucket_cap=2, reserve_bits=4, merge_slices=3) == \
         guarded_single
     assert single  # non-empty corpus: the equality proves something
+    # parquet bucketing spill (round-8-late: the 8M re-validation died
+    # with persist — the spill path must be answer-identical too)
+    import os as _os
+
+    sp = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), ".scratch", "emb_spill_test")
+    _os.makedirs(sp, exist_ok=True)
+    assert pairs(merge_slices=4, spill_dir=sp) == single
+    assert not _os.listdir(sp)  # the bucketing parquet was reclaimed
 
     # profile arming: off below the measured threshold, one slice per
     # EMBEDDING_MERGE_SLICE_ROWS above it, plain profile never slices
     assert embedding_merge_slices(EMBEDDING_MERGE_SLICE_ROWS) == 1
     assert embedding_merge_slices(EMBEDDING_MERGE_SLICE_ROWS * 2) == 2
-    assert embedding_merge_slices(8_000_000) == 2
+    assert embedding_merge_slices(8_000_000) == -(
+        -8_000_000 // EMBEDDING_MERGE_SLICE_ROWS)
     from hudi_delete_view_spark import profile as prof
 
     prof.set_profile("plain")

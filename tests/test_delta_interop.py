@@ -475,3 +475,32 @@ def test_dv_descriptor_null_offset():
         "storageType": "p", "pathOrInlineDv": "/abs/dv.bin",
         "offset": None, "sizeInBytes": 4, "cardinality": 1}})
     assert (kind, path, off) == ("file", "/abs/dv.bin", 1)
+
+
+def test_dv_descriptor_u_path_prefixes():
+    """PROTOCOL.md 'u' storage: pathOrInlineDv = <optional random
+    prefix><20-char z85 uuid>, file <prefix>/deletion_vector_<uuid>.bin
+    under the table root. The uuid is ALWAYS the final 20 characters —
+    multi-level prefixes (Databricks writers use randomized directory
+    prefixes, possibly nested) must resolve; no prefix must resolve to
+    the table root."""
+    import uuid as _uuid
+
+    from hudi_delete_view_spark.plans.roaring import z85_decode
+    from hudi_delete_view_spark.sources.delta import _dv_descriptor
+
+    u20 = "0123456789abcdefghij"
+    u = _uuid.UUID(bytes=bytes(z85_decode(u20)))
+    for encoded_prefix, dir_part in [
+        ("", ""),              # no prefix -> table root
+        ("ab", "ab/"),         # single level, no trailing slash
+        ("ab/", "ab/"),        # single level, trailing-slash form
+        ("ab/cd", "ab/cd/"),   # multi level
+        ("P9/xY/zZ/", "P9/xY/zZ/"),  # deep randomized, slash form
+    ]:
+        kind, path, off, size = _dv_descriptor("/tbl", {"deletionVector": {
+            "storageType": "u", "pathOrInlineDv": f"{encoded_prefix}{u20}",
+            "offset": 1, "sizeInBytes": 9, "cardinality": 1}})
+        assert kind == "file" and off == 1
+        want = f"/tbl/{dir_part}deletion_vector_{u}.bin"
+        assert path == want, (encoded_prefix, path, want)

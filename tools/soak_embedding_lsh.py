@@ -128,10 +128,13 @@ def main() -> None:
 
         cap = None if uncapped else PROFILE_DEFAULT
         slices = None if uncapped else PROFILE_DEFAULT
+        spill = os.path.join(REPO, ".scratch", "soak_vecs", "spill")
+        os.makedirs(spill, exist_ok=True)
         t0 = time.time()
         pairs = embedding_neardup_pairs(
             df, "vec_id", "embedding", threshold=0.95, bucket_bits=None, dim=DIM,
             bucket_cap=cap, merge_slices=slices,
+            spill_dir=None if uncapped else spill,
         )
         n_pairs = pairs.count()
         wall = time.time() - t0
