@@ -3919,12 +3919,16 @@ class AutoMaterializedView:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if touched.count() == 0:
+        n_touched = touched.count()
+        if n_touched == 0:
             return
         snaps = {}
+        unrestricted = False  # some source re-reads its full input
         for name, src in self.sources.items():
             snap = src.snapshot(latest[name])
             brs = [b for b in spec["branches"] if b["source"] == name]
+            if not (brs and all(b.get("part_src_cols") for b in brs)):
+                unrestricted = True
             if brs and all(b.get("part_src_cols") for b in brs):
                 # partition values computed on the UNALIASED snapshot
                 # (derived-partition SQL must resolve against source
@@ -3960,6 +3964,22 @@ class AutoMaterializedView:
                 )
             snaps[name] = snap
         rederived = self.plan_fn(snaps)
+        if unrestricted and n_touched <= 1024:
+            # same trick as _advance_window_tree: the touched tuples as
+            # a literal predicate on the OUTPUT partition columns —
+            # Catalyst pushes it through the Window, the Union, and
+            # each branch's Project (rewriting through derived-column
+            # aliases) down to the scans snapshot-level restriction
+            # could not reach. Output unchanged: whole partitions pass
+            # and the post-trim below is identical.
+            cond = None
+            for row in touched.collect():
+                c = reduce(
+                    lambda x, y: x & y,
+                    [F.col(o).eqNullSafe(F.lit(row[o])) for o in out_parts],
+                )
+                cond = c if cond is None else (cond | c)
+            rederived = rederived.where(cond)
 
         def part_cond(a, b):
             return reduce(
