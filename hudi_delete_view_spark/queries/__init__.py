@@ -86,6 +86,10 @@ _WINDOW: tuple[str, ...] = (
     "stream_pyds_sink",
     "stream_pyds_auto_absorb",
     "stream_pyds_live_view",
+    # -- round-8-late surfaces (this session's code changes)
+    "lake_export_interop",     # NEW: both exports under the oracle (H17/H8)
+    "lake_mv_auto_window_self_join",  # H18 fast advance (literal predicate)
+    "lake_mv_auto_window_union",      # same trick for unrestricted branches
 )
 
 

@@ -2817,3 +2817,112 @@ def lake_mv_auto_agg_full_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "ord": build_orders_mor(spark, sf_dir),
                    "cu": build_customer_cow(spark, sf_dir)}, plan)
     return mv.serve()
+
+
+# --------------------------------------------------------------------------
+# H17/H8 exports under the oracle: a native COW table migrates to GENUINE
+# Iceberg v2 and Delta layouts, reads back through the FOREIGN readers,
+# and DuckDB recomputes every section from raw lineitem — a hash match
+# proves the exported metadata (manifests / transaction log) resolves
+# exactly the right files at every probed state.
+# --------------------------------------------------------------------------
+def _build_exports(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Export the scripted 4-commit COW table to .scratch (once per
+    sf_dir; rebuilt when the marker's source-timeline tag mismatches)."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources.delta import export_delta
+    from ..sources.fixtures import SCRATCH_ROOT, scratch_tag
+    from ..sources.iceberg import export_iceberg
+
+    table = build_lineitem_cow(spark, sf_dir)
+    tag = scratch_tag(sf_dir)
+    root = _os.path.join(SCRATCH_ROOT, "lake", tag)
+    out = {}
+    for fmt, export in (("iceberg", export_iceberg), ("delta", export_delta)):
+        d = _os.path.join(root, f"export_{fmt}")
+        marker = _os.path.join(d, ".export_ok")
+        want = f"v2:{C4}"
+        have = None
+        if _os.path.exists(marker):
+            with open(marker) as f:
+                have = f.read().strip()
+        if have != want:
+            _shutil.rmtree(d, ignore_errors=True)
+            export(table, d)
+            with open(marker, "w") as f:
+                f.write(want)
+        out[fmt] = d
+    return out["iceberg"], out["delta"]
+
+
+_EXPORT_KEY_COLS = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+_EXPORT_RK = (
+    "CAST(l_orderkey AS STRING) || ':' || CAST(l_linenumber AS STRING) || "
+    "':' || CAST(l_partkey AS STRING) || ':' || CAST(l_suppkey AS STRING)"
+)
+
+
+@query(
+    "lake_export_interop",
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT 'ice_snap' AS section, {_KEY_SQL} AS rk,
+       CAST({_QTY_SQL} AS DOUBLE) AS qty
+FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+UNION ALL
+SELECT 'ice_travel' AS section, {_KEY_SQL} AS rk,
+       CAST({_QTY_SQL} AS DOUBLE) AS qty
+FROM li
+UNION ALL
+SELECT 'delta_snap' AS section, {_KEY_SQL} AS rk,
+       CAST({_QTY_SQL} AS DOUBLE) AS qty
+FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+UNION ALL
+SELECT 'delta_dv' AS section, {_KEY_SQL} AS rk,
+       CAST({_QTY_SQL} AS DOUBLE) AS qty
+FROM li WHERE l_suppkey % 17 = 0
+""",
+)
+def lake_export_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four sections over the two exports: Iceberg final snapshot,
+    Iceberg time travel to the post-upsert state (C2), Delta final
+    snapshot, and the flagship delete view of the C3-deleting Delta
+    version — each read by the FOREIGN reader over layouts this
+    package WROTE (sources/iceberg.export_iceberg: per-snapshot OCF
+    manifests via the golden-pinned Avro encoder;
+    sources/delta.export_delta: transaction log + checkpoint)."""
+    import json as _json
+    import os as _os
+
+    from ..sources.delta import read_delta_delete_view, read_delta_snapshot
+    from ..sources.iceberg import read_iceberg_snapshot
+
+    ice, dl = _build_exports(spark, sf_dir)
+
+    with open(_os.path.join(ice, "metadata", "v4.metadata.json")) as f:
+        meta = _json.load(f)
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+
+    def proj(df: DataFrame, section: str) -> DataFrame:
+        return df.select(
+            F.lit(section).alias("section"),
+            F.expr(_EXPORT_RK).alias("rk"),
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+
+    ice_snap = proj(read_iceberg_snapshot(spark, ice), "ice_snap")
+    ice_travel = proj(
+        read_iceberg_snapshot(spark, ice, snapshot_id=snaps[1]["snapshot-id"]),
+        "ice_travel",
+    )
+    delta_snap = proj(read_delta_snapshot(spark, dl), "delta_snap")
+    delta_dv = proj(
+        read_delta_delete_view(spark, dl, 2, _EXPORT_KEY_COLS), "delta_dv"
+    )
+    return (
+        ice_snap.unionByName(ice_travel)
+        .unionByName(delta_snap)
+        .unionByName(delta_dv)
+    )

@@ -893,8 +893,12 @@ def export_iceberg(table, out_dir: str,
             tn = f.dataType.typeName()
             if tn in _ICE_TYPES:
                 it = _ICE_TYPES[tn][0]
-            elif tn in ("double", "float", "boolean", "timestamp"):
-                it = {"timestamp": "timestamptz"}.get(tn, tn)
+            elif tn in ("double", "float", "boolean", "timestamp",
+                        "timestamp_ntz"):
+                # Iceberg: "timestamptz" = with zone (Spark timestamp),
+                # "timestamp" = without (Spark timestamp_ntz)
+                it = {"timestamp": "timestamptz",
+                      "timestamp_ntz": "timestamp"}.get(tn, tn)
             elif tn == "decimal":
                 it = f"decimal({f.dataType.precision}, {f.dataType.scale})"
             else:
