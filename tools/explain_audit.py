@@ -186,6 +186,10 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # (MapInPandas) and the victims come back by row ordinal — equi-join
     # on (file, ordinal), never a cartesian
     "delta_dv_delete_view": (["MapInPandas"], ["CartesianProduct"]),
+    # both exports read back through the foreign readers: plain unions
+    # of parquet scans over the exported layouts + the Delta delete
+    # view's keyed join — no cartesian anywhere in four sections
+    "lake_export_interop": (["Union"], ["CartesianProduct"]),
     # record-index point lookup: the merge window runs over ONE file
     # group's slices (index resolution is driver-side metadata, not in
     # the plan); key filter on top
