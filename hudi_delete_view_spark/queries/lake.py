@@ -2826,24 +2826,35 @@ def lake_mv_auto_agg_full_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 # proves the exported metadata (manifests / transaction log) resolves
 # exactly the right files at every probed state.
 # --------------------------------------------------------------------------
-def _build_exports(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Export the scripted 4-commit COW table to .scratch (once per
+def _build_exports(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Export the scripted COW lineitem and MOR orders tables to
+    genuine foreign layouts under .scratch (once per
     sf_dir; rebuilt when the marker's source-timeline tag mismatches)."""
     import os as _os
     import shutil as _shutil
 
     from ..sources.delta import export_delta
-    from ..sources.fixtures import SCRATCH_ROOT, scratch_tag
+    from ..sources.fixtures import (
+        SCRATCH_ROOT,
+        build_orders_mor,
+        scratch_tag,
+    )
+    from ..sources.hudi import export_hudi_mor
     from ..sources.iceberg import export_iceberg
 
-    table = build_lineitem_cow(spark, sf_dir)
+    li = build_lineitem_cow(spark, sf_dir)
+    om = build_orders_mor(spark, sf_dir)
     tag = scratch_tag(sf_dir)
     root = _os.path.join(SCRATCH_ROOT, "lake", tag)
     out = {}
-    for fmt, export in (("iceberg", export_iceberg), ("delta", export_delta)):
+    for fmt, export, table in (
+        ("iceberg", export_iceberg, li),
+        ("delta", export_delta, li),
+        ("hudi", export_hudi_mor, om),
+    ):
         d = _os.path.join(root, f"export_{fmt}")
         marker = _os.path.join(d, ".export_ok")
-        want = f"v2:{C4}"
+        want = f"v2:{table.timeline.timestamps()[-1]}"
         have = None
         if _os.path.exists(marker):
             with open(marker) as f:
@@ -2854,7 +2865,7 @@ def _build_exports(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             with open(marker, "w") as f:
                 f.write(want)
         out[fmt] = d
-    return out["iceberg"], out["delta"]
+    return out["iceberg"], out["delta"], out["hudi"]
 
 
 _EXPORT_KEY_COLS = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
@@ -2883,23 +2894,31 @@ UNION ALL
 SELECT 'delta_dv' AS section, {_KEY_SQL} AS rk,
        CAST({_QTY_SQL} AS DOUBLE) AS qty
 FROM li WHERE l_suppkey % 17 = 0
+UNION ALL
+SELECT 'hudi_snap' AS section, CAST(o_orderkey AS VARCHAR) AS rk,
+       CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                 ELSE o_totalprice END AS DOUBLE) AS qty
+FROM orders WHERE NOT (o_orderkey % 11 = 0)
 """,
 )
 def lake_export_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four sections over the two exports: Iceberg final snapshot,
+    """Five sections over the three exports: Iceberg final snapshot,
     Iceberg time travel to the post-upsert state (C2), Delta final
-    snapshot, and the flagship delete view of the C3-deleting Delta
-    version — each read by the FOREIGN reader over layouts this
-    package WROTE (sources/iceberg.export_iceberg: per-snapshot OCF
-    manifests via the golden-pinned Avro encoder;
-    sources/delta.export_delta: transaction log + checkpoint)."""
+    snapshot, the flagship delete view of the C3-deleting Delta
+    version, and the Hudi MOR snapshot (orders: base parquet + binary
+    HoodieLogFormat delta logs the export wrote) — each read by the
+    FOREIGN reader over layouts this package WROTE
+    (sources/iceberg.export_iceberg: per-snapshot OCF manifests via
+    the golden-pinned Avro encoder; sources/delta.export_delta:
+    transaction log + checkpoint; sources/hudi.export_hudi_mor:
+    log blocks encoded executor-side)."""
     import json as _json
     import os as _os
 
     from ..sources.delta import read_delta_delete_view, read_delta_snapshot
     from ..sources.iceberg import read_iceberg_snapshot
 
-    ice, dl = _build_exports(spark, sf_dir)
+    ice, dl, hu = _build_exports(spark, sf_dir)
 
     with open(_os.path.join(ice, "metadata", "v4.metadata.json")) as f:
         meta = _json.load(f)
@@ -2921,8 +2940,16 @@ def lake_export_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_dv = proj(
         read_delta_delete_view(spark, dl, 2, _EXPORT_KEY_COLS), "delta_dv"
     )
+    from ..sources.hudi import read_hudi_mor_snapshot
+
+    hudi_snap = read_hudi_mor_snapshot(spark, hu).select(
+        F.lit("hudi_snap").alias("section"),
+        F.col("o_orderkey").cast("string").alias("rk"),
+        F.col("o_totalprice").cast("double").alias("qty"),
+    )
     return (
         ice_snap.unionByName(ice_travel)
         .unionByName(delta_snap)
         .unionByName(delta_dv)
+        .unionByName(hudi_snap)
     )

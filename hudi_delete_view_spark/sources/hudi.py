@@ -818,15 +818,25 @@ def _log_rows_df(
             )
             # Avro logical types ride as their base primitive: a
             # timestamp-micros column arrives as int64 — convert by the
-            # declared Spark type so Arrow hands Spark real timestamps
+            # declared Spark type so Arrow hands Spark real timestamps.
+            # Delete-block tombstones carry None payloads, so a batch
+            # mixing data + tombstone rows lands as float64 (NaN) — the
+            # dtype check catches that shape too (NaN -> NaT).
             if len(pdf_out):
                 for f in out_schema.fields:
-                    if isinstance(f.dataType, T.TimestampType) and any(
-                        isinstance(x, int) for x in pdf_out[f.name]
+                    # NTZ included: a base parquet written without Spark
+                    # footer metadata (isAdjustedToUTC=false) reads back
+                    # as TimestampNTZType, which is NOT a TimestampType
+                    # subclass
+                    if not isinstance(
+                        f.dataType, (T.TimestampType, T.TimestampNTZType)
                     ):
-                        pdf_out[f.name] = pd.to_datetime(
-                            pdf_out[f.name], unit="us"
-                        )
+                        continue
+                    col = pdf_out[f.name]
+                    if col.dtype.kind in "if" or any(
+                        isinstance(x, int) for x in col
+                    ):
+                        pdf_out[f.name] = pd.to_datetime(col, unit="us")
             yield pdf_out
 
     if not files:
