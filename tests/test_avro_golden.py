@@ -203,3 +203,35 @@ def test_real_avro_reads_committed_iceberg_fixture_manifests(spark):
             out = bytearray()
             avro_encode(writer_schema, orec, out)
             assert bytes(out) == jbytes, f"record mismatch in {os.path.basename(path)}"
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_write_ocf_round_trip_and_real_reader(spark, scratch, codec):
+    """write_ocf (the export's OCF author): both spec codecs round-trip
+    through our reader AND the REAL DataFileReader, deterministically
+    (same input -> identical bytes)."""
+    from hudi_delete_view_spark.plans.avro_ocf import write_ocf
+
+    recs = [GNARLY_EXPECT] * 3
+    img = write_ocf(GNARLY, recs, codec=codec)
+    assert img == write_ocf(GNARLY, recs, codec=codec)  # reproducible
+    meta, back = read_ocf(img)
+    assert meta["avro.codec"].decode() == codec
+    assert back == recs
+
+    path = os.path.join(scratch, f"w_{codec}.avro")
+    with open(path, "wb") as f:
+        f.write(img)
+    jvm = spark._jvm
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.org.apache.avro.file.SeekableFileInput(jvm.java.io.File(path)),
+        jvm.org.apache.avro.generic.GenericDatumReader())
+    jschema = dfr.getSchema()
+    n = 0
+    while dfr.hasNext():
+        rec = dfr.next()
+        assert _jvm_binary(jvm, jschema, rec) == _jvm_binary(
+            jvm, jschema, _jvm_record(jvm, jschema, json.dumps(GNARLY_JSON)))
+        n += 1
+    dfr.close()
+    assert n == 3
