@@ -895,8 +895,11 @@ def embedding_neardup_pairs(
     if spill_dir:
         import uuid as _uuid
 
-        spilled_path = os.path.join(
-            spill_dir, f"emb_lsh_buckets_{_uuid.uuid4().hex}"
+        # URI-safe join: ``spill_dir`` may be any executor-reachable
+        # Hadoop URI (hdfs://, s3a://, file:/, plain POSIX) — os.path.join
+        # would mangle scheme-qualified paths.
+        spilled_path = (
+            spill_dir.rstrip("/") + f"/emb_lsh_buckets_{_uuid.uuid4().hex}"
         )
         vb.write.parquet(spilled_path)
         vb = spark.read.parquet(spilled_path)
@@ -920,10 +923,18 @@ def embedding_neardup_pairs(
     finally:
         if spilled_path is None:
             vb.unpersist()
-        elif os.path.isdir(spilled_path):
-            import shutil as _shutil
-
-            _shutil.rmtree(spilled_path, ignore_errors=True)
+        else:
+            # Reclaim through the Hadoop FileSystem API so hdfs:// and
+            # s3a:// spill dirs are deleted too, not only driver-local
+            # POSIX paths (r8 ADVICE: os.path.isdir is False for URIs,
+            # silently leaking the bucketing parquet on shared storage).
+            try:
+                jvm = spark.sparkContext._jvm
+                hpath = jvm.org.apache.hadoop.fs.Path(spilled_path)
+                hconf = spark.sparkContext._jsc.hadoopConfiguration()
+                hpath.getFileSystem(hconf).delete(hpath, True)
+            except Exception:  # cleanup is best-effort
+                pass
     out = slice_results[0]
     for r in slice_results[1:]:
         out = out.unionByName(r)

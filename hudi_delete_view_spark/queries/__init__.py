@@ -16,80 +16,77 @@ ORACLES: dict[str, str] = {}
 _LATE: set[str] = set()
 
 # The driver's correctness harness oracle-checks the FIRST 50 entries of
-# ``ordered_queries()``. Round-8 rotation (r7 verdict item 3): the 30
-# registry queries that have NEVER earned a green driver row across
-# r01-r07 take the front — including the two r07 ``err`` rows
-# (``lake_pyds_scan``: connector conf portability, ``sim_vector_store``:
-# array output column), both fixed this round and kept windowed so the
-# fixes earn their green rows. The remaining slots re-check the flagship
-# and every surface whose CODE changed this round (foreign-Hudi bloom
-# golden-vector rewrite, metadata-log keying, as_of index guard, CDC
-# empty-window projection, executor-side export, connector register()).
+# ``ordered_queries()``. Round-9 rotation (r8 verdict item 1,
+# oldest-evidence-first): every registry query now has >=1 green driver
+# row, so the window re-fronts the queries whose NEWEST green row is
+# OLDEST — brand-new round-9 queries first (no driver row ever = oldest
+# possible evidence), then the 37 relational-core queries whose only
+# driver rows date from round 1 (the code under them — scale profile,
+# skew guards, FS seam — has churned for seven rounds), then the r2/r3
+# survivors. Selection derives mechanically from unioning
+# CORRECTNESS_r01..r08 green rows; see tools/window_rotation.py.
 # Names listed here are pulled to the very front of the registry in this
 # order; everything else follows in registration order (``late`` still at
 # the back).
 _WINDOW: tuple[str, ...] = (
-    # -- never driver-checked (30): curation family
-    "curate_chunk_manifest",
-    "curate_contamination_provenance",
-    "curate_contamination_report",
-    "curate_domain_cap",
-    "curate_length_histogram",
-    "curate_split_assignment",
-    # dedup tail
-    "dedup_lsh_candidates",
-    "dedup_minhash_clusters",
-    "dedup_remove_boilerplate",
-    "dedup_simhash_pairs",
-    # lake tail
-    "lake_cdc_replay",
-    "lake_commit_history",
-    "lake_indexed_lookup",
-    "lake_partition_scan",
-    "lake_pyds_scan",  # r07 err #1: fixed (register() sets pushdown conf)
-    "lake_sql_surface",
-    # multimodal tail
-    "mm_audio_windows",  # array column stringified this round
-    "mm_extract_features",
-    # foreign-Hudi CDC (landed after the r07 snapshot — riskiest unwindowed)
-    "mor_hudi_cdc",
-    "mor_ivm_aggregate",
-    "pipeline_chunk_dedup",
-    # similarity tail
-    "sim_quantize_int8",  # array column stringified this round
-    "sim_recall_report",
-    "sim_topk_ivf",
-    "sim_topk_ivf_label",
-    "sim_vector_store",  # r07 err #2: fixed (qvec -> CSV string)
-    "stream_decontaminate",
-    # text tail
-    "text_perplexity",
-    "text_repetition",
-    "text_winnowing",
-    # -- round-8 NEW surfaces: foreign Delta Lake (sources/delta.py)
-    # and foreign Apache Iceberg v2 (sources/iceberg.py)
-    "delta_interop",
-    "delta_incremental",
-    "delta_cdc",
-    "delta_data_skipping",
-    "delta_dv_delete_view",
-    "iceberg_interop",
-    "iceberg_incremental",
-    # -- re-checks: flagship + every surface with round-8 code changes
-    "lake_delete_view",
-    "lake_hudi_interop",
-    "mor_hudi_interop",        # metadata-log keying + bloom rewrite
-    "mor_hudi_point_lookup",   # as_of guard + golden-vector bloom
-    "mor_hudi_data_skipping",  # metadata partition walk changed
-    "mor_hudi_incremental",
-    "lake_pyds_stream",        # register() changed for all pyds paths
-    "stream_pyds_sink",
-    "stream_pyds_auto_absorb",
-    "stream_pyds_live_view",
-    # -- round-8-late surfaces (this session's code changes)
-    "lake_export_interop",     # NEW: both exports under the oracle (H17/H8)
-    "lake_mv_auto_window_self_join",  # H18 fast advance (literal predicate)
-    "lake_mv_auto_window_union",      # same trick for unrestricted branches
+    # -- round-9 NEW surfaces (never driver-checked; registered only if
+    # the module landed, the ``if n in QUERIES`` guard skips the rest)
+    "delta_column_mapping",
+    "iceberg_v3_dv_delete_view",
+    "lake_export_incremental",
+    # -- newest green row is round 1 (37): the relational core
+    "rel_q1_pricing_summary",
+    "rel_q3_top_orders",
+    "rel_q5_nation_revenue",
+    "rel_group_stats",
+    "rel_rollup",
+    "rel_cube",
+    "rel_grouping_sets",
+    "rel_window_topk_per_group",
+    "rel_window_running",
+    "rel_window_lag",
+    "rel_semi_join",
+    "rel_anti_join",
+    "rel_outer_join_agg",
+    "rel_setops",
+    "rel_union_all_counts",
+    "rel_global_topk",
+    "rel_range_join",
+    "rel_asof_join",
+    "rel_scalar_string",
+    "rel_scalar_datetime",
+    "rel_scalar_math",
+    "rel_json_extract",
+    "rel_pivot",
+    "rel_array_agg",
+    "rel_exists_subquery",
+    "rel_not_in_subquery",
+    "rel_scalar_subquery",
+    "rel_percentiles",
+    "rel_filtered_agg",
+    "rel_window_range_frame",
+    "rel_distribution_ranks",
+    "rel_multi_distinct",
+    "rel_date_arithmetic",
+    "rel_bucketed_join",
+    "rel_q14_promo_share",
+    "rel_q19_disjunctive",
+    "rel_window_value_functions",
+    # -- newest green row is round 2 (4)
+    "dedup_exact_count",
+    "dedup_embedding_neardup",
+    "mm_media_metadata",
+    "stream_sliding_avg",
+    # -- newest green row is round 3 (9)
+    "lake_time_travel",
+    "mor_delete_view_log_only",
+    "mor_incremental",
+    "dedup_ngram_jaccard",
+    "pipeline_dedup_topk",
+    "text_fingerprint_groups",
+    "text_source_profile",
+    "docs_stratified_sample",
+    "pipeline_corpus_curation",
 )
 
 

@@ -236,3 +236,80 @@ def delta_dv_delete_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     v6 = read_delta_delete_view(spark, _DELTA_FIXTURE, 6).select(
         F.lit("v6").alias("section"), *cols)
     return v5.unionByName(v6)
+
+
+_CM_FIXTURE = _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "..", "tests", "fixtures",
+    "delta_cm_tbl"))
+
+# authored file lists (mirrors tools/make_delta_cm_fixture.py): v0 adds
+# FA(part=a: id1-3) FB(part=b: id4-5); v1 removes FA adds FC (DELETE
+# id2); v2 adds FD (id6, geo NULL)
+_CMF = {
+    "FA": "col-08=a/part-00000-aa0a0000-0000-4000-8000-000000000000-c000.parquet",
+    "FB": "col-08=b/part-00001-aa1b0000-0000-4000-8000-000000000001-c000.parquet",
+    "FC": "col-08=a/part-00000-aa2a0000-0000-4000-8000-000000000002-c000.parquet",
+    "FD": "col-08=b/part-00002-aa3b0000-0000-4000-8000-000000000003-c000.parquet",
+}
+
+
+def _cm_rp(*names: str) -> str:
+    paths = ", ".join(f"'{_CM_FIXTURE}/{_CMF[n]}'" for n in names)
+    return f"read_parquet([{paths}], hive_partitioning = true)"
+
+
+def _cm_sel(section: str, src: str, extra: str = "") -> str:
+    """Physical parquet -> the query's logical output shape: physical
+    column names aliased back, nested struct members extracted, the
+    hive partition dir (physical name col-08) recovered as part."""
+    return f"""
+SELECT '{section}' AS section, "col-01" AS id, "col-02" AS doc,
+       struct_extract("col-04", 'col-05') AS lat,
+       struct_extract("col-04", 'col-06') AS lon,
+       COALESCE(array_to_string("col-07", ','), '') AS tags_csv,
+       CAST("col-08" AS VARCHAR) AS part
+FROM {src}{extra}"""
+
+
+@query(
+    "delta_column_mapping",
+    oracle=(
+        _cm_sel("snapshot", _cm_rp("FC", "FB", "FD"))
+        + "\nUNION ALL" + _cm_sel("time_travel", _cm_rp("FA", "FB"))
+        + "\nUNION ALL" + _cm_sel(
+            "delete_view", _cm_rp("FA"),
+            f""" WHERE "col-01" NOT IN (SELECT "col-01" FROM {_cm_rp("FC")})""",
+        )
+    ),
+)
+def delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign COLUMN-MAPPED Delta table (delta.columnMapping.mode=name,
+    minReaderVersion=2 — the layout every renamed/dropped-column
+    Databricks table ships with; r8 VERDICT gap #1, lifted): data files
+    store columns under per-field physical names ('col-NN' + parquet
+    field ids), partitionValues/stats/hive dirs all physical, nested
+    struct members physically renamed too, and the reader
+    (sources/delta.py) rebuilds the logical shape recursively from the
+    schemaString's delta.columnMapping.physicalName metadata.
+
+    Three sections under one driver row: the latest snapshot (id2
+    deleted, id6's NULL struct preserved as NULL, not a struct of
+    NULLs), time travel to v0, and the flagship delete view of the
+    DELETE commit (v1) keyed on id. The oracle restates the authored
+    per-version physical file lists and re-derives every logical column
+    from the raw physical parquet."""
+    from ..sources.delta import read_delta_delete_view, read_delta_snapshot
+
+    def proj(df: DataFrame, section: str) -> DataFrame:
+        return df.select(
+            F.lit(section).alias("section"), "id", "doc",
+            F.col("geo.lat").alias("lat"), F.col("geo.lon").alias("lon"),
+            F.array_join("tags", ",").alias("tags_csv"), "part",
+        )
+
+    snap = proj(read_delta_snapshot(spark, _CM_FIXTURE), "snapshot")
+    tt = proj(read_delta_snapshot(spark, _CM_FIXTURE, version=0),
+              "time_travel")
+    dv = proj(read_delta_delete_view(spark, _CM_FIXTURE, 1, ["id"]),
+              "delete_view")
+    return snap.unionByName(tt).unionByName(dv)

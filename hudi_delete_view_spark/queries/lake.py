@@ -2833,28 +2833,36 @@ def _build_exports(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     import os as _os
     import shutil as _shutil
 
-    from ..sources.delta import export_delta
+    from ..sources.delta import DELTA_EXPORT_LAYOUT_VERSION, export_delta
     from ..sources.fixtures import (
         SCRATCH_ROOT,
         build_orders_mor,
         scratch_tag,
     )
-    from ..sources.hudi import export_hudi_mor
-    from ..sources.iceberg import export_iceberg
+    from ..sources.hudi import HUDI_EXPORT_LAYOUT_VERSION, export_hudi_mor
+    from ..sources.iceberg import (
+        ICEBERG_EXPORT_LAYOUT_VERSION,
+        export_iceberg,
+    )
 
     li = build_lineitem_cow(spark, sf_dir)
     om = build_orders_mor(spark, sf_dir)
     tag = scratch_tag(sf_dir)
     root = _os.path.join(SCRATCH_ROOT, "lake", tag)
     out = {}
-    for fmt, export, table in (
-        ("iceberg", export_iceberg, li),
-        ("delta", export_delta, li),
-        ("hudi", export_hudi_mor, om),
+    for fmt, export, table, layout_ver in (
+        ("iceberg", export_iceberg, li, ICEBERG_EXPORT_LAYOUT_VERSION),
+        ("delta", export_delta, li, DELTA_EXPORT_LAYOUT_VERSION),
+        ("hudi", export_hudi_mor, om, HUDI_EXPORT_LAYOUT_VERSION),
     ):
         d = _os.path.join(root, f"export_{fmt}")
         marker = _os.path.join(d, ".export_ok")
-        want = f"v2:{table.timeline.timestamps()[-1]}"
+        # the marker keys on the exporter's layout version AND the full
+        # timeline (not just the last instant), so layout changes and
+        # mid-timeline fixture changes both invalidate cached exports
+        want = "v2:layout{}:{}".format(
+            layout_ver, ",".join(table.timeline.timestamps())
+        )
         have = None
         if _os.path.exists(marker):
             with open(marker) as f:
@@ -2912,16 +2920,14 @@ def lake_export_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the golden-pinned Avro encoder; sources/delta.export_delta:
     transaction log + checkpoint; sources/hudi.export_hudi_mor:
     log blocks encoded executor-side)."""
-    import json as _json
-    import os as _os
-
     from ..sources.delta import read_delta_delete_view, read_delta_snapshot
-    from ..sources.iceberg import read_iceberg_snapshot
+    from ..sources.iceberg import _load_metadata, read_iceberg_snapshot
 
     ice, dl, hu = _build_exports(spark, sf_dir)
 
-    with open(_os.path.join(ice, "metadata", "v4.metadata.json")) as f:
-        meta = _json.load(f)
+    # resolve the CURRENT metadata (version-hint / max v*) rather than
+    # hardcoding a version file — the fixture's commit count may change
+    meta = _load_metadata(ice)
     snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
 
     def proj(df: DataFrame, section: str) -> DataFrame:

@@ -27,8 +27,16 @@ https://github.com/delta-io/delta/blob/master/PROTOCOL.md):
   ``add.partitionValues`` (string-encoded), not in the data files.
 - **Protocol gating**: ``minReaderVersion`` 1/2 read directly; 3 reads
   only when every ``readerFeatures`` entry is supported here
-  (``deletionVectors`` IS supported — see below); ``columnMapping``
-  (mode != none) and unknown features refuse BY NAME.
+  (``deletionVectors`` and ``columnMapping`` ARE supported — see
+  below); unknown features refuse BY NAME.
+- **Column mapping (round 9)**: modes ``name`` and ``id`` read via the
+  PHYSICAL schema derived from the logical schemaString's field
+  metadata (``delta.columnMapping.physicalName`` at every nesting
+  level, ``delta.columnMapping.id`` re-attached as ``parquet.field.id``
+  so Spark's native field-id resolution serves mode ``id``); partition
+  values, stats keys and hive dirs resolve physically; the logical
+  shape is rebuilt with a recursive rename (structs / arrays / maps).
+  Unknown modes refuse by name.
 - **Deletion vectors (round 8)**: an add's DV (inline z85, on-disk
   'u' z85-uuid-named file, or absolute-path 'p'; RoaringBitmapArray
   portable serialization, ``plans/roaring.py`` — the 32-bit roaring
@@ -65,7 +73,7 @@ LOG_DIR = "_delta_log"
 
 # reader features this implementation actually honors (PROTOCOL.md
 # "reader features"); anything else refuses by name
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
 
 
 class DeltaFormatError(ValueError):
@@ -81,6 +89,102 @@ class DeltaState:
     partition_columns: list[str]
     adds: dict[str, dict]  # path -> add action (live files)
     commit_ts: dict[int, int] = field(default_factory=dict)  # version -> ms
+    column_mapping_mode: str = "none"  # delta.columnMapping.mode
+
+    @property
+    def mapped(self) -> bool:
+        return self.column_mapping_mode != "none"
+
+    def physical_schema(self) -> T.StructType:
+        return _physical_schema(self.schema)
+
+    def logical_to_physical(self) -> dict[str, str]:
+        """Top-level logical name -> physical (parquet / partitionValues
+        / stats) name. Identity when column mapping is off."""
+        if not self.mapped:
+            return {f.name: f.name for f in self.schema.fields}
+        return {
+            lf.name: pf.name
+            for lf, pf in zip(self.schema.fields,
+                              self.physical_schema().fields)
+        }
+
+
+# --- column mapping (PROTOCOL.md "Column Mapping") ----------------------
+# With delta.columnMapping.mode = 'name' or 'id', data files store
+# columns under per-field PHYSICAL names ('col-<uuid>'), recorded in the
+# logical schema's field metadata as 'delta.columnMapping.physicalName'
+# (+ an integer 'delta.columnMapping.id'); add.partitionValues keys,
+# add.stats keys and hive partition dirs all use physical names too.
+# This reader scans with the physical schema (field ids attached as
+# 'parquet.field.id' metadata so Spark's native fieldId resolution
+# kicks in for mode 'id' tables whose physical names ever diverged) and
+# rebuilds the logical shape with a recursive rename expression —
+# struct fields at every nesting level, array elements and map values
+# included.
+
+_CM_PHYS = "delta.columnMapping.physicalName"
+_CM_ID = "delta.columnMapping.id"
+
+
+def _physical_type(dt: T.DataType) -> T.DataType:
+    if isinstance(dt, T.StructType):
+        return T.StructType([_physical_field(f) for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _physical_field(f: T.StructField) -> T.StructField:
+    md = f.metadata or {}
+    meta = {}
+    if _CM_ID in md:
+        meta["parquet.field.id"] = md[_CM_ID]
+    return T.StructField(
+        md.get(_CM_PHYS, f.name), _physical_type(f.dataType), f.nullable, meta
+    )
+
+
+def _physical_schema(schema: T.StructType) -> T.StructType:
+    return T.StructType([_physical_field(f) for f in schema.fields])
+
+
+def _logical_expr(col, phys_dt: T.DataType, logical_dt: T.DataType):
+    """Rename a physical-shaped column back to its logical shape,
+    recursively. Null structs stay null (a bare F.struct rebuild would
+    turn NULL into a struct of NULLs)."""
+    if isinstance(logical_dt, T.StructType):
+        rebuilt = F.struct(*[
+            _logical_expr(col.getField(pf.name), pf.dataType,
+                          lf.dataType).alias(lf.name)
+            for pf, lf in zip(phys_dt.fields, logical_dt.fields)
+        ])
+        return F.when(col.isNull(), F.lit(None).cast(logical_dt)).otherwise(
+            rebuilt
+        )
+    if isinstance(logical_dt, T.ArrayType):
+        return F.transform(
+            col,
+            lambda x: _logical_expr(
+                x, phys_dt.elementType, logical_dt.elementType
+            ),
+        )
+    if isinstance(logical_dt, T.MapType):
+        # map KEYS must be primitive under column mapping (parquet map
+        # keys are); only values can carry renamed nested fields
+        return F.transform_values(
+            col,
+            lambda _k, v: _logical_expr(
+                v, phys_dt.valueType, logical_dt.valueType
+            ),
+        )
+    return col
 
 
 def _log_path(base_path: str) -> str:
@@ -140,11 +244,11 @@ def _check_metadata(md: dict) -> None:
         raise DeltaFormatError(f"unsupported Delta data format {fmt!r}")
     conf = md.get("configuration") or {}
     mode = conf.get("delta.columnMapping.mode", "none")
-    if mode != "none":
+    if mode not in ("none", "name", "id"):
         raise DeltaFormatError(
-            f"delta.columnMapping.mode={mode!r} not supported (physical "
-            "column names diverge from the logical schema); only mode "
-            "'none' reads correctly"
+            f"delta.columnMapping.mode={mode!r} unknown (this reader "
+            "implements PROTOCOL.md modes 'none', 'name' and 'id'); "
+            "refusing rather than misread physical column names"
         )
 
 
@@ -337,6 +441,9 @@ def resolve_delta_state(base_path: str, version: int | None = None) -> DeltaStat
         partition_columns=list(md.get("partitionColumns") or []),
         adds=state["adds"],
         commit_ts=commit_ts,
+        column_mapping_mode=(md.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ),
     )
 
 
@@ -403,16 +510,40 @@ def _read_adds(
 
     ``with_ordinal`` appends ``__fname`` / ``__pos`` (file basename +
     ``_metadata.row_index``) — the join surface deletion vectors apply
-    on."""
-    names = [f.name for f in state.schema.fields]
+    on.
+
+    Column mapping: the scan runs with the PHYSICAL schema (parquet
+    column names = physicalName metadata, field ids attached so
+    Spark's native ``parquet.field.id`` resolution covers mode 'id');
+    ``partitionValues`` keys, hive dirs and literal partition columns
+    are physical; ``finish`` rebuilds the logical shape recursively
+    (nested structs / array elements / map values included)."""
+    read_schema = state.physical_schema() if state.mapped else state.schema
+    l2p = state.logical_to_physical()
     ord_cols = (
         [F.col("_metadata.file_name").alias("__fname"),
          F.col("_metadata.row_index").alias("__pos")]
         if with_ordinal else []
     )
+    if state.column_mapping_mode == "id":
+        # mode 'id' resolves parquet columns by field id; Spark does
+        # this natively when the requested schema carries
+        # 'parquet.field.id' metadata and the conf is on
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
     def finish(df: DataFrame) -> DataFrame:
-        return df.select(*[F.col(n) for n in names], *ord_cols)
+        if not state.mapped:
+            return df.select(
+                *[F.col(f.name) for f in state.schema.fields], *ord_cols
+            )
+        return df.select(
+            *[
+                _logical_expr(F.col(pf.name), pf.dataType, lf.dataType)
+                .alias(lf.name)
+                for pf, lf in zip(read_schema.fields, state.schema.fields)
+            ],
+            *ord_cols,
+        )
 
     if not adds:
         df = spark.createDataFrame([], state.schema)
@@ -420,9 +551,9 @@ def _read_adds(
             df = (df.withColumn("__fname", F.lit(None).cast("string"))
                     .withColumn("__pos", F.lit(None).cast("long")))
         return df
-    pcols = state.partition_columns
+    pcols = [l2p.get(c, c) for c in state.partition_columns]
     if not pcols:
-        return finish(spark.read.schema(state.schema).parquet(
+        return finish(spark.read.schema(read_schema).parquet(
             *[os.path.join(base_path, a["path"]) for a in adds]
         ))
     hive = all(
@@ -435,7 +566,7 @@ def _read_adds(
     )
     if hive:
         return finish(
-            spark.read.schema(state.schema)
+            spark.read.schema(read_schema)
             .option("basePath", base_path)
             .parquet(*[os.path.join(base_path, a["path"]) for a in adds])
         )
@@ -444,9 +575,9 @@ def _read_adds(
         pv = a.get("partitionValues") or {}
         by_tuple.setdefault(tuple(pv.get(c) for c in pcols), []).append(a)
     data_schema = T.StructType(
-        [f for f in state.schema.fields if f.name not in pcols]
+        [f for f in read_schema.fields if f.name not in pcols]
     )
-    types = {f.name: f.dataType for f in state.schema.fields}
+    types = {f.name: f.dataType for f in read_schema.fields}
     parts = []
     for tup, group in sorted(by_tuple.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(data_schema).parquet(
@@ -523,10 +654,17 @@ def read_delta_snapshot(
         version = version_for_timestamp(base_path, timestamp_ms)
     state = resolve_delta_state(base_path, version)
     adds = sorted(state.adds.values(), key=lambda a: a["path"])
-    # partition-value pruning first (free), then stats
+    # partition-value pruning first (free), then stats; bounds arrive
+    # keyed by LOGICAL names — partitionValues/stats keys are physical
+    # under column mapping, so translate once
     if bounds:
-        pcols = set(state.partition_columns)
-        types = {f.name: f.dataType for f in state.schema.fields}
+        l2p = state.logical_to_physical()
+        bounds = {l2p.get(c, c): b for c, b in bounds.items()}
+        pcols = {l2p.get(c, c) for c in state.partition_columns}
+        types = {
+            l2p.get(f.name, f.name): f.dataType
+            for f in state.schema.fields
+        }
 
         def part_pass(a: dict) -> bool:
             pv = a.get("partitionValues") or {}
@@ -790,6 +928,12 @@ def _instant_to_ms(ts: str) -> int:
         int(ts[0:4]), int(ts[4:6]), int(ts[6:8]),
         int(ts[8:10]), int(ts[10:12]), int(ts[12:14]), 0, 0, 0,
     )) * 1000
+
+
+# Bumped on any change to the on-disk layout this exporter writes, so
+# callers that cache exports (e.g. lake_export_interop's marker file)
+# invalidate stale directories automatically (r8 ADVICE).
+DELTA_EXPORT_LAYOUT_VERSION = 1
 
 
 def export_delta(table, out_dir: str, table_name: str = "export_delta") -> str:

@@ -1055,6 +1055,12 @@ def _export_work(batches):
         )
 
 
+# Bumped on any change to the on-disk layout this exporter writes, so
+# callers that cache exports (e.g. lake_export_interop's marker file)
+# invalidate stale directories automatically (r8 ADVICE).
+HUDI_EXPORT_LAYOUT_VERSION = 1
+
+
 def export_hudi_mor(table, out_dir: str, table_name: str = "export_mor") -> str:
     """Export a native MOR table as a GENUINE Apache Hudi MERGE_ON_READ
     layout: base parquet with Hudi slice naming, delta commits as binary

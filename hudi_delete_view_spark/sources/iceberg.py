@@ -837,6 +837,12 @@ def _iceberg_export_work(batches):
         yield pd.DataFrame(out, columns=["filename", "nrec", "size"])
 
 
+# Bumped on any change to the on-disk layout this exporter writes, so
+# callers that cache exports (e.g. lake_export_interop's marker file)
+# invalidate stale directories automatically (r8 ADVICE).
+ICEBERG_EXPORT_LAYOUT_VERSION = 1
+
+
 def export_iceberg(table, out_dir: str,
                    table_name: str = "export_iceberg") -> str:
     """Export a native COW table as a GENUINE Apache Iceberg v2 layout:
@@ -1011,13 +1017,20 @@ def export_iceberg(table, out_dir: str,
         with open(os.path.join(meta_dir, m_name), "wb") as f:
             f.write(m_img)
 
+        # Summaries/min_sequence_number must cover EVERY entry the
+        # manifest carries, including DELETED ones (r8 ADVICE): an
+        # external incremental/changelog reader pruning manifests by
+        # field_summary may otherwise skip a manifest whose only
+        # relevant entries are DELETED.
+        all_entries = p["live"] + p["deleted"]
         summary = None
         if pf:
-            pvs = [_typed_pv(e["pv"]) for e in p["live"]
+            pvs = [_typed_pv(e["pv"]) for e in all_entries
                    if e["pv"] is not None]
             if pvs:
                 summary = [{
-                    "contains_null": any(e["pv"] is None for e in p["live"]),
+                    "contains_null": any(e["pv"] is None
+                                         for e in all_entries),
                     "contains_nan": False,
                     "lower_bound": _encode_single_value(min(pvs), pf_ice),
                     "upper_bound": _encode_single_value(max(pvs), pf_ice),
@@ -1027,7 +1040,7 @@ def export_iceberg(table, out_dir: str,
             "manifest_length": len(m_img), "partition_spec_id": 0,
             "content": 0, "sequence_number": p["seq"],
             "min_sequence_number": min(
-                (e["seq"] for e in p["live"]), default=p["seq"]),
+                (e["seq"] for e in all_entries), default=p["seq"]),
             "added_snapshot_id": p["snap"],
             "added_files_count": len(p["added"]),
             "existing_files_count": len(carried),

@@ -127,6 +127,11 @@ def test_delta_protocol_refusals(spark, tmp_path):
     assert read_delta_snapshot(spark, dv, version=6).count() == 3
 
     # column mapping mode
+    # column mapping: modes name/id are SUPPORTED since round 9 (mode
+    # 'name' without physicalName metadata falls back to logical names,
+    # so this flipped-config table still reads identically); an UNKNOWN
+    # mode refuses by name — see test_delta_column_mapping.py for the
+    # real physically-renamed fixture
     cm = os.path.join(tmp_path, "cm")
     shutil.copytree(FIXTURE, cm)
     with open(os.path.join(cm, "_delta_log", f"{0:020d}.json")) as f:
@@ -135,6 +140,13 @@ def test_delta_protocol_refusals(spark, tmp_path):
         if "metaData" in a:
             a["metaData"]["configuration"] = {
                 "delta.columnMapping.mode": "name"}
+    with open(os.path.join(cm, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    assert read_delta_snapshot(spark, cm, version=0).count() == 6
+    for a in actions:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "weird"}
     with open(os.path.join(cm, "_delta_log", f"{0:020d}.json"), "w") as f:
         f.write("\n".join(json.dumps(a) for a in actions) + "\n")
     with pytest.raises(DeltaFormatError, match="columnMapping"):
