@@ -936,7 +936,8 @@ def _instant_to_ms(ts: str) -> int:
 DELTA_EXPORT_LAYOUT_VERSION = 1
 
 
-def export_delta(table, out_dir: str, table_name: str = "export_delta") -> str:
+def export_delta(table, out_dir: str, table_name: str = "export_delta",
+                 up_to: str | None = None) -> str:
     """Export a native COW table as a GENUINE Delta Lake layout: one
     log version per native commit (adds with real stats + removes from
     the slice-predecessor pairing), hive-partitioned data files without
@@ -951,7 +952,16 @@ def export_delta(table, out_dir: str, table_name: str = "export_delta") -> str:
     moves in one Spark job, one task per output file
     (``_delta_export_work``); the log publishes only after all files
     land. MOR tables must compact first — Delta has no log-file
-    concept, and silently merging here would hide that cost."""
+    concept, and silently merging here would hide that cost.
+
+    INCREMENTAL SYNC (round 9): when ``out_dir`` already holds a
+    previous export of the same table, only the native commits after
+    the last exported log version materialize (new data files + new
+    JSON versions + a fresh checkpoint at the new head; previously
+    exported bytes are never rewritten). The exported log must be a
+    prefix of the native timeline (commitInfo timestamps compared);
+    divergence raises. The original metaData id is reused so the table
+    identity stays stable across sync calls."""
     if any(
         stat.log_file
         for ts in table.timeline.timestamps()
@@ -966,8 +976,46 @@ def export_delta(table, out_dir: str, table_name: str = "export_delta") -> str:
     pf = getattr(table, "partition_field", None)
     os.makedirs(os.path.join(out_dir, LOG_DIR), exist_ok=True)
     timestamps = table.timeline.timestamps()
+    if up_to is not None:
+        # export only the timeline prefix <= up_to (staged-sync tests/demos)
+        timestamps = [t for t in timestamps if t <= up_to]
+
+    # incremental sync: the exported log versions must be a contiguous
+    # 0..K-1 prefix mapping 1:1 onto the first K native instants
+    # (commitInfo timestamps compared — metadata-scale JSON reads)
+    exported_vs = _list_versions(out_dir)
+    exported_n = len(exported_vs)
+    if exported_vs:
+        if exported_vs != list(range(exported_n)):
+            raise DeltaFormatError(
+                f"out_dir {out_dir!r} holds a non-contiguous Delta log "
+                f"{exported_vs[:5]}...; refusing to sync"
+            )
+        if exported_n > len(timestamps):
+            raise DeltaFormatError(
+                f"out_dir {out_dir!r} holds {exported_n} exported "
+                f"versions but the source has only {len(timestamps)} "
+                "commits; histories diverged"
+            )
+        for v in exported_vs:
+            want_ms = _instant_to_ms(timestamps[v])
+            got_ms = None
+            for a in _version_actions(out_dir, v):
+                if "commitInfo" in a:
+                    got_ms = a["commitInfo"].get("timestamp")
+                    break
+            if got_ms != want_ms:
+                raise DeltaFormatError(
+                    f"exported version {v} (commitInfo ts {got_ms}) does "
+                    f"not match source instant {timestamps[v]}; histories "
+                    "diverged — export to a fresh directory"
+                )
+    if exported_n == len(timestamps):
+        return out_dir  # nothing new: byte-level no-op
 
     # driver planning pass: work units + per-version add/remove skeletons
+    # (the walk covers the FULL timeline to rebuild file-id lineage and
+    # schema state, but only versions >= exported_n enqueue work)
     work: list[tuple[str, str, int, str]] = []
     versions: list[dict] = []  # {version, ts, adds:[(rel, pv)], removes:[rel], schema_json}
     fid_path: dict[str, str] = {}
@@ -979,10 +1027,11 @@ def export_delta(table, out_dir: str, table_name: str = "export_delta") -> str:
             seg = _hive_segment(pf, pv) if pf else ""
             fname = f"part-{v:05d}-{stat.file_id}-c000.parquet"
             rel = f"{seg}/{fname}" if seg else fname
-            work.append((
-                os.path.join(table.base_path, stat.path),
-                os.path.join(out_dir, rel), v, pf or "",
-            ))
+            if v >= exported_n:
+                work.append((
+                    os.path.join(table.base_path, stat.path),
+                    os.path.join(out_dir, rel), v, pf or "",
+                ))
             adds.append((rel, pv))
             prev = fid_path.get(stat.file_id)
             if prev is not None:
@@ -1011,9 +1060,28 @@ def export_delta(table, out_dir: str, table_name: str = "export_delta") -> str:
     # schema for metaData: the export drops meta + physical partition
     # column from files; the DECLARED schema keeps the partition column
     last_schema: str | None = None
-    meta_id = "00000000-0000-4000-8000-%012d" % (len(timestamps),)
     live: dict[str, dict] = {}
-    for ventry in versions:
+    if exported_n:
+        # sync call: keep the ORIGINAL table identity, prime the schema
+        # tracker from the exported prefix, and seed the live file set
+        # (path -> full add action, stats included) by replaying the
+        # exported log itself — no data file is consulted
+        meta_id = None
+        for a in _version_actions(out_dir, 0):
+            if "metaData" in a:
+                meta_id = a["metaData"]["id"]
+                break
+        if meta_id is None:
+            raise DeltaFormatError(
+                f"exported log at {out_dir!r} carries no metaData at v0"
+            )
+        for ventry in versions[:exported_n]:
+            if ventry["schema_json"]:
+                last_schema = ventry["schema_json"]
+        live = dict(resolve_delta_state(out_dir, exported_n - 1).adds)
+    else:
+        meta_id = "00000000-0000-4000-8000-%012d" % (len(timestamps),)
+    for ventry in versions[exported_n:]:
         v, ts = ventry["version"], ventry["ts"]
         ts_ms = _instant_to_ms(ts)
         lines = [json.dumps({"commitInfo": {

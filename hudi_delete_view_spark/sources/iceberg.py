@@ -844,7 +844,8 @@ ICEBERG_EXPORT_LAYOUT_VERSION = 1
 
 
 def export_iceberg(table, out_dir: str,
-                   table_name: str = "export_iceberg") -> str:
+                   table_name: str = "export_iceberg",
+                   up_to: str | None = None) -> str:
     """Export a native COW table as a GENUINE Apache Iceberg v2 layout:
     one snapshot per native commit, per-snapshot manifest (OCF) holding
     the full live file set (ADDED this commit / EXISTING carried /
@@ -859,7 +860,16 @@ def export_iceberg(table, out_dir: str,
     Scale shape (same contract as ``export_delta``): the driver walks
     only the timeline; every data byte moves in ONE Spark job, one task
     per output file (``_iceberg_export_work``); metadata publishes only
-    after all files land. MOR tables must compact first."""
+    after all files land. MOR tables must compact first.
+
+    INCREMENTAL SYNC (round 9): when ``out_dir`` already holds a
+    previous export of the same table, only the native commits after
+    the exported snapshot-log materialize (new data files, manifests,
+    manifest lists and metadata versions; previously exported bytes are
+    never rewritten — carried entries' record counts/sizes come from
+    the last exported manifest, not from re-reading data files). The
+    exported snapshot-log must be a prefix of the native timeline;
+    divergence raises. The exported table-uuid is reused."""
     if any(
         stat.log_file
         for ts in table.timeline.timestamps()
@@ -876,7 +886,38 @@ def export_iceberg(table, out_dir: str,
     meta_dir = os.path.join(out_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     timestamps = table.timeline.timestamps()
+    if up_to is not None:
+        # export only the timeline prefix <= up_to (staged-sync tests/demos)
+        timestamps = [t for t in timestamps if t <= up_to]
     pf = getattr(table, "partition_field", None)
+
+    # INCREMENTAL SYNC (round 9): a previous export's snapshot-log must
+    # map 1:1 onto the first K native instants (timestamps compared);
+    # only instants after it materialize, and the exported table-uuid is
+    # reused so the identity stays stable across sync calls
+    exported_n = 0
+    table_uuid = None
+    if os.path.exists(os.path.join(meta_dir, "version-hint.text")):
+        prev_meta = _load_metadata(out_dir)
+        table_uuid = prev_meta["table-uuid"]
+        slog = prev_meta.get("snapshot-log") or []
+        exported_n = len(slog)
+        if exported_n > len(timestamps):
+            raise IcebergFormatError(
+                f"out_dir {out_dir!r} holds {exported_n} exported "
+                f"snapshots but the source has only {len(timestamps)} "
+                "commits; histories diverged"
+            )
+        for i, entry in enumerate(slog):
+            if entry["timestamp-ms"] != _instant_ms(timestamps[i]):
+                raise IcebergFormatError(
+                    f"exported snapshot {i} (ts-ms "
+                    f"{entry['timestamp-ms']}) does not match source "
+                    f"instant {timestamps[i]}; histories diverged — "
+                    "export to a fresh directory"
+                )
+    if exported_n and exported_n == len(timestamps):
+        return out_dir  # nothing new: byte-level no-op
 
     # schema bookkeeping: one Iceberg schema per distinct native schema
     meta_cols = {
@@ -937,8 +978,9 @@ def export_iceberg(table, out_dir: str,
             seg = f"{pf}={partition}/" if pf else ""
             fname = f"{v:05d}-{stat.file_id}.parquet"
             rel = f"data/{seg}{fname}"
-            work.append((os.path.join(table.base_path, stat.path),
-                         os.path.join(out_dir, rel)))
+            if v >= exported_n:
+                work.append((os.path.join(table.base_path, stat.path),
+                             os.path.join(out_dir, rel)))
             old = live.pop(stat.file_id, None)
             if old is not None:
                 deleted.append(old)
@@ -958,6 +1000,19 @@ def export_iceberg(table, out_dir: str,
         )
 
     results: dict[str, tuple[int, int]] = {}  # filename -> (nrec, size)
+    if exported_n:
+        # carried EXISTING entries in NEW manifests need the old files'
+        # record counts/sizes: the last exported manifest already
+        # records them (metadata-scale OCF read; no data file touched)
+        from ..plans.avro_ocf import read_ocf
+
+        with open(os.path.join(meta_dir,
+                               f"m{exported_n - 1:05d}.avro"), "rb") as f:
+            _schema, old_entries = read_ocf(f.read())
+        for e in old_entries:
+            dfile = e["data_file"]
+            results[os.path.basename(dfile["file_path"])] = (
+                dfile["record_count"], dfile["file_size_in_bytes"])
     if work:
         for r in (
             table.spark.createDataFrame(work, "src string, dst string")
@@ -1003,59 +1058,60 @@ def export_iceberg(table, out_dir: str,
 
     snapshots, snapshot_log, metadata_log = [], [], []
     for p in plan:
-        # an entry was added THIS commit iff its adding snapshot is this
-        # one — O(1) per entry (membership tests against the added list
-        # would be quadratic at real file counts)
-        carried = [e for e in p["live"] if e["snap"] != p["snap"]]
-        entries = (
-            [_entry(ADDED, p["snap"], e) for e in p["added"]]
-            + [_entry(EXISTING, e["snap"], e) for e in carried]
-            + [_entry(DELETED, p["snap"], e) for e in p["deleted"]]
-        )
-        m_img = write_ocf(entry_schema, entries)
         m_name = f"m{p['v']:05d}.avro"
-        with open(os.path.join(meta_dir, m_name), "wb") as f:
-            f.write(m_img)
-
-        # Summaries/min_sequence_number must cover EVERY entry the
-        # manifest carries, including DELETED ones (r8 ADVICE): an
-        # external incremental/changelog reader pruning manifests by
-        # field_summary may otherwise skip a manifest whose only
-        # relevant entries are DELETED.
-        all_entries = p["live"] + p["deleted"]
-        summary = None
-        if pf:
-            pvs = [_typed_pv(e["pv"]) for e in all_entries
-                   if e["pv"] is not None]
-            if pvs:
-                summary = [{
-                    "contains_null": any(e["pv"] is None
-                                         for e in all_entries),
-                    "contains_nan": False,
-                    "lower_bound": _encode_single_value(min(pvs), pf_ice),
-                    "upper_bound": _encode_single_value(max(pvs), pf_ice),
-                }]
-        mf = {
-            "manifest_path": f"{location}/metadata/{m_name}",
-            "manifest_length": len(m_img), "partition_spec_id": 0,
-            "content": 0, "sequence_number": p["seq"],
-            "min_sequence_number": min(
-                (e["seq"] for e in all_entries), default=p["seq"]),
-            "added_snapshot_id": p["snap"],
-            "added_files_count": len(p["added"]),
-            "existing_files_count": len(carried),
-            "deleted_files_count": len(p["deleted"]),
-            "added_rows_count": sum(
-                results[e["fname"]][0] for e in p["added"]),
-            "existing_rows_count": sum(
-                results[e["fname"]][0] for e in carried),
-            "deleted_rows_count": sum(
-                results[e["fname"]][0] for e in p["deleted"]),
-            "partitions": summary,
-        }
         ml_name = f"snap-{p['snap']}-manifest-list.avro"
-        with open(os.path.join(meta_dir, ml_name), "wb") as f:
-            f.write(write_ocf(_MANIFEST_FILE_SCHEMA, [mf]))
+        if p["v"] >= exported_n:
+            # an entry was added THIS commit iff its adding snapshot is
+            # this one — O(1) per entry (membership tests against the
+            # added list would be quadratic at real file counts)
+            carried = [e for e in p["live"] if e["snap"] != p["snap"]]
+            entries = (
+                [_entry(ADDED, p["snap"], e) for e in p["added"]]
+                + [_entry(EXISTING, e["snap"], e) for e in carried]
+                + [_entry(DELETED, p["snap"], e) for e in p["deleted"]]
+            )
+            m_img = write_ocf(entry_schema, entries)
+            with open(os.path.join(meta_dir, m_name), "wb") as f:
+                f.write(m_img)
+
+            # Summaries/min_sequence_number must cover EVERY entry the
+            # manifest carries, including DELETED ones (r8 ADVICE): an
+            # external incremental/changelog reader pruning manifests by
+            # field_summary may otherwise skip a manifest whose only
+            # relevant entries are DELETED.
+            all_entries = p["live"] + p["deleted"]
+            summary = None
+            if pf:
+                pvs = [_typed_pv(e["pv"]) for e in all_entries
+                       if e["pv"] is not None]
+                if pvs:
+                    summary = [{
+                        "contains_null": any(e["pv"] is None
+                                             for e in all_entries),
+                        "contains_nan": False,
+                        "lower_bound": _encode_single_value(min(pvs), pf_ice),
+                        "upper_bound": _encode_single_value(max(pvs), pf_ice),
+                    }]
+            mf = {
+                "manifest_path": f"{location}/metadata/{m_name}",
+                "manifest_length": len(m_img), "partition_spec_id": 0,
+                "content": 0, "sequence_number": p["seq"],
+                "min_sequence_number": min(
+                    (e["seq"] for e in all_entries), default=p["seq"]),
+                "added_snapshot_id": p["snap"],
+                "added_files_count": len(p["added"]),
+                "existing_files_count": len(carried),
+                "deleted_files_count": len(p["deleted"]),
+                "added_rows_count": sum(
+                    results[e["fname"]][0] for e in p["added"]),
+                "existing_rows_count": sum(
+                    results[e["fname"]][0] for e in carried),
+                "deleted_rows_count": sum(
+                    results[e["fname"]][0] for e in p["deleted"]),
+                "partitions": summary,
+            }
+            with open(os.path.join(meta_dir, ml_name), "wb") as f:
+                f.write(write_ocf(_MANIFEST_FILE_SCHEMA, [mf]))
 
         ts_ms = _instant_ms(p["ts"])
         snapshots.append({
@@ -1071,7 +1127,8 @@ def export_iceberg(table, out_dir: str,
 
         meta_json = {
             "format-version": 2,
-            "table-uuid": "00000000-0000-4000-8000-%012d" % len(timestamps),
+            "table-uuid": (table_uuid or
+                           "00000000-0000-4000-8000-%012d" % len(timestamps)),
             "location": location, "name": table_name,
             "last-sequence-number": p["seq"], "last-updated-ms": ts_ms,
             "last-column-id": len(field_ids),
@@ -1091,8 +1148,9 @@ def export_iceberg(table, out_dir: str,
             "metadata-log": list(metadata_log),
         }
         mfile = f"v{p['v'] + 1}.metadata.json"
-        with open(os.path.join(meta_dir, mfile), "w") as f:
-            json.dump(meta_json, f, indent=1)
+        if p["v"] >= exported_n:
+            with open(os.path.join(meta_dir, mfile), "w") as f:
+                json.dump(meta_json, f, indent=1)
         metadata_log.append({"timestamp-ms": ts_ms,
                              "metadata-file": f"{location}/metadata/{mfile}"})
 
