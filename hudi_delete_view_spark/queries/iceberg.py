@@ -126,3 +126,78 @@ def iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "name", "value", "part",
         F.col("_snapshot_id").alias("snapshot_id"),
     )
+
+
+_ICE_V3 = _os.path.abspath(_os.path.join(
+    _os.path.dirname(__file__), "..", "..", "tests", "fixtures",
+    "iceberg_v3_tbl"))
+_V3_DA = f"{_ICE_V3}/data/da-00001.parquet"
+_V3_DB = f"{_ICE_V3}/data/db-00002.parquet"
+_V3_DC = f"{_ICE_V3}/data/dc-00003.parquet"
+
+
+@query(
+    "iceberg_v3_dv_delete_view",
+    oracle=f"""
+SELECT 'snapshot' AS section, id, name, value
+FROM read_parquet('{_V3_DA}', file_row_number = true)
+WHERE file_row_number NOT IN (1, 2, 3)
+UNION ALL
+SELECT 'snapshot' AS section, id, name, value
+FROM read_parquet(['{_V3_DB}', '{_V3_DC}'])
+UNION ALL
+SELECT 'travel_s2' AS section, id, name, value
+FROM read_parquet('{_V3_DA}', file_row_number = true)
+WHERE file_row_number NOT IN (1, 2)
+UNION ALL
+SELECT 'travel_s2' AS section, id, name, value
+FROM read_parquet('{_V3_DB}')
+UNION ALL
+SELECT 'delete_view_s3' AS section, id, name, value
+FROM read_parquet('{_V3_DA}', file_row_number = true)
+WHERE file_row_number = 3
+UNION ALL
+SELECT 'delete_view_s2' AS section, id, name, value
+FROM read_parquet('{_V3_DA}', file_row_number = true)
+WHERE file_row_number IN (1, 2)
+""",
+)
+def iceberg_v3_dv_delete_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign Apache Iceberg FORMAT-VERSION 3 table with PUFFIN
+    DELETION VECTORS (r8 verdict item 5, refusal lifted):
+    tests/fixtures/iceberg_v3_tbl authored by the independent encoder
+    tools/make_iceberg_v3_fixture.py — v3 manifests carrying
+    referenced_data_file/content_offset/content_size_in_bytes, DV blobs
+    in genuine Puffin containers (BE length + D1 D3 39 64 magic +
+    portable 64-bit roaring + BE CRC, plans/puffin.py), parsed
+    EXECUTOR-side and applied as the same (path, ordinal) anti-join as
+    v2 position deletes.
+
+    Four sections under one driver row: the current snapshot (the
+    cumulative DV {1,2,3} on file da applied), time travel to the
+    FIRST DV commit (only {1,2} dead), and the flagship delete view of
+    BOTH DV commits — s3's view must be (new DV minus superseded DV) =
+    exactly ordinal 3 (id4), not the cumulative set; s2's is {id2,id3}.
+    The oracle recomputes every section from raw parquet ordinals via
+    file_row_number."""
+    from ..sources.iceberg import (
+        _load_metadata,
+        read_iceberg_delete_view,
+        read_iceberg_snapshot,
+    )
+
+    meta = _load_metadata(_ICE_V3)
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    cols = ["id", "name", "value"]
+
+    def proj(df: DataFrame, section: str) -> DataFrame:
+        return df.select(F.lit(section).alias("section"), *cols)
+
+    snap = proj(read_iceberg_snapshot(spark, _ICE_V3), "snapshot")
+    tt = proj(read_iceberg_snapshot(
+        spark, _ICE_V3, snapshot_id=snaps[1]["snapshot-id"]), "travel_s2")
+    dv3 = proj(read_iceberg_delete_view(
+        spark, _ICE_V3, snaps[2]["snapshot-id"]), "delete_view_s3")
+    dv2 = proj(read_iceberg_delete_view(
+        spark, _ICE_V3, snaps[1]["snapshot-id"]), "delete_view_s2")
+    return snap.unionByName(tt).unionByName(dv3).unionByName(dv2)

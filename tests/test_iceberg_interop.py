@@ -98,7 +98,9 @@ def test_iceberg_relocation(spark, tmp_path):
 
 
 def test_iceberg_refusals(spark, tmp_path):
-    """format-version 3 and equality deletes refuse BY NAME."""
+    """Unknown format versions and malformed equality deletes refuse BY
+    NAME (v3 is SUPPORTED since round 9 — a flipped v3 tag now reads;
+    see tests/test_iceberg_v3.py for the genuine v3 DV fixture)."""
     v3 = os.path.join(tmp_path, "v3")
     shutil.copytree(FIXTURE, v3)
     mp = os.path.join(v3, "metadata", "v6.metadata.json")
@@ -107,7 +109,11 @@ def test_iceberg_refusals(spark, tmp_path):
     meta["format-version"] = 3
     with open(mp, "w") as f:
         json.dump(meta, f)
-    with pytest.raises(IcebergFormatError, match="format-version 3"):
+    assert read_iceberg_snapshot(spark, v3).count() == 5
+    meta["format-version"] = 4
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(IcebergFormatError, match="format-version 4"):
         read_iceberg_snapshot(spark, v3)
 
     # equality delete: flip the fixture's pos-delete manifest entry
