@@ -37,6 +37,8 @@ HEADLINE = [
     "mor_hudi_interop",        # binary HoodieLogFormat merge (round 7)
     "delta_interop",           # foreign Delta Lake log replay (round 8)
     "iceberg_interop",         # foreign Iceberg v2 manifests + pos-deletes (round 8)
+    "delta_column_mapping",    # physical-name resolution + logical rebuild (round 9)
+    "iceberg_v3_dv_delete_view",  # puffin DV parse + cumulative-DV algebra (round 9)
     "lake_mv_auto_window_self_join",  # composite-identity window (round 7)
     "lake_mv_auto_snowflake_expr",    # transitive mid-plan probe (round 7)
     "lake_partition_evolution",  # repartition commit: snapshot + travel + delete view

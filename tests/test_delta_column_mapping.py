@@ -157,3 +157,19 @@ def test_cm_fixture_regenerates_identically(tmp_path):
         b = open(os.path.join(out, "_delta_log",
                               f"{v:020d}.json")).read()
         assert a == b, f"log version {v} differs from its encoder"
+
+
+def test_cm_cdc_and_incremental(spark):
+    """Net-effect CDC and incremental scans flow through the mapped
+    scan path too (logical keys, physical files)."""
+    from hudi_delete_view_spark.sources.delta import (
+        read_delta_cdc,
+        read_delta_incremental,
+    )
+
+    cdc = read_delta_cdc(spark, CM_FIXTURE, ["id"], 0, 2)
+    assert sorted((r.op, r.id) for r in cdc.collect()) == [
+        ("delete", 2), ("insert", 6)]
+    inc = read_delta_incremental(spark, CM_FIXTURE, 0, 2)
+    assert sorted((r.id, r._commit_version) for r in inc.collect()) == [
+        (1, 1), (3, 1), (6, 2)]
