@@ -128,6 +128,16 @@ from pyspark.sql import functions as F
 
 from ..sources.cow import RECORD_KEY_FIELD, META_FIELDS, CowTable
 
+# Literal touched-partition predicate bound for window advances: a delta
+# touching more partitions than this re-derives full-input (at that
+# point the window is mostly recomputed anyway). Env-tunable so
+# tools/measure_window_touched_cliff.py can SWEEP it — raise the default
+# only on measurement (house rule).
+WINDOW_TOUCHED_PRED_MAX = int(
+    os.environ.get("SPARK_GRAFT_WINDOW_PRED_MAX", "1024")
+)
+
+
 __all__ = ["AutoMaterializedView", "UnsupportedViewError", "classify_view"]
 
 _HIDDEN_N = "__mv_n"  # signed row count per group (dead-group detector)
@@ -3821,9 +3831,9 @@ class AutoMaterializedView:
                 .join(F.broadcast(touched.alias("__t")), scond, "left_semi")
             )
         rederived = self.plan_fn(snaps)
-        if not spec["restrict_ok"] and n_touched <= 1024:
+        if not spec["restrict_ok"] and n_touched <= WINDOW_TOUCHED_PRED_MAX:
             # literal touched-partition predicate (bounded: a huge
-            # delta touching >1024 partitions re-derives full-input —
+            # delta touching more partitions re-derives full-input —
             # at that point the window is mostly recomputed anyway)
             cond = None
             for row in touched.collect():
@@ -3964,7 +3974,7 @@ class AutoMaterializedView:
                 )
             snaps[name] = snap
         rederived = self.plan_fn(snaps)
-        if unrestricted and n_touched <= 1024:
+        if unrestricted and n_touched <= WINDOW_TOUCHED_PRED_MAX:
             # same trick as _advance_window_tree: the touched tuples as
             # a literal predicate on the OUTPUT partition columns —
             # Catalyst pushes it through the Window, the Union, and
