@@ -129,13 +129,32 @@ from pyspark.sql import functions as F
 from ..sources.cow import RECORD_KEY_FIELD, META_FIELDS, CowTable
 
 # Literal touched-partition predicate bound for window advances: a delta
-# touching more partitions than this re-derives full-input (at that
-# point the window is mostly recomputed anyway). Env-tunable so
-# tools/measure_window_touched_cliff.py can SWEEP it — raise the default
-# only on measurement (house rule).
+# touching more partitions than this re-derives full-input. MEASURED
+# round 9 (tools/measure_window_touched_cliff.py, SCALE.md): the OR
+# predicate's Catalyst planning cost grows superlinearly with clause
+# count — 256 clauses planned in ~5s, 1024 took ~40s, eating most of
+# the 65s benefit H18 measured at 1.6M rows — and a left-deep fold of
+# 1024 clauses overflowed the JVM stack outright (fixed: balanced
+# fold). 256 is the measured-sane default; env-tunable for bigger
+# tables where full-input re-derive costs minutes.
 WINDOW_TOUCHED_PRED_MAX = int(
-    os.environ.get("SPARK_GRAFT_WINDOW_PRED_MAX", "1024")
+    os.environ.get("SPARK_GRAFT_WINDOW_PRED_MAX", "256")
 )
+
+
+def _balanced_any(conds: list) -> "F.Column":
+    """OR a list of Columns as a BALANCED tree. A left-deep fold of ~1024
+    clauses overflows the JVM stack in Spark 4's recursive
+    ColumnNode-to-Expression conversion (measured by
+    tools/measure_window_touched_cliff.py: StackOverflowError at the old
+    WINDOW_TOUCHED_PRED_MAX); depth log2(n) converts fine and plans
+    faster."""
+    while len(conds) > 1:
+        conds = [
+            conds[i] | conds[i + 1] if i + 1 < len(conds) else conds[i]
+            for i in range(0, len(conds), 2)
+        ]
+    return conds[0]
 
 
 __all__ = ["AutoMaterializedView", "UnsupportedViewError", "classify_view"]
@@ -3835,14 +3854,14 @@ class AutoMaterializedView:
             # literal touched-partition predicate (bounded: a huge
             # delta touching more partitions re-derives full-input —
             # at that point the window is mostly recomputed anyway)
-            cond = None
-            for row in touched.collect():
-                c = reduce(
+            conds = [
+                reduce(
                     lambda x, y: x & y,
                     [F.col(o).eqNullSafe(F.lit(row[o])) for o in out_parts],
                 )
-                cond = c if cond is None else (cond | c)
-            rederived = rederived.where(cond)
+                for row in touched.collect()
+            ]
+            rederived = rederived.where(_balanced_any(conds))
 
         def part_cond(a, b):
             return reduce(
@@ -3982,14 +4001,14 @@ class AutoMaterializedView:
             # aliases) down to the scans snapshot-level restriction
             # could not reach. Output unchanged: whole partitions pass
             # and the post-trim below is identical.
-            cond = None
-            for row in touched.collect():
-                c = reduce(
+            conds = [
+                reduce(
                     lambda x, y: x & y,
                     [F.col(o).eqNullSafe(F.lit(row[o])) for o in out_parts],
                 )
-                cond = c if cond is None else (cond | c)
-            rederived = rederived.where(cond)
+                for row in touched.collect()
+            ]
+            rederived = rederived.where(_balanced_any(conds))
 
         def part_cond(a, b):
             return reduce(
