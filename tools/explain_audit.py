@@ -186,6 +186,16 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
     # (MapInPandas) and the victims come back by row ordinal — equi-join
     # on (file, ordinal), never a cartesian
     "delta_dv_delete_view": (["MapInPandas"], ["CartesianProduct"]),
+    # round 9: column-mapped Delta — scans must read PHYSICAL columns
+    # (col-NN in ReadSchema) while the output is logical; no cartesians
+    "delta_column_mapping": (["col-01"], ["CartesianProduct"]),
+    # round 9: Iceberg v3 puffin DVs — executor-side blob parse feeds
+    # the ordinal anti-join
+    "iceberg_v3_dv_delete_view": (["MapInPandas", "LeftAnti"],
+                                  ["CartesianProduct"]),
+    # round 9: staged incremental-sync exports read back through the
+    # same foreign readers (union of five sections)
+    "lake_export_incremental": (["Union"], ["CartesianProduct"]),
     # both exports read back through the foreign readers: plain unions
     # of parquet scans over the exported layouts + the Delta delete
     # view's keyed join — no cartesian anywhere in four sections
