@@ -32,6 +32,7 @@ _WINDOW: tuple[str, ...] = (
     # -- round-9 NEW surfaces (never driver-checked; registered only if
     # the module landed, the ``if n in QUERIES`` guard skips the rest)
     "delta_column_mapping",
+    "delta_cm_export",
     "iceberg_v3_dv_delete_view",
     "lake_export_incremental",
     # -- newest green row is round 1 (37): the relational core

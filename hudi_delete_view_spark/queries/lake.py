@@ -3085,3 +3085,75 @@ def lake_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(delta_dv)
         .unionByName(hudi_snap)
     )
+
+
+def _build_cm_export(spark: SparkSession, sf_dir: str) -> str:
+    """Column-mapped Delta export of the scripted lineitem COW table
+    (write direction of r9's column-mapping support), marker-cached
+    like the other export fixtures."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources.delta import DELTA_EXPORT_LAYOUT_VERSION, export_delta
+    from ..sources.fixtures import SCRATCH_ROOT, scratch_tag
+
+    li = build_lineitem_cow(spark, sf_dir)
+    d = _os.path.join(SCRATCH_ROOT, "lake", scratch_tag(sf_dir),
+                      "export_delta_cm")
+    marker = _os.path.join(d, ".export_ok")
+    want = "v1cm:layout{}:{}".format(
+        DELTA_EXPORT_LAYOUT_VERSION, ",".join(li.timeline.timestamps()))
+    have = None
+    if _os.path.exists(marker):
+        with open(marker) as f:
+            have = f.read().strip()
+    if have != want:
+        _shutil.rmtree(d, ignore_errors=True)
+        export_delta(li, d, column_mapping="name")
+        with open(marker, "w") as f:
+            f.write(want)
+    return d
+
+
+@query(
+    "delta_cm_export",
+    oracle=f"""
+WITH li AS ({LINEITEM_DEDUP_CTE})
+SELECT 'snapshot' AS section, {_KEY_SQL} AS rk,
+       CAST({_QTY_SQL} AS DOUBLE) AS qty
+FROM li WHERE l_suppkey % 17 != 0 AND l_suppkey % 23 != 0
+UNION ALL
+SELECT 'travel_c2' AS section, {_KEY_SQL} AS rk,
+       CAST({_QTY_SQL} AS DOUBLE) AS qty
+FROM li
+UNION ALL
+SELECT 'delete_view' AS section, {_KEY_SQL} AS rk,
+       CAST({_QTY_SQL} AS DOUBLE) AS qty
+FROM li WHERE l_suppkey % 17 = 0
+""",
+)
+def delta_cm_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE direction of Delta column mapping (r9): the scripted
+    lineitem COW table exports with column_mapping='name' — data files
+    under physical 'col-NN' names with parquet field ids, physical
+    partitionValues/stats/hive dirs, schemaString carrying the
+    columnMapping metadata, protocol 2/5 — and the foreign reader
+    round-trips it: final snapshot, time travel to the post-upsert
+    version, and the flagship delete view of the C3 DELETE commit,
+    each hash-matched against the from-SQL lineitem oracle."""
+    from ..sources.delta import read_delta_delete_view, read_delta_snapshot
+
+    d = _build_cm_export(spark, sf_dir)
+
+    def proj(df: DataFrame, section: str) -> DataFrame:
+        return df.select(
+            F.lit(section).alias("section"),
+            F.expr(_EXPORT_RK).alias("rk"),
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+
+    snap = proj(read_delta_snapshot(spark, d), "snapshot")
+    tt = proj(read_delta_snapshot(spark, d, version=1), "travel_c2")
+    dv = proj(read_delta_delete_view(spark, d, 2, _EXPORT_KEY_COLS),
+              "delete_view")
+    return snap.unionByName(tt).unionByName(dv)

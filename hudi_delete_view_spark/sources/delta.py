@@ -877,21 +877,37 @@ def _delta_export_work(batches):
     add.partitionValues, not in the file). Emits per-file stats
     (numRecords + min/max of every scalar column, computed from the
     Arrow table in hand) so every add carries real file-skipping
-    stats."""
+    stats. ``cm_json`` (may be empty) maps logical -> (physicalName,
+    field id): columns are renamed and parquet field ids attached, so
+    the stats keys come out PHYSICAL automatically."""
     import json as _json
 
     import pandas as pd
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     for pdf in batches:
         out = []
-        for src, dst, version, pcol in pdf.itertuples(index=False):
+        for src, dst, version, pcol, cm_json in pdf.itertuples(index=False):
             tbl = pq.read_table(src)
             drop = [c for c in tbl.column_names
                     if c in _HOODIE_META_COLS or (pcol and c == pcol)]
             if drop:
                 tbl = tbl.drop_columns(drop)
+            if cm_json:
+                cm = _json.loads(cm_json)
+                fields = []
+                for f in tbl.schema:
+                    phys, fid = cm[f.name]
+                    fields.append(pa.field(
+                        phys, f.type, f.nullable,
+                        metadata={b"PARQUET:field_id": str(fid).encode()},
+                    ))
+                tbl = pa.Table.from_arrays(
+                    [tbl.column(i) for i in range(tbl.num_columns)],
+                    schema=pa.schema(fields),
+                )
             mins: dict = {}
             maxs: dict = {}
             nulls: dict = {}
@@ -930,6 +946,34 @@ def _instant_to_ms(ts: str) -> int:
     )) * 1000
 
 
+def _export_schema_string(schema_json: str, column_mapping: str,
+                          fid_of: dict[str, int]) -> str:
+    """metaData.schemaString for an export: hoodie meta cols dropped;
+    under column mapping every field carries its physicalName/id."""
+    st = T.StructType.fromJson(json.loads(schema_json))
+    out = []
+    for f in st.fields:
+        if f.name in _HOODIE_META_COLS:
+            continue
+        d = json.loads(f.json())
+        if column_mapping == "name":
+            fid = fid_of[f.name]
+            d["metadata"] = {**(d.get("metadata") or {}),
+                             _CM_ID: fid,
+                             _CM_PHYS: f"col-{fid:02d}"}
+        out.append(d)
+    return json.dumps({"type": "struct", "fields": out})
+
+
+def _export_configuration(column_mapping: str,
+                          fid_of: dict[str, int]) -> dict:
+    if column_mapping != "name":
+        return {}
+    return {"delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId":
+                str(max(fid_of.values(), default=0))}
+
+
 # Bumped on any change to the on-disk layout this exporter writes, so
 # callers that cache exports (e.g. lake_export_interop's marker file)
 # invalidate stale directories automatically (r8 ADVICE).
@@ -937,7 +981,8 @@ DELTA_EXPORT_LAYOUT_VERSION = 1
 
 
 def export_delta(table, out_dir: str, table_name: str = "export_delta",
-                 up_to: str | None = None) -> str:
+                 up_to: str | None = None,
+                 column_mapping: str = "none") -> str:
     """Export a native COW table as a GENUINE Delta Lake layout: one
     log version per native commit (adds with real stats + removes from
     the slice-predecessor pairing), hive-partitioned data files without
@@ -961,7 +1006,24 @@ def export_delta(table, out_dir: str, table_name: str = "export_delta",
     exported bytes are never rewritten). The exported log must be a
     prefix of the native timeline (commitInfo timestamps compared);
     divergence raises. The original metaData id is reused so the table
-    identity stays stable across sync calls."""
+    identity stays stable across sync calls.
+
+    COLUMN MAPPING (round 9, write direction): ``column_mapping="name"``
+    writes the layout a renamed/dropped-column Databricks table ships
+    with — data files store columns under physical names ('col-<id>')
+    with parquet field ids, partitionValues/stats keys/hive dirs are
+    physical, schemaString carries the
+    ``delta.columnMapping.physicalName``/``.id`` field metadata, and
+    the protocol gates at minReaderVersion 2 / minWriterVersion 5.
+    Field ids assign by first appearance across the timeline's schemas
+    (deterministic, so incremental sync reproduces the mapping).
+    Nested columns refuse by name (the READER handles nesting; this
+    writer's sources are flat lake tables)."""
+    if column_mapping not in ("none", "name"):
+        raise DeltaFormatError(
+            f"export_delta column_mapping={column_mapping!r} not "
+            "supported (use 'none' or 'name')"
+        )
     if any(
         stat.log_file
         for ts in table.timeline.timestamps()
@@ -1013,24 +1075,60 @@ def export_delta(table, out_dir: str, table_name: str = "export_delta",
     if exported_n == len(timestamps):
         return out_dir  # nothing new: byte-level no-op
 
+    # column mapping: field ids assign by FIRST APPEARANCE across the
+    # timeline's schemas (hoodie meta cols excluded) — deterministic,
+    # so an incremental sync call reproduces the identical mapping
+    fid_of: dict[str, int] = {}
+    if column_mapping == "name":
+        for ts in timestamps:
+            sj = table.timeline.commit_metadata(ts).schema_json
+            if not sj:
+                continue
+            st = T.StructType.fromJson(json.loads(sj))
+            for f in st.fields:
+                if f.name in _HOODIE_META_COLS:
+                    continue
+                if not isinstance(
+                    f.dataType,
+                    (T.StructType, T.ArrayType, T.MapType),
+                ):
+                    fid_of.setdefault(f.name, len(fid_of) + 1)
+                else:
+                    raise DeltaFormatError(
+                        f"column {f.name!r}: nested types not supported "
+                        "by the column-mapping export (flat lake "
+                        "schemas only)"
+                    )
+
+    def _phys(name: str) -> str:
+        return f"col-{fid_of[name]:02d}" if column_mapping == "name" else name
+
     # driver planning pass: work units + per-version add/remove skeletons
     # (the walk covers the FULL timeline to rebuild file-id lineage and
     # schema state, but only versions >= exported_n enqueue work)
-    work: list[tuple[str, str, int, str]] = []
+    work: list[tuple[str, str, int, str, str]] = []
     versions: list[dict] = []  # {version, ts, adds:[(rel, pv)], removes:[rel], schema_json}
     fid_path: dict[str, str] = {}
     for v, ts in enumerate(timestamps):
         meta = table.timeline.commit_metadata(ts)
         adds, removes = [], []
+        cm_json = ""
+        if column_mapping == "name" and meta.schema_json:
+            st = T.StructType.fromJson(json.loads(meta.schema_json))
+            cm_json = json.dumps({
+                f.name: [_phys(f.name), fid_of[f.name]]
+                for f in st.fields
+                if f.name not in _HOODIE_META_COLS and f.name != pf
+            })
         for partition, stat in meta.all_stats():
             pv = partition if pf else None
-            seg = _hive_segment(pf, pv) if pf else ""
+            seg = _hive_segment(_phys(pf), pv) if pf else ""
             fname = f"part-{v:05d}-{stat.file_id}-c000.parquet"
             rel = f"{seg}/{fname}" if seg else fname
             if v >= exported_n:
                 work.append((
                     os.path.join(table.base_path, stat.path),
-                    os.path.join(out_dir, rel), v, pf or "",
+                    os.path.join(out_dir, rel), v, pf or "", cm_json,
                 ))
             adds.append((rel, pv))
             prev = fid_path.get(stat.file_id)
@@ -1046,7 +1144,9 @@ def export_delta(table, out_dir: str, table_name: str = "export_delta",
     if work:
         for r in (
             table.spark.createDataFrame(
-                work, "src string, dst string, version long, pv string"
+                work,
+                "src string, dst string, version long, pv string, "
+                "cm string",
             )
             .repartition(min(len(work), 256))
             .mapInPandas(
@@ -1089,24 +1189,23 @@ def export_delta(table, out_dir: str, table_name: str = "export_delta",
             "engineInfo": f"hudi-delete-view-spark export/{table_name}",
         }})]
         if v == 0:
-            lines.append(json.dumps({"protocol": {
-                "minReaderVersion": 1, "minWriterVersion": 2}}))
+            proto = (
+                {"minReaderVersion": 2, "minWriterVersion": 5}
+                if column_mapping == "name"
+                else {"minReaderVersion": 1, "minWriterVersion": 2}
+            )
+            lines.append(json.dumps({"protocol": proto}))
         schema_json = ventry["schema_json"]
         if schema_json and schema_json != last_schema:
-            st = T.StructType.fromJson(json.loads(schema_json))
-            fields = [
-                f for f in st.fields if f.name not in _HOODIE_META_COLS
-            ]
-            schema_string = json.dumps(
-                {"type": "struct",
-                 "fields": [json.loads(f.json()) for f in fields]}
-            )
             lines.append(json.dumps({"metaData": {
                 "id": meta_id, "name": table_name,
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": schema_string,
+                "schemaString": _export_schema_string(
+                    schema_json, column_mapping, fid_of),
                 "partitionColumns": [pf] if pf else [],
-                "configuration": {}, "createdTime": ts_ms,
+                "configuration": _export_configuration(
+                    column_mapping, fid_of),
+                "createdTime": ts_ms,
             }}))
             last_schema = schema_json
         for rel in ventry["removes"]:
@@ -1118,7 +1217,7 @@ def export_delta(table, out_dir: str, table_name: str = "export_delta",
             size, stats = results[os.path.basename(rel)]
             add = {
                 "path": rel,
-                "partitionValues": ({pf: pv} if pf else {}),
+                "partitionValues": ({_phys(pf): pv} if pf else {}),
                 "size": size, "modificationTime": ts_ms,
                 "dataChange": True, "stats": stats,
             }
@@ -1148,19 +1247,22 @@ def export_delta(table, out_dir: str, table_name: str = "export_delta",
             ("dataChange", pa.bool_()), ("stats", pa.string()),
         ])),
     ])
-    st = T.StructType.fromJson(json.loads(last_schema)) if last_schema else None
-    fields = [f for f in (st.fields if st else [])
-              if f.name not in _HOODIE_META_COLS]
+    cp_proto = (
+        {"minReaderVersion": 2, "minWriterVersion": 5}
+        if column_mapping == "name"
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
     rows = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
-         "metaData": None, "add": None},
+        {"protocol": cp_proto, "metaData": None, "add": None},
         {"protocol": None, "metaData": {
             "id": meta_id, "name": table_name,
-            "schemaString": json.dumps(
-                {"type": "struct",
-                 "fields": [json.loads(f.json()) for f in fields]}),
+            "schemaString": (
+                _export_schema_string(last_schema, column_mapping, fid_of)
+                if last_schema else json.dumps(
+                    {"type": "struct", "fields": []})),
             "partitionColumns": [pf] if pf else [],
-            "configuration": [],
+            "configuration": list(
+                _export_configuration(column_mapping, fid_of).items()),
             "createdTime": _instant_to_ms(timestamps[0]),
         }, "add": None},
     ] + [

@@ -173,3 +173,108 @@ def test_cm_cdc_and_incremental(spark):
     inc = read_delta_incremental(spark, CM_FIXTURE, 0, 2)
     assert sorted((r.id, r._commit_version) for r in inc.collect()) == [
         (1, 1), (3, 1), (6, 2)]
+
+
+def test_cm_export_round_trip(spark, scratch):
+    """WRITE direction (r9): export_delta(column_mapping='name') writes
+    the physically-renamed layout — parquet columns + hive dirs +
+    partitionValues/stats keys all 'col-NN', field ids attached,
+    protocol 2/5 — and the own reader round-trips every version and the
+    flagship delete view."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hudi_delete_view_spark.sources.cow import CowTable
+    from hudi_delete_view_spark.sources.delta import (
+        export_delta,
+        read_delta_delete_view,
+        read_delta_snapshot,
+    )
+
+    t = CowTable(spark, os.path.join(scratch, "cme_src"), key_fields=["k"],
+                 partition_field="p", num_file_groups=2)
+    t.bulk_insert(spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i * 10) for i in range(40)],
+        "k long, p string, v long"), "20260101000000")
+    t.upsert(spark.createDataFrame([(3, "a", 333)],
+                                   "k long, p string, v long"),
+             "20260102000000")
+    t.delete(spark.createDataFrame([(4, "b"), (5, "a")], "k long, p string"),
+             "20260103000000")
+    out = export_delta(t, os.path.join(scratch, "cme_exp"),
+                       column_mapping="name")
+
+    st = resolve_delta_state(out)
+    assert st.column_mapping_mode == "name"
+    assert st.logical_to_physical() == {
+        "k": "col-01", "p": "col-02", "v": "col-03"}
+    f0 = glob.glob(os.path.join(out, "col-02=*", "part-00000*"))[0]
+    sch = pq.read_schema(f0)
+    assert sch.names == ["col-01", "col-03"]  # physical, partition dropped
+    assert sch.field("col-01").metadata[b"PARQUET:field_id"] == b"1"
+
+    for v, ts in enumerate(t.timeline.timestamps()):
+        got = {(r.k, r.p, r.v)
+               for r in read_delta_snapshot(spark, out, version=v).collect()}
+        want = {(r.k, r.p, r.v)
+                for r in t.snapshot(ts).select("k", "p", "v").collect()}
+        assert got == want, f"version {v}"
+    dv = read_delta_delete_view(spark, out, 2, ["k"])
+    assert sorted(r.k for r in dv.collect()) == [4, 5]
+
+
+def test_cm_export_incremental_sync_keeps_mapping(spark, scratch):
+    """A sync call reproduces the identical field-id assignment (ids by
+    first appearance — deterministic), so physical names stay stable
+    and every pre-existing byte is untouched."""
+    from hudi_delete_view_spark.sources.cow import CowTable
+    from hudi_delete_view_spark.sources.delta import (
+        export_delta,
+        read_delta_snapshot,
+        resolve_delta_state,
+    )
+
+    t = CowTable(spark, os.path.join(scratch, "cmi_src"), key_fields=["k"],
+                 partition_field="p", num_file_groups=2)
+    t.bulk_insert(spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i * 10) for i in range(20)],
+        "k long, p string, v long"), "20260101000000")
+    out = os.path.join(scratch, "cmi_exp")
+    export_delta(t, out, column_mapping="name")
+
+    def _state(root):
+        st = {}
+        for r, _d, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(r, f)
+                st[os.path.relpath(p, root)] = os.stat(p).st_mtime_ns
+        return st
+
+    before = _state(out)
+    t.upsert(spark.createDataFrame([(3, "a", 333)],
+                                   "k long, p string, v long"),
+             "20260102000000")
+    export_delta(t, out, column_mapping="name")
+    after = _state(out)
+    changed = [rel for rel in before if after.get(rel) != before[rel]]
+    assert changed == [os.path.join("_delta_log", "_last_checkpoint")]
+    assert resolve_delta_state(out).logical_to_physical() == {
+        "k": "col-01", "p": "col-02", "v": "col-03"}
+    got = {(r.k, r.v) for r in read_delta_snapshot(spark, out)
+           .select("k", "v").collect()}
+    want = {(r.k, r.v) for r in t.snapshot().select("k", "v").collect()}
+    assert got == want
+
+
+def test_cm_export_refusals(spark, scratch):
+    from hudi_delete_view_spark.sources.cow import CowTable
+    from hudi_delete_view_spark.sources.delta import export_delta
+
+    t = CowTable(spark, os.path.join(scratch, "cmr_src"), key_fields=["k"],
+                 num_file_groups=1)
+    t.bulk_insert(spark.createDataFrame([(1, 10)], "k long, v long"),
+                  "20260101000000")
+    with pytest.raises(DeltaFormatError, match="column_mapping"):
+        export_delta(t, os.path.join(scratch, "cmr_exp"),
+                     column_mapping="id")
