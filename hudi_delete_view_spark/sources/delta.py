@@ -18,7 +18,11 @@ https://github.com/delta-io/delta/blob/master/PROTOCOL.md):
   compacted state at a version — replay starts from the newest eligible
   checkpoint and applies only the JSON deltas after it, so a
   100k-commit table costs one parquet read + a handful of JSONs, not
-  100k JSON parses. Older JSONs may be vacuumed; requesting a version
+  100k JSON parses. **V2 checkpoints (round 9)**: a uniquely-named
+  ``<v>.checkpoint.<uuid>.{json|parquet}`` top-level file
+  (protocol/metaData/checkpointMetadata) whose SIDECAR actions
+  reference add/remove parquet under ``_delta_log/_sidecars/`` — the
+  ``v2Checkpoint`` reader feature is supported. Older JSONs may be vacuumed; requesting a version
   below the earliest reconstructable one raises with the available
   range named.
 - **Snapshot semantics**: replay actions in version order; last
@@ -73,7 +77,9 @@ LOG_DIR = "_delta_log"
 
 # reader features this implementation actually honors (PROTOCOL.md
 # "reader features"); anything else refuses by name
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint",
+}
 
 
 class DeltaFormatError(ValueError):
@@ -393,12 +399,61 @@ def resolve_delta_state(base_path: str, version: int | None = None) -> DeltaStat
                     d[k] = dict(v)
             return d
 
-        for path in _checkpoint_files(base_path, cp["version"], cp.get("parts")):
-            tbl = pq.read_table(path)
-            for rec in tbl.to_pylist():
-                for kind in ("protocol", "metaData", "add", "remove"):
-                    if rec.get(kind) is not None:
-                        _apply_action(state, {kind: _norm_maps(rec[kind])})
+        def _apply_rec(rec: dict) -> list[str]:
+            """Apply one checkpoint row; returns sidecar paths found."""
+            sides = []
+            sc = rec.get("sidecar")
+            if sc is not None and sc.get("path"):
+                sides.append(sc["path"])
+            for kind in ("protocol", "metaData", "add", "remove"):
+                if rec.get(kind) is not None:
+                    _apply_action(state, {kind: _norm_maps(rec[kind])})
+            return sides
+
+        if cp.get("type") == "v2" or cp.get("path"):
+            # V2 CHECKPOINT (PROTOCOL.md "V2 Checkpoints"): a single
+            # uniquely-named top-level file (json or parquet) holding
+            # protocol/metaData/checkpointMetadata plus SIDECAR actions
+            # whose parquet files under _delta_log/_sidecars/ carry the
+            # add/remove state
+            name = cp.get("path")
+            if not name:
+                import glob as _glob
+
+                hits = sorted(
+                    _glob.glob(os.path.join(
+                        _log_path(base_path),
+                        f"{cp['version']:020d}.checkpoint.*",
+                    ))
+                )
+                if not hits:
+                    raise DeltaFormatError(
+                        f"v2 checkpoint for version {cp['version']} not "
+                        "found"
+                    )
+                name = os.path.basename(hits[0])
+            top = os.path.join(_log_path(base_path), name)
+            sidecars: list[str] = []
+            if top.endswith(".json"):
+                with open(top) as f:
+                    for line in f:
+                        line = line.strip()
+                        if line:
+                            sidecars += _apply_rec(json.loads(line))
+            else:
+                for rec in pq.read_table(top).to_pylist():
+                    sidecars += _apply_rec(rec)
+            for rel in sidecars:
+                sp = os.path.join(_log_path(base_path), "_sidecars", rel)
+                for rec in pq.read_table(sp).to_pylist():
+                    _apply_rec(rec)
+        else:
+            for path in _checkpoint_files(
+                base_path, cp["version"], cp.get("parts")
+            ):
+                tbl = pq.read_table(path)
+                for rec in tbl.to_pylist():
+                    _apply_rec(rec)
         start = cp["version"] + 1
 
     replay = [v for v in versions if start <= v <= target]

@@ -152,15 +152,16 @@ def test_delta_protocol_refusals(spark, tmp_path):
     with pytest.raises(DeltaFormatError, match="columnMapping"):
         read_delta_snapshot(spark, cm, version=0)
 
-    # reader feature gate: deletionVectors/timestampNtz pass, anything
-    # else refuses with the feature named
+    # reader feature gate: deletionVectors/timestampNtz/columnMapping/
+    # v2Checkpoint (all supported) pass; anything else refuses with the
+    # feature named
     rf = os.path.join(tmp_path, "rf")
     shutil.copytree(FIXTURE, rf)
     _append_commit(rf, 7, [{"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors", "v2Checkpoint"]}}],
+        "readerFeatures": ["deletionVectors", "typeWidening"]}}],
         TS0 + 420_000)
-    with pytest.raises(DeltaFormatError, match="v2Checkpoint"):
+    with pytest.raises(DeltaFormatError, match="typeWidening"):
         read_delta_snapshot(spark, rf)
 
 
@@ -516,3 +517,121 @@ def test_dv_descriptor_u_path_prefixes():
         assert kind == "file" and off == 1
         want = f"/tbl/{dir_part}deletion_vector_{u}.bin"
         assert path == want, (encoded_prefix, path, want)
+
+
+def test_delta_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """V2 CHECKPOINT (PROTOCOL.md "V2 Checkpoints", round 9): a
+    uniquely-named top-level checkpoint carrying protocol/metaData/
+    checkpointMetadata plus SIDECAR actions whose parquet files under
+    _delta_log/_sidecars/ hold the add/remove state. Proof: the v0-v3
+    JSONs are DELETED (vacuumed), so only the v2 checkpoint can seed
+    replay — snapshot, post-checkpoint deltas, and BOTH DV commits must
+    still resolve. The checkpoint bytes are built here with raw
+    pyarrow/json (independent of the package's writers)."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    v2 = os.path.join(tmp_path, "v2cp")
+    shutil.copytree(FIXTURE, v2)
+    log = os.path.join(v2, "_delta_log")
+    # state at v3 (mirrors the classic checkpoint the fixture ships):
+    # metaData + adds for F3 (part=a) and F5 (part=b, OPTIMIZE output)
+    with open(os.path.join(log, f"{0:020d}.json")) as f:
+        meta_action = next(
+            json.loads(x)["metaData"] for x in f.read().splitlines()
+            if "metaData" in x)
+    adds = {}
+    for v in (2, 3):
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f.read().splitlines():
+                a = json.loads(line)
+                if "add" in a:
+                    adds[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    adds.pop(a["remove"]["path"], None)
+    assert len(adds) == 2
+
+    map_t = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct([
+        ("path", pa.string()), ("partitionValues", map_t),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()), ("stats", pa.string()),
+    ])
+    side_schema = pa.schema([("add", add_t)])
+    os.makedirs(os.path.join(log, "_sidecars"))
+    side_names = []
+    for i, a in enumerate(sorted(adds.values(), key=lambda x: x["path"])):
+        rec = {"add": {
+            "path": a["path"],
+            "partitionValues": list(a["partitionValues"].items()),
+            "size": a["size"], "modificationTime": a["modificationTime"],
+            "dataChange": a["dataChange"], "stats": a.get("stats"),
+        }}
+        name = f"016ae953-37a1-4316-91c2-00000000000{i}.parquet"
+        _pq.write_table(pa.Table.from_pylist([rec], schema=side_schema),
+                        os.path.join(log, "_sidecars", name))
+        side_names.append(name)
+
+    proto_t = pa.struct([
+        ("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
+    ])
+    meta_t = pa.struct([
+        ("id", pa.string()), ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", map_t), ("createdTime", pa.int64()),
+    ])
+    side_t = pa.struct([
+        ("path", pa.string()), ("sizeInBytes", pa.int64()),
+        ("modificationTime", pa.int64()),
+    ])
+    cpmeta_t = pa.struct([("version", pa.int64())])
+    top_schema = pa.schema([
+        ("protocol", proto_t), ("metaData", meta_t),
+        ("checkpointMetadata", cpmeta_t), ("sidecar", side_t),
+    ])
+    rows = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint",
+                                         "deletionVectors"],
+                      "writerFeatures": ["v2Checkpoint"]},
+         "metaData": None, "checkpointMetadata": None, "sidecar": None},
+        {"protocol": None,
+         "metaData": {"id": meta_action["id"],
+                      "schemaString": meta_action["schemaString"],
+                      "partitionColumns": meta_action["partitionColumns"],
+                      "configuration": [], "createdTime": None},
+         "checkpointMetadata": None, "sidecar": None},
+        {"protocol": None, "metaData": None,
+         "checkpointMetadata": {"version": 3}, "sidecar": None},
+    ] + [
+        {"protocol": None, "metaData": None, "checkpointMetadata": None,
+         "sidecar": {"path": n, "sizeInBytes": 1, "modificationTime": 1}}
+        for n in side_names
+    ]
+    top_name = (f"{3:020d}.checkpoint."
+                "80a083e8-7026-4e79-81be-000000000000.parquet")
+    _pq.write_table(pa.Table.from_pylist(rows, schema=top_schema),
+                    os.path.join(log, top_name))
+    # replace the classic checkpoint pointer + delete vacuumed history
+    os.remove(os.path.join(log, f"{3:020d}.checkpoint.parquet"))
+    for v in range(4):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 3, "size": len(rows), "type": "v2",
+                   "path": top_name}, f)
+
+    # current snapshot (v6): post-checkpoint insert + cumulative DV
+    snap = {r.id: (r.value, r.part)
+            for r in read_delta_snapshot(spark, v2).collect()}
+    assert snap == {"id1": (10, "a"), "id3": (333, "a"), "id7": (70, "a")}
+    # travel to the checkpoint version itself
+    v3s = {r.id for r in read_delta_snapshot(spark, v2, version=3).collect()}
+    assert v3s == {"id1", "id3", "id4", "id6"}
+    # vacuumed below the checkpoint: refuses by name
+    with pytest.raises(DeltaFormatError, match="cannot reconstruct"):
+        read_delta_snapshot(spark, v2, version=2)
+    # the DV delete view still reconstructs across the v2 checkpoint
+    dv = read_delta_delete_view(spark, v2, 5)
+    assert [r.id for r in dv.collect()] == ["id4"]
