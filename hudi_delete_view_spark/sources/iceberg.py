@@ -378,7 +378,7 @@ def _apply_eq_deletes(
         combined = cond[0]
         for c in cond[1:]:
             combined = combined & c
-        out = out.join(dels, combined, "left_anti")
+        out = out.join(_size_hint(dels, files), combined, "left_anti")
     return out.select(*names, "__seq")
 
 
@@ -437,48 +437,80 @@ def _is_dv(f: dict) -> bool:
 
 
 def _read_dv_positions(
-    spark: SparkSession, base_path: str, meta: dict, files: list[dict]
+    spark: SparkSession, base_path: str, meta: dict, files: list[dict],
+    minus: list[dict] | None = None,
 ) -> DataFrame:
     """(file_path, pos) rows of v3 deletion vectors. Blob bytes parse
     EXECUTOR-side (one task slice per DV — a 100 TB table carries one
     DV per data file; the driver ships only (path, offset, size,
-    referenced) tuples), mirroring the Delta DV path."""
+    referenced) tuples), mirroring the Delta DV path.
+
+    ``minus``: superseded DVs to subtract INSIDE the same task (v3 DVs
+    are cumulative and at most one per data file, so new-minus-old is a
+    per-referenced-file set difference — fusing it here replaces a
+    second mapInPandas subtree plus a shuffle-backed anti-join with one
+    extra blob read per task; guide §2.4, remove shuffles outright)."""
+    import json as _json
+
     import pandas as pd  # noqa: F401  (executor dependency, imported for clarity)
 
     location = meta.get("location", "")
+
+    def _ref_of(f: dict) -> str:
+        ref = f.get("referenced_data_file")
+        if ref is None:
+            raise IcebergFormatError(
+                f"deletion vector {f.get('file_path')!r} records no "
+                "referenced_data_file — cannot apply; refused rather "
+                "than resurrect deleted rows"
+            )
+        return ref
+
+    old_by_ref: dict[str, list] = {}
+    for f in minus or []:
+        old_by_ref.setdefault(_ref_of(f), []).append((
+            _relocate(f["file_path"], location, base_path),
+            int(f.get("content_offset") or 0),
+            int(f.get("content_size_in_bytes") or 0),
+        ))
     # the puffin path relocates for READING; the referenced data file
     # stays RECORDED — __path on data rows re-attaches the recorded URI
     work = [(
         _relocate(f["file_path"], location, base_path),
         int(f.get("content_offset") or 0),
         int(f.get("content_size_in_bytes") or 0),
-        f.get("referenced_data_file"),
+        _ref_of(f),
+        _json.dumps(old_by_ref.get(_ref_of(f), [])),
     ) for f in files]
-    for w in work:
-        if w[3] is None:
-            raise IcebergFormatError(
-                f"deletion vector {w[0]!r} records no "
-                "referenced_data_file — cannot apply; refused rather "
-                "than resurrect deleted rows"
-            )
 
     def parse(batches):
+        import json
+
         import pandas as pd
 
         from ..plans.puffin import parse_dv_blob_at
 
         for pdf in batches:
             out = []
-            for path, off, size, ref in pdf.itertuples(index=False):
+            for path, off, size, ref, old_json in pdf.itertuples(index=False):
                 with open(path, "rb") as fh:
                     data = fh.read()
-                for p in parse_dv_blob_at(data, int(off), int(size)):
-                    out.append((ref, p))
+                positions = parse_dv_blob_at(data, int(off), int(size))
+                old = json.loads(old_json)
+                if old:
+                    dead = set()
+                    for opath, ooff, osize in old:
+                        with open(opath, "rb") as fh:
+                            odata = fh.read()
+                        dead.update(parse_dv_blob_at(odata, int(ooff), int(osize)))
+                    positions = [p for p in positions if p not in dead]
+                out.extend((ref, p) for p in positions)
             yield pd.DataFrame(out, columns=["file_path", "pos"])
 
     return (
         spark.createDataFrame(
-            work, "puffin string, off long, size long, ref string"
+            work,
+            "puffin string, off long, size long, ref string, old string",
         )
         .repartition(min(len(work), 64))
         .mapInPandas(parse, "file_path string, pos long")
@@ -508,6 +540,66 @@ def _read_pos_deletes(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# Manifest-driven join sizing: every delete file's entry records its
+# record_count, so the TOTAL number of (path, pos) delete rows is known
+# driver-side before any data is read. Below this bound the delete side
+# ships as a broadcast relation instead of shuffling the (much larger)
+# data side into a sort-merge join (guide §3.1 — pick the strategy
+# deliberately; size estimates for a mapInPandas subtree are otherwise
+# unknowable to Catalyst and default to sort-merge). 1M position rows is
+# ~100 MB built — comfortable for executors at any cluster size; beyond
+# it the shuffled join is the right call, so this degrades, never breaks.
+_BROADCAST_DELETE_ROWS_MAX = int(
+    os.environ.get("SPARK_GRAFT_ICE_BCAST_DELETE_ROWS", 1_000_000)
+)
+
+
+def _size_hint(dels: DataFrame, files: list[dict]) -> DataFrame:
+    """Broadcast-hint ``dels`` when the manifests bound its rows."""
+    total = 0
+    for f in files:
+        rc = f.get("record_count")
+        if rc is None:
+            return dels
+        total += int(rc)
+    return F.broadcast(dels) if total <= _BROADCAST_DELETE_ROWS_MAX else dels
+
+
+def _pos_delete_targets(
+    spark: SparkSession, base_path: str, meta: dict, files: list[dict]
+) -> set:
+    """Basenames of the data files the given position-delete files can
+    target. v3 DVs record referenced_data_file in the MANIFEST, so their
+    targets resolve metadata-only — no Spark job; plain position-delete
+    parquet is scanned for its distinct file_path column (one tiny
+    columnar read). A superset is sound: callers only use this to prune
+    the candidate scan list, the (path, pos) join stays exact."""
+    targets: set = set()
+    plain = []
+    for f in files:
+        if _is_dv(f):
+            ref = f.get("referenced_data_file")
+            if ref is None:
+                raise IcebergFormatError(
+                    f"deletion vector {f.get('file_path')!r} records no "
+                    "referenced_data_file — cannot apply; refused rather "
+                    "than resurrect deleted rows"
+                )
+            targets.add(os.path.basename(ref))
+        else:
+            plain.append(f)
+    if plain:
+        location = meta.get("location", "")
+        paths = [_relocate(f["file_path"], location, base_path) for f in plain]
+        schema = T.StructType([T.StructField("file_path", T.StringType())])
+        for r in (
+            spark.read.schema(schema).parquet(*paths)
+            .select("file_path").distinct().collect()
+        ):  # KB-scale: delete files name few targets
+            targets.add(os.path.basename(r["file_path"]))
+    return targets
 
 
 def _identity_partition_names(meta: dict) -> dict[str, str]:
@@ -582,7 +674,7 @@ def read_iceberg_snapshot(
         dels = _read_pos_deletes(spark, base_path, meta, pos).select(
             F.col("file_path").alias("__path"), F.col("pos").alias("__pos")
         )
-        rows = rows.join(dels, ["__path", "__pos"], "left_anti")
+        rows = rows.join(_size_hint(dels, pos), ["__path", "__pos"], "left_anti")
     if eq:
         rows = _apply_eq_deletes(
             spark, base_path, meta, schema,
@@ -727,29 +819,44 @@ def read_iceberg_delete_view(
                 dels = spark.read.schema(eq_schema).parquet(
                     _relocate(f["file_path"], location, base_path)
                 )
-                parts.append(prev_rows.join(dels, cols, "left_semi"))
+                parts.append(
+                    prev_rows.join(_size_hint(dels, [f]), cols, "left_semi")
+                )
     if pos_added:
-        # exact MOR reconstruction: only the files the new deletes name
-        dels = _read_pos_deletes(spark, base_path, meta, pos_added).select(
-            F.col("file_path").alias("__path"), F.col("pos").alias("__pos")
-        )
+        # exact MOR reconstruction: only the files the new deletes name.
         # v3 deletion vectors are CUMULATIVE (at most one DV per data
         # file; a new DV supersedes — and contains — the old one, which
         # S marks DELETED): the commit's own delta is new minus old,
-        # exactly the Delta DV delete-view algebra
+        # exactly the Delta DV delete-view algebra. The subtraction is
+        # fused into the DV parse task (per-referenced-file set
+        # difference) when the added position deletes are all DVs —
+        # identical output to the former two-subtree anti-join, minus
+        # its two exchanges; a mixed added set (plain files + DVs with
+        # superseded priors) keeps the general anti-join.
         superseded = [f for f in pos_removed if _is_dv(f)]
-        if superseded and any(_is_dv(f) for f in pos_added):
-            old = _read_pos_deletes(
-                spark, base_path, meta, superseded
+        dv_added = [f for f in pos_added if _is_dv(f)]
+        if superseded and dv_added and len(dv_added) == len(pos_added):
+            dels = _read_dv_positions(
+                spark, base_path, meta, dv_added, minus=superseded
             ).select(
-                F.col("file_path").alias("__path"),
-                F.col("pos").alias("__pos"),
+                F.col("file_path").alias("__path"), F.col("pos").alias("__pos")
             )
-            dels = dels.join(old, ["__path", "__pos"], "left_anti")
-        targets = {
-            os.path.basename(r["__path"])
-            for r in dels.select("__path").distinct().collect()
-        }  # KB-scale: delete files name few targets
+        else:
+            dels = _read_pos_deletes(spark, base_path, meta, pos_added).select(
+                F.col("file_path").alias("__path"), F.col("pos").alias("__pos")
+            )
+            if superseded and dv_added:
+                old = _read_pos_deletes(
+                    spark, base_path, meta, superseded
+                ).select(
+                    F.col("file_path").alias("__path"),
+                    F.col("pos").alias("__pos"),
+                )
+                dels = dels.join(old, ["__path", "__pos"], "left_anti")
+        # target pruning resolves from MANIFEST metadata for DVs (no
+        # Spark job; formerly a collect over the parsed delete rows) —
+        # a superset is sound, the (path, pos) join below stays exact
+        targets = _pos_delete_targets(spark, base_path, meta, pos_added)
         target_files = [
             f for f in live_data + removed_data
             if os.path.basename(f["file_path"]) in targets
@@ -758,9 +865,8 @@ def read_iceberg_delete_view(
             spark, base_path, meta, schema, target_files, with_ordinal=True
         )
         parts.append(
-            rows.join(dels, ["__path", "__pos"], "inner").select(
-                *[f.name for f in schema.fields]
-            )
+            rows.join(_size_hint(dels, pos_added), ["__path", "__pos"],
+                      "inner").select(*[f.name for f in schema.fields])
         )
     if removed_data:
         if not key_cols:
@@ -779,7 +885,8 @@ def read_iceberg_delete_view(
                 F.col("file_path").alias("__path"),
                 F.col("pos").alias("__pos"),
             )
-            cand = cand.join(prior, ["__path", "__pos"], "left_anti")
+            cand = cand.join(_size_hint(prior, pos_prior),
+                             ["__path", "__pos"], "left_anti")
         cand = cand.select(*[f.name for f in schema.fields])
         if added_data:
             survivors = _read_data_files(
