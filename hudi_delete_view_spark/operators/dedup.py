@@ -778,39 +778,53 @@ def embedding_neardup_pairs(
             )
             .select("__t", "__b", "__lvl")
         )
-        vb = (
-            vb.join(F.broadcast(hot), ["__t", "__b"], "left")
-            .withColumn("__lvl", F.coalesce(F.col("__lvl"), F.lit(0)))
-            .withColumn(
-                "__key",
-                F.expr(
-                    "__b + shiftleft("
-                    "(__r & (shiftleft(1L, __lvl) - 1)) | shiftleft(1L, __lvl), "
-                    f"{bucket_bits})"
-                ),
+        # eager probe: on the COMMON corpus no bucket exceeds the cap, yet
+        # the split/star plumbing below (broadcast-join + recount + two
+        # star subtrees) would re-evaluate the bucketing UDF several times
+        # and add five shuffled stages that all come back empty — measured
+        # 2.4s vs 1.1s at sf0.1, pure guard overhead. One bounded driver
+        # boolean (the occupancy aggregation, which the guard needs
+        # anyway) picks the shape: hot buckets -> the full split/star
+        # machinery, none -> the plain bucket keys. Output is identical
+        # by construction (all lvl=0 keys are __b + 2^bucket_bits, a
+        # bijective relabel of __b; star side is empty).
+        if hot.isEmpty():
+            vb = vb.select("__vid", "__t", F.col("__b").alias("__key"))
+            star_pairs = None
+        else:
+            vb = (
+                vb.join(F.broadcast(hot), ["__t", "__b"], "left")
+                .withColumn("__lvl", F.coalesce(F.col("__lvl"), F.lit(0)))
+                .withColumn(
+                    "__key",
+                    F.expr(
+                        "__b + shiftleft("
+                        "(__r & (shiftleft(1L, __lvl) - 1)) | shiftleft(1L, __lvl), "
+                        f"{bucket_bits})"
+                    ),
+                )
             )
-        )
-        # stage 2: residual buckets (over cap even after every reserve
-        # bit — (near-)identical vectors) switch to star pairing. Only
-        # rows from split (lvl>0) buckets can be residual — an unsplit
-        # bucket holds <= cap by definition — so the recount runs over
-        # that small subset, not the full corpus.
-        hot2 = (
-            vb.filter(F.col("__lvl") > 0)
-            .groupBy("__t", "__key")
-            .agg(F.count("*").alias("__n2"))
-            .filter(F.col("__n2") > bucket_cap)
-            .select("__t", "__key")
-        )
-        vb = vb.select("__vid", "__t", "__key")
-        members = vb.join(F.broadcast(hot2), ["__t", "__key"])
-        centers = members.groupBy("__t", "__key").agg(F.min("__vid").alias("id_a"))
-        star_pairs = (
-            members.join(F.broadcast(centers), ["__t", "__key"])
-            .filter(F.col("__vid") != F.col("id_a"))
-            .select("id_a", F.col("__vid").alias("id_b"))
-        )
-        vb = vb.join(F.broadcast(hot2), ["__t", "__key"], "left_anti")
+            # stage 2: residual buckets (over cap even after every reserve
+            # bit — (near-)identical vectors) switch to star pairing. Only
+            # rows from split (lvl>0) buckets can be residual — an unsplit
+            # bucket holds <= cap by definition — so the recount runs over
+            # that small subset, not the full corpus.
+            hot2 = (
+                vb.filter(F.col("__lvl") > 0)
+                .groupBy("__t", "__key")
+                .agg(F.count("*").alias("__n2"))
+                .filter(F.col("__n2") > bucket_cap)
+                .select("__t", "__key")
+            )
+            vb = vb.select("__vid", "__t", "__key")
+            members = vb.join(F.broadcast(hot2), ["__t", "__key"])
+            centers = members.groupBy("__t", "__key").agg(F.min("__vid").alias("id_a"))
+            star_pairs = (
+                members.join(F.broadcast(centers), ["__t", "__key"])
+                .filter(F.col("__vid") != F.col("id_a"))
+                .select("id_a", F.col("__vid").alias("id_b"))
+            )
+            vb = vb.join(F.broadcast(hot2), ["__t", "__key"], "left_anti")
     # TWO-STAGE VERIFY (round 7, after the 4M soak died on DISK, not
     # memory: re-attaching 512-byte vectors to every candidate pair
     # spilled >66 GB). Stage 1 re-attaches 72-byte int8 sketches and

@@ -65,6 +65,16 @@ DEFAULT_PARTITION = "default"
 _PP = "__pp"  # staging-only partition column (partitionBy drops it from files)
 _FID = "__fid"
 
+# CDC delete-stamps broadcast bound: the stamps side is <= one row per key
+# deleted in the range, known driver-side from commit stats BEFORE any data
+# is read. Below this many deleted records the stamps relation broadcasts
+# (~30-byte keys -> tens of MB built); above it, the shuffled join is the
+# right call at any scale — the guard degrades, never breaks. Env-tunable
+# for clusters with bigger executor headroom.
+_BROADCAST_STAMPS_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_CDC_BCAST_STAMP_ROWS", 2_000_000)
+)
+
 # file name: <fileId>_<writeToken>_<commitTs>[.log].parquet
 # The file id embeds the partition value verbatim (fg-<partition>-<n>), so
 # it MAY contain '_'; extraction anchors on the trailing
@@ -1744,9 +1754,24 @@ class CowTable:
             .otherwise(F.lit("update"))
         )
         # delete rows: exact deleting-commit stamp (net-effect keeps the
-        # LAST delete of a key in the range)
+        # LAST delete of a key in the range). The stamps side holds at
+        # most one row per key DELETED in the range — commit stats bound
+        # it driver-side (sum of totalRecordsDeleted over the range), so
+        # when small it broadcasts instead of re-shuffling the whole wide
+        # diff output on record_key (the diff is partitioned by
+        # (file_id, key); this join keys on key alone, so without the
+        # hint every post-join row crosses the wire a second time).
+        # Catalyst can't see the bound (the stamps subtree is an
+        # aggregation over materialized views), hence the explicit hint.
+        stamps = self._delete_stamps(begin_exclusive, end)
+        total_deleted = sum(
+            self.timeline.commit_metadata(i.timestamp).total_records_deleted
+            for i in self.timeline.commits_in_range(begin_exclusive, end)
+        )
+        if total_deleted <= _BROADCAST_STAMPS_MAX_ROWS:
+            stamps = F.broadcast(stamps)
         j = j.withColumn("op", op).join(
-            self._delete_stamps(begin_exclusive, end), on=RECORD_KEY_FIELD, how="left"
+            stamps, on=RECORD_KEY_FIELD, how="left"
         )
         img = F.when(F.col("op") == "delete", F.col("__before")).otherwise(F.col("__after"))
         change = F.when(F.col("op") == "delete", F.col("__ct_del")).otherwise(F.col("__ct_after"))
