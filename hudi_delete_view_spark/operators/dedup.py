@@ -452,6 +452,14 @@ def refine_simhash_buckets(
         return s.withColumn("__eb", F.lit(0))
     keys = [*extra_keys, "__bucket"]
     occ = s.groupBy(*keys).agg(F.count("*").alias("__n"))
+    # eager probe (same shape as the embedding-LSH guard): on the common
+    # corpus no bucket exceeds the cap and every row's __eb is 0, so the
+    # occupancy join below would shuffle the full bucket table against
+    # every row only to relabel nothing. One bounded driver boolean picks
+    # the cheap shape; the split join runs only when a bucket is hot
+    # (where its cost is dwarfed by the quadratic self-join it prevents).
+    if occ.filter(F.col("__n") > bucket_cap).isEmpty():
+        return s.withColumn("__eb", F.lit(0))
     eb = F.least(
         F.lit(SIMHASH_BITS - prefix_bits),
         F.greatest(
