@@ -3721,3 +3721,41 @@ def test_window_partition_predicate_pushes_below_window(spark):
     # and it reaches below the join: only one join side carries g
     join_i = next(i for i, ln in enumerate(lines) if "Join" in ln)
     assert any(i > join_i for i in filt_i), plan
+
+
+def test_spec_summary_fast_path_skips_classification(spark, scratch, tables):
+    """A fully-advanced view refreshes and serves from the persisted
+    serve-spec sidecar WITHOUT re-running plan classification: a fresh
+    instance whose plan_fn raises must no-op refresh and serve the exact
+    stored result; once a source advances, the slow path (which does
+    classify) must engage and converge."""
+    fact, dim = tables
+    sources = {"fact": fact, "dim": dim}
+    path = os.path.join(scratch, "mv_fast")
+    mv = AutoMaterializedView(spark, path, dict(sources), agg_plan)
+    mv.refresh(seed_as_of={n: "20260101000000" for n in sources})
+    want = _rows(agg_plan({n: t.snapshot() for n, t in sources.items()}))
+    assert _rows(mv.serve()) == want
+
+    def booby_trap(t):  # pragma: no cover - must never run
+        raise AssertionError("classification ran on the fast path")
+
+    mv2 = AutoMaterializedView(spark, path, dict(sources), booby_trap)
+    r = mv2.refresh()
+    assert r["advanced"] is False
+    assert _rows(mv2.serve()) == want
+    # key resolution must come from the sidecar too
+    assert mv2.table.key_fields == ["g"]
+
+    # a new source commit invalidates the fast path: the slow path
+    # classifies (real plan_fn) and converges on the recompute
+    fact.upsert(
+        spark.createDataFrame([("k50", 1, 5.0, 7)],
+                              "k string, g long, v double, nv long"),
+        "20260105000000",
+    )
+    mv3 = AutoMaterializedView(spark, path, dict(sources), agg_plan)
+    r3 = mv3.refresh()
+    assert r3["advanced"] is True
+    want2 = _rows(agg_plan({n: t.snapshot() for n, t in sources.items()}))
+    assert _rows(mv3.serve()) == want2
