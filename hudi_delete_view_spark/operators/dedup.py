@@ -176,24 +176,30 @@ def _signature_table(
     shingle_k: int,
     num_hashes: int,
     bands: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Persisted (__id, __sig, __bands) table.
+    """Persisted (__id, __sig, __bands[, *carry]) table.
 
     Persisted and materialized BEFORE any explode/self-join: the signature
     computation is the expensive narrow map, and without the barrier
     Catalyst re-evaluates it per exploded row and once per join side
     (observed ~30x slowdown). Compute-once-then-join is also the right
     shape at 100 TB — the signature table is ~600 bytes/row regardless of
-    document size (spills to disk under memory pressure)."""
+    document size (spills to disk under memory pressure).
+
+    ``carry`` names passthrough columns (e.g. a base/increment tag) so a
+    caller can signature TWO disjoint row sets in one pass and split the
+    persisted result, instead of paying two scan + persist jobs."""
     rows_per_band = num_hashes // bands
     sig_udf = minhash_signature_pandas(num_hashes)
+    keep = [F.col(c) for c in carry]
     sig = (
         spread(df)
-        .select(F.col(id_col).alias("__id"), char_shingles(text_col, shingle_k).alias("__sh"))
+        .select(F.col(id_col).alias("__id"), char_shingles(text_col, shingle_k).alias("__sh"), *keep)
         .filter(F.size("__sh") > 0)
         .withColumn("__hs", shingle_hashes("__sh"))
-        .select("__id", sig_udf("__hs").alias("__sig"))
-        .select("__id", "__sig", band_hashes("__sig", bands, rows_per_band).alias("__bands"))
+        .select("__id", sig_udf("__hs").alias("__sig"), *keep)
+        .select("__id", "__sig", band_hashes("__sig", bands, rows_per_band).alias("__bands"), *keep)
     )
     # register_cache persists + materializes (one signature pass, ever) and
     # tracks the cache so long-lived sessions can release it via
@@ -1004,12 +1010,26 @@ def minhash_dedup_incremental(
 
     Returns the surviving increment rows (schema of ``inc``).
     """
-    sig_base = (
-        base_sig
-        if base_sig is not None
-        else _signature_table(base, id_col, text_col, shingle_k, num_hashes, bands)
-    )
-    sig_inc = _signature_table(inc, id_col, text_col, shingle_k, num_hashes, bands)
+    if base_sig is not None:
+        sig_base = base_sig
+        sig_inc = _signature_table(
+            inc, id_col, text_col, shingle_k, num_hashes, bands
+        )
+    else:
+        # no precomputed corpus signatures: signature BOTH sides in ONE
+        # tagged pass (base and inc are disjoint by contract), so the
+        # scan + Arrow signature UDF + persist run once instead of twice
+        # — one job and one cached table instead of two (guide §2.4/§1.2:
+        # fewer passes before faster passes)
+        tagged = base.withColumn("__inc", F.lit(False)).unionByName(
+            inc.withColumn("__inc", F.lit(True))
+        )
+        sig_all_tagged = _signature_table(
+            tagged, id_col, text_col, shingle_k, num_hashes, bands,
+            carry=("__inc",),
+        )
+        sig_base = sig_all_tagged.filter(~F.col("__inc")).drop("__inc")
+        sig_inc = sig_all_tagged.filter(F.col("__inc")).drop("__inc")
 
     def _buckets(sig: DataFrame) -> DataFrame:
         return sig.select("__id", F.posexplode("__bands").alias("__band_idx", "__band_hash"))
