@@ -94,6 +94,21 @@ class DeleteView:
             )
         return pairs
 
+    def _published_schema(self):
+        """Schema the table published at the delete commit (StructType), or
+        None for pre-schema-payload timelines. Metadata-only planning: old
+        slices straddling a schema evolution align to it with NULLs — the
+        same union mergeSchema inferred, without a driver footer read per
+        predecessor slice."""
+        schema_json = self.timeline.commit_metadata(self.timestamp).schema_json
+        if not schema_json:
+            return None
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(_json.loads(schema_json))
+
     # -- A6-A9: the distributed pipeline --------------------------------
     def _compute(self) -> DataFrame:
         pairs = self._file_pairs()
@@ -103,18 +118,25 @@ class DeleteView:
         new_paths = [p[2] for p in pairs]
         # file-group tag from the stored file name (JVM regexp; no
         # input_file_name needed because the writer stamps _hoodie_file_name)
-        # mergeSchema: old slices of different groups may straddle a schema
-        # evolution (one group rewritten with a new column, another not)
-        old_df = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*old_paths)
-            .withColumn(_FID, file_id_expr(F.col(FILE_NAME_FIELD)))
+        schema = self._published_schema()
+        reader = (
+            self.spark.read.schema(schema)
+            if schema is not None
+            # fallback: old slices of different groups may straddle a schema
+            # evolution (one group rewritten with a new column, another not)
+            else self.spark.read.option("mergeSchema", "true")
+        )
+        old_df = reader.parquet(*old_paths).withColumn(
+            _FID, file_id_expr(F.col(FILE_NAME_FIELD))
         )
         # build side: column-pruned to (file_id, key) — the scan reads two
         # string columns, the Catalyst analogue of the reference's key set
         # (HudiDeleteHandle.java:48-52)
+        new_reader = (
+            self.spark.read.schema(schema) if schema is not None else self.spark.read
+        )
         new_keys = (
-            self.spark.read.parquet(*new_paths)
+            new_reader.parquet(*new_paths)
             .select(
                 file_id_expr(F.col(FILE_NAME_FIELD)).alias(_FID),
                 F.col(RECORD_KEY_FIELD),
@@ -177,8 +199,15 @@ class DeleteView:
         return path
 
     def dataset(self) -> DataFrame:
-        """Materialize if stale/missing, then serve the Parquet-backed view."""
-        return self.spark.read.parquet(self.materialize())
+        """Materialize if stale/missing, then serve the Parquet-backed view.
+        The view files are written aligned to the commit's published schema
+        (``_compute``), so the serve plan carries that schema explicitly —
+        no footer inference on the hot repeat-query path."""
+        path = self.materialize()
+        schema = self._published_schema()
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(path)
+        return self.spark.read.parquet(path)
 
 
 def delete_view(spark: SparkSession, base_path: str, timestamp: str) -> DataFrame:
@@ -220,13 +249,17 @@ def delete_views_between(
         if timeline.commit_metadata(ts).total_records_deleted <= 0:
             continue  # stats pruning: commit deleted nothing
         view_dirs.append(DeleteView(spark, base_path, ts).materialize())
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    schema_json = timeline.commit_metadata(end).schema_json
+    schema = StructType.fromJson(_json.loads(schema_json)) if schema_json else None
     if not view_dirs:
         # empty range: empty frame with the table's published schema + stamp
-        import json as _json
-
-        from pyspark.sql.types import StructType
-
-        meta = timeline.commit_metadata(end)
-        schema = StructType.fromJson(_json.loads(meta.schema_json))
         return spark.createDataFrame([], schema)
+    if schema is not None:
+        # views are aligned to their commit's published schema at write;
+        # the END commit's schema is the union under append-only evolution
+        return spark.read.schema(schema).parquet(*view_dirs)
     return spark.read.option("mergeSchema", "true").parquet(*view_dirs)

@@ -312,7 +312,9 @@ class MorTable(CowTable):
             )
         return merged
 
-    def _read_groups(self, slices: dict, groups: set) -> DataFrame | None:
+    def _read_groups(
+        self, slices: dict, groups: set, as_of: str | None = None
+    ) -> DataFrame | None:
         """Live rows of a group subset — read THROUGH the merge.
 
         The COW implementation reads base files raw; the inherited

@@ -301,6 +301,75 @@ def test_cdc_update_preimages(spark, scratch):
     assert set(by_op) == {"update", "update_preimage"}
 
 
+def test_cdc_change_pruned_plan(spark, scratch):
+    """Plan pin for the change-proportional CDC diff: the end-side scan
+    carries the commit-time predicate as a PUSHED parquet filter (survivors
+    keep their original stamp, so untouched row groups skip on min/max
+    stats), and the begin side is pruned by a LeftSemi join against the
+    contributing keys. If either disappears, the diff silently degrades to
+    shuffling both FULL boundary snapshots."""
+    import io
+    from contextlib import redirect_stdout
+
+    t = CowTable(
+        spark, os.path.join(scratch, "cdc_plan"), key_fields=["k"],
+        partition_field="p", num_file_groups=2,
+    )
+    T1, T2 = "20270101000000", "20270102000000"
+    t.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", k * 10) for k in range(10)],
+                              "k int, p string, v int"),
+        T1,
+    )
+    t.upsert(spark.createDataFrame([(1, "p1", 999)], "k int, p string, v int"), T2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        t.cdc(T1, T2).explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftSemi" in plan, plan
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "GreaterThan(_hoodie_commit_time" in ln]
+    assert pushed, plan
+
+
+def test_snapshot_plans_published_schema(spark, scratch):
+    """Metadata-only scan planning: snapshot reads with the schema the
+    table PUBLISHED at the commit (no footer inference / mergeSchema union
+    pass), so a partition-pruned snapshot whose files all predate a column
+    addition still surfaces the column — as NULLs — exactly like the full
+    snapshot. Pins both the behavior and the schema source."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    t = CowTable(
+        spark, os.path.join(scratch, "pubsch"), key_fields=["k"],
+        partition_field="p", num_file_groups=2,
+    )
+    T1, T2 = "20270101000000", "20270102000000"
+    t.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", k * 10) for k in range(10)],
+                              "k int, p string, v int"),
+        T1,
+    )
+    # adds column 'extra', rewriting ONLY the p1 group
+    t.upsert(
+        spark.createDataFrame([(1, "p1", 999, "x1")], "k int, p string, v int, extra string"),
+        T2,
+    )
+    published = StructType.fromJson(
+        json.loads(t.timeline.commit_metadata(T2).schema_json)
+    )
+    snap = t.snapshot()
+    assert snap.schema == published
+    pruned = t.snapshot(partitions=["p0"])  # p0 files predate 'extra'
+    assert "extra" in pruned.columns
+    rows = pruned.select("k", "extra").collect()
+    assert rows and all(r["extra"] is None for r in rows)
+    # time travel to T1 serves the schema published THEN (no 'extra')
+    assert "extra" not in t.snapshot(as_of=T1).columns
+
+
 def test_clustering_rewrite(spark, scratch):
     """cluster(): rows identical (meta stamps included), files sorted by
     the cluster key, per-row-group min/max spans disjoint after the
