@@ -46,6 +46,22 @@ from .cow import (
 DELETE_DIR = ".delete"
 _FID = "__fid"
 
+# Two-phase anti-join gate (scale shape). The single keyed anti-join is
+# optimal while the new-keys build side fits a broadcast; past that,
+# Catalyst flips it to a sort-merge join that shuffles the WIDE old side —
+# table-sized traffic to find a delete-sized answer. When commit stats
+# prove (driver-side, before any read) that the new slices outgrow a
+# broadcast while the deleted-row count stays bounded, the join splits:
+# a NARROW (file_id, key) anti-join finds the deleted keys, then the wide
+# old side semi-joins against that broadcast key set — the wide rows never
+# cross the wire. Both thresholds env-tunable for cluster headroom.
+_TWO_PHASE_MIN_NEW_ROWS = int(
+    os.environ.get("SPARK_GRAFT_DV_TWO_PHASE_MIN_NEW_ROWS", 4_000_000)
+)
+_TWO_PHASE_MAX_DELETED = int(
+    os.environ.get("SPARK_GRAFT_DV_BCAST_DELETED_ROWS", 2_000_000)
+)
+
 
 def _delete_view_path(base_path: str, timestamp: str) -> str:
     # reference path builder: <base>/.delete/<timestamp>/ (DeleteView.java:168-172)
@@ -142,7 +158,40 @@ class DeleteView:
                 F.col(RECORD_KEY_FIELD),
             )
         )
-        deleted = old_df.join(new_keys, on=[_FID, RECORD_KEY_FIELD], how="left_anti")
+        # join shape from commit stats (known before any data is read):
+        # rows in the new slices bound the anti-join build side,
+        # totalRecordsDeleted bounds the answer
+        meta = self.timeline.commit_metadata(self.timestamp)
+        new_rows = sum(
+            stat.num_writes
+            for _p, stat in meta.all_stats()
+            if stat.num_deletes > 0 and stat.prev_commit is not None
+        )
+        if (
+            new_rows >= _TWO_PHASE_MIN_NEW_ROWS
+            and meta.total_records_deleted <= _TWO_PHASE_MAX_DELETED
+        ):
+            # scale shape: narrow key anti-join -> broadcast the (small)
+            # deleted-key set back onto the wide side. The wide scan feeds
+            # a BroadcastHashJoin directly — no Exchange of wide rows.
+            old_keys = (
+                (self.spark.read.schema(schema) if schema is not None else self.spark.read)
+                .parquet(*old_paths)
+                .select(
+                    file_id_expr(F.col(FILE_NAME_FIELD)).alias(_FID),
+                    F.col(RECORD_KEY_FIELD),
+                )
+            )
+            deleted_keys = old_keys.join(
+                new_keys, on=[_FID, RECORD_KEY_FIELD], how="left_anti"
+            )
+            deleted = old_df.join(
+                F.broadcast(deleted_keys),
+                on=[_FID, RECORD_KEY_FIELD],
+                how="left_semi",
+            )
+        else:
+            deleted = old_df.join(new_keys, on=[_FID, RECORD_KEY_FIELD], how="left_anti")
         # schema evolution: columns added to the table AFTER the deleted
         # rows' slices were written must still appear (as NULLs) — align to
         # the delete commit's published schema, same contract as a snapshot

@@ -144,3 +144,41 @@ def test_delete_view_range_includes_merge_commits(spark, scratch):
     assert got == {
         (2, "20280102000000"), (3, "20280102000000"), (6, "20280103000000")
     }
+
+
+def test_two_phase_anti_join_scale_shape(table, spark, monkeypatch):
+    """Scale-shape pin: when commit stats say the new slices outgrow a
+    broadcast while the deleted count stays bounded, the compute splits
+    into a NARROW (fid, key) anti-join plus a broadcast semi-join of the
+    deleted keys back onto the wide side — so the wide old rows feed a
+    BroadcastHashJoin directly and never shuffle (with broadcast
+    estimation disabled below, only the explicit hint can produce one).
+    Output must be identical to the single anti-join."""
+    import io
+    from contextlib import redirect_stdout
+
+    from hudi_delete_view_spark.sources import delete_view as dv_mod
+
+    baseline = {
+        r[0] for r in DeleteView(spark, table.base_path, C3)._compute()
+        .select(RECORD_KEY_FIELD).collect()
+    }
+    monkeypatch.setattr(dv_mod, "_TWO_PHASE_MIN_NEW_ROWS", 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = DeleteView(spark, table.base_path, C3)._compute()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # wide side consumed by the hinted broadcast semi-join
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+        # the only shuffled join is the narrow key anti-join (tree lines
+        # carry the join type; the detail section repeats the bare name)
+        smj = [ln for ln in plan.splitlines() if "- SortMergeJoin" in ln]
+        assert smj and all("LeftAnti" in ln for ln in smj), plan
+        got = {r[0] for r in df.select(RECORD_KEY_FIELD).collect()}
+        assert got == baseline and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
