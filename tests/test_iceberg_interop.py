@@ -230,9 +230,14 @@ def test_iceberg_equality_delete_multi_column(spark, tmp_path):
         "id": pa.array(["id4", "id6"], pa.string()),
         "value": pa.array([40, 999], pa.int64()),
     }), os.path.join(mc, "data", "ed2-eqdelete.parquet"))
-    ed2 = f"{tool.LOCATION}/data/ed2-eqdelete.parquet"
-    pd_uri = f"{tool.LOCATION}/data/pd1-delete-00001.parquet"
-    ed1 = f"{tool.LOCATION}/data/ed1-eqdelete-00001.parquet"
+    # recorded URIs must use the BAKED metadata location (what relocation
+    # re-roots from), not tool.LOCATION — the two differ when the checkout
+    # itself lives somewhere other than where the fixture was generated
+    with open(os.path.join(mc, "metadata", "v6.metadata.json")) as f:
+        baked = json.load(f)["location"]
+    ed2 = f"{baked}/data/ed2-eqdelete.parquet"
+    pd_uri = f"{baked}/data/pd1-delete-00001.parquet"
+    ed1 = f"{baked}/data/ed1-eqdelete-00001.parquet"
     img = tool._ocf(tool.MANIFEST_ENTRY_T, [
         tool._entry(0, S3, 3, pd_uri, 1, 100, content=1),
         tool._entry(1, S6, 6, ed1, 1, 100, content=2, equality_ids=[1]),
