@@ -169,6 +169,30 @@ class MorTable(CowTable):
             delete_counts=delete_counts,
         )
 
+    def _delta_schema_json(self, stamped: DataFrame, read_ts: str | None) -> str:
+        """Published schema for a delta commit: the incoming batch's
+        schema UNIONED (additively, by name) with the schema published at
+        ``read_ts``. A delta narrower than the table must not SHRINK the
+        published schema — readers plan scans from it (metadata-only
+        planning), so a shrink would silently drop base-file columns the
+        old footer-merge read surfaced. No-op for full-width deltas; the
+        tombstone flag stays last so per-side planning stays canonical."""
+        from pyspark.sql.types import StructType
+
+        new_schema = stamped.drop(_PP, _FID).schema
+        prior = self._published_schema(read_ts) if read_ts else None
+        if prior is not None:
+            have = {f.name for f in new_schema.fields}
+            extra = [
+                f for f in prior.fields
+                if f.name not in have and f.name != DELETED_FIELD
+            ]
+            if extra:
+                data = [f for f in new_schema.fields if f.name != DELETED_FIELD]
+                flag = [f for f in new_schema.fields if f.name == DELETED_FIELD]
+                new_schema = StructType([*data, *extra, *flag])
+        return new_schema.json()
+
     def _write_delta(
         self,
         stamped: DataFrame,
@@ -236,7 +260,7 @@ class MorTable(CowTable):
             operation=operation,
             partition_to_write_stats=p2ws,
             total_records_deleted=total_deleted,
-            schema_json=stamped.drop(_PP, _FID).schema.json(),
+            schema_json=self._delta_schema_json(stamped, read_ts),
         )
         meta.write(os.path.join(self.base_path, ".hoodie"))
         self.timeline.refresh()
@@ -258,7 +282,33 @@ class MorTable(CowTable):
         out = super().snapshot(as_of, partitions=partitions)
         return out.drop(DELETED_FIELD) if DELETED_FIELD in out.columns else out
 
-    def _merged_over(self, slices: dict) -> DataFrame | None:
+    def _published_mor_schemas(self, as_of: str | None = None):
+        """(base_schema, log_schema) planned from the PUBLISHED commit
+        schema (metadata-only planning, same contract as the COW
+        ``_read_paths``): base files never carry the tombstone flag, log
+        files always do (appended last by every delta writer), so the two
+        sides plan with per-side StructTypes derived from one commit-JSON
+        read — no driver footer I/O per MOR read. (None, None) for
+        pre-schema-payload tables; callers fall back to inference."""
+        schema = self._published_schema(as_of)
+        if schema is None:
+            return None, None
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        data_fields = [f for f in schema.fields if f.name != DELETED_FIELD]
+        base = StructType(data_fields)
+        log = StructType(
+            [*data_fields, StructField(DELETED_FIELD, BooleanType(), True)]
+        )
+        return base, log
+
+    def _read_mor(self, paths: list[str], schema) -> DataFrame:
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
+
+    def _merged_over(self, slices: dict, as_of: str | None = None) -> DataFrame | None:
         """Merged view over a slice subset: latest version per key wins;
         tombstones drop rows. base ∪ logs → window rank on (file_id, key)
         by (commit_time, seqno) desc → keep rank 1 → drop deleted. One
@@ -268,7 +318,10 @@ class MorTable(CowTable):
         window untouched. On a mostly-compacted table this turns the
         snapshot into a near-pure scan (the shuffle covers just the
         logged tail); a fully-compacted table plans with no window at
-        all. None when the subset has no files."""
+        all. None when the subset has no files. Both sides plan with the
+        PUBLISHED per-side schemas (``_published_mor_schemas``) — at 100k
+        files that removes every driver footer read from the plan."""
+        base_schema, log_schema = self._published_mor_schemas(as_of)
         logged = {g: s for g, s in slices.items() if s.log_paths}
         free_bases = [
             s.base_path
@@ -281,11 +334,11 @@ class MorTable(CowTable):
             log_paths = [p for s in logged.values() for p in s.log_paths]
             parts = []
             if base_paths:
-                base = self.spark.read.parquet(*base_paths)
+                base = self._read_mor(base_paths, base_schema)
                 if DELETED_FIELD not in base.columns:
                     base = base.withColumn(DELETED_FIELD, F.lit(False))
                 parts.append(base)
-            parts.append(self.spark.read.parquet(*log_paths))
+            parts.append(self._read_mor(log_paths, log_schema))
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
@@ -300,7 +353,7 @@ class MorTable(CowTable):
                 .drop(DELETED_FIELD)
             )
         if free_bases:
-            free = self.spark.read.parquet(*free_bases)
+            free = self._read_mor(free_bases, base_schema)
             if DELETED_FIELD in free.columns:
                 free = free.filter(
                     ~F.coalesce(F.col(DELETED_FIELD), F.lit(False))
@@ -325,7 +378,9 @@ class MorTable(CowTable):
         list, plans/slices.py). Reading the merged view makes a COW-style
         write on MOR an ABSORBING commit: correct data, logs folded in —
         targeted compaction semantics."""
-        return self._merged_over({g: slices[g] for g in groups if g in slices})
+        return self._merged_over(
+            {g: slices[g] for g in groups if g in slices}, as_of
+        )
 
     def snapshot(
         self, as_of: str | None = None, partitions: list[str] | None = None
@@ -338,7 +393,7 @@ class MorTable(CowTable):
         if partitions is not None:
             wanted = set(partitions)
             slices = {k: s for k, s in slices.items() if k[0] in wanted}
-        merged = self._merged_over(slices)
+        merged = self._merged_over(slices, as_of)
         if merged is None:
             if partitions is not None:
                 # pruned-to-nothing mirrors COW: empty frame, schema kept
@@ -355,7 +410,9 @@ class MorTable(CowTable):
         if as_of is not None:
             self.timeline.instant_for(as_of)
         slices = resolve_slices(self.timeline, as_of)
-        merged = self._merged_over({g: s for g, s in slices.items() if g in targets})
+        merged = self._merged_over(
+            {g: s for g, s in slices.items() if g in targets}, as_of
+        )
         if merged is None:
             return self.snapshot(as_of).limit(0)
         return merged.filter(F.col(RECORD_KEY_FIELD).isin(sorted(wanted)))
@@ -380,7 +437,7 @@ class MorTable(CowTable):
             meta = self.timeline.commit_metadata(sl.commit_ts)
             if self._stat_passes(meta.find_write_stat(g[1]), between):
                 kept[g] = sl
-        merged = self._merged_over(kept)
+        merged = self._merged_over(kept, as_of)
         if merged is None:
             return self.snapshot(as_of).limit(0)
         df = merged
@@ -415,16 +472,18 @@ class MorTable(CowTable):
         if not base_paths and not log_paths:
             return self.snapshot(end).limit(0)
         # base and log files have different schemas (logs carry the
-        # tombstone flag) — read separately and union, as in snapshot();
+        # tombstone flag) — read separately and union, as in snapshot(),
+        # each side planned with its PUBLISHED schema (no footer reads);
         # one mixed read.parquet would silently drop the flag column
+        base_schema, log_schema = self._published_mor_schemas(end)
         parts = []
         if base_paths:
-            base = self.spark.read.parquet(*base_paths)
+            base = self._read_mor(base_paths, base_schema)
             if DELETED_FIELD not in base.columns:
                 base = base.withColumn(DELETED_FIELD, F.lit(False))
             parts.append(base)
         if log_paths:
-            parts.append(self.spark.read.parquet(*log_paths))
+            parts.append(self._read_mor(log_paths, log_schema))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
@@ -462,7 +521,8 @@ class MorTable(CowTable):
             return self.spark.createDataFrame(
                 [], f"{RECORD_KEY_FIELD} string, __ct_del string"
             )
-        df = self.spark.read.parquet(*paths)
+        _base_schema, log_schema = self._published_mor_schemas(end)
+        df = self._read_mor(paths, log_schema)
         cond = F.col(COMMIT_TIME_FIELD) > F.lit(begin_exclusive)
         if end is not None:
             cond = cond & (F.col(COMMIT_TIME_FIELD) <= F.lit(end))

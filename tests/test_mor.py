@@ -543,3 +543,83 @@ def test_archive_preserves_live_logs_and_compaction_sizing(spark, scratch):
     t.compact("20250104000000")
     assert t.read_optimized().filter("k = 1").first().x == 100
     assert t.snapshot().select("k", "x").orderBy("k").collect() == merged_before
+
+
+def test_mor_snapshot_plans_published_schema(spark, scratch):
+    """Metadata-only MOR scan planning: base and log sides of the merged
+    view plan with per-side StructTypes derived from the commit-published
+    schema (no footer inference / mergeSchema pass), so a partition-pruned
+    snapshot whose kept files all PREDATE a column addition still surfaces
+    the column as NULLs — impossible under footer inference over the kept
+    subset. Also pins per-side shape: the flag never reaches the output."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from hudi_delete_view_spark.sources.mor import DELETED_FIELD
+
+    t = MorTable(spark, os.path.join(scratch, "morpub"), key_fields=["k"],
+                 partition_field="p", num_file_groups=2)
+    T1, T2 = "20270101000000", "20270102000000"
+    t.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", k * 10) for k in range(10)],
+                              "k int, p string, v int"),
+        T1,
+    )
+    # delta adds column 'extra', logging ONLY into p1's group
+    t.upsert_delta(
+        spark.createDataFrame([(1, "p1", 999, "x1")],
+                              "k int, p string, v int, extra string"),
+        T2,
+    )
+    published = StructType.fromJson(
+        json.loads(t.timeline.commit_metadata(T2).schema_json)
+    )
+    data_fields = StructType(
+        [f for f in published.fields if f.name != DELETED_FIELD]
+    )
+    snap = t.snapshot()
+    # the merge window relaxes meta-field nullability; names+types are
+    # the planning contract
+    assert [(f.name, f.dataType) for f in snap.schema.fields] == [
+        (f.name, f.dataType) for f in data_fields.fields
+    ]
+    rows = {r["k"]: r for r in snap.collect()}
+    assert rows[1]["extra"] == "x1" and rows[1]["v"] == 999
+    assert rows[2]["extra"] is None
+    # p0's files all predate 'extra': only published-schema planning can
+    # surface the column over that subset
+    pruned = t.snapshot(partitions=["p0"])
+    assert "extra" in pruned.columns
+    prows = pruned.select("k", "extra").collect()
+    assert prows and all(r["extra"] is None for r in prows)
+    # time travel serves the schema published THEN (no 'extra')
+    assert "extra" not in t.snapshot(as_of=T1).columns
+    # incremental + the log-only stamps path plan from published schema too
+    inc = t.incremental(T1, T2)
+    assert "extra" in inc.columns and DELETED_FIELD not in inc.columns
+
+
+def test_mor_narrow_delta_keeps_published_width(spark, scratch):
+    """A delta BATCH narrower than the table must not shrink the published
+    schema: metadata-only planning reads scans from schema_json, so a
+    shrink would silently drop base-file columns the footer-merge read
+    surfaced. The delta's published schema is the additive union; merged
+    rows updated by the narrow delta carry NULL for the missing column
+    (latest-version-wins, same as the old unionByName semantics)."""
+    t = MorTable(spark, os.path.join(scratch, "mornarrow"), key_fields=["k"],
+                 partition_field=None, num_file_groups=1)
+    T1, T2 = "20270101000000", "20270102000000"
+    t.bulk_insert(
+        spark.createDataFrame([(k, k * 10, f"w{k}") for k in range(6)],
+                              "k int, v int, w string"),
+        T1,
+    )
+    t.upsert_delta(
+        spark.createDataFrame([(1, 999)], "k int, v int"), T2  # no 'w'
+    )
+    snap = t.snapshot()
+    assert "w" in snap.columns
+    rows = {r["k"]: r for r in snap.collect()}
+    assert rows[1]["v"] == 999 and rows[1]["w"] is None
+    assert rows[2]["w"] == "w2" and rows[2]["v"] == 20
