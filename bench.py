@@ -177,9 +177,18 @@ def main() -> None:
     def _invalidate_delete_view():
         shutil.rmtree(DeleteView(spark, cow.base_path, C3).view_path(), ignore_errors=True)
 
-    prep = {"lake_delete_view": _invalidate_delete_view}
-
     from hudi_delete_view_spark.operators.util import unpersist_operator_caches
+
+    prep = {
+        "lake_delete_view": _invalidate_delete_view,
+        # cdc() now persists its change-bounded delete-stamps subtree via
+        # the operator-cache registry (one scan instead of two per call);
+        # drop it between the best-of-2 runs so run 2 re-computes the
+        # stamps like a fresh caller would — same honesty contract as the
+        # flagship's materialization invalidation above
+        "lake_cdc": unpersist_operator_caches,
+        "lake_ivm_aggregate": unpersist_operator_caches,
+    }
 
     timings: dict[str, float] = {}
     total = 0.0

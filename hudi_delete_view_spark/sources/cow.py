@@ -1780,6 +1780,17 @@ class CowTable:
             for i in self.timeline.commits_in_range(begin_exclusive, end)
         ]
         total_deleted = sum(m.total_records_deleted for m in range_meta)
+        if total_deleted > 0:
+            # the stamps relation feeds TWO differently-projected consumers
+            # (the begin-side contributor set and the delete-stamp join) —
+            # without a barrier the delete-view scan + aggregation executes
+            # twice per CDC call (guide §2.4). It is change-bounded (≤ one
+            # narrow row per key deleted in the range), so one materialized
+            # pass is strictly cheaper; the registry releases it between
+            # operator invocations.
+            from ..operators.util import register_cache
+
+            stamps = register_cache(stamps)
 
         if crosses_evolution:
             o = _side(prune(self.snapshot(begin_exclusive)), "before")

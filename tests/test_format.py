@@ -1445,3 +1445,35 @@ def test_archive_delete_view_across_boundary(spark, scratch):
     after = sorted(r["k"] for r in
                    delete_view(spark, t.base_path, "20250102000000").collect())
     assert after == before
+
+
+def test_cdc_stamps_single_execution(spark, scratch):
+    """Plan pin for the cdc() stamps barrier: the delete-stamps relation
+    feeds two differently-projected consumers (begin-side contributor set,
+    delete-stamp join), so it persists — the delete-view scan + aggregation
+    appears ONCE in the plan (inside the InMemoryRelation) instead of
+    executing twice per CDC call. Values stay exact."""
+    import io
+    from contextlib import redirect_stdout
+
+    t = CowTable(
+        spark, os.path.join(scratch, "cdc_stamps"), key_fields=["k"],
+        partition_field="p", num_file_groups=2,
+    )
+    T1, T2, T3 = "20270101000000", "20270102000000", "20270103000000"
+    t.bulk_insert(
+        spark.createDataFrame([(k, f"p{k % 2}", k * 10) for k in range(10)],
+                              "k int, p string, v int"),
+        T1,
+    )
+    t.upsert(spark.createDataFrame([(1, "p1", 999)], "k int, p string, v int"), T2)
+    t.delete(spark.createDataFrame([(2, "p0")], "k int, p string"), T3)
+    df = t.cdc(T1, T3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count(".delete/") == 1, plan
+    rows = sorted((r["op"], r["k"]) for r in df.collect())
+    assert rows == [("delete", 2), ("update", 1)]
