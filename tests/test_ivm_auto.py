@@ -16,11 +16,13 @@ from hudi_delete_view_spark.plans.ivm import (
 from hudi_delete_view_spark.sources.cow import CowTable
 
 
-@pytest.fixture()
-def tables(spark, scratch):
-    """A scripted fact table (insert/update/delete/insert commits, NULLs
-    in ``nv``) and a dim table (update + delete commits)."""
-    fact = CowTable(spark, os.path.join(scratch, "fact"), key_fields=["k"],
+@pytest.fixture(scope="session")
+def _tables_seed(spark, tmp_path_factory):
+    """Build the scripted fact/dim tables ONCE; per-test isolation comes
+    from a filesystem copy (fixture setup was ~5s of lake commits × ~60
+    tests — the copy is milliseconds and byte-identical)."""
+    root = str(tmp_path_factory.mktemp("ivm_seed"))
+    fact = CowTable(spark, os.path.join(root, "fact"), key_fields=["k"],
                     partition_field=None, num_file_groups=2)
     rows = spark.range(20).selectExpr(
         "concat('k', id) as k", "cast(id % 4 as long) as g",
@@ -41,7 +43,7 @@ def tables(spark, scratch):
                               "k string, g long, v double, nv long"),
         "20260104000000",
     )
-    dim = CowTable(spark, os.path.join(scratch, "dim"), key_fields=["gk"],
+    dim = CowTable(spark, os.path.join(root, "dim"), key_fields=["gk"],
                    partition_field=None, num_file_groups=1)
     dim.bulk_insert(
         spark.range(4).selectExpr("cast(id as long) as gk",
@@ -51,6 +53,24 @@ def tables(spark, scratch):
     dim.upsert(spark.createDataFrame([(1, "RENAMED")], "gk long, gname string"),
                "20260103000000")
     dim.delete(spark.createDataFrame([(3,)], "gk long"), "20260104000000")
+    return root
+
+
+@pytest.fixture()
+def tables(spark, scratch, _tables_seed):
+    """A scripted fact table (insert/update/delete/insert commits, NULLs
+    in ``nv``) and a dim table (update + delete commits) — a private
+    filesystem copy of the session seed (tests append commits freely)."""
+    import shutil
+
+    shutil.copytree(os.path.join(_tables_seed, "fact"),
+                    os.path.join(scratch, "fact"))
+    shutil.copytree(os.path.join(_tables_seed, "dim"),
+                    os.path.join(scratch, "dim"))
+    fact = CowTable(spark, os.path.join(scratch, "fact"), key_fields=["k"],
+                    partition_field=None, num_file_groups=2)
+    dim = CowTable(spark, os.path.join(scratch, "dim"), key_fields=["gk"],
+                   partition_field=None, num_file_groups=1)
     return fact, dim
 
 
@@ -2478,24 +2498,43 @@ def test_agg_union_mor_branch_stepwise(spark, scratch):
     assert mv.refresh()["advanced"] is False
 
 
-@pytest.fixture()
-def tree_tables(spark, scratch):
-    """fact(li) → mid dim(o) → top dim(c): the Q5 rollup chain."""
-    li = CowTable(spark, os.path.join(scratch, "t_li"), key_fields=["k"],
+@pytest.fixture(scope="session")
+def _tree_tables_seed(spark, tmp_path_factory):
+    """Q5 rollup chain seed, built once (see _tables_seed)."""
+    root = str(tmp_path_factory.mktemp("ivm_tree_seed"))
+    li = CowTable(spark, os.path.join(root, "t_li"), key_fields=["k"],
                   partition_field=None, num_file_groups=2)
     li.bulk_insert(spark.range(20).selectExpr(
         "concat('l', id) as k", "cast(id % 6 as long) as ok",
         "cast(id as double) as qty"), "20260101000000")
-    o = CowTable(spark, os.path.join(scratch, "t_o"), key_fields=["okey"],
+    o = CowTable(spark, os.path.join(root, "t_o"), key_fields=["okey"],
                  partition_field=None, num_file_groups=2)
     o.bulk_insert(spark.range(6).selectExpr(
         "cast(id as long) as okey", "cast(id % 3 as long) as ck"),
         "20260101000000")
-    c = CowTable(spark, os.path.join(scratch, "t_c"), key_fields=["ckey"],
+    c = CowTable(spark, os.path.join(root, "t_c"), key_fields=["ckey"],
                  partition_field=None, num_file_groups=1)
     c.bulk_insert(spark.createDataFrame(
         [(0, "EU"), (1, "US"), (2, "APAC")], "ckey long, region string"),
         "20260101000000")
+    return root
+
+
+@pytest.fixture()
+def tree_tables(spark, scratch, _tree_tables_seed):
+    """fact(li) → mid dim(o) → top dim(c): the Q5 rollup chain — a
+    private filesystem copy of the session seed."""
+    import shutil
+
+    for name in ("t_li", "t_o", "t_c"):
+        shutil.copytree(os.path.join(_tree_tables_seed, name),
+                        os.path.join(scratch, name))
+    li = CowTable(spark, os.path.join(scratch, "t_li"), key_fields=["k"],
+                  partition_field=None, num_file_groups=2)
+    o = CowTable(spark, os.path.join(scratch, "t_o"), key_fields=["okey"],
+                 partition_field=None, num_file_groups=2)
+    c = CowTable(spark, os.path.join(scratch, "t_c"), key_fields=["ckey"],
+                 partition_field=None, num_file_groups=1)
     return {"li": li, "o": o, "c": c}
 
 

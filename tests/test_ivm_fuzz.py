@@ -7,7 +7,11 @@ every maintained view kind through a random commit script."""
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+pytestmark = pytest.mark.slow  # randomized soak: explicit-run only (pytest -m slow)
 
 
 def test_ivm_fuzz_one_seed(spark, scratch):

@@ -14,6 +14,8 @@ import os
 import shutil
 
 import pytest
+
+pytestmark = pytest.mark.slow  # randomized soak: explicit-run only (pytest -m slow)
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
