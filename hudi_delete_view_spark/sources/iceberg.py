@@ -567,14 +567,28 @@ def _size_hint(dels: DataFrame, files: list[dict]) -> DataFrame:
     return F.broadcast(dels) if total <= _BROADCAST_DELETE_ROWS_MAX else dels
 
 
+# Driver-side bound on the plain-position-delete target probe: the probe
+# collects DISTINCT target paths (≤ the delete files' total record_count,
+# known from manifests before any read). Past the bound the probe is
+# skipped — pruning is an optimization, so "all files" is the sound
+# superset — keeping plan construction free of unbounded collects
+# (guide §5.1) no matter how many delete rows a snapshot added.
+_TARGET_PROBE_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_ICE_TARGET_PROBE_ROWS", 100_000)
+)
+
+
 def _pos_delete_targets(
     spark: SparkSession, base_path: str, meta: dict, files: list[dict]
-) -> set:
+) -> set | None:
     """Basenames of the data files the given position-delete files can
-    target. v3 DVs record referenced_data_file in the MANIFEST, so their
-    targets resolve metadata-only — no Spark job; plain position-delete
-    parquet is scanned for its distinct file_path column (one tiny
-    columnar read). A superset is sound: callers only use this to prune
+    target, or None when the set is not worth (or not safe to) resolve
+    driver-side. v3 DVs record referenced_data_file in the MANIFEST, so
+    their targets resolve metadata-only — no Spark job; plain
+    position-delete parquet is scanned for its distinct file_path column
+    (one tiny columnar read), but only while the manifests BOUND the row
+    count — an unbounded collect at plan time is how drivers die at
+    100k-file scale. A superset is sound: callers only use this to prune
     the candidate scan list, the (path, pos) join stays exact."""
     targets: set = set()
     plain = []
@@ -591,13 +605,21 @@ def _pos_delete_targets(
         else:
             plain.append(f)
     if plain:
+        total = 0
+        for f in plain:
+            rc = f.get("record_count")
+            if rc is None:
+                return None  # unsized delete file: skip the probe
+            total += int(rc)
+        if total > _TARGET_PROBE_MAX_ROWS:
+            return None
         location = meta.get("location", "")
         paths = [_relocate(f["file_path"], location, base_path) for f in plain]
         schema = T.StructType([T.StructField("file_path", T.StringType())])
         for r in (
             spark.read.schema(schema).parquet(*paths)
             .select("file_path").distinct().collect()
-        ):  # KB-scale: delete files name few targets
+        ):  # bounded by the manifest-recorded record_count, checked above
             targets.add(os.path.basename(r["file_path"]))
     return targets
 
@@ -859,7 +881,7 @@ def read_iceberg_delete_view(
         targets = _pos_delete_targets(spark, base_path, meta, pos_added)
         target_files = [
             f for f in live_data + removed_data
-            if os.path.basename(f["file_path"]) in targets
+            if targets is None or os.path.basename(f["file_path"]) in targets
         ]
         rows = _read_data_files(
             spark, base_path, meta, schema, target_files, with_ordinal=True

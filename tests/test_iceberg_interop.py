@@ -615,3 +615,17 @@ def test_export_iceberg_round_trip(spark, scratch):
         dfr.close()
         _m2, ours = read_ocf(open(path, "rb").read())
         assert n == len(ours) and n > 0, name
+
+
+def test_pos_delete_target_probe_bound(spark, monkeypatch):
+    """The plain-position-delete target probe (a driver-side collect of
+    distinct target paths) is manifest-stats-bounded: past the bound it
+    skips pruning and the exact (path, pos) join handles everything —
+    same rows, no plan-time collect. Forcing the bound to 0 must change
+    nothing but the pruning."""
+    import hudi_delete_view_spark.sources.iceberg as ice
+
+    want = sorted(map(tuple, read_iceberg_delete_view(spark, FIXTURE, S3).collect()))
+    monkeypatch.setattr(ice, "_TARGET_PROBE_MAX_ROWS", 0)
+    got = sorted(map(tuple, read_iceberg_delete_view(spark, FIXTURE, S3).collect()))
+    assert got == want and len(got) > 0
