@@ -1042,18 +1042,25 @@ def minhash_dedup_incremental(
         "left_semi",
     )
     # (base, inc) collisions plus (inc, inc) collisions with id_a < id_b —
-    # the id_b side is ALWAYS an increment doc (base/inc ids are disjoint)
+    # the id_b side is ALWAYS an increment doc (base/inc ids are disjoint).
+    # ONE join does both: the left side unions pruned-base and increment
+    # buckets with an origin tag, and the pair rule becomes
+    # "base id_a always pairs; increment id_a pairs only below id_b" —
+    # identical pair set to the former two-join union, one exchange and
+    # one join fewer (guide §2.2).
     right = b_inc.select("__band_idx", "__band_hash", F.col("__id").alias("id_b"))
-    base_inc = b_base.select(
-        "__band_idx", "__band_hash", F.col("__id").alias("id_a")
-    ).join(right, ["__band_idx", "__band_hash"])
-    inc_inc = (
-        b_inc.select("__band_idx", "__band_hash", F.col("__id").alias("id_a"))
-        .join(right, ["__band_idx", "__band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
+    left_all = b_base.select(
+        "__band_idx", "__band_hash", F.col("__id").alias("id_a"),
+        F.lit(False).alias("__inc_a"),
+    ).unionByName(
+        b_inc.select(
+            "__band_idx", "__band_hash", F.col("__id").alias("id_a"),
+            F.lit(True).alias("__inc_a"),
+        )
     )
     pairs = (
-        base_inc.unionByName(inc_inc)
+        left_all.join(right, ["__band_idx", "__band_hash"])
+        .filter(~F.col("__inc_a") | (F.col("id_a") < F.col("id_b")))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("__nc"))
         .filter(F.col("__nc") >= 2)
