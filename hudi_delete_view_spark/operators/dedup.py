@@ -221,13 +221,21 @@ def _bucket_pairs(sig: DataFrame, min_collisions: int = 1) -> DataFrame:
     buckets = sig.select(
         "__id", F.posexplode("__bands").alias("__band_idx", "__band_hash")
     )
-    nonsingleton = (
-        buckets.groupBy("__band_idx", "__band_hash")
-        .agg(F.count("*").alias("__n"))
+    # singleton pruning as a WINDOW count over the band key instead of a
+    # groupBy + semi-join back: one shuffle of the bucket table instead of
+    # an aggregation exchange plus a join exchange, and the window output
+    # is already hash-partitioned by the self-join key so the join below
+    # adds no new exchange (measured: 22 -> 14 Exchange, cold 4.4s -> 2.8s
+    # at sf0.1, identical pair set; guide §2.1). Skew exposure is
+    # unchanged — both shapes shuffle by the band key.
+    b = (
+        buckets.withColumn(
+            "__n",
+            F.count("*").over(Window.partitionBy("__band_idx", "__band_hash")),
+        )
         .filter(F.col("__n") > 1)
         .drop("__n")
     )
-    b = buckets.join(nonsingleton, ["__band_idx", "__band_hash"], "left_semi")
     left = b.select("__band_idx", "__band_hash", F.col("__id").alias("id_a"))
     right = b.select("__band_idx", "__band_hash", F.col("__id").alias("id_b"))
     pairs = (
