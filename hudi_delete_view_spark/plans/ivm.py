@@ -141,6 +141,19 @@ WINDOW_TOUCHED_PRED_MAX = int(
     os.environ.get("SPARK_GRAFT_WINDOW_PRED_MAX", "256")
 )
 
+# Chunk multiplier: between PRED_MAX and PRED_MAX*CHUNKS_MAX touched
+# partitions the literal predicate is applied CHUNKED — K union branches
+# of ≤PRED_MAX clauses each over the same re-derivation plan. Catalyst's
+# planning cost is superlinear in the clause count of ONE predicate
+# (256 ≈ 5s, 1024 ≈ 40s, measured round 9) but linear in the number of
+# bounded-size branches, so chunking extends the touched-partition fast
+# path 16x before the full-input fallback; each branch's predicate still
+# pushes below the Window, and branches keep disjoint partitions (the
+# touched tuples are distinct), so the union is duplicate-free.
+WINDOW_TOUCHED_CHUNKS_MAX = int(
+    os.environ.get("SPARK_GRAFT_WINDOW_PRED_CHUNKS", "16")
+)
+
 
 def _balanced_any(conds: list) -> "F.Column":
     """OR a list of Columns as a BALANCED tree. A left-deep fold of ~1024
@@ -155,6 +168,32 @@ def _balanced_any(conds: list) -> "F.Column":
             for i in range(0, len(conds), 2)
         ]
     return conds[0]
+
+
+def _where_touched_chunked(
+    rederived: "DataFrame", touched_rows: list, out_parts: list
+) -> "DataFrame":
+    """Restrict ``rederived`` to the touched partition tuples via literal
+    predicates, chunked to ≤WINDOW_TOUCHED_PRED_MAX clauses per union
+    branch (see WINDOW_TOUCHED_CHUNKS_MAX). One chunk degenerates to the
+    plain single-predicate restriction."""
+    from functools import reduce
+
+    step = WINDOW_TOUCHED_PRED_MAX
+    parts = []
+    for i in range(0, len(touched_rows), step):
+        conds = [
+            reduce(
+                lambda x, y: x & y,
+                [F.col(o).eqNullSafe(F.lit(row[o])) for o in out_parts],
+            )
+            for row in touched_rows[i:i + step]
+        ]
+        parts.append(rederived.where(_balanced_any(conds)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 __all__ = ["AutoMaterializedView", "UnsupportedViewError", "classify_view"]
@@ -3950,18 +3989,16 @@ class AutoMaterializedView:
                 .join(F.broadcast(touched.alias("__t")), scond, "left_semi")
             )
         rederived = self.plan_fn(snaps)
-        if not spec["restrict_ok"] and n_touched <= WINDOW_TOUCHED_PRED_MAX:
-            # literal touched-partition predicate (bounded: a huge
-            # delta touching more partitions re-derives full-input —
-            # at that point the window is mostly recomputed anyway)
-            conds = [
-                reduce(
-                    lambda x, y: x & y,
-                    [F.col(o).eqNullSafe(F.lit(row[o])) for o in out_parts],
-                )
-                for row in touched.collect()
-            ]
-            rederived = rederived.where(_balanced_any(conds))
+        if not spec["restrict_ok"] and n_touched <= (
+            WINDOW_TOUCHED_PRED_MAX * WINDOW_TOUCHED_CHUNKS_MAX
+        ):
+            # literal touched-partition predicate, CHUNKED past
+            # WINDOW_TOUCHED_PRED_MAX clauses (bounded: a huge delta
+            # touching even more partitions re-derives full-input — at
+            # that point the window is mostly recomputed anyway)
+            rederived = _where_touched_chunked(
+                rederived, touched.collect(), out_parts
+            )
 
         def part_cond(a, b):
             return reduce(
@@ -4093,22 +4130,20 @@ class AutoMaterializedView:
                 )
             snaps[name] = snap
         rederived = self.plan_fn(snaps)
-        if unrestricted and n_touched <= WINDOW_TOUCHED_PRED_MAX:
+        if unrestricted and n_touched <= (
+            WINDOW_TOUCHED_PRED_MAX * WINDOW_TOUCHED_CHUNKS_MAX
+        ):
             # same trick as _advance_window_tree: the touched tuples as
             # a literal predicate on the OUTPUT partition columns —
             # Catalyst pushes it through the Window, the Union, and
             # each branch's Project (rewriting through derived-column
             # aliases) down to the scans snapshot-level restriction
-            # could not reach. Output unchanged: whole partitions pass
-            # and the post-trim below is identical.
-            conds = [
-                reduce(
-                    lambda x, y: x & y,
-                    [F.col(o).eqNullSafe(F.lit(row[o])) for o in out_parts],
-                )
-                for row in touched.collect()
-            ]
-            rederived = rederived.where(_balanced_any(conds))
+            # could not reach; chunked past WINDOW_TOUCHED_PRED_MAX
+            # clauses. Output unchanged: whole partitions pass and the
+            # post-trim below is identical.
+            rederived = _where_touched_chunked(
+                rederived, touched.collect(), out_parts
+            )
 
         def part_cond(a, b):
             return reduce(

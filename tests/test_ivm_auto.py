@@ -3798,3 +3798,56 @@ def test_spec_summary_fast_path_skips_classification(spark, scratch, tables):
     assert r3["advanced"] is True
     want2 = _rows(agg_plan({n: t.snapshot() for n, t in sources.items()}))
     assert _rows(mv3.serve()) == want2
+
+
+def test_window_touched_predicate_chunks(spark, scratch, monkeypatch):
+    """Past WINDOW_TOUCHED_PRED_MAX touched partitions the literal
+    predicate applies CHUNKED (K union branches of ≤MAX clauses over the
+    re-derivation) instead of falling back to full-input — planning cost
+    is superlinear in one predicate's clause count but linear in bounded
+    branches. Forcing MAX=1 makes a 3-partition delta take the chunked
+    path; the view must still converge exactly, and beyond
+    MAX*CHUNKS_MAX the full-input fallback must also converge."""
+    from pyspark.sql import Window as W
+
+    import hudi_delete_view_spark.plans.ivm as ivm
+
+    t = CowTable(spark, os.path.join(scratch, "wchunk"), key_fields=["k"],
+                 partition_field=None, num_file_groups=2)
+    t.bulk_insert(spark.range(14).selectExpr(
+        "concat('k', id) as k", "cast(id % 4 as long) as g",
+        "cast(id % 3 as long) as parent", "cast(id as double) as v"),
+        "20260101000000")
+
+    def wplan(s):
+        a = s["t"].select(F.col("_hoodie_record_key").alias("vk"),
+                          "g", "parent", "v")
+        b = s["t"].select(F.col("g").alias("g2"), F.col("v").alias("pv"),
+                          F.col("_hoodie_record_key").alias("pk"))
+        w = W.partitionBy("g").orderBy(F.desc("pv"), F.asc("vk"),
+                                       F.asc("pk"))
+        return (a.join(b, F.col("parent") == F.col("g2"))
+                .withColumn("rn", F.row_number().over(w)).filter("rn <= 2")
+                .select("vk", "g", "pv", "pk", "rn"))
+
+    mv = AutoMaterializedView(spark, os.path.join(scratch, "wchunkmv"),
+                              {"t": t}, wplan)
+    assert mv.spec()["restrict_ok"] is False  # predicate path, not input
+    mv.refresh()
+
+    def check():
+        assert _rows(mv.serve()) == _rows(wplan({"t": t.snapshot()}))
+
+    check()
+    # chunked: 1-clause chunks, delta touches >1 partition
+    monkeypatch.setattr(ivm, "WINDOW_TOUCHED_PRED_MAX", 1)
+    t.upsert(spark.createDataFrame(
+        [("k2", 1, 0, 99.0), ("k3", 3, 2, 88.0), ("k20", 0, 1, 7.0)],
+        "k string, g long, parent long, v double"), "20260102000000")
+    mv.refresh(); check()
+    # past the chunk bound: full-input fallback still exact
+    monkeypatch.setattr(ivm, "WINDOW_TOUCHED_CHUNKS_MAX", 1)
+    t.delete(spark.createDataFrame([("k5",), ("k0",)], "k string"),
+             "20260103000000")
+    mv.refresh(); check()
+    assert mv.refresh()["advanced"] is False
