@@ -195,8 +195,15 @@ def _signature_table(
     keep = [F.col(c) for c in carry]
     sig = (
         spread(df)
+        # pre-filter on the INPUT, not size(__sh) on the projected array:
+        # exactly equivalent (char_shingles is empty iff length < k; NULL
+        # text drops both ways), but a post-projection size filter pushes
+        # below the project and DUPLICATES the whole shingle expression
+        # into the filter — measured 16.4s vs 1.4s for this stage at sf1,
+        # core-count-insensitive (the duplicated mega-expression leaves
+        # whole-stage codegen). Guide §1.3/§4.
+        .filter(F.length(text_col) >= shingle_k)
         .select(F.col(id_col).alias("__id"), char_shingles(text_col, shingle_k).alias("__sh"), *keep)
-        .filter(F.size("__sh") > 0)
         .withColumn("__hs", shingle_hashes("__sh"))
         .select("__id", sig_udf("__hs").alias("__sig"), *keep)
         .select("__id", "__sig", band_hashes("__sig", bands, rows_per_band).alias("__bands"), *keep)
