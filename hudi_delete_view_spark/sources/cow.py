@@ -75,6 +75,17 @@ _BROADCAST_STAMPS_MAX_ROWS = int(
     os.environ.get("SPARK_GRAFT_CDC_BCAST_STAMP_ROWS", 2_000_000)
 )
 
+# cdc() persists its delete-stamps subtree (it feeds two
+# differently-projected consumers) only past this many deleted rows in
+# range: below it, one extra persist+materialize job costs more than the
+# duplicated small scan it saves (measured ~+0.3s at sf0.1's ~17k
+# deletes); above it the barrier halves a scan+aggregation that grows
+# with the delete volume. Stats-gated like the delete view's two-phase
+# join — the driver knows total_records_deleted before any read.
+_STAMPS_PERSIST_MIN_ROWS = int(
+    os.environ.get("SPARK_GRAFT_CDC_STAMPS_PERSIST_MIN_ROWS", 100_000)
+)
+
 # file name: <fileId>_<writeToken>_<commitTs>[.log].parquet
 # The file id embeds the partition value verbatim (fg-<partition>-<n>), so
 # it MAY contain '_'; extraction anchors on the trailing
@@ -1780,13 +1791,15 @@ class CowTable:
             for i in self.timeline.commits_in_range(begin_exclusive, end)
         ]
         total_deleted = sum(m.total_records_deleted for m in range_meta)
-        if total_deleted > 0:
+        if total_deleted > _STAMPS_PERSIST_MIN_ROWS:
             # the stamps relation feeds TWO differently-projected consumers
             # (the begin-side contributor set and the delete-stamp join) —
             # without a barrier the delete-view scan + aggregation executes
             # twice per CDC call (guide §2.4). It is change-bounded (≤ one
-            # narrow row per key deleted in the range), so one materialized
-            # pass is strictly cheaper; the registry releases it between
+            # narrow row per key deleted in the range), so past the gate
+            # one materialized pass is strictly cheaper; below it the
+            # duplicated scan is smaller than a persist job (see
+            # _STAMPS_PERSIST_MIN_ROWS). The registry releases it between
             # operator invocations.
             from ..operators.util import register_cache
 

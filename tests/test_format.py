@@ -1447,14 +1447,19 @@ def test_archive_delete_view_across_boundary(spark, scratch):
     assert after == before
 
 
-def test_cdc_stamps_single_execution(spark, scratch):
+def test_cdc_stamps_single_execution(spark, scratch, monkeypatch):
     """Plan pin for the cdc() stamps barrier: the delete-stamps relation
     feeds two differently-projected consumers (begin-side contributor set,
-    delete-stamp join), so it persists — the delete-view scan + aggregation
-    appears ONCE in the plan (inside the InMemoryRelation) instead of
-    executing twice per CDC call. Values stay exact."""
+    delete-stamp join). Past the stats gate it persists — the delete-view
+    scan + aggregation appears ONCE in the plan (inside the
+    InMemoryRelation) instead of executing twice per CDC call; below the
+    gate (few deletes) the plain double-scan plan is kept (a persist job
+    costs more than the small duplicated scan). Values identical on both
+    paths."""
     import io
     from contextlib import redirect_stdout
+
+    import hudi_delete_view_spark.sources.cow as cow_mod
 
     t = CowTable(
         spark, os.path.join(scratch, "cdc_stamps"), key_fields=["k"],
@@ -1468,12 +1473,22 @@ def test_cdc_stamps_single_execution(spark, scratch):
     )
     t.upsert(spark.createDataFrame([(1, "p1", 999)], "k int, p string, v int"), T2)
     t.delete(spark.createDataFrame([(2, "p0")], "k int, p string"), T3)
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    # below the gate: no barrier, stamps subtree planned twice
+    ungated = t.cdc(T1, T3)
+    assert plan_of(ungated).count(".delete/") == 2
+    rows_ungated = sorted((r["op"], r["k"]) for r in ungated.collect())
+    # force the gate: barrier engages, subtree planned once behind a cache
+    monkeypatch.setattr(cow_mod, "_STAMPS_PERSIST_MIN_ROWS", 0)
     df = t.cdc(T1, T3)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    plan = buf.getvalue()
+    plan = plan_of(df)
     assert "InMemoryTableScan" in plan, plan
     assert plan.count(".delete/") == 1, plan
     rows = sorted((r["op"], r["k"]) for r in df.collect())
-    assert rows == [("delete", 2), ("update", 1)]
+    assert rows == rows_ungated == [("delete", 2), ("update", 1)]
